@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.{Ingest, Latest}
+
+/** Queries exercising the reference's own operator surface
+  * (SURVEY.md §2) over the `events` table, which stands in for the
+  * market-tick stream: user_id ≈ symbol key, ts ≈ tick time, props ≈
+  * the open JSON payload, value ≈ a numeric payload field.
+  */
+object ReferenceQ {
+
+  /** A1 keep-last-per-key — the Redis cache semantic
+    * (cache_service.go:45-52) as a deterministic argmax per user_id.
+    */
+  val qLatestPerKey = Q(
+    "q_latest_per_key",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select("user_id", "event_id", "ts_ms", "event_type", "value")
+      Latest.keepLastPerKey(ev, Seq("user_id"), Seq("ts_ms", "event_id"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_id, ts_ms, event_type, value FROM (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events) t WHERE rn = 1 ORDER BY user_id""")
+  )
+
+  /** P7 dimension enrichment — broadcast lookup with "unknown" default
+    * (ingestor.go:116-122), customer standing in for the symbol dim.
+    */
+  val qEnrichDim = Q(
+    "q_enrich_dim",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir).select("event_id", "user_id", "event_type")
+      Ingest.enrichDim(ev, Tables.customer(spark, dir),
+          "user_id", "c_custkey", "c_mktsegment", "segment")
+        .select("event_id", "user_id", "event_type", "segment")
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, e.event_type,
+             coalesce(c.c_mktsegment, 'unknown') AS segment
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY e.event_id""")
+  )
+
+  /** F1 validation + S3 payload decode — parse the JSON payload field
+    * `k`, drop invalid records (models/market_data.go:12-20,
+    * ingestor.go:99-115).
+    */
+  val qIngestValidate = Q(
+    "q_ingest_validate",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      Ingest.validate(ev, "event_type", "ts_ms")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull)
+        .select("event_id", "user_id", "event_type", "ts_ms", "k")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE event_type <> '' AND event_type IS NOT NULL AND epoch_ms(ts) > 0
+        AND json_extract_string(props, '$.k') IS NOT NULL
+      ORDER BY event_id""")
+  )
+
+  /** A2 TTL retention — keep only events within 24h of the newest
+    * event (Redis EX ttl, config/config.go:37).
+    */
+  val qTtlFilter = Q(
+    "q_ttl_filter",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select("event_id", "user_id", "ts_ms")
+      Latest.ttlFilter(ev, "ts_ms", 24L * 3600 * 1000)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE epoch_ms(ts) >= (SELECT max(epoch_ms(ts)) FROM events) - 86400000
+      ORDER BY event_id""")
+  )
+
+  def all: Seq[Q] = Seq(qLatestPerKey, qEnrichDim, qIngestValidate, qTtlFilter)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM, local mode). */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class OpsSpec extends AnyFunSuite {
+  import graft.ops.{Ingest, Latest}
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("keepLastPerKey picks max ts with id tie-break (A1)") {
+    val df = Seq(
+      ("a", 1L, 10L, "x"), ("a", 3L, 30L, "y"), ("a", 2L, 30L, "z"),
+      ("b", 9L, 5L, "w")
+    ).toDF("name", "event_id", "ts_ms", "v")
+    val out = Latest.keepLastPerKey(df, Seq("name"), Seq("ts_ms", "event_id"))
+      .orderBy("name").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSeq ==
+      Seq(("a", 3L, "y"), ("b", 9L, "w")))
+  }
+
+  test("validate drops empty names and non-positive timestamps (F1)") {
+    val df = Seq(("", 5L), ("ok", 0L), ("ok", -3L), ("ok", 1L))
+      .toDF("name", "timestamp")
+    val out = Ingest.validate(df).collect()
+    assert(out.length == 1 && out.head.getString(0) == "ok" && out.head.getLong(1) == 1L)
+  }
+
+  test("enrichDim defaults misses to 'unknown' (P7)") {
+    val facts = Seq(("EURUSD", 1), ("XXX", 2)).toDF("name", "n")
+    val dim = Seq(("EURUSD", "FOREX")).toDF("symbol", "exchange")
+    val out = Ingest.enrichDim(facts, dim, "name", "symbol", "exchange")
+      .orderBy("n").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("FOREX", "unknown"))
+  }
+
+  test("parseWire drops corrupt JSON and reads doubly nested payload (S3/F5/P1)") {
+    val raw = Seq(
+      """{"name":"EURUSD","timestamp":123,"data":{"data":{"bid":"1.08","ask":"1.09"}}}""",
+      """not json at all"""
+    ).toDF("value")
+    val out = Ingest.parseWire(raw).collect()
+    assert(out.length == 1)
+    val m = out.head.getMap[String, String](2)
+    assert(out.head.getString(0) == "EURUSD" && m("bid") == "1.08")
+  }
+
+  test("ttlFilter keeps rows within ttl of max ts (A2)") {
+    val df = Seq(("a", 100L), ("b", 60L), ("c", 39L)).toDF("k", "ts_ms")
+    val out = Latest.ttlFilter(df, "ts_ms", 60L).orderBy("k").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
