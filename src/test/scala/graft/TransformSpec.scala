@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{SymbolConfig, ValueRule}
+import graft.ops.Transform
+
+/** Pins the §2.4 transform-engine edge semantics surveyed from the
+  * reference (file:line cites in Transform.scala scaladoc).
+  */
+class TransformSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def runCfg(payload: Map[String, String], cfg: SymbolConfig): Map[String, String] = {
+    val df = Seq(1).toDF("i").withColumn("p",
+      if (payload.isEmpty) map().cast("map<string,string>") else typedlit(payload))
+    df.select(Transform.applySymbolConfig(col("p"), cfg).as("out"))
+      .collect().head.getMap[String, String](0).toMap
+  }
+
+  test("transform order: rules address original names, overrides post-rename names") {
+    val out = runCfg(
+      Map("p" -> "10"),
+      SymbolConfig(
+        valueRules = Map("p" -> ValueRule("add", 5)),
+        renameFields = Map("p" -> "q"),
+        overrideFields = Map("q" -> "X")))
+    assert(out == Map("q" -> "X"))
+    // without the override, the renamed field carries the rule result
+    val out2 = runCfg(
+      Map("p" -> "10"),
+      SymbolConfig(
+        valueRules = Map("p" -> ValueRule("add", 5)),
+        renameFields = Map("p" -> "q")))
+    assert(out2 == Map("q" -> "15.0"))
+  }
+
+  test("rename onto an existing key overwrites it") {
+    val out = runCfg(Map("a" -> "1", "b" -> "2"),
+      SymbolConfig(renameFields = Map("a" -> "b")))
+    assert(out == Map("b" -> "1"))
+  }
+
+  test("divide-by-zero and unknown op leave value unchanged") {
+    val out = runCfg(Map("x" -> "7", "y" -> "7"),
+      SymbolConfig(valueRules = Map(
+        "x" -> ValueRule("divide", 0), "y" -> ValueRule("frobnicate", 3))))
+    assert(out == Map("x" -> "7", "y" -> "7"))
+  }
+
+  test("non-numeric value untouched by rules") {
+    val out = runCfg(Map("x" -> "hello"),
+      SymbolConfig(valueRules = Map("x" -> ValueRule("add", 1))))
+    assert(out == Map("x" -> "hello"))
+  }
+
+  test("removes address post-rename names") {
+    val out = runCfg(Map("a" -> "1"),
+      SymbolConfig(renameFields = Map("a" -> "b"), removeFields = Seq("b")))
+    assert(out == Map.empty[String, String])
+  }
+
+  test("empty config is identity") {
+    val p = Map("a" -> "1", "b" -> "zzz")
+    assert(runCfg(p, SymbolConfig()) == p)
+  }
+
+  test("normalize stamps meta after payload copy (shadowing)") {
+    val df = Seq(("EURUSD", 123L, "FOREX")).toDF("name", "timestamp", "exchange")
+      .withColumn("payload", typedlit(Map("symbol" -> "SHADOW", "bid" -> "1.08")))
+    val out = Transform.normalize(df).select("flat")
+      .collect().head.getMap[String, String](0).toMap
+    assert(out == Map("symbol" -> "EURUSD", "timestamp" -> "123",
+      "exchange" -> "FOREX", "bid" -> "1.08"))
+  }
+
+  test("override timestamp=current injects wall-clock millis") {
+    val before = System.currentTimeMillis()
+    val out = runCfg(Map("timestamp" -> "1"),
+      SymbolConfig(overrideFields = Map("timestamp" -> "current")))
+    val after = System.currentTimeMillis()
+    val got = out("timestamp").toLong
+    assert(got >= before && got <= after)
+  }
+}
