@@ -55,5 +55,180 @@ object RelationalQ {
       ORDER BY l_returnflag, l_linestatus""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg)
+  /** TPC-H Q5-shaped multi-join aggregation: revenue per nation for one
+    * region/year. Join order matters at scale: lineitem⋈orders shuffles
+    * on orderkey; customer/supplier/nation/region are dimension-sized
+    * and broadcast, so the big fact table shuffles exactly once.
+    */
+  val qJoinPricing = Q(
+    "q_join_pricing",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      val cust = Tables.customer(spark, dir)
+      val sup = Tables.supplier(spark, dir)
+      val nat = Tables.nation(spark, dir)
+      val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice"), 12, 2) *
+          (lit(1) - dec(col("l_discount"), 4, 2))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")
+  )
+
+  /** Window functions: per-customer ranking of orders by price.
+    * Keeps only each customer's top-3 — the window shuffles once on
+    * custkey; no driver-side work.
+    */
+  val qWindowRank = Q(
+    "q_window_rank",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(spark, dir)
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cume_spend",
+          sum(dec(col("o_totalprice"), 12, 2)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice", "cume_spend")
+        .orderBy("o_custkey", "rk")
+    },
+    Some("""SELECT o_custkey, rk, o_orderkey, o_totalprice, cume_spend FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER w AS rk,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cume_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) t
+      WHERE rk <= 3 ORDER BY o_custkey, rk""")
+  )
+
+  /** Global top-k with deterministic tie-break — Spark's sort-limit
+    * takes per-partition top-k then merges k×partitions rows on the
+    * driver side of the exchange: no full sort at scale.
+    */
+  val qTopk = Q(
+    "q_topk",
+    (spark, dir) =>
+      Tables.orders(spark, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+  )
+
+  /** Set operations: INTERSECT and EXCEPT over user populations,
+    * tagged and unioned into one result.
+    */
+  val qSetops = Q(
+    "q_setops",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select("user_id").distinct()
+      val both = users("purchase").intersect(users("error"))
+        .withColumn("tag", lit("purchase_and_error"))
+      val only = users("purchase").except(users("error"))
+        .withColumn("tag", lit("purchase_no_error"))
+      both.unionByName(only).select("tag", "user_id").orderBy("tag", "user_id")
+    },
+    Some("""SELECT 'purchase_and_error' AS tag, user_id FROM
+        (SELECT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'error') a
+      UNION ALL
+      SELECT 'purchase_no_error' AS tag, user_id FROM
+        (SELECT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'error') b
+      ORDER BY tag, user_id""")
+  )
+
+  /** ROLLUP with grouping indicators; NULL group keys replaced by a
+    * sentinel so ordering is engine-independent.
+    */
+  val qRollup = Q(
+    "q_rollup",
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"), col("g_rf"), col("g_ls"))
+        .orderBy("returnflag", "linestatus"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        coalesce(l_linestatus, 'ALL') AS linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        count(*) AS n,
+        CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        CAST(grouping(l_linestatus) AS INT) AS g_ls
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus""")
+  )
+
+  /** Exact distinct aggregation per group (expand + two-phase agg). */
+  val qDistinct = Q(
+    "q_distinct",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+        count(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** Anti join: customers with no orders (NOT EXISTS). */
+  val qAntiJoin = Q(
+    "q_anti_join",
+    (spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+      val ev = Tables.events(spark, dir)
+      cust.join(ev, col("c_custkey") === col("user_id"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+      ORDER BY c_custkey""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qTopk, qSetops,
+    qRollup, qDistinct, qAntiJoin)
 }
