@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Numeric portability: dot products are sequential left-to-right
+  * folds in double precision (`aggregate` HOF) — the same order the
+  * DuckDB oracle's `list_reduce` uses — so cosine values are
+  * bit-identical across engines and top-k ranking is deterministic
+  * (ties broken by id).
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set
+  * and streams the corpus map-side — no shuffle of the corpus; cost
+  * is |Q|·|C| dots. The LSH variant buckets by sign bits so candidate
+  * generation is an equality join on the bucket key; at 100 TB this is
+  * the difference between a full cross join and a skew-bounded
+  * hash join. An IVF variant would replace the bucket key with a
+  * nearest-centroid id — same join shape.
+  */
+object Similarity {
+
+  /** Cast a float vector to double (exact widening). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(v: Column): Column = dot(v, v)
+
+  /** cosine(a, b) = dot / sqrt(|a|²·|b|²) — single sqrt so the oracle
+    * can reproduce the exact floating-point expression shape.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself), rank-ordered with id
+    * tie-break. `queries` and `corpus` both need (id, vec) columns.
+    */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Sign-LSH bucket key: one bit per leading dimension (1 ⇔ ≥ 0).
+    * Random-hyperplane LSH with axis-aligned planes — deterministic
+    * and engine-portable.
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(vec, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** LSH-bucketed near-dup pairs: candidates share the sign bucket,
+    * then exact cosine ≥ threshold. The equality join on the bucket
+    * key replaces the all-pairs cross join.
+    */
+  def lshCosinePairs(vectors: DataFrame, bits: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val a = v.select(col("id").as("i"), col("v").as("av"), col("bucket"))
+    val b = v.select(col("id").as("j"), col("v").as("bv"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("i") < col("j"))
+      .withColumn("cosine", cosine(col("av"), col("bv")))
+      .filter(col("cosine") >= threshold)
+      .select("i", "j", "cosine")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM training-data pipelines: token
+  * extraction, k-gram shingling, quality stats, language-ID heuristics,
+  * and winnowing-style document fingerprints.
+  *
+  * Everything is a Column expression (codegen'd, no UDFs) so all ops
+  * stay inside whole-stage codegen and scale linearly with no shuffle
+  * of their own — shuffles happen only in the downstream joins/aggs
+  * that consume these columns.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), " "), t => t =!= "")
+
+  /** Word k-shingles (consecutive k-grams joined by a space). Empty
+    * array when the document has fewer than k tokens.
+    */
+  def shingles(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct 3-gram shingles — the unit of near-dup comparison. */
+  def shingleSet(text: Column): Column = array_distinct(shingles(tokens(text), 3))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is", "on")
+
+  /** Stopword hit count over a token array. */
+  def stopwordHits(toks: Column, stops: Seq[String] = defaultStopwords): Column =
+    size(filter(toks, t => t.isin(stops.map(lit(_)): _*)))
+
+  /** Total character count of an array of tokens (sequential fold). */
+  def totalTokenChars(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, t) => acc + length(t))
+
+  /** Heuristic language ID: stopword-profile scoring — >=2 hits ⇒ en,
+    * 1 ⇒ und(etermined), 0 ⇒ other. A real pipeline swaps in a model;
+    * the plumbing (pure column expression over tokens) is the point.
+    */
+  def langIdHeuristic(toks: Column): Column = {
+    val hits = stopwordHits(toks, Seq("the", "and", "of", "a", "in"))
+    when(hits >= 2, lit("en")).when(hits === 1, lit("und")).otherwise(lit("other"))
+  }
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03 scheme,
+    * simplified): md5 each shingle, take the min hash of every
+    * sliding window of `w`, distinct+sort the kept hashes, md5 the
+    * joined result into one document fingerprint.
+    */
+  def winnowFingerprint(shingleArr: Column, w: Int): Column = {
+    val hs = transform(shingleArr, s => md5(s.cast("binary")))
+    val n = size(hs)
+    val wins = when(n >= w,
+      transform(sequence(lit(1), n - (w - 1)),
+        i => array_min(slice(hs, i, lit(w)))))
+      .otherwise(array(array_min(hs)))
+    md5(concat_ws("|", array_sort(array_distinct(wins))).cast("binary"))
+  }
+
+  /** SimHash over distinct tokens, `bits` wide (≤32): per bit position
+    * k, majority vote of md5-hex-digit high bits (+1/−1), rendered as a
+    * '0'/'1' string so the value is engine-portable.
+    */
+  def simhash(toks: Column, bits: Int): Column = {
+    val hs = transform(array_distinct(toks), t => md5(t.cast("binary")))
+    val highDigits = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bitCols = (0 until bits).map { k =>
+      val vote = aggregate(hs, lit(0), (acc, h) =>
+        acc + when(substring(h, k + 1, 1).isin(highDigits.map(lit(_)): _*), 1)
+          .otherwise(-1))
+      when(vote > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bitCols: _*)
+  }
+}

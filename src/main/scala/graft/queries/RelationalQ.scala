@@ -109,7 +109,7 @@ object RelationalQ {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(spark, dir)
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .withColumn("cume_spend",
           sum(dec(col("o_totalprice"), 12, 2)).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -181,8 +181,8 @@ object RelationalQ {
         .agg(
           sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"),
           count(lit(1)).as("n"),
-          grouping(col("l_returnflag")).as("g_rf"),
-          grouping(col("l_linestatus")).as("g_ls"))
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),

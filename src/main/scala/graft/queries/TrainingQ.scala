@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Training-data pipeline operators (dedup / similarity / text
+  * analysis) over the documents and embeddings tables, each with a
+  * DuckDB oracle. Repetitive oracle SQL (minhash signatures, simhash
+  * bits) is generated, not hand-written, so Spark and oracle stay in
+  * lockstep on the hashing scheme.
+  */
+object TrainingQ {
+
+  /** Shared oracle CTEs: whitespace tokens and distinct 3-gram
+    * shingles (mirrors TextOps.tokens / TextOps.shingleSet).
+    */
+  private val tokCtes =
+    """toks AS (SELECT doc_id, text, lang, n_chars,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+       FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(CASE WHEN len(ts) >= 3
+           THEN list_transform(range(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+           ELSE CAST([] AS VARCHAR[]) END) AS ss
+       FROM toks)"""
+
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    (spark, dir) =>
+      Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+        .orderBy("rep_id"),
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS rep_id,
+        count(*) AS n_dups
+      FROM documents GROUP BY md5(text) ORDER BY rep_id""")
+  )
+
+  val qDedupNgram = Q(
+    "q_dedup_ngram",
+    (spark, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.8)
+        .orderBy("i", "j"),
+    Some(s"""WITH $tokCtes,
+        shf AS (SELECT DISTINCT doc_id, unnest(ss) AS s FROM sh),
+        sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+        inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+      SELECT i, j, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = i
+      JOIN sizes sb ON sb.doc_id = j
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+      ORDER BY i, j""")
+  )
+
+  private val Bands = 4
+  private val RowsPerBand = 2
+  private val NumHashes = Bands * RowsPerBand
+
+  val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (spark, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+        bands = Bands, rowsPerBand = RowsPerBand)
+        .orderBy("i", "j"),
+    Some {
+      val sigExprs = (0 until NumHashes).map(j =>
+        s"list_min(list_transform(ss, s -> md5('$j|' || s))) AS h$j").mkString(", ")
+      val bandExprs = (0 until Bands).map(b =>
+        s"h${b * RowsPerBand} || h${b * RowsPerBand + 1} AS b$b").mkString(", ")
+      val bandCond = (0 until Bands).map(b => s"a.b$b = c.b$b").mkString(" OR ")
+      val nShared = (0 until Bands).map(b =>
+        s"(CASE WHEN a.b$b = c.b$b THEN 1 ELSE 0 END)").mkString(" + ")
+      val nMatch = (0 until NumHashes).map(j =>
+        s"(CASE WHEN a.h$j = c.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $tokCtes,
+          sig AS (SELECT doc_id, $sigExprs FROM sh),
+          b AS (SELECT *, $bandExprs FROM sig)
+        SELECT a.doc_id AS i, c.doc_id AS j,
+          CAST($nShared AS BIGINT) AS n_shared_bands,
+          CAST($nMatch AS DOUBLE) / $NumHashes AS est_jaccard
+        FROM b a JOIN b c ON a.doc_id < c.doc_id AND ($bandCond)
+        ORDER BY i, j"""
+    }
+  )
+
+  private val SimhashBits = 16
+
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (spark, dir) =>
+      Dedup.simhashBuckets(Tables.documents(spark, dir), "doc_id", "text",
+        bits = SimhashBits)
+        .orderBy("doc_id"),
+    Some {
+      val bitExprs = (0 until SimhashBits).map { k =>
+        s"""(CASE WHEN list_reduce(list_transform(hs,
+             h -> CASE WHEN substring(h, ${k + 1}, 1) IN
+                  ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END),
+             (a, b) -> a + b) > 0 THEN '1' ELSE '0' END)"""
+      }.mkString(" || ")
+      s"""WITH $tokCtes,
+          hh AS (SELECT doc_id,
+            list_transform(list_distinct(ts), t -> md5(t)) AS hs FROM toks),
+          sig AS (SELECT doc_id, $bitExprs AS simhash FROM hh),
+          buckets AS (SELECT simhash, min(doc_id) AS rep_id,
+            count(*) AS bucket_size FROM sig GROUP BY simhash)
+        SELECT s.doc_id, s.simhash, b.rep_id, b.bucket_size
+        FROM sig s JOIN buckets b USING (simhash)
+        ORDER BY s.doc_id"""
+    }
+  )
+
+  val qTextStats = Q(
+    "q_text_stats",
+    (spark, dir) => {
+      val ts = TextOps.tokens(col("text"))
+      Tables.documents(spark, dir)
+        .withColumn("ts", ts)
+        .select(
+          col("doc_id"),
+          size(col("ts")).cast("long").as("n_words"),
+          size(array_distinct(col("ts"))).cast("long").as("n_uniq"),
+          TextOps.totalTokenChars(col("ts")).cast("long").as("total_chars"),
+          (TextOps.totalTokenChars(col("ts")).cast("double") / size(col("ts")))
+            .as("avg_wlen"),
+          (TextOps.stopwordHits(col("ts")).cast("double") / size(col("ts")))
+            .as("stop_ratio"),
+          col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, lang, n_chars,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(ts) AS BIGINT) AS n_words,
+        CAST(len(list_distinct(ts)) AS BIGINT) AS n_uniq,
+        CAST(list_reduce(list_transform(ts, x -> len(x)), (a, b) -> a + b) AS BIGINT) AS total_chars,
+        CAST(list_reduce(list_transform(ts, x -> len(x)), (a, b) -> a + b) AS DOUBLE) / len(ts) AS avg_wlen,
+        CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','in','to','is','on'))) AS DOUBLE) / len(ts) AS stop_ratio,
+        lang, n_chars
+      FROM toks ORDER BY doc_id""")
+  )
+
+  val qLangId = Q(
+    "q_lang_id",
+    (spark, dir) => {
+      val ts = TextOps.tokens(col("text"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.langIdHeuristic(ts).as("lang_pred"))
+        .withColumn("is_en_match",
+          (col("lang") === "en") === (col("lang_pred") === "en"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, lang,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      scored AS (SELECT doc_id, lang,
+          len(list_filter(ts, x -> x IN ('the','and','of','a','in'))) AS hits
+        FROM toks)
+      SELECT doc_id, lang,
+        CASE WHEN hits >= 2 THEN 'en' WHEN hits = 1 THEN 'und'
+             ELSE 'other' END AS lang_pred,
+        (lang = 'en') = (CASE WHEN hits >= 2 THEN 'en' WHEN hits = 1 THEN 'und'
+             ELSE 'other' END = 'en') AS is_en_match
+      FROM scored ORDER BY doc_id""")
+  )
+
+  val qTokenCount = Q(
+    "q_token_count",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+            .cast("long").as("n_alpha_tokens"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_num_tokens"),
+          length(trim(col("text"))).cast("long").as("text_len"),
+          col("n_chars"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+        CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
+        CAST(len(trim(text)) AS BIGINT) AS text_len,
+        n_chars
+      FROM documents ORDER BY doc_id""")
+  )
+
+  private val WinnowW = 5
+
+  val qFingerprint = Q(
+    "q_fingerprint",
+    (spark, dir) => {
+      val shRaw = TextOps.shingles(TextOps.tokens(col("text")), 3)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextOps.winnowFingerprint(shRaw, WinnowW).as("fingerprint"),
+          size(shRaw).cast("long").as("n_shingles"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      shraw AS (SELECT doc_id,
+          CASE WHEN len(ts) >= 3
+            THEN list_transform(range(1, len(ts) - 1),
+                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+            ELSE CAST([] AS VARCHAR[]) END AS ss
+        FROM toks),
+      hashed AS (SELECT doc_id, list_transform(ss, s -> md5(s)) AS hs,
+          len(ss) AS n FROM shraw),
+      wins AS (SELECT doc_id, n,
+          CASE WHEN n >= $WinnowW
+            THEN list_transform(range(1, n - ${WinnowW - 1} + 1),
+                 i -> list_min(hs[i:i+${WinnowW - 1}]))
+            ELSE [list_min(hs)] END AS mins
+        FROM hashed)
+      SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(mins)), '|')) AS fingerprint,
+        CAST(n AS BIGINT) AS n_shingles
+      FROM wins ORDER BY doc_id""")
+  )
+
+  /** Oracle fragment: sequential-fold double dot product (mirrors
+    * Similarity.dot exactly, including fold order).
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (p, q) -> p + q)"
+
+  val qKnn = Q(
+    "q_knn",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.knnBruteForce(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      s AS (SELECT query_id, vec_id AS neighbor_id,
+          ${sqlDot("qv", "v")} / sqrt(${sqlDot("qv", "qv")} * ${sqlDot("v", "v")}) AS cosine
+        FROM e CROSS JOIN q WHERE vec_id <> query_id),
+      r AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM s)
+      SELECT query_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank""")
+  )
+
+  private val LshBits = 8
+  private val CosThreshold = 0.4
+
+  val qAnnLsh = Q(
+    "q_ann_lsh",
+    (spark, dir) =>
+      Similarity.lshCosinePairs(Tables.embeddings(spark, dir),
+        bits = LshBits, threshold = CosThreshold)
+        .orderBy("i", "j"),
+    Some {
+      val bucket = (1 to LshBits).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            $bucket AS bucket
+          FROM embeddings),
+        p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+            ${sqlDot("a.v", "b.v")} / sqrt(${sqlDot("a.v", "a.v")} * ${sqlDot("b.v", "b.v")}) AS cosine
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT i, j, cosine FROM p WHERE cosine >= $CosThreshold
+        ORDER BY i, j"""
+    }
+  )
+
+  def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
+    qTextStats, qLangId, qTokenCount, qFingerprint, qKnn, qAnnLsh)
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Similarity, TextOps}
+
+class TrainingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles produce consecutive k-grams; short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val out = df.select(TextOps.shingles(TextOps.tokens(col("text")), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+  }
+
+  test("exact dedup groups identical texts, min id representative") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("rep_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard finds permuted near-dups, not unrelated docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "also the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words about spark query engines here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH: identical docs share all bands, est_jaccard 1.0") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashLshPairs(docs, "doc_id", "text", 4, 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 2L, 4L))
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("simhash: identical token sets share a bucket") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq pp oo")
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashBuckets(docs, "doc_id", "text", 16)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == out(1).getString(1))
+    assert(out(0).getLong(3) >= 2)
+  }
+
+  test("knn brute force: nearest vector by cosine, self excluded") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnBruteForce(vecs.filter(col("vec_id") === 1), vecs, 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 3L, 4L))
+    assert(out(0).getDouble(3) > 0.99)
+    assert(out(2).getDouble(3) == -1.0)
+  }
+
+  test("sign-LSH buckets put sign-identical vectors together") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -0.5f, 0.1f, 0.1f)),
+      (2L, Seq(0.4f, -0.6f, 0.2f, 0.1f)),
+      (3L, Seq(-0.5f, 0.5f, 0.1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshCosinePairs(vecs, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("winnow fingerprint invariant to duplicate tail, sensitive to change") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "q r s t u v w x y z")
+    ).toDF("doc_id", "text")
+    val out = docs.select(
+      TextOps.winnowFingerprint(TextOps.shingles(TextOps.tokens(col("text")), 3), 5))
+      .collect().map(_.getString(0))
+    assert(out(0) == out(1) && out(0) != out(2))
+  }
+}
