@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.io.Tables
+import graft.ops.{Ingest, Latest}
+
+/** Streaming-layer queries. q_stream_latest runs the REAL Structured
+  * Streaming path (file source → validate → streaming argmax in
+  * complete mode → memory sink) and is then compared against the same
+  * DuckDB oracle as the batch q_latest_per_key — a batch/streaming
+  * equivalence check executed by the driver itself.
+  */
+object StreamQ {
+
+  @volatile private var counter = 0
+
+  val qStreamLatest = Q(
+    "q_stream_latest",
+    (spark, dir) => {
+      val rawSchema = Tables.table(spark, dir, "events").schema
+      val name = { counter += 1; s"stream_latest_$counter" }
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts_ms", expr("ts div 1000000"))
+        .select("user_id", "event_id", "ts_ms", "event_type", "value")
+      val latest = Latest.keepLastPerKey(
+        Ingest.validate(src, "event_type", "ts_ms"),
+        Seq("user_id"), Seq("ts_ms", "event_id"))
+      val q = latest.writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .select("user_id", "event_id", "ts_ms", "event_type", "value")
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_id, ts_ms, event_type, value FROM (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events
+      WHERE event_type <> '' AND event_type IS NOT NULL AND epoch_ms(ts) > 0) t
+      WHERE rn = 1 ORDER BY user_id""")
+  )
+
+  def all: Seq[Q] = Seq(qStreamLatest)
+}

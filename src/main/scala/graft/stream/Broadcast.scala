@@ -1,0 +1,42 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Transform
+
+/** The §3.3 serving plane (A6/K4): the reference's 1-second broadcaster
+  * re-reads the full cache every tick and fans the transformed snapshot
+  * out to every client (server.go:88-130).
+  *
+  * Spark mapping: a 1 row/sec `rate` source is the ticker; each tick's
+  * foreachBatch re-reads the latest-state table, applies the per-client
+  * config-driven transform (one broadcast-join plan for all clients),
+  * and hands the result to a sink callback (the WS fan-out stand-in).
+  *
+  * The full-snapshot-per-tick shape is intentionally preserved from the
+  * reference (it is the observable semantic); the incremental
+  * alternative is LatestStream's update stream, which emits only
+  * changed keys.
+  */
+object Broadcast {
+
+  def start(
+      spark: SparkSession,
+      latestDir: String,
+      configs: DataFrame,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      period: String = "1 second"): StreamingQuery = {
+    val ticker = spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+    ticker.writeStream
+      .queryName("graft-broadcast")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(period))
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        val snapshot = Pipeline.readLatest(spark, latestDir)
+        sink(Transform.serveSnapshot(snapshot, configs), batchId)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,57 @@
+package graft.stream
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming keep-last-per-key with TTL — the Redis cache semantics
+  * (A1/A2: cache_service.go:37-61, SET ... EX ttl) as typed stateful
+  * streaming: one state row per key holding the current argmax record;
+  * a processing-time timeout evicts idle keys after the TTL, exactly
+  * like Redis key expiry.
+  *
+  * Scale: state is O(distinct keys), partitioned by key hash across
+  * executors; each micro-batch touches only the keys it contains.
+  */
+object LatestStream {
+
+  /** A tick record for the stateful path (ordering: ts then id). */
+  final case class Keyed(key: String, id: Long, tsMs: Long, value: Double)
+
+  implicit val keyedEnc: Encoder[Keyed] = Encoders.product[Keyed]
+
+  /** State-update function, exposed for direct unit testing with
+    * TestGroupState: keeps the max-(tsMs, id) record per key; on TTL
+    * timeout the state is removed (Redis expiry). With `ttlMs = None`
+    * state is retained forever (no timeout registered).
+    */
+  def updateLatest(ttlMs: Option[Long])(
+      key: String, rows: Iterator[Keyed], state: GroupState[Keyed]): Iterator[Keyed] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val candidates = state.getOption.iterator ++ rows
+      val best = candidates.maxBy(r => (r.tsMs, r.id))
+      state.update(best)
+      ttlMs.foreach(state.setTimeoutDuration)
+      Iterator.single(best)
+    }
+  }
+
+  /** Wire the state function into a streaming Dataset. Emits the new
+    * latest record for every updated key each micro-batch (update
+    * semantics, like the reference cache upsert).
+    *
+    * Note: a processing-time TTL keeps the query re-triggering even
+    * with no input (timeouts are work) — that is correct for the
+    * long-running pipeline; batch-style runs (Trigger.AvailableNow)
+    * should pass `ttlMs = None`.
+    */
+  def keepLastStateful(ds: Dataset[Keyed], ttlMs: Option[Long]): Dataset[Keyed] = {
+    val conf = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[Keyed, Keyed](OutputMode.Update(), conf)(
+        updateLatest(ttlMs))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.stream
+
+import java.util.concurrent.atomic.LongAdder
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** K5 parity — the reference's Prometheus counters
+  * (internal/app/metrics/metrics.go:8-34: messages_received/processed,
+  * batch_inserts, errors_total, processing latency histogram) mapped
+  * onto StreamingQueryListener progress events. Counter values come
+  * from query progress (numInputRows, batch duration), not from
+  * per-record instrumentation, so they cost nothing on the hot path.
+  */
+final class Metrics extends StreamingQueryListener {
+  val messagesProcessed = new LongAdder
+  val batchInserts = new LongAdder
+  val queriesStarted = new LongAdder
+  val queriesFailed = new LongAdder
+  @volatile var lastBatchDurationMs: Long = 0L
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    queriesStarted.increment()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    messagesProcessed.add(event.progress.numInputRows)
+    batchInserts.increment()
+    lastBatchDurationMs =
+      Option(event.progress.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L)
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    if (event.exception.isDefined) queriesFailed.increment()
+
+  def snapshot: Map[String, Long] = Map(
+    "messages_processed" -> messagesProcessed.sum(),
+    "batch_inserts" -> batchInserts.sum(),
+    "queries_started" -> queriesStarted.sum(),
+    "queries_failed" -> queriesFailed.sum(),
+    "last_batch_duration_ms" -> lastBatchDurationMs)
+}
+
+object Metrics {
+  /** Attach a fresh metrics listener to the session. */
+  def attach(spark: SparkSession): Metrics = {
+    val m = new Metrics
+    spark.streams.addListener(m)
+    m
+  }
+}

@@ -1,0 +1,119 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.hadoop.fs.Path
+import graft.ops.{Ingest, Latest}
+
+/** The §3.1 ingest hot path as one Structured Streaming query:
+  *
+  *   source → decode → validate (F1) → broadcast enrich (P7)
+  *     → foreachBatch { append sink (K1) ∥ latest-state upsert (K3) }
+  *
+  * mirroring the reference's processor (cmd/processor/processor.go):
+  * the 2s flush interval is the trigger (A3); the two sinks are written
+  * sequentially and are individually retried, best-effort, exactly like
+  * the reference's flush (A4, processor.go:85-119) — with two
+  * improvements the reference lacks: a batchId-keyed append layout that
+  * makes replays idempotent, and a staged atomic swap for the latest
+  * table.
+  *
+  * Scale notes: the append sink is a plain partitioned parquet write
+  * (at production scale: JDBC/Delta — same foreachBatch shape). The
+  * latest upsert here recomputes argmax over (previous latest ∪ batch),
+  * which is O(|keys| + |batch|) per trigger since the previous latest
+  * holds one row per key — the state never grows with history.
+  */
+object Pipeline {
+
+  /** Retry a sink write `attempts` times with linear backoff, like the
+    * reference's flushWithRetry (processor.go:85-119: 3 attempts,
+    * (i+1)s sleeps, then drop-and-log).
+    */
+  private[stream] def withRetry[T](attempts: Int, baseSleepMs: Long)(f: => T): Option[T] = {
+    var i = 0
+    while (i < attempts) {
+      try return Some(f)
+      catch {
+        case e: Exception =>
+          i += 1
+          if (i < attempts) Thread.sleep(baseSleepMs * i)
+          else System.err.println(s"[graft] sink write dropped after $attempts attempts: ${e.getMessage}")
+      }
+    }
+    None
+  }
+
+  /** Idempotent append: each micro-batch lands in `batch=<id>`; a
+    * replayed batch id overwrites its own directory instead of
+    * double-appending (K1 + exactly-once-per-batch improvement).
+    */
+  def appendBatch(df: DataFrame, appendDir: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$appendDir/batch=$batchId")
+
+  /** Keep-last upsert (K3): previous latest ∪ batch → argmax per key,
+    * staged then atomically swapped in.
+    */
+  def upsertLatest(spark: SparkSession, batch: DataFrame, latestDir: String,
+      keyCols: Seq[String], orderCols: Seq[String]): Unit = {
+    val fs = new Path(latestDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(s"$latestDir/current")
+    val prev =
+      if (fs.exists(cur)) spark.read.parquet(cur.toString).unionByName(batch)
+      else batch
+    val next = Latest.keepLastPerKey(prev, keyCols, orderCols)
+    val stage = new Path(s"$latestDir/stage")
+    next.write.mode("overwrite").parquet(stage.toString)
+    // swap: current → old, stage → current (read-modify-write is safe
+    // because a streaming query runs batches serially)
+    val old = new Path(s"$latestDir/old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(cur)) fs.rename(cur, old)
+    fs.rename(stage, cur)
+  }
+
+  def readLatest(spark: SparkSession, latestDir: String): DataFrame =
+    spark.read.parquet(s"$latestDir/current")
+
+  /** Build and start the ingest query over an already-decoded streaming
+    * DataFrame (use Ingest.parseWire upstream for raw JSON sources).
+    */
+  def start(
+      ticks: DataFrame,
+      dim: DataFrame,
+      appendDir: String,
+      latestDir: String,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      nameCol: String,
+      tsCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      retries: Int = 3,
+      retrySleepMs: Long = 1000): StreamingQuery = {
+    val spark = ticks.sparkSession
+    val validated = Ingest.validate(ticks, nameCol, tsCol)
+    val enriched = Ingest.enrichDim(validated, dim, nameCol, "symbol", "exchange")
+    enriched.writeStream
+      .queryName("graft-ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val persisted = batch.persist()
+        try {
+          // sequential, individually-retried, best-effort — the two
+          // sinks can diverge on failure exactly like the reference
+          // (SURVEY.md §3.1 non-atomicity note)
+          withRetry(retries, retrySleepMs) {
+            appendBatch(persisted, appendDir, batchId)
+          }
+          withRetry(retries, retrySleepMs) {
+            upsertLatest(spark, persisted, latestDir, keyCols, orderCols)
+          }
+          ()
+        } finally { persisted.unpersist(); () }
+      }
+      .start()
+  }
+}

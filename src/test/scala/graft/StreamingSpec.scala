@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Latest
+import graft.stream.{LatestStream, Metrics, Pipeline}
+import graft.stream.LatestStream.Keyed
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("ingest pipeline: dual sink appends batches and upserts latest (K1/K3/A3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long, Double)]
+    val ticks = in.toDF().toDF("name", "event_id", "ts_ms", "value")
+    val dim = Seq(("a", "NYSE"), ("b", "NASDAQ")).toDF("symbol", "exchange")
+    val appendDir = tmp("append"); val latestDir = tmp("latest")
+    val q = Pipeline.start(ticks, dim, appendDir, latestDir,
+      keyCols = Seq("name"), orderCols = Seq("ts_ms", "event_id"),
+      nameCol = "name", tsCol = "ts_ms", checkpointDir = tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0), retries = 1)
+    in.addData(("a", 1L, 100L, 1.0), ("b", 2L, 50L, 2.0), ("", 3L, 10L, 9.9))
+    q.processAllAvailable()
+    in.addData(("a", 4L, 200L, 3.0), ("c", 5L, 70L, 4.0), ("bad", 6L, 0L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // append sink: all valid rows across batches, enriched
+    val appended = spark.read.parquet(appendDir)
+    assert(appended.count() == 4) // two invalid rows dropped (F1)
+    assert(appended.filter(col("name") === "c").select("exchange")
+      .head().getString(0) == "unknown")
+    // latest: one row per key, the argmax
+    val latest = Pipeline.readLatest(spark, latestDir)
+      .orderBy("name").collect()
+    assert(latest.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 4L), ("b", 2L), ("c", 5L)))
+  }
+
+  test("append sink is idempotent per batch id (replay safety)") {
+    val dir = tmp("appendIdem")
+    val df = Seq((1, "x")).toDF("id", "v")
+    Pipeline.appendBatch(df, dir, 7L)
+    Pipeline.appendBatch(df, dir, 7L) // replay of same batch
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("stateful keep-last: argmax per key, state survives restart (A1 streaming)") {
+    // ProcessingTimeTimeout makes a running query re-trigger forever, so
+    // drive it in two AvailableNow runs sharing a checkpoint — which also
+    // proves state recovery.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Keyed]
+    val ckpt = tmp("ckptState")
+    def runOnce(): Seq[Keyed] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Keyed]()
+      val q = LatestStream.keepLastStateful(in.toDS(), ttlMs = None)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Keyed], _: Long) =>
+          ds.collect().foreach(buf.add); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.toArray(Array.empty[Keyed]).toSeq
+    }
+    in.addData(Keyed("a", 1, 100, 1.0), Keyed("a", 2, 300, 2.0))
+    assert(runOnce().map(_.id) == Seq(2L))
+    in.addData(Keyed("a", 3, 200, 3.0)) // older than checkpointed state
+    // recovered state (id 2, ts 300) beats the late row (ts 200)
+    assert(runOnce().map(_.id) == Seq(2L))
+  }
+
+  test("state TTL timeout removes the key (A2, Redis expiry)") {
+    val fn = LatestStream.updateLatest(Some(1000L)) _
+    // normal update keeps the max record
+    val st = TestGroupState.create[Keyed](
+      optionalState = Optional.empty[Keyed](), timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val emitted = fn("a", Iterator(Keyed("a", 1, 100, 1.0), Keyed("a", 2, 50, 2.0)), st).toSeq
+    assert(emitted.map(_.id) == Seq(1L))
+    assert(st.get.id == 1L)
+    // timeout fires: state removed, nothing emitted
+    val st2 = TestGroupState.create[Keyed](
+      optionalState = Optional.of(Keyed("a", 1, 100, 1.0)),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 99999L, eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    val emitted2 = fn("a", Iterator.empty, st2).toSeq
+    assert(emitted2.isEmpty && !st2.exists)
+  }
+
+  test("metrics listener counts rows and batches (K5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = Metrics.attach(spark)
+    val in = MemoryStream[Int]
+    val q = in.toDS().writeStream.format("memory")
+      .queryName("metrics_sink").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    in.addData(1, 2, 3)
+    q.processAllAvailable()
+    q.stop()
+    spark.streams.awaitAnyTermination(2000)
+    val snap = m.snapshot
+    assert(snap("messages_processed") >= 3)
+    assert(snap("batch_inserts") >= 1)
+    assert(snap("queries_started") >= 1)
+    spark.streams.removeListener(m)
+  }
+
+  test("streaming latest equals batch argmax oracle (batch/stream equivalence)") {
+    val got = SparkEntry.queries("q_stream_latest")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = {
+      val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+        .select("user_id", "event_id", "ts_ms", "event_type", "value")
+      Latest.keepLastPerKey(graft.ops.Ingest.validate(ev, "event_type", "ts_ms"),
+        Seq("user_id"), Seq("ts_ms", "event_id"))
+        .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+}
