@@ -21,7 +21,8 @@ final case class Q(
 
 object Catalog {
   def all: Seq[Q] =
-    ReferenceQ.all ++ TransformQ.all ++ RelationalQ.all ++ TrainingQ.all ++ StreamQ.all
+    ReferenceQ.all ++ TransformQ.all ++ RelationalQ.all ++ TrainingQ.all ++
+      StreamQ.all ++ MultimodalQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Multimodal
+
+/** Multimodal metadata extraction exercised through the real typed
+  * mapPartitions path, with documents.text cast to binary standing in
+  * for media bytes (ASCII ⇒ the oracle can recompute every field with
+  * string functions). The stub decode is deterministic from the bytes,
+  * so even the fake dimensions are oracle-checked.
+  */
+object MultimodalQ {
+
+  val qMultimodalMeta = Q(
+    "q_multimodal_meta",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("kind",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video"))
+      val media = Multimodal.asMedia(docs, "doc_id", "kind", "text")
+      Multimodal.extractMeta(media)
+        .toDF()
+        .withColumnRenamed("media_id", "doc_id")
+        .select("doc_id", "kind", "n_bytes", "header_hex", "checksum",
+          "width", "height", "duration_ms")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(len(text) AS BIGINT) AS n_bytes,
+        hex(substring(text, 1, 4)) AS header_hex,
+        md5(text) AS checksum,
+        64 + ascii(substring(text, 1, 1)) % 64 AS width,
+        64 + ascii(substring(text, 2, 1)) % 64 AS height,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE len(text) END AS BIGINT) AS duration_ms
+      FROM documents ORDER BY doc_id""")
+  )
+
+  def all: Seq[Q] = Seq(qMultimodalMeta)
+}
