@@ -25,8 +25,17 @@ object Similarity {
   /** Cast a float vector to double (exact widening). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential double dot product — the native codegen expression
+    * (graftbridge.DotProduct). Bit-identical to [[dotHof]] and to the
+    * oracle's list_reduce (same summation order).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotNative(a, b)
+
+  /** Reference HOF formulation (CodegenFallback; kept for equivalence
+    * tests and as documentation of the numeric contract).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm2(v: Column): Column = dot(v, v)
