@@ -85,5 +85,41 @@ object ReferenceQ {
       ORDER BY event_id""")
   )
 
-  def all: Seq[Q] = Seq(qLatestPerKey, qEnrichDim, qIngestValidate, qTtlFilter)
+  /** As-of join — for each purchase, the user's most recent click at
+    * or before it (trade → prevailing-quote semantics). Right side
+    * deduped per (user, ts) for determinism; oracle uses DuckDB's
+    * native ASOF LEFT JOIN.
+    */
+  val qAsofJoin = Q(
+    "q_asof_join",
+    (spark, dir) => {
+      import graft.ops.{AsOf, Latest}
+      val ev = Tables.events(spark, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_ms", "value")
+      val clicks0 = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ms"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      val clicks = Latest.keepLastPerKey(clicks0,
+        Seq("user_id", "ts_ms"), Seq("click_id"))
+      AsOf.asOfJoin(purchases, clicks,
+          keyCols = Seq("user_id"), leftTimeCol = "ts_ms", rightTimeCol = "ts_ms",
+          rightValueCols = Seq("click_id", "click_value"))
+        .select("event_id", "user_id", "ts_ms", "value", "click_id", "click_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+          FROM events WHERE event_type = 'purchase'),
+        c0 AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+          FROM events WHERE event_type = 'click'),
+        c AS (SELECT user_id, ts_ms, max_by(event_id, event_id) AS click_id,
+            max_by(value, event_id) AS click_value
+          FROM c0 GROUP BY user_id, ts_ms)
+      SELECT p.event_id, p.user_id, p.ts_ms, p.value, c.click_id, c.click_value
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+      ORDER BY p.event_id""")
+  )
+
+  def all: Seq[Q] = Seq(qLatestPerKey, qEnrichDim, qIngestValidate, qTtlFilter, qAsofJoin)
 }
