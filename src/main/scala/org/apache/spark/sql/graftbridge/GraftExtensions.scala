@@ -1,0 +1,67 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Optimizer rule: rewrite the interpreted higher-order-function dot
+  * product
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, x) -> acc + x)
+  *
+  * into the codegen [[DotProduct]] expression. Numerically exact: both
+  * forms are strictly sequential left-to-right double summation, so
+  * this is a pure performance rewrite (measured ~7×).
+  *
+  * This is the (b)/(c) extension path from the build guide: users who
+  * write the declarative HOF form get the native operator without
+  * changing their query.
+  */
+object RewriteDotProduct extends Rule[LogicalPlan] {
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private object HofDot {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+            LambdaFunction(_: NamedLambdaVariable, _, _))
+          if zero == 0.0 && isDoubleArray(a) && isDoubleArray(b) =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case HofDot(a, b) => DotProduct(a, b)
+    }
+}
+
+/** SparkSessionExtensions entry point:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or spark.sql.extensions=org.apache.spark.sql.graftbridge.GraftExtensions
+  *
+  * Registers the `graft_dot` SQL function and the HOF→native rewrite.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    e.injectOptimizerRule(_ => RewriteDotProduct)
+  }
+}

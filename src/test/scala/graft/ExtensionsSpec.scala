@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+
+/** The SparkSessionExtensions path: graft_dot SQL function + the
+  * HOF→native optimizer rewrite. Uses its own session (extensions are
+  * install-time), same JVM.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val shared = TestSpark.spark // ensure the shared context exists first
+    // getOrCreate returns the existing default session (extensions are
+    // construction-time), so temporarily clear it to force a fresh
+    // session on the same SparkContext.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new org.apache.spark.sql.graftbridge.GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
+    s
+  }
+
+  test("graft_dot is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("optimizer rewrites the HOF dot-product pattern to the native expression") {
+    // non-foldable input, else constant folding evaluates the whole
+    // expression before the rewrite is observable
+    val df = spark.range(1)
+      .select(array(col("id").cast("double") + 1.0, lit(2.0)).as("a"),
+        array(lit(3.0), lit(4.0)).as("b"))
+      .select(Similarity.dotHof(col("a"), col("b")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), s"no rewrite in:\n$optimized")
+    assert(df.collect().head.getDouble(0) == 11.0)
+  }
+}
