@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Ingest, Latest}
+import graft.sources.TickSource
+
+/** End-to-end over the custom DataSourceV2 source: graft-ticks →
+  * decode (S3) → validate (F1) → keep-last (A1), checked against the
+  * deterministic generator formula.
+  */
+class TickSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val MaxTicks = 300L
+  private val Symbols = 7
+
+  test("graft-ticks microbatch source feeds the full ingest path") {
+    val raw = spark.readStream.format("graft-ticks")
+      .option("rowsPerBatch", 100)
+      .option("maxTicks", MaxTicks)
+      .option("symbols", Symbols)
+      .option("numPartitions", 3)
+      .load()
+    val parsed = Ingest.validate(Ingest.parseWire(raw))
+    val q = parsed.writeStream.format("memory").queryName("ticks_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ticks_out").collect()
+    // expected from the generator formula: drop corrupt (i%97==0) and
+    // empty-name (i%101==0) ticks
+    val expected = (0L until MaxTicks).filterNot(i => i % 97 == 0 || i % 101 == 0)
+    assert(got.length == expected.size)
+    val gotTs = got.map(_.getLong(1)).sorted
+    assert(gotTs.toSeq == expected.map(1700000000000L + _))
+    // payload survived the doubly nested decode
+    val m = got.head.getMap[String, String](2)
+    assert(m.contains("bid") && m.contains("ask"))
+
+    // keep-last per symbol over the batch output equals the generator argmax
+    val latest = Latest.keepLastPerKey(
+      spark.table("ticks_out"), Seq("name"), Seq("timestamp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantLatest = expected.groupBy(i => s"SYM${i % Symbols}")
+      .map { case (k, is) => k -> (1700000000000L + is.max) }
+    assert(latest == wantLatest)
+  }
+
+  test("frame generator emits corrupt and invalid frames on schedule") {
+    assert(TickSource.frame(0, 5).startsWith("{corrupt"))
+    assert(TickSource.frame(101, 5).contains("\"name\":\"\""))
+    assert(TickSource.frame(1, 5).contains("\"name\":\"SYM1\""))
+  }
+}
