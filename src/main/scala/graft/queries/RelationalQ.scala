@@ -229,6 +229,33 @@ object RelationalQ {
       ORDER BY c_custkey""")
   )
 
+  /** Event-time tumbling-window aggregation via window() — the same
+    * groupBy(window(...)) the streaming path uses with a watermark
+    * (StreamingSpec covers late-data semantics); batch form is
+    * oracle-checked here. Window start in UTC = hour floor of epoch ms.
+    */
+  val qTimeWindow = Q(
+    "q_time_window",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      ev.groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"), 12, 2)).cast("double").as("sum_value"))
+        .select(
+          unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start_ms", "event_type")
+    },
+    Some("""SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS window_start_ms,
+        event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY window_start_ms, event_type
+      ORDER BY window_start_ms, event_type""")
+  )
+
   def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qTopk, qSetops,
-    qRollup, qDistinct, qAntiJoin)
+    qRollup, qDistinct, qAntiJoin, qTimeWindow)
 }

@@ -115,6 +115,35 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.removeListener(m)
   }
 
+  test("watermarked tumbling window drops late data, append emits closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)] // (ts_ms, value)
+    val windowed = in.toDF().toDF("ts_ms", "value")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w"), col("n"))
+    val q = windowed.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val m = 60000L
+    // window [0,5m): two rows; then advance event time far enough that
+    // the watermark (max - 10m) passes 5m and the window closes
+    in.addData((1 * m, 1.0), (3 * m, 1.0))
+    q.processAllAvailable()
+    in.addData((20 * m, 1.0)) // watermark -> 10m; closes [0,5m)
+    q.processAllAvailable()
+    in.addData((2 * m, 9.9)) // late beyond watermark: dropped
+    in.addData((21 * m, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("win_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // [0,5m) finalized with exactly the 2 on-time rows; the late row
+    // never reopens it
+    assert(closed.get(0L).contains(2L))
+  }
+
   test("streaming latest equals batch argmax oracle (batch/stream equivalence)") {
     val got = SparkEntry.queries("q_stream_latest")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
