@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large⋈large joins on hot keys.
+  *
+  * AQE's skew-join split handles most cases at runtime; explicit
+  * salting remains the tool when one key dominates so badly that even
+  * split sub-partitions hotspot, or when AQE is unavailable (streaming
+  * micro-batches). Technique: fact rows get a deterministic salt in
+  * [0, S); the other side is replicated S× with every salt value; the
+  * join key becomes (key, salt), spreading each hot key over S
+  * reducers. Results are exactly those of the unsalted join.
+  *
+  * The salt is derived from a unique fact column (pmod of its hash),
+  * not rand(), so replays/retries are deterministic (same row → same
+  * partition), which retried micro-batch sinks rely on.
+  */
+object Skew {
+
+  def saltedJoin(
+      facts: DataFrame,
+      other: DataFrame,
+      joinKey: String,
+      saltFrom: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    val salted = facts.withColumn("_salt",
+      pmod(xxhash64(col(saltFrom)), lit(salts)).cast("int"))
+    val replicated = other.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(joinKey, "_salt"), joinType).drop("_salt")
+  }
+}

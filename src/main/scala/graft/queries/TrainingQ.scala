@@ -280,6 +280,36 @@ object TrainingQ {
     }
   )
 
+  /** Dedup clusters: connected components over the ≥0.8-Jaccard pair
+    * graph; each member doc labeled with its component's min doc id.
+    * Oracle: recursive-CTE transitive closure + min reachable label.
+    */
+  val qDedupClusters = Q(
+    "q_dedup_clusters",
+    (spark, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+        "doc_id", "text", threshold = 0.8)
+      Dedup.connectedComponents(pairs).orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $tokCtes,
+        shf AS (SELECT DISTINCT doc_id, unnest(ss) AS s FROM sh),
+        sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+        inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        pairs AS (SELECT i, j FROM inter
+          JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+        edges AS (SELECT i AS a, j AS b FROM pairs
+          UNION SELECT j, i FROM pairs),
+        walk(a, label) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+          UNION
+          SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a)
+      SELECT a AS doc_id, min(label) AS rep_id FROM walk
+      GROUP BY a ORDER BY a""")
+  )
+
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
-    qTextStats, qLangId, qTokenCount, qFingerprint, qKnn, qAnnLsh)
+    qDedupClusters, qTextStats, qLangId, qTokenCount, qFingerprint, qKnn, qAnnLsh)
 }

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Skew}
+
+class SkewCcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join equals plain join (inner and left)") {
+    val facts = (1 to 500).map(i => (i.toLong, if (i % 10 == 0) "rare" else "hot"))
+      .toDF("id", "k")
+    val dim = Seq(("hot", 1.0), ("rare", 2.0), ("unused", 3.0)).toDF("k", "w")
+    for (jt <- Seq("inner", "left")) {
+      val plain = facts.join(dim, Seq("k"), jt)
+        .select("id", "k", "w").orderBy("id").collect().toSeq
+      val salted = Skew.saltedJoin(facts, dim, "k", "id", 8, jt)
+        .select("id", "k", "w").orderBy("id").collect().toSeq
+      assert(salted == plain, s"join type $jt")
+    }
+  }
+
+  test("connected components: min label per component, chains converge") {
+    // components: {1,2,3,4} (chain), {10,11}, pair graph only
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val out = Dedup.connectedComponents(pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+}
