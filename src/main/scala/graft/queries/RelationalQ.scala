@@ -256,6 +256,45 @@ object RelationalQ {
       ORDER BY window_start_ms, event_type""")
   )
 
+  /** Exact interpolated percentiles per group — Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition,
+    * so values match bitwise on identical sorted inputs.
+    */
+  val qQuantiles = Q(
+    "q_quantiles",
+    (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.95) AS p95,
+        min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** Sketch surface: HLL distinct + approximate percentile. Sketch
+    * internals are engine-specific, so there is no DuckDB oracle —
+    * the driver records the weaker rows-present check; the exact
+    * counterparts (q_distinct, q_quantiles) are the correctness pins.
+    */
+  val qApproxSketch = Q(
+    "q_approx_sketch",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          approx_percentile(col("value"), lit(0.5), lit(1000)).as("approx_p50"))
+        .orderBy("event_type"),
+    None
+  )
+
   def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qTopk, qSetops,
-    qRollup, qDistinct, qAntiJoin, qTimeWindow)
+    qRollup, qDistinct, qAntiJoin, qTimeWindow, qQuantiles, qApproxSketch)
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Latest
-import graft.stream.{LatestStream, Metrics, Pipeline}
+import graft.stream.{Broadcast, LatestStream, Metrics, Pipeline}
 import graft.stream.LatestStream.Keyed
 
 class StreamingSpec extends AnyFunSuite {
@@ -113,6 +113,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap("batch_inserts") >= 1)
     assert(snap("queries_started") >= 1)
     spark.streams.removeListener(m)
+  }
+
+  test("broadcast serving query re-serves transformed snapshots per tick (A6/K4)") {
+    val latestDir = tmp("latestServe")
+    // seed the latest table: one row per symbol with a map payload
+    val snapshot = Seq(("sym1", 100L, 2.0), ("sym2", 200L, 3.0))
+      .toDF("symbol", "ts_ms", "value")
+      .withColumn("exchange", lit("unknown"))
+      .withColumn("payload", map(lit("v"), col("value").cast("string")))
+    val shaped = graft.ops.Transform.normalize(
+      snapshot, "symbol", "ts_ms", "exchange")
+      .select("symbol", "flat")
+    Pipeline.upsertLatest(spark, shaped, latestDir, Seq("symbol"), Seq("flat.timestamp"))
+    val configs = spark.sql(
+      """SELECT 'alpha' AS client_id, 'sym1' AS symbol,
+           map('v', named_struct('op', 'multiply', 'value', 2.0D)) AS rules,
+           CAST(NULL AS MAP<STRING,STRING>) AS renames,
+           CAST(NULL AS ARRAY<STRING>) AS removes,
+           CAST(NULL AS MAP<STRING,STRING>) AS overrides""")
+    val served = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val q = Broadcast.start(spark, latestDir, configs, tmp("ckptServe"),
+      sink = (df, _) => df.select("client_id", "symbol", "flat")
+        .collect().foreach(r => served.add((r.getString(0), r.getString(1),
+          r.getMap[String, String](2)("v")))),
+      period = "1 second")
+    val deadline = System.currentTimeMillis() + 30000
+    while (served.size() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    q.stop()
+    val got = served.toArray(Array.empty[(String, String, String)]).toSet
+    // alpha sees both symbols; sym1 transformed (v*2), sym2 passthrough
+    assert(got.contains(("alpha", "sym1", "4.0")))
+    assert(got.contains(("alpha", "sym2", "3.0")))
   }
 
   test("watermarked tumbling window drops late data, append emits closed windows") {
