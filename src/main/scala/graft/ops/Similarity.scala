@@ -72,6 +72,47 @@ object Similarity {
     concat((1 to bits).map(i =>
       when(element_at(vec, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** IVF-style ANN: an inverted file keyed by cluster id with one
+    * representative vector per cluster (here the min-id member — a
+    * medoid stand-in that is engine-exact, unlike float averaging,
+    * whose low-bit rounding differs across engines). Query phase:
+    * rank clusters by cosine to the representative, probe the top
+    * `nprobe` inverted lists, exact-rerank only their members.
+    *
+    * Scale shape: reps are tiny (one per cluster) and broadcast; the
+    * corpus is partitioned by cluster id, so a query touches nprobe
+    * partitions instead of the full corpus — the IVF trade of recall
+    * for a 1/(clusters/nprobe) scan fraction. With a trained
+    * quantizer the representative table is the codebook; the join
+    * shape is identical.
+    */
+  def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label"): DataFrame = {
+    val minIds = corpus.groupBy(col(clusterCol).as("cluster"))
+      .agg(min(col(idCol)).as("rid"))
+    val reps = minIds.join(
+      corpus.select(col(idCol).as("rid"), asDouble(col(vecCol)).as("rv")),
+      Seq("rid"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(cosine(col("qv"), col("rv")).desc, col("cluster"))
+    val probed = q.crossJoin(broadcast(reps))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select("query_id", "qv", "cluster")
+    val members = corpus.select(col(clusterCol).as("cluster"),
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probed.join(members, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** LSH-bucketed near-dup pairs: candidates share the sign bucket,
     * then exact cosine ≥ threshold. The equality join on the bucket
     * key replaces the all-pairs cross join.

@@ -150,6 +150,33 @@ object Transform {
     * overrides. Configs are per-client dimension data — small — so the
     * join is broadcast: the snapshot fans out map-side, no shuffle.
     */
+  /** Plan-compiled serving variant — the reference's per-client loop
+    * (server.go:106-115) taken literally: configs are collected
+    * driver-side and compiled into literal when-chains, one union
+    * branch per client. Semantically identical to [[serveSnapshot]]
+    * (tested); plan size grows with clients × symbols, so this is the
+    * right choice only for few clients — the interpreter is the scale
+    * path. Kept per SURVEY §7's risk register as the explicit
+    * trade-off pair.
+    */
+  def serveSnapshotCompiled(
+      snapshot: DataFrame,
+      configs: Map[String, graft.model.ClientConfig],
+      symbolCol: String = "symbol",
+      payloadCol: String = "flat"): DataFrame = {
+    val frames = configs.toSeq.sortBy(_._1).map { case (clientId, cfg) =>
+      val transformed = cfg.symbols.toSeq.sortBy(_._1)
+        .foldLeft(col(payloadCol)) { case (acc, (sym, sc)) =>
+          when(col(symbolCol) === sym, applySymbolConfig(col(payloadCol), sc))
+            .otherwise(acc)
+        }
+      snapshot
+        .withColumn("client_id", lit(clientId))
+        .withColumn(payloadCol, transformed)
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   def serveSnapshot(snapshot: DataFrame, configs: DataFrame,
       symbolCol: String = "symbol", payloadCol: String = "flat"): DataFrame = {
     val clients = configs.select("client_id").distinct()

@@ -310,6 +310,41 @@ object TrainingQ {
       GROUP BY a ORDER BY a""")
   )
 
+  /** IVF-style ANN: probe the nprobe clusters whose representative is
+    * most query-similar, exact-rerank their members only (scan
+    * fraction nprobe/clusters vs brute force).
+    */
+  val qAnnIvf = Q(
+    "q_ann_ivf",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.knnIvf(emb.filter(col("vec_id") < 10), emb, k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      reps AS (SELECT label, min(vec_id) AS rid FROM e GROUP BY label),
+      repv AS (SELECT r.label, e.v AS rv FROM reps r JOIN e ON e.vec_id = r.rid),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      probe AS (SELECT query_id, qv, label,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            ${sqlDot("qv", "rv")} / sqrt(${sqlDot("qv", "qv")} * ${sqlDot("rv", "rv")}) DESC,
+            label) AS pr
+        FROM q CROSS JOIN repv),
+      cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("p.qv", "e.v")} / sqrt(${sqlDot("p.qv", "p.qv")} * ${sqlDot("e.v", "e.v")}) AS cosine
+        FROM (SELECT query_id, qv, label FROM probe WHERE pr <= 3) p
+        JOIN e ON e.label = p.label WHERE e.vec_id <> p.query_id),
+      r AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
-    qDedupClusters, qTextStats, qLangId, qTokenCount, qFingerprint, qKnn, qAnnLsh)
+    qDedupClusters, qTextStats, qLangId, qTokenCount, qFingerprint, qKnn,
+    qAnnLsh, qAnnIvf)
 }

@@ -75,6 +75,36 @@ class TransformSpec extends AnyFunSuite {
       "exchange" -> "FOREX", "bid" -> "1.08"))
   }
 
+  test("compiled per-client serving equals the data-driven interpreter") {
+    import graft.model.ClientConfig
+    val snapshot = Seq(("sym1", "10"), ("sym2", "20"), ("sym3", "30"))
+      .toDF("symbol", "v")
+      .withColumn("flat", map(lit("v"), col("v"))).drop("v")
+    val scalaCfgs = Map(
+      "alpha" -> ClientConfig(Map(
+        "sym1" -> SymbolConfig(valueRules = Map("v" -> ValueRule("multiply", 2)),
+          overrideFields = Map("src" -> "alpha")),
+        "sym2" -> SymbolConfig(renameFields = Map("v" -> "v2")))),
+      "beta" -> ClientConfig(Map(
+        "sym1" -> SymbolConfig(removeFields = Seq("v")))))
+    val cfgDf = spark.sql(
+      """SELECT * FROM VALUES
+          ('alpha', 'sym1', map('v', named_struct('op', 'multiply', 'value', 2.0D)),
+           CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS ARRAY<STRING>), map('src', 'alpha')),
+          ('alpha', 'sym2', CAST(NULL AS MAP<STRING,STRUCT<op:STRING,value:DOUBLE>>),
+           map('v', 'v2'), CAST(NULL AS ARRAY<STRING>), CAST(NULL AS MAP<STRING,STRING>)),
+          ('beta', 'sym1', CAST(NULL AS MAP<STRING,STRUCT<op:STRING,value:DOUBLE>>),
+           CAST(NULL AS MAP<STRING,STRING>), array('v'), CAST(NULL AS MAP<STRING,STRING>))
+        AS t(client_id, symbol, rules, renames, removes, overrides)""")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("client_id", "symbol", "flat").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getMap[String, String](2).toMap))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val interpreted = canon(Transform.serveSnapshot(snapshot, cfgDf))
+    val compiled = canon(Transform.serveSnapshotCompiled(snapshot, scalaCfgs))
+    assert(compiled == interpreted)
+  }
+
   test("override timestamp=current injects wall-clock millis") {
     val before = System.currentTimeMillis()
     val out = runCfg(Map("timestamp" -> "1"),
