@@ -295,6 +295,29 @@ object RelationalQ {
     None
   )
 
+  /** Pivot: per-user event counts spread across event-type columns.
+    * Spark compiles pivot to conditional aggregation — the oracle IS
+    * that formulation.
+    */
+  val qPivot = Q(
+    "q_pivot",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+    Some("""SELECT user_id,
+        count(*) FILTER (event_type = 'click') AS click,
+        count(*) FILTER (event_type = 'error') AS error,
+        count(*) FILTER (event_type = 'purchase') AS purchase,
+        count(*) FILTER (event_type = 'signup') AS signup,
+        count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
   def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qTopk, qSetops,
-    qRollup, qDistinct, qAntiJoin, qTimeWindow, qQuantiles, qApproxSketch)
+    qRollup, qDistinct, qAntiJoin, qTimeWindow, qQuantiles, qApproxSketch,
+    qPivot)
 }
