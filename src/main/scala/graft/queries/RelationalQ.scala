@@ -317,7 +317,42 @@ object RelationalQ {
       FROM events GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** Sessionization: session_window with a 6h inactivity gap (same
+    * operator the streaming path uses for session state). Boundary
+    * semantics (new session when diff ≥ gap, i.e. windows are
+    * [t, t+gap)) reproduced in the oracle via lag + cumulative breaks.
+    */
+  val qSessionize = Q(
+    "q_sessionize",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(spark, dir)
+        .withColumn("t", timestamp_millis(col("ts_ms")))
+      val sess = ev.groupBy(col("user_id"), session_window(col("t"), "6 hours"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ts_ms")).as("start_ms"),
+          max(col("ts_ms")).as("end_ms"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("start_ms"))
+      sess.withColumn("sid", row_number().over(w).cast("long"))
+        .select("user_id", "sid", "n", "start_ms", "end_ms")
+        .orderBy("user_id", "sid")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      d AS (SELECT user_id, ts_ms,
+          CASE WHEN lag(ts_ms) OVER w IS NULL
+                 OR ts_ms - lag(ts_ms) OVER w >= 21600000
+               THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      s AS (SELECT user_id, ts_ms,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d)
+      SELECT user_id, sid, count(*) AS n,
+        min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+      FROM s GROUP BY user_id, sid ORDER BY user_id, sid""")
+  )
+
   def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qTopk, qSetops,
     qRollup, qDistinct, qAntiJoin, qTimeWindow, qQuantiles, qApproxSketch,
-    qPivot)
+    qPivot, qSessionize)
 }
