@@ -121,5 +121,38 @@ object ReferenceQ {
       ORDER BY p.event_id""")
   )
 
-  def all: Seq[Q] = Seq(qLatestPerKey, qEnrichDim, qIngestValidate, qTtlFilter, qAsofJoin)
+  /** Interval join — purchases attributed to a signup by the same user
+    * within the following 7 days, via the bucketized range join
+    * (RangeJoin.bucketed); oracle is the plain inequality join.
+    */
+  val qRangeJoin = Q(
+    "q_range_join",
+    (spark, dir) => {
+      import graft.ops.RangeJoin
+      val ev = Tables.events(spark, dir)
+      val weekMs = 7L * 24 * 3600 * 1000
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_ms").as("purchase_ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts_ms").as("start_ms"),
+          (col("ts_ms") + weekMs).as("end_ms"))
+      RangeJoin.bucketed(purchases, signups, "user_id",
+          "purchase_ts", "start_ms", "end_ms", bucketWidth = weekMs)
+        .select("user_id", "purchase_id", "signup_id", "purchase_ts", "start_ms")
+        .orderBy("purchase_id", "signup_id")
+    },
+    Some("""SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id,
+        epoch_ms(p.ts) AS purchase_ts, epoch_ms(s.ts) AS start_ms
+      FROM events p JOIN events s
+        ON p.user_id = s.user_id
+       AND p.event_type = 'purchase' AND s.event_type = 'signup'
+       AND epoch_ms(p.ts) >= epoch_ms(s.ts)
+       AND epoch_ms(p.ts) < epoch_ms(s.ts) + 604800000
+      ORDER BY purchase_id, signup_id""")
+  )
+
+  def all: Seq[Q] = Seq(qLatestPerKey, qEnrichDim, qIngestValidate, qTtlFilter,
+    qAsofJoin, qRangeJoin)
 }

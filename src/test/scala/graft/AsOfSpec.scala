@@ -22,6 +22,22 @@ class AsOfSpec extends AnyFunSuite {
       (4L, None)))       // B t=10 -> quote only at t=50
   }
 
+  test("bucketed range join: exact [start, end) semantics, pairs once, cross-bucket intervals") {
+    import graft.ops.RangeJoin
+    val points = Seq(("A", 5L, 1L), ("A", 10L, 2L), ("A", 19L, 3L), ("A", 20L, 4L), ("B", 5L, 5L))
+      .toDF("k", "t", "pid")
+    val ranges = Seq(("A", 10L, 20L, 100L), ("A", 15L, 25L, 101L), ("B", 0L, 6L, 102L))
+      .toDF("k", "s", "e", "rid")
+    val out = RangeJoin.bucketed(points, ranges, "k", "t", "s", "e", bucketWidth = 10L)
+      .select("pid", "rid").orderBy("pid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq(
+      (2L, 100L), // t=10 >= start inclusive
+      (3L, 100L), (3L, 101L), // t=19 in both
+      (4L, 101L), // t=20: excluded from [10,20), included in [15,25)
+      (5L, 102L)))
+  }
+
   test("right row at identical timestamp matches (inclusive >=)") {
     val trades = Seq(("A", 10L, 1L)).toDF("sym", "t", "trade_id")
     val quotes = Seq(("A", 10L, 99.0)).toDF("sym", "t", "px")
