@@ -49,6 +49,38 @@ class TickSourceSpec extends AnyFunSuite {
     assert(latest == wantLatest)
   }
 
+  test("live socket feed drives the ingest pipeline (S1 live parity)") {
+    // an in-process TCP server plays the upstream feed: newline-framed
+    // wire messages, same shape as the WS ingestor receives
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        (0L until 50L).foreach(i => out.println(TickSource.frame(i, 5)))
+        Thread.sleep(3000)
+        sock.close()
+      } catch { case _: Exception => () }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val raw = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", port).load()
+    val parsed = Ingest.validate(Ingest.parseWire(raw))
+    val q = parsed.writeStream.format("memory").queryName("socket_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val expected = (0L until 50L).count(i => i % 97 != 0 && i % 101 != 0)
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.table("socket_out").count() < expected &&
+      System.currentTimeMillis() < deadline) Thread.sleep(250)
+    q.stop()
+    server.close()
+    val got = spark.table("socket_out").collect()
+    assert(got.length == expected) // corrupt frame i=0 dropped
+    assert(got.map(_.getString(0)).toSet.subsetOf((0 until 5).map(i => s"SYM$i").toSet))
+  }
+
   test("frame generator emits corrupt and invalid frames on schedule") {
     assert(TickSource.frame(0, 5).startsWith("{corrupt"))
     assert(TickSource.frame(101, 5).contains("\"name\":\"\""))
