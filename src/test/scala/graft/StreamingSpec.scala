@@ -176,6 +176,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.get(0L).contains(2L))
   }
 
+  test("streaming session windows merge within gap and close past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)] // (user, ts_ms)
+    val m = 60000L
+    val sessions = in.toDF().toDF("user", "ts_ms")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(col("user"), session_window(col("event_time"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), unix_millis(col("session_window.start")).as("s"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // one session: events 1m and 4m apart merge (gaps < 5m)
+    in.addData(("u1", 0L), ("u1", 1 * m), ("u1", 5 * m))
+    q.processAllAvailable()
+    // jump event time far ahead: watermark passes, session closes
+    in.addData(("u1", 60 * m))
+    q.processAllAvailable()
+    in.addData(("u1", 61 * m))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the first session [0, 5m+gap) finalized with all 3 events merged
+    assert(closed.contains(("u1", 0L, 3L)))
+  }
+
   test("streaming latest equals batch argmax oracle (batch/stream equivalence)") {
     val got = SparkEntry.queries("q_stream_latest")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
