@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * micro-batches). Technique: fact rows get a deterministic salt in
   * [0, S); the other side is replicated S× with every salt value; the
   * join key becomes (key, salt), spreading each hot key over S
-  * reducers. Results are exactly those of the unsalted join.
+  * reducers. Results are exactly those of the unsalted join for the
+  * supported join types (inner/left/left_semi/left_anti — ones where
+  * unmatched rows of the replicated side are never emitted; right/full
+  * outer would emit them once per salt and are rejected).
   *
   * The salt is derived from a unique fact column (pmod of its hash),
   * not rand(), so replays/retries are deterministic (same row → same
@@ -26,6 +29,10 @@ object Skew {
       saltFrom: String,
       salts: Int,
       joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("outer", "").filter(_ != '_')
+    require(Set("inner", "left", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin supports inner/left/left_semi/left_anti only, got '$joinType': " +
+        "right/full outer would emit each unmatched replicated-side row once per salt")
     val salted = facts.withColumn("_salt",
       pmod(xxhash64(col(saltFrom)), lit(salts)).cast("int"))
     val replicated = other.withColumn("_salt",

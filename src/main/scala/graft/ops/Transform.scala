@@ -63,7 +63,12 @@ object Transform {
     * value is non-numeric, the op is unknown, or a divide-by-zero.
     */
   private def applyRule(rule: Column, v: Column): Column = {
-    val d = v.try_cast("double") // null on non-numeric (ANSI-safe)
+    // null on non-numeric (ANSI-safe). try_cast also parses the strings
+    // "NaN"/"Infinity" — but reference payloads are JSON, which cannot
+    // carry non-finite numbers, so treat them as non-numeric passthrough.
+    val parsed = v.try_cast("double")
+    val d = when(parsed.isNaN || abs(parsed) === lit(Double.PositiveInfinity),
+      lit(null)).otherwise(parsed)
     val rv = rule.getField("value")
     val computed = when(rule.getField("op") === "add", d + rv)
       .when(rule.getField("op") === "subtract", d - rv)

@@ -338,14 +338,14 @@ object RelationalQ {
         .orderBy("user_id", "sid")
     },
     Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
-      d AS (SELECT user_id, ts_ms,
+      d AS (SELECT user_id, event_id, ts_ms,
           CASE WHEN lag(ts_ms) OVER w IS NULL
                  OR ts_ms - lag(ts_ms) OVER w >= 21600000
                THEN 1 ELSE 0 END AS brk
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
       s AS (SELECT user_id, ts_ms,
-          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
-                         ROWS UNBOUNDED PRECEDING) AS sid
+          CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
         FROM d)
       SELECT user_id, sid, count(*) AS n,
         min(ts_ms) AS start_ms, max(ts_ms) AS end_ms

@@ -36,17 +36,28 @@ object TrainingQ {
       FROM documents GROUP BY md5(text) ORDER BY rep_id""")
   )
 
+  /** Stop-shingle doc-frequency cap, active in the shipped ngram /
+    * cluster queries: a shingle occurring in more docs than this is
+    * dropped from candidate generation (it creates an O(df²) skewed
+    * join group without distinguishing documents). 50 = 10% of docs at
+    * sf0.01; the oracle applies the identical cap.
+    */
+  private val MaxShingleDocFreq = 50
+
   val qDedupNgram = Q(
     "q_dedup_ngram",
     (spark, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
-        threshold = 0.8)
+        threshold = 0.8, maxShingleFreq = Some(MaxShingleDocFreq))
         .orderBy("i", "j"),
     Some(s"""WITH $tokCtes,
         shf AS (SELECT DISTINCT doc_id, unnest(ss) AS s FROM sh),
+        rare AS (SELECT s FROM shf GROUP BY s
+          HAVING count(*) <= $MaxShingleDocFreq),
+        shk AS (SELECT doc_id, s FROM shf JOIN rare USING (s)),
         sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
         inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
       SELECT i, j, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
       FROM inter
@@ -280,34 +291,49 @@ object TrainingQ {
     }
   )
 
-  /** Dedup clusters: connected components over the ≥0.8-Jaccard pair
-    * graph; each member doc labeled with its component's min doc id.
-    * Oracle: recursive-CTE transitive closure + min reachable label.
+  /** Min est-Jaccard for an LSH candidate pair to count as a dedup
+    * edge in the clusters query (half the signature components match).
+    */
+  private val ClusterEstJaccard = 0.5
+
+  /** Dedup clusters: connected components over the MinHash+LSH
+    * near-dup pair graph — the realistic 100 TB pipeline (LSH
+    * candidates, not the exact O(Σ df²) shingle join) — each member
+    * doc labeled with its component's min doc id.
+    * Oracle: recursive-CTE transitive closure + min reachable label
+    * over the same band-collision pairs.
     */
   val qDedupClusters = Q(
     "q_dedup_clusters",
     (spark, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
-        "doc_id", "text", threshold = 0.8)
+      val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir),
+        "doc_id", "text", bands = Bands, rowsPerBand = RowsPerBand)
+        .filter(col("est_jaccard") >= ClusterEstJaccard)
       Dedup.connectedComponents(pairs).orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE $tokCtes,
-        shf AS (SELECT DISTINCT doc_id, unnest(ss) AS s FROM sh),
-        sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
-        inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id),
-        pairs AS (SELECT i, j FROM inter
-          JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
-          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
-        edges AS (SELECT i AS a, j AS b FROM pairs
-          UNION SELECT j, i FROM pairs),
-        walk(a, label) AS (
-          SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
-          UNION
-          SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a)
-      SELECT a AS doc_id, min(label) AS rep_id FROM walk
-      GROUP BY a ORDER BY a""")
+    Some {
+      val sigExprs = (0 until NumHashes).map(j =>
+        s"list_min(list_transform(ss, s -> md5('$j|' || s))) AS h$j").mkString(", ")
+      val bandExprs = (0 until Bands).map(b =>
+        s"h${b * RowsPerBand} || h${b * RowsPerBand + 1} AS b$b").mkString(", ")
+      val bandCond = (0 until Bands).map(b => s"a.b$b = c.b$b").mkString(" OR ")
+      val nMatch = (0 until NumHashes).map(j =>
+        s"(CASE WHEN a.h$j = c.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH RECURSIVE $tokCtes,
+          sig AS (SELECT doc_id, $sigExprs FROM sh),
+          bs AS (SELECT *, $bandExprs FROM sig),
+          pairs AS (SELECT a.doc_id AS i, c.doc_id AS j
+            FROM bs a JOIN bs c ON a.doc_id < c.doc_id AND ($bandCond)
+            WHERE CAST($nMatch AS DOUBLE) / $NumHashes >= $ClusterEstJaccard),
+          edges AS (SELECT i AS a, j AS b FROM pairs
+            UNION SELECT j, i FROM pairs),
+          walk(a, label) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+            UNION
+            SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a)
+        SELECT a AS doc_id, min(label) AS rep_id FROM walk
+        GROUP BY a ORDER BY a"""
+    }
   )
 
   /** IVF-style ANN: probe the nprobe clusters whose representative is

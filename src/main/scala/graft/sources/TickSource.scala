@@ -98,7 +98,15 @@ final class TickMicroBatchStream(
     TickOffset(available)
   }
 
-  override def deserializeOffset(json: String): Offset = TickOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.toLong
+    // Checkpoint recovery: `available` is in-memory and restarts at 0;
+    // seed it with any recovered offset so latestOffset never plans an
+    // end below the committed start (which would yield empty batches —
+    // or an offset-validation error — until the counter caught up).
+    if (t > available) available = t
+    TickOffset(t)
+  }
 
   override def commit(end: Offset): Unit = ()
 

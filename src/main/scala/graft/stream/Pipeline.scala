@@ -52,12 +52,32 @@ object Pipeline {
   def appendBatch(df: DataFrame, appendDir: String, batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$appendDir/batch=$batchId")
 
+  /** Complete an interrupted two-rename swap: if `current` is missing,
+    * promote `stage` when its write completed (_SUCCESS present — a
+    * crash between rename(cur→old) and rename(stage→cur) leaves the
+    * newest state there), else fall back to `old`. Without this, a
+    * crash in that window would silently rebuild latest from the next
+    * batch alone, dropping all prior per-key state.
+    */
+  private[stream] def repairSwap(fs: org.apache.hadoop.fs.FileSystem,
+      latestDir: String): Unit = {
+    val cur = new Path(s"$latestDir/current")
+    if (!fs.exists(cur)) {
+      val stage = new Path(s"$latestDir/stage")
+      val old = new Path(s"$latestDir/old")
+      if (fs.exists(new Path(stage, "_SUCCESS"))) { fs.rename(stage, cur); () }
+      else if (fs.exists(old)) { fs.rename(old, cur); () }
+    }
+  }
+
   /** Keep-last upsert (K3): previous latest ∪ batch → argmax per key,
-    * staged then atomically swapped in.
+    * staged then atomically swapped in. Crash-safe: an interrupted
+    * prior swap is repaired before reading previous state.
     */
   def upsertLatest(spark: SparkSession, batch: DataFrame, latestDir: String,
       keyCols: Seq[String], orderCols: Seq[String]): Unit = {
     val fs = new Path(latestDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairSwap(fs, latestDir)
     val cur = new Path(s"$latestDir/current")
     val prev =
       if (fs.exists(cur)) spark.read.parquet(cur.toString).unionByName(batch)
@@ -73,8 +93,20 @@ object Pipeline {
     fs.rename(stage, cur)
   }
 
-  def readLatest(spark: SparkSession, latestDir: String): DataFrame =
-    spark.read.parquet(s"$latestDir/current")
+  /** Read the latest-state table, tolerating an interrupted swap:
+    * prefers `current`, falls back to a completed `stage` then `old`
+    * (read-only — the next upsert's repairSwap fixes the layout).
+    */
+  def readLatest(spark: SparkSession, latestDir: String): DataFrame = {
+    val fs = new Path(latestDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(s"$latestDir/current")
+    val stage = new Path(s"$latestDir/stage")
+    val pick =
+      if (fs.exists(cur)) cur
+      else if (fs.exists(new Path(stage, "_SUCCESS"))) stage
+      else new Path(s"$latestDir/old")
+    spark.read.parquet(pick.toString)
+  }
 
   /** Build and start the ingest query over an already-decoded streaming
     * DataFrame (use Ingest.parseWire upstream for raw JSON sources).

@@ -21,6 +21,23 @@ class SkewCcSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join rejects join types that would duplicate unmatched rows") {
+    val facts = Seq((1L, "a")).toDF("id", "k")
+    val dim = Seq(("a", 1.0)).toDF("k", "w")
+    for (jt <- Seq("right", "full", "full_outer", "right_outer"))
+      assertThrows[IllegalArgumentException](
+        Skew.saltedJoin(facts, dim, "k", "id", 4, jt))
+    // semi/anti are salt-safe and accepted
+    assert(Skew.saltedJoin(facts, dim, "k", "id", 4, "left_semi").count() == 1L)
+  }
+
+  test("connected components: non-convergence at maxIter throws") {
+    // a 4-chain needs >1 iteration to fully propagate the min label
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("i", "j")
+    assertThrows[IllegalStateException](
+      Dedup.connectedComponents(pairs, maxIter = 1).collect())
+  }
+
   test("connected components: min label per component, chains converge") {
     // components: {1,2,3,4} (chain), {10,11}, pair graph only
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")

@@ -53,6 +53,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("upsertLatest survives a crash between the two swap renames") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("latestCrash")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = Seq(("a", 1L, 100L)).toDF("name", "event_id", "ts_ms")
+    Pipeline.upsertLatest(spark, b1, dir, Seq("name"), Seq("ts_ms", "event_id"))
+    // simulate the next upsert crashing after rename(cur→old) but before
+    // rename(stage→cur): stage fully written, no `current`
+    Seq(("a", 1L, 100L), ("b", 2L, 50L)).toDF("name", "event_id", "ts_ms")
+      .write.mode("overwrite").parquet(s"$dir/stage")
+    fs.rename(new Path(s"$dir/current"), new Path(s"$dir/old"))
+    // reader falls back to the completed stage (newest state)
+    assert(Pipeline.readLatest(spark, dir).count() == 2)
+    // the next upsert repairs the swap; no prior per-key state is lost
+    val b3 = Seq(("c", 3L, 70L)).toDF("name", "event_id", "ts_ms")
+    Pipeline.upsertLatest(spark, b3, dir, Seq("name"), Seq("ts_ms", "event_id"))
+    val keys = Pipeline.readLatest(spark, dir)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(keys == Set("a", "b", "c"))
+  }
+
+  test("upsertLatest falls back to `old` when the staged write was incomplete") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("latestCrash2")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b1 = Seq(("a", 1L, 100L)).toDF("name", "event_id", "ts_ms")
+    Pipeline.upsertLatest(spark, b1, dir, Seq("name"), Seq("ts_ms", "event_id"))
+    // crash mid-stage-write: partial dir without _SUCCESS, current renamed
+    Seq(("x", 9L, 1L)).toDF("name", "event_id", "ts_ms")
+      .write.mode("overwrite").parquet(s"$dir/stage")
+    fs.delete(new Path(s"$dir/stage/_SUCCESS"), false)
+    fs.rename(new Path(s"$dir/current"), new Path(s"$dir/old"))
+    val b3 = Seq(("c", 3L, 70L)).toDF("name", "event_id", "ts_ms")
+    Pipeline.upsertLatest(spark, b3, dir, Seq("name"), Seq("ts_ms", "event_id"))
+    val keys = Pipeline.readLatest(spark, dir)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(keys == Set("a", "c")) // old state kept, partial stage ignored
+  }
+
   test("stateful keep-last: argmax per key, state survives restart (A1 streaming)") {
     // ProcessingTimeTimeout makes a running query re-trigger forever, so
     // drive it in two AvailableNow runs sharing a checkpoint — which also

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{Ingest, Latest}
-import graft.sources.TickSource
+import graft.sources.{TickMicroBatchStream, TickOffset, TickSource}
 
 /** End-to-end over the custom DataSourceV2 source: graft-ticks →
   * decode (S3) → validate (F1) → keep-last (A1), checked against the
@@ -79,6 +79,15 @@ class TickSourceSpec extends AnyFunSuite {
     val got = spark.table("socket_out").collect()
     assert(got.length == expected) // corrupt frame i=0 dropped
     assert(got.map(_.getString(0)).toSet.subsetOf((0 until 5).map(i => s"SYM$i").toSet))
+  }
+
+  test("recovered offset seeds availability: restart never plans end < committed start") {
+    val s = new TickMicroBatchStream(
+      rowsPerBatch = 1000L, maxTicks = 10000L, numPartitions = 2, nSymbols = 5)
+    // simulate restart: Spark hands back the checkpointed offset
+    s.deserializeOffset("5000")
+    val end = s.latestOffset().asInstanceOf[TickOffset].tick
+    assert(end >= 5000L)
   }
 
   test("frame generator emits corrupt and invalid frames on schedule") {

@@ -45,8 +45,11 @@ class TransformPropSpec extends AnyFunSuite {
     m ++ cfg.overrideFields
   }
 
+  // Non-finite parses (NaN/Infinity) are non-numeric passthrough — JSON
+  // payloads cannot carry them; engine (Transform.applyRule) agrees.
   private def toDouble(s: String): Option[Double] =
-    try { Some(s.toDouble).filterNot(_.isNaN) } catch { case _: Exception => None }
+    try { Some(s.toDouble).filterNot(d => d.isNaN || d.isInfinite) }
+    catch { case _: Exception => None }
 
   /** Mirror Spark's double→string rendering (Java shortest repr). */
   private def fmt(d: Double): String = d.toString
@@ -54,7 +57,7 @@ class TransformPropSpec extends AnyFunSuite {
   private val keyGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
   private val valGen = Gen.oneOf(
     Gen.choose(-1000, 1000).map(i => (i / 4.0).toString),
-    Gen.oneOf("hello", "", "NaN-ish", "1.2.3"))
+    Gen.oneOf("hello", "", "NaN-ish", "1.2.3", "NaN", "Infinity", "-Infinity"))
   private val payloadGen = Gen.mapOf(Gen.zip(keyGen, valGen))
 
   private val configs = Seq(
