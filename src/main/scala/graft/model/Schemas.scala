@@ -68,16 +68,21 @@ object Schemas {
     StructField("data", StringType)
   ))
 
-  /** clients_configs.config JSONB shape (dto/client.go:3-18). */
+  /** clients_configs.config JSONB shape, snake_case field names as the
+    * reference serializes them (dto/client.go:3-18 json tags:
+    * rename_fields, value_rules, override_fields, remove_fields,
+    * use_current_ts).
+    */
   val clientConfigSchema: StructType = StructType(Seq(
     StructField("symbols", MapType(StringType, StructType(Seq(
-      StructField("renameFields", MapType(StringType, StringType)),
-      StructField("valueRules", MapType(StringType, StructType(Seq(
+      StructField("rename_fields", MapType(StringType, StringType)),
+      StructField("value_rules", MapType(StringType, StructType(Seq(
         StructField("op", StringType),
         StructField("value", DoubleType)
       )))),
-      StructField("overrideFields", MapType(StringType, StringType)),
-      StructField("removeFields", ArrayType(StringType))
+      StructField("override_fields", MapType(StringType, StringType)),
+      StructField("remove_fields", ArrayType(StringType)),
+      StructField("use_current_ts", BooleanType)
     ))))
   ))
 }

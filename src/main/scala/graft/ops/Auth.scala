@@ -27,6 +27,21 @@ object Auth {
       hashKey(col(presentedKeyCol)) === col("_kh"), "left_semi")
   }
 
+  /** C2 side-effect — key last-use bookkeeping. The reference fires an
+    * async `UPDATE api_keys SET last_used_at = now()` per auth
+    * (postgres.go:157-160, server.go:57-67); the Spark-native analogue
+    * is a keyed aggregate of the max observed use time per key hash —
+    * idempotent and mergeable (write it with
+    * [[graft.stream.Pipeline.upsertLatest]] keyed on key_hash), so
+    * replays and out-of-order batches cannot regress the value, where
+    * row-level fire-and-forget UPDATEs can.
+    */
+  def lastUsed(facts: DataFrame, presentedKeyCol: String,
+      tsCol: String): DataFrame =
+    facts.select(hashKey(col(presentedKeyCol)).as("key_hash"),
+        col(tsCol).as("last_used_at"))
+      .groupBy("key_hash").agg(max(col("last_used_at")).as("last_used_at"))
+
   /** S6/F3 — per-client config lookup; a missing row means identity
     * transform downstream (null config columns), hence left-outer.
     */

@@ -352,7 +352,35 @@ object RelationalQ {
       FROM s GROUP BY user_id, sid ORDER BY user_id, sid""")
   )
 
+  /** Sliding event-time windows (10 min wide, 5 min slide): each event
+    * lands in width/slide windows; Spark's `window()` generator vs an
+    * oracle that unnests the two aligned window starts per event.
+    * Same shape Structured Streaming uses for sliding aggregations —
+    * batch here so the oracle can check it exactly.
+    */
+  val qSlideWindow = Q(
+    "q_slide_window",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("t", timestamp_millis(col("ts_ms")))
+      ev.groupBy(window(col("t"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_v"))
+        .select(unix_millis(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_v"))
+        .orderBy("w_start", "event_type")
+    },
+    Some("""WITH e AS (SELECT epoch_ms(ts) AS t, event_type, value FROM events),
+      w AS (SELECT t, event_type, value,
+          unnest([(t // 300000) * 300000, (t // 300000) * 300000 - 300000]) AS w_start
+        FROM e)
+      SELECT w_start, event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_v
+      FROM w WHERE t >= w_start AND t < w_start + 600000
+      GROUP BY w_start, event_type ORDER BY w_start, event_type""")
+  )
+
   def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qTopk, qSetops,
-    qRollup, qDistinct, qAntiJoin, qTimeWindow, qQuantiles, qApproxSketch,
-    qPivot, qSessionize)
+    qRollup, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow, qQuantiles,
+    qApproxSketch, qPivot, qSessionize)
 }

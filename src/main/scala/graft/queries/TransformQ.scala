@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.model.{SymbolConfig, ValueRule}
-import graft.ops.{Auth, Ingest, Latest, Transform}
+import graft.ops.{Auth, Config, Ingest, Latest, Transform}
 
 /** Queries exercising the transform engine (§2.4 P1-P5), the auth plane
   * (P8/S5/F4), and the serving-plane snapshot query (§3.3), each with a
@@ -124,17 +124,16 @@ object TransformQ {
       val snapshot = Transform.normalize(latest, "name", "ts_ms", "exchange")
         .select("name", "flat")
         .withColumnRenamed("name", "symbol")
-      val configs = spark.sql(
-        """SELECT * FROM VALUES
-            ('alpha', 'sym1', map('v', named_struct('op', 'multiply', 'value', 2.0D)),
-             CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS ARRAY<STRING>), map('src', 'alpha')),
-            ('alpha', 'sym2', map('v', named_struct('op', 'multiply', 'value', 2.0D)),
-             CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS ARRAY<STRING>), map('src', 'alpha')),
-            ('alpha', 'sym3', map('v', named_struct('op', 'multiply', 'value', 2.0D)),
-             CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS ARRAY<STRING>), map('src', 'alpha')),
-            ('beta', 'sym1', CAST(NULL AS MAP<STRING,STRUCT<op:STRING,value:DOUBLE>>),
-             map('v', 'v_beta'), CAST(NULL AS ARRAY<STRING>), CAST(NULL AS MAP<STRING,STRING>))
-          AS t(client_id, symbol, rules, renames, removes, overrides)""")
+      // config rows come from clients_configs-shaped DATA — id + JSONB
+      // text (postgres.go:165-185) — through the engine-side parser,
+      // not hand-written typed literals
+      val sym = """{"value_rules":{"v":{"op":"multiply","value":2.0}},"override_fields":{"src":"alpha"}}"""
+      val rawConfigs = spark.sql(
+        s"""SELECT * FROM VALUES
+            ('alpha', '{"symbols":{"sym1":$sym,"sym2":$sym,"sym3":$sym}}'),
+            ('beta', '{"symbols":{"sym1":{"rename_fields":{"v":"v_beta"}}}}')
+          AS t(id, config)""")
+      val configs = Config.parse(rawConfigs)
       Transform.serveSnapshot(snapshot, configs)
         .select(
           col("client_id"), col("symbol"),
@@ -164,6 +163,80 @@ object TransformQ {
       ORDER BY c.client_id, 'sym' || l.user_id""")
   )
 
+  /** S6 loader — clients_configs JSONB → per-(client, symbol) config
+    * rows (postgres.go:165-185, dto/client.go:3-18), including the
+    * defaults: NULL / unparseable config yields no rows (identity
+    * transform downstream), use_current_ts folds into the magic
+    * timestamp="current" override. Oracle re-parses the same JSON with
+    * DuckDB's JSON functions.
+    */
+  val qConfigParse = Q(
+    "q_config_parse",
+    (spark, dir) => {
+      val raw = spark.sql(
+        """SELECT * FROM VALUES
+            ('alpha', '{"symbols":{"s1":{"value_rules":{"v":{"op":"multiply","value":2.5},"w":{"op":"add","value":1.0}},"rename_fields":{"a":"b"},"remove_fields":["x","y"],"override_fields":{"src":"cfg"}},"s2":{"use_current_ts":true,"override_fields":{"timestamp":"1234","note":"n"}}}}'),
+            ('beta', '{"symbols":{"s1":{}}}'),
+            ('gamma', CAST(NULL AS STRING)),
+            ('delta', '{not json')
+          AS t(id, config)""")
+      Config.parse(raw)
+        .select(col("client_id"), col("symbol"),
+          size(col("rules")).cast("long").as("n_rules"),
+          element_at(col("rules"), "v").getField("op").as("v_op"),
+          element_at(col("rules"), "v").getField("value").as("v_val"),
+          element_at(col("renames"), "a").as("a_renamed"),
+          size(col("removes")).cast("long").as("n_removes"),
+          element_at(col("overrides"), "src").as("o_src"),
+          element_at(col("overrides"), "timestamp").as("o_ts"),
+          size(col("overrides")).cast("long").as("n_overrides"))
+        .orderBy("client_id", "symbol")
+    },
+    Some("""WITH raw(id, config) AS (VALUES
+        ('alpha', '{"symbols":{"s1":{"value_rules":{"v":{"op":"multiply","value":2.5},"w":{"op":"add","value":1.0}},"rename_fields":{"a":"b"},"remove_fields":["x","y"],"override_fields":{"src":"cfg"}},"s2":{"use_current_ts":true,"override_fields":{"timestamp":"1234","note":"n"}}}}'),
+        ('beta', '{"symbols":{"s1":{}}}'),
+        ('gamma', NULL),
+        ('delta', '{not json')),
+      parsed AS (SELECT id AS client_id,
+          unnest(json_keys(config, '$.symbols')) AS symbol, config
+        FROM raw WHERE json_valid(config)),
+      b AS (SELECT client_id, symbol, config,
+          '$.symbols.' || symbol AS base FROM parsed)
+      SELECT client_id, symbol,
+        CAST(len(json_keys(config, base || '.value_rules')) AS BIGINT) AS n_rules,
+        json_extract_string(config, base || '.value_rules.v.op') AS v_op,
+        CAST(json_extract(config, base || '.value_rules.v.value') AS DOUBLE) AS v_val,
+        json_extract_string(config, base || '.rename_fields.a') AS a_renamed,
+        CAST(json_array_length(config, base || '.remove_fields') AS BIGINT) AS n_removes,
+        json_extract_string(config, base || '.override_fields.src') AS o_src,
+        CASE WHEN CAST(json_extract(config, base || '.use_current_ts') AS BOOLEAN)
+             THEN 'current'
+             ELSE json_extract_string(config, base || '.override_fields.timestamp') END AS o_ts,
+        CASE WHEN CAST(json_extract(config, base || '.use_current_ts') AS BOOLEAN)
+             THEN CAST(len(list_distinct(list_append(coalesce(json_keys(config, base || '.override_fields'), []), 'timestamp'))) AS BIGINT)
+             ELSE CAST(len(json_keys(config, base || '.override_fields')) AS BIGINT) END AS n_overrides
+      FROM b ORDER BY client_id, symbol""")
+  )
+
+  /** C2 side-effect — last_used_at bookkeeping as a keyed max
+    * aggregate (postgres.go:157-160's async UPDATE, made idempotent
+    * and mergeable). customer stands in for api_keys; events are the
+    * authenticated requests.
+    */
+  val qLastUsed = Q(
+    "q_last_used",
+    (spark, dir) => {
+      val facts = Tables.events(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+          col("user_id") === col("c_custkey"))
+      Auth.lastUsed(facts, "c_name", "ts_ms").orderBy("key_hash")
+    },
+    Some("""SELECT sha256(c.c_name) AS key_hash,
+        max(epoch_ms(e.ts)) AS last_used_at
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY sha256(c.c_name) ORDER BY key_hash""")
+  )
+
   /** P8/S5/F4 — sha256 auth as a broadcast left-semi join against
     * active keys (customer stands in for the api_keys table).
     */
@@ -188,5 +261,6 @@ object TransformQ {
       ORDER BY e.event_id""")
   )
 
-  def all: Seq[Q] = Seq(qValueRules, qTransformPipeline, qServeSnapshot, qAuthSemijoin)
+  def all: Seq[Q] = Seq(qValueRules, qTransformPipeline, qServeSnapshot,
+    qConfigParse, qLastUsed, qAuthSemijoin)
 }

@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+/** Minimal blocking WebSocket text client (RFC 6455): HTTP/1.1 upgrade
+  * handshake with caller-supplied headers (the reference feed
+  * authenticates with `x-api-key` — ingestor.go:46-49), masked
+  * client→server frames, transparent ping→pong, fragmented-message
+  * reassembly, close handshake.
+  *
+  * Implemented on raw `java.net.Socket` because the container's
+  * classpath ships no WS library — and the protocol surface a feed
+  * consumer needs (text frames + control frames) is small.
+  */
+final class WsClient(host: String, port: Int, path: String = "/",
+    headers: Map[String, String] = Map.empty, connectTimeoutMs: Int = 5000) {
+
+  private val socket = new Socket()
+  socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  socket.setTcpNoDelay(true)
+  private val in = new BufferedInputStream(socket.getInputStream)
+  private val out = new BufferedOutputStream(socket.getOutputStream)
+
+  // Mask keys need only be per-frame-distinct, not cryptographic
+  // (RFC 6455 §10.3 masking exists to defeat proxy cache poisoning).
+  private val maskRng = new java.util.Random(System.nanoTime())
+
+  locally { // upgrade handshake
+    val keyBytes = new Array[Byte](16)
+    maskRng.nextBytes(keyBytes)
+    val wsKey = Base64.getEncoder.encodeToString(keyBytes)
+    val allHeaders = Seq(
+      "Host" -> s"$host:$port",
+      "Upgrade" -> "websocket",
+      "Connection" -> "Upgrade",
+      "Sec-WebSocket-Key" -> wsKey,
+      "Sec-WebSocket-Version" -> "13") ++ headers.toSeq
+    val req = s"GET $path HTTP/1.1\r\n" +
+      allHeaders.map { case (k, v) => s"$k: $v" }.mkString("\r\n") + "\r\n\r\n"
+    out.write(req.getBytes(UTF_8))
+    out.flush()
+    val head = readHttpHead()
+    val status = head.headOption.getOrElse("")
+    if (!status.contains(" 101 ")) {
+      socket.close()
+      throw new java.io.IOException(s"WebSocket upgrade refused: '$status'")
+    }
+    val accept = head.collectFirst {
+      case l if l.toLowerCase.startsWith("sec-websocket-accept:") =>
+        l.split(":", 2)(1).trim
+    }
+    if (!accept.contains(WsFrames.acceptKey(wsKey))) {
+      socket.close()
+      throw new java.io.IOException("bad Sec-WebSocket-Accept from server")
+    }
+  }
+
+  private def readHttpHead(): Seq[String] = {
+    val sb = new StringBuilder
+    while (!sb.endsWith("\r\n\r\n")) {
+      val b = in.read()
+      if (b < 0)
+        throw new java.io.IOException("connection closed during WS handshake")
+      sb.append(b.toChar)
+    }
+    sb.result().split("\r\n").toSeq
+  }
+
+  private def newMask(): Array[Byte] = {
+    val m = new Array[Byte](4); maskRng.nextBytes(m); m
+  }
+
+  /** Send one masked text frame. */
+  def sendText(s: String): Unit = synchronized {
+    WsFrames.write(out, WsFrames.OpText, s.getBytes(UTF_8), Some(newMask()))
+  }
+
+  /** Next complete text message: answers pings, skips binary, reassembles
+    * fragments; None once the server closes (close frame or EOF).
+    */
+  def readText(): Option[String] = {
+    val acc = new java.io.ByteArrayOutputStream()
+    var accText = false
+    var result: Option[String] = null
+    while (result == null) {
+      WsFrames.read(in) match {
+        case None => result = None
+        case Some((fin, op, payload)) => op match {
+          case WsFrames.OpPing =>
+            synchronized { WsFrames.write(out, WsFrames.OpPong, payload, Some(newMask())) }
+          case WsFrames.OpPong => ()
+          case WsFrames.OpClose =>
+            try synchronized {
+              WsFrames.write(out, WsFrames.OpClose, Array.emptyByteArray, Some(newMask()))
+            } catch { case _: Exception => () }
+            result = None
+          case WsFrames.OpText | WsFrames.OpBinary =>
+            acc.reset(); acc.write(payload)
+            accText = op == WsFrames.OpText
+            if (fin && accText) result = Some(new String(acc.toByteArray, UTF_8))
+          case WsFrames.OpContinuation =>
+            acc.write(payload)
+            if (fin && accText) result = Some(new String(acc.toByteArray, UTF_8))
+          case _ => () // unknown opcode: skip
+        }
+      }
+    }
+    result
+  }
+
+  def close(): Unit = {
+    try synchronized {
+      WsFrames.write(out, WsFrames.OpClose, Array.emptyByteArray, Some(newMask()))
+    } catch { case _: Exception => () }
+    try socket.close() catch { case _: Exception => () }
+  }
+}

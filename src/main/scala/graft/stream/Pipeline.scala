@@ -45,12 +45,64 @@ object Pipeline {
     None
   }
 
+  /** Append-sink selector (K1/K2): the foreachBatch writer shape is
+    * identical for every target; only the DataFrameWriter config
+    * differs.
+    */
+  sealed trait SinkConfig
+
+  /** Parquet append: each micro-batch lands in `batch=<id>`, replays
+    * overwrite their own directory (idempotent).
+    */
+  final case class ParquetSink(dir: String) extends SinkConfig
+
+  /** JDBC batch insert, the reference's production path
+    * (postgres.go:103-136: prepared-statement batch in one
+    * transaction). Spark's JDBC writer gives the same shape: rows
+    * batched `batchsize` per executeBatch, one transaction per
+    * partition, at `isolationLevel`. DDL auto-create (K2,
+    * postgres.go:46-97) is the writer's CREATE TABLE on first append,
+    * with column types overridable via `createTableColumnTypes` (the
+    * reference's VARCHAR(255)/BIGINT/JSONB widths). Unlike the parquet
+    * sink, replayed batches double-append — exactly the reference's
+    * semantics (its retry loop re-runs the whole INSERT batch).
+    */
+  final case class JdbcSink(
+      url: String,
+      table: String,
+      user: String = "",
+      password: String = "",
+      batchSize: Int = 1000,
+      isolationLevel: String = "READ_COMMITTED",
+      createTableColumnTypes: Option[String] = None) extends SinkConfig {
+    /** The exact option map handed to DataFrameWriter.format("jdbc") —
+      * exposed so the plumbing is testable without a database.
+      */
+    def options: Map[String, String] = Map(
+      "url" -> url,
+      "dbtable" -> table,
+      "user" -> user,
+      "password" -> password,
+      "batchsize" -> batchSize.toString,
+      "isolationLevel" -> isolationLevel
+    ) ++ createTableColumnTypes.map("createTableColumnTypes" -> _)
+  }
+
   /** Idempotent append: each micro-batch lands in `batch=<id>`; a
     * replayed batch id overwrites its own directory instead of
     * double-appending (K1 + exactly-once-per-batch improvement).
     */
   def appendBatch(df: DataFrame, appendDir: String, batchId: Long): Unit =
-    df.write.mode("overwrite").parquet(s"$appendDir/batch=$batchId")
+    appendBatch(df, ParquetSink(appendDir), batchId)
+
+  /** K1 against a configured sink. */
+  def appendBatch(df: DataFrame, sink: SinkConfig, batchId: Long): Unit =
+    sink match {
+      case ParquetSink(dir) =>
+        df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+      case j: JdbcSink =>
+        df.write.format("jdbc").options(j.options).mode("append").save()
+    }
 
   /** Complete an interrupted two-rename swap: if `current` is missing,
     * promote `stage` when its write completed (_SUCCESS present — a
@@ -123,7 +175,9 @@ object Pipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       retries: Int = 3,
-      retrySleepMs: Long = 1000): StreamingQuery = {
+      retrySleepMs: Long = 1000,
+      appendSink: Option[SinkConfig] = None): StreamingQuery = {
+    val sink = appendSink.getOrElse(ParquetSink(appendDir))
     val spark = ticks.sparkSession
     val validated = Ingest.validate(ticks, nameCol, tsCol)
     val enriched = Ingest.enrichDim(validated, dim, nameCol, "symbol", "exchange")
@@ -138,7 +192,7 @@ object Pipeline {
           // sinks can diverge on failure exactly like the reference
           // (SURVEY.md §3.1 non-atomicity note)
           withRetry(retries, retrySleepMs) {
-            appendBatch(persisted, appendDir, batchId)
+            appendBatch(persisted, sink, batchId)
           }
           withRetry(retries, retrySleepMs) {
             upsertLatest(spark, persisted, latestDir, keyCols, orderCols)

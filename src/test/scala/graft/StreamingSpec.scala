@@ -53,6 +53,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("JDBC sink option plumbing carries batchsize/isolation/DDL types (K1/K2)") {
+    val j = Pipeline.JdbcSink("jdbc:postgresql://db:5432/md", "market_data",
+      user = "u", password = "p", batchSize = 500,
+      createTableColumnTypes = Some("name VARCHAR(255), timestamp BIGINT"))
+    assert(j.options == Map(
+      "url" -> "jdbc:postgresql://db:5432/md", "dbtable" -> "market_data",
+      "user" -> "u", "password" -> "p", "batchsize" -> "500",
+      "isolationLevel" -> "READ_COMMITTED",
+      "createTableColumnTypes" -> "name VARCHAR(255), timestamp BIGINT"))
+    // defaults mirror the reference's writer (batch 1000, read-committed)
+    assert(Pipeline.JdbcSink("jdbc:h2:mem:x", "t").options("batchsize") == "1000")
+  }
+
+  test("last_used_at: keyed max upsert never regresses on out-of-order batches (C2)") {
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = tmp("lastUsed")
+    val b1 = Seq(("k1", 100L), ("k2", 50L)).toDF("api_key", "ts_ms")
+    Pipeline.upsertLatest(spark, graft.ops.Auth.lastUsed(b1, "api_key", "ts_ms"),
+      dir, Seq("key_hash"), Seq("last_used_at"))
+    val b2 = Seq(("k1", 80L), ("k3", 60L)).toDF("api_key", "ts_ms") // k1 late
+    Pipeline.upsertLatest(spark, graft.ops.Auth.lastUsed(b2, "api_key", "ts_ms"),
+      dir, Seq("key_hash"), Seq("last_used_at"))
+    val got = Pipeline.readLatest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got(hex("k1")) == 100L) // the late batch did not regress it
+    assert(got(hex("k2")) == 50L && got(hex("k3")) == 60L)
+  }
+
   test("upsertLatest survives a crash between the two swap renames") {
     import org.apache.hadoop.fs.Path
     val dir = tmp("latestCrash")

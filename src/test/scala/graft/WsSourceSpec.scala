@@ -1,0 +1,156 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Ingest
+import graft.sources.{TickSource, WsBackoff, WsClient, WsFrames}
+
+/** Server half of RFC 6455, test-side only (the engine is a feed
+  * CONSUMER — the reference's serving half is C1, out of engine
+  * scope): performs the upgrade handshake, records x-api-key and the
+  * subscribe frame, pings once, then plays `frames` as text frames.
+  * The first connection is dropped abruptly after `dropAfter` frames
+  * to exercise the client's reconnect path; later connections resume
+  * from a shared cursor and then hold the socket open.
+  */
+final class WsTestServer(frames: Seq[String], dropAfter: Int = Int.MaxValue) {
+  private val server = new ServerSocket(0)
+  def port: Int = server.getLocalPort
+  val apiKeys = new ConcurrentLinkedQueue[String]()
+  val subscribes = new ConcurrentLinkedQueue[String]()
+  val connections = new AtomicInteger(0)
+  private val cursor = new AtomicInteger(0)
+  @volatile private var closed = false
+
+  private val acceptor = new Thread(() => {
+    while (!closed) {
+      try handle(server.accept())
+      catch { case _: Exception => () }
+    }
+  }, "ws-test-server")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def handle(sock: Socket): Unit = {
+    val conn = connections.incrementAndGet()
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    val sb = new StringBuilder
+    while (!sb.endsWith("\r\n\r\n")) {
+      val b = in.read()
+      if (b < 0) { sock.close(); return }
+      sb.append(b.toChar)
+    }
+    val head = sb.result().split("\r\n").toSeq
+    def header(name: String): Option[String] = head.collectFirst {
+      case l if l.toLowerCase.startsWith(name.toLowerCase + ":") =>
+        l.split(":", 2)(1).trim
+    }
+    header("x-api-key").foreach(apiKeys.add)
+    val key = header("Sec-WebSocket-Key").getOrElse { sock.close(); return }
+    out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+      s"Sec-WebSocket-Accept: ${WsFrames.acceptKey(key)}\r\n\r\n").getBytes(UTF_8))
+    out.flush()
+    // the client subscribes right after connecting (ingestor.go:63-78)
+    WsFrames.read(in) match {
+      case Some((_, WsFrames.OpText, p)) => subscribes.add(new String(p, UTF_8))
+      case _ => ()
+    }
+    WsFrames.write(out, WsFrames.OpPing, "hb".getBytes(UTF_8), None)
+    var sent = 0
+    var done = false
+    while (!done) {
+      val i = cursor.get()
+      if (i >= frames.length) done = true
+      else if (conn == 1 && sent >= dropAfter) { sock.close(); return } // abrupt drop
+      else if (cursor.compareAndSet(i, i + 1)) {
+        WsFrames.write(out, WsFrames.OpText, frames(i).getBytes(UTF_8), None)
+        sent += 1
+      }
+    }
+    // everything served: hold the connection open until the client goes away
+    while (WsFrames.read(in).exists(_._2 != WsFrames.OpClose)) ()
+    sock.close()
+  }
+
+  def close(): Unit = { closed = true; server.close() }
+}
+
+class WsSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("backoff doubles from base to cap (reference reconnect policy)") {
+    assert((0 to 6).map(WsBackoff.delayMs(_)) ==
+      Seq(1000L, 2000L, 4000L, 8000L, 16000L, 30000L, 30000L))
+    assert(WsBackoff.delayMs(62) == 30000L) // shift overflow guarded
+  }
+
+  test("client handshake, subscribe, ping→pong, fragmented text (RFC 6455)") {
+    // hand-rolled server: checks the upgrade, then exercises the frame
+    // shapes WsTestServer doesn't produce (fragmentation)
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      val sock = server.accept()
+      val in = new BufferedInputStream(sock.getInputStream)
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      val sb = new StringBuilder
+      while (!sb.endsWith("\r\n\r\n")) sb.append(in.read().toChar)
+      val key = sb.result().split("\r\n").collectFirst {
+        case l if l.toLowerCase.startsWith("sec-websocket-key:") =>
+          l.split(":", 2)(1).trim
+      }.get
+      out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        s"Sec-WebSocket-Accept: ${WsFrames.acceptKey(key)}\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+      // ping (client must pong), then "hello" split across two frames
+      WsFrames.write(out, WsFrames.OpPing, "x".getBytes(UTF_8), None)
+      out.write(Array[Byte](0x01, 3)); out.write("hel".getBytes(UTF_8)) // text, FIN=0
+      out.write(Array[Byte](0x80.toByte, 2)); out.write("lo".getBytes(UTF_8)) // cont, FIN=1
+      out.flush()
+      // expect pong back from the client
+      val pong = WsFrames.read(in)
+      assert(pong.exists(f => f._2 == WsFrames.OpPong &&
+        new String(f._3, UTF_8) == "x"))
+      WsFrames.write(out, WsFrames.OpClose, Array.emptyByteArray, None)
+      sock.close()
+    })
+    t.setDaemon(true); t.start()
+    val c = new WsClient("127.0.0.1", server.getLocalPort)
+    assert(c.readText().contains("hello"))
+    assert(c.readText().isEmpty) // close frame → None
+    c.close(); server.close()
+  }
+
+  test("graft-ws source ingests over real WS frames and reconnects after a drop") {
+    val n = 60
+    val frames = (0L until n.toLong).map(TickSource.frame(_, 5))
+    val server = new WsTestServer(frames, dropAfter = 20)
+    val raw = spark.readStream.format("graft-ws")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("apiKey", "test-key-1")
+      .option("subscribe", """{"event":"subscribe","symbols":["SYM0","SYM1"]}""")
+      .option("backoffBaseMs", "100") // keep the test fast
+      .load()
+    val parsed = Ingest.validate(Ingest.parseWire(raw))
+    val q = parsed.writeStream.format("memory").queryName("ws_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val expected = (0L until n.toLong).count(i => i % 97 != 0 && i % 101 != 0)
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("ws_out").count() < expected &&
+      System.currentTimeMillis() < deadline) Thread.sleep(250)
+    q.stop()
+    val got = spark.table("ws_out").count()
+    server.close()
+    assert(got == expected, s"expected $expected valid frames, got $got")
+    assert(server.connections.get() >= 2, "client should have reconnected after the drop")
+    assert(server.apiKeys.contains("test-key-1"))
+    assert(server.subscribes.contains("""{"event":"subscribe","symbols":["SYM0","SYM1"]}"""))
+  }
+}
