@@ -46,6 +46,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
+  /** Pair cosine from precomputed squared norms: bit-identical to
+    * [[cosine]] (the norm is the same fold, just evaluated once per
+    * row instead of once per pair). The norm columns live in projects
+    * BELOW the join, so each side's norm is computed once per input
+    * row — per-pair cost drops from three vector traversals to one,
+    * which at |Q|·|C| pairs is the dominant term.
+    */
+  private def cosinePre(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / sqrt(normA * normB)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself), rank-ordered with id
     * tie-break. `queries` and `corpus` both need (id, vec) columns.
@@ -53,10 +63,12 @@ object Similarity {
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -94,20 +106,24 @@ object Similarity {
     val reps = minIds.join(
       corpus.select(col(idCol).as("rid"), asDouble(col(vecCol)).as("rv")),
       Seq("rid"))
+      .withColumn("rn", norm2(col("rv")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
     val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(cosine(col("qv"), col("rv")).desc, col("cluster"))
+      .orderBy(cosinePre(dot(col("qv"), col("rv")), col("qn"), col("rn")).desc,
+        col("cluster"))
     val probed = q.crossJoin(broadcast(reps))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
-      .select("query_id", "qv", "cluster")
+      .select("query_id", "qv", "qn", "cluster")
     val members = corpus.select(col(clusterCol).as("cluster"),
       col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     probed.join(members, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
@@ -121,10 +137,11 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       signBucket(col(vecCol), bits).as("bucket"))
-    val a = v.select(col("id").as("i"), col("v").as("av"), col("bucket"))
-    val b = v.select(col("id").as("j"), col("v").as("bv"), col("bucket"))
+      .withColumn("n", norm2(col("v")))
+    val a = v.select(col("id").as("i"), col("v").as("av"), col("n").as("an"), col("bucket"))
+    val b = v.select(col("id").as("j"), col("v").as("bv"), col("n").as("bn"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("i") < col("j"))
-      .withColumn("cosine", cosine(col("av"), col("bv")))
+      .withColumn("cosine", cosinePre(dot(col("av"), col("bv")), col("an"), col("bn")))
       .filter(col("cosine") >= threshold)
       .select("i", "j", "cosine")
   }

@@ -46,4 +46,26 @@ class SkewCcSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
       (10L, 10L), (11L, 10L)))
   }
+
+  test("star-contraction CC matches min-label on random graphs") {
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fixed = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    assert(labelsOf(Dedup.connectedComponentsStar(fixed)) ==
+      labelsOf(Dedup.connectedComponents(fixed)))
+    val rnd = new scala.util.Random(42)
+    val rpairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).toDF("i", "j")
+    assert(labelsOf(Dedup.connectedComponentsStar(rpairs)) ==
+      labelsOf(Dedup.connectedComponents(rpairs)))
+  }
+
+  test("star-contraction CC converges in O(log n) rounds on a high-diameter chain") {
+    // a 60-node chain: diameter 59 blows min-label's default budget
+    // (maxIter=25 would throw); star contraction closes it in ~log n
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("i", "j")
+    val labels = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 60 && labels.forall(_._2 == 1L))
+  }
 }

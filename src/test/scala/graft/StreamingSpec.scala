@@ -272,6 +272,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.contains(("u1", 0L, 3L)))
   }
 
+  test("streaming exact dedup: duplicates within the watermark dropped, state evicted past it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (doc_id, ts_ms)
+    val m = 60000L
+    val deduped = graft.ops.Dedup.exactStreaming(
+      in.toDF().toDF("doc_id", "ts_ms")
+        .withColumn("event_time", timestamp_millis(col("ts_ms"))),
+      Seq("doc_id"), "event_time", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    in.addData((1L, 0L), (1L, 1 * m), (2L, 2 * m)) // dup of 1 within watermark
+    q.processAllAvailable()
+    in.addData((1L, 3 * m)) // still within the watermark: suppressed
+    q.processAllAvailable()
+    in.addData((9L, 60 * m)) // watermark jumps to 50m: doc 1's state evicts
+    q.processAllAvailable()
+    in.addData((1L, 61 * m)) // same key, new watermark era: re-emitted
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSeq
+    assert(ids.count(_ == 1L) == 2) // once per watermark era, not three times
+    assert(ids.count(_ == 2L) == 1 && ids.count(_ == 9L) == 1)
+  }
+
   test("streaming latest equals batch argmax oracle (batch/stream equivalence)") {
     val got = SparkEntry.queries("q_stream_latest")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
