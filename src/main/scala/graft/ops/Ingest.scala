@@ -64,6 +64,25 @@ object Ingest {
       .drop("_dk", "_dv")
   }
 
+  /** P6 — shape enriched rows to the persisted market_data relation
+    * ([[Schemas.marketDataSchema]]: name, timestamp, exchange, data —
+    * postgres.go:52-58's VARCHAR/BIGINT/VARCHAR/JSONB), JSON-encoding
+    * the dynamic payload at the sink boundary (`to_json`), exactly
+    * where the reference marshals it (postgres.go:121). This is the
+    * DataFrame a [[graft.stream.Pipeline.JdbcSink]] appends.
+    */
+  def toMarketData(df: DataFrame, nameCol: String = "name",
+      tsCol: String = "timestamp", exchangeCol: String = "exchange",
+      payloadCol: String = "payload"): DataFrame =
+    df.select(Schemas.marketDataSchema.fields.map { f =>
+      (f.name match {
+        case "name" => col(nameCol)
+        case "timestamp" => col(tsCol)
+        case "exchange" => col(exchangeCol)
+        case "data" => to_json(col(payloadCol))
+      }).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
   /** The fixed ingest dataflow (§3.1): decode → validate → enrich. */
   def pipeline(raw: DataFrame, dim: DataFrame, jsonCol: String = "value"): DataFrame = {
     val decoded = parseWire(raw, jsonCol)

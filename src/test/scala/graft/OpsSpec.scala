@@ -16,6 +16,7 @@ object TestSpark {
 
 class OpsSpec extends AnyFunSuite {
   import graft.ops.{Ingest, Latest}
+  import org.apache.spark.sql.functions.{col, from_json, lit}
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
@@ -54,6 +55,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 1)
     val m = out.head.getMap[String, String](2)
     assert(out.head.getString(0) == "EURUSD" && m("bid") == "1.08")
+  }
+
+  test("toMarketData shapes to the persisted relation and JSON round-trips (P6)") {
+    val raw = Seq(
+      """{"name":"EURUSD","timestamp":123,"data":{"data":{"bid":"1.08","ask":"1.09"}}}"""
+    ).toDF("value")
+    val enriched = Ingest.parseWire(raw).withColumn("exchange", lit("FX"))
+    val md = Ingest.toMarketData(enriched)
+    // exact relational shape of the persisted table
+    assert(md.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      graft.model.Schemas.marketDataSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // the JSONB column round-trips through the wire parser's map type
+    val back = md.withColumn("p",
+      from_json(col("data"), org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+      .select("name", "timestamp", "exchange", "p").head()
+    assert(back.getString(0) == "EURUSD" && back.getLong(1) == 123L &&
+      back.getString(2) == "FX")
+    assert(back.getMap[String, String](3) == Map("bid" -> "1.08", "ask" -> "1.09"))
   }
 
   test("ttlFilter keeps rows within ttl of max ts (A2)") {

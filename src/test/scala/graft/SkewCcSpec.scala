@@ -47,6 +47,36 @@ class SkewCcSpec extends AnyFunSuite {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    // the production-default skew path: AQE detects the hot key's
+    // oversized partition and splits it — salting (above) is the
+    // fallback for when even split sub-partitions hotspot
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val facts = spark.range(200000)
+        .selectExpr("id", "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 97) END AS k")
+      val dim = spark.range(98).selectExpr("concat('k', id) AS k", "id AS w")
+        .union(spark.range(1).selectExpr("'hot' AS k", "id AS w"))
+      val joined = facts.join(dim, "k")
+      // execute THIS QueryExecution (count() would wrap a new one and
+      // leave joined's AQE plan unfinalized)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected a skew-split SMJ in:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("star-contraction CC matches min-label on random graphs") {
     def labelsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
