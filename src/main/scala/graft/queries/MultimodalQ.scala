@@ -40,5 +40,36 @@ object MultimodalQ {
       FROM documents ORDER BY doc_id""")
   )
 
-  def all: Seq[Q] = Seq(qMultimodalMeta)
+  /** Frame sampling: video content chopped into fixed-size "frames",
+    * every 2nd kept — the map-side row-explosion shape of a real
+    * frame-extraction pass (rows multiply before any exchange; bytes
+    * of non-sampled frames are never materialized downstream). Oracle
+    * recomputes the sampled (index, offset, length) triples from
+    * content length alone.
+    */
+  val qMultimodalFrames = Q(
+    "q_multimodal_frames",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("kind",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video"))
+      val media = Multimodal.asMedia(docs, "doc_id", "kind", "text")
+      Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
+        .toDF()
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH v AS (SELECT doc_id, len(text) AS n FROM documents
+          WHERE doc_id % 3 = 2),
+        f AS (SELECT doc_id, unnest(range(0, (n + 63) // 64, 2)) AS fi, n
+          FROM v)
+      SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        fi * 64 AS byte_offset,
+        CAST(least(64, n - fi * 64) AS INTEGER) AS n_bytes
+      FROM f ORDER BY doc_id, frame_idx""")
+  )
+
+  def all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames)
 }

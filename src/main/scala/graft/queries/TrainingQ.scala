@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Sample, Similarity, TextOps}
 
 /** Training-data pipeline operators (dedup / similarity / text
   * analysis) over the documents and embeddings tables, each with a
@@ -239,6 +239,69 @@ object TrainingQ {
       FROM wins ORDER BY doc_id""")
   )
 
+  /** Gopher-style quality gate: length bounds, mean-word-length
+    * bounds, stopword-density floor — each rule exposed as its own
+    * flag plus the conjunction, so the filter's selectivity per rule
+    * is inspectable (the way corpus-quality dashboards want it).
+    */
+  val qQualityFilter = Q(
+    "q_quality_filter",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .withColumn("ts", TextOps.tokens(col("text")))
+        .withColumn("n_words", size(col("ts")).cast("long"))
+        .withColumn("avg_wlen",
+          TextOps.totalTokenChars(col("ts")).cast("double") / size(col("ts")))
+        .withColumn("stop_ratio",
+          TextOps.stopwordHits(col("ts")).cast("double") / size(col("ts")))
+      d.select(col("doc_id"), col("n_words"), col("avg_wlen"), col("stop_ratio"),
+          (col("n_words") >= 5 && col("n_words") <= 10000).as("len_ok"),
+          (col("avg_wlen") >= 2.0 && col("avg_wlen") <= 12.0).as("wlen_ok"),
+          (col("stop_ratio") >= 0.05).as("stop_ok"))
+        .withColumn("keep", col("len_ok") && col("wlen_ok") && col("stop_ok"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(ts) AS BIGINT) AS n_words,
+          CAST(list_reduce(list_transform(ts, x -> len(x)), (a, b) -> a + b) AS DOUBLE) / len(ts) AS avg_wlen,
+          CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','in','to','is','on'))) AS DOUBLE) / len(ts) AS stop_ratio
+        FROM toks)
+      SELECT doc_id, n_words, avg_wlen, stop_ratio,
+        n_words BETWEEN 5 AND 10000 AS len_ok,
+        avg_wlen BETWEEN 2.0 AND 12.0 AS wlen_ok,
+        stop_ratio >= 0.05 AS stop_ok,
+        (n_words BETWEEN 5 AND 10000) AND (avg_wlen BETWEEN 2.0 AND 12.0)
+          AND stop_ratio >= 0.05 AS keep
+      FROM m ORDER BY doc_id""")
+  )
+
+  private val SampleRateEn = 0.16
+  private val SampleRateDefault = 0.8
+
+  /** Deterministic stratified downsampling: dominant-language docs
+    * kept at a lower rate than the rest via an md5-prefix threshold —
+    * exact and replayable across engines (the oracle applies the
+    * identical hash rule), unlike RNG-based `DataFrame.sample`.
+    */
+  val qSampleStratified = Q(
+    "q_sample_stratified",
+    (spark, dir) =>
+      Sample.stratifiedHash(Tables.documents(spark, dir),
+          keyCol = col("doc_id"), strataCol = col("lang"),
+          rates = Map("en" -> SampleRateEn), defaultRate = SampleRateDefault,
+          seed = "samp")
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang FROM documents
+      WHERE substring(md5('samp|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        CASE WHEN lang = 'en' THEN '${Sample.thresholdHex(SampleRateEn)}'
+             ELSE '${Sample.thresholdHex(SampleRateDefault)}' END
+      ORDER BY doc_id""")
+  )
+
   /** Oracle fragment: sequential-fold double dot product (mirrors
     * Similarity.dot exactly, including fold order).
     */
@@ -371,6 +434,6 @@ object TrainingQ {
   )
 
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
-    qDedupClusters, qTextStats, qLangId, qTokenCount, qFingerprint, qKnn,
-    qAnnLsh, qAnnIvf)
+    qDedupClusters, qTextStats, qLangId, qTokenCount, qFingerprint,
+    qQualityFilter, qSampleStratified, qKnn, qAnnLsh, qAnnIvf)
 }
