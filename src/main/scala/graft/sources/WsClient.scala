@@ -14,6 +14,12 @@ import java.util.Base64
   * Implemented on raw `java.net.Socket` because the container's
   * classpath ships no WS library — and the protocol surface a feed
   * consumer needs (text frames + control frames) is small.
+  *
+  * Plain ws:// only: wss:// is the same protocol over
+  * `SSLSocketFactory.createSocket` (a one-line swap of the socket
+  * construction), untestable here without a TLS endpoint. Extension
+  * negotiation (permessage-deflate) is not offered, so servers must
+  * reply without extensions per RFC 6455 §9.1.
   */
 final class WsClient(host: String, port: Int, path: String = "/",
     headers: Map[String, String] = Map.empty, connectTimeoutMs: Int = 5000) {

@@ -77,6 +77,29 @@ class SkewCcSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join with no exchange (co-located join)") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+      val b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+      graft.io.Bucketing.writeBucketed(a, "graft_bkt_a", 4, Seq("k"))
+      graft.io.Bucketing.writeBucketed(b, "graft_bkt_b", 4, Seq("k"))
+      val joined = spark.table("graft_bkt_a")
+        .join(spark.table("graft_bkt_b"), "k")
+      assert(joined.collect().length == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected an exchange-free co-located join:\n$plan")
+    } finally {
+      saved.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
   test("star-contraction CC matches min-label on random graphs") {
     def labelsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
