@@ -20,13 +20,19 @@ import graft.ops.Transform
   */
 object Broadcast {
 
+  /** `registry`, when given, scopes each tick's fan-out to currently
+    * CONNECTED clients (C3) — the reference only iterates its live
+    * client map (server.go:105-127); a config row for a disconnected
+    * client costs nothing until it reconnects.
+    */
   def start(
       spark: SparkSession,
       latestDir: String,
       configs: DataFrame,
       checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
-      period: String = "1 second"): StreamingQuery = {
+      period: String = "1 second",
+      registry: Option[Registry] = None): StreamingQuery = {
     val ticker = spark.readStream.format("rate")
       .option("rowsPerSecond", 1).load()
     ticker.writeStream
@@ -35,7 +41,12 @@ object Broadcast {
       .trigger(Trigger.ProcessingTime(period))
       .foreachBatch { (_: DataFrame, batchId: Long) =>
         val snapshot = Pipeline.readLatest(spark, latestDir)
-        sink(Transform.serveSnapshot(snapshot, configs), batchId)
+        val active = registry.fold(configs) { r =>
+          val ids = r.connected.toSeq
+          configs.filter(org.apache.spark.sql.functions.col("client_id")
+            .isin(ids.map(x => x: Any): _*))
+        }
+        sink(Transform.serveSnapshot(snapshot, active), batchId)
       }
       .start()
   }

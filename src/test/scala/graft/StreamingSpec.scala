@@ -216,6 +216,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(("alpha", "sym2", "3.0")))
   }
 
+  test("registry gates the serving fan-out to connected clients (C3)") {
+    // unit semantics: per-connection counting, last disconnect unregisters
+    val r = new graft.stream.Registry
+    r.connect("alpha"); r.connect("alpha"); r.connect("beta")
+    r.disconnect("alpha")
+    assert(r.connected == Set("alpha", "beta") && r.connectionCount("alpha") == 1)
+    r.disconnect("alpha")
+    assert(r.connected == Set("beta") && r.connectionCount("alpha") == 0)
+
+    // serving loop consults the registry per tick: a client connecting
+    // mid-stream starts receiving on the next tick
+    val latestDir = tmp("latestReg")
+    val snapshot = Seq(("sym1", 100L, 2.0)).toDF("symbol", "ts_ms", "value")
+      .withColumn("exchange", lit("unknown"))
+      .withColumn("payload", map(lit("v"), col("value").cast("string")))
+    val shaped = graft.ops.Transform.normalize(
+      snapshot, "symbol", "ts_ms", "exchange").select("symbol", "flat")
+    Pipeline.upsertLatest(spark, shaped, latestDir, Seq("symbol"), Seq("flat.timestamp"))
+    val nulls = """CAST(NULL AS MAP<STRING,STRUCT<op:STRING,value:DOUBLE>>),
+      CAST(NULL AS MAP<STRING,STRING>), CAST(NULL AS ARRAY<STRING>),
+      CAST(NULL AS MAP<STRING,STRING>)"""
+    val configs = spark.sql(
+      s"""SELECT * FROM VALUES ('alpha', 'sym1', $nulls), ('gamma', 'sym1', $nulls)
+        AS t(client_id, symbol, rules, renames, removes, overrides)""")
+    val reg = new graft.stream.Registry
+    reg.connect("alpha")
+    val served = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = Broadcast.start(spark, latestDir, configs, tmp("ckptReg"),
+      sink = (df, _) => df.select("client_id").collect()
+        .foreach(row => served.add(row.getString(0))),
+      period = "1 second", registry = Some(reg))
+    val d1 = System.currentTimeMillis() + 30000
+    while (!served.contains("alpha") && System.currentTimeMillis() < d1) Thread.sleep(200)
+    assert(served.contains("alpha") && !served.contains("gamma"))
+    reg.connect("gamma") // connects mid-stream
+    val d2 = System.currentTimeMillis() + 30000
+    while (!served.contains("gamma") && System.currentTimeMillis() < d2) Thread.sleep(200)
+    q.stop()
+    assert(served.contains("gamma"))
+  }
+
   test("watermarked tumbling window drops late data, append emits closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)] // (ts_ms, value)
