@@ -113,6 +113,37 @@ class SkewCcSpec extends AnyFunSuite {
       labelsOf(Dedup.connectedComponents(rpairs)))
   }
 
+  test("CC property: both algorithms match a union-find reference model") {
+    // driver-side disjoint-set as the independent ground truth
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // second pass: full path compression to the component min
+      nodes.map(x => x -> find(x)).toMap
+    }
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(40)
+      val edges = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(p => p._1 != p._2)
+      val want = unionFind(50, edges).toSeq.sortBy(_._1)
+      val df = edges.toDF("i", "j")
+      for (impl <- Seq(Dedup.connectedComponents(df), Dedup.connectedComponentsStar(df))) {
+        val got = impl.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == want, s"seed=$seed")
+      }
+    }
+  }
+
   test("star-contraction CC converges in O(log n) rounds on a high-diameter chain") {
     // a 60-node chain: diameter 59 blows min-label's default budget
     // (maxIter=25 would throw); star contraction closes it in ~log n
