@@ -54,6 +54,21 @@ object TextOps {
   def totalTokenChars(toks: Column): Column =
     aggregate(toks, lit(0), (acc, t) => acc + length(t))
 
+  /** GPT-2-style pretokenizer pattern (ASCII simplification, no
+    * lookarounds so it runs identically under Java regex and RE2):
+    * contraction suffixes, space-prefixed letter runs, space-prefixed
+    * digit runs, space-prefixed punctuation runs, residual whitespace.
+    * The match COUNT approximates BPE token count far better than
+    * whitespace splitting (punctuation and contractions tokenize
+    * separately), which is what token-budget accounting needs.
+    */
+  val bpePretokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9']+|\\s+"
+
+  /** Pretokenizer-match count over a text column. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePretokenPattern), lit(0)))
+
   /** Heuristic language ID: stopword-profile scoring — >=2 hits ⇒ en,
     * 1 ⇒ und(etermined), 0 ⇒ other. A real pipeline swaps in a model;
     * the plumbing (pure column expression over tokens) is the point.

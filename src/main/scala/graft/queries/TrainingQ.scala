@@ -204,6 +204,33 @@ object TrainingQ {
       FROM documents ORDER BY doc_id""")
   )
 
+  /** BPE-budget token accounting: pretokenizer-match counts next to
+    * whitespace counts, plus the ratio — the number a data pipeline
+    * actually bills against a token budget. Oracle runs the identical
+    * regex (no lookarounds ⇒ Java regex and DuckDB's RE2 agree).
+    */
+  val qTokenBpe = Q(
+    "q_token_bpe",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws"))
+        .withColumn("bpe_per_ws",
+          col("n_bpe").cast("double") / col("n_ws"))
+        .orderBy("doc_id"),
+    Some {
+      val pat = TextOps.bpePretokenPattern.replace("'", "''")
+      s"""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe,
+        CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS n_ws,
+        CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE) /
+          len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS bpe_per_ws
+      FROM documents ORDER BY doc_id"""
+    }
+  )
+
   private val WinnowW = 5
 
   val qFingerprint = Q(
@@ -434,6 +461,6 @@ object TrainingQ {
   )
 
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
-    qDedupClusters, qTextStats, qLangId, qTokenCount, qFingerprint,
+    qDedupClusters, qTextStats, qLangId, qTokenCount, qTokenBpe, qFingerprint,
     qQualityFilter, qSampleStratified, qKnn, qAnnLsh, qAnnIvf)
 }
