@@ -22,11 +22,17 @@ import java.util.Base64
   * reply without extensions per RFC 6455 §9.1.
   */
 final class WsClient(host: String, port: Int, path: String = "/",
-    headers: Map[String, String] = Map.empty, connectTimeoutMs: Int = 5000) {
+    headers: Map[String, String] = Map.empty, connectTimeoutMs: Int = 5000,
+    readTimeoutMs: Int = 0) {
 
   private val socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
   socket.setTcpNoDelay(true)
+  // a dead peer with no TCP FIN (pulled cable, frozen server) blocks a
+  // plain read forever; a read timeout turns it into an IOException the
+  // reconnect loop handles like any other disconnect (the reference
+  // gets the same protection from its read deadline, server.go:162-166)
+  if (readTimeoutMs > 0) socket.setSoTimeout(readTimeoutMs)
   private val in = new BufferedInputStream(socket.getInputStream)
   private val out = new BufferedOutputStream(socket.getOutputStream)
 

@@ -43,7 +43,12 @@ object WsBackoff {
   * Options: host (required), port (required), path (default "/"),
   * apiKey (sent as x-api-key when set), subscribe (JSON text frame
   * sent after connect when set), backoffBaseMs (1000), backoffMaxMs
-  * (30000), numPartitions (4).
+  * (30000), numPartitions (4), readTimeoutMs (0 = none; a stuck
+  * connection with no TCP FIN then reads as a disconnect and
+  * reconnects), maxBuffered (100000 — the reader thread stops pulling
+  * frames once this many are unplanned, pushing backpressure into the
+  * TCP window instead of growing driver memory, like the reference's
+  * blocking channel send ingestor.go:125).
   */
 class WsSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-ws"
@@ -76,7 +81,9 @@ final class WsTable(properties: util.Map[String, String])
             subscribe = Option(options.get("subscribe")),
             backoffBaseMs = opt(options, "backoffBaseMs", 1000L),
             backoffMaxMs = opt(options, "backoffMaxMs", 30000L),
-            numPartitions = opt(options, "numPartitions", 4L).toInt)
+            numPartitions = opt(options, "numPartitions", 4L).toInt,
+            readTimeoutMs = opt(options, "readTimeoutMs", 0L).toInt,
+            maxBuffered = opt(options, "maxBuffered", 100000L).toInt)
       }
     }
 
@@ -91,7 +98,8 @@ final class WsTable(properties: util.Map[String, String])
 final class WsMicroBatchStream(
     host: String, port: Int, path: String,
     apiKey: Option[String], subscribe: Option[String],
-    backoffBaseMs: Long, backoffMaxMs: Long, numPartitions: Int)
+    backoffBaseMs: Long, backoffMaxMs: Long, numPartitions: Int,
+    readTimeoutMs: Int = 0, maxBuffered: Int = 100000)
     extends MicroBatchStream {
 
   // frames [base, base + buf.size); commit() trims below the committed
@@ -106,11 +114,16 @@ final class WsMicroBatchStream(
       var client: WsClient = null
       try {
         client = new WsClient(host, port, path,
-          headers = apiKey.map("x-api-key" -> _).toMap)
+          headers = apiKey.map("x-api-key" -> _).toMap,
+          readTimeoutMs = readTimeoutMs)
         subscribe.foreach(client.sendText)
         attempt = 0 // reset-on-success, like the reference (ingestor.go:60)
         var frame = client.readText()
         while (frame.isDefined && !stopped) {
+          // bounded buffer: stop pulling while the query is behind —
+          // the unread TCP window is the backpressure signal upstream
+          while (this.synchronized(buf.size) >= maxBuffered && !stopped)
+            Thread.sleep(10)
           this.synchronized { buf += frame.get }
           frame = client.readText()
         }

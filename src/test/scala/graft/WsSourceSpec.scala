@@ -15,10 +15,14 @@ import graft.sources.{TickSource, WsBackoff, WsClient, WsFrames}
   * scope): performs the upgrade handshake, records x-api-key and the
   * subscribe frame, pings once, then plays `frames` as text frames.
   * The first connection is dropped abruptly after `dropAfter` frames
-  * to exercise the client's reconnect path; later connections resume
-  * from a shared cursor and then hold the socket open.
+  * (FIN ⇒ client sees EOF), or goes SILENT after `stallAfter` frames
+  * (no FIN ⇒ only a read timeout can unstick the client); later
+  * connections resume from a shared cursor and then hold the socket
+  * open. One thread per connection so a stalled one can't block the
+  * acceptor.
   */
-final class WsTestServer(frames: Seq[String], dropAfter: Int = Int.MaxValue) {
+final class WsTestServer(frames: Seq[String], dropAfter: Int = Int.MaxValue,
+    stallAfter: Int = Int.MaxValue) {
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
   val apiKeys = new ConcurrentLinkedQueue[String]()
@@ -29,8 +33,12 @@ final class WsTestServer(frames: Seq[String], dropAfter: Int = Int.MaxValue) {
 
   private val acceptor = new Thread(() => {
     while (!closed) {
-      try handle(server.accept())
-      catch { case _: Exception => () }
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock))
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () }
     }
   }, "ws-test-server")
   acceptor.setDaemon(true)
@@ -69,6 +77,10 @@ final class WsTestServer(frames: Seq[String], dropAfter: Int = Int.MaxValue) {
       val i = cursor.get()
       if (i >= frames.length) done = true
       else if (conn == 1 && sent >= dropAfter) { sock.close(); return } // abrupt drop
+      else if (conn == 1 && sent >= stallAfter) { // silent stall: no FIN
+        while (!closed) Thread.sleep(100)
+        sock.close(); return
+      }
       else if (cursor.compareAndSet(i, i + 1)) {
         WsFrames.write(out, WsFrames.OpText, frames(i).getBytes(UTF_8), None)
         sent += 1
@@ -126,6 +138,44 @@ class WsSourceSpec extends AnyFunSuite {
     assert(c.readText().contains("hello"))
     assert(c.readText().isEmpty) // close frame → None
     c.close(); server.close()
+  }
+
+  test("read timeout unsticks a silently-stalled connection (no FIN)") {
+    val n = 30
+    val frames = (0L until n.toLong).map(TickSource.frame(_, 5))
+    val server = new WsTestServer(frames, stallAfter = 10)
+    val raw = spark.readStream.format("graft-ws")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("subscribe", """{"event":"subscribe","symbols":[]}""")
+      .option("backoffBaseMs", "100").option("readTimeoutMs", "500")
+      .load()
+    val parsed = Ingest.validate(Ingest.parseWire(raw))
+    val q = parsed.writeStream.format("memory").queryName("ws_stall_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val expected = (0L until n.toLong).count(i => i % 97 != 0 && i % 101 != 0)
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("ws_stall_out").count() < expected &&
+      System.currentTimeMillis() < deadline) Thread.sleep(250)
+    q.stop()
+    val got = spark.table("ws_stall_out").count()
+    server.close()
+    assert(got == expected, s"expected $expected frames after timeout-reconnect, got $got")
+    assert(server.connections.get() >= 2, "read timeout should have forced a reconnect")
+  }
+
+  test("bounded buffer caps unplanned frames (backpressure, not memory growth)") {
+    val frames = (0L until 200L).map(TickSource.frame(_, 5))
+    val server = new WsTestServer(frames)
+    val stream = new graft.sources.WsMicroBatchStream(
+      "127.0.0.1", server.port, "/", None,
+      subscribe = Some("""{"event":"subscribe","symbols":[]}"""),
+      backoffBaseMs = 100, backoffMaxMs = 1000, numPartitions = 2,
+      maxBuffered = 5)
+    try {
+      Thread.sleep(2000) // reader pulls; nothing is planned or committed
+      val avail = stream.latestOffset().asInstanceOf[graft.sources.TickOffset].tick
+      assert(avail <= 5L, s"buffer grew past the cap: $avail")
+    } finally { stream.stop(); server.close() }
   }
 
   test("graft-ws source ingests over real WS frames and reconnects after a drop") {
