@@ -352,6 +352,67 @@ object RelationalQ {
       FROM s GROUP BY user_id, sid ORDER BY user_id, sid""")
   )
 
+  /** Full CUBE over two dimensions with grouping flags — completes the
+    * grouping-sets family next to q_rollup (all four subtotal combos,
+    * nulls pinned via coalesce so cross-engine null ordering cannot
+    * diverge).
+    */
+  val qCube = Q(
+    "q_cube",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("ub", col("user_id") % 3)
+        .cube(col("event_type"), col("ub"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_v"),
+          grouping(col("event_type")).cast("int").as("g_et"),
+          grouping(col("ub")).cast("int").as("g_ub"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("ub"), lit(-1L)).as("ub"),
+          col("n"), col("sum_v"), col("g_et"), col("g_ub"))
+        .orderBy("event_type", "ub"),
+    Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+        coalesce(user_id % 3, -1) AS ub,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_v,
+        CAST(grouping(event_type) AS INT) AS g_et,
+        CAST(grouping(user_id % 3) AS INT) AS g_ub
+      FROM events
+      GROUP BY CUBE (event_type, user_id % 3)
+      ORDER BY event_type, ub""")
+  )
+
+  /** Navigation/distribution window functions (lag, lead, ntile,
+    * cume_dist) over the per-user event timeline — the remaining
+    * window-function families next to q_window_rank's ranking set.
+    */
+  val qWindowNav = Q(
+    "q_window_nav",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("next_v", lead(col("value"), 1).over(w))
+        .withColumn("delta_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy("user_id", "ts_ms", "event_id")
+    },
+    Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        lag(value) OVER w AS prev_v,
+        lead(value) OVER w AS next_v,
+        epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS delta_ms,
+        CAST(ntile(4) OVER w AS BIGINT) AS tile,
+        cume_dist() OVER w AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      ORDER BY user_id, ts_ms, event_id""")
+  )
+
   /** Sliding event-time windows (10 min wide, 5 min slide): each event
     * lands in width/slide windows; Spark's `window()` generator vs an
     * oracle that unnests the two aligned window starts per event.
@@ -380,7 +441,7 @@ object RelationalQ {
       GROUP BY w_start, event_type ORDER BY w_start, event_type""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qTopk, qSetops,
-    qRollup, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow, qQuantiles,
-    qApproxSketch, qPivot, qSessionize)
+  def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qWindowNav, qTopk,
+    qSetops, qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
+    qQuantiles, qApproxSketch, qPivot, qSessionize)
 }
