@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call session setup for library users: a SparkSession builder
+  * pre-configured the way every graft operator expects —
+  *
+  *  - `GraftExtensions` registered (native `graft_dot` SQL function +
+  *    the HOF→native dot-product rewrite rule);
+  *  - AQE on (runtime coalescing + skew-join split — the default skew
+  *    answer, see Skew.saltedJoin for the explicit fallback);
+  *  - `spark.sql.shuffle.partitions` sized to the given parallelism
+  *    instead of the 200 default (at cluster scale, set it to a small
+  *    multiple of total executor cores, or let AQE coalesce);
+  *  - parquet TIMESTAMP(NANOS) readable (SPARK-40819 legacy flag);
+  *  - UTC session timezone (all engine/oracle time arithmetic is
+  *    epoch-millis).
+  *
+  * Callers chain further config before `getOrCreate()`:
+  * {{{
+  *   val spark = GraftSession.builder(parallelism = 32)
+  *     .master("local[32]").getOrCreate()
+  * }}}
+  */
+object GraftSession {
+
+  def builder(parallelism: Int): SparkSession.Builder =
+    SparkSession.builder()
+      // withExtensions (not the spark.sql.extensions static conf):
+      // applies even when a SparkContext already exists in the JVM
+      .withExtensions(new org.apache.spark.sql.graftbridge.GraftExtensions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", parallelism.toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+}

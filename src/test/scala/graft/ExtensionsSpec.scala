@@ -30,6 +30,28 @@ class ExtensionsSpec extends AnyFunSuite {
     s
   }
 
+  test("GraftSession.builder yields a fully-configured session (library entry point)") {
+    val shared = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = GraftSession.builder(parallelism = 4)
+      .master("local[4]").appName("graft-session-test")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "4")
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+      // extensions installed: the native SQL function resolves
+      val d = s.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect().head.getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("graft_dot is callable from SQL") {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")

@@ -337,6 +337,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.count(_ == 2L) == 1 && ids.count(_ == 9L) == 1)
   }
 
+  test("stream-stream interval join: trades pick up quotes within the time bound") {
+    // the streaming face of the batch range join: two watermarked
+    // streams, state bounded by watermark + join interval on both sides
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[(Long, String, Long, Double)] // (id, sym, ts_ms, qty)
+    val quotes = MemoryStream[(Long, String, Long, Double)] // (id, sym, ts_ms, px)
+    val m = 60000L
+    val t = trades.toDF().toDF("trade_id", "t_sym", "t_ts", "qty")
+      .withColumn("t_time", timestamp_millis(col("t_ts")))
+      .withWatermark("t_time", "10 minutes")
+    val qs = quotes.toDF().toDF("quote_id", "q_sym", "q_ts", "px")
+      .withColumn("q_time", timestamp_millis(col("q_ts")))
+      .withWatermark("q_time", "10 minutes")
+    // equality on symbol (stream-stream joins require an equi-key —
+    // it is also what bounds the state partitioning) + the time bound
+    val joined = t.join(qs,
+      expr("t_sym = q_sym AND q_time BETWEEN t_time - INTERVAL 5 MINUTES AND t_time"))
+      .select("trade_id", "quote_id", "qty", "px")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    quotes.addData((100L, "A", 1 * m, 10.0), (101L, "A", 3 * m, 11.0),
+      (110L, "B", 3 * m, 99.0))
+    trades.addData((1L, "A", 4 * m, 5.0)) // both A-quotes in [-1m, 4m]; B filtered by key
+    q.processAllAvailable()
+    quotes.addData((102L, "A", 30 * m, 12.0))
+    trades.addData((2L, "A", 31 * m, 7.0)) // only quote 102 in [26m, 31m]
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (1L, 101L), (2L, 102L)))
+  }
+
   test("streaming latest equals batch argmax oracle (batch/stream equivalence)") {
     val got = SparkEntry.queries("q_stream_latest")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
