@@ -413,6 +413,60 @@ object RelationalQ {
       ORDER BY user_id, ts_ms, event_id""")
   )
 
+  /** Snapshot diff: keep-last state at two event-time cutoffs,
+    * reconciled by FULL OUTER join — added / changed / same per key
+    * (the incremental-dataset-diff primitive; also the catalog's
+    * full-outer coverage). Cutoffs derive from min/max event time via
+    * integer floor-division so both engines compute identical
+    * constants (double→bigint casts round differently across
+    * engines).
+    */
+  val qSnapshotDiff = Q(
+    "q_snapshot_diff",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select("user_id", "event_id", "ts_ms", "value")
+      val bounds = ev.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+      val withCuts = ev.crossJoin(broadcast(bounds))
+        .withColumn("cut_a", expr("mn + (mx - mn) div 4"))
+        .withColumn("cut_b", expr("mn + (mx - mn) div 2"))
+      def latestAt(cutCol: String, tag: String) =
+        graft.ops.Latest.keepLastPerKey(
+          withCuts.filter(col("ts_ms") <= col(cutCol)),
+          Seq("user_id"), Seq("ts_ms", "event_id"))
+          .select(col("user_id"), col("event_id").as(s"${tag}_event_id"))
+      val a = latestAt("cut_a", "a")
+      val b = latestAt("cut_b", "b")
+      a.join(b, Seq("user_id"), "full")
+        .withColumn("status",
+          when(col("a_event_id").isNull, "added")
+            .when(col("b_event_id").isNull, "removed")
+            .when(col("a_event_id") =!= col("b_event_id"), "changed")
+            .otherwise("same"))
+        .select("user_id", "a_event_id", "b_event_id", "status")
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      bounds AS (SELECT min(ts_ms) AS mn, max(ts_ms) AS mx FROM e),
+      cuts AS (SELECT mn + (mx - mn) // 4 AS cut_a,
+                      mn + (mx - mn) // 2 AS cut_b FROM bounds),
+      a AS (SELECT user_id, event_id AS a_event_id FROM (
+          SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts_ms DESC, event_id DESC) AS rn
+          FROM e, cuts WHERE ts_ms <= cut_a) t WHERE rn = 1),
+      b AS (SELECT user_id, event_id AS b_event_id FROM (
+          SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts_ms DESC, event_id DESC) AS rn
+          FROM e, cuts WHERE ts_ms <= cut_b) t WHERE rn = 1)
+      SELECT user_id, a_event_id, b_event_id,
+        CASE WHEN a_event_id IS NULL THEN 'added'
+             WHEN b_event_id IS NULL THEN 'removed'
+             WHEN a_event_id <> b_event_id THEN 'changed'
+             ELSE 'same' END AS status
+      FROM a FULL JOIN b USING (user_id)
+      ORDER BY user_id""")
+  )
+
   /** Sliding event-time windows (10 min wide, 5 min slide): each event
     * lands in width/slide windows; Spark's `window()` generator vs an
     * oracle that unnests the two aligned window starts per event.
@@ -443,5 +497,5 @@ object RelationalQ {
 
   def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qWindowNav, qTopk,
     qSetops, qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
-    qQuantiles, qApproxSketch, qPivot, qSessionize)
+    qSnapshotDiff, qQuantiles, qApproxSketch, qPivot, qSessionize)
 }
