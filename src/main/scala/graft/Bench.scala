@@ -27,18 +27,25 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
+    // failed reps must stay visible: a rep that throws is excluded from
+    // the median and counted in "errors"; a query with zero successful
+    // reps records -1 so broken queries can't masquerade as fast ones
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> median(times)
+      val good = runs.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) median(good) else -1.0, reps - good.length)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val errs = results.collect { case (k, (_, e)) if e > 0 => s"\"" + k + "\":" + e }
+      .mkString("{", ",", "}")
+    val total = results.values.collect { case (v, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

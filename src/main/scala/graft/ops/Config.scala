@@ -19,6 +19,12 @@ import graft.model.Schemas
   * `use_current_ts` folds into the interpreter's magic
   * timestamp="current" override (server.go:213-219), so the whole
   * dto surface lands in the existing four interpreter columns.
+  * Note: the reference defines `UseCurrentTS` (dto/client.go:16) but
+  * never reads it — its ts="current" magic fires only from
+  * OverrideFields itself. Honoring the flag here, with flag-wins
+  * precedence over an explicit timestamp override, is this engine's
+  * design choice (making the dead dto field mean what its name says),
+  * not observed reference behavior.
   */
 object Config {
 

@@ -372,7 +372,11 @@ object RelationalQ {
           coalesce(col("event_type"), lit("ALL")).as("event_type"),
           coalesce(col("ub"), lit(-1L)).as("ub"),
           col("n"), col("sum_v"), col("g_et"), col("g_ub"))
-        .orderBy("event_type", "ub"),
+        // g_et/g_ub in the sort keys: if the data ever contains a
+        // literal 'ALL' event_type (or NULL rows coalesced onto -1),
+        // subtotal rows would tie with data rows under the coalesced
+        // labels alone, and cross-engine order within ties is undefined
+        .orderBy("event_type", "ub", "g_et", "g_ub"),
     Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
         coalesce(user_id % 3, -1) AS ub,
         count(*) AS n,
@@ -381,7 +385,7 @@ object RelationalQ {
         CAST(grouping(user_id % 3) AS INT) AS g_ub
       FROM events
       GROUP BY CUBE (event_type, user_id % 3)
-      ORDER BY event_type, ub""")
+      ORDER BY event_type, ub, g_et, g_ub""")
   )
 
   /** Navigation/distribution window functions (lag, lead, ntile,

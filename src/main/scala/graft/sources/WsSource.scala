@@ -107,6 +107,9 @@ final class WsMicroBatchStream(
   private val buf = ArrayBuffer.empty[String]
   private var base = 0L
   @volatile private var stopped = false
+  // current connection, so stop() can close the socket out from under a
+  // blocked read (interrupt() alone never wakes a blocking Socket read)
+  @volatile private var current: WsClient = null
 
   private val reader = new Thread(() => {
     var attempt = 0
@@ -116,6 +119,8 @@ final class WsMicroBatchStream(
         client = new WsClient(host, port, path,
           headers = apiKey.map("x-api-key" -> _).toMap,
           readTimeoutMs = readTimeoutMs)
+        current = client
+        if (stopped) throw new InterruptedException("stopped")
         subscribe.foreach(client.sendText)
         attempt = 0 // reset-on-success, like the reference (ingestor.go:60)
         var frame = client.readText()
@@ -130,6 +135,7 @@ final class WsMicroBatchStream(
       } catch {
         case _: Exception => () // connect/read failure → backoff below
       } finally {
+        current = null
         if (client != null) client.close()
       }
       if (!stopped) {
@@ -198,6 +204,11 @@ final class WsMicroBatchStream(
 
   override def stop(): Unit = {
     stopped = true
+    // closing the socket makes a blocked read throw — interrupt() alone
+    // cannot wake java.net.Socket I/O, so with readTimeoutMs=0 the
+    // reader (and its socket) would otherwise outlive the query
+    val c = current
+    if (c != null) c.close()
     reader.interrupt()
   }
 }
