@@ -499,7 +499,91 @@ object RelationalQ {
       GROUP BY w_start, event_type ORDER BY w_start, event_type""")
   )
 
+  /** RANGE-frame running aggregates: per-user trailing-5s count and
+    * sum — the frame is defined by the ORDER BY value (ts_ms), not row
+    * position, so duplicate timestamps land in the same frame on both
+    * engines (a ROWS frame would be nondeterministic under ts ties).
+    * Scale shape: one shuffle on user_id, then a per-partition sort +
+    * sliding frame scan — the same plan a 1000-executor run wants.
+    */
+  val qRunningRange = Q(
+    "q_running_range",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-5000L, Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+        .withColumn("run_cnt", count(lit(1)).over(w))
+        .withColumn("run_sum",
+          sum(col("value").cast("decimal(20,6)")).over(w).cast("double"))
+        .orderBy("user_id", "ts_ms", "event_id")
+    },
+    Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        count(*) OVER w AS run_cnt,
+        CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS run_sum
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_ms, event_id""")
+  )
+
+  /** GROUPING SETS with a non-hierarchical set list — ((type, bucket),
+    * (bucket), ()) is expressible by neither ROLLUP nor CUBE (no
+    * (type) set), completing the grouping-set family next to q_rollup
+    * and q_cube. Same Expand-based plan: per-row replicas generated
+    * map-side, partial+final hash agg, one shuffle.
+    */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    (spark, dir) => {
+      Tables.events(spark, dir).createOrReplaceTempView("ev_gsets")
+      spark.sql("""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+          coalesce(user_id % 5, -1) AS ub,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_v,
+          CAST(grouping(event_type) AS INT) AS g_et,
+          CAST(grouping(user_id % 5) AS INT) AS g_ub
+        FROM ev_gsets
+        GROUP BY GROUPING SETS ((event_type, user_id % 5), (user_id % 5), ())
+        ORDER BY event_type, ub, g_et, g_ub""")
+    },
+    Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+        coalesce(user_id % 5, -1) AS ub,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_v,
+        CAST(grouping(event_type) AS INT) AS g_et,
+        CAST(grouping(user_id % 5) AS INT) AS g_ub
+      FROM events
+      GROUP BY GROUPING SETS ((event_type, user_id % 5), (user_id % 5), ())
+      ORDER BY event_type, ub, g_et, g_ub""")
+  )
+
+  /** Fixed-width histogram over event values: floor-division binning
+    * (exact in double for the data's value range) + exact-decimal bin
+    * sums. One map-side binning pass, one shuffle on the bin key.
+    */
+  val qHistogram = Q(
+    "q_histogram",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(floor(col("value") / lit(10)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_v"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        .orderBy("bin"),
+    Some("""SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_v,
+        min(value) AS min_v,
+        max(value) AS max_v
+      FROM events GROUP BY 1 ORDER BY bin""")
+  )
+
   def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qWindowNav, qTopk,
     qSetops, qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
-    qSnapshotDiff, qQuantiles, qApproxSketch, qPivot, qSessionize)
+    qSnapshotDiff, qQuantiles, qApproxSketch, qPivot, qSessionize,
+    qRunningRange, qGroupingSets, qHistogram)
 }

@@ -460,7 +460,120 @@ object TrainingQ {
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  /** Top document-frequency terms per language: explode distinct
+    * tokens → two-level agg → per-lang window top-k. Scale shape: the
+    * (lang, term) partial agg combines map-side, so the shuffle
+    * carries one row per (partition × lang × term), and the window
+    * ranks the already-aggregated (small) term table.
+    */
+  val qTopTerms = Q(
+    "q_top_terms",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(spark, dir)
+        .select(col("lang"), col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      val dfreq = tok.groupBy("lang", "term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("term"))
+      dfreq.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("lang", "rank", "term", "df")
+        .orderBy("lang", "rank")
+    },
+    Some(s"""WITH $tokCtes,
+        t AS (SELECT lang, doc_id, unnest(list_distinct(ts)) AS term FROM toks),
+        dfreq AS (SELECT lang, term, count(*) AS df FROM t GROUP BY lang, term),
+        r AS (SELECT lang, term, df, row_number() OVER
+            (PARTITION BY lang ORDER BY df DESC, term) AS rank
+          FROM dfreq)
+      SELECT lang, rank, term, df FROM r WHERE rank <= 5
+      ORDER BY lang, rank""")
+  )
+
+  /** TF-IDF-style term scoring, top-3 terms per doc. The idf factor is
+    * the log-free rational N/df (score = tf · N / df): double log is
+    * not correctly rounded and differs across math libraries, so ln()
+    * would break exact cross-engine hashes; the rational form is exact
+    * IEEE arithmetic and preserves the ranking behavior (monotone in
+    * the same ratio). The corpus size joins in as a broadcast scalar
+    * row — no driver-side count.
+    */
+  val qTfidf = Q(
+    "q_tfidf",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          (col("tf").cast("double") * col("n_docs")) / col("df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""WITH $tokCtes,
+        t AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        s AS (SELECT doc_id, term, tf, df,
+            (CAST(tf AS DOUBLE) * n_docs) / df AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        r AS (SELECT doc_id, term, tf, df, score, row_number() OVER
+            (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+          FROM s)
+      SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
+      ORDER BY doc_id, rank""")
+  )
+
+  /** Embedding-cosine near-dup CLUSTERS: sign-LSH candidate pairs ≥
+    * cosine threshold → connected components → each vector labeled
+    * with its component's min id — the embedding-space face of
+    * q_dedup_clusters (text MinHash). Scale shape: candidates come
+    * from the bucket equality join (never all-pairs), and the CC runs
+    * on the tiny pair graph.
+    */
+  val qDedupEmbed = Q(
+    "q_dedup_embed",
+    (spark, dir) => {
+      val pairs = Similarity.lshCosinePairs(Tables.embeddings(spark, dir),
+        bits = LshBits, threshold = CosThreshold)
+      Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("rep_id"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val bucket = (1 to LshBits).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH RECURSIVE ev AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            $bucket AS bucket
+          FROM embeddings),
+        p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+            ${sqlDot("a.v", "b.v")} / sqrt(${sqlDot("a.v", "a.v")} * ${sqlDot("b.v", "b.v")}) AS cosine
+          FROM ev a JOIN ev b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        pr AS (SELECT i, j FROM p WHERE cosine >= $CosThreshold),
+        edges AS (SELECT i AS a, j AS b FROM pr
+          UNION SELECT j, i FROM pr),
+        walk(a, label) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+          UNION
+          SELECT e2.a, w.label FROM edges e2 JOIN walk w ON e2.b = w.a)
+      SELECT a AS vec_id, min(label) AS rep_id FROM walk
+      GROUP BY a ORDER BY vec_id"""
+    }
+  )
+
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
     qDedupClusters, qTextStats, qLangId, qTokenCount, qTokenBpe, qFingerprint,
-    qQualityFilter, qSampleStratified, qKnn, qAnnLsh, qAnnIvf)
+    qQualityFilter, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
+    qTopTerms, qTfidf, qDedupEmbed)
 }

@@ -163,6 +163,29 @@ class WsSourceSpec extends AnyFunSuite {
     assert(server.connections.get() >= 2, "read timeout should have forced a reconnect")
   }
 
+  test("stop() closes a blocked reader's socket (no thread leak without a read timeout)") {
+    import scala.jdk.CollectionConverters._
+    val frames = (0L until 3L).map(TickSource.frame(_, 5))
+    val server = new WsTestServer(frames) // serves 3 frames then holds the socket open
+    val stream = new graft.sources.WsMicroBatchStream(
+      "127.0.0.1", server.port, "/", None, None,
+      backoffBaseMs = 100, backoffMaxMs = 1000, numPartitions = 2,
+      readTimeoutMs = 0, maxBuffered = 100) // no timeout: read blocks forever
+    try {
+      val deadline = System.currentTimeMillis() + 10000
+      while (stream.latestOffset().asInstanceOf[graft.sources.TickOffset].tick < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      stream.stop() // must close the socket — interrupt can't wake a Socket read
+      val name = s"graft-ws-reader-127.0.0.1:${server.port}"
+      def readerAlive = Thread.getAllStackTraces.keySet.asScala
+        .exists(t => t.getName == name && t.isAlive)
+      val dead = (1 to 100).exists { _ =>
+        if (readerAlive) { Thread.sleep(100); false } else true
+      }
+      assert(dead, "reader thread still alive 10s after stop()")
+    } finally server.close()
+  }
+
   test("bounded buffer caps unplanned frames (backpressure, not memory growth)") {
     val frames = (0L until 200L).map(TickSource.frame(_, 5))
     val server = new WsTestServer(frames)
