@@ -582,8 +582,111 @@ object RelationalQ {
       FROM events GROUP BY 1 ORDER BY bin""")
   )
 
+  /** Statistical moments per group — mean, population variance/stddev,
+    * and Pearson correlation (value vs event time) — WITHOUT the
+    * engine's streaming-moment aggregates (Welford accumulation order
+    * varies across engines/partitionings): raw power sums are computed
+    * in exact decimal arithmetic (associative ⇒ partition-order-proof),
+    * cast to double once, and the closed-form moment expressions are
+    * then fixed IEEE trees — bit-identical on both engines. Plan shape:
+    * one partial+final hash agg, shuffle carries 6 sums per group.
+    */
+  val qStatsMoments = Q(
+    "q_stats_moments",
+    (spark, dir) => {
+      val x = dec(col("value"), 12, 2)
+      // Two portability traps dodged here:
+      //  - width 19 for t: DuckDB computes products of ≤18-wide
+      //    decimals in int64 (t² overflows it) but promotes ≥19-wide
+      //    operands to the int128 kernel; Spark is exact either way.
+      //    The epoch-origin shift keeps t² small and well-conditioned.
+      //  - scale 0 for every sum feeding corr: DuckDB's decimal→double
+      //    cast double-rounds when scale > 0 AND the unscaled value
+      //    exceeds 2⁵³ (divides after converting), so the corr inputs
+      //    are scaled to integers (x·100); the 100-factors cancel in
+      //    the ratio. Verified empirically against correctly-rounded
+      //    conversions.
+      val t = dec(col("ts_ms") - lit(1704000000000L), 19, 0)
+      val x0 = (x * lit(100).cast("decimal(3,0)")).cast("decimal(14,0)")
+      val agg = Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(x * x).cast("double").as("sxx"),
+          sum(x0).cast("double").as("sx0"), sum(x0 * x0).cast("double").as("sxx0"),
+          sum(t).cast("double").as("st"), sum(t * t).cast("double").as("stt"),
+          sum(x0 * t).cast("double").as("sxt0"))
+      agg.select(
+          col("event_type"), col("n"),
+          (col("sx") / col("n")).as("mean_v"),
+          ((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n").cast("double") * col("n"))).as("var_v"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n").cast("double") * col("n"))).as("std_v"),
+          ((col("n") * col("sxt0") - col("sx0") * col("st")) /
+            (sqrt(col("n") * col("sxx0") - col("sx0") * col("sx0")) *
+              sqrt(col("n") * col("stt") - col("st") * col("st")))).as("corr_vt"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type,
+          CAST(value AS DECIMAL(12,2)) AS x,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0)) AS x0,
+          CAST(epoch_ms(ts) - 1704000000000 AS DECIMAL(19,0)) AS t
+        FROM events),
+      a AS (SELECT event_type, count(*) AS n,
+          CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x*x) AS DOUBLE) AS sxx,
+          CAST(sum(x0) AS DOUBLE) AS sx0, CAST(sum(x0*x0) AS DOUBLE) AS sxx0,
+          CAST(sum(t) AS DOUBLE) AS st, CAST(sum(t*t) AS DOUBLE) AS stt,
+          CAST(sum(x0*t) AS DOUBLE) AS sxt0
+        FROM e GROUP BY event_type)
+      SELECT event_type, n,
+        sx / n AS mean_v,
+        (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n) AS var_v,
+        sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)) AS std_v,
+        (n * sxt0 - sx0 * st) /
+          (sqrt(n * sxx0 - sx0 * sx0) * sqrt(n * stt - st * st)) AS corr_vt
+      FROM a ORDER BY event_type""")
+  )
+
+  /** Z-score feature normalization: every event's value standardized
+    * against its event_type's exact-decimal mean/std (the feature
+    * scaling pass of an ML pipeline). The 5-row stats table broadcasts;
+    * the fact side stays map-only — no fact shuffle at any scale.
+    */
+  val qZscore = Q(
+    "q_zscore",
+    (spark, dir) => {
+      val x = dec(col("value"), 12, 2)
+      val stats = Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sxx"))
+        .select(col("event_type"),
+          (col("sx") / col("n")).as("mean_v"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n").cast("double") * col("n"))).as("std_v"))
+      Tables.events(spark, dir)
+        .select("event_id", "event_type", "value")
+        .join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - col("mean_v")) / col("std_v"))
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x
+        FROM events),
+      a AS (SELECT event_type, count(*) AS n,
+          CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(x*x) AS DOUBLE) AS sxx
+        FROM e GROUP BY event_type),
+      s AS (SELECT event_type, sx / n AS mean_v,
+          sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)) AS std_v
+        FROM a)
+      SELECT ev.event_id, ev.event_type, ev.value,
+        (ev.value - s.mean_v) / s.std_v AS z
+      FROM events ev JOIN s USING (event_type)
+      ORDER BY event_id""")
+  )
+
   def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qWindowNav, qTopk,
     qSetops, qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
     qSnapshotDiff, qQuantiles, qApproxSketch, qPivot, qSessionize,
-    qRunningRange, qGroupingSets, qHistogram)
+    qRunningRange, qGroupingSets, qHistogram, qStatsMoments, qZscore)
 }
