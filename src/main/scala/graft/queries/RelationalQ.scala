@@ -513,10 +513,12 @@ object RelationalQ {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
         .rangeBetween(-5000L, Window.currentRow)
       Tables.events(spark, dir)
-        .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
-        .withColumn("run_cnt", count(lit(1)).over(w))
-        .withColumn("run_sum",
-          sum(col("value").cast("decimal(20,6)")).over(w).cast("double"))
+        // both window exprs in ONE select: a withColumn chain interposes
+        // the decimal-cast Project between two Window nodes, blocking
+        // CollapseWindow — fused, the plan is a single Window pass
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
+          count(lit(1)).over(w).as("run_cnt"),
+          sum(col("value").cast("decimal(20,6)")).over(w).cast("double").as("run_sum"))
         .orderBy("user_id", "ts_ms", "event_id")
     },
     Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
