@@ -153,6 +153,51 @@ object ReferenceQ {
       ORDER BY purchase_id, signup_id""")
   )
 
+  /** Forward as-of with a staleness bound: each purchase paired with
+    * the user's NEXT click, but only within 2 s — farther matches
+    * report null (the "quote too old to price the trade" rule, mirrored
+    * forward). Same single-shuffle union+window plan as q_asof_join;
+    * the tolerance rides on a carried right-time column, no extra join.
+    * Oracle: min_by over the bounded inequality join (exact at oracle
+    * scale; the engine-side plan is the one that survives 100 TB).
+    */
+  val qAsofTolerance = Q(
+    "q_asof_tolerance",
+    (spark, dir) => {
+      import graft.ops.{AsOf, Latest}
+      val ev = Tables.events(spark, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_ms", "value")
+      val clicks0 = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ms"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      val clicks = Latest.keepLastPerKey(clicks0,
+        Seq("user_id", "ts_ms"), Seq("click_id"))
+      AsOf.asOfJoin(purchases, clicks,
+          keyCols = Seq("user_id"), leftTimeCol = "ts_ms", rightTimeCol = "ts_ms",
+          rightValueCols = Seq("click_id", "click_value"),
+          direction = "forward", toleranceMs = Some(2000L))
+        .select("event_id", "user_id", "ts_ms", "value", "click_id", "click_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+          FROM events WHERE event_type = 'purchase'),
+        c0 AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+          FROM events WHERE event_type = 'click'),
+        c AS (SELECT user_id, ts_ms, max_by(event_id, event_id) AS click_id,
+            max_by(value, event_id) AS click_value
+          FROM c0 GROUP BY user_id, ts_ms),
+        m AS (SELECT p.event_id,
+            min_by(c.click_id, c.ts_ms) AS click_id,
+            min_by(c.click_value, c.ts_ms) AS click_value
+          FROM p JOIN c ON p.user_id = c.user_id
+            AND c.ts_ms >= p.ts_ms AND c.ts_ms - p.ts_ms <= 2000
+          GROUP BY p.event_id)
+      SELECT p.event_id, p.user_id, p.ts_ms, p.value, m.click_id, m.click_value
+      FROM p LEFT JOIN m USING (event_id)
+      ORDER BY p.event_id""")
+  )
+
   def all: Seq[Q] = Seq(qLatestPerKey, qEnrichDim, qIngestValidate, qTtlFilter,
-    qAsofJoin, qRangeJoin)
+    qAsofJoin, qAsofTolerance, qRangeJoin)
 }

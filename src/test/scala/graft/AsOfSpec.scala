@@ -44,4 +44,34 @@ class AsOfSpec extends AnyFunSuite {
     val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "t", Seq("px")).collect()
     assert(out.head.getDouble(3) == 99.0)
   }
+
+  test("forward direction matches smallest right time >= left time, equal time included") {
+    val trades = Seq(("A", 10L, 1L), ("A", 21L, 2L), ("A", 50L, 3L))
+      .toDF("sym", "t", "trade_id")
+    val quotes = Seq(("A", 10L, 100.0), ("A", 20L, 101.0), ("A", 30L, 102.0))
+      .toDF("sym", "t", "px")
+    val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "t", Seq("px"),
+        direction = "forward")
+      .orderBy("trade_id")
+      .collect().map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (1L, Some(100.0)), // equal time included
+      (2L, Some(102.0)), // next quote after 21 is 30
+      (3L, None)))       // nothing follows 50
+  }
+
+  test("tolerance nulls matches beyond the bound, both directions") {
+    val trades = Seq(("A", 100L, 1L), ("A", 200L, 2L)).toDF("sym", "t", "trade_id")
+    val quotes = Seq(("A", 95L, 1.0), ("A", 130L, 2.0)).toDF("sym", "t", "px")
+    val back = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "t", Seq("px"),
+        toleranceMs = Some(10L))
+      .orderBy("trade_id")
+      .collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(back.toSeq == Seq(Some(1.0), None)) // 200-130=70 > 10 → stale
+    val fwd = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "t", Seq("px"),
+        direction = "forward", toleranceMs = Some(10L))
+      .orderBy("trade_id")
+      .collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(fwd.toSeq == Seq(None, None)) // 130-100=30 > 10; nothing ≥ 200
+  }
 }
