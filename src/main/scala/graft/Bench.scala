@@ -38,14 +38,24 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val good = runs.collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) median(good) else -1.0, reps - good.length)
+      val spread = if (good.length >= 3) {
+        val s = good.sorted
+        Some((s(s.length / 4), s(s.length - 1 - s.length / 4)))
+      } else None
+      name -> (if (good.nonEmpty) median(good) else -1.0,
+        reps - good.length, spread)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, e)) if e > 0 => s"\"" + k + "\":" + e }
+    val errs = results.collect { case (k, (_, e, _)) if e > 0 => s"\"" + k + "\":" + e }
       .mkString("{", ",", "}")
-    val total = results.values.collect { case (v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps}""")
+    val total = results.values.collect { case (v, _, _) if v >= 0 => v }.sum
+    // per-query interquartile spread: machine load on this box varies
+    // enough that medians alone can't show which numbers to trust
+    val iqr = results.collect { case (k, (_, _, Some((lo, hi)))) =>
+      s"\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"p25p75":$iqr,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

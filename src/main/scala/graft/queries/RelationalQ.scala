@@ -295,6 +295,59 @@ object RelationalQ {
     None
   )
 
+  /** KMV (k-minimum-values) distinct-count sketch — the DETERMINISTIC
+    * sketch next to q_approx_sketch's HLL: k smallest md5-derived
+    * 60-bit hashes per group, estimate (k−1)·2⁶⁰/kth_hash (exact count
+    * when fewer than k values seen), reported against the exact
+    * distinct count. Unlike HLL the estimator is engine-portable, so
+    * the oracle hash-checks it. Plan: distinct on (group, hash) is one
+    * shuffle; the per-group k-smallest runs on the deduped table. At
+    * corpus scale you'd swap the row_number for a partial min-k
+    * aggregate; the shuffled volume is already only distinct hashes.
+    */
+  val qKmvDistinct = Q(
+    "q_kmv_distinct",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 32
+      val ev = Tables.events(spark, dir)
+      val h = conv(substring(md5(concat(lit("u|"),
+        col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      val hashed = ev.select(col("event_type"), h.as("h")).distinct()
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val sk = hashed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy("event_type")
+        .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("n_kept"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      sk.join(exact, Seq("event_type"))
+        .withColumn("est_kmv",
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+              col("kth_hash").cast("double")))
+        .select("event_type", "n_exact", "n_kept", "kth_hash", "est_kmv")
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (SELECT DISTINCT event_type,
+          CAST('0x' || substring(md5('u|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        FROM events),
+      r AS (SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h),
+      sk AS (SELECT event_type, max(h) AS kth_hash, count(*) AS n_kept
+        FROM r WHERE rn <= 32 GROUP BY event_type),
+      ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type)
+      SELECT s.event_type, ex.n_exact, s.n_kept, s.kth_hash,
+        CASE WHEN s.n_kept < 32 THEN CAST(s.n_kept AS DOUBLE)
+             ELSE (31.0 * 1152921504606846976.0) / CAST(s.kth_hash AS DOUBLE)
+        END AS est_kmv
+      FROM sk s JOIN ex USING (event_type)
+      ORDER BY event_type""")
+  )
+
   /** Pivot: per-user event counts spread across event-type columns.
     * Spark compiles pivot to conditional aggregation — the oracle IS
     * that formulation.
@@ -689,6 +742,7 @@ object RelationalQ {
 
   def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qWindowNav, qTopk,
     qSetops, qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
-    qSnapshotDiff, qQuantiles, qApproxSketch, qPivot, qSessionize,
-    qRunningRange, qGroupingSets, qHistogram, qStatsMoments, qZscore)
+    qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qPivot,
+    qSessionize, qRunningRange, qGroupingSets, qHistogram, qStatsMoments,
+    qZscore)
 }

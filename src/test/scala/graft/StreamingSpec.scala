@@ -286,6 +286,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.get(0L).contains(2L))
   }
 
+  test("streaming sliding windows: one row lands in every overlapping window (A-family, q_slide_window's streaming face)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)] // (ts_ms, value)
+    val m = 60000L
+    val windowed = in.toDF().toDF("ts_ms", "value")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("w"), col("n"))
+    val q = windowed.writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // t=7m lands in [0,10m) AND [5m,15m); t=2m only in [-5m,5m) + [0,10m)
+    in.addData((7 * m, 1.0), (2 * m, 1.0))
+    q.processAllAvailable()
+    in.addData((40 * m, 1.0)) // watermark 30m: all three early windows close
+    q.processAllAvailable()
+    in.addData((41 * m, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("slide_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(closed.get(-5 * m).contains(1L)) // t=2m only
+    assert(closed.get(0L).contains(2L))     // both rows overlap here
+    assert(closed.get(5 * m).contains(1L))  // t=7m only
+  }
+
   test("streaming session windows merge within gap and close past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long)] // (user, ts_ms)
