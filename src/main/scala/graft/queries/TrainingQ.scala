@@ -71,6 +71,15 @@ object TrainingQ {
   private val RowsPerBand = 2
   private val NumHashes = Bands * RowsPerBand
 
+  /** Oracle mirror of Dedup.withMinhashSignature's two-hash family:
+    * h_j = (h1 + j·h2) mod 2^56 over the two 56-bit md5 halves.
+    */
+  private def sqlMinhashSig(j: Int): String =
+    s"""list_min(list_transform(ss, s ->
+       (CAST('0x' || substring(md5(s), 1, 14) AS BIGINT) +
+        $j * CAST('0x' || substring(md5(s), 17, 14) AS BIGINT))
+       % ${Dedup.MinhashMod})) AS h$j"""
+
   val qDedupMinhash = Q(
     "q_dedup_minhash",
     (spark, dir) =>
@@ -78,10 +87,9 @@ object TrainingQ {
         bands = Bands, rowsPerBand = RowsPerBand)
         .orderBy("i", "j"),
     Some {
-      val sigExprs = (0 until NumHashes).map(j =>
-        s"list_min(list_transform(ss, s -> md5('$j|' || s))) AS h$j").mkString(", ")
+      val sigExprs = (0 until NumHashes).map(sqlMinhashSig).mkString(", ")
       val bandExprs = (0 until Bands).map(b =>
-        s"h${b * RowsPerBand} || h${b * RowsPerBand + 1} AS b$b").mkString(", ")
+        s"h${b * RowsPerBand} || '|' || h${b * RowsPerBand + 1} AS b$b").mkString(", ")
       val bandCond = (0 until Bands).map(b => s"a.b$b = c.b$b").mkString(" OR ")
       val nShared = (0 until Bands).map(b =>
         s"(CASE WHEN a.b$b = c.b$b THEN 1 ELSE 0 END)").mkString(" + ")
@@ -402,10 +410,9 @@ object TrainingQ {
       Dedup.connectedComponents(pairs).orderBy("doc_id")
     },
     Some {
-      val sigExprs = (0 until NumHashes).map(j =>
-        s"list_min(list_transform(ss, s -> md5('$j|' || s))) AS h$j").mkString(", ")
+      val sigExprs = (0 until NumHashes).map(sqlMinhashSig).mkString(", ")
       val bandExprs = (0 until Bands).map(b =>
-        s"h${b * RowsPerBand} || h${b * RowsPerBand + 1} AS b$b").mkString(", ")
+        s"h${b * RowsPerBand} || '|' || h${b * RowsPerBand + 1} AS b$b").mkString(", ")
       val bandCond = (0 until Bands).map(b => s"a.b$b = c.b$b").mkString(" OR ")
       val nMatch = (0 until NumHashes).map(j =>
         s"(CASE WHEN a.h$j = c.h$j THEN 1 ELSE 0 END)").mkString(" + ")
