@@ -108,28 +108,66 @@ object TrainingQ {
 
   private val SimhashBits = 16
 
+  /** Oracle mirror of Dedup.simhashSignature: the generated bit-vote
+    * expression plus the two CTEs producing (doc_id, simhash).
+    */
+  private def sqlSimhashSigCtes: String = {
+    val bitExprs = (0 until SimhashBits).map { k =>
+      s"""(CASE WHEN list_reduce(list_transform(hs,
+           h -> CASE WHEN substring(h, ${k + 1}, 1) IN
+                ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END),
+           (a, b) -> a + b) > 0 THEN '1' ELSE '0' END)"""
+    }.mkString(" || ")
+    s"""hh AS (SELECT doc_id,
+          list_transform(list_distinct(ts), t -> md5(t)) AS hs FROM toks),
+        sig AS (SELECT doc_id, $bitExprs AS simhash FROM hh)"""
+  }
+
   val qDedupSimhash = Q(
     "q_dedup_simhash",
     (spark, dir) =>
       Dedup.simhashBuckets(Tables.documents(spark, dir), "doc_id", "text",
         bits = SimhashBits)
         .orderBy("doc_id"),
-    Some {
-      val bitExprs = (0 until SimhashBits).map { k =>
-        s"""(CASE WHEN list_reduce(list_transform(hs,
-             h -> CASE WHEN substring(h, ${k + 1}, 1) IN
-                  ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END),
-             (a, b) -> a + b) > 0 THEN '1' ELSE '0' END)"""
-      }.mkString(" || ")
-      s"""WITH $tokCtes,
-          hh AS (SELECT doc_id,
-            list_transform(list_distinct(ts), t -> md5(t)) AS hs FROM toks),
-          sig AS (SELECT doc_id, $bitExprs AS simhash FROM hh),
+    Some(s"""WITH $tokCtes,
+          $sqlSimhashSigCtes,
           buckets AS (SELECT simhash, min(doc_id) AS rep_id,
             count(*) AS bucket_size FROM sig GROUP BY simhash)
         SELECT s.doc_id, s.simhash, b.rep_id, b.bucket_size
         FROM sig s JOIN buckets b USING (simhash)
-        ORDER BY s.doc_id"""
+        ORDER BY s.doc_id""")
+  )
+
+  private val HammingMax = 2
+
+  /** Hamming-distance simhash near-dup: pairs within distance ≤ 2 of
+    * the 16-bit simhash via pigeonhole blocking (distance ≤ d ⇒ some
+    * block of d+1 matches exactly) — the graded-similarity face of
+    * q_dedup_simhash's exact buckets.
+    */
+  val qDedupSimhashHam = Q(
+    "q_dedup_simhash_ham",
+    (spark, dir) =>
+      Dedup.simhashHammingPairs(Tables.documents(spark, dir), "doc_id", "text",
+        bits = SimhashBits, maxDist = HammingMax)
+        .orderBy("i", "j"),
+    Some {
+      val blocks = Dedup.blockBounds(SimhashBits, HammingMax + 1)
+        .zipWithIndex.map { case ((start, len), b) =>
+          s"'$b:' || substring(simhash, $start, $len)"
+        }.mkString(", ")
+      val hamming = (1 to SimhashBits).map(k =>
+        s"(CASE WHEN substring(si, $k, 1) <> substring(sj, $k, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $tokCtes,
+          $sqlSimhashSigCtes,
+          e AS (SELECT doc_id, simhash, unnest([$blocks]) AS bk FROM sig),
+          cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+              a.simhash AS si, b.simhash AS sj
+            FROM e a JOIN e b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+          h AS (SELECT i, j, CAST($hamming AS BIGINT) AS hamming FROM cand)
+        SELECT i, j, hamming FROM h WHERE hamming <= $HammingMax
+        ORDER BY i, j"""
     }
   )
 
@@ -580,7 +618,7 @@ object TrainingQ {
   )
 
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
-    qDedupClusters, qTextStats, qLangId, qTokenCount, qTokenBpe, qFingerprint,
-    qQualityFilter, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
-    qTopTerms, qTfidf, qDedupEmbed)
+    qDedupSimhashHam, qDedupClusters, qTextStats, qLangId, qTokenCount,
+    qTokenBpe, qFingerprint, qQualityFilter, qSampleStratified, qKnn, qAnnLsh,
+    qAnnIvf, qTopTerms, qTfidf, qDedupEmbed)
 }

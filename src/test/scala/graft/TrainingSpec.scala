@@ -60,6 +60,25 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(0).getLong(3) >= 2)
   }
 
+  test("simhash Hamming pairs: pigeonhole candidates find every pair within distance (vs all-pairs reference)") {
+    // enough docs that blocks genuinely prune, pseudo-random texts
+    val docs = (1L to 40L).map { i =>
+      val words = (0 until 8).map(w => s"w${(i * 7 + w * w * 13) % 23}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashHammingPairs(docs, "doc_id", "text", bits = 16, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // all-pairs reference over the same signatures
+    val sigs = Dedup.simhashSignature(docs, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      d = si.zip(sj).count { case (a, b) => a != b } if d <= 2
+    } yield (i, j, d.toLong)).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty, "test data should produce at least one close pair")
+  }
+
   test("knn brute force: nearest vector by cosine, self excluded") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
