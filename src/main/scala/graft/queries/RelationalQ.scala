@@ -348,6 +348,40 @@ object RelationalQ {
       ORDER BY event_type""")
   )
 
+  /** Order-insensitive per-group table checksum — the dataset
+    * fingerprint a migration/reconciliation pipeline compares across
+    * systems without moving rows: 56-bit md5-derived row hash, summed
+    * mod 2^56 (addition commutes ⇒ partition/order-proof; sums run in
+    * decimal so ANSI int64 overflow can't bite). One partial+final agg,
+    * O(1) result per group. Row repr uses only exactly-representable
+    * columns (ints/strings) — float formatting is not portable.
+    */
+  val qChecksum = Q(
+    "q_checksum",
+    (spark, dir) => {
+      val rowRepr = concat_ws("|",
+        col("event_id").cast("string"), col("user_id").cast("string"),
+        col("event_type"), col("ts_ms").cast("string"))
+      val h = conv(substring(md5(rowRepr.cast("binary")), 1, 14), 16, 10)
+        .cast("long")
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(h.cast("decimal(20,0)")) % lit(graft.ops.Dedup.MinhashMod))
+            .cast("long").as("checksum"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH h AS (SELECT event_type,
+          CAST('0x' || substring(md5(
+            CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+            || '|' || event_type || '|' || CAST(epoch_ms(ts) AS VARCHAR)
+          ), 1, 14) AS BIGINT) AS h
+        FROM events)
+      SELECT event_type, count(*) AS n_rows,
+        CAST(sum(h) % ${graft.ops.Dedup.MinhashMod} AS BIGINT) AS checksum
+      FROM h GROUP BY event_type ORDER BY event_type""")
+  )
+
   /** Pivot: per-user event counts spread across event-type columns.
     * Spark compiles pivot to conditional aggregation — the oracle IS
     * that formulation.
@@ -742,7 +776,7 @@ object RelationalQ {
 
   def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qWindowNav, qTopk,
     qSetops, qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
-    qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qPivot,
-    qSessionize, qRunningRange, qGroupingSets, qHistogram, qStatsMoments,
-    qZscore)
+    qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qChecksum,
+    qPivot, qSessionize, qRunningRange, qGroupingSets, qHistogram,
+    qStatsMoments, qZscore)
 }
