@@ -109,17 +109,25 @@ object TrainingQ {
   private val SimhashBits = 16
 
   /** Oracle mirror of Dedup.simhashSignature: the generated bit-vote
-    * expression plus the two CTEs producing (doc_id, simhash).
+    * expression plus the two CTEs producing (doc_id, simhash), over
+    * token or shingle features (tokCtes supplies both `toks.ts` and
+    * `sh.ss`; empty shingle sets yield no signature row, mirroring
+    * the explode-drops-empty convention engine-side).
     */
-  private def sqlSimhashSigCtes: String = {
+  private def sqlSimhashSigCtes(features: String): String = {
     val bitExprs = (0 until SimhashBits).map { k =>
       s"""(CASE WHEN list_reduce(list_transform(hs,
            h -> CASE WHEN substring(h, ${k + 1}, 1) IN
                 ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END),
            (a, b) -> a + b) > 0 THEN '1' ELSE '0' END)"""
     }.mkString(" || ")
-    s"""hh AS (SELECT doc_id,
-          list_transform(list_distinct(ts), t -> md5(t)) AS hs FROM toks),
+    val hh = features match {
+      case "tokens" =>
+        "SELECT doc_id, list_transform(list_distinct(ts), t -> md5(t)) AS hs FROM toks"
+      case "shingles" =>
+        "SELECT doc_id, list_transform(ss, s -> md5(s)) AS hs FROM sh WHERE len(ss) > 0"
+    }
+    s"""hh AS ($hh),
         sig AS (SELECT doc_id, $bitExprs AS simhash FROM hh)"""
   }
 
@@ -130,7 +138,7 @@ object TrainingQ {
         bits = SimhashBits)
         .orderBy("doc_id"),
     Some(s"""WITH $tokCtes,
-          $sqlSimhashSigCtes,
+          ${sqlSimhashSigCtes("tokens")},
           buckets AS (SELECT simhash, min(doc_id) AS rep_id,
             count(*) AS bucket_size FROM sig GROUP BY simhash)
         SELECT s.doc_id, s.simhash, b.rep_id, b.bucket_size
@@ -143,7 +151,12 @@ object TrainingQ {
   /** Hamming-distance simhash near-dup: pairs within distance ≤ 2 of
     * the 16-bit simhash via pigeonhole blocking (distance ≤ d ⇒ some
     * block of d+1 matches exactly) — the graded-similarity face of
-    * q_dedup_simhash's exact buckets.
+    * q_dedup_simhash's exact buckets. Votes come from SHINGLE features:
+    * on this corpus's 31-word vocabulary, token-set signatures collapse
+    * onto a few values (largest block bucket 2695 of 5000 docs at
+    * sf0.1, 11.5M candidates, 4.9M "near-dup" pairs — measured), while
+    * order-sensitive shingles spread them (223-max buckets, 1M
+    * candidates, 27.6k pairs).
     */
   val qDedupSimhashHam = Q(
     "q_dedup_simhash_ham",
@@ -160,7 +173,7 @@ object TrainingQ {
         s"(CASE WHEN substring(si, $k, 1) <> substring(sj, $k, 1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH $tokCtes,
-          $sqlSimhashSigCtes,
+          ${sqlSimhashSigCtes("shingles")},
           e AS (SELECT doc_id, simhash, unnest([$blocks]) AS bk FROM sig),
           cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
               a.simhash AS si, b.simhash AS sj

@@ -68,8 +68,8 @@ class TrainingSpec extends AnyFunSuite {
     }.toDF("doc_id", "text")
     val got = Dedup.simhashHammingPairs(docs, "doc_id", "text", bits = 16, maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // all-pairs reference over the same signatures
-    val sigs = Dedup.simhashSignature(docs, "doc_id", "text", 16)
+    // all-pairs reference over the same (shingle-featured) signatures
+    val sigs = Dedup.simhashSignature(docs, "doc_id", "text", 16, features = "shingles")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val expect = (for {
       (i, si) <- sigs; (j, sj) <- sigs if i < j
