@@ -71,5 +71,42 @@ object MultimodalQ {
       FROM f ORDER BY doc_id, frame_idx""")
   )
 
-  def all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames)
+  /** Resize / re-encode: binary-in binary-out content transform (stub:
+    * truncate to 128 bytes) chained into metadata extraction — the
+    * typed Dataset pipeline a real thumbnailing/transcoding pass runs
+    * (map-only, bytes never shuffle). Oracle recomputes every output
+    * field from the truncated prefix.
+    */
+  val qMultimodalResize = Q(
+    "q_multimodal_resize",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("kind",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video"))
+      val media = Multimodal.asMedia(docs, "doc_id", "kind", "text")
+      Multimodal.extractMeta(Multimodal.resize(media, maxBytes = 128))
+        .toDF()
+        .withColumnRenamed("media_id", "doc_id")
+        .select("doc_id", "kind", "n_bytes", "header_hex", "checksum",
+          "width", "height", "duration_ms")
+        .orderBy("doc_id")
+    },
+    Some("""WITH r AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          substring(text, 1, 128) AS t
+        FROM documents)
+      SELECT doc_id, kind,
+        CAST(len(t) AS BIGINT) AS n_bytes,
+        hex(substring(t, 1, 4)) AS header_hex,
+        md5(t) AS checksum,
+        64 + ascii(substring(t, 1, 1)) % 64 AS width,
+        64 + ascii(substring(t, 2, 1)) % 64 AS height,
+        CAST(CASE WHEN kind = 'image' THEN 0 ELSE len(t) END AS BIGINT) AS duration_ms
+      FROM r ORDER BY doc_id""")
+  )
+
+  def all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalResize)
 }
