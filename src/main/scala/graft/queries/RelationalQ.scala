@@ -300,26 +300,28 @@ object RelationalQ {
     * 60-bit hashes per group, estimate (k−1)·2⁶⁰/kth_hash (exact count
     * when fewer than k values seen), reported against the exact
     * distinct count. Unlike HLL the estimator is engine-portable, so
-    * the oracle hash-checks it. Plan: distinct on (group, hash) is one
-    * shuffle; the per-group k-smallest runs on the deduped table. At
-    * corpus scale you'd swap the row_number for a partial min-k
-    * aggregate; the shuffled volume is already only distinct hashes.
+    * the oracle hash-checks it. Plan: the custom mergeable
+    * KmvAggregator (graft.functions.Sketches) keeps the k smallest
+    * distinct hashes in a primitive buffer that partial-aggregates
+    * map-side — ONE shuffle carrying ≤ k longs per (partition, group),
+    * no distinct pre-shuffle, no window sort. The k smallest distinct
+    * values are partitioning-invariant, so the sort-based oracle
+    * checks the identical result.
     */
   val qKmvDistinct = Q(
     "q_kmv_distinct",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val k = 32
       val ev = Tables.events(spark, dir)
       val h = conv(substring(md5(concat(lit("u|"),
         col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
         .cast("long")
-      val hashed = ev.select(col("event_type"), h.as("h")).distinct()
-      val w = Window.partitionBy("event_type").orderBy("h")
-      val sk = hashed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
+      val sk = ev.select(col("event_type"), h.as("h"))
         .groupBy("event_type")
-        .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("n_kept"))
+        .agg(graft.functions.Sketches.kmvMins(col("h"), k).as("kept"))
+        .select(col("event_type"),
+          element_at(col("kept"), -1).as("kth_hash"),
+          size(col("kept")).cast("long").as("n_kept"))
       val exact = ev.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_exact"))
       sk.join(exact, Seq("event_type"))
