@@ -384,6 +384,30 @@ object RelationalQ {
       FROM h GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Calendar-day rollup: date_trunc in an explicit UTC session —
+    * calendar semantics (not epoch-bucket arithmetic like
+    * q_time_window), the daily-partition shape every retention/
+    * reporting pipeline needs. Day key carried as an epoch-ms bigint
+    * per the parity conventions (DATE columns hash differently across
+    * engines).
+    */
+  val qDateRollup = Q(
+    "q_date_rollup",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("day_ms",
+          unix_millis(date_trunc("DAY", timestamp_millis(col("ts_ms")))))
+        .groupBy("day_ms", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_v"))
+        .orderBy("day_ms", "event_type"),
+    Some("""SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_v
+      FROM events
+      GROUP BY 1, 2 ORDER BY day_ms, event_type""")
+  )
+
   /** Pivot: per-user event counts spread across event-type columns.
     * Spark compiles pivot to conditional aggregation — the oracle IS
     * that formulation.
@@ -779,6 +803,6 @@ object RelationalQ {
   def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qWindowNav, qTopk,
     qSetops, qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
     qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qChecksum,
-    qPivot, qSessionize, qRunningRange, qGroupingSets, qHistogram,
-    qStatsMoments, qZscore)
+    qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,
+    qHistogram, qStatsMoments, qZscore)
 }

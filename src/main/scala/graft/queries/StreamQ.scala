@@ -48,5 +48,38 @@ object StreamQ {
       WHERE rn = 1 ORDER BY user_id""")
   )
 
-  def all: Seq[Q] = Seq(qStreamLatest)
+  /** Streaming exact dedup through the driver gate: the file-source
+    * stream deduplicated on (user_id, ts_ms), emitting ONLY the key
+    * columns so the result is deterministic regardless of which
+    * physical row won first-arrival (the oracle is plain DISTINCT).
+    * Second batch/stream equivalence pin next to q_stream_latest.
+    * State note: unbounded dedup state is right for a bounded replay;
+    * the production path for infinite feeds is
+    * Dedup.exactStreaming's watermark-bounded variant (StreamingSpec).
+    */
+  val qStreamDedup = Q(
+    "q_stream_dedup",
+    (spark, dir) => {
+      val rawSchema = Tables.table(spark, dir, "events").schema
+      val name = { counter += 1; s"stream_dedup_$counter" }
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts_ms", expr("ts div 1000000"))
+        .select("user_id", "ts_ms")
+      val q = src.dropDuplicates("user_id", "ts_ms")
+        .writeStream
+        .queryName(name)
+        .outputMode("append")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).orderBy("user_id", "ts_ms")
+    },
+    Some("""SELECT DISTINCT user_id, epoch_ms(ts) AS ts_ms FROM events
+      ORDER BY user_id, ts_ms""")
+  )
+
+  def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup)
 }
