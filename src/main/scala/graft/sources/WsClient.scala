@@ -68,6 +68,19 @@ final class WsClient(host: String, port: Int, path: String = "/",
       socket.close()
       throw new java.io.IOException("bad Sec-WebSocket-Accept from server")
     }
+    // RFC 6455 §4.1 steps 4+6: a server accepting an extension or
+    // subprotocol the client never offered MUST fail the connection —
+    // e.g. permessage-deflate frames would arrive compressed and be
+    // silently unreadable by this client
+    Seq("sec-websocket-extensions", "sec-websocket-protocol").foreach { h =>
+      val v = head.collectFirst {
+        case l if l.toLowerCase.startsWith(h + ":") => l.split(":", 2)(1).trim
+      }
+      if (v.exists(_.nonEmpty)) {
+        socket.close()
+        throw new java.io.IOException(s"server negotiated unrequested $h: '${v.get}'")
+      }
+    }
   }
 
   private def readHttpHead(): Seq[String] = {

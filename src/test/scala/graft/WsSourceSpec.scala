@@ -140,6 +140,33 @@ class WsSourceSpec extends AnyFunSuite {
     c.close(); server.close()
   }
 
+  test("client fails the connection when the server negotiates an unrequested extension (RFC 6455 §4.1)") {
+    val server = new ServerSocket(0)
+    val t = new Thread(() => {
+      val sock = server.accept()
+      val in = new BufferedInputStream(sock.getInputStream)
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      val sb = new StringBuilder
+      while (!sb.endsWith("\r\n\r\n")) sb.append(in.read().toChar)
+      val key = sb.result().split("\r\n").collectFirst {
+        case l if l.toLowerCase.startsWith("sec-websocket-key:") =>
+          l.split(":", 2)(1).trim
+      }.get
+      // correct Accept, but claims permessage-deflate the client never offered
+      out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        "Sec-WebSocket-Extensions: permessage-deflate\r\n" +
+        s"Sec-WebSocket-Accept: ${WsFrames.acceptKey(key)}\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+    })
+    t.setDaemon(true); t.start()
+    val e = intercept[java.io.IOException] {
+      new WsClient("127.0.0.1", server.getLocalPort)
+    }
+    assert(e.getMessage.contains("unrequested"))
+    server.close()
+  }
+
   test("read timeout unsticks a silently-stalled connection (no FIN)") {
     val n = 30
     val frames = (0L until n.toLong).map(TickSource.frame(_, 5))
