@@ -384,6 +384,82 @@ object RelationalQ {
       FROM h GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** TPC-H Q3-shaped shipping priority: selective dimension filter
+    * broadcast into a fact-fact join, exact-decimal revenue agg, top-10
+    * with deterministic tie-break. The plan to want at scale: customer
+    * (filtered, small) broadcasts; orders⋈lineitem is the one real
+    * shuffle, on the join key both sides; TakeOrderedAndProject caps
+    * the result driver-side at k rows, never the full agg.
+    */
+  val q3Shipping = Q(
+    "q3_shipping",
+    (spark, dir) => {
+      val cutoff = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val cust = Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < lit(cutoff))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") > lit(cutoff))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val disc = dec(col("l_extendedprice"), 12, 2) *
+        (lit(1) - dec(col("l_discount"), 4, 2))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        // orders carries TIMESTAMP_NTZ; the UTC session makes the cast
+        // to (LTZ) timestamp an identity, and unix_millis needs LTZ
+        .groupBy(col("l_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+          col("o_orderpriority"))
+        .agg(sum(disc).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        o_orderpriority,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+  )
+
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT join with
+    * the filter INSIDE the join condition (customers with no qualifying
+    * orders must count as zero, so the predicate cannot be a post-join
+    * WHERE), then a distribution over the per-customer counts. Two
+    * shuffles: counts on c_custkey, histogram on c_count.
+    */
+  val q13Custdist = Q(
+    "q13_custdist",
+    (spark, dir) => {
+      val cust = Tables.customer(spark, dir).select("c_custkey")
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      val perCust = cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+          AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      SELECT c_count, count(*) AS custdist FROM per_cust
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+  )
+
   /** Calendar-day rollup: date_trunc in an explicit UTC session —
     * calendar semantics (not epoch-bucket arithmetic like
     * q_time_window), the daily-partition shape every retention/
@@ -800,7 +876,8 @@ object RelationalQ {
       ORDER BY event_id""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, qJoinPricing, qWindowRank, qWindowNav, qTopk,
+  def all: Seq[Q] = Seq(q1Agg, q3Shipping, q13Custdist, qJoinPricing,
+    qWindowRank, qWindowNav, qTopk,
     qSetops, qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
     qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,
