@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, rng}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.AsOf
@@ -48,6 +49,34 @@ class AsOfPropSpec extends AnyFunSuite {
         else cands.sortBy(_._2).headOption
       id -> best.map(_._3)
     }.toMap
+
+  test("bucketed range join agrees with the plain inequality join across widths and seeds") {
+    import graft.ops.RangeJoin
+    val params = Gen.Parameters.default
+    for (seed <- 1L to 8L; width <- Seq(1L, 3L, 7L, 100L)) {
+      def sample[A](g: Gen[A], n: Long): A =
+        g.pureApply(params, rng.Seed(seed * 7919 ^ n))
+      val syms = Seq("A", "B")
+      // negative times on purpose: `div` truncates toward zero, and the
+      // bucketing must still cover every (point, interval) pair
+      val points = (0 until sample(Gen.choose(1, 20), 1)).map { i =>
+        (sample(Gen.oneOf(syms), 10 + i), sample(Gen.choose(-40L, 40L), 100 + i), i.toLong)
+      }
+      val ranges = (0 until sample(Gen.choose(0, 15), 2)).map { i =>
+        val s = sample(Gen.choose(-40L, 40L), 1000 + i)
+        // includes empty (len 0) and longer-than-width intervals
+        (sample(Gen.oneOf(syms), 500 + i), s, s + sample(Gen.choose(0L, 25L), 2000 + i), i.toLong)
+      }
+      val pDf = points.toDF("k", "t", "pid")
+      val rDf = ranges.toDF("k", "s", "e", "rid")
+      val got = RangeJoin.bucketed(pDf, rDf, "k", "t", "s", "e", width)
+        .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = pDf.join(rDf, Seq("k"))
+        .filter(col("t") >= col("s") && col("t") < col("e"))
+        .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"seed=$seed width=$width")
+    }
+  }
 
   test("asOfJoin agrees with brute force across directions, tolerances, and seeds") {
     for (seed <- 1L to 12L; direction <- Seq("backward", "forward");
