@@ -34,29 +34,34 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val n = try fn(spark, sfDir).count()
+                catch { case _: Throwable => -1L }
+        ((System.nanoTime() - t0) / 1e9, n)
       }
-      val good = runs.collect { case (t, true) => t }
+      val good = runs.collect { case (t, n) if n >= 0 => t }
       val spread = if (good.length >= 3) {
         val s = good.sorted
         Some((s(s.length / 4), s(s.length - 1 - s.length / 4)))
       } else None
+      // row count of the last successful rep: a query that silently
+      // starts returning 0 rows would otherwise look "fast and green"
+      val rows = runs.map(_._2).filter(_ >= 0).lastOption.getOrElse(-1L)
       name -> (if (good.nonEmpty) median(good) else -1.0,
-        reps - good.length, spread)
+        reps - good.length, spread, rows)
     }
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, e, _)) if e > 0 => s"\"" + k + "\":" + e }
+    val errs = results.collect { case (k, (_, e, _, _)) if e > 0 => s"\"" + k + "\":" + e }
       .mkString("{", ",", "}")
-    val total = results.values.collect { case (v, _, _) if v >= 0 => v }.sum
+    val total = results.values.collect { case (v, _, _, _) if v >= 0 => v }.sum
     // per-query interquartile spread: machine load on this box varies
     // enough that medians alone can't show which numbers to trust
-    val iqr = results.collect { case (k, (_, _, Some((lo, hi)))) =>
+    val iqr = results.collect { case (k, (_, _, Some((lo, hi)), _)) =>
       s"\"" + k + "\":[" + lo + "," + hi + "]"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"p25p75":$iqr,"sf":"$sfDir","reps":$reps}""")
+    val rows = results.map { case (k, (_, _, _, n)) => s"\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"p25p75":$iqr,"rows":$rows,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }
