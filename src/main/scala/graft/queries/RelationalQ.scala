@@ -170,6 +170,67 @@ object RelationalQ {
       ORDER BY tag, user_id""")
   )
 
+  /** Multiset set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicity (min(l,r) copies / l−r copies per value), the
+    * bag-semantics completion of q_setops' distinct variants. Spark
+    * plans both as an aggregate counting per-side multiplicities plus
+    * a generate — one shuffle on the value, no join.
+    */
+  val qSetopsAll = Q(
+    "q_setops_all",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select("user_id")
+      val both = users("purchase").intersectAll(users("error"))
+        .withColumn("tag", lit("purchase_and_error_all"))
+      val only = users("purchase").exceptAll(users("error"))
+        .withColumn("tag", lit("purchase_minus_error_all"))
+      both.unionByName(only).select("tag", "user_id").orderBy("tag", "user_id")
+    },
+    Some("""SELECT 'purchase_and_error_all' AS tag, user_id FROM
+        (SELECT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT ALL
+         SELECT user_id FROM events WHERE event_type = 'error') a
+      UNION ALL
+      SELECT 'purchase_minus_error_all' AS tag, user_id FROM
+        (SELECT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT ALL
+         SELECT user_id FROM events WHERE event_type = 'error') b
+      ORDER BY tag, user_id""")
+  )
+
+  /** ROWS-frame trailing moving average (last 5 rows per user) — the
+    * positional-frame sibling of q_running_range's value-defined RANGE
+    * frame; deterministic because the per-partition order
+    * (ts_ms, event_id) is total. The average is sum/count in double
+    * (Spark's avg(decimal) and DuckDB's avg(decimal) return different
+    * types — the explicit quotient is engine-portable).
+    */
+  val qMovingAvg = Q(
+    "q_moving_avg",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id")).rowsBetween(-4, Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
+          sum(col("value").cast("decimal(20,6)")).over(w).cast("double").as("mov_sum"),
+          count(lit(1)).over(w).as("mov_n"))
+        .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
+        .orderBy("user_id", "ts_ms", "event_id")
+    },
+    Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS mov_sum,
+        count(*) OVER w AS mov_n,
+        CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+          / (count(*) OVER w) AS mov_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_ms, event_id""")
+  )
+
   /** ROLLUP with grouping indicators; NULL group keys replaced by a
     * sentinel so ordering is engine-independent.
     */
@@ -878,7 +939,8 @@ object RelationalQ {
 
   def all: Seq[Q] = Seq(q1Agg, q3Shipping, q13Custdist, qJoinPricing,
     qWindowRank, qWindowNav, qTopk,
-    qSetops, qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
+    qSetops, qSetopsAll, qMovingAvg,
+    qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
     qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,
     qHistogram, qStatsMoments, qZscore)
