@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * Composed from built-ins per the preference order (compose > custom
   * Expression > custom SparkPlan): tag both sides, union, one window
-  * sorted by (key, time, side) carrying the nearest right value across
-  * (last-ignoreNulls over an unbounded-preceding frame backward;
+  * sorted by (key, time, side) carrying the nearest right row as ONE
+  * STRUCT (last-ignoreNulls over an unbounded-preceding frame backward;
   * first-ignoreNulls over an unbounded-following frame forward), keep
-  * left rows. This costs exactly ONE shuffle + sort on (key, time) —
+  * left rows. The struct carry is load-bearing for correctness, not
+  * style: carrying value columns independently would let a right row
+  * with a null field mix with an earlier row's value for that field —
+  * the match must be one row's values atomically, nulls included.
+  * This costs exactly ONE shuffle + sort on (key, time) —
   * the same work a dedicated merge-join physical operator would do —
   * versus the naive inequality-join formulation, which Spark plans as
   * a broadcast-nested-loop (quadratic). A right row at the same
@@ -45,8 +49,14 @@ object AsOf {
       s"direction must be backward|forward, got $direction")
     val backward = direction == "backward"
     val leftCols = left.columns.toSeq
+    val leftOnly = leftCols.filterNot(keyCols.contains)
     val t = "_asof_t"
     val rt = "_asof_rt"
+    val rv = "_asof_rv"
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)) :+
+        org.apache.spark.sql.types.StructField(rt, right.schema(rightTimeCol).dataType))
     // sides order rights before lefts backward (≤ includes equal time)
     // and after lefts forward (≥ includes equal time)
     val rightSide = if (backward) 0 else 2
@@ -54,36 +64,32 @@ object AsOf {
       .withColumn(t, col(leftTimeCol))
       .withColumn("_side", lit(1))
       .select(Seq(col(t), col("_side")) ++ keyCols.map(col) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        (rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
-          lit(null).cast(right.schema(rightTimeCol).dataType).as(rt)): _*)
+        leftOnly.map(col) :+ lit(null).cast(rvType).as(rv): _*)
     val r = right
       .withColumn(t, col(rightTimeCol))
       .withColumn("_side", lit(rightSide))
       .select(Seq(col(t), col("_side")) ++ keyCols.map(col) ++
-        leftCols.filterNot(keyCols.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (rightValueCols.map(col) :+ col(rightTimeCol).as(rt)): _*)
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightValueCols.map(col) :+ col(rightTimeCol).as(rt): _*).as(rv): _*)
     val base = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(t), col("_side"))
     val w =
       if (backward) base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def nearest(c: String) =
-      if (backward) last(col(c), ignoreNulls = true).over(w)
-      else first(col(c), ignoreNulls = true).over(w)
-    val carried = (rightValueCols :+ rt).foldLeft(l.unionByName(r)) {
-      (df, c) => df.withColumn(c, nearest(c))
-    }
-    val bounded = toleranceMs match {
-      case None => carried
+    val nearest =
+      if (backward) last(col(rv), ignoreNulls = true).over(w)
+      else first(col(rv), ignoreNulls = true).over(w)
+    val carried = l.unionByName(r).withColumn(rv, nearest)
+    val matched = toleranceMs match {
+      case None => col(rv)
       case Some(tol) =>
-        val dist = if (backward) col(t) - col(rt) else col(rt) - col(t)
-        val ok = col(rt).isNotNull && dist <= tol
-        rightValueCols.foldLeft(carried) { (df, c) =>
-          df.withColumn(c, when(ok, col(c)))
-        }
+        val rvt = col(rv).getField(rt)
+        val dist = if (backward) col(t) - rvt else rvt - col(t)
+        when(rvt.isNotNull && dist <= tol, col(rv))
     }
-    bounded.filter(col("_side") === 1).drop(t, rt, "_side")
+    carried.filter(col("_side") === 1)
+      .withColumn(rv, matched)
+      .select(keyCols.map(col) ++ leftOnly.map(col) ++
+        rightValueCols.map(c => col(rv).getField(c).as(c)): _*)
   }
 }

@@ -45,6 +45,19 @@ class AsOfSpec extends AnyFunSuite {
     assert(out.head.getDouble(3) == 99.0)
   }
 
+  test("match is one right ROW atomically — null fields don't mix with older rows' values") {
+    val trades = Seq(("A", 3L, 1L)).toDF("sym", "t", "trade_id")
+    val quotes = Seq(
+      ("A", 1L, Option.empty[Double], Option(1.0)), // older row has the ask
+      ("A", 2L, Option(5.0), Option.empty[Double])  // nearest row: bid only
+    ).toDF("sym", "t", "bid", "ask")
+    val out = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "t",
+      Seq("bid", "ask")).collect().head
+    assert(out.getDouble(3) == 5.0)
+    // a per-column carry would smuggle ask=1.0 from the t=1 row here
+    assert(out.isNullAt(4), "ask must be the matched row's null, not an older row's value")
+  }
+
   test("forward direction matches smallest right time >= left time, equal time included") {
     val trades = Seq(("A", 10L, 1L), ("A", 21L, 2L), ("A", 50L, 3L))
       .toDF("sym", "t", "trade_id")
