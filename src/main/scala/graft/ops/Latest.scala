@@ -22,7 +22,7 @@ object Latest {
     * total order within each key (e.g. ts_ms, then a unique id).
     */
   def keepLastPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val payloadCols = df.columns.filterNot(keyCols.contains)
+    val payloadCols = df.columns.toSeq.filterNot(keyCols.contains)
     val ord = struct(orderCols.map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(payloadCols.map(col): _*), ord).as("_latest"))
