@@ -56,7 +56,30 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
 
 object Sketches {
   /** Column aggregate: k smallest distinct values of a long column,
-    * sorted ascending (≤ k elements).
+    * sorted ascending (≤ k elements). Works grouped or global.
     */
   def kmvMins(c: Column, k: Int): Column = udaf(new KmvAggregator(k)).apply(c)
+
+  /** Merge two KMV sketches WITHOUT rescanning either dataset: the k
+    * smallest distinct values of the union of the kept sets — exactly
+    * the sketch a single pass over both datasets would produce, which
+    * is what makes per-partition / per-day sketches composable into
+    * any window. Pure built-in expressions (codegen).
+    */
+  def kmvMerge(a: Column, b: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+  }
+
+  /** Distinct-count estimate from a KMV sketch: exact below k, else
+    * (k−1)·domain/kth-min, where `domain` is the hash space size the
+    * values were drawn from (2⁶⁰ for q_kmv_distinct's 15-hex-char
+    * hashes).
+    */
+  def kmvEstimate(kept: Column, k: Int, domain: Double): Column = {
+    import org.apache.spark.sql.functions._
+    when(size(kept) < k, size(kept).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(domain) /
+        element_at(kept, -1).cast("double"))
+  }
 }

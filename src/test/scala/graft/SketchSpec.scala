@@ -38,6 +38,41 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("merging two datasets' sketches equals sketching their union (composability)") {
+    val a = data.take(250).toDF("g", "h")
+    val b = data.drop(250).toDF("g", "h")
+    val sa = a.groupBy("g").agg(Sketches.kmvMins(col("h"), k).as("ka"))
+    val sb = b.groupBy("g").agg(Sketches.kmvMins(col("h"), k).as("kb"))
+    val merged = sa.join(sb, Seq("g"))
+      .select(col("g"), Sketches.kmvMerge(col("ka"), col("kb"), k).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = data.toDF("g", "h")
+      .groupBy("g").agg(Sketches.kmvMins(col("h"), k).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == direct)
+  }
+
+  test("estimate is exact below k and within KMV error bounds above") {
+    // KMV assumes UNIFORM hashes over the domain — md5-derive them,
+    // exactly like q_kmv_distinct (a linear congruence without wrap
+    // isn't uniform and the estimator rightfully rejects it)
+    val df = spark.range(1, 5001).select(lit("g").as("g"),
+      conv(substring(md5(col("id").cast("string").cast("binary")), 1, 14), 16, 10)
+        .cast("long").as("h"))
+    val bigK = 256
+    val est = df.groupBy("g").agg(
+        Sketches.kmvEstimate(Sketches.kmvMins(col("h"), bigK), bigK,
+          graft.ops.Dedup.MinhashMod.toDouble).as("est"))
+      .collect().head.getDouble(1)
+    // KMV relative error ~ 1/sqrt(k-1) ≈ 6.3%; allow 4 sigma
+    assert(math.abs(est - 5000) / 5000 < 0.25, s"estimate $est too far from 5000")
+    val small = (1L to 5L).map(i => ("g", i * 1000L)).toDF("g", "h")
+    val exact = small.groupBy("g").agg(
+        Sketches.kmvEstimate(Sketches.kmvMins(col("h"), k), k, 1e18).as("est"))
+      .collect().head.getDouble(1)
+    assert(exact == 5.0)
+  }
+
   test("fewer than k distinct values returns them all, sorted") {
     val small = Seq(("a", 5L), ("a", 1L), ("a", 5L), ("a", 9L)).toDF("g", "h")
     val got = small.groupBy("g").agg(Sketches.kmvMins(col("h"), k).as("kept"))
