@@ -81,5 +81,48 @@ object StreamQ {
       ORDER BY user_id, ts_ms""")
   )
 
-  def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup)
+  /** Streaming watermarked tumbling window through the driver gate —
+    * append mode emits exactly the windows whose end is at or below
+    * the FINAL watermark (max event time − delay), so the oracle is
+    * the batch window aggregation with that same cutoff: the
+    * watermark semantics themselves are what's being checked against
+    * an independent engine. Third batch/stream equivalence pin next
+    * to q_stream_latest / q_stream_dedup (its batch face is
+    * q_time_window, which emits ALL windows).
+    */
+  val qStreamWindow = Q(
+    "q_stream_window",
+    (spark, dir) => {
+      val rawSchema = Tables.table(spark, dir, "events").schema
+      val name = { counter += 1; s"stream_window_$counter" }
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts_ms", expr("ts div 1000000"))
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("w_start"),
+          col("event_type"), col("n"))
+      val q = src.writeStream
+        .queryName(name)
+        .outputMode("append")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).orderBy("w_start", "event_type")
+    },
+    Some("""WITH e AS (SELECT epoch_ms(ts) AS t, event_type FROM events),
+        m AS (SELECT max(t) - 3600000 AS wm FROM e),
+        w AS (SELECT (t // 3600000) * 3600000 AS w_start, event_type FROM e)
+      SELECT w_start, event_type, count(*) AS n
+      FROM w CROSS JOIN m
+      WHERE w_start + 3600000 <= wm
+      GROUP BY w_start, event_type
+      ORDER BY w_start, event_type""")
+  )
+
+  def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow)
 }
