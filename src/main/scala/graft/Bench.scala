@@ -11,11 +11,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated query filter for focused iteration; the
+    // driver leaves it unset so round benchmarks always cover everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
     // warmup: run every query once at the smallest SF so each plan's
     // whole-stage codegen is compiled before timing (cold-start JIT
     // otherwise dominates sub-second queries) — excluded from timings
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     // repeat-and-median: single runs at sub-second scale are dominated
@@ -31,7 +39,7 @@ object Bench {
     // failed reps must stay visible: a rep that throws is excluded from
     // the median and counted in "errors"; a query with zero successful
     // reps records -1 so broken queries can't masquerade as fast ones
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count()
@@ -39,29 +47,42 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, n)
       }
       val good = runs.collect { case (t, n) if n >= 0 => t }
+      // honest spread labelling: with < 5 successful reps the quartile
+      // indices collapse to (min, max), so the interval is only called
+      // p25/p75 when there are enough reps to mean it
       val spread = if (good.length >= 3) {
         val s = good.sorted
         Some((s(s.length / 4), s(s.length - 1 - s.length / 4)))
       } else None
+      val spreadIsQuartile = good.length >= 5
       // row count of the last successful rep: a query that silently
       // starts returning 0 rows would otherwise look "fast and green"
       val rows = runs.map(_._2).filter(_ >= 0).lastOption.getOrElse(-1L)
       name -> (if (good.nonEmpty) median(good) else -1.0,
-        reps - good.length, spread, rows)
+        reps - good.length, spread, rows, spreadIsQuartile)
     }
-    val qs = results.map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, e, _, _)) if e > 0 => s"\"" + k + "\":" + e }
+    val errs = results.collect { case (k, (_, e, _, _, _)) if e > 0 => s"\"" + k + "\":" + e }
       .mkString("{", ",", "}")
-    val total = results.values.collect { case (v, _, _, _) if v >= 0 => v }.sum
-    // per-query interquartile spread: machine load on this box varies
-    // enough that medians alone can't show which numbers to trust
-    val iqr = results.collect { case (k, (_, _, Some((lo, hi)), _)) =>
+    val total = results.values.collect { case (v, _, _, _, _) if v >= 0 => v }.sum
+    // per-query spread: machine load on this box varies enough that
+    // medians alone can't show which numbers to trust. (min,max) of the
+    // successful reps below 5 reps, (p25,p75) at 5+.
+    val iqr = results.collect { case (k, (_, _, Some((lo, hi)), _, _)) =>
       s"\"" + k + "\":[" + lo + "," + hi + "]"
     }.mkString("{", ",", "}")
-    val rows = results.map { case (k, (_, _, _, n)) => s"\"" + k + "\":" + n }
+    val rows = results.map { case (k, (_, _, _, n, _)) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"p25p75":$iqr,"rows":$rows,"sf":"$sfDir","reps":$reps}""")
+    val spreadKind = if (results.values.exists(_._5)) "p25p75" else "minmax"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$iqr,"spread_kind":"$spreadKind","rows":$rows,"sf":"$sfDir","reps":$reps}"""
+    println(line)
+    // persist the record in-repo: round artifacts should not depend on
+    // the driver's stdout tail capture (observed truncated mid-JSON)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

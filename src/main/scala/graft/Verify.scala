@@ -15,11 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val outcomes = SparkEntry.queries.map { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        name -> Right(rows)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +41,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // in-repo summary so the round record survives independent of the
+    // driver's capture: per-query dumped row count or the failure message
+    val summary = outcomes.map {
+      case (k, Right(n)) => s"${q(k)}: {${q("rows")}: $n}"
+      case (k, Left(m))  => s"${q(k)}: {${q("error")}: ${q(m.take(300))}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get("verify_out.json"), summary)
     spark.stop()
   }
 }

@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.{ColumnBridge, SimhashPackedVotes}
+
+/** Column API over graft's native text-hashing Catalyst expressions
+  * (defined in the graftbridge package because Catalyst's type-check
+  * interfaces are private[sql]).
+  */
+object TextExprs {
+  /** Packed simhash votes of a feature string: md5 + `bits` sign votes
+    * in 21-bit lanes, 3 per long — see
+    * [[org.apache.spark.sql.graftbridge.SimhashPackedVotes]].
+    */
+  def simhashPackedVotes(c: Column, bits: Int): Column =
+    ColumnBridge.column(SimhashPackedVotes(ColumnBridge.expression(c), bits))
+}

@@ -597,14 +597,17 @@ object TrainingQ {
     * with its component's min id — the embedding-space face of
     * q_dedup_clusters (text MinHash). Scale shape: candidates come
     * from the bucket equality join (never all-pairs), and the CC runs
-    * on the tiny pair graph.
+    * on the tiny pair graph. Deliberately the STAR-contraction CC
+    * (O(log n) rounds on any diameter) where q_dedup_clusters ships
+    * min-label propagation — both CC paths stay driver-checked against
+    * an oracle.
     */
   val qDedupEmbed = Q(
     "q_dedup_embed",
     (spark, dir) => {
       val pairs = Similarity.lshCosinePairs(Tables.embeddings(spark, dir),
         bits = LshBits, threshold = CosThreshold)
-      Dedup.connectedComponents(pairs)
+      Dedup.connectedComponentsStar(pairs)
         .select(col("doc_id").as("vec_id"), col("rep_id"))
         .orderBy("vec_id")
     },

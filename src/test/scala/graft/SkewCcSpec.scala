@@ -144,6 +144,22 @@ class SkewCcSpec extends AnyFunSuite {
     }
   }
 
+  test("CC reliable mode: checkpointed loops produce identical labels") {
+    // reliable=true swaps the per-round localCheckpoint for a reliable
+    // checkpoint() so executor loss mid-loop is recoverable; labels
+    // must be unchanged and checkpoint files must actually land
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = labelsOf(Dedup.connectedComponents(pairs))
+    assert(labelsOf(Dedup.connectedComponents(pairs, reliable = true)) == want)
+    assert(labelsOf(Dedup.connectedComponentsStar(pairs, reliable = true)) == want)
+    val dir = spark.sparkContext.getCheckpointDir
+    assert(dir.isDefined, "reliable CC must establish a checkpoint dir")
+    val files = new java.io.File(new java.net.URI(dir.get))
+    assert(files.exists, s"checkpoint dir ${dir.get} missing on disk")
+  }
+
   test("star-contraction CC converges in O(log n) rounds on a high-diameter chain") {
     // a 60-node chain: diameter 59 blows min-label's default budget
     // (maxIter=25 would throw); star contraction closes it in ~log n

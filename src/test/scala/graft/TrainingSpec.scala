@@ -60,6 +60,38 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(0).getLong(3) >= 2)
   }
 
+  test("fused packed-vote simhash equals the unfused column formulation") {
+    // the reference pipeline the codegen kernel replaced: md5 hex →
+    // conv 8-hex chunks to longs → per-bit shift/and ±1 vote sums
+    val bits = 16
+    val docs = (1L to 60L).map(i =>
+      (i, (0 until (3 + (i % 7)).toInt).map(k => s"w${(i * 13 + k * 7) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def unfused(features: String): Seq[(Long, String)] = {
+      val feats = features match {
+        case "tokens" => array_distinct(TextOps.tokens(col("text")))
+        case "shingles" => TextOps.shingleSet(col("text"))
+      }
+      val tok = docs.select(col("doc_id"), explode(feats).as("t"))
+        .withColumn("h", md5(col("t").cast("binary")))
+        .withColumn("_c0", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+        .withColumn("_c1", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+      val votes = (0 until bits).map { k =>
+        val shift = (7 - k % 8) * 4 + 3
+        sum(shiftright(col(s"_c${k / 8}"), shift).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$k")
+      }
+      tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), concat((0 until bits).map(k =>
+          when(col(s"v$k") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    for (f <- Seq("tokens", "shingles")) {
+      val fused = Dedup.simhashSignature(docs, "doc_id", "text", bits, f)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(fused == unfused(f), s"features=$f")
+    }
+  }
+
   test("simhash Hamming pairs: pigeonhole candidates find every pair within distance (vs all-pairs reference)") {
     // enough docs that blocks genuinely prune, pseudo-random texts
     val docs = (1L to 40L).map { i =>
