@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Composed from built-ins per the preference order (compose > custom
   * Expression > custom SparkPlan): tag both sides, union, one window
-  * sorted by (key, time, side) carrying the nearest right row as ONE
-  * STRUCT (last-ignoreNulls over an unbounded-preceding frame backward;
-  * first-ignoreNulls over an unbounded-following frame forward), keep
-  * left rows. The struct carry is load-bearing for correctness, not
+  * sorted by (key, time, side) — time ascending backward, descending
+  * forward — carrying the nearest right row as ONE STRUCT via
+  * last-ignoreNulls over an unbounded-preceding frame (incremental
+  * O(n) in both directions), keep left rows. The struct carry is load-bearing for correctness, not
   * style: carrying value columns independently would let a right row
   * with a null field mix with an earlier row's value for that field —
   * the match must be one row's values atomically, nulls included.
@@ -49,6 +49,12 @@ object AsOf {
       s"direction must be backward|forward, got $direction")
     val backward = direction == "backward"
     val leftCols = left.columns.toSeq
+    // a right value column named like ANY left output column would emit
+    // duplicate columns downstream — fail loudly at plan time instead
+    val collisions = rightValueCols.filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"rightValueCols ${collisions.mkString(", ")} collide with left column " +
+        "names; alias the right value columns before the as-of join")
     val leftOnly = leftCols.filterNot(keyCols.contains)
     val t = "_asof_t"
     val rt = "_asof_rt"
@@ -71,14 +77,21 @@ object AsOf {
       .select(Seq(col(t), col("_side")) ++ keyCols.map(col) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightValueCols.map(col) :+ col(rightTimeCol).as(rt): _*).as(rv): _*)
+    // Both directions run as a LAST-ignoreNulls over an
+    // UnboundedPreceding→CurrentRow frame, which Spark evaluates
+    // incrementally (O(n) per key partition): backward scans time
+    // ascending; forward scans time DESCENDING with the side order
+    // flipped so an equal-time right still sorts before the left it
+    // matches. The naive forward formulation — first(ignoreNulls) over
+    // CurrentRow→UnboundedFollowing — uses the unbounded-following
+    // frame implementation, which recomputes the aggregate per row:
+    // O(n²) on a hot key.
     val base = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(t), col("_side"))
     val w =
-      if (backward) base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val nearest =
-      if (backward) last(col(rv), ignoreNulls = true).over(w)
-      else first(col(rv), ignoreNulls = true).over(w)
+      (if (backward) base.orderBy(col(t), col("_side"))
+       else base.orderBy(col(t).desc, col("_side").desc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nearest = last(col(rv), ignoreNulls = true).over(w)
     val carried = l.unionByName(r).withColumn(rv, nearest)
     val matched = toleranceMs match {
       case None => col(rv)

@@ -18,10 +18,21 @@ object Ingest {
     * ingestor.go:99-110). `from_json` in PERMISSIVE mode yields null on
     * corrupt input; the null-filter is the drop.
     */
-  def parseWire(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
+  def parseWire(raw: DataFrame, jsonCol: String = "value",
+      counted: Boolean = false): DataFrame = {
     val parsed = raw.withColumn("_m", from_json(col(jsonCol), Schemas.wireSchema))
-    parsed
-      .filter(col("_m").isNotNull && col("_m.name").isNotNull)
+    val corrupt = col("_m").isNull || col("_m.name").isNull
+    // `counted`: publish the dropped-row count as an observed metric
+    // (the reference's errors_total{type="unmarshal"}, metrics.go:8-34).
+    // Dataset.observe rides the existing row flow — one CollectMetrics
+    // aggregate, no second pass, no per-record instrumentation; the
+    // Metrics listener picks it up from query progress.
+    val observed =
+      if (counted) parsed.observe("graft_unmarshal",
+        sum(when(corrupt, 1L).otherwise(0L)).as("errors_unmarshal"))
+      else parsed
+    observed
+      .filter(!corrupt)
       .select(
         col("_m.name").as("name"),
         col("_m.timestamp").as("timestamp"),
@@ -32,9 +43,24 @@ object Ingest {
   /** F1 — record validation: drop if name empty or timestamp <= 0
     * (models/market_data.go:12-20). A plain conjunctive predicate keeps
     * it inside the parquet scan (pushed filters) / whole-stage codegen.
+    * `counted` publishes the dropped-row count as the observed metric
+    * `graft_validation.errors_validation` (reference
+    * errors_total{type="validation"}) — same zero-extra-pass
+    * `observe` mechanism as [[parseWire]]. Counting drops necessarily
+    * anchors the filter ABOVE the metrics collection point, so use
+    * `counted` on streaming ingest (where the source cannot skip rows
+    * anyway), not on batch paths that want the predicate pushed into
+    * the scan.
     */
-  def validate(df: DataFrame, nameCol: String = "name", tsCol: String = "timestamp"): DataFrame =
-    df.filter(col(nameCol) =!= "" && col(nameCol).isNotNull && col(tsCol) > 0)
+  def validate(df: DataFrame, nameCol: String = "name", tsCol: String = "timestamp",
+      counted: Boolean = false): DataFrame = {
+    val valid = col(nameCol) =!= "" && col(nameCol).isNotNull && col(tsCol) > 0
+    val observed =
+      if (counted) df.observe("graft_validation",
+        sum(when(!valid, 1L).otherwise(0L)).as("errors_validation"))
+      else df
+    observed.filter(valid)
+  }
 
   /** F2 — sink-side zero-timestamp guard (postgres.go:122-124,
     * cache_service.go:41-43). Redundant after F1 (Catalyst collapses

@@ -36,9 +36,17 @@ object Multimodal {
 
   final case class Frame(media_id: Long, frame_idx: Int, byte_offset: Long, n_bytes: Int)
 
+  final case class AudioMeta(
+      media_id: Long,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      duration_ms: Long)
+
   implicit val mediaFileEnc: Encoder[MediaFile] = Encoders.product[MediaFile]
   implicit val mediaMetaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
   implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
+  implicit val audioMetaEnc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
 
   /** ??? in spirit — a deterministic fake decoder. A real deployment
     * replaces `decodeDims` with an actual codec call; the signature
@@ -58,6 +66,19 @@ object Multimodal {
       val height = 64 + b1 % 64
       val durationMs = if (kind == "video" || kind == "audio") bytes.length.toLong else 0L
       (width, height, durationMs)
+    }
+
+    /** Audio header stand-ins: a real decoder reads these from the WAV
+      * fmt / MP3 frame header; the stub derives them deterministically
+      * from header bytes 3-4 so the Spark-side plumbing stays
+      * oracle-checkable.
+      */
+    val SampleRates: Array[Int] = Array(8000, 16000, 22050, 44100, 48000)
+
+    def decodeAudio(bytes: Array[Byte]): (Int, Int, Long) = {
+      val b2 = if (bytes.length > 2) bytes(2) & 0xff else 0
+      val b3 = if (bytes.length > 3) bytes(3) & 0xff else 0
+      (SampleRates(b2 % SampleRates.length), 1 + b3 % 2, bytes.length.toLong)
     }
   }
 
@@ -86,6 +107,19 @@ object Multimodal {
           width = w,
           height = h,
           duration_ms = d)
+      }
+    }
+
+  /** Audio-kind metadata: sample rate / channel count / duration from
+    * the (stubbed) header decode — same per-partition codec lifecycle
+    * as [[extractMeta]], map-only, bytes never shuffle.
+    */
+  def extractAudioMeta(files: Dataset[MediaFile]): Dataset[AudioMeta] =
+    files.filter(_.kind == "audio").mapPartitions { it =>
+      val codec = StubCodec.open()
+      it.map { f =>
+        val (rate, channels, durationMs) = codec.decodeAudio(f.content)
+        AudioMeta(f.media_id, f.content.length.toLong, rate, channels, durationMs)
       }
     }
 

@@ -108,5 +108,34 @@ object MultimodalQ {
       FROM r ORDER BY doc_id""")
   )
 
-  def all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalResize)
+  /** Audio face of the surface: sample rate / channels / duration for
+    * audio-kind rows via the typed per-partition decode. The stub
+    * derives them from header bytes 3-4 (a real decoder reads the WAV
+    * fmt chunk there), so the oracle recomputes every field with
+    * string functions.
+    */
+  val qMultimodalAudio = Q(
+    "q_multimodal_audio",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("kind",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video"))
+      val media = Multimodal.asMedia(docs, "doc_id", "kind", "text")
+      Multimodal.extractAudioMeta(media)
+        .toDF()
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        CAST(len(text) AS BIGINT) AS n_bytes,
+        ([8000,16000,22050,44100,48000])[1 + ascii(substring(text, 3, 1)) % 5] AS sample_rate,
+        1 + ascii(substring(text, 4, 1)) % 2 AS channels,
+        CAST(len(text) AS BIGINT) AS duration_ms
+      FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""")
+  )
+
+  def all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalResize,
+    qMultimodalAudio)
 }

@@ -15,17 +15,26 @@ import java.util.Base64
   * classpath ships no WS library — and the protocol surface a feed
   * consumer needs (text frames + control frames) is small.
   *
-  * Plain ws:// only: wss:// is the same protocol over
-  * `SSLSocketFactory.createSocket` (a one-line swap of the socket
-  * construction), untestable here without a TLS endpoint. Extension
+  * wss:// is the same protocol over a TLS socket: pass an
+  * `SSLSocketFactory` (see [[WsTls.clientSocketFactory]] for the
+  * default-trust and private-trust-store variants). Extension
   * negotiation (permessage-deflate) is not offered, so servers must
   * reply without extensions per RFC 6455 §9.1.
+  *
+  * Construction is TWO-PHASE: the constructor only opens the TCP (or
+  * TLS) connection — bounded by `connectTimeoutMs` — and the blocking
+  * upgrade I/O lives in [[handshake]], so a supervisor can register
+  * the instance (making its `close()` reachable) BEFORE any unbounded
+  * read starts. Use `WsClient.connect(...)` for the plain
+  * construct-and-handshake case.
   */
 final class WsClient(host: String, port: Int, path: String = "/",
     headers: Map[String, String] = Map.empty, connectTimeoutMs: Int = 5000,
-    readTimeoutMs: Int = 0) {
+    readTimeoutMs: Int = 0,
+    socketFactory: Option[javax.net.SocketFactory] = None) {
 
-  private val socket = new Socket()
+  private val socket =
+    socketFactory.getOrElse(javax.net.SocketFactory.getDefault).createSocket()
   socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
   socket.setTcpNoDelay(true)
   // a dead peer with no TCP FIN (pulled cable, frozen server) blocks a
@@ -40,7 +49,15 @@ final class WsClient(host: String, port: Int, path: String = "/",
   // (RFC 6455 §10.3 masking exists to defeat proxy cache poisoning).
   private val maskRng = new java.util.Random(System.nanoTime())
 
-  locally { // upgrade handshake
+  /** HTTP upgrade handshake (call exactly once, before read/send). The
+    * handshake reads always run under a BOUNDED soTimeout — even when
+    * `readTimeoutMs = 0` the bound is `connectTimeoutMs` — so a server
+    * that accepts the TCP connection and then stalls cannot hang the
+    * calling thread forever (the steady-state read timeout is restored
+    * afterwards). Failure closes the socket and throws.
+    */
+  def handshake(): WsClient = {
+    if (readTimeoutMs <= 0) socket.setSoTimeout(connectTimeoutMs)
     val keyBytes = new Array[Byte](16)
     maskRng.nextBytes(keyBytes)
     val wsKey = Base64.getEncoder.encodeToString(keyBytes)
@@ -81,6 +98,11 @@ final class WsClient(host: String, port: Int, path: String = "/",
         throw new java.io.IOException(s"server negotiated unrequested $h: '${v.get}'")
       }
     }
+    // restore the steady-state timeout (0 = block; disconnects surface
+    // via close()/FIN, or via readTimeoutMs when configured)
+    if (readTimeoutMs <= 0)
+      try socket.setSoTimeout(0) catch { case _: Exception => () }
+    this
   }
 
   private def readHttpHead(): Seq[String] = {
@@ -142,4 +164,41 @@ final class WsClient(host: String, port: Int, path: String = "/",
     } catch { case _: Exception => () }
     try socket.close() catch { case _: Exception => () }
   }
+}
+
+object WsClient {
+  /** Construct and handshake in one call — the common case when no
+    * supervisor needs to see the instance between connect and upgrade.
+    */
+  def connect(host: String, port: Int, path: String = "/",
+      headers: Map[String, String] = Map.empty, connectTimeoutMs: Int = 5000,
+      readTimeoutMs: Int = 0,
+      socketFactory: Option[javax.net.SocketFactory] = None): WsClient =
+    new WsClient(host, port, path, headers, connectTimeoutMs, readTimeoutMs,
+      socketFactory).handshake()
+}
+
+/** TLS plumbing for wss:// feeds. */
+object WsTls {
+  /** Client socket factory: the platform default trust store, or a
+    * caller-supplied PKCS12/JKS trust store (private CAs, self-signed
+    * feed endpoints — the file extension picks the keystore type,
+    * `.jks` ⇒ JKS, anything else ⇒ PKCS12, keytool's default).
+    */
+  def clientSocketFactory(trustStore: Option[String],
+      password: Option[String]): javax.net.SocketFactory =
+    trustStore match {
+      case None => javax.net.ssl.SSLSocketFactory.getDefault
+      case Some(p) =>
+        val ks = java.security.KeyStore.getInstance(
+          if (p.endsWith(".jks")) "JKS" else "PKCS12")
+        val is = new java.io.FileInputStream(p)
+        try ks.load(is, password.map(_.toCharArray).orNull) finally is.close()
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(null, tmf.getTrustManagers, null)
+        ctx.getSocketFactory
+    }
 }

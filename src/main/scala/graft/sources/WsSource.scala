@@ -48,7 +48,10 @@ object WsBackoff {
   * reconnects), maxBuffered (100000 — the reader thread stops pulling
   * frames once this many are unplanned, pushing backpressure into the
   * TCP window instead of growing driver memory, like the reference's
-  * blocking channel send ingestor.go:125).
+  * blocking channel send ingestor.go:125), secure (false; true = wss://
+  * over TLS), trustStore + trustStorePassword (optional PKCS12/JKS
+  * trust store for private CAs / self-signed feeds; default = platform
+  * trust).
   */
 class WsSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-ws"
@@ -83,7 +86,10 @@ final class WsTable(properties: util.Map[String, String])
             backoffMaxMs = opt(options, "backoffMaxMs", 30000L),
             numPartitions = opt(options, "numPartitions", 4L).toInt,
             readTimeoutMs = opt(options, "readTimeoutMs", 0L).toInt,
-            maxBuffered = opt(options, "maxBuffered", 100000L).toInt)
+            maxBuffered = opt(options, "maxBuffered", 100000L).toInt,
+            secure = Option(options.get("secure")).exists(_.toBoolean),
+            trustStore = Option(options.get("trustStore")),
+            trustStorePassword = Option(options.get("trustStorePassword")))
       }
     }
 
@@ -99,8 +105,16 @@ final class WsMicroBatchStream(
     host: String, port: Int, path: String,
     apiKey: Option[String], subscribe: Option[String],
     backoffBaseMs: Long, backoffMaxMs: Long, numPartitions: Int,
-    readTimeoutMs: Int = 0, maxBuffered: Int = 100000)
+    readTimeoutMs: Int = 0, maxBuffered: Int = 100000,
+    secure: Boolean = false, trustStore: Option[String] = None,
+    trustStorePassword: Option[String] = None)
     extends MicroBatchStream {
+
+  // built once per stream; TLS handshake state is per-socket, the
+  // factory is stateless and reusable across reconnects
+  private val sslFactory: Option[javax.net.SocketFactory] =
+    if (secure) Some(WsTls.clientSocketFactory(trustStore, trustStorePassword))
+    else None
 
   // frames [base, base + buf.size); commit() trims below the committed
   // offset so driver memory holds only unplanned frames
@@ -116,11 +130,18 @@ final class WsMicroBatchStream(
     while (!stopped) {
       var client: WsClient = null
       try {
+        // two-phase connect: register the instance BEFORE the blocking
+        // handshake reads, so a stop() landing mid-handshake can close
+        // the socket out from under it (the constructor's TCP connect
+        // is itself bounded by its connect timeout, and the handshake
+        // runs under a bounded soTimeout — no unbounded unsupervised
+        // wait exists on this path)
         client = new WsClient(host, port, path,
           headers = apiKey.map("x-api-key" -> _).toMap,
-          readTimeoutMs = readTimeoutMs)
+          readTimeoutMs = readTimeoutMs, socketFactory = sslFactory)
         current = client
         if (stopped) throw new InterruptedException("stopped")
+        client.handshake()
         subscribe.foreach(client.sendText)
         attempt = 0 // reset-on-success, like the reference (ingestor.go:60)
         var frame = client.readText()

@@ -17,6 +17,17 @@ final class Metrics extends StreamingQueryListener {
   val batchInserts = new LongAdder
   val queriesStarted = new LongAdder
   val queriesFailed = new LongAdder
+  // per-error-class counters, the reference's errors_total{type} labels
+  // (metrics.go:8-34: unmarshal / validation / storage). The first two
+  // arrive as observed metrics published by Ingest.parseWire/validate
+  // (counted = true) — aggregated inside the query, surfaced via
+  // progress events, zero hot-path cost. The sink class is incremented
+  // by Pipeline's retry loop (driver-side), once per failed attempt,
+  // mirroring the reference's increment-regardless-of-retry.
+  val errorsUnmarshal = new LongAdder
+  val errorsValidation = new LongAdder
+  val errorsSink = new LongAdder
+  val batchesQuarantined = new LongAdder
   @volatile var lastBatchDurationMs: Long = 0L
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
@@ -28,6 +39,14 @@ final class Metrics extends StreamingQueryListener {
     lastBatchDurationMs =
       Option(event.progress.durationMs.get("triggerExecution"))
         .map(_.longValue).getOrElse(0L)
+    val om = event.progress.observedMetrics
+    def add(name: String, field: String, to: LongAdder): Unit =
+      Option(om.get(name)).foreach { row =>
+        val v = row.getAs[Any](field)
+        if (v != null) to.add(v.asInstanceOf[Number].longValue) // null on empty batch
+      }
+    add("graft_unmarshal", "errors_unmarshal", errorsUnmarshal)
+    add("graft_validation", "errors_validation", errorsValidation)
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
@@ -38,6 +57,10 @@ final class Metrics extends StreamingQueryListener {
     "batch_inserts" -> batchInserts.sum(),
     "queries_started" -> queriesStarted.sum(),
     "queries_failed" -> queriesFailed.sum(),
+    "errors_total_unmarshal" -> errorsUnmarshal.sum(),
+    "errors_total_validation" -> errorsValidation.sum(),
+    "errors_total_sink" -> errorsSink.sum(),
+    "batches_quarantined" -> batchesQuarantined.sum(),
     "last_batch_duration_ms" -> lastBatchDurationMs)
 }
 

@@ -14,10 +14,12 @@ import graft.ops.{Ingest, Latest}
   * mirroring the reference's processor (cmd/processor/processor.go):
   * the 2s flush interval is the trigger (A3); the two sinks are written
   * sequentially and are individually retried, best-effort, exactly like
-  * the reference's flush (A4, processor.go:85-119) — with two
+  * the reference's flush (A4, processor.go:85-119) — with three
   * improvements the reference lacks: a batchId-keyed append layout that
-  * makes replays idempotent, and a staged atomic swap for the latest
-  * table.
+  * makes replays idempotent, a staged atomic swap for the latest
+  * table, and a quarantine path (the reference DROPS a batch once
+  * retries exhaust; we land it in `_quarantine/batch=<id>` for
+  * replay).
   *
   * Scale notes: the append sink is a plain partitioned parquet write
   * (at production scale: JDBC/Delta — same foreachBatch shape). The
@@ -29,17 +31,23 @@ object Pipeline {
 
   /** Retry a sink write `attempts` times with linear backoff, like the
     * reference's flushWithRetry (processor.go:85-119: 3 attempts,
-    * (i+1)s sleeps, then drop-and-log).
+    * (i+1)s sleeps). `onFailure` runs once per failed attempt (the
+    * reference increments its error metric regardless of whether a
+    * retry will follow, processor.go:105-109). Exhaustion returns None
+    * — the CALLER decides the batch's fate (Pipeline.start quarantines
+    * it; the reference drops it).
     */
-  private[stream] def withRetry[T](attempts: Int, baseSleepMs: Long)(f: => T): Option[T] = {
+  private[stream] def withRetry[T](attempts: Int, baseSleepMs: Long,
+      onFailure: () => Unit = () => ())(f: => T): Option[T] = {
     var i = 0
     while (i < attempts) {
       try return Some(f)
       catch {
         case e: Exception =>
+          onFailure()
           i += 1
           if (i < attempts) Thread.sleep(baseSleepMs * i)
-          else System.err.println(s"[graft] sink write dropped after $attempts attempts: ${e.getMessage}")
+          else System.err.println(s"[graft] sink write failed after $attempts attempts: ${e.getMessage}")
       }
     }
     None
@@ -160,8 +168,52 @@ object Pipeline {
     spark.read.parquet(pick.toString)
   }
 
+  /** Quarantine location for a failed batch under the append dir. The
+    * leading underscore keeps Spark's file index from sweeping it into
+    * reads of the main append table (same convention as _SUCCESS).
+    */
+  def quarantinePath(appendDir: String, batchId: Long): String =
+    s"$appendDir/_quarantine/batch=$batchId"
+
+  /** A4⁺ — re-append quarantined batches once the sink outage is over:
+    * each `_quarantine/batch=<id>` replays through [[appendBatch]]
+    * under its ORIGINAL batch id (so a parquet sink replay stays
+    * idempotent) and is removed on success. Returns the replayed ids.
+    * Batches that fail again stay quarantined.
+    */
+  def replayQuarantine(spark: SparkSession, appendDir: String,
+      sink: SinkConfig): Seq[Long] = {
+    val fs = new Path(appendDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qdir = new Path(s"$appendDir/_quarantine")
+    if (!fs.exists(qdir)) Seq.empty
+    else fs.listStatus(qdir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .flatMap { p =>
+        val id = p.getName.stripPrefix("batch=").toLong
+        try {
+          appendBatch(spark.read.parquet(p.toString), sink, id)
+          fs.delete(p, true)
+          Some(id)
+        } catch { case e: Exception =>
+          System.err.println(s"[graft] quarantine replay of batch $id failed: ${e.getMessage}")
+          None
+        }
+      }
+  }
+
   /** Build and start the ingest query over an already-decoded streaming
-    * DataFrame (use Ingest.parseWire upstream for raw JSON sources).
+    * DataFrame (use Ingest.parseWire upstream for raw JSON sources —
+    * with `counted = true` its unmarshal-drop count lands in `metrics`).
+    *
+    * Failure policy (A4): each sink write is retried `retries` times
+    * with linear backoff; when the APPEND sink exhausts its retries the
+    * batch is written to `<appendDir>/_quarantine/batch=<id>` instead
+    * of being dropped (the reference logs-and-drops, processor.go:
+    * 85-119) — [[replayQuarantine]] re-appends it after the outage.
+    * A failed latest-upsert needs no quarantine: the batch is already
+    * durable in the append sink and the next successful upsert's argmax
+    * re-reads only (previous latest ∪ batch), so state catches up from
+    * the appended data.
     */
   def start(
       ticks: DataFrame,
@@ -176,10 +228,12 @@ object Pipeline {
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       retries: Int = 3,
       retrySleepMs: Long = 1000,
-      appendSink: Option[SinkConfig] = None): StreamingQuery = {
+      appendSink: Option[SinkConfig] = None,
+      metrics: Option[Metrics] = None): StreamingQuery = {
     val sink = appendSink.getOrElse(ParquetSink(appendDir))
     val spark = ticks.sparkSession
-    val validated = Ingest.validate(ticks, nameCol, tsCol)
+    val sinkFailed = () => metrics.foreach(_.errorsSink.increment())
+    val validated = Ingest.validate(ticks, nameCol, tsCol, counted = metrics.isDefined)
     val enriched = Ingest.enrichDim(validated, dim, nameCol, "symbol", "exchange")
     enriched.writeStream
       .queryName("graft-ingest")
@@ -191,10 +245,22 @@ object Pipeline {
           // sequential, individually-retried, best-effort — the two
           // sinks can diverge on failure exactly like the reference
           // (SURVEY.md §3.1 non-atomicity note)
-          withRetry(retries, retrySleepMs) {
+          val appended = withRetry(retries, retrySleepMs, sinkFailed) {
             appendBatch(persisted, sink, batchId)
           }
-          withRetry(retries, retrySleepMs) {
+          if (appended.isEmpty) {
+            try {
+              persisted.write.mode("overwrite")
+                .parquet(quarantinePath(appendDir, batchId))
+              metrics.foreach(_.batchesQuarantined.increment())
+              System.err.println(
+                s"[graft] batch $batchId quarantined after $retries failed append attempts")
+            } catch { case e: Exception =>
+              System.err.println(
+                s"[graft] quarantine write for batch $batchId also failed (batch LOST): ${e.getMessage}")
+            }
+          }
+          withRetry(retries, retrySleepMs, sinkFailed) {
             upsertLatest(spark, persisted, latestDir, keyCols, orderCols)
           }
           ()

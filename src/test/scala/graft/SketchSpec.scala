@@ -73,6 +73,25 @@ class SketchSpec extends AnyFunSuite {
     assert(exact == 5.0)
   }
 
+  test("HLL estimate stays within 5% of the exact distinct count per group (q_approx_sketch vs q_distinct)") {
+    // q_approx_sketch has no DuckDB oracle (HLL internals are
+    // engine-specific) — this pins its ESTIMATES against q_distinct's
+    // exact values at sf0.01, well inside the configured 2% rsd
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q_approx_sketch")(spark, dir)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q_distinct")(spark, dir)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, ex) <- exact) {
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05,
+        s"group $k: approx $ap vs exact $ex drifts past 5%")
+    }
+  }
+
   test("fewer than k distinct values returns them all, sorted") {
     val small = Seq(("a", 5L), ("a", 1L), ("a", 5L), ("a", 9L)).toDF("g", "h")
     val got = small.groupBy("g").agg(Sketches.kmvMins(col("h"), k).as("kept"))

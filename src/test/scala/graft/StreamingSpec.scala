@@ -166,6 +166,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted2.isEmpty && !st2.exists)
   }
 
+  test("A4 quarantine: append-sink exhaustion lands the batch in _quarantine, query keeps running") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = Metrics.attach(spark)
+    val in = MemoryStream[(String, Long, Long, Double)]
+    val ticks = in.toDF().toDF("name", "event_id", "ts_ms", "value")
+    val dim = Seq(("a", "NYSE")).toDF("symbol", "exchange")
+    val appendDir = tmp("appendQ"); val latestDir = tmp("latestQ")
+    // a JDBC sink with no registered driver: every append attempt throws
+    val badSink = Pipeline.JdbcSink("jdbc:graftnodriver://nowhere/db", "t")
+    val q = Pipeline.start(ticks, dim, appendDir, latestDir,
+      keyCols = Seq("name"), orderCols = Seq("ts_ms", "event_id"),
+      nameCol = "name", tsCol = "ts_ms", checkpointDir = tmp("ckptQ"),
+      trigger = Trigger.ProcessingTime(0), retries = 2, retrySleepMs = 1,
+      appendSink = Some(badSink), metrics = Some(m))
+    in.addData(("a", 1L, 100L, 1.0), ("b", 2L, 50L, 2.0))
+    q.processAllAvailable()
+    in.addData(("a", 3L, 200L, 3.0))
+    q.processAllAvailable() // the query survived the failed batch
+    q.stop()
+    // both batches quarantined with all their rows
+    assert(spark.read.parquet(s"$appendDir/_quarantine").count() == 3)
+    // the latest upsert was unaffected by the append-sink outage
+    assert(Pipeline.readLatest(spark, latestDir).count() == 2)
+    assert(m.errorsSink.sum() == 4) // 2 attempts x 2 batches
+    assert(m.batchesQuarantined.sum() == 2)
+    // outage over: replay into a working parquet sink, quarantine drains
+    val replayed = Pipeline.replayQuarantine(spark, appendDir,
+      Pipeline.ParquetSink(appendDir))
+    assert(replayed.sorted == Seq(0L, 1L))
+    assert(spark.read.parquet(appendDir).count() == 3)
+    val qdir = new java.io.File(s"$appendDir/_quarantine")
+    assert(!qdir.exists || qdir.list().forall(!_.startsWith("batch=")))
+    spark.streams.removeListener(m)
+  }
+
+  test("per-error-class counters: unmarshal and validation drops counted (K5 errors_total)") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = Metrics.attach(spark)
+    val in = MemoryStream[String]
+    val decoded = graft.ops.Ingest.parseWire(in.toDF().toDF("value"), counted = true)
+    val dim = Seq(("a", "NYSE")).toDF("symbol", "exchange")
+    val q = Pipeline.start(decoded, dim, tmp("appendE"), tmp("latestE"),
+      keyCols = Seq("name"), orderCols = Seq("timestamp"),
+      nameCol = "name", tsCol = "timestamp", checkpointDir = tmp("ckptE"),
+      trigger = Trigger.ProcessingTime(0), retries = 1, metrics = Some(m))
+    in.addData(
+      """{"name":"a","timestamp":100,"data":{"data":{"bid":"1"}}}""",
+      """not json at all""", // unmarshal drop
+      """{"nope":1}""", // unmarshal drop (no name field)
+      """{"name":"","timestamp":5,"data":{"data":{}}}""", // validation drop
+      """{"name":"b","timestamp":0,"data":{"data":{}}}""") // validation drop
+    q.processAllAvailable()
+    q.stop()
+    // observed metrics arrive via async listener events — poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while ((m.errorsUnmarshal.sum() < 2 || m.errorsValidation.sum() < 2)
+        && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(m.snapshot("errors_total_unmarshal") == 2)
+    assert(m.snapshot("errors_total_validation") == 2)
+    spark.streams.removeListener(m)
+  }
+
   test("metrics listener counts rows and batches (K5)") {
     implicit val sqlCtx = spark.sqlContext
     val m = Metrics.attach(spark)

@@ -22,8 +22,10 @@ import graft.sources.{TickSource, WsBackoff, WsClient, WsFrames}
   * acceptor.
   */
 final class WsTestServer(frames: Seq[String], dropAfter: Int = Int.MaxValue,
-    stallAfter: Int = Int.MaxValue) {
-  private val server = new ServerSocket(0)
+    stallAfter: Int = Int.MaxValue,
+    // pluggable listener so the TLS test can hand in an SSLServerSocket
+    ss: ServerSocket = new ServerSocket(0)) {
+  private val server = ss
   def port: Int = server.getLocalPort
   val apiKeys = new ConcurrentLinkedQueue[String]()
   val subscribes = new ConcurrentLinkedQueue[String]()
@@ -134,7 +136,7 @@ class WsSourceSpec extends AnyFunSuite {
       sock.close()
     })
     t.setDaemon(true); t.start()
-    val c = new WsClient("127.0.0.1", server.getLocalPort)
+    val c = WsClient.connect("127.0.0.1", server.getLocalPort)
     assert(c.readText().contains("hello"))
     assert(c.readText().isEmpty) // close frame → None
     c.close(); server.close()
@@ -161,7 +163,7 @@ class WsSourceSpec extends AnyFunSuite {
     })
     t.setDaemon(true); t.start()
     val e = intercept[java.io.IOException] {
-      new WsClient("127.0.0.1", server.getLocalPort)
+      WsClient.connect("127.0.0.1", server.getLocalPort)
     }
     assert(e.getMessage.contains("unrequested"))
     server.close()
@@ -226,6 +228,58 @@ class WsSourceSpec extends AnyFunSuite {
       val avail = stream.latestOffset().asInstanceOf[graft.sources.TickOffset].tick
       assert(avail <= 5L, s"buffer grew past the cap: $avail")
     } finally { stream.stop(); server.close() }
+  }
+
+  test("wss:// (TLS): graft-ws round trip against a self-signed SSLServerSocket") {
+    import scala.sys.process._
+    // self-signed server identity + a client trust store holding just
+    // that cert, both built with the JDK's own keytool
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls")
+    val serverKs = dir.resolve("server.p12").toString
+    val cert = dir.resolve("ws.cer").toString
+    val trustKs = dir.resolve("trust.p12").toString
+    val pass = "graftpass"
+    assert(Seq("keytool", "-genkeypair", "-alias", "ws", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", serverKs,
+      "-storepass", pass, "-keypass", pass, "-dname", "CN=127.0.0.1",
+      "-validity", "1").! == 0, "keytool -genkeypair failed")
+    assert(Seq("keytool", "-exportcert", "-alias", "ws", "-keystore", serverKs,
+      "-storepass", pass, "-file", cert).! == 0, "keytool -exportcert failed")
+    assert(Seq("keytool", "-importcert", "-alias", "ws", "-file", cert,
+      "-keystore", trustKs, "-storetype", "PKCS12", "-storepass", pass,
+      "-noprompt").! == 0, "keytool -importcert failed")
+    val kstore = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(serverKs)
+    try kstore.load(fis, pass.toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(kstore, pass.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val n = 12
+    val frames = (0L until n.toLong).map(TickSource.frame(_, 5))
+    val server = new WsTestServer(frames,
+      ss = ctx.getServerSocketFactory.createServerSocket(0))
+    val raw = spark.readStream.format("graft-ws")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("secure", "true")
+      .option("trustStore", trustKs).option("trustStorePassword", pass)
+      .option("subscribe", """{"event":"subscribe","symbols":[]}""")
+      .option("backoffBaseMs", "100")
+      .load()
+    val parsed = Ingest.validate(Ingest.parseWire(raw))
+    val q = parsed.writeStream.format("memory").queryName("ws_tls_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val expected = (0L until n.toLong).count(i => i % 97 != 0 && i % 101 != 0)
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("ws_tls_out").count() < expected &&
+      System.currentTimeMillis() < deadline) Thread.sleep(250)
+    q.stop()
+    val got = spark.table("ws_tls_out").count()
+    server.close()
+    assert(got == expected, s"expected $expected frames over TLS, got $got")
+    // the encrypted subscribe frame arrived intact
+    assert(server.subscribes.contains("""{"event":"subscribe","symbols":[]}"""))
   }
 
   test("graft-ws source ingests over real WS frames and reconnects after a drop") {
