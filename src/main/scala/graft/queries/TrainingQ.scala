@@ -364,6 +364,85 @@ object TrainingQ {
       FROM m ORDER BY doc_id""")
   )
 
+  /** Repetition quality signal (the Gopher-style "fraction of
+    * duplicate n-grams" gate): 1 − distinct/total over raw 3-gram
+    * shingles, plus the keep flag at the conventional 0.3 cutoff.
+    * Pure map-side column math — no shuffle at any scale.
+    */
+  val qRepetition = Q(
+    "q_repetition",
+    (spark, dir) => {
+      val shRaw = TextOps.shingles(TextOps.tokens(col("text")), 3)
+      Tables.documents(spark, dir)
+        .withColumn("ss", shRaw)
+        .select(col("doc_id"),
+          size(col("ss")).cast("long").as("n_shingles"),
+          size(array_distinct(col("ss"))).cast("long").as("n_uniq"))
+        .withColumn("dup_ratio",
+          when(col("n_shingles") > 0,
+            lit(1.0) - col("n_uniq").cast("double") / col("n_shingles"))
+            .otherwise(lit(0.0)))
+        .withColumn("keep", col("dup_ratio") <= 0.3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      shraw AS (SELECT doc_id,
+          CASE WHEN len(ts) >= 3
+            THEN list_transform(range(1, len(ts) - 1),
+                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+            ELSE CAST([] AS VARCHAR[]) END AS ss
+        FROM toks),
+      m AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_shingles,
+          CAST(len(list_distinct(ss)) AS BIGINT) AS n_uniq FROM shraw),
+      r AS (SELECT doc_id, n_shingles, n_uniq,
+          CASE WHEN n_shingles > 0
+            THEN 1.0 - CAST(n_uniq AS DOUBLE) / n_shingles
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_ratio
+        FROM m)
+      SELECT doc_id, n_shingles, n_uniq, dup_ratio,
+        dup_ratio <= 0.3 AS keep
+      FROM r ORDER BY doc_id""")
+  )
+
+  /** Stand-in "evaluation set" for the decontamination check: every
+    * 50th doc plays the benchmark whose shingles must not leak into
+    * training data.
+    */
+  private val BenchmarkMod = 50
+
+  /** Benchmark decontamination — the training-pipeline op that flags
+    * corpus docs sharing n-grams with an evaluation set. Scale shape:
+    * the eval set is TINY relative to the corpus, so its distinct
+    * shingle set is BROADCAST and the corpus side streams map-only
+    * into the hash join — no corpus shuffle until the (small,
+    * hits-only) per-doc count agg. Emits (doc_id, n_shared) for every
+    * non-benchmark doc sharing ≥ 1 distinct trigram with the
+    * benchmark.
+    */
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val sh = docs.select(col("doc_id"),
+        explode(TextOps.shingleSet(col("text"))).as("s"))
+      val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
+        .select("s").distinct()
+      sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+        .join(broadcast(bench), Seq("s"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $tokCtes,
+        shf AS (SELECT DISTINCT doc_id, unnest(ss) AS s FROM sh),
+        bench AS (SELECT DISTINCT s FROM shf WHERE doc_id % $BenchmarkMod = 0)
+      SELECT doc_id, count(*) AS n_shared
+      FROM shf JOIN bench USING (s)
+      WHERE doc_id % $BenchmarkMod <> 0
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   private val SampleRateEn = 0.16
   private val SampleRateDefault = 0.8
 
@@ -635,6 +714,6 @@ object TrainingQ {
 
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
     qDedupSimhashHam, qDedupClusters, qTextStats, qLangId, qTokenCount,
-    qTokenBpe, qFingerprint, qQualityFilter, qSampleStratified, qKnn, qAnnLsh,
-    qAnnIvf, qTopTerms, qTfidf, qDedupEmbed)
+    qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
+    qSampleStratified, qKnn, qAnnLsh, qAnnIvf, qTopTerms, qTfidf, qDedupEmbed)
 }
