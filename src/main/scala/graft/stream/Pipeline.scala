@@ -201,6 +201,40 @@ object Pipeline {
       }
   }
 
+  /** Disaster recovery for the latest table: rebuild it from the
+    * durable parquet append sink (all `batch=*` directories — the
+    * `_quarantine` subtree is excluded by the underscore convention),
+    * optionally unioned with surviving latest state. This is the
+    * recovery path the failure policy leans on: a failed upsert loses
+    * nothing because the batch is already appended, and this replay
+    * recomputes the argmax from the appended history. One
+    * shuffle-on-keys argmax over the append table — the same
+    * keepLastPerKey plan the per-batch upsert runs, just over more
+    * rows.
+    */
+  def rebuildLatest(spark: SparkSession, appendDir: String, latestDir: String,
+      keyCols: Seq[String], orderCols: Seq[String],
+      includeExisting: Boolean = true): Unit = {
+    // partition discovery surfaces the batch=<id> layout as a `batch`
+    // column the row schema never had — drop it before the union
+    val appended = spark.read.parquet(appendDir).drop("batch")
+    val fs = new Path(latestDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairSwap(fs, latestDir)
+    val base =
+      if (includeExisting && fs.exists(new Path(s"$latestDir/current")))
+        appended.unionByName(readLatest(spark, latestDir))
+      else appended
+    val next = Latest.keepLastPerKey(base, keyCols, orderCols)
+    val stage = new Path(s"$latestDir/stage")
+    next.write.mode("overwrite").parquet(stage.toString)
+    val cur = new Path(s"$latestDir/current")
+    val old = new Path(s"$latestDir/old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(cur)) fs.rename(cur, old)
+    fs.rename(stage, cur)
+    ()
+  }
+
   /** Build and start the ingest query over an already-decoded streaming
     * DataFrame (use Ingest.parseWire upstream for raw JSON sources —
     * with `counted = true` its unmarshal-drop count lands in `metrics`).

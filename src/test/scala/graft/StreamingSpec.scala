@@ -228,6 +228,31 @@ class StreamingSpec extends AnyFunSuite {
     spark.streams.removeListener(m)
   }
 
+  test("rebuildLatest recovers per-key state from the append sink after a lost upsert") {
+    val appendDir = tmp("appendRb"); val latestDir = tmp("latestRb")
+    val b0 = Seq(("a", 1L, 100L), ("b", 2L, 50L)).toDF("name", "event_id", "ts_ms")
+    val b1 = Seq(("a", 3L, 200L), ("c", 4L, 70L)).toDF("name", "event_id", "ts_ms")
+    Pipeline.appendBatch(b0, appendDir, 0L)
+    Pipeline.appendBatch(b1, appendDir, 1L)
+    // batch 0's upsert succeeded; batch 1's upsert "failed" (never ran)
+    Pipeline.upsertLatest(spark, b0, latestDir, Seq("name"), Seq("ts_ms", "event_id"))
+    assert(Pipeline.readLatest(spark, latestDir).count() == 2)
+    // recovery: argmax over the durable append history catches state up
+    Pipeline.rebuildLatest(spark, appendDir, latestDir,
+      Seq("name"), Seq("ts_ms", "event_id"))
+    val got = Pipeline.readLatest(spark, latestDir).orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L), ("b", 2L), ("c", 4L)))
+    // a quarantined batch replayed into the append dir also lands in
+    // the rebuild (quarantine → replay → rebuild closes the loop)
+    Seq(("d", 9L, 10L)).toDF("name", "event_id", "ts_ms")
+      .write.mode("overwrite").parquet(s"$appendDir/_quarantine/batch=2")
+    Pipeline.replayQuarantine(spark, appendDir, Pipeline.ParquetSink(appendDir))
+    Pipeline.rebuildLatest(spark, appendDir, latestDir,
+      Seq("name"), Seq("ts_ms", "event_id"))
+    assert(Pipeline.readLatest(spark, latestDir).count() == 4)
+  }
+
   test("metrics listener counts rows and batches (K5)") {
     implicit val sqlCtx = spark.sqlContext
     val m = Metrics.attach(spark)

@@ -215,6 +215,29 @@ class WsSourceSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("stop() during a stalled HANDSHAKE kills the reader (two-phase connect closes the race)") {
+    import scala.jdk.CollectionConverters._
+    // a server that accepts TCP but never answers the upgrade: the
+    // reader blocks inside handshake() — stop() must still reach the
+    // socket because the client registers before handshaking
+    val server = new ServerSocket(0)
+    val stream = new graft.sources.WsMicroBatchStream(
+      "127.0.0.1", server.getLocalPort, "/", None, None,
+      backoffBaseMs = 100, backoffMaxMs = 1000, numPartitions = 2,
+      readTimeoutMs = 0, maxBuffered = 100)
+    try {
+      Thread.sleep(500) // reader connects and blocks in the handshake read
+      stream.stop()
+      val name = s"graft-ws-reader-127.0.0.1:${server.getLocalPort}"
+      def readerAlive = Thread.getAllStackTraces.keySet.asScala
+        .exists(t => t.getName == name && t.isAlive)
+      val dead = (1 to 100).exists { _ =>
+        if (readerAlive) { Thread.sleep(100); false } else true
+      }
+      assert(dead, "reader thread still alive 10s after stop() mid-handshake")
+    } finally server.close()
+  }
+
   test("bounded buffer caps unplanned frames (backpressure, not memory growth)") {
     val frames = (0L until 200L).map(TickSource.frame(_, 5))
     val server = new WsTestServer(frames)
