@@ -54,7 +54,8 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
   *   SparkSession.builder().withExtensions(new GraftExtensions) ...
   *   // or spark.sql.extensions=org.apache.spark.sql.graftbridge.GraftExtensions
   *
-  * Registers the `graft_dot` SQL function and the HOF→native rewrite.
+  * Registers the `graft_dot` and `graft_simhash_votes` SQL functions
+  * and the HOF→native rewrite.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -62,6 +63,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    // graft_simhash_votes(str, bits): packed 21-bit-lane simhash votes
+    // (the fused kernel behind Dedup.simhashSignature) for SQL users —
+    // `bits` must be a foldable int literal (it shapes the output)
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash_votes"),
+      new ExpressionInfo(classOf[SimhashPackedVotes].getName, "graft_simhash_votes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(str, IntegerLiteral(bits)) => SimhashPackedVotes(str, bits)
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash_votes(str, bits) requires an integer literal bits")
+      }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -59,6 +59,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("graft_simhash_votes is callable from SQL and matches the Column API") {
+    // lane 0 of the packed votes = 0/1 for md5 nibble 0's top bit
+    val got = spark.sql(
+      "SELECT graft_simhash_votes('hello world', 16) AS v")
+      .collect().head.getSeq[Long](0)
+    val want = graft.functions.TextExprs
+      .simhashPackedVotes(lit("hello world"), 16)
+    val viaColumn = spark.range(1).select(want.as("v"))
+      .collect().head.getSeq[Long](0)
+    assert(got == viaColumn && got.length == 6)
+    // non-literal bits is a contract error, not a silent misparse
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_simhash_votes('x', 1 + 15)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("optimizer rewrites the HOF dot-product pattern to the native expression") {
     // non-foldable input, else constant folding evaluates the whole
     // expression before the rewrite is observable

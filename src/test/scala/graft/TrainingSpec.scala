@@ -60,6 +60,42 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(0).getLong(3) >= 2)
   }
 
+  test("narrow-join LSH pairs equal a driver-side banded reference on random docs") {
+    // guards the band-key-only candidate join + est_jaccard rejoin
+    // rewrite: same (i, j, n_shared_bands, est_jaccard) set as a direct
+    // computation over the collected signatures
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 25).map(i => s"w$i")
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until 80).foreach { i =>
+      if (i % 5 == 4 && texts.nonEmpty) {
+        // seed genuine near-dups: copy the previous doc, tweak the tail
+        val prev = texts.last.split(" ")
+        texts += (prev.dropRight(1) :+ vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      } else
+        texts += Seq.fill(5 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      .toSeq.toDF("doc_id", "text")
+    val bands = 4; val rpb = 2; val numHashes = bands * rpb
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text", bands, rpb)
+      .orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val sigs = Dedup.withMinhashSignature(docs, "doc_id", "text", numHashes)
+      .collect().map(r => r.getLong(0) -> (0 until numHashes).map(j => r.getLong(j + 1))).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val want = for {
+      ii <- ids; jj <- ids if ii < jj
+      si = sigs(ii); sj = sigs(jj)
+      shared = (0 until bands).count(b =>
+        (0 until rpb).forall(r => si(b * rpb + r) == sj(b * rpb + r)))
+      if shared >= 1
+    } yield (ii, jj, shared.toLong,
+      (0 until numHashes).count(k => si(k) == sj(k)).toDouble / numHashes)
+    assert(got.nonEmpty, "test corpus produced no candidate pairs — weaken the dup seeding")
+    assert(got == want)
+  }
+
   test("fused packed-vote simhash equals the unfused column formulation") {
     // the reference pipeline the codegen kernel replaced: md5 hex →
     // conv 8-hex chunks to longs → per-bit shift/and ±1 vote sums
