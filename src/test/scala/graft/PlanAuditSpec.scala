@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The plan-sweep invariants (PERF.md "Plan audit") as a permanent
+  * regression test: a future query or rewrite that plans a cartesian
+  * product, an unintended nested-loop join, loses a filter pushdown,
+  * or drops map-side partial aggregation fails CI instead of shipping
+  * a 100 TB footgun. Plans are inspected at sf0.001 — plan SHAPE, not
+  * timing, so the smallest SF is enough.
+  *
+  * Streaming-gate queries (q_stream_*) are excluded: calling them runs
+  * an AvailableNow streaming query and returns the memory-sink table,
+  * whose batch plan says nothing about the streaming plan under test
+  * (StreamingSpec covers those semantics).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private lazy val sweep: Map[String, String] =
+    SparkEntry.queries.keys.filterNot(_.startsWith("q_stream"))
+      .map(n => n -> planOf(n)).toMap
+
+  test("no query in the catalog plans a cartesian product") {
+    for ((name, p) <- sweep)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+  }
+
+  test("broadcast-nested-loop joins appear only in the intended broadcast-scalar/dim crosses") {
+    // each of these carries a broadcast side that is a scalar row or a
+    // tiny dim (query set, per-group stats, corpus count, config dim) —
+    // the cross is the POINT, and the broadcast keeps it linear
+    val intended = Set("q_knn", "q_ann_ivf", "q_serve_snapshot",
+      "q_snapshot_diff", "q_tfidf", "q_ttl_filter")
+    for ((name, p) <- sweep if p.contains("BroadcastNestedLoopJoin"))
+      assert(intended(name), s"$name plans an unintended BroadcastNestedLoopJoin")
+  }
+
+  test("q3_shipping pushes its filters into every scan") {
+    val p = planOf("q3_shipping")
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters in q3 scans")
+    assert(!p.replaceAll("PushedFilters: \\[[^\\]]+\\]", "")
+      .contains("PushedFilters"), "a q3 scan lost its pushed filters")
+  }
+
+  test("q_latest_per_key ships partial max_by below the exchange (map-side combine)") {
+    assert(planOf("q_latest_per_key").contains("partial_max_by"),
+      "argmax no longer partial-aggregates map-side")
+  }
+
+  test("q_decontaminate broadcasts the eval-set shingles (corpus side stays map-only)") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "decontamination join lost its broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus side is being shuffled for the join")
+  }
+}
