@@ -406,6 +406,43 @@ object TrainingQ {
       FROM r ORDER BY doc_id""")
   )
 
+  /** Token budget per packed training sequence. */
+  private val PackSeqLen = 512
+
+  /** Sequence packing: assign each doc to the fixed-token-budget
+    * training bin its cumulative token count lands in — contiguous
+    * greedy packing in doc order (a doc straddling a boundary belongs
+    * to the bin its LAST token fills; real packers then split or pad
+    * at materialization). Scale shape: a global running sum would be
+    * one sequential partition, so packing runs PER SOURCE SHARD
+    * (partitionBy source, order by doc_id) — shards pack in parallel
+    * and bin ids are (source, bin), exactly how a sharded corpus packs
+    * in practice. One shuffle on source + one sort.
+    */
+  val qPack = Q(
+    "q_pack",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bin", expr(s"(cum_tokens - 1) DIV $PackSeqLen"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, source,
+          CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        FROM toks)
+      SELECT doc_id, source, n_tokens, cum_tokens,
+        (cum_tokens - 1) // $PackSeqLen AS bin
+      FROM c ORDER BY doc_id""")
+  )
+
   /** Stand-in "evaluation set" for the decontamination check: every
     * 50th doc plays the benchmark whose shingles must not leak into
     * training data.
@@ -715,5 +752,6 @@ object TrainingQ {
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
     qDedupSimhashHam, qDedupClusters, qTextStats, qLangId, qTokenCount,
     qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
-    qSampleStratified, qKnn, qAnnLsh, qAnnIvf, qTopTerms, qTfidf, qDedupEmbed)
+    qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf, qTopTerms, qTfidf,
+    qDedupEmbed)
 }
