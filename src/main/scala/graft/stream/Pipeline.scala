@@ -210,14 +210,23 @@ object Pipeline {
     * recomputes the argmax from the appended history. One
     * shuffle-on-keys argmax over the append table — the same
     * keepLastPerKey plan the per-batch upsert runs, just over more
-    * rows.
+    * rows. `fromBatch` bounds the replay to `batch >= fromBatch`
+    * (partition-pruned — only the affected batch directories are
+    * read): the incremental recovery when the outage window is known,
+    * with `includeExisting = true` keeping the surviving per-key state
+    * for keys the replayed range never touched.
     */
   def rebuildLatest(spark: SparkSession, appendDir: String, latestDir: String,
       keyCols: Seq[String], orderCols: Seq[String],
-      includeExisting: Boolean = true): Unit = {
+      includeExisting: Boolean = true,
+      fromBatch: Option[Long] = None): Unit = {
     // partition discovery surfaces the batch=<id> layout as a `batch`
-    // column the row schema never had — drop it before the union
-    val appended = spark.read.parquet(appendDir).drop("batch")
+    // column the row schema never had — the range filter prunes on it,
+    // then it is dropped before the union
+    val appendedRaw = spark.read.parquet(appendDir)
+    val appended = fromBatch
+      .fold(appendedRaw)(b => appendedRaw.filter(col("batch") >= b))
+      .drop("batch")
     val fs = new Path(latestDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairSwap(fs, latestDir)
     val base =

@@ -251,6 +251,18 @@ class StreamingSpec extends AnyFunSuite {
     Pipeline.rebuildLatest(spark, appendDir, latestDir,
       Seq("name"), Seq("ts_ms", "event_id"))
     assert(Pipeline.readLatest(spark, latestDir).count() == 4)
+    // incremental: fromBatch bounds the replay to the outage window
+    // (partition-pruned); existing state keeps the untouched keys
+    Pipeline.rebuildLatest(spark, appendDir, latestDir,
+      Seq("name"), Seq("ts_ms", "event_id"), fromBatch = Some(1L))
+    assert(Pipeline.readLatest(spark, latestDir).count() == 4) // b survives via existing
+    // without existing state, only the replayed range's keys remain
+    Pipeline.rebuildLatest(spark, appendDir, latestDir,
+      Seq("name"), Seq("ts_ms", "event_id"),
+      includeExisting = false, fromBatch = Some(1L))
+    val keys = Pipeline.readLatest(spark, latestDir)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(keys == Set("a", "c", "d")) // batch 0's b is outside the range
   }
 
   test("metrics listener counts rows and batches (K5)") {
