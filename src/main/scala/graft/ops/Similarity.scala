@@ -145,4 +145,33 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("i", "j", "cosine")
   }
+
+  /** Per-label centroids in long form — one row per (label, dim):
+    * the building block for IVF index maintenance, cluster-quality
+    * monitoring, and embedding-drift checks.
+    *
+    * Exactness scheme: a cross-row SUM of floats is order-dependent in
+    * IEEE arithmetic (different partitionings → different low bits →
+    * hash-compare failures), so components are first quantized to
+    * integers — q = round(v·scale) as int64, identical in any engine
+    * since the product and round are single deterministic double ops —
+    * then summed exactly, with ONE double division at the end
+    * (sum / (n·scale), both sides exact integers well under 2^53).
+    * The quantization error (≤ 0.5/scale per component) is explicit
+    * and documented rather than hidden in float-sum nondeterminism.
+    *
+    * Scale shape: posexplode → partial-agg sum/count → final agg.
+    * One shuffle whose key space is |labels|·dims rows — independent
+    * of corpus size; the explode itself is map-side.
+    */
+  def centroids(vectors: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding", scale: Long = 1000000L): DataFrame =
+    vectors
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("q", round(col("v").cast("double") * lit(scale)).cast("long"))
+      .groupBy("label", "pos")
+      .agg(sum(col("q")).as("_sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        (col("_sq").cast("double") / (col("n") * lit(scale))).as("centroid"),
+        col("n"))
 }

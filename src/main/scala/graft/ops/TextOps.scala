@@ -93,6 +93,27 @@ object TextOps {
     md5(concat_ws("|", array_sort(array_distinct(wins))).cast("binary"))
   }
 
+  /** PII-style scrubbing: mask every decimal digit with `mask`. The
+    * pattern is plain character-class regex — no lookarounds — so Java
+    * regex (Spark) and RE2 (DuckDB, Go) agree on every input. Real
+    * pipelines extend the pattern list (emails, phones, SSNs); the
+    * digit class is the deterministic core every such scrubber shares.
+    */
+  def maskDigits(text: Column, mask: String = "#"): Column =
+    regexp_replace(text, "[0-9]", mask)
+
+  /** Count of characters the digit scrubber would mask — emitted
+    * alongside the redacted text so downstream audits can filter on
+    * redaction volume without diffing strings.
+    */
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", ""))
+
+  /** Word bigrams in document order (non-distinct — collocation
+    * counting needs every occurrence, unlike dedup shingling).
+    */
+  def bigrams(toks: Column): Column = shingles(toks, 2)
+
   /** SimHash over distinct tokens, `bits` wide (≤32): per bit position
     * k, majority vote of md5-hex-digit high bits (+1/−1), rendered as a
     * '0'/'1' string so the value is engine-portable.

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.{Similarity, TextOps}
+
+/** Corpus-analytics queries for the training-data pipeline: embedding
+  * centroids, collocation mining, and composite (Gopher-style) quality
+  * gates — each a one-shuffle grouped aggregation or a pure map-side
+  * pass, with a DuckDB oracle mirroring the exact arithmetic.
+  */
+object CorpusQ {
+
+  /** Per-label embedding centroids (long form, one row per (label,
+    * dim)) — quantized-integer exact sums so the result is
+    * partitioning-independent and engine-portable (see
+    * [[Similarity.centroids]] for the numeric contract).
+    */
+  val qEmbedCentroid = Q(
+    "q_embed_centroid",
+    (spark, dir) =>
+      Similarity.centroids(Tables.embeddings(spark, dir))
+        .orderBy("label", "pos"),
+    Some("""WITH e AS (SELECT label,
+          unnest(list_transform(range(1, len(embedding) + 1),
+            i -> {'pos': i - 1,
+                  'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                       AS BIGINT)})) AS u
+        FROM embeddings)
+      SELECT label, CAST(u.pos AS BIGINT) AS pos,
+        CAST(sum(u.q) AS DOUBLE) / (count(*) * 1000000) AS centroid,
+        count(*) AS n
+      FROM e GROUP BY label, u.pos ORDER BY label, pos""")
+  )
+
+  private val MinPairCount = 5
+  private val TopCollocations = 100
+
+  /** Collocation mining: corpus-wide bigram counts joined to unigram
+    * counts, scored with the Dice coefficient 2·c(ab)/(c(a)+c(b)) —
+    * rational on exact integer counts, so the score (and the top-k
+    * cut) is bit-identical across engines. Shape: two explode→partial
+    * -agg passes over the corpus plus two narrow equality joins on the
+    * (bounded-vocabulary) count tables; the final top-k is
+    * TakeOrderedAndProject, never a full sort.
+    */
+  val qCollocations = Q(
+    "q_collocations",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val toks = TextOps.tokens(col("text"))
+      val uni = docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+      val pairs = docs.select(explode(TextOps.bigrams(toks)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= MinPairCount)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      pairs
+        .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+        .withColumn("dice",
+          (lit(2) * col("c_ab")).cast("double") / (col("c_a") + col("c_b")))
+        .select("bigram", "c_ab", "c_a", "c_b", "dice")
+        .orderBy(col("dice").desc, col("bigram"))
+        .limit(TopCollocations)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+        bgl AS (SELECT CASE WHEN len(ts) >= 2
+            THEN list_transform(range(1, len(ts)),
+                 i -> ts[i] || ' ' || ts[i+1])
+            ELSE CAST([] AS VARCHAR[]) END AS bgs FROM toks),
+        pc AS (SELECT bg AS bigram, count(*) AS c_ab
+          FROM (SELECT unnest(bgs) AS bg FROM bgl)
+          GROUP BY bg HAVING count(*) >= $MinPairCount),
+        uc AS (SELECT w, count(*) AS c_w
+          FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w)
+      SELECT p.bigram, p.c_ab, a.c_w AS c_a, b.c_w AS c_b,
+        CAST(2 * p.c_ab AS DOUBLE) / (a.c_w + b.c_w) AS dice
+      FROM pc p
+      JOIN uc a ON string_split(p.bigram, ' ')[1] = a.w
+      JOIN uc b ON string_split(p.bigram, ' ')[2] = b.w
+      ORDER BY dice DESC, bigram LIMIT $TopCollocations""")
+  )
+
+  private val MinWords = 20
+  private val MaxWords = 90
+  private val MeanLenMin = 4.0
+  private val MeanLenMax = 5.0
+  private val StopFracMin = 0.03
+
+  /** Composite Gopher-style quality gate (Rae et al. 2021 §A1.1
+    * class of rules, thresholds tuned to this corpus): word-count
+    * bounds, mean-word-length band, minimum stopword fraction, and the
+    * conjunction as the keep decision. Pure map-side column math —
+    * ratios are double-on-exact-integers, so flags and pass agree
+    * bit-for-bit with the oracle. Zero shuffles at any scale.
+    */
+  val qQualityGopher = Q(
+    "q_quality_gopher",
+    (spark, dir) => {
+      val ts = TextOps.tokens(col("text"))
+      val n = size(ts)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          n.cast("long").as("n_words"),
+          when(n > 0, TextOps.totalTokenChars(ts).cast("double") / n)
+            .as("mean_word_len"),
+          when(n > 0, TextOps.stopwordHits(ts).cast("double") / n)
+            .as("stop_frac"))
+        .withColumn("flag_words", col("n_words").between(MinWords, MaxWords))
+        .withColumn("flag_word_len",
+          col("mean_word_len").between(MeanLenMin, MeanLenMax))
+        .withColumn("flag_stop", col("stop_frac") >= StopFracMin)
+        .withColumn("pass",
+          col("flag_words") && col("flag_word_len") && col("flag_stop"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+        m AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+          CASE WHEN len(ts) > 0 THEN
+            CAST(list_reduce(list_transform(ts, w -> len(w)),
+                 (a, b) -> a + b) AS DOUBLE) / len(ts) END AS mean_word_len,
+          CASE WHEN len(ts) > 0 THEN
+            CAST(len(list_filter(ts, w -> w IN
+              ('the','a','of','and','in','to','is','on'))) AS DOUBLE)
+              / len(ts) END AS stop_frac
+        FROM toks)
+      SELECT doc_id, n_words, mean_word_len, stop_frac,
+        (n_words BETWEEN $MinWords AND $MaxWords) AS flag_words,
+        (mean_word_len BETWEEN $MeanLenMin AND $MeanLenMax) AS flag_word_len,
+        (stop_frac >= $StopFracMin) AS flag_stop,
+        ((n_words BETWEEN $MinWords AND $MaxWords)
+          AND (mean_word_len BETWEEN $MeanLenMin AND $MeanLenMax)
+          AND (stop_frac >= $StopFracMin)) AS pass
+      FROM m ORDER BY doc_id""")
+  )
+
+  def all: Seq[Q] = Seq(qEmbedCentroid, qCollocations, qQualityGopher)
+}

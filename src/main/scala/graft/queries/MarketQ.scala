@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.io.Tables
+import graft.ops.{Bars, TextOps}
+
+/** Market-analytics queries over the tick/event stream — the bar
+  * construction and scrubbing layer a consumer of the reference's
+  * stored ticks (market-data-ingestor-go storage/postgres.go:31-44)
+  * runs downstream, expressed as single-shuffle grouped aggregations.
+  */
+object MarketQ {
+
+  private val HourMs = 3600000L
+
+  /** OHLC candles: per (event_type, hour) — open/close via packed
+    * (ts, id) `min_by`/`max_by` (deterministic under any partitioning,
+    * see [[Bars.TiePack]]), high/low, tick count, exact-decimal sum.
+    * One shuffle; partial agg carries one row per (partition, type,
+    * hour) regardless of input scale.
+    */
+  val qOhlcBars = Q(
+    "q_ohlc_bars",
+    (spark, dir) =>
+      Bars.ohlc(Tables.events(spark, dir), Seq("event_type"),
+        tsMsCol = "ts_ms", tieCol = "event_id", valueCol = "value",
+        bucketMs = HourMs)
+        .orderBy("event_type", "bucket_ms"),
+    Some(s"""WITH t AS (SELECT event_type, value, event_id,
+          epoch_ms(ts) AS ts_ms FROM events),
+        b AS (SELECT event_type, value,
+          ts_ms - ts_ms % $HourMs AS bucket_ms,
+          ts_ms * ${Bars.TiePack} + event_id AS o FROM t)
+      SELECT event_type, bucket_ms,
+        arg_min(value, o) AS open,
+        max(value) AS high,
+        min(value) AS low,
+        arg_max(value, o) AS close,
+        count(*) AS n_ticks,
+        CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM b GROUP BY event_type, bucket_ms
+      ORDER BY event_type, bucket_ms""")
+  )
+
+  /** VWAP per (event_type, hour), weighted by the `k` field parsed
+    * from the props JSON payload engine-side (S3/S6-style schema'd
+    * parse — corrupt/missing props contribute NULL weight rows, which
+    * the SQL aggregates skip on both engines). Sums are exact decimal;
+    * the single final division is double-on-exact-integers.
+    */
+  val qVwap = Q(
+    "q_vwap",
+    (spark, dir) => {
+      val w = from_json(col("props"),
+        StructType(Seq(StructField("k", LongType)))).getField("k")
+      Bars.vwap(Tables.events(spark, dir).withColumn("weight", w),
+        Seq("event_type"), tsMsCol = "ts_ms", valueCol = "value",
+        weightCol = "weight", bucketMs = HourMs)
+        .orderBy("event_type", "bucket_ms")
+    },
+    Some(s"""WITH t AS (SELECT event_type, value,
+          CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS w,
+          epoch_ms(ts) AS ts_ms FROM events),
+        b AS (SELECT event_type, value, w,
+          ts_ms - ts_ms % $HourMs AS bucket_ms FROM t)
+      SELECT event_type, bucket_ms, count(*) AS n_ticks,
+        CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(w AS DECIMAL(10,0)))
+            AS DOUBLE)
+          / (CASE WHEN sum(CAST(w AS DECIMAL(20,0))) <> 0
+               THEN CAST(sum(CAST(w AS DECIMAL(20,0))) AS DOUBLE) END)
+          AS vwap,
+        CAST(sum(CAST(w AS DECIMAL(20,0))) AS BIGINT) AS sum_weight
+      FROM b GROUP BY event_type, bucket_ms
+      ORDER BY event_type, bucket_ms""")
+  )
+
+  /** PII-style scrubbing pass over the customer dimension: mask every
+    * digit in the display name and report per-row redaction volume.
+    * Pure map-side regex (no lookarounds — Java regex and RE2 agree);
+    * zero shuffles at any scale.
+    */
+  val qPiiRedact = Q(
+    "q_pii_redact",
+    (spark, dir) =>
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"),
+          TextOps.maskDigits(col("c_name")).as("masked_name"),
+          TextOps.digitCount(col("c_name")).cast("long").as("n_redacted"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+        regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+        CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS BIGINT)
+          AS n_redacted
+      FROM customer ORDER BY c_custkey""")
+  )
+
+  def all: Seq[Q] = Seq(qOhlcBars, qVwap, qPiiRedact)
+}

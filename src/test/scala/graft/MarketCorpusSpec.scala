@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Bars, Similarity, TextOps}
+
+/** Unit semantics for the market-bar and corpus-analytics ops: the
+  * oracle gate proves engine parity on the test corpus; these pin the
+  * EDGE semantics the corpus doesn't exercise (ties, zero weights,
+  * empty docs, quantization).
+  */
+class MarketCorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ohlc: open/close tie-break on (ts, id), bucket boundaries") {
+    // sym A: two ticks at the SAME ts in bucket 0 — id breaks the tie;
+    // one tick exactly on the next bucket boundary goes to bucket 1000
+    val df = Seq(
+      ("A", 10L, 2L, 5.0), ("A", 10L, 1L, 3.0), ("A", 999L, 3L, 9.0),
+      ("A", 1000L, 4L, 7.0),
+      ("B", 5L, 5L, 1.0)
+    ).toDF("sym", "ts_ms", "event_id", "value")
+    val bars = Bars.ohlc(df, Seq("sym"), "ts_ms", "event_id", "value", 1000L)
+      .orderBy("sym", "bucket_ms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(bars === Array(
+      ("A", 0L, 3.0, 9.0, 3.0, 9.0, 3L),   // open=id1's 3.0, close=ts999's 9.0
+      ("A", 1000L, 7.0, 7.0, 7.0, 7.0, 1L),
+      ("B", 0L, 1.0, 1.0, 1.0, 1.0, 1L)))
+  }
+
+  test("vwap: exact weighted mean; zero-weight bucket yields NULL not NaN") {
+    val df = Seq(
+      ("A", 0L, 10.0, 3L), ("A", 1L, 20.0, 1L),   // (30+20)/4 = 12.5
+      ("B", 0L, 5.0, 0L)                          // zero total weight
+    ).toDF("sym", "ts_ms", "value", "w")
+    val out = Bars.vwap(df, Seq("sym"), "ts_ms", "value", "w", 1000L)
+      .orderBy("sym").collect()
+    assert(out(0).getAs[Double]("vwap") === 12.5)
+    assert(out(0).getAs[Long]("sum_weight") === 4L)
+    assert(out(1).isNullAt(out(1).fieldIndex("vwap")))
+  }
+
+  test("centroids: quantized exact mean, long-form rows per (label, dim)") {
+    val df = Seq(
+      (0, Seq(1.0f, -2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(0.5f, 0.25f))
+    ).toDF("label", "embedding")
+    val out = Similarity.centroids(df).orderBy("label", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out === Array(
+      (0, 0L, 2.0, 2L), (0, 1L, 1.0, 2L), (1, 0L, 0.5, 1L), (1, 1L, 0.25, 1L)))
+  }
+
+  test("centroids: partitioning cannot perturb the result (exact int sums)") {
+    val vals = (0 until 64).map(i => (i % 7, Seq.tabulate(4)(d =>
+      ((i * 31 + d * 17) % 997 / 997.0f) - 0.5f)))
+    val one = Similarity.centroids(vals.toDF("label", "embedding").repartition(1))
+      .orderBy("label", "pos").collect().map(_.getDouble(2)).toSeq
+    val many = Similarity.centroids(vals.toDF("label", "embedding").repartition(13))
+      .orderBy("label", "pos").collect().map(_.getDouble(2)).toSeq
+    assert(one === many)
+  }
+
+  test("maskDigits/digitCount: full masking, zero-digit passthrough") {
+    val out = Seq("Customer#000123", "nodigits", "9")
+      .toDF("s")
+      .select(TextOps.maskDigits(col("s")).as("m"),
+        TextOps.digitCount(col("s")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(out === Array(("Customer#######", 6), ("nodigits", 0), ("#", 1)))
+  }
+
+  test("bigrams: ordered, non-distinct; empty below 2 tokens") {
+    val out = Seq("a b a b", "solo", "")
+      .toDF("t")
+      .select(TextOps.bigrams(TextOps.tokens(col("t"))).as("bg"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("a b", "b a", "a b"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+  }
+
+  test("gopher gate: flags and conjunction on boundary values") {
+    val df = Seq(
+      (1L, Array.fill(20)("word").mkString(" ")),      // 20 words, len 4.0 — all pass
+      (2L, Array.fill(19)("word").mkString(" ")),      // too few words
+      (3L, Array.fill(20)("xx").mkString(" "))         // mean len 2 < 4
+    ).toDF("doc_id", "text")
+    val ts = TextOps.tokens(col("text"))
+    val n = size(ts)
+    val out = df.select(col("doc_id"),
+        n.cast("long").as("n_words"),
+        (TextOps.totalTokenChars(ts).cast("double") / n).as("mwl"))
+      .withColumn("flag_words", col("n_words").between(20, 90))
+      .withColumn("flag_len", col("mwl").between(4.0, 5.0))
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(3) && out(0).getBoolean(4))
+    assert(!out(1).getBoolean(3))
+    assert(!out(2).getBoolean(4))
+  }
+}
