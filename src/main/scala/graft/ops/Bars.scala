@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -80,4 +81,45 @@ object Bars {
       .drop("_sum_vw")
       .withColumn("sum_weight", col("_sum_w").cast("long"))
       .drop("_sum_w")
+
+  /** Gap-fill resample: densify a bar table to a contiguous per-key
+    * bucket spine (min..max observed bucket per key) and forward-fill
+    * `fillCol` across the gaps (last non-null by bucket order), with
+    * `is_gap` marking synthesized rows. The standard time-series
+    * resample every charting/feature pipeline runs on bars.
+    *
+    * Scale shape: the spine is generated from ONE aggregated row per
+    * key (sequence + explode, map-side after a bars-sized agg — spine
+    * cardinality is keys × time-range/bucket, independent of tick
+    * count); the left join is an equality join on (key, bucket); the
+    * forward-fill window sorts BAR rows, not ticks. Nothing in the
+    * plan touches raw-tick cardinality, so a 100 TB tick history
+    * resamples at the cost of its (vastly smaller) bar table.
+    */
+  def resampleFfill(barsIn: DataFrame, keyCols: Seq[String],
+      bucketCol: String, bucketMs: Long, fillCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    // The bar table feeds two consumers (spine bounds + the fill join)
+    // whose different column pruning defeats exchange reuse — without a
+    // cut, the upstream bar AGGREGATION (and its tick scan) runs twice.
+    // Same lazy-localCheckpoint pattern as Dedup.minhashLshPairs: the
+    // first consumer materializes the (small, bar-cardinality) table,
+    // the second reads the cached blocks. Long-running cluster jobs
+    // should persist bars to a real table instead (non-reliable blocks).
+    val bars = barsIn
+      .select((keyCols :+ bucketCol).map(col) :+ col(fillCol): _*)
+      .localCheckpoint(false)
+    val spine = bars.groupBy(keys: _*)
+      .agg(min(col(bucketCol)).as("_lo"), max(col(bucketCol)).as("_hi"))
+      .select(keys :+ explode(
+        sequence(col("_lo"), col("_hi"), lit(bucketMs))).as(bucketCol): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(bars.select((keyCols :+ bucketCol).map(col) :+
+        col(fillCol).as("_fill"): _*), keyCols :+ bucketCol, "left")
+      .select(keys ++ Seq(col(bucketCol),
+        last(col("_fill"), ignoreNulls = true).over(w).as(fillCol),
+        col("_fill").isNull.as("is_gap")): _*)
+  }
 }

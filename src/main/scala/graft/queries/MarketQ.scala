@@ -95,5 +95,40 @@ object MarketQ {
       FROM customer ORDER BY c_custkey""")
   )
 
-  def all: Seq[Q] = Seq(qOhlcBars, qVwap, qPiiRedact)
+  /** Gap-filled close series: hourly bars densified to a contiguous
+    * per-type bucket spine with the close forward-filled across empty
+    * hours (see [[Bars.resampleFfill]] for the scale argument — the
+    * whole plan runs at bar cardinality, never tick cardinality).
+    */
+  val qGapfill = Q(
+    "q_gapfill",
+    (spark, dir) => {
+      val bars = Bars.ohlc(Tables.events(spark, dir), Seq("event_type"),
+        tsMsCol = "ts_ms", tieCol = "event_id", valueCol = "value",
+        bucketMs = HourMs)
+      Bars.resampleFfill(bars, Seq("event_type"), "bucket_ms", HourMs, "close")
+        .orderBy("event_type", "bucket_ms")
+    },
+    Some(s"""WITH t AS (SELECT event_type, value, event_id,
+          epoch_ms(ts) AS ts_ms FROM events),
+        b AS (SELECT event_type, value,
+          ts_ms - ts_ms % $HourMs AS bucket_ms,
+          ts_ms * ${Bars.TiePack} + event_id AS o FROM t),
+        bars AS (SELECT event_type, bucket_ms,
+          arg_max(value, o) AS close FROM b GROUP BY event_type, bucket_ms),
+        bounds AS (SELECT event_type, min(bucket_ms) AS lo,
+          max(bucket_ms) AS hi FROM bars GROUP BY event_type),
+        spine AS (SELECT event_type,
+          unnest(generate_series(lo, hi, $HourMs)) AS bucket_ms FROM bounds),
+        g AS (SELECT s.event_type, s.bucket_ms, bars.close
+          FROM spine s LEFT JOIN bars USING (event_type, bucket_ms))
+      SELECT g.event_type, g.bucket_ms,
+        last_value(g.close IGNORE NULLS) OVER (PARTITION BY g.event_type
+          ORDER BY g.bucket_ms
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+        (g.close IS NULL) AS is_gap
+      FROM g ORDER BY g.event_type, g.bucket_ms""")
+  )
+
+  def all: Seq[Q] = Seq(qOhlcBars, qVwap, qPiiRedact, qGapfill)
 }

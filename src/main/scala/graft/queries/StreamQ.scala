@@ -124,5 +124,61 @@ object StreamQ {
       ORDER BY w_start, event_type""")
   )
 
-  def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow)
+  /** Streaming OHLC candles — real-time bar construction on the live
+    * feed, the reference domain's canonical streaming aggregation:
+    * watermarked tumbling windows whose open/close ride the same
+    * packed-tie `min_by`/`max_by` as the batch q_ohlc_bars (declarative
+    * aggregates, so the streaming state store carries one (ord, value)
+    * pair per extreme — no per-tick state). Append mode emits bars
+    * whose window closed at or below the final watermark; the oracle
+    * is the batch bar aggregation under that same cutoff. Fourth
+    * batch/stream equivalence pin; its batch face is q_ohlc_bars.
+    */
+  val qStreamOhlc = Q(
+    "q_stream_ohlc",
+    (spark, dir) => {
+      val rawSchema = Tables.table(spark, dir, "events").schema
+      val name = { counter += 1; s"stream_ohlc_$counter" }
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts_ms", expr("ts div 1000000"))
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+        .withColumn("o",
+          col("ts_ms") * lit(graft.ops.Bars.TiePack) + col("event_id"))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(
+          min_by(col("value"), col("o")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("o")).as("close"),
+          count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("w_start"),
+          col("event_type"), col("open"), col("high"), col("low"),
+          col("close"), col("n"))
+      val q = src.writeStream
+        .queryName(name)
+        .outputMode("append")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).orderBy("w_start", "event_type")
+    },
+    Some(s"""WITH e AS (SELECT epoch_ms(ts) AS t, event_type, value,
+          epoch_ms(ts) * ${graft.ops.Bars.TiePack} + event_id AS o
+        FROM events),
+        m AS (SELECT max(t) - 3600000 AS wm FROM e),
+        w AS (SELECT (t // 3600000) * 3600000 AS w_start, event_type,
+          value, o FROM e)
+      SELECT w_start, event_type,
+        arg_min(value, o) AS open, max(value) AS high, min(value) AS low,
+        arg_max(value, o) AS close, count(*) AS n
+      FROM w CROSS JOIN m WHERE w_start + 3600000 <= wm
+      GROUP BY w_start, event_type
+      ORDER BY w_start, event_type""")
+  )
+
+  def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow, qStreamOhlc)
 }

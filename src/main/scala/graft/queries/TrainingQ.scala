@@ -749,9 +749,79 @@ object TrainingQ {
     }
   )
 
+  /** Incremental dedup: a NEW batch (hash-split 20% of docs) checked
+    * against the existing corpus via LSH band-key postings — the shape
+    * a 100 TB pipeline actually runs on ingest: new-batch keys (O(N)
+    * rows) equality-join the stored corpus index; nothing corpus-wide
+    * recomputes (here both sides derive fresh for the oracle's sake;
+    * [[graft.ops.Dedup.lshBandKeys]] scaladoc covers the stored-index
+    * deployment). Emits each new doc with ≥1 collision and its
+    * distinct corpus-candidate count.
+    */
+  val qDedupIncr = Q(
+    "q_dedup_incr",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val newK = Dedup.lshBandKeys(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", Bands, RowsPerBand)
+      val corpK = Dedup.lshBandKeys(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", Bands, RowsPerBand)
+      newK.join(corpK.select(col("doc_id").as("corpus_id"), col("bk")), Seq("bk"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("corpus_id")).as("n_dup_candidates"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val sigExprs = (0 until NumHashes).map(sqlMinhashSig).mkString(", ")
+      val bandExprs = (0 until Bands).map(b =>
+        s"h${b * RowsPerBand} || '|' || h${b * RowsPerBand + 1} AS b$b").mkString(", ")
+      val bandCond = (0 until Bands).map(b => s"n.b$b = c.b$b").mkString(" OR ")
+      s"""WITH $tokCtes,
+          sig AS (SELECT doc_id, $sigExprs FROM sh),
+          b AS (SELECT *, $bandExprs FROM sig),
+          news AS (SELECT * FROM b WHERE doc_id % 5 = 0),
+          corp AS (SELECT * FROM b WHERE doc_id % 5 <> 0)
+        SELECT n.doc_id, count(DISTINCT c.doc_id) AS n_dup_candidates
+        FROM news n JOIN corp c ON ($bandCond)
+        GROUP BY n.doc_id ORDER BY n.doc_id"""
+    }
+  )
+
+  /** Embedding-QA outlier gate: per-vector squared norm (the same
+    * sequential fold as every cosine here — bit-identical across
+    * engines) flagged against global exact 1st/99th percentiles.
+    * The two-row stats result broadcasts; the vector side is map-only
+    * — the q_zscore shape applied to embedding hygiene.
+    */
+  val qEmbedOutliers = Q(
+    "q_embed_outliers",
+    (spark, dir) => {
+      val nrm = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          Similarity.norm2(Similarity.asDouble(col("embedding"))).as("norm2"))
+      val stats = nrm.agg(
+        percentile(col("norm2"), lit(0.01)).as("p_lo"),
+        percentile(col("norm2"), lit(0.99)).as("p_hi"))
+      nrm.crossJoin(broadcast(stats))
+        .withColumn("is_outlier",
+          col("norm2") < col("p_lo") || col("norm2") > col("p_hi"))
+        .select("vec_id", "label", "norm2", "is_outlier")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, ${sqlDot("v", "v")} AS norm2
+        FROM (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings)),
+      s AS (SELECT quantile_cont(norm2, 0.01) AS p_lo,
+          quantile_cont(norm2, 0.99) AS p_hi FROM e)
+      SELECT e.vec_id, e.label, e.norm2,
+        (e.norm2 < s.p_lo OR e.norm2 > s.p_hi) AS is_outlier
+      FROM e CROSS JOIN s ORDER BY vec_id""")
+  )
+
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
     qDedupSimhashHam, qDedupClusters, qTextStats, qLangId, qTokenCount,
     qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
     qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf, qTopTerms, qTfidf,
-    qDedupEmbed)
+    qDedupEmbed, qDedupIncr, qEmbedOutliers)
 }

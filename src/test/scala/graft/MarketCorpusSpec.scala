@@ -82,6 +82,19 @@ class MarketCorpusSpec extends AnyFunSuite {
     assert(out(2) === Seq.empty)
   }
 
+  test("resampleFfill: per-key spine, forward fill across gaps, gap flags") {
+    // key A observed at buckets 0 and 3000 — 1000/2000 are gaps filled
+    // with 1.0; key B is a single bucket (spine of one, no gaps)
+    val bars = Seq(("A", 0L, 1.0), ("A", 3000L, 4.0), ("B", 5000L, 9.0))
+      .toDF("sym", "bucket_ms", "close")
+    val out = Bars.resampleFfill(bars, Seq("sym"), "bucket_ms", 1000L, "close")
+      .orderBy("sym", "bucket_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out === Array(
+      ("A", 0L, 1.0, false), ("A", 1000L, 1.0, true), ("A", 2000L, 1.0, true),
+      ("A", 3000L, 4.0, false), ("B", 5000L, 9.0, false)))
+  }
+
   test("gopher gate: flags and conjunction on boundary values") {
     val df = Seq(
       (1L, Array.fill(20)("word").mkString(" ")),      // 20 words, len 4.0 — all pass

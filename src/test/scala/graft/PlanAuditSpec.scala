@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // tiny dim (query set, per-group stats, corpus count, config dim) —
     // the cross is the POINT, and the broadcast keeps it linear
     val intended = Set("q_knn", "q_ann_ivf", "q_serve_snapshot",
-      "q_snapshot_diff", "q_tfidf", "q_ttl_filter")
+      "q_snapshot_diff", "q_tfidf", "q_ttl_filter",
+      "q_embed_outliers") // 2-column percentile stats row × vector side
     for ((name, p) <- sweep if p.contains("BroadcastNestedLoopJoin"))
       assert(intended(name), s"$name plans an unintended BroadcastNestedLoopJoin")
   }
