@@ -95,6 +95,31 @@ class MarketCorpusSpec extends AnyFunSuite {
       ("A", 3000L, 4.0, false), ("B", 5000L, 9.0, false)))
   }
 
+  test("ohlc property: agrees with a brute-force reference on random ticks") {
+    // deterministic pseudo-random ticks with INTENTIONAL ts collisions
+    // (small time domain) — exactly where open/close tie-breaks matter
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val ticks = (0 until 200).map { i =>
+        (s"S${rnd.nextInt(3)}", rnd.nextInt(40).toLong, i.toLong,
+          (rnd.nextInt(999) + 1) / 10.0)
+      }
+      val expected = ticks.groupBy(t => (t._1, t._2 - t._2 % 10)).map {
+        case ((sym, b), ts) =>
+          val sorted = ts.sortBy(t => (t._2, t._3))
+          (sym, b, sorted.head._4, ts.map(_._4).max, ts.map(_._4).min,
+            sorted.last._4, ts.size.toLong)
+      }.toSeq.sortBy(t => (t._1, t._2))
+      val got = Bars.ohlc(ticks.toDF("sym", "ts_ms", "event_id", "value"),
+        Seq("sym"), "ts_ms", "event_id", "value", 10L)
+        .orderBy("sym", "bucket_ms").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+        .toSeq
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("gopher gate: flags and conjunction on boundary values") {
     val df = Seq(
       (1L, Array.fill(20)("word").mkString(" ")),      // 20 words, len 4.0 — all pass
