@@ -49,8 +49,14 @@ object CorpusQ {
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
       val toks = TextOps.tokens(col("text"))
+      // the unigram count table feeds BOTH join sides (c_a, c_b) —
+      // without a cut the corpus tokenize+explode+agg plans twice
+      // (same pruning-defeats-reuse shape as Bars.resampleFfill);
+      // the cut materializes the (bounded-vocabulary) table once,
+      // dropping corpus passes from three to two
       val uni = docs.select(explode(toks).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c_w"))
+        .localCheckpoint(false)
       val pairs = docs.select(explode(TextOps.bigrams(toks)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= MinPairCount)
