@@ -43,6 +43,24 @@ class MarketCorpusSpec extends AnyFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("vwap")))
   }
 
+  test("vwap: NULL weights (corrupt/missing props) drop from sums but count as ticks") {
+    val df = Seq(
+      ("A", 0L, 10.0, Some(3L)), ("A", 1L, 99.0, None), ("A", 2L, 20.0, Some(1L))
+    ).toDF("sym", "ts_ms", "value", "w")
+    val out = Bars.vwap(df, Seq("sym"), "ts_ms", "value", "w", 1000L).collect()
+    assert(out(0).getAs[Double]("vwap") === 12.5)   // (30+20)/4 — 99.0 excluded
+    assert(out(0).getAs[Long]("sum_weight") === 4L)
+    assert(out(0).getAs[Long]("n_ticks") === 3L)    // but the tick IS counted
+  }
+
+  test("centroids: empty vectors contribute no rows (posexplode drop)") {
+    val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq.empty[Float]))
+      .toDF("label", "embedding")
+    val out = Similarity.centroids(df).orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out === Array((0L, 1.0, 1L), (1L, 3.0, 1L))) // n=1: empty vec absent
+  }
+
   test("centroids: quantized exact mean, long-form rows per (label, dim)") {
     val df = Seq(
       (0, Seq(1.0f, -2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(0.5f, 0.25f))

@@ -385,6 +385,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.get(0L).contains(2L))
   }
 
+  test("streaming OHLC window state survives restart; closed bars emit exactly once (A8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)] // (ts_ms, event_id, value)
+    val ckpt = tmp("ckptOhlc")
+    def run(): Seq[(Long, Double, Double, Long)] = {
+      val bars = in.toDF().toDF("ts_ms", "event_id", "value")
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+        .withColumn("o",
+          col("ts_ms") * lit(graft.ops.Bars.TiePack) + col("event_id"))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "5 minutes"))
+        .agg(min_by(col("value"), col("o")).as("open"),
+          max_by(col("value"), col("o")).as("close"),
+          count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("w"),
+          col("open"), col("close"), col("n"))
+      val buf =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Double, Long)]()
+      val q = bars.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (ds: org.apache.spark.sql.DataFrame, _: Long) =>
+          ds.collect().foreach(r =>
+            buf.add((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.toArray(Array.empty[(Long, Double, Double, Long)]).toSeq
+    }
+    val m = 60000L
+    in.addData((1 * m, 1L, 5.0), (3 * m, 2L, 7.0)) // [0,5m) open
+    assert(run().isEmpty, "no window closed yet")
+    // restart from checkpoint: a third in-window row must MERGE into the
+    // recovered window state (open stays the recovered 5.0, n reaches 3),
+    // then the 20m row pushes the watermark past 5m and closes the bar
+    in.addData((2 * m, 3L, 6.0), (20 * m, 4L, 9.0))
+    assert(run() === Seq((0L, 5.0, 7.0, 3L)))
+    // a further restart with no input re-emits NOTHING (append-once)
+    assert(run().isEmpty, "closed bar re-emitted after restart")
+    // and the still-open [20,25m) bar closes later with its own extremes
+    in.addData((40 * m, 5L, 1.0))
+    assert(run() === Seq((20 * m, 9.0, 9.0, 1L)))
+  }
+
   test("streaming sliding windows: one row lands in every overlapping window (A-family, q_slide_window's streaming face)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)] // (ts_ms, value)
