@@ -92,6 +92,26 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("approx p50 stays within 2% of the exact median per group (q_approx_sketch vs exact percentile)") {
+    // the quantile half of q_approx_sketch's rows-only contract: the
+    // percentile_approx estimate (accuracy 1000) pinned against the
+    // exact interpolated median at sf0.01
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q_approx_sketch")(spark, dir)
+      .select("event_type", "approx_p50").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.io.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.percentile(
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.lit(0.5)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, ex) <- exact)
+      assert(math.abs(approx(k) - ex) / ex <= 0.02,
+        s"group $k: approx ${approx(k)} vs exact $ex drifts past 2%")
+  }
+
   test("fewer than k distinct values returns them all, sorted") {
     val small = Seq(("a", 5L), ("a", 1L), ("a", 5L), ("a", 9L)).toDF("g", "h")
     val got = small.groupBy("g").agg(Sketches.kmvMins(col("h"), k).as("kept"))
