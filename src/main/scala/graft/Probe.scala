@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Bars
+
+/** Scale probe for the bar operators: generates N synthetic ticks
+  * in-memory (spark.range — no I/O, pure codegen) and times OHLC
+  * aggregation under a uniform key distribution AND under a 50%
+  * single-hot-key skew. The point being measured: with map-side
+  * partial min_by/max_by, the shuffle carries one row per
+  * (partition × key × bucket) regardless of input skew — a hot symbol
+  * collapses map-side, so skewed and uniform runs should cost the
+  * same, which is the property that makes the operator safe at 100 TB
+  * without salting.
+  *
+  * Usage: runMain graft.Probe [nRows]  (default 50e6)
+  * Prints one JSON line; results recorded in PERF.md.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(50000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 16 ticks share each ms (exercises the tie-break), value is a
+    // deterministic hash, event_id stays inside the TiePack bound
+    def ticks(sym: org.apache.spark.sql.Column): DataFrame =
+      spark.range(n).select(
+        sym.as("sym"),
+        (col("id") / 16).cast("long").as("ts_ms"),
+        pmod(col("id"), lit(1000000L)).as("event_id"),
+        (pmod(hash(col("id")), lit(10000)) / lit(100.0)).as("value"))
+
+    val uniform = ticks(concat(lit("S"), pmod(col("id"), lit(1000))))
+    val skewed = ticks(when(pmod(col("id"), lit(2)) === 0, lit("HOT"))
+      .otherwise(concat(lit("S"), pmod(col("id"), lit(1000)))))
+
+    def time(df: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val bucket = 60000L // 1-min bars: ~52 buckets/sym over the 52-min domain
+    // warm the JIT/codegen paths once
+    time(Bars.ohlc(uniform.limit(1000000), Seq("sym"), "ts_ms", "event_id",
+      "value", bucket))
+    val (tU, rU) = time(Bars.ohlc(uniform, Seq("sym"), "ts_ms", "event_id",
+      "value", bucket))
+    val (tS, rS) = time(Bars.ohlc(skewed, Seq("sym"), "ts_ms", "event_id",
+      "value", bucket))
+    val (tV, rV) = time(Bars.vwap(uniform.withColumn("w",
+      pmod(col("event_id"), lit(100L))), Seq("sym"), "ts_ms", "value", "w",
+      bucket))
+    println(s"""{"probe":"bars","rows":$n,"ohlc_uniform_sec":$tU,""" +
+      s""""ohlc_uniform_bars":$rU,"ohlc_skew50_sec":$tS,""" +
+      s""""ohlc_skew50_bars":$rS,"vwap_sec":$tV,"vwap_bars":$rV}""")
+    spark.stop()
+  }
+}
