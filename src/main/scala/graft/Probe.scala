@@ -63,6 +63,28 @@ object Probe {
     println(s"""{"probe":"bars","rows":$n,"ohlc_uniform_sec":$tU,""" +
       s""""ohlc_uniform_bars":$rU,"ohlc_skew50_sec":$tS,""" +
       s""""ohlc_skew50_bars":$rS,"vwap_sec":$tV,"vwap_bars":$rV}""")
+
+    // MinHash+LSH scaling: synthetic ~60-token docs from a 1000-word
+    // hashed vocabulary, 10% of them near-duplicates (two variants per
+    // base doc differing in a trailing token) so the LSH join finds
+    // real pairs. Measures docs/sec through signature + band join at
+    // 10× the sf0.1 corpus.
+    val nDocs = 50000L
+    val words = (0 until 60).map(i =>
+      concat(lit("w"), pmod(hash(col("base") * 60 + i), lit(1000))))
+    val docs = spark.range(nDocs)
+      .withColumn("base",
+        when(pmod(col("id"), lit(10)) < 2, expr("(id div 10) * 10"))
+          .otherwise(col("id")))
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (words :+ concat(lit("v"), pmod(col("id"), lit(10)))): _*)
+          .as("text"))
+    val t0 = System.nanoTime()
+    val nPairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      bands = 4, rowsPerBand = 2).count()
+    val tD = (System.nanoTime() - t0) / 1e9
+    println(s"""{"probe":"minhash_lsh","docs":$nDocs,"sec":$tD,""" +
+      s""""pairs":$nPairs,"docs_per_sec":${(nDocs / tD).toLong}}""")
     spark.stop()
   }
 }
