@@ -85,6 +85,23 @@ object Probe {
     val tD = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":"minhash_lsh","docs":$nDocs,"sec":$tD,""" +
       s""""pairs":$nPairs,"docs_per_sec":${(nDocs / tD).toLong}}""")
+
+    // Star-contraction CC on a worst-case-diameter graph: a 100k-node
+    // PATH (every near-dup chain's pathological limit). Min-label
+    // propagation needs O(diameter) = 100k rounds here — unrunnable;
+    // star contraction converges in O(log n) rounds, which is the
+    // reason both variants ship. Also proves the driver loop's plan
+    // cuts hold up over ~17 iterative rounds.
+    val nNodes = 100000L
+    val chain = spark.range(nNodes - 1)
+      .select(col("id").as("i"), (col("id") + 1).as("j"))
+    val t1 = System.nanoTime()
+    val comps = graft.ops.Dedup.connectedComponentsStar(chain)
+      .agg(countDistinct(col("rep_id")).as("c"), count(lit(1)).as("n"))
+      .collect()(0)
+    val tC = (System.nanoTime() - t1) / 1e9
+    println(s"""{"probe":"cc_star_path","nodes":$nNodes,"sec":$tC,""" +
+      s""""components":${comps.getLong(0)},"labeled":${comps.getLong(1)}}""")
     spark.stop()
   }
 }

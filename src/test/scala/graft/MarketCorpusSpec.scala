@@ -138,6 +138,31 @@ class MarketCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("vwap property: agrees with a brute-force reference on random ticks") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 100)
+      val ticks = (0 until 150).map { i =>
+        (s"S${rnd.nextInt(3)}", rnd.nextInt(30).toLong,
+          (rnd.nextInt(999) + 1) / 10.0, rnd.nextInt(5).toLong)
+      }
+      val expected = ticks.groupBy(t => (t._1, t._2 - t._2 % 10)).map {
+        case ((sym, b), ts) =>
+          val sw = ts.map(_._4).sum
+          val vw = ts.map(t => BigDecimal(t._3) * t._4).sum
+          // mirror the engine: exact decimal sums, ONE double division
+          (sym, b, ts.size.toLong,
+            if (sw == 0) None else Some(vw.toDouble / sw.toDouble), sw)
+      }.toSeq.sortBy(t => (t._1, t._2))
+      val got = Bars.vwap(ticks.toDF("sym", "ts_ms", "value", "w"),
+        Seq("sym"), "ts_ms", "value", "w", 10L)
+        .orderBy("sym", "bucket_ms").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4)))
+        .toSeq
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("gopher gate: flags and conjunction on boundary values") {
     val df = Seq(
       (1L, Array.fill(20)("word").mkString(" ")),      // 20 words, len 4.0 — all pass
