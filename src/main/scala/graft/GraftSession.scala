@@ -33,4 +33,25 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", parallelism.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+
+  /** The default HDFSBackedStateStore keeps every streaming key's state
+    * in executor HEAP — fine for bench-scale keyed state, an OOM at
+    * 100 TB key cardinality (keep-last over hundreds of millions of
+    * symbols·users, watermark dedup state, windowed bars). This conf
+    * swaps in the RocksDB provider (built into Spark since 3.2): state
+    * lives off-heap/on-disk with incremental checkpointing, bounding
+    * executor memory by the RocksDB cache, not by key count.
+    * Per-SESSION conf, read at query start — set it on the builder (or
+    * `spark.conf.set` before `.start()`); StreamingSpec proves the
+    * stateful keep-last path end-to-end on RocksDB in-container.
+    */
+  val RocksDbStateStore: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** [[builder]] with RocksDB streaming state — the cluster-scale
+    * default for long-running stateful pipelines.
+    */
+  def streamingBuilder(parallelism: Int): SparkSession.Builder =
+    builder(parallelism).config(RocksDbStateStore._1, RocksDbStateStore._2)
 }

@@ -148,6 +148,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(runOnce().map(_.id) == Seq(2L))
   }
 
+  test("stateful keep-last runs on the RocksDB state store (cluster-scale state backend)") {
+    // session conf is read at query START, so toggling around one query
+    // proves the provider end-to-end without a second SparkSession
+    implicit val sqlCtx = spark.sqlContext
+    val key = GraftSession.RocksDbStateStore._1
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, GraftSession.RocksDbStateStore._2)
+    try {
+      val in = MemoryStream[Keyed]
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Keyed]()
+      val q = LatestStream.keepLastStateful(in.toDS(), ttlMs = None)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", tmp("ckptRocks"))
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Keyed], _: Long) =>
+          ds.collect().foreach(buf.add); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      in.addData(Keyed("a", 1, 100, 1.0), Keyed("a", 2, 300, 2.0),
+        Keyed("b", 3, 50, 3.0))
+      q.awaitTermination()
+      assert(buf.toArray(Array.empty[Keyed]).map(_.id).sorted.toSeq == Seq(2L, 3L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("state TTL timeout removes the key (A2, Redis expiry)") {
     val fn = LatestStream.updateLatest(Some(1000L)) _
     // normal update keeps the max record
