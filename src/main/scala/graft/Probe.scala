@@ -102,6 +102,28 @@ object Probe {
     val tC = (System.nanoTime() - t1) / 1e9
     println(s"""{"probe":"cc_star_path","nodes":$nNodes,"sec":$tC,""" +
       s""""components":${comps.getLong(0)},"labeled":${comps.getLong(1)}}""")
+
+    // As-of join at 10M trades × 1M quotes over 100 symbols: the
+    // union+window formulation's cost is ONE (key, time) shuffle+sort
+    // of both sides together — this measures rows/sec through that
+    // sort, the operator's scale bound.
+    val nTrades = 10000000L
+    val trades = spark.range(nTrades).select(
+      concat(lit("S"), pmod(col("id"), lit(100))).as("sym"),
+      pmod(hash(col("id")), lit(100000000L)).as("t"),
+      col("id").as("trade_id"))
+    val quotes = spark.range(nTrades / 10).select(
+      concat(lit("S"), pmod(col("id"), lit(100))).as("sym"),
+      pmod(hash(col("id") + 7), lit(100000000L)).as("qt"),
+      (pmod(hash(col("id") * 3), lit(10000)) / lit(100.0)).as("px"))
+      .groupBy("sym", "qt").agg(max(col("px")).as("px")) // unique (sym, t)
+    val t2 = System.nanoTime()
+    val nMatched = graft.ops.AsOf.asOfJoin(trades, quotes, Seq("sym"),
+      "t", "qt", Seq("px")).filter(col("px").isNotNull).count()
+    val tA = (System.nanoTime() - t2) / 1e9
+    println(s"""{"probe":"asof","trades":$nTrades,"quotes":${nTrades / 10},""" +
+      s""""sec":$tA,"matched":$nMatched,""" +
+      s""""trades_per_sec":${(nTrades / tA).toLong}}""")
     spark.stop()
   }
 }
