@@ -79,10 +79,8 @@ object Probe {
       .select(col("id").as("doc_id"),
         concat_ws(" ", (words :+ concat(lit("v"), pmod(col("id"), lit(10)))): _*)
           .as("text"))
-    val t0 = System.nanoTime()
-    val nPairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
-      bands = 4, rowsPerBand = 2).count()
-    val tD = (System.nanoTime() - t0) / 1e9
+    val (tD, nPairs) = time(graft.ops.Dedup.minhashLshPairs(docs, "doc_id",
+      "text", bands = 4, rowsPerBand = 2))
     println(s"""{"probe":"minhash_lsh","docs":$nDocs,"sec":$tD,""" +
       s""""pairs":$nPairs,"docs_per_sec":${(nDocs / tD).toLong}}""")
 
@@ -117,10 +115,8 @@ object Probe {
       pmod(hash(col("id") + 7), lit(100000000L)).as("qt"),
       (pmod(hash(col("id") * 3), lit(10000)) / lit(100.0)).as("px"))
       .groupBy("sym", "qt").agg(max(col("px")).as("px")) // unique (sym, t)
-    val t2 = System.nanoTime()
-    val nMatched = graft.ops.AsOf.asOfJoin(trades, quotes, Seq("sym"),
-      "t", "qt", Seq("px")).filter(col("px").isNotNull).count()
-    val tA = (System.nanoTime() - t2) / 1e9
+    val (tA, nMatched) = time(graft.ops.AsOf.asOfJoin(trades, quotes,
+      Seq("sym"), "t", "qt", Seq("px")).filter(col("px").isNotNull))
     println(s"""{"probe":"asof","trades":$nTrades,"quotes":${nTrades / 10},""" +
       s""""sec":$tA,"matched":$nMatched,""" +
       s""""trades_per_sec":${(nTrades / tA).toLong}}""")

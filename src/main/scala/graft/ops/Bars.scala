@@ -30,11 +30,20 @@ object Bars {
     * Domain proof: epoch ms < 2^43 until year 2248; 2^43 * 10^6 <
     * 2^63, so the pack cannot overflow ANSI int64 for tie < 10^6.
     * Callers with wider tie-breaker domains must pre-rank ties.
+    *
+    * The precondition is ENFORCED per row (one codegen'd branch): a
+    * tie ≥ 10^6 would silently collide packed ordinals across
+    * adjacent milliseconds, making open/close partition-dependent —
+    * the exact nondeterminism the pack exists to rule out — so it
+    * raises instead.
     */
   val TiePack = 1000000L
 
   private def ord(tsMs: Column, tie: Column): Column =
-    tsMs * lit(TiePack) + tie
+    when(tie >= 0 && tie < lit(TiePack), tsMs * lit(TiePack) + tie)
+      .otherwise(raise_error(concat(
+        lit(s"Bars tie-breaker out of [0, $TiePack): "), tie.cast("string"),
+        lit(" — pre-rank ties (e.g. row_number per ms) before ohlc"))).cast("long"))
 
   /** OHLC bars: per (keys..., bucket of `bucketMs`) — open = first
     * value by (ts, tie), close = last, high/low = max/min, plus tick

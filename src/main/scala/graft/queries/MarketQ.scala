@@ -60,7 +60,8 @@ object MarketQ {
         .orderBy("event_type", "bucket_ms")
     },
     Some(s"""WITH t AS (SELECT event_type, value,
-          CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS w,
+          TRY_CAST(CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$$.k') END AS BIGINT) AS w,
           epoch_ms(ts) AS ts_ms FROM events),
         b AS (SELECT event_type, value, w,
           ts_ms - ts_ms % $HourMs AS bucket_ms FROM t)

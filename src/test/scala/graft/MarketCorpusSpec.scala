@@ -43,6 +43,15 @@ class MarketCorpusSpec extends AnyFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("vwap")))
   }
 
+  test("ohlc: a tie-breaker outside [0, TiePack) raises instead of silently colliding") {
+    val df = Seq(("A", 0L, Bars.TiePack, 1.0)) // tie == 10^6: packed ordinal
+      .toDF("sym", "ts_ms", "event_id", "value") // would collide with ts+1
+    val e = intercept[Exception] {
+      Bars.ohlc(df, Seq("sym"), "ts_ms", "event_id", "value", 1000L).collect()
+    }
+    assert(e.getMessage.contains("tie-breaker out of"))
+  }
+
   test("vwap: NULL weights (corrupt/missing props) drop from sums but count as ticks") {
     val df = Seq(
       ("A", 0L, 10.0, Some(3L)), ("A", 1L, 99.0, None), ("A", 2L, 20.0, Some(1L))
