@@ -91,6 +91,90 @@ object Bars {
       .withColumn("sum_weight", col("_sum_w").cast("long"))
       .drop("_sum_w")
 
+  /** Multi-resolution OHLC in ONE scan: candles at several bucket
+    * widths (e.g. 10 min and 1 h) from a single pass over the ticks,
+    * via native grouping sets — Catalyst's Expand generates the
+    * per-resolution replicas MAP-SIDE and every aggregate
+    * partial-aggregates before the one shuffle, so the exchange
+    * carries bar-cardinality rows per resolution while the 100 TB
+    * tick scan happens once (vs once per resolution when calling
+    * [[ohlc]] per width — the scan, not the agg, dominates at scale).
+    * Output: one row per (keys..., granularity_ms, bucket_ms).
+    */
+  def ohlcMulti(ticks: DataFrame, keyCols: Seq[String], tsMsCol: String,
+      tieCol: String, valueCol: String, bucketsMs: Seq[Long]): DataFrame = {
+    require(bucketsMs.nonEmpty && bucketsMs.distinct.size == bucketsMs.size,
+      s"bucketsMs must be non-empty and distinct: $bucketsMs")
+    val keys = keyCols.map(col)
+    val v = col(valueCol)
+    val bcols = bucketsMs.zipWithIndex.map { case (b, i) =>
+      (col(tsMsCol) - col(tsMsCol) % lit(b)).as(s"_b$i")
+    }
+    val withB = ticks.select(
+      (keys :+ v :+ ord(col(tsMsCol), col(tieCol)).as("_o")) ++ bcols: _*)
+    val sets = bucketsMs.indices.map(i => (keys :+ col(s"_b$i")).toSeq)
+    // grouping() is only legal inside the grouping-sets aggregate, so
+    // the per-resolution flags come out of agg and fold into the
+    // granularity tag one select above.
+    val gflags = bucketsMs.indices.map(i => grouping(col(s"_b$i")).as(s"_g$i"))
+    val gran = bucketsMs.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
+      when(col(s"_g$i") === 0, lit(bucketsMs(i))).otherwise(acc)
+    }
+    withB
+      .groupingSets(sets, keys ++ bucketsMs.indices.map(i => col(s"_b$i")): _*)
+      .agg(gflags.head, gflags.tail ++ Seq(
+        min_by(v, col("_o")).as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max_by(v, col("_o")).as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(v.cast(DecimalType(20, 6))).cast("double").as("sum_value")): _*)
+      .select(keys ++ Seq(gran.as("granularity_ms"),
+        coalesce(bucketsMs.indices.map(i => col(s"_b$i")): _*).as("bucket_ms"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"), col("sum_value")): _*)
+  }
+
+  /** Tick-to-tick move volatility per (keys..., bucket): sample mean
+    * and standard deviation of successive value CHANGES within each
+    * key's (ts, tie)-ordered tick series — the realized-volatility
+    * bar every risk/feature pipeline derives from ticks. Differences
+    * are exact-decimal subtractions (no division per row), power sums
+    * stay decimal until the per-GROUP closed form, so partial-agg
+    * order cannot perturb a bit and the result is engine-portable.
+    * The first move of a bucket uses the previous bucket's last tick
+    * (the series is continuous per key, not reset per bar).
+    *
+    * Scale shape: ONE (key)-partitioned window sort for the lag (same
+    * cost class as the as-of join's time sort; key cardinality =
+    * instruments, so partitions parallelize) followed by the same
+    * single partial+final agg as [[ohlc]] — the shuffle after the
+    * window carries one 3-sum row per (partition, key, bucket).
+    * Buckets with <2 moves yield NULL vol (guarded division), not NaN.
+    */
+  def moveVol(ticks: DataFrame, keyCols: Seq[String], tsMsCol: String,
+      tieCol: String, valueCol: String, bucketMs: Long): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(ord(col(tsMsCol), col(tieCol)))
+    val x = col(valueCol).cast(DecimalType(12, 2))
+    val d = x - lag(x, 1).over(w)
+    val n = col("n_moves")
+    ticks
+      .withColumn("bucket_ms", col(tsMsCol) - col(tsMsCol) % lit(bucketMs))
+      .withColumn("_d", d)
+      .groupBy((keys :+ col("bucket_ms")): _*)
+      .agg(
+        count(col("_d")).as("n_moves"),
+        sum(col("_d")).cast("double").as("_sd"),
+        sum(col("_d") * col("_d")).cast("double").as("_sdd"))
+      .select(keys ++ Seq(col("bucket_ms"), n,
+        when(n > 0, col("_sd") / n).as("mean_move"),
+        when(n >= 2, sqrt(
+          (n * col("_sdd") - col("_sd") * col("_sd")) /
+            (n.cast("double") * (n - 1)))).as("vol_move")): _*)
+  }
+
   /** Gap-fill resample: densify a bar table to a contiguous per-key
     * bucket spine (min..max observed bucket per key) and forward-fill
     * `fillCol` across the gaps (last non-null by bucket order), with

@@ -13,6 +13,7 @@ import graft.ops.{Bars, TextOps}
 object MarketQ {
 
   private val HourMs = 3600000L
+  private val TenMinMs = 600000L
 
   /** OHLC candles: per (event_type, hour) — open/close via packed
     * (ts, id) `min_by`/`max_by` (deterministic under any partitioning,
@@ -76,6 +77,71 @@ object MarketQ {
       ORDER BY event_type, bucket_ms""")
   )
 
+  /** Multi-resolution candles — 1 h and 10 min bars from ONE tick
+    * scan (see [[Bars.ohlcMulti]]: Expand replicates map-side, one
+    * partial-agg shuffle; at 100 TB the scan happens once instead of
+    * once per resolution).
+    */
+  val qOhlcMulti = Q(
+    "q_ohlc_multi",
+    (spark, dir) =>
+      Bars.ohlcMulti(Tables.events(spark, dir), Seq("event_type"),
+        tsMsCol = "ts_ms", tieCol = "event_id", valueCol = "value",
+        bucketsMs = Seq(HourMs, TenMinMs))
+        .orderBy("event_type", "granularity_ms", "bucket_ms"),
+    Some(s"""WITH t AS (SELECT event_type, value, event_id,
+          epoch_ms(ts) AS ts_ms FROM events),
+        b AS (SELECT event_type, value,
+          ts_ms - ts_ms % $HourMs AS b0,
+          ts_ms - ts_ms % $TenMinMs AS b1,
+          ts_ms * ${Bars.TiePack} + event_id AS o FROM t)
+      SELECT event_type,
+        CAST(CASE WHEN GROUPING(b0) = 0 THEN $HourMs ELSE $TenMinMs END
+          AS BIGINT) AS granularity_ms,
+        coalesce(b0, b1) AS bucket_ms,
+        arg_min(value, o) AS open,
+        max(value) AS high,
+        min(value) AS low,
+        arg_max(value, o) AS close,
+        count(*) AS n_ticks,
+        CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+      FROM b
+      GROUP BY GROUPING SETS ((event_type, b0), (event_type, b1))
+      ORDER BY event_type, granularity_ms, bucket_ms""")
+  )
+
+  /** Realized move-volatility bars: per (event_type, hour), the sample
+    * mean/stddev of successive tick-to-tick value changes (see
+    * [[Bars.moveVol]] — exact-decimal diffs + power sums, one keyed
+    * window sort + one agg shuffle; NULL-guarded closed form).
+    */
+  val qMoveVol = Q(
+    "q_move_vol",
+    (spark, dir) =>
+      Bars.moveVol(Tables.events(spark, dir), Seq("event_type"),
+        tsMsCol = "ts_ms", tieCol = "event_id", valueCol = "value",
+        bucketMs = HourMs)
+        .orderBy("event_type", "bucket_ms"),
+    Some(s"""WITH t AS (SELECT event_type,
+          CAST(value AS DECIMAL(12,2)) AS x,
+          epoch_ms(ts) AS ts_ms, event_id FROM events),
+        d AS (SELECT event_type,
+          ts_ms - ts_ms % $HourMs AS bucket_ms,
+          x - lag(x) OVER (PARTITION BY event_type
+            ORDER BY ts_ms * ${Bars.TiePack} + event_id) AS d
+        FROM t),
+        a AS (SELECT event_type, bucket_ms, count(d) AS n_moves,
+          CAST(sum(d) AS DOUBLE) AS sd,
+          CAST(sum(d * d) AS DOUBLE) AS sdd
+        FROM d GROUP BY event_type, bucket_ms)
+      SELECT event_type, bucket_ms, n_moves,
+        CASE WHEN n_moves > 0 THEN sd / n_moves END AS mean_move,
+        CASE WHEN n_moves >= 2 THEN
+          sqrt((n_moves * sdd - sd * sd) /
+            (CAST(n_moves AS DOUBLE) * (n_moves - 1))) END AS vol_move
+      FROM a ORDER BY event_type, bucket_ms""")
+  )
+
   /** PII-style scrubbing pass over the customer dimension: mask every
     * digit in the display name and report per-row redaction volume.
     * Pure map-side regex (no lookarounds — Java regex and RE2 agree);
@@ -131,5 +197,6 @@ object MarketQ {
       FROM g ORDER BY g.event_type, g.bucket_ms""")
   )
 
-  def all: Seq[Q] = Seq(qOhlcBars, qVwap, qPiiRedact, qGapfill)
+  def all: Seq[Q] =
+    Seq(qOhlcBars, qOhlcMulti, qVwap, qMoveVol, qPiiRedact, qGapfill)
 }

@@ -36,6 +36,57 @@ object TrainingQ {
       FROM documents GROUP BY md5(text) ORDER BY rep_id""")
   )
 
+  /** The apply step of exact dedup: every doc tagged (rep_id, kept,
+    * group_size) — the keep/drop list a pipeline actually writes out
+    * (see [[graft.ops.Dedup.applyKeep]]).
+    */
+  val qDedupApply = Q(
+    "q_dedup_apply",
+    (spark, dir) =>
+      Dedup.applyKeep(Tables.documents(spark, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""WITH g AS (SELECT md5(text) AS h, min(doc_id) AS rep_id,
+          count(*) AS group_size
+        FROM documents GROUP BY md5(text))
+      SELECT d.doc_id, g.rep_id, d.doc_id = g.rep_id AS kept,
+        g.group_size
+      FROM documents d JOIN g ON md5(d.text) = g.h
+      ORDER BY d.doc_id""")
+  )
+
+  /** Span-level duplicated-trigram coverage per doc (Lee et al.
+    * ACL'22 exact-substring signal — see
+    * [[graft.ops.Dedup.dupNgramCoverage]]): positions whose shingle
+    * appears in ≥2 docs, as count and covered fraction.
+    */
+  val qDupCoverage = Q(
+    "q_dup_coverage",
+    (spark, dir) =>
+      Dedup.dupNgramCoverage(Tables.documents(spark, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+        shp AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+            THEN list_transform(range(1, len(ts) - 1),
+                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+            ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+        df AS (SELECT s, count(DISTINCT doc_id) AS df
+          FROM shp GROUP BY s),
+        per AS (SELECT doc_id, count(*) AS n_pos,
+            CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup
+          FROM shp JOIN df USING (s) GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(per.n_pos, 0) AS n_pos,
+        coalesce(per.n_dup, 0) AS n_dup,
+        CASE WHEN per.n_pos > 0
+          THEN CAST(per.n_dup AS DOUBLE) / per.n_pos END AS dup_frac
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY d.doc_id""")
+  )
+
   /** Stop-shingle doc-frequency cap, active in the shipped ngram /
     * cluster queries: a shingle occurring in more docs than this is
     * dropped from candidate generation (it creates an O(df²) skewed
@@ -823,5 +874,5 @@ object TrainingQ {
     qDedupSimhashHam, qDedupClusters, qTextStats, qLangId, qTokenCount,
     qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
     qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf, qTopTerms, qTfidf,
-    qDedupEmbed, qDedupIncr, qEmbedOutliers)
+    qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply, qDupCoverage)
 }

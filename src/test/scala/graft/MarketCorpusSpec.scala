@@ -190,4 +190,55 @@ class MarketCorpusSpec extends AnyFunSuite {
     assert(!out(1).getBoolean(3))
     assert(!out(2).getBoolean(4))
   }
+
+  test("moveVol: diffs cross bucket boundaries; <2 moves yields NULL vol") {
+    // sym A ticks 10, 13, 11, 11 — moves +3, -2, 0; the last tick sits
+    // in bucket 1000 so its move (vs ts=2's 11.0) crosses the boundary.
+    val df = Seq(
+      ("A", 0L, 1L, 10.0), ("A", 1L, 2L, 13.0), ("A", 2L, 3L, 11.0),
+      ("A", 1000L, 4L, 11.0),
+      ("B", 0L, 5L, 5.0)                       // single tick: no moves
+    ).toDF("sym", "ts_ms", "event_id", "value")
+    val out = Bars.moveVol(df, Seq("sym"), "ts_ms", "event_id", "value", 1000L)
+      .orderBy("sym", "bucket_ms").collect()
+    // A bucket 0: n=2 (+3, -2), mean 0.5, sample var = 12.5
+    assert((out(0).getString(0), out(0).getLong(1), out(0).getLong(2)) === (("A", 0L, 2L)))
+    assert(out(0).getDouble(3) === 0.5)
+    assert(out(0).getDouble(4) === math.sqrt(12.5))
+    // A bucket 1000: one move (0.0) — mean 0, vol NULL (not NaN)
+    assert(out(1).getLong(2) === 1L && out(1).getDouble(3) === 0.0)
+    assert(out(1).isNullAt(4))
+    // B: zero moves — NULL mean and vol
+    assert(out(2).getLong(2) === 0L && out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
+  test("ohlcMulti: one-scan grouping-sets bars equal per-width ohlc runs") {
+    val df = Seq(
+      ("A", 0L, 1L, 10.0), ("A", 400L, 2L, 13.0), ("A", 999L, 3L, 11.0),
+      ("A", 1500L, 4L, 9.0), ("B", 100L, 5L, 5.0), ("B", 2100L, 6L, 6.0)
+    ).toDF("sym", "ts_ms", "event_id", "value")
+    val widths = Seq(1000L, 500L)
+    val multi = Bars.ohlcMulti(df, Seq("sym"), "ts_ms", "event_id", "value", widths)
+    val singles = widths.map { wMs =>
+      Bars.ohlc(df, Seq("sym"), "ts_ms", "event_id", "value", wMs)
+        .withColumn("granularity_ms", lit(wMs))
+        .select("sym", "granularity_ms", "bucket_ms",
+          "open", "high", "low", "close", "n_ticks", "sum_value")
+    }.reduce(_ unionAll _)
+    val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1), r.getLong(2))
+    val m = multi.collect().map(r => key(r) -> r.toSeq).toMap
+    val s = singles.collect().map(r => key(r) -> r.toSeq).toMap
+    assert(m === s)
+    assert(m.size === 4 + 5) // 4 bars at 1000ms, 5 at 500ms
+  }
+
+  test("moveVol: tick-order determinism — same-ms ties broken by id") {
+    val df = Seq(
+      ("A", 0L, 2L, 20.0), ("A", 0L, 1L, 10.0), ("A", 1L, 3L, 15.0)
+    ).toDF("sym", "ts_ms", "event_id", "value")
+    val out = Bars.moveVol(df, Seq("sym"), "ts_ms", "event_id", "value", 1000L)
+      .collect()
+    // ordered series is 10, 20, 15 -> moves +10, -5: mean 2.5
+    assert(out(0).getLong(2) === 2L && out(0).getDouble(3) === 2.5)
+  }
 }

@@ -183,4 +183,33 @@ class TrainingSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(out(0) == out(1) && out(0) != out(2))
   }
+
+  test("applyKeep: one kept doc per group, lineage to min-id rep") {
+    val docs = Seq(
+      (3L, "same text"), (1L, "same text"), (2L, "other"), (7L, "same text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.applyKeep(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, true, 3L), (2L, 2L, true, 1L),
+      (3L, 1L, false, 3L), (7L, 1L, false, 3L)))
+  }
+
+  test("dupNgramCoverage: shared span counted per position; short docs 0/NULL") {
+    // docs 1 and 2 share the 4-token prefix -> 2 shared trigram
+    // positions each; doc 1 has 3 positions total (5 tokens), doc 2
+    // has 2 (4 tokens, all shared); doc 3 is unique; doc 4 too short.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox"),
+      (3L, "entirely different words here"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramCoverage(docs, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 2L), (2L, 2L, 2L), (3L, 2L, 0L), (4L, 0L, 0L)))
+    assert(out(1).getDouble(3) === 1.0)
+    assert(out(3).isNullAt(3))
+  }
 }
