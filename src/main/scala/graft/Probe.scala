@@ -64,6 +64,18 @@ object Probe {
       s""""ohlc_uniform_bars":$rU,"ohlc_skew50_sec":$tS,""" +
       s""""ohlc_skew50_bars":$rS,"vwap_sec":$tV,"vwap_bars":$rV}""")
 
+    // moveVol pays the one cost ohlc avoids — a per-key (ts, tie)
+    // window sort of the full tick volume (same cost class as the
+    // as-of sort); ohlcMulti pays a 2× map-side Expand but keeps the
+    // single scan + partial-agg shuffle. Both numbers bound the
+    // operators' scale story next to plain ohlc above.
+    val (tM, rM) = time(Bars.moveVol(uniform, Seq("sym"), "ts_ms",
+      "event_id", "value", bucket))
+    val (tMu, rMu) = time(Bars.ohlcMulti(uniform, Seq("sym"), "ts_ms",
+      "event_id", "value", Seq(bucket, 5 * bucket)))
+    println(s"""{"probe":"bars2","rows":$n,"movevol_sec":$tM,""" +
+      s""""movevol_bars":$rM,"ohlc_multi_sec":$tMu,"ohlc_multi_bars":$rMu}""")
+
     // MinHash+LSH scaling: synthetic ~60-token docs from a 1000-word
     // hashed vocabulary, 10% of them near-duplicates (two variants per
     // base doc differing in a trailing token) so the LSH join finds

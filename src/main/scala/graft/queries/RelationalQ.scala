@@ -937,11 +937,58 @@ object RelationalQ {
       ORDER BY event_id""")
   )
 
+  /** Robust outlier gate: median/MAD (median absolute deviation)
+    * instead of mean/std — the skew-immune counterpart of [[qZscore]]
+    * (one fat-tailed key inflates a stddev until nothing flags; the
+    * median and MAD barely move). Emits only the flagged events with
+    * their robust z. Portability rides the same contract as
+    * [[qQuantiles]]: Spark `percentile` and DuckDB `quantile_cont`
+    * share the linear-interpolation definition, and every downstream
+    * comparison/division is double-on-identical-doubles.
+    *
+    * Plan shape: two tiny per-group percentile aggs (5 rows each)
+    * broadcast back; the fact side is map-only — no fact shuffle at
+    * any scale, same as q_zscore. Exact percentile sorts each group
+    * on one reducer (the documented cost of exactness — q_quantiles'
+    * scaladoc); at corpus scale swap `approx_percentile` into the
+    * stats legs, the gate itself is unchanged.
+    */
+  val qRobustZ = Q(
+    "q_robust_z",
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select("event_id", "event_type", "value")
+      val med = e.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val d = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", col("value") - col("med"))
+      val mad = d.groupBy("event_type")
+        .agg(percentile(abs(col("dev")), lit(0.5)).as("mad"))
+      d.join(broadcast(mad), Seq("event_type"))
+        .filter(abs(col("dev")) > lit(1.8) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          (col("dev") / col("mad")).as("z_robust"))
+        .orderBy("event_id")
+    },
+    Some("""WITH m AS (SELECT event_type,
+          quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+        d AS (SELECT e.event_id, e.event_type, e.value,
+          e.value - m.med AS dev
+        FROM events e JOIN m USING (event_type)),
+        s AS (SELECT event_type, quantile_cont(abs(dev), 0.5) AS mad
+        FROM d GROUP BY event_type)
+      SELECT d.event_id, d.event_type, d.value, d.dev / s.mad AS z_robust
+      FROM d JOIN s USING (event_type)
+      WHERE abs(d.dev) > 1.8 * s.mad
+      ORDER BY d.event_id""")
+  )
+
   def all: Seq[Q] = Seq(q1Agg, q3Shipping, q13Custdist, qJoinPricing,
     qWindowRank, qWindowNav, qTopk,
     qSetops, qSetopsAll, qMovingAvg,
     qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
     qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,
-    qHistogram, qStatsMoments, qZscore)
+    qHistogram, qStatsMoments, qZscore, qRobustZ)
 }

@@ -100,6 +100,24 @@ class SkewCcSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout: directory pruning engages, one file per value") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = spark.range(3000).selectExpr(
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS part",
+      "id AS ts", "id * 2 AS v")
+    graft.io.Bucketing.writePartitioned(df, dir, Seq("part"), Seq("ts"))
+    val back = spark.read.parquet(dir).filter(col("part") === "b")
+    assert(back.count() == 1000)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("part#"),
+      s"expected the partition predicate in PartitionFilters:\n$scan")
+    // small-files guard: the repartition coalesces each value into ONE
+    // task -> one parquet file per partition directory
+    val files = new java.io.File(dir, "part=b")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected one coalesced file, got $files")
+  }
+
   test("star-contraction CC matches min-label on random graphs") {
     def labelsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
       df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

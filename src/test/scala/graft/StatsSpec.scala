@@ -75,4 +75,30 @@ class StatsSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("v") - 1.0) < 1e-9)
     }
   }
+
+  test("median/MAD robust gate is skew-immune where mean/std is not") {
+    // 20 values clustered at 10..29 plus ONE extreme point. The
+    // mean/std gate at the same multiplier stops flagging the cluster
+    // edge once the outlier inflates sigma; median/MAD barely move.
+    val vals = (0 until 20).map(i => (i.toLong, 10.0 + i)) :+ (99L, 100000.0)
+    val df = vals.toDF("id", "v")
+    val med = df.agg(percentile(col("v"), lit(0.5)).as("med"))
+    val dev = df.crossJoin(broadcast(med)).withColumn("dev", col("v") - col("med"))
+    val mad = dev.agg(percentile(abs(col("dev")), lit(0.5)).as("mad"))
+      .collect()(0).getDouble(0)
+    val medV = med.collect()(0).getDouble(0)
+    // median sits inside the cluster, MAD is cluster-scaled: the
+    // extreme point is far outside 2.5 MAD, the cluster body is not
+    assert(medV >= 10.0 && medV <= 29.0)
+    assert(mad > 0 && mad < 20)
+    val flagged = dev.filter(abs(col("dev")) > lit(2.5) * lit(mad))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(99L))
+    // contrast: the single point inflates sigma ~1000× (std > 20k on a
+    // spread-20 cluster), so the classical z of the outlier collapses
+    // to ~4.6 while its robust z is ~10⁴ — one more such point and the
+    // z-gate saturates; MAD does not move
+    val std = df.agg(stddev_pop(col("v")).as("s")).collect()(0).getDouble(0)
+    assert(std > 20000 && (100000.0 - medV) / mad > 1000)
+  }
 }
