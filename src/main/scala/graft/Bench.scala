@@ -29,23 +29,40 @@ object Bench {
     // repeat-and-median: single runs at sub-second scale are dominated
     // by machine noise (observed ±5 s across identical round totals);
     // the median of SPARK_GRAFT_BENCH_REPS runs per query makes
-    // round-over-round comparisons meaningful
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // round-over-round comparisons meaningful. 5 reps unlocks honest
+    // p25/p75 spreads below.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    // failed reps must stay visible: a rep that throws is excluded from
-    // the median and counted in "errors"; a query with zero successful
-    // reps records -1 so broken queries can't masquerade as fast ones
-    val results = queries.map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
+    // INTERLEAVED rep-major order: all reps of a query back-to-back
+    // couple its timings to whatever JIT/GC state the previous query
+    // left behind (a measured 8x floor shift on q_kmv_distinct traced
+    // to exactly this). Running rep r of EVERY query before rep r+1 of
+    // any, with the start point rotated each rep, decorrelates a
+    // query's reps from any single neighbor.
+    val names = queries.keys.toVector
+    val timings = scala.collection.mutable.Map.empty[String, Vector[(Double, Long)]]
+      .withDefaultValue(Vector.empty)
+    for (r <- 0 until reps) {
+      val rot = if (names.isEmpty) names
+                else names.drop((r * names.length) / math.max(reps, 1) % names.length) ++
+                     names.take((r * names.length) / math.max(reps, 1) % names.length)
+      rot.foreach { name =>
+        val fn = queries(name)
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count()
                 catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, n)
+        timings(name) = timings(name) :+ (((System.nanoTime() - t0) / 1e9, n))
       }
+    }
+    // failed reps must stay visible: a rep that throws is excluded from
+    // the median and counted in "errors"; a query with zero successful
+    // reps records -1 so broken queries can't masquerade as fast ones
+    val results = queries.map { case (name, _) =>
+      val runs = timings(name)
       val good = runs.collect { case (t, n) if n >= 0 => t }
       // honest spread labelling: with < 5 successful reps the quartile
       // indices collapse to (min, max), so the interval is only called
