@@ -618,6 +618,12 @@ object TrainingQ {
     * doc labeled with its component's min doc id.
     * Oracle: recursive-CTE transitive closure + min reachable label
     * over the same band-collision pairs.
+    *
+    * Uses the forest-contraction CC: post-LSH pair graphs only hold
+    * docs that actually collided, so distinct nodes fit one task and
+    * the labeling is a single shuffle-free job — the iterative
+    * min-label / star variants stay as the unbounded-node-count paths
+    * (equivalence pinned in SkewCcSpec).
     */
   val qDedupClusters = Q(
     "q_dedup_clusters",
@@ -625,7 +631,7 @@ object TrainingQ {
       val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir),
         "doc_id", "text", bands = Bands, rowsPerBand = RowsPerBand)
         .filter(col("est_jaccard") >= ClusterEstJaccard)
-      Dedup.connectedComponents(pairs).orderBy("doc_id")
+      Dedup.connectedComponentsForest(pairs).orderBy("doc_id")
     },
     Some {
       val sigExprs = (0 until NumHashes).map(sqlMinhashSig).mkString(", ")

@@ -154,7 +154,8 @@ class SkewCcSpec extends AnyFunSuite {
         .filter(p => p._1 != p._2)
       val want = unionFind(50, edges).toSeq.sortBy(_._1)
       val df = edges.toDF("i", "j")
-      for (impl <- Seq(Dedup.connectedComponents(df), Dedup.connectedComponentsStar(df))) {
+      for (impl <- Seq(Dedup.connectedComponents(df), Dedup.connectedComponentsStar(df),
+          Dedup.connectedComponentsForest(df))) {
         val got = impl.orderBy("doc_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq
         assert(got == want, s"seed=$seed")
@@ -176,6 +177,25 @@ class SkewCcSpec extends AnyFunSuite {
     assert(dir.isDefined, "reliable CC must establish a checkpoint dir")
     val files = new java.io.File(new java.net.URI(dir.get))
     assert(files.exists, s"checkpoint dir ${dir.get} missing on disk")
+  }
+
+  test("forest CC: multi-partition coalesce tree merges cross-partition components") {
+    // a 300-node chain spread over 24 partitions with a tiny fanIn so
+    // the merge tree is several levels deep — every cross-partition
+    // seam must still collapse to one component rooted at the min id
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("i", "j")
+      .repartition(24)
+    val labels = Dedup.connectedComponentsForest(chain, fanIn = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 300 && labels.forall(_._2 == 1L))
+    // and a mixed multi-component graph across partitions
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2)
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(labelsOf(Dedup.connectedComponentsForest(edges.toDF("i", "j").repartition(16), fanIn = 4)) ==
+      labelsOf(Dedup.connectedComponents(edges.toDF("i", "j"))))
   }
 
   test("star-contraction CC converges in O(log n) rounds on a high-diameter chain") {
