@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.WsClient
+import graft.stream.{Broadcast, Pipeline, Registry, WsServer}
+
+/** End-to-end serve plane (C1/C4 + A6/K4/C3): a REAL RFC 6455 server
+  * in front of the per-second snapshot broadcaster, driven by the
+  * repo's own [[WsClient]] — the transport mirror of WsSourceSpec on
+  * the ingest side. Pins reference server.go:43-174: auth-before-
+  * upgrade, per-second transformed fan-out, multi-connection clients,
+  * and dead-connection pruning.
+  */
+class ServeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val apiKeys = Map("key-alpha" -> "alpha", "key-beta" -> "beta")
+
+  /** Latest-table + configs fixture shared by the tests: sym1/sym2
+    * snapshots, alpha doubling sym1's v.
+    */
+  private def serveFixture(): (String, org.apache.spark.sql.DataFrame) = {
+    val latestDir = tmp("latestWs")
+    val snapshot = Seq(("sym1", 100L, 2.0), ("sym2", 200L, 3.0))
+      .toDF("symbol", "ts_ms", "value")
+      .withColumn("exchange", lit("unknown"))
+      .withColumn("payload", map(lit("v"), col("value").cast("string")))
+    val shaped = graft.ops.Transform.normalize(
+      snapshot, "symbol", "ts_ms", "exchange")
+      .select("symbol", "flat")
+    Pipeline.upsertLatest(spark, shaped, latestDir, Seq("symbol"), Seq("flat.timestamp"))
+    val configs = spark.sql(
+      """SELECT 'alpha' AS client_id, 'sym1' AS symbol,
+           map('v', named_struct('op', 'multiply', 'value', 2.0D)) AS rules,
+           CAST(NULL AS MAP<STRING,STRING>) AS renames,
+           CAST(NULL AS ARRAY<STRING>) AS removes,
+           CAST(NULL AS MAP<STRING,STRING>) AS overrides""")
+    (latestDir, configs)
+  }
+
+  test("upgrade requires a valid X-API-Key (server.go:57-67)") {
+    val server = new WsServer(apiKeys.get)
+    try {
+      // missing key → 401 before any WS handshake
+      val e1 = intercept[java.io.IOException](
+        WsClient.connect("127.0.0.1", server.boundPort, "/ws"))
+      assert(e1.getMessage.contains("401"), e1.getMessage)
+      // unknown key → 401
+      val e2 = intercept[java.io.IOException](
+        WsClient.connect("127.0.0.1", server.boundPort, "/ws",
+          headers = Map("X-API-Key" -> "nope")))
+      assert(e2.getMessage.contains("401"), e2.getMessage)
+      assert(server.registry.connected.isEmpty)
+    } finally server.stop()
+  }
+
+  test("connected client receives per-second transformed snapshots over a live socket") {
+    val (latestDir, configs) = serveFixture()
+    val server = new WsServer(apiKeys.get)
+    val client = WsClient.connect("127.0.0.1", server.boundPort, "/ws",
+      headers = Map("X-API-Key" -> "key-alpha"), readTimeoutMs = 20000)
+    val q = Broadcast.start(spark, latestDir, configs, tmp("ckptWs"),
+      sink = WsServer.fanOutSink(server),
+      period = "1 second", registry = Some(server.registry))
+    try {
+      assert(server.registry.connected == Set("alpha"))
+      // read until both symbols arrive (ticks repeat, so bounded reads
+      // suffice); payloads are the reference's flattened JSON rows
+      val seen = scala.collection.mutable.Map.empty[String, String]
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.size < 2 && System.currentTimeMillis() < deadline)
+        client.readText().foreach { msg =>
+          val sym = "\"symbol\":\"(sym[0-9])\"".r.findFirstMatchIn(msg).map(_.group(1))
+          sym.foreach(s => seen(s) = msg)
+        }
+      // sym1 transformed (v: 2.0 * 2 = 4.0), sym2 passthrough (3.0)
+      assert(seen.get("sym1").exists(_.contains("\"v\":\"4.0\"")), seen.toString)
+      assert(seen.get("sym2").exists(_.contains("\"v\":\"3.0\"")), seen.toString)
+    } finally {
+      q.stop(); client.close(); server.stop()
+    }
+  }
+
+  test("multi-connection client counts; dead connection is pruned (server.go:132-174)") {
+    val server = new WsServer(apiKeys.get, readDeadlineMs = 2000)
+    try {
+      val c1 = WsClient.connect("127.0.0.1", server.boundPort, "/ws",
+        headers = Map("X-API-Key" -> "key-alpha"))
+      val c2 = WsClient.connect("127.0.0.1", server.boundPort, "/ws",
+        headers = Map("X-API-Key" -> "key-alpha"))
+      val c3 = WsClient.connect("127.0.0.1", server.boundPort, "/ws",
+        headers = Map("X-API-Key" -> "key-beta"))
+      def await(cond: => Boolean): Boolean = {
+        val deadline = System.currentTimeMillis() + 15000
+        while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        cond
+      }
+      assert(await(server.registry.connectionCount("alpha") == 2 &&
+        server.registry.connected == Set("alpha", "beta")))
+      // close one alpha connection: client stays registered on the other
+      c1.close()
+      assert(await(server.registry.connectionCount("alpha") == 1))
+      assert(server.registry.connected == Set("alpha", "beta"))
+      // beta goes silent past the read deadline with no close frame (a
+      // pulled cable) while alpha keeps traffic flowing — any inbound
+      // frame re-arms alpha's deadline, beta's expires and prunes it
+      val deadline = System.currentTimeMillis() + 15000
+      while (server.registry.connected != Set("alpha") &&
+          System.currentTimeMillis() < deadline) {
+        c2.sendText("keepalive"); Thread.sleep(200)
+      }
+      assert(server.registry.connected == Set("alpha"),
+        s"beta not pruned: ${server.registry.connected}")
+      c2.close(); c3.close()
+      assert(await(server.registry.connected.isEmpty))
+    } finally server.stop()
+  }
+}
