@@ -132,6 +132,35 @@ object Probe {
     println(s"""{"probe":"asof","trades":$nTrades,"quotes":${nTrades / 10},""" +
       s""""sec":$tA,"matched":$nMatched,""" +
       s""""trades_per_sec":${(nTrades / tA).toLong}}""")
+
+    // Serve-path probe: the per-tick body of the snapshot broadcaster
+    // (Transform.serveSnapshot — broadcast clients × broadcast configs
+    // + the interpreted HOF transform) at 1M live symbols × 1k
+    // (client, symbol) config rows over 50 clients. Output cardinality
+    // is symbols × clients = 50M transformed rows; the measured number
+    // bounds how large a snapshot a 1-second serving tick can actually
+    // re-transform. All joins are broadcasts — the snapshot side never
+    // shuffles, which is what makes the tick scale with executors.
+    val nSyms = 1000000L
+    val nClients = 50L
+    val snapshot = spark.range(nSyms).select(
+      concat(lit("S"), col("id")).as("symbol"),
+      map(
+        lit("v"), (pmod(hash(col("id")), lit(10000)) / lit(100.0)).cast("string"),
+        lit("ts"), col("id").cast("string"),
+        lit("drop_me"), lit("x")).as("flat"))
+    val serveCfgs = spark.range(nClients * 20).select(
+      concat(lit("C"), pmod(col("id"), lit(nClients))).as("client_id"),
+      concat(lit("S"), pmod(col("id") * 997L, lit(nSyms))).as("symbol"),
+      map(lit("v"), struct(lit("multiply").as("op"), lit(2.0).as("value"))).as("rules"),
+      map(lit("ts"), lit("t")).as("renames"),
+      array(lit("drop_me")).as("removes"),
+      map(lit("src"), lit("graft")).as("overrides"))
+    val (tSv, rSv) = time(
+      graft.ops.Transform.serveSnapshot(snapshot, serveCfgs))
+    println(s"""{"probe":"serve_snapshot","symbols":$nSyms,"clients":$nClients,""" +
+      s""""configs":${nClients * 20},"sec":$tSv,"served_rows":$rSv,""" +
+      s""""rows_per_sec":${(rSv / tSv).toLong}}""")
     spark.stop()
   }
 }
