@@ -161,6 +161,27 @@ object Probe {
     println(s"""{"probe":"serve_snapshot","symbols":$nSyms,"clients":$nClients,""" +
       s""""configs":${nClients * 20},"sec":$tSv,"served_rows":$rSv,""" +
       s""""rows_per_sec":${(rSv / tSv).toLong}}""")
+
+    // The compiled variant of the same tick: per-client when-chains
+    // codegen'd instead of the interpreted rules HOF — the recommended
+    // path when the fan-out outgrows the interpreted tick. Same
+    // clients/symbol coverage, so rows match serve_snapshot above and
+    // the two numbers are directly comparable.
+    val compiledCfgs = (0L until nClients).map { c =>
+      val syms = (0L until nClients * 20)
+        .filter(_ % nClients == c)
+        .map(i => s"S${(i * 997L) % nSyms}" -> graft.model.SymbolConfig(
+          renameFields = Map("ts" -> "t"),
+          valueRules = Map("v" -> graft.model.ValueRule("multiply", 2.0)),
+          overrideFields = Map("src" -> "graft"),
+          removeFields = Seq("drop_me"))).toMap
+      s"C$c" -> graft.model.ClientConfig(syms)
+    }.toMap
+    val (tSc, rSc) = time(
+      graft.ops.Transform.serveSnapshotCompiled(snapshot, compiledCfgs))
+    println(s"""{"probe":"serve_snapshot_compiled","symbols":$nSyms,""" +
+      s""""clients":$nClients,"sec":$tSc,"served_rows":$rSc,""" +
+      s""""rows_per_sec":${(rSc / tSc).toLong}}""")
     spark.stop()
   }
 }
