@@ -1,0 +1,73 @@
+package graft.stream
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** C5 — the ops HTTP plane: the reference's `/health` 200-OK probe and
+  * Prometheus `/metrics` exposition (main.go:47-59, metrics.go:8-34),
+  * served off the JDK's built-in HttpServer so the container needs no
+  * HTTP dependency. Driver-side like [[Registry]]/[[WsServer]]: ops
+  * endpoints describe the DRIVER's view (listener counters, live
+  * client count) — executors report through Spark's own metrics
+  * system on a real cluster.
+  *
+  * `/metrics` renders the [[Metrics]] snapshot in Prometheus text
+  * exposition format v0.0.4 (`# TYPE` + name/value lines), with the
+  * error classes as `graft_errors_total{type="..."}` label variants —
+  * the reference's errors_total CounterVec shape — and, when a
+  * [[Registry]] is attached, `graft_connected_clients` as the serving
+  * plane's gauge.
+  */
+final class OpsServer(
+    metrics: Metrics,
+    registry: Option[Registry] = None,
+    port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, status: Int, body: String,
+      contentType: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  /** Prometheus text format: counters with the graft_ namespace, the
+    * errors_total classes folded into one labeled family.
+    */
+  private[stream] def metricsText: String = {
+    val snap = metrics.snapshot
+    val sb = new StringBuilder
+    def counter(name: String, value: Long): Unit =
+      sb.append(s"# TYPE $name counter\n$name $value\n")
+    counter("graft_messages_processed_total", snap("messages_processed"))
+    counter("graft_batch_inserts_total", snap("batch_inserts"))
+    counter("graft_queries_started_total", snap("queries_started"))
+    counter("graft_queries_failed_total", snap("queries_failed"))
+    counter("graft_batches_quarantined_total", snap("batches_quarantined"))
+    sb.append("# TYPE graft_errors_total counter\n")
+    Seq("unmarshal", "validation", "sink").foreach { t =>
+      sb.append(s"""graft_errors_total{type="$t"} ${snap(s"errors_total_$t")}\n""")
+    }
+    sb.append("# TYPE graft_last_batch_duration_ms gauge\n")
+    sb.append(s"graft_last_batch_duration_ms ${snap("last_batch_duration_ms")}\n")
+    registry.foreach { r =>
+      sb.append("# TYPE graft_connected_clients gauge\n")
+      sb.append(s"graft_connected_clients ${r.connected.size}\n")
+    }
+    sb.result()
+  }
+
+  server.createContext("/health", (ex: HttpExchange) =>
+    respond(ex, 200, "OK", "text/plain"))
+  server.createContext("/metrics", (ex: HttpExchange) =>
+    respond(ex, 200, metricsText, "text/plain; version=0.0.4"))
+  server.setExecutor(null) // ops traffic: the default single thread is right
+  server.start()
+
+  def stop(): Unit = server.stop(0)
+}

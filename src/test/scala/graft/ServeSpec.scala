@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.WsClient
-import graft.stream.{Broadcast, Pipeline, Registry, WsServer}
+import graft.stream.{Broadcast, Metrics, OpsServer, Pipeline, Registry, WsServer}
 
 /** End-to-end serve plane (C1/C4 + A6/K4/C3): a REAL RFC 6455 server
   * in front of the per-second snapshot broadcaster, driven by the
@@ -122,5 +122,45 @@ class ServeSpec extends AnyFunSuite {
       c2.close(); c3.close()
       assert(await(server.registry.connected.isEmpty))
     } finally server.stop()
+  }
+
+  test("ops HTTP plane serves /health and Prometheus /metrics (C5, main.go:47-59)") {
+    def get(port: Int, path: String): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(5000); conn.setReadTimeout(5000)
+      val code = conn.getResponseCode
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      conn.disconnect()
+      (code, body)
+    }
+    val metrics = Metrics.attach(spark)
+    val registry = new Registry
+    registry.connect("alpha"); registry.connect("beta")
+    val ops = new OpsServer(metrics, Some(registry))
+    try {
+      // drive one real streaming batch so the counters are non-zero
+      implicit val sqlCtx = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val q = in.toDS().writeStream.format("memory").queryName("ops_probe")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+      q.stop()
+
+      assert(get(ops.boundPort, "/health") == ((200, "OK")))
+      val (code, body) = get(ops.boundPort, "/metrics")
+      assert(code == 200)
+      // counters present in exposition format, fed by real progress
+      assert(body.contains("# TYPE graft_messages_processed_total counter"))
+      assert("graft_messages_processed_total (\\d+)".r.findFirstMatchIn(body)
+        .exists(_.group(1).toLong >= 3L), body)
+      assert(body.contains("""graft_errors_total{type="unmarshal"}"""))
+      assert(body.contains("graft_connected_clients 2"))
+    } finally {
+      ops.stop()
+      spark.streams.removeListener(metrics)
+    }
   }
 }
