@@ -113,6 +113,39 @@ object Probe {
     println(s"""{"probe":"cc_star_path","nodes":$nNodes,"sec":$tC,""" +
       s""""components":${comps.getLong(0)},"labeled":${comps.getLong(1)}}""")
 
+    // Forest vs star CC on the SAME supercritical random graph (2M
+    // edges over 1M nodes, avg degree 4 ⇒ one giant component — the
+    // representative upper end of a post-LSH candidate-pair graph,
+    // across 64 partitions with fanIn=8 so the forest path exercises a
+    // three-level narrow merge tree). The pair of numbers documents
+    // the crossover the two variants are shipped for: forest is one
+    // shuffle-free job whose tail is a serial union-find over the
+    // distinct-node funnel (wins while nodes fit one task); star pays
+    // O(log n) shuffle rounds but every round is fully parallel (wins
+    // once the node set outgrows a task).
+    val nEdges = 2000000L
+    val redges = spark.range(nEdges).select(
+      pmod(hash(col("id")), lit(1000000)).cast("long").as("i"),
+      pmod(hash(col("id") + 13), lit(1000000)).cast("long").as("j"))
+      .filter(col("i") =!= col("j")).repartition(64)
+      .persist()
+    redges.count() // materialize: both variants then read the same cache
+    def ccStats(df: => DataFrame): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val r = df.agg(countDistinct(col("rep_id")).as("c"),
+        count(lit(1)).as("n")).collect()(0)
+      ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+    }
+    val (tF, cF, nF) = ccStats(
+      graft.ops.Dedup.connectedComponentsForest(redges, fanIn = 8))
+    val (tSt, cSt, nSt) = ccStats(
+      graft.ops.Dedup.connectedComponentsStar(redges))
+    redges.unpersist()
+    println(s"""{"probe":"cc_forest_vs_star","edges":$nEdges,""" +
+      s""""forest_sec":$tF,"star_sec":$tSt,""" +
+      s""""forest_components":$cF,"star_components":$cSt,""" +
+      s""""forest_labeled":$nF,"star_labeled":$nSt}""")
+
     // As-of join at 10M trades × 1M quotes over 100 symbols: the
     // union+window formulation's cost is ONE (key, time) shuffle+sort
     // of both sides together — this measures rows/sec through that
