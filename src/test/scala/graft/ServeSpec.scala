@@ -124,6 +124,24 @@ class ServeSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("read limit closes a connection that sends an oversized frame (server.go:162)") {
+    val server = new WsServer(apiKeys.get, readLimitBytes = 512)
+    try {
+      val c = WsClient.connect("127.0.0.1", server.boundPort, "/ws",
+        headers = Map("X-API-Key" -> "key-alpha"))
+      val deadline = System.currentTimeMillis() + 15000
+      while (server.registry.connectionCount("alpha") < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(server.registry.connectionCount("alpha") == 1)
+      c.sendText("x" * 600) // over the 512-byte read limit
+      while (server.registry.connectionCount("alpha") > 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(server.registry.connectionCount("alpha") == 0,
+        "oversized frame must close and prune the connection")
+      c.close()
+    } finally server.stop()
+  }
+
   test("ops HTTP plane serves /health and Prometheus /metrics (C5, main.go:47-59)") {
     def get(port: Int, path: String): (Int, String) = {
       val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
