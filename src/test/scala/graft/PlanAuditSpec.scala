@@ -58,4 +58,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "decontamination join lost its broadcast")
     assert(!p.contains("SortMergeJoin"), "corpus side is being shuffled for the join")
   }
+
+  test("forest CC stays a single shuffle-free job over materialized pairs") {
+    // the operator's whole value is narrow-only execution: partition
+    // union-find → coalesce-tree merges, no Exchange anywhere. Feed it
+    // a pre-materialized pair table so the plan under audit is the CC
+    // itself, not the upstream candidate generator.
+    import spark.implicits._
+    val pairs = (1L to 200L).map(i => (i, i / 2 + 1)).toDF("i", "j")
+      .repartition(8).localCheckpoint(true)
+    val cc = graft.ops.Dedup.connectedComponentsForest(pairs, fanIn = 2)
+    cc.collect()
+    val p = cc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"forest CC planned a shuffle — the one-job contract is broken:\n$p")
+    assert(p.contains("Coalesce"), s"expected the narrow merge tree in:\n$p")
+  }
 }
