@@ -206,7 +206,7 @@ object WsServer {
     */
   def fanOutSink(server: WsServer, clientCol: String = "client_id")
       : (DataFrame, Long) => Unit = (df, _) => {
-    val payloadCols = df.columns.filterNot(_ == clientCol)
+    val payloadCols = df.columns.filterNot(_ == clientCol).toIndexedSeq
     val rows = df.select(col(clientCol).cast("string").as("_c"),
       to_json(struct(payloadCols.map(col): _*)).as("_j")).collect()
     server.broadcast(rows.groupBy(_.getString(0)).map {
