@@ -36,7 +36,8 @@ final class WsServer(
     val registry: Registry = new Registry,
     port: Int = 0,
     readLimitBytes: Int = 512,
-    readDeadlineMs: Int = 60000) {
+    readDeadlineMs: Int = 60000,
+    serverSocket: Option[ServerSocket] = None) {
 
   /** One upgraded connection: socket + synchronized unmasked writes
     * (servers MUST NOT mask — RFC 6455 §5.1).
@@ -56,7 +57,10 @@ final class WsServer(
       try socket.setSoTimeout(readDeadlineMs) catch { case _: Exception => () }
   }
 
-  private val server = new ServerSocket(port)
+  // wss:// is the same protocol over a TLS listener: pass the socket
+  // from [[WsServer.tlsServerSocket]] (the server-side mirror of
+  // [[graft.sources.WsTls.clientSocketFactory]])
+  private val server = serverSocket.getOrElse(new ServerSocket(port))
   /** Bound port — pass `port = 0` for an ephemeral one (tests). */
   def boundPort: Int = server.getLocalPort
 
@@ -192,6 +196,24 @@ final class WsServer(
 }
 
 object WsServer {
+
+  /** TLS listener for a wss:// serve endpoint: server identity from a
+    * PKCS12/JKS keystore (file extension picks the type, keytool's
+    * convention — same rule as the ingest side's trust-store loader).
+    */
+  def tlsServerSocket(keyStore: String, password: String,
+      port: Int = 0): ServerSocket = {
+    val ks = java.security.KeyStore.getInstance(
+      if (keyStore.endsWith(".jks")) "JKS" else "PKCS12")
+    val is = new java.io.FileInputStream(keyStore)
+    try ks.load(is, password.toCharArray) finally is.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, password.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx.getServerSocketFactory.createServerSocket(port)
+  }
 
   /** [[Broadcast.start]] sink that JSON-encodes each served row and
     * fans it out over the server's live connections — the reference

@@ -124,6 +124,42 @@ class ServeSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("wss:// serve endpoint: TLS upgrade, auth, and frame round trip") {
+    import scala.sys.process._
+    // self-signed server identity + client trust store, JDK keytool —
+    // the mirror of WsSourceSpec's ingest-side TLS fixture
+    val dir = Files.createTempDirectory("graft-serve-tls")
+    val serverKs = dir.resolve("server.p12").toString
+    val cert = dir.resolve("serve.cer").toString
+    val trustKs = dir.resolve("trust.p12").toString
+    val pass = "graftpass"
+    assert(Seq("keytool", "-genkeypair", "-alias", "serve", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", serverKs,
+      "-storepass", pass, "-keypass", pass, "-dname", "CN=127.0.0.1",
+      "-validity", "1").! == 0)
+    assert(Seq("keytool", "-exportcert", "-alias", "serve", "-keystore", serverKs,
+      "-storepass", pass, "-file", cert).! == 0)
+    assert(Seq("keytool", "-importcert", "-alias", "serve", "-file", cert,
+      "-keystore", trustKs, "-storetype", "PKCS12", "-storepass", pass,
+      "-noprompt").! == 0)
+    val server = new WsServer(apiKeys.get,
+      serverSocket = Some(WsServer.tlsServerSocket(serverKs, pass)))
+    try {
+      val client = WsClient.connect("127.0.0.1", server.boundPort, "/ws",
+        headers = Map("X-API-Key" -> "key-alpha"), readTimeoutMs = 15000,
+        socketFactory = Some(graft.sources.WsTls.clientSocketFactory(
+          Some(trustKs), Some(pass))))
+      val deadline = System.currentTimeMillis() + 15000
+      while (server.registry.connectionCount("alpha") < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(server.registry.connected == Set("alpha"))
+      // an encrypted broadcast frame arrives intact
+      server.broadcast(Map("alpha" -> Seq("""{"hello":"tls"}""")))
+      assert(client.readText().contains("""{"hello":"tls"}"""))
+      client.close()
+    } finally server.stop()
+  }
+
   test("read limit closes a connection that sends an oversized frame (server.go:162)") {
     val server = new WsServer(apiKeys.get, readLimitBytes = 512)
     try {
