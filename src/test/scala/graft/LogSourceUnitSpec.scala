@@ -67,6 +67,34 @@ class LogSourceUnitSpec extends AnyFunSuite {
     assert(got.values.sum <= 10L, got.toString)
   }
 
+  test("batch planning slices segments exactly across boundaries") {
+    val dir = tmp()
+    LogSource.append(dir, 0, Seq("r0", "r1", "r2"))
+    LogSource.append(dir, 0, Seq("r3", "r4"))
+    LogSource.append(dir, 0, Seq("r5", "r6", "r7"))
+    val stream = new LogMicroBatchStream(dir, "earliest", None)
+    def readRange(from: Long, until: Long): Seq[String] = {
+      val parts = stream.planInputPartitions(
+        LogOffset(Map(0 -> from)), LogOffset(Map(0 -> until)))
+      val factory = stream.createReaderFactory()
+      parts.toSeq.flatMap { p =>
+        val r = factory.createReader(p)
+        val out = Seq.newBuilder[String]
+        while (r.next()) out += r.get().getUTF8String(0).toString
+        r.close()
+        out.result()
+      }
+    }
+    // spans all three segments, clipping head and tail mid-segment
+    assert(readRange(1, 7) == Seq("r1", "r2", "r3", "r4", "r5", "r6"))
+    // fully inside one segment
+    assert(readRange(3, 5) == Seq("r3", "r4"))
+    // empty span plans no partitions
+    assert(readRange(4, 4).isEmpty)
+    // full log
+    assert(readRange(0, 8) == (0 to 7).map(i => s"r$i"))
+  }
+
   test("startingOffsets latest skips the existing backlog; explicit JSON honored") {
     val dir = tmp()
     LogSource.append(dir, 0, Seq("a", "b", "c"))
