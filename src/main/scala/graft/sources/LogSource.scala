@@ -85,20 +85,25 @@ object LogSource {
   private[sources] def partitionEnd(pdir: Path): Long =
     segments(pdir).lastOption.fold(0L) { case (base, _, n) => base + n }
 
-  /** Memoized line count keyed by (path, size): append-only segments
-    * only ever grow, so a (path, size) hit is exact.
+  /** Memoized line count keyed by path, valid for the recorded size:
+    * append-only segments only ever grow, so a size match is exact and
+    * a grown file re-counts, REPLACING its entry — the cache stays one
+    * entry per live segment instead of accreting one per (path, size)
+    * generation over the log's lifetime.
     */
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   private def lineCount(p: Path): Long = {
-    val key = (p.toString, Files.size(p))
-    countCache.computeIfAbsent(key, _ => {
-      var n = 0L
-      val in = Files.newBufferedReader(p, UTF_8)
-      try { while (in.readLine() != null) n += 1 } finally in.close()
-      n
-    })
+    val size = Files.size(p)
+    countCache.compute(p.toString, (_, prev) =>
+      if (prev != null && prev._1 == size) prev
+      else {
+        var n = 0L
+        val in = Files.newBufferedReader(p, UTF_8)
+        try { while (in.readLine() != null) n += 1 } finally in.close()
+        (size, n)
+      })._2
   }
 
   /** Partition ids present under the log dir (`p=<n>` subdirs). */
