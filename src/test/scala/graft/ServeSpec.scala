@@ -124,6 +124,73 @@ class ServeSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("full reference topology: log ingest -> pipeline -> latest -> broadcast -> live WS client") {
+    // the reference's whole lifecycle in one test (README.md:17-36):
+    // feed -> decode/validate/enrich -> append + keep-last cache ->
+    // per-second broadcaster -> per-client transform -> WebSocket out
+    import graft.ops.{Ingest, Transform}
+    import graft.sources.LogSource
+    val logDir = tmp("e2e_log"); val appendDir = tmp("e2e_append")
+    val latestDir = tmp("e2e_latest"); val serveDir = tmp("e2e_serve")
+    val dimDf = Seq(("SYM1", "NYSE"), ("SYM2", "NASDAQ")).toDF("symbol", "exchange")
+    def frame(sym: String, ts: Long, v: Double) =
+      s"""{"name":"$sym","timestamp":$ts,"data":{"data":{"v":"$v"}}}"""
+    // SYM1 updates twice (keep-last must serve v=2.5), SYM2 once
+    LogSource.append(logDir, 0, Seq(frame("SYM1", 1000, 1.5), frame("SYM2", 1500, 7.0)))
+    LogSource.append(logDir, 1, Seq(frame("SYM1", 2000, 2.5)))
+
+    // ingest plane: durable log through the production pipeline
+    val raw = spark.readStream.format("graft-log").option("path", logDir).load()
+    val iq = Pipeline.start(Ingest.parseWire(raw), dimDf, appendDir, latestDir,
+      keyCols = Seq("name"), orderCols = Seq("timestamp"),
+      nameCol = "name", tsCol = "timestamp", checkpointDir = tmp("e2e_ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      retries = 1)
+    try iq.processAllAvailable() finally iq.stop()
+
+    // serve shape: the reference flattens AT SERVE TIME
+    // (normalizeMarketData, server.go:110-111) — normalize the cached
+    // records once into the serving cache
+    val shaped = Transform.normalize(Pipeline.readLatest(spark, latestDir))
+      .select(col("name").as("symbol"), col("flat"))
+    Pipeline.upsertLatest(spark, shaped, serveDir, Seq("symbol"), Seq("flat.timestamp"))
+
+    // serve plane: per-second broadcast through a live WS server;
+    // alpha's config doubles SYM1's v, SYM2 passes through
+    val configs = spark.sql(
+      """SELECT 'alpha' AS client_id, 'SYM1' AS symbol,
+           map('v', named_struct('op', 'multiply', 'value', 2.0D)) AS rules,
+           CAST(NULL AS MAP<STRING,STRING>) AS renames,
+           CAST(NULL AS ARRAY<STRING>) AS removes,
+           CAST(NULL AS MAP<STRING,STRING>) AS overrides""")
+    val server = new WsServer(apiKeys.get)
+    val client = WsClient.connect("127.0.0.1", server.boundPort, "/ws",
+      headers = Map("X-API-Key" -> "key-alpha"), readTimeoutMs = 20000)
+    val bq = Broadcast.start(spark, serveDir, configs, tmp("e2e_bckpt"),
+      sink = WsServer.fanOutSink(server),
+      period = "1 second", registry = Some(server.registry))
+    try {
+      val seen = scala.collection.mutable.Map.empty[String, String]
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.size < 2 && System.currentTimeMillis() < deadline)
+        client.readText().foreach { msg =>
+          "\"symbol\":\"(SYM[0-9])\"".r.findFirstMatchIn(msg)
+            .foreach(m => seen(m.group(1)) = msg)
+        }
+      // keep-last won (timestamp 2000), transform applied (2.5 * 2),
+      // enrichment flowed through the whole path
+      val sym1 = seen.getOrElse("SYM1", fail("SYM1 never served"))
+      assert(sym1.contains("\"v\":\"5.0\""), sym1)
+      assert(sym1.contains("\"timestamp\":\"2000\""), sym1)
+      assert(sym1.contains("\"exchange\":\"NYSE\""), sym1)
+      val sym2 = seen.getOrElse("SYM2", fail("SYM2 never served"))
+      assert(sym2.contains("\"v\":\"7.0\""), sym2) // no config: passthrough
+      assert(sym2.contains("\"exchange\":\"NASDAQ\""), sym2)
+    } finally {
+      bq.stop(); client.close(); server.stop()
+    }
+  }
+
   test("wss:// serve endpoint: TLS upgrade, auth, and frame round trip") {
     import scala.sys.process._
     // self-signed server identity + client trust store, JDK keytool —
