@@ -24,6 +24,14 @@ object Broadcast {
     * CONNECTED clients (C3) — the reference only iterates its live
     * client map (server.go:105-127); a config row for a disconnected
     * client costs nothing until it reconnects.
+    *
+    * `shape` runs on the snapshot INSIDE each tick, mirroring the
+    * reference normalizing per tick in the broadcaster itself
+    * (normalizeMarketData, server.go:110-111): serve the ingest
+    * pipeline's latest table directly with `shape = Broadcast
+    * .normalizeShape()` — no intermediate serve-shaped copy, so a
+    * tick picks up whatever the CONCURRENTLY-running ingest query
+    * last swapped in. Defaults to identity for pre-shaped caches.
     */
   def start(
       spark: SparkSession,
@@ -32,7 +40,8 @@ object Broadcast {
       checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
       period: String = "1 second",
-      registry: Option[Registry] = None): StreamingQuery = {
+      registry: Option[Registry] = None,
+      shape: DataFrame => DataFrame = identity): StreamingQuery = {
     val ticker = spark.readStream.format("rate")
       .option("rowsPerSecond", 1).load()
     ticker.writeStream
@@ -40,14 +49,38 @@ object Broadcast {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(period))
       .foreachBatch { (_: DataFrame, batchId: Long) =>
-        val snapshot = Pipeline.readLatest(spark, latestDir)
-        val active = registry.fold(configs) { r =>
-          val ids = r.connected.toSeq
-          configs.filter(org.apache.spark.sql.functions.col("client_id")
-            .isin(ids.map(x => x: Any): _*))
+        // a failed tick is LOGGED AND SKIPPED, never fatal — the
+        // reference's broadcaster does exactly this when its cache
+        // read fails (server.go:99-103: log + continue). The one
+        // expected failure here is benign: a CONCURRENTLY-running
+        // ingest upsert can swap the latest directory between this
+        // tick's file listing and its read, dangling the listed
+        // paths; the next tick re-plans against the new snapshot.
+        try {
+          val snapshot = shape(Pipeline.readLatest(spark, latestDir))
+          val active = registry.fold(configs) { r =>
+            val ids = r.connected.toSeq
+            configs.filter(org.apache.spark.sql.functions.col("client_id")
+              .isin(ids.map(x => x: Any): _*))
+          }
+          sink(Transform.serveSnapshot(snapshot, active), batchId)
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"[graft] serve tick $batchId skipped: ${e.getMessage}")
         }
-        sink(Transform.serveSnapshot(snapshot, active), batchId)
       }
       .start()
   }
+
+  /** The serve-time flatten for a latest table in the ingest
+    * pipeline's shape (name/timestamp/payload/exchange) — P1 applied
+    * per tick, exactly where the reference applies it.
+    */
+  def normalizeShape(nameCol: String = "name", tsCol: String = "timestamp",
+      exchangeCol: String = "exchange", payloadCol: String = "payload")
+      : DataFrame => DataFrame = df =>
+    Transform.normalize(df, nameCol, tsCol, exchangeCol, payloadCol)
+      .select(org.apache.spark.sql.functions.col(nameCol).as("symbol"),
+        org.apache.spark.sql.functions.col("flat"))
 }

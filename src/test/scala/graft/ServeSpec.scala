@@ -191,6 +191,56 @@ class ServeSpec extends AnyFunSuite {
     }
   }
 
+  test("live refresh: a tick serves new data while ingest keeps running") {
+    // ingest and serve run CONCURRENTLY — the broadcaster's per-tick
+    // cache re-read (server.go:98-103) must surface a frame that lands
+    // mid-stream, with the serve-time flatten applied inside the tick
+    import graft.ops.Ingest
+    import graft.sources.LogSource
+    val logDir = tmp("live_log"); val appendDir = tmp("live_append")
+    val latestDir = tmp("live_latest")
+    val dimDf = Seq(("SYM1", "NYSE")).toDF("symbol", "exchange")
+    def frame(ts: Long, v: Double) =
+      s"""{"name":"SYM1","timestamp":$ts,"data":{"data":{"v":"$v"}}}"""
+    LogSource.append(logDir, 0, Seq(frame(1000, 2.5)))
+    val raw = spark.readStream.format("graft-log").option("path", logDir).load()
+    val iq = Pipeline.start(Ingest.parseWire(raw), dimDf, appendDir, latestDir,
+      keyCols = Seq("name"), orderCols = Seq("timestamp"),
+      nameCol = "name", tsCol = "timestamp", checkpointDir = tmp("live_ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"),
+      retries = 1)
+    val configs = spark.sql(
+      """SELECT 'alpha' AS client_id, 'SYM1' AS symbol,
+           map('v', named_struct('op', 'multiply', 'value', 2.0D)) AS rules,
+           CAST(NULL AS MAP<STRING,STRING>) AS renames,
+           CAST(NULL AS ARRAY<STRING>) AS removes,
+           CAST(NULL AS MAP<STRING,STRING>) AS overrides""")
+    val server = new WsServer(apiKeys.get)
+    val client = WsClient.connect("127.0.0.1", server.boundPort, "/ws",
+      headers = Map("X-API-Key" -> "key-alpha"), readTimeoutMs = 20000)
+    iq.processAllAvailable() // first frame through before the first tick
+    val bq = Broadcast.start(spark, latestDir, configs, tmp("live_bckpt"),
+      sink = WsServer.fanOutSink(server), period = "1 second",
+      registry = Some(server.registry), shape = Broadcast.normalizeShape())
+    try {
+      def readUntil(marker: String, limitMs: Long = 30000): Boolean = {
+        val deadline = System.currentTimeMillis() + limitMs
+        var found = false
+        while (!found && System.currentTimeMillis() < deadline)
+          found = client.readText().exists(_.contains(marker))
+        found
+      }
+      // initial frame served transformed: 2.5 * 2
+      assert(readUntil("\"v\":\"5.0\""), "initial value never served")
+      // a NEWER frame lands while both queries keep running; within a
+      // few ticks the served snapshot must reflect it: 4.0 * 2
+      LogSource.append(logDir, 0, Seq(frame(2000, 4.0)))
+      assert(readUntil("\"v\":\"8.0\""), "mid-stream update never served")
+    } finally {
+      bq.stop(); iq.stop(); client.close(); server.stop()
+    }
+  }
+
   test("wss:// serve endpoint: TLS upgrade, auth, and frame round trip") {
     import scala.sys.process._
     // self-signed server identity + client trust store, JDK keytool —
