@@ -166,6 +166,45 @@ object Probe {
       s""""sec":$tA,"matched":$nMatched,""" +
       s""""trades_per_sec":${(nTrades / tA).toLong}}""")
 
+    // End-to-end ingest throughput — the reference's headline path —
+    // from the durable-log source through the FULL production
+    // pipeline: decode → validate (with drop counting) → broadcast
+    // enrich → idempotent batch append + keep-last upsert. 1M wire
+    // frames over 8 log partitions, drained AvailableNow in
+    // size-bounded batches. The records/sec includes both sinks'
+    // writes — the honest number a capacity plan needs.
+    val nFrames = 1000000L
+    val logDir = java.nio.file.Files.createTempDirectory("probe_log").toString
+    val seg = 125000
+    (0 until 8).foreach { p =>
+      graft.sources.LogSource.append(logDir, p,
+        (0 until seg).map(i =>
+          graft.sources.TickSource.frame((p * seg + i).toLong, 100)))
+    }
+    val dim = spark.range(100).selectExpr(
+      "concat('SYM', id) AS symbol", "concat('EX', id % 9) AS exchange")
+    val appendDir = java.nio.file.Files.createTempDirectory("probe_append").toString
+    val latestDir = java.nio.file.Files.createTempDirectory("probe_latest").toString
+    val rawLog = spark.readStream.format("graft-log")
+      .option("path", logDir)
+      .option("maxOffsetsPerTrigger", (nFrames / 4).toString)
+      .load()
+    val tI0 = System.nanoTime()
+    val iq = graft.stream.Pipeline.start(
+      graft.ops.Ingest.parseWire(rawLog), dim, appendDir, latestDir,
+      keyCols = Seq("name"), orderCols = Seq("timestamp"),
+      nameCol = "name", tsCol = "timestamp",
+      checkpointDir = java.nio.file.Files.createTempDirectory("probe_ck").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      retries = 1)
+    iq.awaitTermination()
+    val tI = (System.nanoTime() - tI0) / 1e9
+    val appendedN = spark.read.parquet(appendDir).count()
+    val latestN = graft.stream.Pipeline.readLatest(spark, latestDir).count()
+    println(s"""{"probe":"ingest_pipeline","frames":$nFrames,"sec":$tI,""" +
+      s""""appended":$appendedN,"latest_keys":$latestN,""" +
+      s""""frames_per_sec":${(nFrames / tI).toLong}}""")
+
     // Serve-path probe: the per-tick body of the snapshot broadcaster
     // (Transform.serveSnapshot — broadcast clients × broadcast configs
     // + the interpreted HOF transform) at 1M live symbols × 1k

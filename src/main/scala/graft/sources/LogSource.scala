@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -159,34 +159,50 @@ object LogOffset {
 }
 
 final class LogMicroBatchStream(dir: String, startingOffsets: String,
-    maxOffsetsPerTrigger: Option[Long]) extends MicroBatchStream {
+    maxOffsetsPerTrigger: Option[Long]) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  // the last end this stream planned: admission is measured from here,
-  // and like Kafka's maxOffsetsPerTrigger it advances monotonically
-  @volatile private var lastEnd: Map[Int, Long] = Map.empty
+  // Trigger.AvailableNow pins the drain target HERE at query start and
+  // then runs as many admission-capped batches as the target needs —
+  // without SupportsTriggerAvailableNow, Spark's wrapper would snapshot
+  // ONE capped latestOffset and stop a cap short of the backlog
+  @volatile private var availableNowTarget: Option[Map[Int, Long]] = None
 
-  override def initialOffset(): Offset = {
-    val off = startingOffsets match {
-      case "earliest" => LogOffset(LogSource.partitionIds(dir).map(_ -> 0L).toMap)
-      case "latest" => LogOffset(LogSource.currentEnds(dir))
-      case json => LogOffset.parse(json)
-    }
-    lastEnd = off.offsets
-    off
+  override def initialOffset(): Offset = startingOffsets match {
+    case "earliest" => LogOffset(LogSource.partitionIds(dir).map(_ -> 0L).toMap)
+    case "latest" => LogOffset(LogSource.currentEnds(dir))
+    case json => LogOffset.parse(json)
   }
 
-  override def latestOffset(): Offset = {
-    val ends = LogSource.currentEnds(dir)
-    // partitions can APPEAR over the log's lifetime (a new p= dir):
-    // they enter at 0 so no records are skipped
-    val start = ends.map { case (p, _) => p -> lastEnd.getOrElse(p, 0L) }
-    val capped = maxOffsetsPerTrigger match {
-      case None => ends
-      case Some(cap) =>
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(LogSource.currentEnds(dir))
+
+  /** The true log end, regardless of admission (progress reporting). */
+  override def reportLatestOffset(): Offset = LogOffset(LogSource.currentEnds(dir))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-log implements SupportsAdmissionControl; Spark calls latestOffset(start, limit)")
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val raw = LogSource.currentEnds(dir)
+    // under AvailableNow, never read past the pinned target (a segment
+    // appended after query start belongs to the next run); otherwise
+    // partitions can APPEAR over the log's lifetime and enter at 0
+    val ends = availableNowTarget.fold(raw)(t =>
+      raw.map { case (p, e) => p -> math.min(e, t.getOrElse(p, 0L)) })
+    val start = startOffset.asInstanceOf[LogOffset].offsets
+    val base = ends.map { case (p, _) => p -> start.getOrElse(p, 0L) }
+    val capped = limit match {
+      case rm: ReadMaxRows =>
+        val cap = rm.maxRows()
         // pro-rata admission over backlogs, whole records, at least one
         // record per nonempty partition once the cap allows — Kafka's
         // proportional allocation shape
-        val backlog = ends.map { case (p, e) => p -> math.max(0L, e - start(p)) }
+        val backlog = ends.map { case (p, e) => p -> math.max(0L, e - base(p)) }
         val total = backlog.values.sum
         if (total <= cap) ends
         else {
@@ -195,20 +211,15 @@ final class LogMicroBatchStream(dir: String, startingOffsets: String,
             val share = math.min(b, math.max(if (b > 0) 1L else 0L, cap * b / total))
             val take = math.min(share, remaining)
             remaining -= take
-            p -> (start(p) + take)
+            p -> (base(p) + take)
           }.toMap
         }
+      case _ => ends
     }
-    lastEnd = capped
     LogOffset(capped)
   }
 
-  override def deserializeOffset(json: String): Offset = {
-    val off = LogOffset.parse(json)
-    // checkpoint recovery: admission restarts from the recovered end
-    if (lastEnd.isEmpty) lastEnd = off.offsets
-    off
-  }
+  override def deserializeOffset(json: String): Offset = LogOffset.parse(json)
 
   override def commit(end: Offset): Unit = () // files are durable
 
