@@ -72,15 +72,25 @@ object LogSource {
     ()
   }
 
-  /** (base offset, path, record count) per segment, ordered. */
+  /** (base offset, path, record count) per segment, ordered. The
+    * `Files.list` stream is closed eagerly — it holds a directory fd,
+    * and this helper runs several times per 1 s trigger for the life
+    * of the query.
+    */
   private[sources] def segments(pdir: Path): Seq[(Long, Path, Long)] =
     if (!Files.isDirectory(pdir)) Seq.empty
-    else Files.list(pdir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".jsonl"))
-      .toSeq.sortBy(_.getFileName.toString)
-      .map { p =>
-        (p.getFileName.toString.stripSuffix(".jsonl").toLong, p, lineCount(p))
-      }
+    else {
+      val listing = Files.list(pdir)
+      val files =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".jsonl")).toVector
+        finally listing.close()
+      evictDead(pdir, files)
+      files.sortBy(_.getFileName.toString)
+        .map { p =>
+          (p.getFileName.toString.stripSuffix(".jsonl").toLong, p, lineCount(p))
+        }
+    }
 
   private[sources] def partitionEnd(pdir: Path): Long =
     segments(pdir).lastOption.fold(0L) { case (base, _, n) => base + n }
@@ -89,10 +99,20 @@ object LogSource {
     * append-only segments only ever grow, so a size match is exact and
     * a grown file re-counts, REPLACING its entry — the cache stays one
     * entry per live segment instead of accreting one per (path, size)
-    * generation over the log's lifetime.
+    * generation over the log's lifetime. [[evictDead]] keeps that
+    * claim true across segment DELETION too (retired/compacted logs,
+    * test temp dirs): each directory listing drops cached keys for
+    * segments no longer present, so the JVM-global map is bounded by
+    * the currently-live segment population, not the driver's lifetime.
     */
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def evictDead(pdir: Path, live: Seq[Path]): Unit = {
+    val prefix = pdir.toString + java.io.File.separator
+    val keep = live.map(_.toString).toSet
+    countCache.keySet.removeIf(k => k.startsWith(prefix) && !keep.contains(k))
+  }
 
   private def lineCount(p: Path): Long = {
     val size = Files.size(p)
@@ -110,10 +130,14 @@ object LogSource {
   private[sources] def partitionIds(dir: String): Seq[Int] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("p=")).map(_.stripPrefix("p=").toInt)
-      .toSeq.sorted
+    else {
+      val listing = Files.list(d)
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("p=")).map(_.stripPrefix("p=").toInt)
+        .toSeq.sorted
+      finally listing.close()
+    }
   }
 
   private[sources] def currentEnds(dir: String): Map[Int, Long] =

@@ -64,8 +64,15 @@ object WsFrames {
 
   /** One frame as (fin, opcode, payload), payload already unmasked;
     * None when the stream ended.
+    *
+    * `maxPayload` is enforced on the DECLARED length, before any
+    * payload allocation — the reference's `conn.SetReadLimit(512)`
+    * (server.go:162) aborts the read as soon as the header announces
+    * an oversized frame, so a hostile peer cannot force the receiver
+    * to buffer multi-GB payloads it will only discard.
     */
-  def read(in: InputStream): Option[(Boolean, Int, Array[Byte])] = {
+  def read(in: InputStream, maxPayload: Int = Int.MaxValue)
+      : Option[(Boolean, Int, Array[Byte])] = {
     val b0 = in.read()
     if (b0 < 0) return None
     val b1 = in.read()
@@ -82,6 +89,9 @@ object WsFrames {
       len = e.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xFF))
     }
     require(len <= Int.MaxValue, s"frame too large: $len")
+    if (len > maxPayload)
+      throw new java.io.IOException(
+        s"frame payload $len exceeds read limit $maxPayload")
     val mask = if (masked) readN(in, 4).getOrElse(return None) else null
     val payload = readN(in, len.toInt).getOrElse(return None)
     if (masked) {

@@ -33,6 +33,16 @@ object Broadcast {
     * tick picks up whatever the CONCURRENTLY-running ingest query
     * last swapped in. Defaults to identity for pre-shaped caches.
     */
+  /** `metrics`, when given, counts every skipped tick
+    * (`serve_tick_failures`, surfaced on the ops `/metrics` plane) so
+    * a broken serve loop is visible, not silent.
+    * `maxConsecutiveTickFailures` distinguishes the benign transient
+    * (the snapshot-swap race below, self-healing next tick) from
+    * persistent breakage (bad shape function, schema mismatch): once
+    * that many ticks fail IN A ROW the query itself fails instead of
+    * serving nothing forever. 0 disables (reference parity:
+    * server.go:99-103 logs and continues unconditionally).
+    */
   def start(
       spark: SparkSession,
       latestDir: String,
@@ -41,7 +51,10 @@ object Broadcast {
       sink: (DataFrame, Long) => Unit,
       period: String = "1 second",
       registry: Option[Registry] = None,
-      shape: DataFrame => DataFrame = identity): StreamingQuery = {
+      shape: DataFrame => DataFrame = identity,
+      metrics: Option[Metrics] = None,
+      maxConsecutiveTickFailures: Int = 0): StreamingQuery = {
+    val consecutiveFailures = new java.util.concurrent.atomic.AtomicInteger(0)
     val ticker = spark.readStream.format("rate")
       .option("rowsPerSecond", 1).load()
     ticker.writeStream
@@ -64,10 +77,17 @@ object Broadcast {
               .isin(ids.map(x => x: Any): _*))
           }
           sink(Transform.serveSnapshot(snapshot, active), batchId)
+          consecutiveFailures.set(0)
         } catch {
           case e: Exception =>
+            metrics.foreach(_.serveTickFailures.increment())
+            val streak = consecutiveFailures.incrementAndGet()
             System.err.println(
               s"[graft] serve tick $batchId skipped: ${e.getMessage}")
+            if (maxConsecutiveTickFailures > 0 &&
+                streak >= maxConsecutiveTickFailures)
+              throw new IllegalStateException(
+                s"serve loop failed $streak consecutive ticks", e)
         }
       }
       .start()

@@ -28,6 +28,11 @@ final class Metrics extends StreamingQueryListener {
   val errorsValidation = new LongAdder
   val errorsSink = new LongAdder
   val batchesQuarantined = new LongAdder
+  // serve-plane ticks skipped by Broadcast's log-and-continue guard —
+  // without this a permanently broken serve loop looks like a healthy
+  // running query that silently serves nothing (incremented driver-side
+  // by the foreachBatch catch, like errorsSink)
+  val serveTickFailures = new LongAdder
   @volatile var lastBatchDurationMs: Long = 0L
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
@@ -61,6 +66,7 @@ final class Metrics extends StreamingQueryListener {
     "errors_total_validation" -> errorsValidation.sum(),
     "errors_total_sink" -> errorsSink.sum(),
     "batches_quarantined" -> batchesQuarantined.sum(),
+    "serve_tick_failures" -> serveTickFailures.sum(),
     "last_batch_duration_ms" -> lastBatchDurationMs)
 }
 

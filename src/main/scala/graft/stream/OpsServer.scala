@@ -49,6 +49,7 @@ final class OpsServer(
     counter("graft_queries_started_total", snap("queries_started"))
     counter("graft_queries_failed_total", snap("queries_failed"))
     counter("graft_batches_quarantined_total", snap("batches_quarantined"))
+    counter("graft_serve_tick_failures_total", snap("serve_tick_failures"))
     sb.append("# TYPE graft_errors_total counter\n")
     Seq("unmarshal", "validation", "sink").foreach { t =>
       sb.append(s"""graft_errors_total{type="$t"} ${snap(s"errors_total_$t")}\n""")

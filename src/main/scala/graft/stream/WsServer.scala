@@ -145,18 +145,21 @@ final class WsServer(
     * read limit and deadline, answers pings, and prunes the connection
     * on close/EOF/deadline. SO_TIMEOUT is re-armed per frame, so ANY
     * inbound traffic — pongs included — extends the deadline, exactly
-    * the reference's pong-handler-resets-deadline contract.
+    * the reference's pong-handler-resets-deadline contract. The read
+    * limit is enforced by the codec on the frame's DECLARED length
+    * (before buffering — an authenticated peer must not be able to
+    * force a multi-GB allocation per frame), surfacing as the
+    * IOException that prunes the connection.
     */
   private def readPump(conn: Conn): Unit = {
     try {
       var open = true
       while (open && running) {
         conn.setReadDeadline()
-        WsFrames.read(conn.in) match {
+        WsFrames.read(conn.in, readLimitBytes) match {
           case None => open = false
           case Some((_, op, payload)) =>
-            if (payload.length > readLimitBytes) open = false // SetReadLimit
-            else op match {
+            op match {
               case WsFrames.OpPing => conn.send(WsFrames.OpPong, payload)
               case WsFrames.OpClose => open = false
               case _ => () // inbound text/binary/pong: serve plane ignores
@@ -165,7 +168,7 @@ final class WsServer(
       }
     } catch {
       case _: SocketTimeoutException => () // dead peer: deadline expired
-      case _: IOException => ()
+      case _: IOException => () // EOF mid-frame or read-limit violation
     } finally prune(conn)
   }
 

@@ -40,19 +40,27 @@ class LogSourceUnitSpec extends AnyFunSuite {
     LogSource.append(dir, 0, (1 to 90).map(i => s"a$i"))
     LogSource.append(dir, 1, (1 to 10).map(i => s"b$i"))
     val stream = new LogMicroBatchStream(dir, "earliest", Some(50L))
-    stream.initialOffset()
+    val limit = stream.getDefaultReadLimit
+    // drive the API Spark actually calls: latestOffset(start, limit),
+    // threading each planned end back as the next trigger's start —
+    // the no-arg latestOffset() deliberately throws under
+    // SupportsAdmissionControl (LogSource.scala)
+    val start = stream.initialOffset()
     // 100-record backlog, cap 50: p0 (90%) gets ~45, p1 (10%) gets ~5,
     // total exactly the cap
-    val first = stream.latestOffset().asInstanceOf[LogOffset].offsets
-    assert(first.values.sum == 50L, first.toString)
-    assert(first(0) >= 40L && first(1) >= 1L, first.toString)
-    // next trigger continues from the last planned end, never replans
+    val first = stream.latestOffset(start, limit)
+    val firstOff = first.asInstanceOf[LogOffset].offsets
+    assert(firstOff.values.sum == 50L, firstOff.toString)
+    assert(firstOff(0) >= 40L && firstOff(1) >= 1L, firstOff.toString)
+    // next trigger starts from the last planned end, never replans
     // below it, and finishes the backlog
-    val second = stream.latestOffset().asInstanceOf[LogOffset].offsets
-    assert(second(0) >= first(0) && second(1) >= first(1))
-    assert(second.values.sum == 100L, second.toString)
+    val second = stream.latestOffset(first, limit)
+    val secondOff = second.asInstanceOf[LogOffset].offsets
+    assert(secondOff(0) >= firstOff(0) && secondOff(1) >= firstOff(1))
+    assert(secondOff.values.sum == 100L, secondOff.toString)
     // drained: a further trigger stays put
-    assert(stream.latestOffset().asInstanceOf[LogOffset].offsets == second)
+    assert(stream.latestOffset(second, limit)
+      .asInstanceOf[LogOffset].offsets == secondOff)
   }
 
   test("a tiny backlog on one partition still admits at least one record") {
@@ -60,8 +68,8 @@ class LogSourceUnitSpec extends AnyFunSuite {
     LogSource.append(dir, 0, (1 to 999).map(i => s"a$i"))
     LogSource.append(dir, 1, Seq("only"))
     val stream = new LogMicroBatchStream(dir, "earliest", Some(10L))
-    stream.initialOffset()
-    val got = stream.latestOffset().asInstanceOf[LogOffset].offsets
+    val got = stream.latestOffset(stream.initialOffset(),
+      stream.getDefaultReadLimit).asInstanceOf[LogOffset].offsets
     // strict proportionality would starve p1 (10 * 1/1000 rounds to 0)
     assert(got(1) == 1L, got.toString)
     assert(got.values.sum <= 10L, got.toString)

@@ -328,6 +328,7 @@ class ServeSpec extends AnyFunSuite {
       assert("graft_messages_processed_total (\\d+)".r.findFirstMatchIn(body)
         .exists(_.group(1).toLong >= 3L), body)
       assert(body.contains("""graft_errors_total{type="unmarshal"}"""))
+      assert(body.contains("graft_serve_tick_failures_total"))
       assert(body.contains("graft_connected_clients 2"))
     } finally {
       ops.stop()

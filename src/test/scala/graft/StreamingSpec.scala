@@ -385,6 +385,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(served.contains("gamma"))
   }
 
+  test("serve loop counts skipped ticks and fails after N consecutive failures") {
+    val m = Metrics.attach(spark)
+    try {
+      // persistently broken shape fn: every tick throws. With the
+      // failure ceiling the query must FAIL (not serve nothing
+      // forever), and each skipped tick must be counted.
+      val latestDir = tmp("latestBroken") + "/latest"
+      Seq(("sym1", 1L)).toDF("symbol", "ts").write.parquet(latestDir)
+      val q = Broadcast.start(spark, latestDir,
+        configs = spark.range(1).selectExpr("'alpha' AS client_id"),
+        checkpointDir = tmp("ckptBroken"),
+        sink = (_, _) => fail("sink must never run: shape throws first"),
+        period = "250 milliseconds",
+        shape = _ => throw new RuntimeException("broken shape"),
+        metrics = Some(m), maxConsecutiveTickFailures = 2)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(60000); fail("query should have failed")
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(causes(ex).exists(_.getMessage.contains("consecutive ticks")), ex.getMessage)
+      assert(m.snapshot("serve_tick_failures") >= 2L)
+    } finally spark.streams.removeListener(m)
+  }
+
   test("watermarked tumbling window drops late data, append emits closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)] // (ts_ms, value)

@@ -105,6 +105,28 @@ class WsSourceSpec extends AnyFunSuite {
     assert(WsBackoff.delayMs(62) == 30000L) // shift overflow guarded
   }
 
+  test("frame read limit rejects on DECLARED length, before buffering (server.go:162)") {
+    // a 700-byte frame against a 512-byte limit: rejected from the
+    // header alone — the payload must remain unconsumed (unallocated)
+    val bos = new java.io.ByteArrayOutputStream()
+    WsFrames.write(bos, WsFrames.OpText, Array.fill[Byte](700)('x'), None)
+    val in = new java.io.ByteArrayInputStream(bos.toByteArray)
+    val ex = intercept[java.io.IOException](WsFrames.read(in, 512))
+    assert(ex.getMessage.contains("read limit"))
+    assert(in.available() == 700, "payload bytes must not have been buffered")
+    // a hostile header declaring ~2 GB with NO payload behind it must
+    // fail the same way, not block or allocate
+    val hostile = new java.io.ByteArrayInputStream(Array[Byte](
+      0x81.toByte, 127, 0, 0, 0, 0, 0x7F.toByte, 0xFF.toByte, 0xFF.toByte, 0xF0.toByte))
+    intercept[java.io.IOException](WsFrames.read(hostile, 1 << 20))
+    // under the limit still reads normally
+    val ok = new java.io.ByteArrayOutputStream()
+    WsFrames.write(ok, WsFrames.OpText, "small".getBytes(UTF_8), None)
+    val got = WsFrames.read(new java.io.ByteArrayInputStream(ok.toByteArray), 512)
+    assert(got.exists { case (fin, op, p) =>
+      fin && op == WsFrames.OpText && new String(p, UTF_8) == "small" })
+  }
+
   test("client handshake, subscribe, ping→pong, fragmented text (RFC 6455)") {
     // hand-rolled server: checks the upgrade, then exercises the frame
     // shapes WsTestServer doesn't produce (fragmentation)
