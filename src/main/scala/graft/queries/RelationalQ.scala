@@ -290,6 +290,28 @@ object RelationalQ {
       ORDER BY c_custkey""")
   )
 
+  /** The same anti join through [[graft.ops.Bloom.antiJoin]] — the
+    * exclusion-list shape at 100 TB (opt-out keys, already-ingested
+    * ids), where the exclusion side is too big to broadcast as a hash
+    * relation: its keys fold into a ~MB sketch, rows the sketch
+    * proves unmatched bypass the join map-side, and only the
+    * candidate slice enters the exact anti join. No false negatives
+    * ⇒ identical result and oracle to q_anti_join.
+    */
+  val qBloomAnti = Q(
+    "q_bloom_anti",
+    (spark, dir) =>
+      graft.ops.Bloom.antiJoin(
+          Tables.customer(spark, dir), col("c_custkey"),
+          Tables.events(spark, dir), col("user_id"),
+          expectedItems = 1L << 17)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+      ORDER BY c_custkey""")
+  )
+
   /** Event-time tumbling-window aggregation via window() — the same
     * groupBy(window(...)) the streaming path uses with a watermark
     * (StreamingSpec covers late-data semantics); batch form is
@@ -987,7 +1009,7 @@ object RelationalQ {
   def all: Seq[Q] = Seq(q1Agg, q3Shipping, q13Custdist, qJoinPricing,
     qWindowRank, qWindowNav, qTopk,
     qSetops, qSetopsAll, qMovingAvg,
-    qRollup, qCube, qDistinct, qAntiJoin, qTimeWindow, qSlideWindow,
+    qRollup, qCube, qDistinct, qAntiJoin, qBloomAnti, qTimeWindow, qSlideWindow,
     qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,
     qHistogram, qStatsMoments, qZscore, qRobustZ)

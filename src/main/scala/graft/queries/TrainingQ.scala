@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.{Dedup, Sample, Similarity, TextOps}
+import graft.ops.{Bloom, Dedup, Sample, Similarity, TextOps}
 
 /** Training-data pipeline operators (dedup / similarity / text
   * analysis) over the documents and embeddings tables, each with a
@@ -509,6 +509,15 @@ object TrainingQ {
     * non-benchmark doc sharing ≥ 1 distinct trigram with the
     * benchmark.
     */
+  private val decontaminateOracle =
+    s"""WITH $tokCtes,
+        shf AS (SELECT DISTINCT doc_id, unnest(ss) AS s FROM sh),
+        bench AS (SELECT DISTINCT s FROM shf WHERE doc_id % $BenchmarkMod = 0)
+      SELECT doc_id, count(*) AS n_shared
+      FROM shf JOIN bench USING (s)
+      WHERE doc_id % $BenchmarkMod <> 0
+      GROUP BY doc_id ORDER BY doc_id"""
+
   val qDecontaminate = Q(
     "q_decontaminate",
     (spark, dir) => {
@@ -522,13 +531,34 @@ object TrainingQ {
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH $tokCtes,
-        shf AS (SELECT DISTINCT doc_id, unnest(ss) AS s FROM sh),
-        bench AS (SELECT DISTINCT s FROM shf WHERE doc_id % $BenchmarkMod = 0)
-      SELECT doc_id, count(*) AS n_shared
-      FROM shf JOIN bench USING (s)
-      WHERE doc_id % $BenchmarkMod <> 0
-      GROUP BY doc_id ORDER BY doc_id""")
+    Some(decontaminateOracle)
+  )
+
+  /** Decontamination with a [[graft.ops.Bloom]] prefilter — the
+    * 100 TB shape of q_decontaminate when the benchmark shingle set
+    * outgrows a broadcast hash relation: the bench side folds into a
+    * ~MB bit-array sketch, the corpus side drops every shingle the
+    * sketch proves absent MAP-SIDE, and only the candidate slice
+    * (true hits + ~1 % false positives) reaches the exact join that
+    * clears the rest. No false negatives ⇒ the result — and the
+    * oracle — are identical to q_decontaminate's.
+    */
+  val qDecontaminateBloom = Q(
+    "q_decontaminate_bloom",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val sh = docs.select(col("doc_id"),
+        explode(TextOps.shingleSet(col("text"))).as("s"))
+      val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
+        .select("s").distinct()
+      val bloom = Bloom.build(bench, col("s"), expectedItems = 1L << 20)
+      sh.filter(col("doc_id") % BenchmarkMod =!= 0)
+        .filter(Bloom.mightContain(bloom, col("s")))
+        .join(broadcast(bench), Seq("s"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some(decontaminateOracle)
   )
 
   private val SampleRateEn = 0.16
@@ -879,6 +909,7 @@ object TrainingQ {
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
     qDedupSimhashHam, qDedupClusters, qTextStats, qLangId, qTokenCount,
     qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
-    qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf, qTopTerms, qTfidf,
-    qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply, qDupCoverage)
+    qDecontaminateBloom, qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
+    qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
+    qDupCoverage)
 }
