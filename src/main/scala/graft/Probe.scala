@@ -146,6 +146,59 @@ object Probe {
       s""""forest_components":$cF,"star_components":$cSt,""" +
       s""""forest_labeled":$nF,"star_labeled":$nSt}""")
 
+    // The same forest-vs-star comparison at 10M edges over 4M nodes
+    // with the default fanIn=32 (two-level merge tree over 64 maps):
+    // the larger point on the crossover curve. The serial union-find
+    // tail now folds ~4M distinct nodes — if forest still wins here,
+    // the single-task funnel is not yet the bottleneck at this node
+    // count; the probe documents where that stops being true.
+    val nEdges10 = 10000000L
+    val redges10 = spark.range(nEdges10).select(
+      pmod(hash(col("id")), lit(4000000)).cast("long").as("i"),
+      pmod(hash(col("id") + 13), lit(4000000)).cast("long").as("j"))
+      .filter(col("i") =!= col("j")).repartition(64)
+      .persist()
+    redges10.count()
+    val (tF10, cF10, nF10) = ccStats(
+      graft.ops.Dedup.connectedComponentsForest(redges10, fanIn = 32))
+    val (tSt10, cSt10, nSt10) = ccStats(
+      graft.ops.Dedup.connectedComponentsStar(redges10))
+    redges10.unpersist()
+    println(s"""{"probe":"cc_forest_vs_star_10m","edges":$nEdges10,""" +
+      s""""forest_sec":$tF10,"star_sec":$tSt10,""" +
+      s""""forest_components":$cF10,"star_components":$cSt10,""" +
+      s""""forest_labeled":$nF10,"star_labeled":$nSt10}""")
+
+    // Bloom-accelerated exclusion join at 50M corpus keys × 1M
+    // exclusions (0.5M of them actually present): plain left_anti
+    // shuffles all 50M strings into the sort-merge join; the Bloom
+    // path probes map-side and shuffles only the candidate slice
+    // (~true matches + 1% fpp of the rest). Results are identical —
+    // the probe measures the shuffle-volume win the operator exists
+    // for and pins the candidate-slice selectivity at scale.
+    val nBig = 50000000L
+    val big = spark.range(nBig).select(concat(lit("k"), col("id")).as("k"))
+    val excl = spark.range(1000000L).select(
+      when(col("id") < 500000L, concat(lit("k"), col("id") * 2))
+        .otherwise(concat(lit("x"), col("id"))).as("bad"))
+      .persist()
+    excl.count()
+    val tB0 = System.nanoTime()
+    val plainKept = big.join(excl, col("k") === col("bad"), "left_anti").count()
+    val tBPlain = (System.nanoTime() - tB0) / 1e9
+    val tB1 = System.nanoTime()
+    val bloomKept = graft.ops.Bloom.antiJoin(big, col("k"), excl, col("bad"),
+      expectedItems = 1000000L).count()
+    val tBBloom = (System.nanoTime() - tB1) / 1e9
+    val bloomBytes = graft.ops.Bloom.build(excl, col("bad"), 1000000L)
+    val candN = big.filter(
+      graft.ops.Bloom.mightContain(bloomBytes, col("k"))).count()
+    excl.unpersist()
+    println(s"""{"probe":"bloom_anti","big":$nBig,"exclusions":1000000,""" +
+      s""""plain_sec":$tBPlain,"bloom_sec":$tBBloom,""" +
+      s""""plain_kept":$plainKept,"bloom_kept":$bloomKept,""" +
+      s""""candidates":$candN,"sketch_bytes":${bloomBytes.map(_.length).getOrElse(0)}}""")
+
     // As-of join at 10M trades × 1M quotes over 100 symbols: the
     // union+window formulation's cost is ONE (key, time) shuffle+sort
     // of both sides together — this measures rows/sec through that

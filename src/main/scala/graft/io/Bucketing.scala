@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit, shiftleft}
 
 /** Bucketed table layout — the at-rest half of the shuffle story: a
   * table written bucketed+sorted by its join/aggregation key is
@@ -45,7 +46,6 @@ object Bucketing {
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String],
       maxRecordsPerFile: Long = 5000000L): Unit = {
-    import org.apache.spark.sql.functions.col
     df.repartition(partitionCols.map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write.mode("overwrite")
@@ -53,4 +53,64 @@ object Bucketing {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Bit-spread/mask schedule for the Morton interleave: a 31-bit
+    * value fanned onto the even bit positions of a 64-bit word.
+    * Shared between the Column form and the generated oracle SQL so
+    * both engines compute identical keys.
+    */
+  private[io] val SpreadSteps: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL,
+    8 -> 0x00FF00FF00FF00FFL,
+    4 -> 0x0F0F0F0F0F0F0F0FL,
+    2 -> 0x3333333333333333L,
+    1 -> 0x5555555555555555L)
+
+  /** Morton (Z-order) key of two dimensions: bits of `a` and `b`
+    * interleaved, so sorting by the key clusters rows that are close
+    * in BOTH dimensions. Inputs are masked to their low 31 bits (this
+    * is a layout key, not data — callers bucket real values into that
+    * range first); the result stays positive, so plain long ordering
+    * is curve ordering. Pure built-in bitwise ops — codegen'd, no UDF.
+    */
+  def zValue(a: Column, b: Column): Column = {
+    def spread(c: Column): Column =
+      SpreadSteps.foldLeft(c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))) {
+        case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+      }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** The identical key as ANSI SQL over bigint bit ops (DuckDB runs
+    * it verbatim) — lets z-key computations be oracle-checked.
+    */
+  def zValueSql(a: String, b: String): String = {
+    def spread(e: String): String =
+      SpreadSteps.foldLeft(s"($e & 2147483647)") {
+        case (x, (s, m)) => s"(($x | ($x << $s)) & $m)"
+      }
+    s"(${spread(a)} | (${spread(b)} << 1))"
+  }
+
+  /** Z-ordered file layout — multi-dimensional pruning where
+    * [[writePartitioned]] is one-dimensional: range-partitioning and
+    * sorting by the interleaved key gives every file a tight bounding
+    * BOX in (a, b) space, so a selective predicate on EITHER
+    * dimension (or both) skips most files via parquet min/max stats.
+    * The trade against a plain sort on `a`: a-only predicates touch a
+    * few more files (√-factor), but b-only predicates go from
+    * touching every file to touching a √-fraction — the right layout
+    * when a 100 TB table serves predicates on more than one column
+    * (LayoutSpec measures both sides of the trade).
+    */
+  def writeZOrdered(df: DataFrame, path: String, dimA: Column,
+      dimB: Column, numFiles: Int,
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.withColumn("_zkey", zValue(dimA, dimB))
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
 }

@@ -312,6 +312,27 @@ object RelationalQ {
       ORDER BY c_custkey""")
   )
 
+  /** Z-order (Morton) layout keys, oracle-checked bit-for-bit: the
+    * key [[graft.io.Bucketing.writeZOrdered]] clusters 100 TB tables
+    * by, computed here over (user_id, hour) so the engine's curve
+    * math is pinned against DuckDB's independent bigint bit ops
+    * (shared spread schedule, [[graft.io.Bucketing.zValueSql]]).
+    * LayoutSpec measures the file-skipping the key exists for.
+    */
+  val qZorder = Q(
+    "q_zorder",
+    (spark, dir) => {
+      val hour = expr("ts_ms div 3600000")
+      Tables.events(spark, dir).select(
+        col("event_id"), col("user_id"), hour.as("hour"),
+        graft.io.Bucketing.zValue(col("user_id"), hour).as("zkey"))
+        .orderBy("zkey", "event_id")
+    },
+    Some(s"""SELECT event_id, user_id, epoch_ms(ts) // 3600000 AS hour,
+        ${graft.io.Bucketing.zValueSql("user_id", "(epoch_ms(ts) // 3600000)")} AS zkey
+      FROM events ORDER BY zkey, event_id""")
+  )
+
   /** Event-time tumbling-window aggregation via window() — the same
     * groupBy(window(...)) the streaming path uses with a watermark
     * (StreamingSpec covers late-data semantics); batch form is
@@ -1009,7 +1030,8 @@ object RelationalQ {
   def all: Seq[Q] = Seq(q1Agg, q3Shipping, q13Custdist, qJoinPricing,
     qWindowRank, qWindowNav, qTopk,
     qSetops, qSetopsAll, qMovingAvg,
-    qRollup, qCube, qDistinct, qAntiJoin, qBloomAnti, qTimeWindow, qSlideWindow,
+    qRollup, qCube, qDistinct, qAntiJoin, qBloomAnti, qZorder, qTimeWindow,
+    qSlideWindow,
     qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,
     qHistogram, qStatsMoments, qZscore, qRobustZ)
