@@ -56,10 +56,11 @@ object Bucketing {
 
   /** Bit-spread/mask schedule for the Morton interleave: a 31-bit
     * value fanned onto the even bit positions of a 64-bit word.
-    * Shared between the Column form and the generated oracle SQL so
-    * both engines compute identical keys.
+    * Shared between the Column form, the generated oracle SQL, and
+    * the `graft_zorder` SQL function so every surface computes
+    * identical keys.
     */
-  private[io] val SpreadSteps: Seq[(Int, Long)] = Seq(
+  val SpreadSteps: Seq[(Int, Long)] = Seq(
     16 -> 0x0000FFFF0000FFFFL,
     8 -> 0x00FF00FF00FF00FFL,
     4 -> 0x0F0F0F0F0F0F0F0FL,

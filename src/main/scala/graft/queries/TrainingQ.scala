@@ -551,7 +551,10 @@ object TrainingQ {
         explode(TextOps.shingleSet(col("text"))).as("s"))
       val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
         .select("s").distinct()
-      val bloom = Bloom.build(bench, col("s"), expectedItems = 1L << 20)
+      // sized ~10× the sf0.1 bench-shingle count: ~300 KB sketch (an
+      // oversized 1M-item sketch tripped Spark's 1 MB task-size
+      // warning for zero fpp benefit)
+      val bloom = Bloom.build(bench, col("s"), expectedItems = 1L << 18)
       sh.filter(col("doc_id") % BenchmarkMod =!= 0)
         .filter(Bloom.mightContain(bloom, col("s")))
         .join(broadcast(bench), Seq("s"))

@@ -74,6 +74,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_simhash_votes(str, bits) requires an integer literal bits")
       }))
+    // graft_zorder(a, b): Morton interleave of two dimensions — the
+    // layout key behind graft.io.Bucketing.writeZOrdered, for SQL
+    // users. Expands to the same built-in bitwise tree as the Column
+    // form (shared spread schedule), so it stays codegen'd and
+    // oracle-compatible with no new expression class.
+    e.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[BitwiseOr].getName, "graft_zorder"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) =>
+          import org.apache.spark.sql.types.LongType
+          def spread(c: Expression): Expression =
+            graft.io.Bucketing.SpreadSteps.foldLeft[Expression](
+              BitwiseAnd(Cast(c, LongType), Literal(0x7FFFFFFFL))) {
+              case (x, (s, m)) =>
+                BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(s))), Literal(m))
+            }
+          BitwiseOr(spread(a), ShiftLeft(spread(b), Literal(1)))
+        case _ => throw new IllegalArgumentException(
+          "graft_zorder(a, b) takes exactly two arguments")
+      }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

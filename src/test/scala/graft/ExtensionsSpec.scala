@@ -59,6 +59,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("graft_zorder is callable from SQL and matches the Column API") {
+    val r = spark.sql("SELECT graft_zorder(3, 1) AS z").collect().head.getLong(0)
+    assert(r == 7L) // a=0b11 on even lanes, b=0b1 on the odd lane
+    // the SQL face and the Column face compute the identical key
+    val both = spark.range(100).selectExpr(
+        "graft_zorder(id, id * 7) AS zs",
+        "id", "id * 7 AS b")
+      .withColumn("zc", graft.io.Bucketing.zValue(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("b")))
+    assert(both.filter("zs <> zc").count() == 0)
+  }
+
   test("graft_simhash_votes is callable from SQL and matches the Column API") {
     // lane 0 of the packed votes = 0/1 for md5 nibble 0's top bit
     val got = spark.sql(
