@@ -61,6 +61,27 @@ object Bloom {
       ColumnBridge.column(BloomFilterMightContain(
         Literal(bytes), ColumnBridge.expression(xxhash64(key)))))
 
+  /** Bitwise union of two sketches — incremental exclusion-list
+    * maintenance: yesterday's sketch ∪ today's delta without
+    * re-aggregating the full history. Both sides MUST have been built
+    * with the same (expectedItems, fpp) sizing (same bit width and
+    * hash count — [[org.apache.spark.util.sketch.BloomFilter]] refuses
+    * incompatible merges); the union's fpp degrades gracefully with
+    * total inserted keys, and no-false-negatives is preserved, so
+    * every exactness contract above carries over.
+    */
+  def union(a: Option[Array[Byte]], b: Option[Array[Byte]])
+      : Option[Array[Byte]] = (a, b) match {
+    case (Some(x), Some(y)) =>
+      val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(x))
+      fa.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(y)))
+      val out = new java.io.ByteArrayOutputStream()
+      fa.writeTo(out)
+      Some(out.toByteArray)
+    case (x, None) => x
+    case (None, y) => y
+  }
+
   /** Exact left-anti join (`big` rows whose `bigKey` has no match in
     * `small`) with a Bloom fast path: rows failing the probe are
     * PROVABLY unmatched and bypass the join entirely; only the

@@ -63,6 +63,25 @@ class BloomSpec extends AnyFunSuite {
     assert(got == Set(Some("b"), None))
   }
 
+  test("union merges sketches losslessly (incremental exclusion lists)") {
+    val day1 = (1 to 3000).map(i => s"old-$i").toDF("k")
+    val day2 = (1 to 3000).map(i => s"new-$i").toDF("k")
+    // identical sizing on both builds — the merge-compatibility rule
+    val merged = Bloom.union(
+      Bloom.build(day1, col("k"), expectedItems = 10000),
+      Bloom.build(day2, col("k"), expectedItems = 10000))
+    assert(merged.isDefined)
+    val all = day1.unionByName(day2)
+    assert(all.filter(!Bloom.mightContain(merged, col("k"))).count() == 0,
+      "union must preserve no-false-negatives over BOTH builds")
+    // union with an empty side is the identity
+    val one = Bloom.build(day1, col("k"), 10000)
+    assert(Bloom.union(one, None) == one && Bloom.union(None, one) == one)
+    // and the merged sketch still rejects most absent keys
+    val absent = (1 to 5000).map(i => s"none-$i").toDF("k")
+    assert(absent.filter(Bloom.mightContain(merged, col("k"))).count() < 500)
+  }
+
   test("probe stays inside whole-stage codegen (no interpreted fallback)") {
     val bloom = Bloom.build(Seq("x").toDF("k"), col("k"), 100)
     // range (not a local relation) so the filter can't constant-fold away

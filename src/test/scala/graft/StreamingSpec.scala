@@ -385,6 +385,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(served.contains("gamma"))
   }
 
+  test("streaming dedup against a static history via bloom prefilter is exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val history = spark.range(0, 1000)
+      .selectExpr("concat('k', id) AS k", "id AS meta")
+    val in = MemoryStream[String]
+    val out = graft.ops.Dedup.streamAgainstHistory(
+      in.toDF().toDF("k"), Seq("k"), history, expectedKeys = 1000)
+    val q = out.writeStream.format("memory").queryName("hist_dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    in.addData("k1", "k999", "fresh-1", "fresh-2", "k500", "fresh-3")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("hist_dedup").as[String].collect().toSet ==
+      Set("fresh-1", "fresh-2", "fresh-3"))
+
+    // degenerate sizing (sketch built for 1 key, 1000 inserted ⇒ fpp→1:
+    // nearly EVERY row becomes a candidate) must not change the answer —
+    // the exact join clears whatever the sketch waves through
+    val in2 = MemoryStream[String]
+    val out2 = graft.ops.Dedup.streamAgainstHistory(
+      in2.toDF().toDF("k"), Seq("k"), history, expectedKeys = 1)
+    val q2 = out2.writeStream.format("memory").queryName("hist_dedup_fp")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    in2.addData("k1", "fresh-1", "k42", "fresh-2")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("hist_dedup_fp").as[String].collect().toSet ==
+      Set("fresh-1", "fresh-2"))
+  }
+
   test("serve loop counts skipped ticks and fails after N consecutive failures") {
     val m = Metrics.attach(spark)
     try {
