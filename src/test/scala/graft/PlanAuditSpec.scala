@@ -59,6 +59,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "corpus side is being shuffled for the join")
   }
 
+  test("bloom twins keep the might_contain probe BELOW the exact join") {
+    // the operator's contract: the sketch filter runs map-side on the
+    // big side, so only the candidate slice reaches the join — losing
+    // the probe silently reverts to the un-accelerated plan
+    // (codegen of the probe itself is pinned in BloomSpec on a
+    // non-AQE plan, where the `*(n)` markers are printable)
+    for (name <- Seq("q_bloom_anti", "q_decontaminate_bloom")) {
+      val p = planOf(name)
+      assert("""Filter .*might_contain""".r.findFirstIn(p).isDefined,
+        s"$name lost its bloom probe filter")
+    }
+  }
+
   test("forest CC stays a single shuffle-free job over materialized pairs") {
     // the operator's whole value is narrow-only execution: partition
     // union-find → coalesce-tree merges, no Exchange anywhere. Feed it
