@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   *    the HOF→native dot-product rewrite rule);
   *  - AQE on (runtime coalescing + skew-join split — the default skew
   *    answer, see Skew.saltedJoin for the explicit fallback);
+  *  - runtime bloom-filter injection pinned on (Catalyst's automatic
+  *    half of the Bloom story: a selective filter on one shuffle-join
+  *    side gets a sketch prefilter injected on the other;
+  *    [[graft.ops.Bloom]] is the explicit half, for SEMANTIC
+  *    exclusion sets the optimizer cannot discover);
   *  - `spark.sql.shuffle.partitions` sized to the given parallelism
   *    instead of the 200 default (at cluster scale, set it to a small
   *    multiple of total executor cores, or let AQE coalesce);
@@ -30,6 +35,7 @@ object GraftSession {
       // applies even when a SparkContext already exists in the JVM
       .withExtensions(new org.apache.spark.sql.graftbridge.GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.shuffle.partitions", parallelism.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
