@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, lit, shiftleft}
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 
 /** Bucketed table layout — the at-rest half of the shuffle story: a
   * table written bucketed+sorted by its join/aggregation key is
@@ -93,6 +93,29 @@ object Bucketing {
     s"(${spread(a)} | (${spread(b)} << 1))"
   }
 
+  /** [[zValue]] for k dimensions (2 ≤ k ≤ 8): bit j of dimension i
+    * lands at position j·k + i, each dimension contributing its low
+    * ⌊62/k⌋ bits, result positive. k = 2 routes to the magic-number
+    * spread; higher k builds the interleave as ⌊62/k⌋ explicit
+    * extract-shift terms per dimension — a bulkier (still codegen'd,
+    * still built-in) expression that only runs in layout write jobs,
+    * where it is paid once per row written, not per query.
+    */
+  def zValueN(dims: Seq[Column]): Column = {
+    val k = dims.size
+    require(k >= 2 && k <= 8, s"zValueN takes 2..8 dimensions, got $k")
+    if (k == 2) zValue(dims(0), dims(1))
+    else {
+      val bits = 62 / k
+      val terms = for {
+        (d, i) <- dims.zipWithIndex
+        j <- 0 until bits
+      } yield shiftleft(
+        shiftright(d.cast("long"), j).bitwiseAND(lit(1L)), j * k + i)
+      terms.reduce(_ bitwiseOR _)
+    }
+  }
+
   /** Z-ordered file layout — multi-dimensional pruning where
     * [[writePartitioned]] is one-dimensional: range-partitioning and
     * sorting by the interleaved key gives every file a tight bounding
@@ -107,7 +130,12 @@ object Bucketing {
   def writeZOrdered(df: DataFrame, path: String, dimA: Column,
       dimB: Column, numFiles: Int,
       maxRecordsPerFile: Long = 5000000L): Unit =
-    df.withColumn("_zkey", zValue(dimA, dimB))
+    writeZOrderedN(df, path, Seq(dimA, dimB), numFiles, maxRecordsPerFile)
+
+  /** [[writeZOrdered]] over 2–8 dimensions via [[zValueN]]. */
+  def writeZOrderedN(df: DataFrame, path: String, dims: Seq[Column],
+      numFiles: Int, maxRecordsPerFile: Long = 5000000L): Unit =
+    df.withColumn("_zkey", zValueN(dims))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .drop("_zkey")

@@ -91,6 +91,48 @@ object Bars {
       .withColumn("sum_weight", col("_sum_w").cast("long"))
       .drop("_sum_w")
 
+  /** TWAP — time-weighted average price per (keys..., bucket): each
+    * price is weighted by how long it was the LIVE price (from its
+    * tick to the next tick in the bucket; the last price holds to
+    * bucket end), which is what makes the average robust to burst
+    * sampling — a thousand quotes in one millisecond move a tick-count
+    * average but not a time-weighted one. Convention: the bucket's
+    * coverage runs first-tick→bucket-end (no carry-in of the previous
+    * bucket's closing price — carry-in needs cross-bucket state and a
+    * different contract; `held_ms` exposes the covered span so callers
+    * can see partial coverage). Exact decimal price×duration sums,
+    * double division last — same cross-engine parity rule as [[vwap]].
+    *
+    * Scale shape: one keyed window (lead over (bucket, ts, tie)) for
+    * the holding times, then the grouped agg REUSES the window's hash
+    * partitioning — one data shuffle total, the same cost class as
+    * [[moveVol]]'s lag.
+    */
+  def twap(ticks: DataFrame, keyCols: Seq[String], tsMsCol: String,
+      tieCol: String, valueCol: String, bucketMs: Long): DataFrame = {
+    val bucketed = ticks
+      .withColumn("bucket_ms", col(tsMsCol) - col(tsMsCol) % lit(bucketMs))
+    val w = Window
+      .partitionBy((keyCols :+ "bucket_ms").map(col): _*)
+      .orderBy(col(tsMsCol), col(tieCol))
+    bucketed
+      .withColumn("_hold_ms",
+        coalesce(lead(col(tsMsCol), 1).over(w),
+          col("bucket_ms") + lit(bucketMs)) - col(tsMsCol))
+      .groupBy((keyCols :+ "bucket_ms").map(col): _*)
+      .agg(
+        sum(col(valueCol).cast(DecimalType(12, 2)) *
+          col("_hold_ms").cast(DecimalType(12, 0))).as("_sum_pt"),
+        sum(col("_hold_ms").cast(DecimalType(20, 0))).as("_sum_t"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("twap",
+        col("_sum_pt").cast("double") /
+          when(col("_sum_t") =!= 0, col("_sum_t").cast("double")))
+      .drop("_sum_pt")
+      .withColumn("held_ms", col("_sum_t").cast("long"))
+      .drop("_sum_t")
+  }
+
   /** Multi-resolution OHLC in ONE scan: candles at several bucket
     * widths (e.g. 10 min and 1 h) from a single pass over the ticks,
     * via native grouping sets — Catalyst's Expand generates the

@@ -197,6 +197,37 @@ object MarketQ {
       FROM g ORDER BY g.event_type, g.bucket_ms""")
   )
 
+  /** TWAP next to VWAP (see [[Bars.twap]]): prices weighted by how
+    * long each was live, per-bucket coverage first-tick→bucket-end;
+    * one keyed window + one grouped agg sharing a single shuffle.
+    */
+  val qTwap = Q(
+    "q_twap",
+    (spark, dir) =>
+      Bars.twap(Tables.events(spark, dir),
+        Seq("event_type"), tsMsCol = "ts_ms", tieCol = "event_id",
+        valueCol = "value", bucketMs = HourMs)
+        .orderBy("event_type", "bucket_ms"),
+    Some(s"""WITH t AS (SELECT event_type, value, event_id,
+          epoch_ms(ts) AS ts_ms FROM events),
+        b AS (SELECT event_type, value, event_id, ts_ms,
+          ts_ms - ts_ms % $HourMs AS bucket_ms FROM t),
+        h AS (SELECT event_type, bucket_ms, value,
+          COALESCE(lead(ts_ms) OVER (PARTITION BY event_type, bucket_ms
+              ORDER BY ts_ms, event_id), bucket_ms + $HourMs) - ts_ms
+            AS hold_ms
+          FROM b)
+      SELECT event_type, bucket_ms, count(*) AS n_ticks,
+        CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(hold_ms AS DECIMAL(12,0)))
+            AS DOUBLE)
+          / (CASE WHEN sum(CAST(hold_ms AS DECIMAL(20,0))) <> 0
+               THEN CAST(sum(CAST(hold_ms AS DECIMAL(20,0))) AS DOUBLE) END)
+          AS twap,
+        CAST(sum(CAST(hold_ms AS DECIMAL(20,0))) AS BIGINT) AS held_ms
+      FROM h GROUP BY event_type, bucket_ms
+      ORDER BY event_type, bucket_ms""")
+  )
+
   def all: Seq[Q] =
-    Seq(qOhlcBars, qOhlcMulti, qVwap, qMoveVol, qPiiRedact, qGapfill)
+    Seq(qOhlcBars, qOhlcMulti, qVwap, qMoveVol, qPiiRedact, qGapfill, qTwap)
 }

@@ -32,6 +32,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.getLong(4) == 0x2AAAAAAAAAAAAAAAL) // 31 odd lanes, positive
   }
 
+  test("zValueN places bit j of dim i at position j*k+i (model-checked)") {
+    // reference model computed in plain Scala, compared over a value grid
+    def model(vals: Seq[Long], k: Int): Long = {
+      val bits = 62 / k
+      (for {
+        (v, i) <- vals.zipWithIndex
+        j <- 0 until bits
+      } yield ((v >> j) & 1L) << (j * k + i)).sum
+    }
+    val df = spark.range(500).select(
+      col("id").as("a"), (col("id") * 31 % 997).as("b"), (col("id") * 7 % 211).as("c"))
+    val got = df.select(col("a"), col("b"), col("c"),
+      Bucketing.zValueN(Seq(col("a"), col("b"), col("c"))).as("z")).collect()
+    got.foreach { r =>
+      assert(r.getLong(3) ==
+        model(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 3),
+        s"mismatch at (${r.getLong(0)}, ${r.getLong(1)}, ${r.getLong(2)})")
+    }
+    // k=2 routes to the spread fast path — must agree with zValue
+    val two = spark.range(1000).select(
+      Bucketing.zValueN(Seq(col("id"), col("id") * 13)).as("zn"),
+      Bucketing.zValue(col("id"), col("id") * 13).as("z2"))
+    assert(two.filter("zn <> z2").count() == 0)
+  }
+
+  test("3-dim z-order still prunes on every dimension") {
+    // 32×32×32 cube, 8 files ⇒ one octant-ish z-range per file
+    val cube = spark.range(32768).select(
+      (col("id") % 32).as("x"),
+      (col("id") / 32 % 32).cast("long").as("y"),
+      (col("id") / 1024).cast("long").as("z"))
+    val dir = Files.createTempDirectory("layout_z3").toString + "/t"
+    Bucketing.writeZOrderedN(cube, dir,
+      Seq(col("x"), col("y"), col("z")), numFiles = 8)
+    def touched(pred: Column): Long =
+      spark.read.parquet(dir).filter(pred)
+        .select(input_file_name()).distinct().count()
+    // each single-dim slice should intersect about half the octants
+    // (plus range-boundary straddle), never all 8
+    assert(touched(col("x") < 4) <= 6)
+    assert(touched(col("y") < 4) <= 6)
+    assert(touched(col("z") < 4) <= 6)
+  }
+
   test("z-order layout prunes files on EITHER dimension; linear sort on one") {
     val grid = spark.range(65536).select(
       (col("id") % 256).as("x"),
