@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val outcomes = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=a,b,c restricts the dump (and the oracle
+    // manifest, so tools/check.py sees a consistent pair) for focused
+    // iteration — mirrors Bench's SPARK_GRAFT_BENCH_ONLY.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
+    val outcomes = SparkEntry.queries.filter(e => keep(e._1)).map { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -38,7 +44,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // in-repo summary so the round record survives independent of the
@@ -47,7 +53,8 @@ object Verify {
       case (k, Right(n)) => s"${q(k)}: {${q("rows")}: $n}"
       case (k, Left(m))  => s"${q(k)}: {${q("error")}: ${q(m.take(300))}}"
     }.mkString("{", ",", "}")
-    Files.writeString(Paths.get("verify_out.json"), summary)
+    if (only.isEmpty) // a filtered run must not clobber the full record
+      Files.writeString(Paths.get("verify_out.json"), summary)
     spark.stop()
   }
 }

@@ -34,4 +34,27 @@ object Sample {
       substring(md5(concat(lit(s"$seed|"), keyCol.cast("string")).cast("binary")),
         1, 8) < thr)
   }
+
+  /** Ranked per-group cap: keep the k best rows of each group under an
+    * explicit total order — the "at most N documents per domain" mixing
+    * step, where "best" is a quality ranking rather than a coin flip
+    * (for an unranked cap, [[stratifiedHash]] is the map-only tool).
+    * One shuffle on the group key; rank() would keep co-equal rows past
+    * the cap, so callers make `order` total (tiebreak on a unique id)
+    * and row_number stays deterministic.
+    *
+    * Scale note: a pathological group (one domain = half the corpus)
+    * sorts in a single task. The standard fix when that bites is a
+    * pre-pass that hash-prunes giant groups down toward k·fanout with
+    * [[stratifiedHash]] before the exact ranked cap — composable from
+    * these two primitives, not a separate operator.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[Column],
+      order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols: _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
 }

@@ -180,5 +180,119 @@ object StreamQ {
       ORDER BY w_start, event_type""")
   )
 
-  def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow, qStreamOhlc)
+  /** Streaming sessionization — the MERGING-window state path (every
+    * other streaming pin uses fixed windows or keyed state; session
+    * windows grow and fuse as events arrive, a different state-store
+    * operator). Same `session_window` + 6 h gap as the batch
+    * q_sessionize; append mode emits sessions once the watermark
+    * passes session end (last event + gap), so the oracle is the batch
+    * island construction restricted to that cutoff. Per-user sessions
+    * are disjoint and time-ordered, so the emitted set is a PREFIX of
+    * each user's session list and the post-hoc sid numbering matches
+    * the batch numbering. Fifth equivalence pin; batch face
+    * q_sessionize.
+    */
+  val qStreamSession = Q(
+    "q_stream_session",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rawSchema = Tables.table(spark, dir, "events").schema
+      val name = { counter += 1; s"stream_session_$counter" }
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts_ms", expr("ts div 1000000"))
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(col("user_id"), session_window(col("event_time"), "6 hours"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ts_ms")).as("start_ms"),
+          max(col("ts_ms")).as("end_ms"))
+        .select("user_id", "n", "start_ms", "end_ms")
+      val q = src.writeStream
+        .queryName(name)
+        .outputMode("append")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("start_ms"))
+      spark.table(name)
+        .withColumn("sid", row_number().over(w).cast("long"))
+        .select("user_id", "sid", "n", "start_ms", "end_ms")
+        .orderBy("user_id", "sid")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      m AS (SELECT max(ts_ms) - 3600000 AS wm FROM e),
+      d AS (SELECT user_id, event_id, ts_ms,
+          CASE WHEN lag(ts_ms) OVER w IS NULL
+                 OR ts_ms - lag(ts_ms) OVER w >= 21600000
+               THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      s AS (SELECT user_id, ts_ms,
+          CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM d)
+      SELECT user_id, sid, count(*) AS n,
+        min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+      FROM s CROSS JOIN m GROUP BY user_id, sid, wm
+      HAVING max(ts_ms) + 21600000 <= wm
+      ORDER BY user_id, sid""")
+  )
+
+  /** Stream-stream interval join — each click joined to the same
+    * user's views in the preceding hour, BOTH sides live streams with
+    * watermarks and a time-range predicate (the shape Spark needs to
+    * bound join state: each side's state is evicted once the watermark
+    * passes the interval). Inner-join append emits every match exactly
+    * once, so the oracle is the plain batch interval join — what's
+    * checked is that the streaming state machinery loses nothing.
+    * Sixth equivalence pin; batch face is the q_range_join family.
+    */
+  val qStreamJoin = Q(
+    "q_stream_join",
+    (spark, dir) => {
+      val rawSchema = Tables.table(spark, dir, "events").schema
+      val name = { counter += 1; s"stream_join_$counter" }
+      def side(eventType: String, prefix: String) =
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .filter(col("event_type") === eventType)
+          .withColumn("ts_ms", expr("ts div 1000000"))
+          .withColumn(s"${prefix}_time", timestamp_millis(col("ts_ms")))
+          .withWatermark(s"${prefix}_time", "1 hour")
+          .select(col("user_id").as(s"${prefix}_user"),
+            col("event_id").as(s"${prefix}_id"),
+            col("ts_ms").as(s"${prefix}_ms"),
+            col(s"${prefix}_time"))
+      val clicks = side("click", "c")
+      val views = side("view", "v")
+      val joined = clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("v_time") >= col("c_time") - expr("INTERVAL 1 HOUR") &&
+          col("v_time") <= col("c_time"))
+        .select(col("c_user").as("user_id"), col("c_id"), col("v_id"),
+          (col("c_ms") - col("v_ms")).as("lag_ms"))
+      val q = joined.writeStream
+        .queryName(name)
+        .outputMode("append")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).orderBy("user_id", "c_id", "v_id")
+    },
+    Some("""SELECT c.user_id, c.event_id AS c_id, v.event_id AS v_id,
+        epoch_ms(c.ts) - epoch_ms(v.ts) AS lag_ms
+      FROM events c JOIN events v
+        ON c.user_id = v.user_id
+       AND c.event_type = 'click' AND v.event_type = 'view'
+       AND epoch_ms(v.ts) >= epoch_ms(c.ts) - 3600000
+       AND epoch_ms(v.ts) <= epoch_ms(c.ts)
+      ORDER BY c.user_id, c_id, v_id""")
+  )
+
+  def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow,
+    qStreamOhlc, qStreamSession, qStreamJoin)
 }

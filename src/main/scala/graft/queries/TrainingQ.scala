@@ -588,6 +588,32 @@ object TrainingQ {
       ORDER BY doc_id""")
   )
 
+  private val CapPerSource = 10
+
+  /** Per-source mixing cap: at most N docs per source, keeping the
+    * LONGEST first (n_chars as the quality proxy, doc_id tiebreak for
+    * a total order) — the domain-rebalancing step that stops one
+    * crawl source from dominating the training mix. Ranked cap =
+    * window row_number (one shuffle); the unranked alternative and
+    * the heavy-hitter pre-prune are [[Sample.stratifiedHash]].
+    */
+  val qCapSource = Q(
+    "q_cap_source",
+    (spark, dir) =>
+      Sample.capPerGroup(Tables.documents(spark, dir),
+          groupCols = Seq(col("source")),
+          order = Seq(col("n_chars").desc, col("doc_id")),
+          k = CapPerSource)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= $CapPerSource ORDER BY doc_id""")
+  )
+
   /** Oracle fragment: sequential-fold double dot product (mirrors
     * Similarity.dot exactly, including fold order).
     */
@@ -914,5 +940,5 @@ object TrainingQ {
     qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
     qDecontaminateBloom, qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
-    qDupCoverage)
+    qDupCoverage, qCapSource)
 }
