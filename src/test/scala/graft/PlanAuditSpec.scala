@@ -72,6 +72,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_twap's grouped agg reuses the window's hash partitioning (one data shuffle)") {
+    // the operator's cost claim: lead() partitions by (keys, bucket) and
+    // the groupBy on the same keys rides that Exchange — a second
+    // hashpartitioning Exchange means the claim (and the cost class) broke.
+    // The final orderBy adds ONE rangepartitioning Exchange; that's the sort.
+    val p = planOf("q_twap")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash Exchange in q_twap, found $hashEx:\n$p")
+  }
+
   test("forest CC stays a single shuffle-free job over materialized pairs") {
     // the operator's whole value is narrow-only execution: partition
     // union-find → coalesce-tree merges, no Exchange anywhere. Feed it
