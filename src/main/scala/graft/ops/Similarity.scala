@@ -146,6 +146,76 @@ object Similarity {
       .select("i", "j", "cosine")
   }
 
+  /** One Lloyd / IVF-coarse assignment step: each vector → its
+    * argmax-cosine centroid (ties → lowest cluster id). The centroid
+    * table is one row per cluster — tiny — so it broadcasts and the
+    * k-fold expansion happens map-side; the per-vector argmax is a
+    * `max_by` over an (cosine, -cluster) ordering struct, which Spark
+    * partial-aggregates BELOW the exchange (same `partial_max_by`
+    * shape PlanAuditSpec pins for q_latest_per_key), so the one
+    * shuffle carries |corpus| pre-reduced rows, not |corpus|·k.
+    * Determinism: the ordering struct is totally ordered (exact
+    * double cosine, then the numerically-exact negated cluster id),
+    * so the winner is engine-portable.
+    *
+    * Full k-means = iterate assignNearest → [[centroids]] (quantized
+    * exact means) to fixpoint; each iteration is these two shuffles.
+    */
+  def assignNearest(vectors: DataFrame, centroidTable: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "cluster", centVecCol: String = "cv"): DataFrame = {
+    val c = centroidTable.select(col(clusterCol).as("cluster"),
+      asDouble(col(centVecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+    val v = vectors.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", norm2(col("v")))
+    v.crossJoin(broadcast(c))
+      .withColumn("cosine", cosinePre(dot(col("v"), col("cv")), col("vn"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cluster"), col("cosine")),
+        struct(col("cosine"), (-col("cluster")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.cosine").as("cosine"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup at scale = cluster
+    * first, compare ONLY within a cluster. Assignment via
+    * [[assignNearest]]; then an equality self-join on the cluster id
+    * generates candidate pairs and a vector is dropped iff a
+    * smaller-id cluster-mate sits at cosine ≥ τ — the same
+    * keep-the-first verdict contract as Dedup's `applyVerdicts`
+    * lineage. Returns (vec_id, cluster, keep).
+    *
+    * Scale shape: the quadratic term is bounded per cluster — k is
+    * chosen so |cluster| ≈ |corpus|/k keeps the in-bucket join flat,
+    * and a runaway cluster is pre-pruned with Sample.stratifiedHash
+    * or re-split by a second assignNearest level (an IVF-style coarse
+    * quantizer tree), both composable from these primitives. Compare
+    * q_dedup_embed (LSH-bucketed near-dup): same join discipline,
+    * learned buckets instead of sign bits.
+    */
+  def semDedup(vectors: DataFrame, centroidTable: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", clusterCol: String = "cluster",
+      centVecCol: String = "cv"): DataFrame = {
+    val assigned = assignNearest(vectors, centroidTable,
+      idCol, vecCol, clusterCol, centVecCol)
+      .join(vectors.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("v")), Seq("vec_id"))
+      .withColumn("n", norm2(col("v")))
+    val a = assigned.select(col("cluster"), col("vec_id").as("i"),
+      col("v").as("av"), col("n").as("an"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("j"),
+      col("v").as("bv"), col("n").as("bn"))
+    val dropped = a.join(b, Seq("cluster")).filter(col("i") < col("j"))
+      .withColumn("pc", cosinePre(dot(col("av"), col("bv")), col("an"), col("bn")))
+      .filter(col("pc") >= threshold)
+      .select(col("j").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        not(coalesce(col("_drop"), lit(false))).as("keep"))
+  }
+
   /** Per-label centroids in long form — one row per (label, dim):
     * the building block for IVF index maintenance, cluster-quality
     * monitoring, and embedding-drift checks.

@@ -620,6 +620,69 @@ object TrainingQ {
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (p, q) -> p + q)"
 
+  private val KmeansSeeds = 8
+  private val SemDedupTau = 0.3
+
+  /** Seed centroid table: the first K vectors as clusters 0..K-1 —
+    * deterministic and oracle-reproducible (a trained codebook swaps
+    * in as the same (cluster, cv) shape).
+    */
+  private def seedCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < KmeansSeeds)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+
+  /** One k-means assignment step (the Lloyd inner loop / IVF coarse
+    * quantizer): argmax-cosine centroid per vector via broadcast +
+    * partial max_by — |corpus| rows shuffle, never |corpus|·k.
+    */
+  val qKmeansAssign = Q(
+    "q_kmeans_assign",
+    (spark, dir) =>
+      Similarity.assignNearest(Tables.embeddings(spark, dir),
+          seedCentroids(spark, dir))
+        .orderBy("vec_id"),
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $KmeansSeeds),
+      s AS (SELECT vec_id, cluster,
+          ${sqlDot("v", "cv")} / sqrt(${sqlDot("v", "v")} * ${sqlDot("cv", "cv")}) AS cosine
+        FROM e CROSS JOIN c),
+      r AS (SELECT vec_id, cluster, cosine, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM s)
+      SELECT vec_id, cluster, cosine FROM r WHERE rn = 1 ORDER BY vec_id""")
+  )
+
+  /** SemDeDup: cluster-bucketed semantic dedup — drop a vector iff a
+    * smaller-id member of ITS OWN cluster sits at cosine ≥ τ; the
+    * equality join on the assigned cluster id is what replaces the
+    * all-pairs comparison at scale.
+    */
+  val qSemDedup = Q(
+    "q_semdedup",
+    (spark, dir) =>
+      Similarity.semDedup(Tables.embeddings(spark, dir),
+          seedCentroids(spark, dir), threshold = SemDedupTau)
+        .orderBy("vec_id"),
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $KmeansSeeds),
+      s AS (SELECT vec_id, cluster,
+          ${sqlDot("v", "cv")} / sqrt(${sqlDot("v", "v")} * ${sqlDot("cv", "cv")}) AS cosine
+        FROM e CROSS JOIN c),
+      r AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM s),
+      a AS (SELECT vec_id, cluster FROM r WHERE rn = 1),
+      av AS (SELECT a.vec_id, a.cluster, e.v FROM a JOIN e USING (vec_id)),
+      d AS (SELECT DISTINCT y.vec_id FROM av x JOIN av y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE ${sqlDot("x.v", "y.v")} / sqrt(${sqlDot("x.v", "x.v")} * ${sqlDot("y.v", "y.v")}) >= $SemDedupTau)
+      SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS keep
+      FROM a LEFT JOIN d ON a.vec_id = d.vec_id ORDER BY a.vec_id""")
+  )
+
   val qKnn = Q(
     "q_knn",
     (spark, dir) => {
@@ -940,5 +1003,5 @@ object TrainingQ {
     qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
     qDecontaminateBloom, qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
-    qDupCoverage, qCapSource)
+    qDupCoverage, qCapSource, qKmeansAssign, qSemDedup)
 }

@@ -36,7 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // the cross is the POINT, and the broadcast keeps it linear
     val intended = Set("q_knn", "q_ann_ivf", "q_serve_snapshot",
       "q_snapshot_diff", "q_tfidf", "q_ttl_filter",
-      "q_embed_outliers") // 2-column percentile stats row × vector side
+      "q_embed_outliers", // 2-column percentile stats row × vector side
+      "q_kmeans_assign", "q_semdedup") // k-row centroid table × corpus
     for ((name, p) <- sweep if p.contains("BroadcastNestedLoopJoin"))
       assert(intended(name), s"$name plans an unintended BroadcastNestedLoopJoin")
   }
@@ -80,6 +81,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = planOf("q_twap")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx == 1, s"expected 1 hash Exchange in q_twap, found $hashEx:\n$p")
+  }
+
+  test("q_kmeans_assign partial-aggregates the argmax below the exchange") {
+    // the operator's cost claim: the k-fold centroid expansion is
+    // map-side (broadcast cross) and max_by pre-reduces per partition,
+    // so the shuffle carries |corpus| rows, not |corpus|·k
+    val p = planOf("q_kmeans_assign")
+    assert(p.contains("partial_max_by"),
+      "assignNearest no longer partial-aggregates the argmax map-side")
+    assert(p.contains("BroadcastExchange"),
+      "centroid table is no longer broadcast")
   }
 
   test("forest CC stays a single shuffle-free job over materialized pairs") {
