@@ -15,9 +15,15 @@ import graft.ops.Bars
   * without salting.
   *
   * Usage: runMain graft.Probe [nRows]  (default 50e6)
-  * Prints one JSON line; results recorded in PERF.md.
+  * Prints one JSON line per probe; results recorded in PERF.md.
+  * SPARK_GRAFT_PROBE_ONLY=name,name runs a subset (names = the
+  * "probe" field of each JSON line).
   */
 object Probe {
+  private def enabled(name: String): Boolean =
+    sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .forall(_.split(",").map(_.trim).contains(name))
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(50000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,263 +56,323 @@ object Probe {
     }
 
     val bucket = 60000L // 1-min bars: ~52 buckets/sym over the 52-min domain
-    // warm the JIT/codegen paths once
-    time(Bars.ohlc(uniform.limit(1000000), Seq("sym"), "ts_ms", "event_id",
-      "value", bucket))
-    val (tU, rU) = time(Bars.ohlc(uniform, Seq("sym"), "ts_ms", "event_id",
-      "value", bucket))
-    val (tS, rS) = time(Bars.ohlc(skewed, Seq("sym"), "ts_ms", "event_id",
-      "value", bucket))
-    val (tV, rV) = time(Bars.vwap(uniform.withColumn("w",
-      pmod(col("event_id"), lit(100L))), Seq("sym"), "ts_ms", "value", "w",
-      bucket))
-    println(s"""{"probe":"bars","rows":$n,"ohlc_uniform_sec":$tU,""" +
-      s""""ohlc_uniform_bars":$rU,"ohlc_skew50_sec":$tS,""" +
-      s""""ohlc_skew50_bars":$rS,"vwap_sec":$tV,"vwap_bars":$rV}""")
+    if (enabled("bars")) {
+      // warm the JIT/codegen paths once
+      time(Bars.ohlc(uniform.limit(1000000), Seq("sym"), "ts_ms", "event_id",
+        "value", bucket))
+      val (tU, rU) = time(Bars.ohlc(uniform, Seq("sym"), "ts_ms", "event_id",
+        "value", bucket))
+      val (tS, rS) = time(Bars.ohlc(skewed, Seq("sym"), "ts_ms", "event_id",
+        "value", bucket))
+      val (tV, rV) = time(Bars.vwap(uniform.withColumn("w",
+        pmod(col("event_id"), lit(100L))), Seq("sym"), "ts_ms", "value", "w",
+        bucket))
+      println(s"""{"probe":"bars","rows":$n,"ohlc_uniform_sec":$tU,""" +
+        s""""ohlc_uniform_bars":$rU,"ohlc_skew50_sec":$tS,""" +
+        s""""ohlc_skew50_bars":$rS,"vwap_sec":$tV,"vwap_bars":$rV}""")
+    }
 
     // moveVol pays the one cost ohlc avoids — a per-key (ts, tie)
     // window sort of the full tick volume (same cost class as the
     // as-of sort); ohlcMulti pays a 2× map-side Expand but keeps the
     // single scan + partial-agg shuffle. Both numbers bound the
-    // operators' scale story next to plain ohlc above.
-    val (tM, rM) = time(Bars.moveVol(uniform, Seq("sym"), "ts_ms",
-      "event_id", "value", bucket))
-    val (tMu, rMu) = time(Bars.ohlcMulti(uniform, Seq("sym"), "ts_ms",
-      "event_id", "value", Seq(bucket, 5 * bucket)))
-    println(s"""{"probe":"bars2","rows":$n,"movevol_sec":$tM,""" +
-      s""""movevol_bars":$rM,"ohlc_multi_sec":$tMu,"ohlc_multi_bars":$rMu}""")
+    // operators' scale story next to plain ohlc above. twap adds the
+    // third cost class: the lead() window sort PLUS a grouped agg that
+    // rides the window's partitioning (one data shuffle total) — its
+    // delta over movevol is the price of the duration weighting.
+    if (enabled("bars2")) {
+      val (tM, rM) = time(Bars.moveVol(uniform, Seq("sym"), "ts_ms",
+        "event_id", "value", bucket))
+      val (tMu, rMu) = time(Bars.ohlcMulti(uniform, Seq("sym"), "ts_ms",
+        "event_id", "value", Seq(bucket, 5 * bucket)))
+      val (tTw, rTw) = time(Bars.twap(uniform, Seq("sym"), "ts_ms",
+        "event_id", "value", bucket))
+      println(s"""{"probe":"bars2","rows":$n,"movevol_sec":$tM,""" +
+        s""""movevol_bars":$rM,"ohlc_multi_sec":$tMu,"ohlc_multi_bars":$rMu,""" +
+        s""""twap_sec":$tTw,"twap_bars":$rTw}""")
+    }
 
-    // MinHash+LSH scaling: synthetic ~60-token docs from a 1000-word
-    // hashed vocabulary, 10% of them near-duplicates (two variants per
-    // base doc differing in a trailing token) so the LSH join finds
-    // real pairs. Measures docs/sec through signature + band join at
-    // 10× the sf0.1 corpus.
-    val nDocs = 50000L
-    val words = (0 until 60).map(i =>
-      concat(lit("w"), pmod(hash(col("base") * 60 + i), lit(1000))))
-    val docs = spark.range(nDocs)
-      .withColumn("base",
-        when(pmod(col("id"), lit(10)) < 2, expr("(id div 10) * 10"))
-          .otherwise(col("id")))
-      .select(col("id").as("doc_id"),
-        concat_ws(" ", (words :+ concat(lit("v"), pmod(col("id"), lit(10)))): _*)
-          .as("text"))
-    val (tD, nPairs) = time(graft.ops.Dedup.minhashLshPairs(docs, "doc_id",
-      "text", bands = 4, rowsPerBand = 2))
-    println(s"""{"probe":"minhash_lsh","docs":$nDocs,"sec":$tD,""" +
-      s""""pairs":$nPairs,"docs_per_sec":${(nDocs / tD).toLong}}""")
+    if (enabled("minhash_lsh")) {
+      // MinHash+LSH scaling: synthetic ~60-token docs from a 1000-word
+      // hashed vocabulary, 10% of them near-duplicates (two variants per
+      // base doc differing in a trailing token) so the LSH join finds
+      // real pairs. Measures docs/sec through signature + band join at
+      // 10× the sf0.1 corpus.
+      val nDocs = 50000L
+      val words = (0 until 60).map(i =>
+        concat(lit("w"), pmod(hash(col("base") * 60 + i), lit(1000))))
+      val docs = spark.range(nDocs)
+        .withColumn("base",
+          when(pmod(col("id"), lit(10)) < 2, expr("(id div 10) * 10"))
+            .otherwise(col("id")))
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (words :+ concat(lit("v"), pmod(col("id"), lit(10)))): _*)
+            .as("text"))
+      val (tD, nPairs) = time(graft.ops.Dedup.minhashLshPairs(docs, "doc_id",
+        "text", bands = 4, rowsPerBand = 2))
+      println(s"""{"probe":"minhash_lsh","docs":$nDocs,"sec":$tD,""" +
+        s""""pairs":$nPairs,"docs_per_sec":${(nDocs / tD).toLong}}""")
+    }
 
-    // Star-contraction CC on a worst-case-diameter graph: a 100k-node
-    // PATH (every near-dup chain's pathological limit). Min-label
-    // propagation needs O(diameter) = 100k rounds here — unrunnable;
-    // star contraction converges in O(log n) rounds, which is the
-    // reason both variants ship. Also proves the driver loop's plan
-    // cuts hold up over ~17 iterative rounds.
-    val nNodes = 100000L
-    val chain = spark.range(nNodes - 1)
-      .select(col("id").as("i"), (col("id") + 1).as("j"))
-    val t1 = System.nanoTime()
-    val comps = graft.ops.Dedup.connectedComponentsStar(chain)
-      .agg(countDistinct(col("rep_id")).as("c"), count(lit(1)).as("n"))
-      .collect()(0)
-    val tC = (System.nanoTime() - t1) / 1e9
-    println(s"""{"probe":"cc_star_path","nodes":$nNodes,"sec":$tC,""" +
-      s""""components":${comps.getLong(0)},"labeled":${comps.getLong(1)}}""")
+    if (enabled("cc_star_path")) {
+      // Star-contraction CC on a worst-case-diameter graph: a 100k-node
+      // PATH (every near-dup chain's pathological limit). Min-label
+      // propagation needs O(diameter) = 100k rounds here — unrunnable;
+      // star contraction converges in O(log n) rounds, which is the
+      // reason both variants ship. Also proves the driver loop's plan
+      // cuts hold up over ~17 iterative rounds.
+      val nNodes = 100000L
+      val chain = spark.range(nNodes - 1)
+        .select(col("id").as("i"), (col("id") + 1).as("j"))
+      val t1 = System.nanoTime()
+      val comps = graft.ops.Dedup.connectedComponentsStar(chain)
+        .agg(countDistinct(col("rep_id")).as("c"), count(lit(1)).as("n"))
+        .collect()(0)
+      val tC = (System.nanoTime() - t1) / 1e9
+      println(s"""{"probe":"cc_star_path","nodes":$nNodes,"sec":$tC,""" +
+        s""""components":${comps.getLong(0)},"labeled":${comps.getLong(1)}}""")
+    }
 
-    // Forest vs star CC on the SAME supercritical random graph (2M
-    // edges over 1M nodes, avg degree 4 ⇒ one giant component — the
-    // representative upper end of a post-LSH candidate-pair graph,
-    // across 64 partitions with fanIn=8 so the forest path exercises a
-    // three-level narrow merge tree). The pair of numbers documents
-    // the crossover the two variants are shipped for: forest is one
-    // shuffle-free job whose tail is a serial union-find over the
-    // distinct-node funnel (wins while nodes fit one task); star pays
-    // O(log n) shuffle rounds but every round is fully parallel (wins
-    // once the node set outgrows a task).
-    val nEdges = 2000000L
-    val redges = spark.range(nEdges).select(
-      pmod(hash(col("id")), lit(1000000)).cast("long").as("i"),
-      pmod(hash(col("id") + 13), lit(1000000)).cast("long").as("j"))
-      .filter(col("i") =!= col("j")).repartition(64)
-      .persist()
-    redges.count() // materialize: both variants then read the same cache
     def ccStats(df: => DataFrame): (Double, Long, Long) = {
       val t0 = System.nanoTime()
       val r = df.agg(countDistinct(col("rep_id")).as("c"),
         count(lit(1)).as("n")).collect()(0)
       ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
     }
-    val (tF, cF, nF) = ccStats(
-      graft.ops.Dedup.connectedComponentsForest(redges, fanIn = 8))
-    val (tSt, cSt, nSt) = ccStats(
-      graft.ops.Dedup.connectedComponentsStar(redges))
-    redges.unpersist()
-    println(s"""{"probe":"cc_forest_vs_star","edges":$nEdges,""" +
-      s""""forest_sec":$tF,"star_sec":$tSt,""" +
-      s""""forest_components":$cF,"star_components":$cSt,""" +
-      s""""forest_labeled":$nF,"star_labeled":$nSt}""")
 
-    // The same forest-vs-star comparison at 10M edges over 4M nodes
-    // with the default fanIn=32 (two-level merge tree over 64 maps):
-    // the larger point on the crossover curve. The serial union-find
-    // tail now folds ~4M distinct nodes — if forest still wins here,
-    // the single-task funnel is not yet the bottleneck at this node
-    // count; the probe documents where that stops being true.
-    val nEdges10 = 10000000L
-    val redges10 = spark.range(nEdges10).select(
-      pmod(hash(col("id")), lit(4000000)).cast("long").as("i"),
-      pmod(hash(col("id") + 13), lit(4000000)).cast("long").as("j"))
-      .filter(col("i") =!= col("j")).repartition(64)
-      .persist()
-    redges10.count()
-    val (tF10, cF10, nF10) = ccStats(
-      graft.ops.Dedup.connectedComponentsForest(redges10, fanIn = 32))
-    val (tSt10, cSt10, nSt10) = ccStats(
-      graft.ops.Dedup.connectedComponentsStar(redges10))
-    redges10.unpersist()
-    println(s"""{"probe":"cc_forest_vs_star_10m","edges":$nEdges10,""" +
-      s""""forest_sec":$tF10,"star_sec":$tSt10,""" +
-      s""""forest_components":$cF10,"star_components":$cSt10,""" +
-      s""""forest_labeled":$nF10,"star_labeled":$nSt10}""")
-
-    // Bloom-accelerated exclusion join at 50M corpus keys × 1M
-    // exclusions (0.5M of them actually present): plain left_anti
-    // shuffles all 50M strings into the sort-merge join; the Bloom
-    // path probes map-side and shuffles only the candidate slice
-    // (~true matches + 1% fpp of the rest). Results are identical —
-    // the probe measures the shuffle-volume win the operator exists
-    // for and pins the candidate-slice selectivity at scale.
-    val nBig = 50000000L
-    val big = spark.range(nBig).select(concat(lit("k"), col("id")).as("k"))
-    val excl = spark.range(1000000L).select(
-      when(col("id") < 500000L, concat(lit("k"), col("id") * 2))
-        .otherwise(concat(lit("x"), col("id"))).as("bad"))
-      .persist()
-    excl.count()
-    val tB0 = System.nanoTime()
-    val plainKept = big.join(excl, col("k") === col("bad"), "left_anti").count()
-    val tBPlain = (System.nanoTime() - tB0) / 1e9
-    val tB1 = System.nanoTime()
-    val bloomKept = graft.ops.Bloom.antiJoin(big, col("k"), excl, col("bad"),
-      expectedItems = 1000000L).count()
-    val tBBloom = (System.nanoTime() - tB1) / 1e9
-    val bloomBytes = graft.ops.Bloom.build(excl, col("bad"), 1000000L)
-    val candN = big.filter(
-      graft.ops.Bloom.mightContain(bloomBytes, col("k"))).count()
-    excl.unpersist()
-    println(s"""{"probe":"bloom_anti","big":$nBig,"exclusions":1000000,""" +
-      s""""plain_sec":$tBPlain,"bloom_sec":$tBBloom,""" +
-      s""""plain_kept":$plainKept,"bloom_kept":$bloomKept,""" +
-      s""""candidates":$candN,"sketch_bytes":${bloomBytes.map(_.length).getOrElse(0)}}""")
-
-    // As-of join at 10M trades × 1M quotes over 100 symbols: the
-    // union+window formulation's cost is ONE (key, time) shuffle+sort
-    // of both sides together — this measures rows/sec through that
-    // sort, the operator's scale bound.
-    val nTrades = 10000000L
-    val trades = spark.range(nTrades).select(
-      concat(lit("S"), pmod(col("id"), lit(100))).as("sym"),
-      pmod(hash(col("id")), lit(100000000L)).as("t"),
-      col("id").as("trade_id"))
-    val quotes = spark.range(nTrades / 10).select(
-      concat(lit("S"), pmod(col("id"), lit(100))).as("sym"),
-      pmod(hash(col("id") + 7), lit(100000000L)).as("qt"),
-      (pmod(hash(col("id") * 3), lit(10000)) / lit(100.0)).as("px"))
-      .groupBy("sym", "qt").agg(max(col("px")).as("px")) // unique (sym, t)
-    val (tA, nMatched) = time(graft.ops.AsOf.asOfJoin(trades, quotes,
-      Seq("sym"), "t", "qt", Seq("px")).filter(col("px").isNotNull))
-    println(s"""{"probe":"asof","trades":$nTrades,"quotes":${nTrades / 10},""" +
-      s""""sec":$tA,"matched":$nMatched,""" +
-      s""""trades_per_sec":${(nTrades / tA).toLong}}""")
-
-    // End-to-end ingest throughput — the reference's headline path —
-    // from the durable-log source through the FULL production
-    // pipeline: decode → validate (with drop counting) → broadcast
-    // enrich → idempotent batch append + keep-last upsert. 1M wire
-    // frames over 8 log partitions, drained AvailableNow in
-    // size-bounded batches. The records/sec includes both sinks'
-    // writes — the honest number a capacity plan needs.
-    val nFrames = 1000000L
-    val logDir = java.nio.file.Files.createTempDirectory("probe_log").toString
-    val seg = 125000
-    (0 until 8).foreach { p =>
-      graft.sources.LogSource.append(logDir, p,
-        (0 until seg).map(i =>
-          graft.sources.TickSource.frame((p * seg + i).toLong, 100)))
+    if (enabled("cc_forest_vs_star")) {
+      // Forest vs star CC on the SAME supercritical random graph (2M
+      // edges over 1M nodes, avg degree 4 ⇒ one giant component — the
+      // representative upper end of a post-LSH candidate-pair graph,
+      // across 64 partitions with fanIn=8 so the forest path exercises a
+      // three-level narrow merge tree). The pair of numbers documents
+      // the crossover the two variants are shipped for: forest is one
+      // shuffle-free job whose tail is a serial union-find over the
+      // distinct-node funnel (wins while nodes fit one task); star pays
+      // O(log n) shuffle rounds but every round is fully parallel (wins
+      // once the node set outgrows a task).
+      val nEdges = 2000000L
+      val redges = spark.range(nEdges).select(
+        pmod(hash(col("id")), lit(1000000)).cast("long").as("i"),
+        pmod(hash(col("id") + 13), lit(1000000)).cast("long").as("j"))
+        .filter(col("i") =!= col("j")).repartition(64)
+        .persist()
+      redges.count() // materialize: both variants then read the same cache
+      val (tF, cF, nF) = ccStats(
+        graft.ops.Dedup.connectedComponentsForest(redges, fanIn = 8))
+      val (tSt, cSt, nSt) = ccStats(
+        graft.ops.Dedup.connectedComponentsStar(redges))
+      redges.unpersist()
+      println(s"""{"probe":"cc_forest_vs_star","edges":$nEdges,""" +
+        s""""forest_sec":$tF,"star_sec":$tSt,""" +
+        s""""forest_components":$cF,"star_components":$cSt,""" +
+        s""""forest_labeled":$nF,"star_labeled":$nSt}""")
     }
-    val dim = spark.range(100).selectExpr(
-      "concat('SYM', id) AS symbol", "concat('EX', id % 9) AS exchange")
-    val appendDir = java.nio.file.Files.createTempDirectory("probe_append").toString
-    val latestDir = java.nio.file.Files.createTempDirectory("probe_latest").toString
-    val rawLog = spark.readStream.format("graft-log")
-      .option("path", logDir)
-      .option("maxOffsetsPerTrigger", (nFrames / 4).toString)
-      .load()
-    val tI0 = System.nanoTime()
-    val iq = graft.stream.Pipeline.start(
-      graft.ops.Ingest.parseWire(rawLog), dim, appendDir, latestDir,
-      keyCols = Seq("name"), orderCols = Seq("timestamp"),
-      nameCol = "name", tsCol = "timestamp",
-      checkpointDir = java.nio.file.Files.createTempDirectory("probe_ck").toString,
-      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      retries = 1)
-    iq.awaitTermination()
-    val tI = (System.nanoTime() - tI0) / 1e9
-    val appendedN = spark.read.parquet(appendDir).count()
-    val latestN = graft.stream.Pipeline.readLatest(spark, latestDir).count()
-    println(s"""{"probe":"ingest_pipeline","frames":$nFrames,"sec":$tI,""" +
-      s""""appended":$appendedN,"latest_keys":$latestN,""" +
-      s""""frames_per_sec":${(nFrames / tI).toLong}}""")
 
-    // Serve-path probe: the per-tick body of the snapshot broadcaster
-    // (Transform.serveSnapshot — broadcast clients × broadcast configs
-    // + the interpreted HOF transform) at 1M live symbols × 1k
-    // (client, symbol) config rows over 50 clients. Output cardinality
-    // is symbols × clients = 50M transformed rows; the measured number
-    // bounds how large a snapshot a 1-second serving tick can actually
-    // re-transform. All joins are broadcasts — the snapshot side never
-    // shuffles, which is what makes the tick scale with executors.
-    val nSyms = 1000000L
-    val nClients = 50L
-    val snapshot = spark.range(nSyms).select(
-      concat(lit("S"), col("id")).as("symbol"),
-      map(
-        lit("v"), (pmod(hash(col("id")), lit(10000)) / lit(100.0)).cast("string"),
-        lit("ts"), col("id").cast("string"),
-        lit("drop_me"), lit("x")).as("flat"))
-    val serveCfgs = spark.range(nClients * 20).select(
-      concat(lit("C"), pmod(col("id"), lit(nClients))).as("client_id"),
-      concat(lit("S"), pmod(col("id") * 997L, lit(nSyms))).as("symbol"),
-      map(lit("v"), struct(lit("multiply").as("op"), lit(2.0).as("value"))).as("rules"),
-      map(lit("ts"), lit("t")).as("renames"),
-      array(lit("drop_me")).as("removes"),
-      map(lit("src"), lit("graft")).as("overrides"))
-    val (tSv, rSv) = time(
-      graft.ops.Transform.serveSnapshot(snapshot, serveCfgs))
-    println(s"""{"probe":"serve_snapshot","symbols":$nSyms,"clients":$nClients,""" +
-      s""""configs":${nClients * 20},"sec":$tSv,"served_rows":$rSv,""" +
-      s""""rows_per_sec":${(rSv / tSv).toLong}}""")
+    if (enabled("cc_forest_vs_star_10m")) {
+      // The same forest-vs-star comparison at 10M edges over 4M nodes
+      // with the default fanIn=32 (two-level merge tree over 64 maps):
+      // the larger point on the crossover curve. The serial union-find
+      // tail now folds ~4M distinct nodes — if forest still wins here,
+      // the single-task funnel is not yet the bottleneck at this node
+      // count; the probe documents where that stops being true.
+      val nEdges10 = 10000000L
+      val redges10 = spark.range(nEdges10).select(
+        pmod(hash(col("id")), lit(4000000)).cast("long").as("i"),
+        pmod(hash(col("id") + 13), lit(4000000)).cast("long").as("j"))
+        .filter(col("i") =!= col("j")).repartition(64)
+        .persist()
+      redges10.count()
+      val (tF10, cF10, nF10) = ccStats(
+        graft.ops.Dedup.connectedComponentsForest(redges10, fanIn = 32))
+      val (tSt10, cSt10, nSt10) = ccStats(
+        graft.ops.Dedup.connectedComponentsStar(redges10))
+      redges10.unpersist()
+      println(s"""{"probe":"cc_forest_vs_star_10m","edges":$nEdges10,""" +
+        s""""forest_sec":$tF10,"star_sec":$tSt10,""" +
+        s""""forest_components":$cF10,"star_components":$cSt10,""" +
+        s""""forest_labeled":$nF10,"star_labeled":$nSt10}""")
+    }
 
-    // The compiled variant of the same tick: per-client when-chains
-    // codegen'd instead of the interpreted rules HOF — the recommended
-    // path when the fan-out outgrows the interpreted tick. Same
-    // clients/symbol coverage, so rows match serve_snapshot above and
-    // the two numbers are directly comparable.
-    val compiledCfgs = (0L until nClients).map { c =>
-      val syms = (0L until nClients * 20)
-        .filter(_ % nClients == c)
-        .map(i => s"S${(i * 997L) % nSyms}" -> graft.model.SymbolConfig(
-          renameFields = Map("ts" -> "t"),
-          valueRules = Map("v" -> graft.model.ValueRule("multiply", 2.0)),
-          overrideFields = Map("src" -> "graft"),
-          removeFields = Seq("drop_me"))).toMap
-      s"C$c" -> graft.model.ClientConfig(syms)
-    }.toMap
-    val (tSc, rSc) = time(
-      graft.ops.Transform.serveSnapshotCompiled(snapshot, compiledCfgs))
-    println(s"""{"probe":"serve_snapshot_compiled","symbols":$nSyms,""" +
-      s""""clients":$nClients,"sec":$tSc,"served_rows":$rSc,""" +
-      s""""rows_per_sec":${(rSc / tSc).toLong}}""")
+    if (enabled("bloom_anti")) {
+      // Bloom-accelerated exclusion join at 50M corpus keys × 1M
+      // exclusions (0.5M of them actually present): plain left_anti
+      // shuffles all 50M strings into the sort-merge join; the Bloom
+      // path probes map-side and shuffles only the candidate slice
+      // (~true matches + 1% fpp of the rest). Results are identical —
+      // the probe measures the shuffle-volume win the operator exists
+      // for and pins the candidate-slice selectivity at scale.
+      val nBig = 50000000L
+      val big = spark.range(nBig).select(concat(lit("k"), col("id")).as("k"))
+      val excl = spark.range(1000000L).select(
+        when(col("id") < 500000L, concat(lit("k"), col("id") * 2))
+          .otherwise(concat(lit("x"), col("id"))).as("bad"))
+        .persist()
+      excl.count()
+      val tB0 = System.nanoTime()
+      val plainKept = big.join(excl, col("k") === col("bad"), "left_anti").count()
+      val tBPlain = (System.nanoTime() - tB0) / 1e9
+      val tB1 = System.nanoTime()
+      val bloomKept = graft.ops.Bloom.antiJoin(big, col("k"), excl, col("bad"),
+        expectedItems = 1000000L).count()
+      val tBBloom = (System.nanoTime() - tB1) / 1e9
+      val bloomBytes = graft.ops.Bloom.build(excl, col("bad"), 1000000L)
+      val candN = big.filter(
+        graft.ops.Bloom.mightContain(bloomBytes, col("k"))).count()
+      excl.unpersist()
+      println(s"""{"probe":"bloom_anti","big":$nBig,"exclusions":1000000,""" +
+        s""""plain_sec":$tBPlain,"bloom_sec":$tBBloom,""" +
+        s""""plain_kept":$plainKept,"bloom_kept":$bloomKept,""" +
+        s""""candidates":$candN,"sketch_bytes":${bloomBytes.map(_.length).getOrElse(0)}}""")
+    }
+
+    if (enabled("asof")) {
+      // As-of join at 10M trades × 1M quotes over 100 symbols: the
+      // union+window formulation's cost is ONE (key, time) shuffle+sort
+      // of both sides together — this measures rows/sec through that
+      // sort, the operator's scale bound.
+      val nTrades = 10000000L
+      val trades = spark.range(nTrades).select(
+        concat(lit("S"), pmod(col("id"), lit(100))).as("sym"),
+        pmod(hash(col("id")), lit(100000000L)).as("t"),
+        col("id").as("trade_id"))
+      val quotes = spark.range(nTrades / 10).select(
+        concat(lit("S"), pmod(col("id"), lit(100))).as("sym"),
+        pmod(hash(col("id") + 7), lit(100000000L)).as("qt"),
+        (pmod(hash(col("id") * 3), lit(10000)) / lit(100.0)).as("px"))
+        .groupBy("sym", "qt").agg(max(col("px")).as("px")) // unique (sym, t)
+      val (tA, nMatched) = time(graft.ops.AsOf.asOfJoin(trades, quotes,
+        Seq("sym"), "t", "qt", Seq("px")).filter(col("px").isNotNull))
+      println(s"""{"probe":"asof","trades":$nTrades,"quotes":${nTrades / 10},""" +
+        s""""sec":$tA,"matched":$nMatched,""" +
+        s""""trades_per_sec":${(nTrades / tA).toLong}}""")
+    }
+
+    if (enabled("ingest_pipeline")) {
+      // End-to-end ingest throughput — the reference's headline path —
+      // from the durable-log source through the FULL production
+      // pipeline: decode → validate (with drop counting) → broadcast
+      // enrich → idempotent batch append + keep-last upsert. 1M wire
+      // frames over 8 log partitions, drained AvailableNow in
+      // size-bounded batches. The records/sec includes both sinks'
+      // writes — the honest number a capacity plan needs.
+      val nFrames = 1000000L
+      val logDir = java.nio.file.Files.createTempDirectory("probe_log").toString
+      val seg = 125000
+      (0 until 8).foreach { p =>
+        graft.sources.LogSource.append(logDir, p,
+          (0 until seg).map(i =>
+            graft.sources.TickSource.frame((p * seg + i).toLong, 100)))
+      }
+      val dim = spark.range(100).selectExpr(
+        "concat('SYM', id) AS symbol", "concat('EX', id % 9) AS exchange")
+      val appendDir = java.nio.file.Files.createTempDirectory("probe_append").toString
+      val latestDir = java.nio.file.Files.createTempDirectory("probe_latest").toString
+      val rawLog = spark.readStream.format("graft-log")
+        .option("path", logDir)
+        .option("maxOffsetsPerTrigger", (nFrames / 4).toString)
+        .load()
+      val tI0 = System.nanoTime()
+      val iq = graft.stream.Pipeline.start(
+        graft.ops.Ingest.parseWire(rawLog), dim, appendDir, latestDir,
+        keyCols = Seq("name"), orderCols = Seq("timestamp"),
+        nameCol = "name", tsCol = "timestamp",
+        checkpointDir = java.nio.file.Files.createTempDirectory("probe_ck").toString,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        retries = 1)
+      iq.awaitTermination()
+      val tI = (System.nanoTime() - tI0) / 1e9
+      val appendedN = spark.read.parquet(appendDir).count()
+      val latestN = graft.stream.Pipeline.readLatest(spark, latestDir).count()
+      println(s"""{"probe":"ingest_pipeline","frames":$nFrames,"sec":$tI,""" +
+        s""""appended":$appendedN,"latest_keys":$latestN,""" +
+        s""""frames_per_sec":${(nFrames / tI).toLong}}""")
+    }
+
+    if (enabled("serve")) {
+      // Serve-path probe: the per-tick body of the snapshot broadcaster
+      // (Transform.serveSnapshot — broadcast clients × broadcast configs
+      // + the interpreted HOF transform) at 1M live symbols × 1k
+      // (client, symbol) config rows over 50 clients. Output cardinality
+      // is symbols × clients = 50M transformed rows; the measured number
+      // bounds how large a snapshot a 1-second serving tick can actually
+      // re-transform. All joins are broadcasts — the snapshot side never
+      // shuffles, which is what makes the tick scale with executors.
+      val nSyms = 1000000L
+      val nClients = 50L
+      val snapshot = spark.range(nSyms).select(
+        concat(lit("S"), col("id")).as("symbol"),
+        map(
+          lit("v"), (pmod(hash(col("id")), lit(10000)) / lit(100.0)).cast("string"),
+          lit("ts"), col("id").cast("string"),
+          lit("drop_me"), lit("x")).as("flat"))
+      val serveCfgs = spark.range(nClients * 20).select(
+        concat(lit("C"), pmod(col("id"), lit(nClients))).as("client_id"),
+        concat(lit("S"), pmod(col("id") * 997L, lit(nSyms))).as("symbol"),
+        map(lit("v"), struct(lit("multiply").as("op"), lit(2.0).as("value"))).as("rules"),
+        map(lit("ts"), lit("t")).as("renames"),
+        array(lit("drop_me")).as("removes"),
+        map(lit("src"), lit("graft")).as("overrides"))
+      val (tSv, rSv) = time(
+        graft.ops.Transform.serveSnapshot(snapshot, serveCfgs))
+      println(s"""{"probe":"serve_snapshot","symbols":$nSyms,"clients":$nClients,""" +
+        s""""configs":${nClients * 20},"sec":$tSv,"served_rows":$rSv,""" +
+        s""""rows_per_sec":${(rSv / tSv).toLong}}""")
+
+      // The compiled variant of the same tick: per-client when-chains
+      // codegen'd instead of the interpreted rules HOF — the recommended
+      // path when the fan-out outgrows the interpreted tick. Same
+      // clients/symbol coverage, so rows match serve_snapshot above and
+      // the two numbers are directly comparable.
+      val compiledCfgs = (0L until nClients).map { c =>
+        val syms = (0L until nClients * 20)
+          .filter(_ % nClients == c)
+          .map(i => s"S${(i * 997L) % nSyms}" -> graft.model.SymbolConfig(
+            renameFields = Map("ts" -> "t"),
+            valueRules = Map("v" -> graft.model.ValueRule("multiply", 2.0)),
+            overrideFields = Map("src" -> "graft"),
+            removeFields = Seq("drop_me"))).toMap
+        s"C$c" -> graft.model.ClientConfig(syms)
+      }.toMap
+      val (tSc, rSc) = time(
+        graft.ops.Transform.serveSnapshotCompiled(snapshot, compiledCfgs))
+      println(s"""{"probe":"serve_snapshot_compiled","symbols":$nSyms,""" +
+        s""""clients":$nClients,"sec":$tSc,"served_rows":$rSc,""" +
+        s""""rows_per_sec":${(rSc / tSc).toLong}}""")
+    }
+    if (enabled("semdedup")) {
+      // SemDeDup at 100× the sf0.1 embedding table: 200k synthetic
+      // 64-dim vectors in 256 REAL clusters (each vector = its
+      // cluster's centroid + 10% hash noise, so in-cluster cosines are
+      // genuinely high and the pair stage does real work — every
+      // cluster collapses to near-dups at τ=0.95). Measures the two
+      // stages the operator is made of: assignment (n·k dots, partial
+      // max_by shuffle of n rows) and the in-cluster pair join
+      // (Σ |cluster|²/2 dots — here ~780²/2 × 256 ≈ 78M pairs). The
+      // vectors/sec bound is what sizes k for a target corpus: cost is
+      // n·k + n·(n/k), minimized near k = √n per assignment round.
+      val nVec = 200000L
+      val kCent = 256L
+      def centComp(c: org.apache.spark.sql.Column,
+          d: org.apache.spark.sql.Column) =
+        pmod(hash(c * 64 + d), lit(1000)).cast("double") / 1000.0
+      val synth = spark.range(nVec).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)), d =>
+          (centComp(pmod(col("id"), lit(kCent)), d) +
+            pmod(hash(col("id") * 64 + d), lit(100)).cast("double") / 1000.0)
+            .cast("float")).as("embedding"))
+      val cents = spark.range(kCent).select(col("id").as("cluster"),
+        transform(sequence(lit(1), lit(64)), d =>
+          centComp(col("id"), d).cast("float")).as("cv"))
+      val (tAsg, nAsg) = time(graft.ops.Similarity.assignNearest(synth, cents))
+      val t0 = System.nanoTime()
+      val kept = graft.ops.Similarity.semDedup(synth, cents, threshold = 0.95)
+        .filter(col("keep")).count()
+      val tSd = (System.nanoTime() - t0) / 1e9
+      println(s"""{"probe":"semdedup","vectors":$nVec,"clusters":$kCent,""" +
+        s""""assign_sec":$tAsg,"assigned":$nAsg,"semdedup_sec":$tSd,""" +
+        s""""kept":$kept,"vec_per_sec":${(nVec / tSd).toLong}}""")
+    }
     spark.stop()
   }
 }

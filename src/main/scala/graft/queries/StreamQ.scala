@@ -254,12 +254,16 @@ object StreamQ {
     (spark, dir) => {
       val rawSchema = Tables.table(spark, dir, "events").schema
       val name = { counter += 1; s"stream_join_$counter" }
+      // ONE source scan branched into both join sides (a self-join):
+      // micro-batch planning reuses the scan and offset log, which a
+      // two-source formulation would pay twice
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("ts_ms", expr("ts div 1000000"))
       def side(eventType: String, prefix: String) =
-        spark.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .filter(col("event_type") === eventType)
-          .withColumn("ts_ms", expr("ts div 1000000"))
+        src.filter(col("event_type") === eventType)
           .withColumn(s"${prefix}_time", timestamp_millis(col("ts_ms")))
           .withWatermark(s"${prefix}_time", "1 hour")
           .select(col("user_id").as(s"${prefix}_user"),
