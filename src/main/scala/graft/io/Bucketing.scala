@@ -116,6 +116,21 @@ object Bucketing {
     }
   }
 
+  /** ANSI-SQL rendering of [[zValueN]]'s extract-shift schedule for
+    * k ≥ 3 (k = 2 has the magic-number [[zValueSql]]) — the oracle
+    * side of the bit-for-bit curve check (q_zorder3).
+    */
+  def zValueNSql(dims: Seq[String]): String = {
+    val k = dims.size
+    require(k >= 3 && k <= 8, s"zValueNSql takes 3..8 dimensions, got $k")
+    val bits = 62 / k
+    val terms = for {
+      (d, i) <- dims.zipWithIndex
+      j <- 0 until bits
+    } yield s"(((CAST($d AS BIGINT) >> $j) & 1) << ${j * k + i})"
+    terms.mkString("(", " | ", ")")
+  }
+
   /** Z-ordered file layout — multi-dimensional pruning where
     * [[writePartitioned]] is one-dimensional: range-partitioning and
     * sorting by the interleaved key gives every file a tight bounding

@@ -178,6 +178,47 @@ object Similarity {
         col("best.cosine").as("cosine"))
   }
 
+  /** Full Lloyd k-means: seed with the first k vectors (deterministic,
+    * like the oracle-checked q_kmeans_assign), then iterate
+    * assign → quantized-exact mean a fixed number of rounds. Fixed
+    * iteration count, not a convergence test: a fixpoint check is an
+    * extra action per round, and training-pipeline k-means (IVF
+    * codebooks, SemDeDup buckets) runs a known small budget anyway.
+    * Each round is two shuffles (argmax rows, then |k|·dims partial
+    * sums); `localCheckpoint` cuts the lineage so round r+1's plan
+    * doesn't re-derive rounds 1..r (the iterative-plan lesson from the
+    * CC loop). Empty clusters keep their previous centroid (standard
+    * Lloyd fallback), expressed as a left join + coalesce.
+    * Determinism: every step is exact (integer-quantized means, exact
+    * double cosines, total-order argmax) ⇒ same result on any engine,
+    * any partitioning — tested in TrainingSpec, not just claimed.
+    */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Long = 1000000L): DataFrame = {
+    var cents = vectors.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cluster"), asDouble(col(vecCol)).as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assignNearest(vectors, cents, idCol, vecCol)
+      val means = assigned
+        .join(vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+          Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "comp")))
+        .withColumn("q", round(col("comp").cast("double") * lit(scale)).cast("long"))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("m", col("sq").cast("double") / (col("n") * lit(scale)))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), transform(col("pm"), x => x("m")).as("mv"))
+      cents = cents.join(means, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("mv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup at scale = cluster
     * first, compare ONLY within a cluster. Assignment via
     * [[assignNearest]]; then an equality self-join on the cluster id

@@ -333,6 +333,31 @@ object RelationalQ {
       FROM events ORDER BY zkey, event_id""")
   )
 
+  /** 3-dim Morton keys, same bit-for-bit oracle discipline as
+    * [[qZorder]] but through the general k-dim interleave
+    * ([[graft.io.Bucketing.zValueN]] / zValueNSql — shared extract-
+    * shift schedule): (user, hour, minute) clustering for tables whose
+    * read traffic predicates on three columns.
+    */
+  val qZorder3 = Q(
+    "q_zorder3",
+    (spark, dir) => {
+      val hour = expr("ts_ms div 3600000")
+      val minute = expr("(ts_ms div 60000) % 60")
+      Tables.events(spark, dir).select(
+        col("event_id"), col("user_id"),
+        hour.as("hour"), minute.as("minute"),
+        graft.io.Bucketing.zValueN(Seq(col("user_id"), hour, minute))
+          .as("zkey"))
+        .orderBy("zkey", "event_id")
+    },
+    Some(s"""SELECT event_id, user_id, epoch_ms(ts) // 3600000 AS hour,
+        (epoch_ms(ts) // 60000) % 60 AS minute,
+        ${graft.io.Bucketing.zValueNSql(Seq("user_id",
+          "(epoch_ms(ts) // 3600000)", "((epoch_ms(ts) // 60000) % 60)"))} AS zkey
+      FROM events ORDER BY zkey, event_id""")
+  )
+
   /** Event-time tumbling-window aggregation via window() — the same
     * groupBy(window(...)) the streaming path uses with a watermark
     * (StreamingSpec covers late-data semantics); batch form is
@@ -1030,7 +1055,8 @@ object RelationalQ {
   def all: Seq[Q] = Seq(q1Agg, q3Shipping, q13Custdist, qJoinPricing,
     qWindowRank, qWindowNav, qTopk,
     qSetops, qSetopsAll, qMovingAvg,
-    qRollup, qCube, qDistinct, qAntiJoin, qBloomAnti, qZorder, qTimeWindow,
+    qRollup, qCube, qDistinct, qAntiJoin, qBloomAnti, qZorder, qZorder3,
+    qTimeWindow,
     qSlideWindow,
     qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,

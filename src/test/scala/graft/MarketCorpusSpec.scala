@@ -241,4 +241,44 @@ class MarketCorpusSpec extends AnyFunSuite {
     // ordered series is 10, 20, 15 -> moves +10, -5: mean 2.5
     assert(out(0).getLong(2) === 2L && out(0).getDouble(3) === 2.5)
   }
+
+  test("twap: burst-robust — a same-ms quote storm cannot move the average") {
+    // bucket [0, 1000): price 10 holds ms 0-499, price 20 holds 500-999
+    // ⇒ twap 15 regardless of how many times each price is re-quoted.
+    // A tick-count average of the bursty series would be ~10.9.
+    val calm = Seq(("A", 0L, 1L, 10.0), ("A", 500L, 2L, 20.0))
+    val burst = calm ++ (3L to 10L).map(i => ("A", 0L, i, 10.0))
+    def twapOf(rows: Seq[(String, Long, Long, Double)]): (Double, Long, Long) = {
+      val out = Bars.twap(rows.toDF("sym", "ts_ms", "event_id", "value"),
+        Seq("sym"), "ts_ms", "event_id", "value", bucketMs = 1000L).collect()(0)
+      (out.getAs[Double]("twap"), out.getAs[Long]("held_ms"),
+        out.getAs[Long]("n_ticks"))
+    }
+    val (tCalm, heldCalm, nCalm) = twapOf(calm)
+    val (tBurst, heldBurst, nBurst) = twapOf(burst)
+    assert(tCalm === 15.0 && heldCalm === 1000L && nCalm === 2L)
+    // burst re-quotes hold for 0 ms each — the average is unmoved
+    assert(tBurst === 15.0 && heldBurst === 1000L && nBurst === 10L)
+  }
+
+  test("twap: coverage starts at first tick; lone tick holds to bucket end") {
+    // first tick lands mid-bucket: held_ms exposes the partial span
+    val out = Bars.twap(
+      Seq(("A", 400L, 1L, 10.0)).toDF("sym", "ts_ms", "event_id", "value"),
+      Seq("sym"), "ts_ms", "event_id", "value", bucketMs = 1000L).collect()(0)
+    assert(out.getAs[Double]("twap") === 10.0)
+    assert(out.getAs[Long]("held_ms") === 600L)
+  }
+
+  test("capPerGroup: keeps k best per group; small groups whole; total order respected") {
+    val docs = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 300L), ("s1", 3L, 300L), ("s1", 4L, 200L),
+      ("s2", 5L, 50L)
+    ).toDF("source", "doc_id", "n_chars")
+    val out = graft.ops.Sample.capPerGroup(docs, Seq(col("source")),
+      Seq(col("n_chars").desc, col("doc_id")), k = 2)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    // s1 keeps the two longest (tie 300/300 → ids 2,3); s2 keeps its one
+    assert(out.toSeq == Seq(2L, 3L, 5L))
+  }
 }

@@ -212,4 +212,70 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(1).getDouble(3) === 1.0)
     assert(out(3).isNullAt(3))
   }
+
+  test("assignNearest: each centroid's own vector lands in its cluster at cosine 1") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (5L, Seq(0.9f, 0.1f, 0.0f)),  // near cluster 0
+      (6L, Seq(0.1f, 0.9f, 0.0f))   // near cluster 1
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    val out = Similarity.assignNearest(vecs, cents).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 0L), (1L, 1L), (5L, 0L), (6L, 1L)))
+    assert(out(0)._3 === 1.0 && out(1)._3 === 1.0)
+  }
+
+  test("semDedup: lowest id in each near-dup group kept; cross-cluster twins both survive") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),        // centroid 0
+      (1L, Seq(0.0f, 1.0f)),        // centroid 1
+      (4L, Seq(2.0f, 0.0f)),        // dup of 0 (cosine 1) in cluster 0
+      (7L, Seq(3.0f, 0.01f)),       // near-dup in cluster 0, higher id
+      (9L, Seq(0.0f, 5.0f))         // dup of 1, but lives in cluster 1
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    val out = Similarity.semDedup(vecs, cents, threshold = 0.99)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, true),   // first of the cluster-0 dup group
+      (1L, 1L, true),   // first of the cluster-1 dup group
+      (4L, 0L, false), (7L, 0L, false),
+      (9L, 1L, false)))
+  }
+
+  test("kmeans: planted clusters recovered, centroids at the exact quantized means") {
+    // two tight planted clusters; seeds (ids 0,1) start one in each
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.2f)), (4L, Seq(0.6f, 0.4f)),
+      (1L, Seq(0.0f, 1.0f)), (3L, Seq(0.2f, 0.8f)), (5L, Seq(0.4f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(vecs, k = 2, iters = 3)
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(cents.map(_._1).toSeq == Seq(0L, 1L))
+    // fixpoint means of {(1,0),(.8,.2),(.6,.4)} and {(0,1),(.2,.8),(.4,.6)}
+    assert(cents(0)._2 == Seq(0.8, 0.2))
+    assert(cents(1)._2 == Seq(0.2, 0.8))
+  }
+
+  test("kmeans: empty cluster keeps its previous centroid") {
+    // every vector lies on one ray ⇒ cosine 1 to BOTH centroids for
+    // all of them, tie-break sends all to cluster 0, cluster 1 goes
+    // empty and must retain its seed centroid (the Lloyd fallback)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
+      (2L, Seq(3.0f, 0.0f)), (3L, Seq(4.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(vecs, k = 2, iters = 2)
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(cents(0)._2 == Seq(2.5, 0.0), "cluster 0 mean wrong")
+    assert(cents(1)._2 == Seq(2.0, 0.0), "empty cluster lost its centroid")
+  }
 }
