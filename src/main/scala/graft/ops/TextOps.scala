@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for LLM training-data pipelines: token
@@ -42,6 +42,44 @@ object TextOps {
 
   /** Distinct 3-gram shingles — the unit of near-dup comparison. */
   def shingleSet(text: Column): Column = array_distinct(shingles(tokens(text), 3))
+
+  /** Sliding-window document chunking: split each document into
+    * overlapping token-budget chunks — the pre-training/RAG chunker
+    * that q_pack's bin packing is the inverse of (pack joins short
+    * docs UP to the budget; chunk cuts long docs DOWN to it). Chunk c
+    * covers tokens [c·stride, c·stride + maxTokens) with
+    * stride = maxTokens − overlap; every document yields ≥ 1 chunk
+    * (an empty doc yields one empty chunk), the last chunk is the
+    * only short one, and consecutive chunks share `overlap` tokens so
+    * no context window is ever split cold.
+    *
+    * Scale shape: tokenize once per document (materialized column, so
+    * the per-chunk lambda references an attribute, not a re-inlined
+    * tokenize — the [[shingles]] lesson), then a map-side
+    * posexplode; no shuffle of its own. `n_tokens` is computed
+    * arithmetically (min(maxTokens, n − c·stride)) rather than by
+    * re-tokenizing the chunk.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val stride = maxTokens - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_nc", when(col("_n") <= maxTokens, lit(1L))
+        .otherwise(ceil((col("_n") - lit(maxTokens)).cast("double") / stride)
+          .cast("long") + 1L))
+      .select(col(idCol), col("_n"),
+        posexplode(transform(sequence(lit(0L), col("_nc") - 1), c =>
+          array_join(slice(col("_toks"), (c * stride + 1).cast("int"),
+            lit(maxTokens)), " "))).as(Seq("chunk_id", "chunk")))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .withColumn("n_tokens",
+        greatest(least(lit(maxTokens.toLong), col("_n") - col("chunk_id") * stride),
+          lit(0L)))
+      .drop("_n")
+  }
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "in", "to", "is", "on")

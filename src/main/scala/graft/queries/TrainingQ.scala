@@ -588,6 +588,39 @@ object TrainingQ {
       ORDER BY doc_id""")
   )
 
+  private val ChunkMax = 64
+  private val ChunkOverlap = 16
+
+  /** Sliding-window chunking (see [[TextOps.chunk]]): long docs cut
+    * into overlapping 64-token windows, stride 48 — map-side explode,
+    * arithmetic n_tokens, every doc ≥ 1 chunk.
+    */
+  val qChunk = Q(
+    "q_chunk",
+    (spark, dir) =>
+      TextOps.chunk(Tables.documents(spark, dir), "doc_id", "text",
+          maxTokens = ChunkMax, overlap = ChunkOverlap)
+        .orderBy("doc_id", "chunk_id"),
+    Some {
+      val stride = ChunkMax - ChunkOverlap
+      s"""WITH t AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      k AS (SELECT doc_id, toks, n,
+          CASE WHEN n <= $ChunkMax THEN 1
+               ELSE CAST(ceil((n - $ChunkMax) / CAST($stride AS DOUBLE)) AS BIGINT) + 1
+          END AS nchunks FROM n),
+      u AS (SELECT doc_id, toks, n,
+          unnest(generate_series(0, nchunks - 1)) AS chunk_id FROM k)
+      SELECT doc_id, chunk_id,
+        array_to_string(list_slice(toks, chunk_id * $stride + 1,
+          chunk_id * $stride + $ChunkMax), ' ') AS chunk,
+        greatest(least($ChunkMax, n - chunk_id * $stride), 0) AS n_tokens
+      FROM u ORDER BY doc_id, chunk_id"""
+    }
+  )
+
   private val CapPerSource = 10
 
   /** Per-source mixing cap: at most N docs per source, keeping the
@@ -1003,5 +1036,5 @@ object TrainingQ {
     qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
     qDecontaminateBloom, qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
-    qDupCoverage, qCapSource, qKmeansAssign, qSemDedup)
+    qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk)
 }

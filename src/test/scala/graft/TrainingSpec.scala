@@ -213,6 +213,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(3).isNullAt(3))
   }
 
+  test("chunk: overlap stitches back to the original; every doc yields a chunk") {
+    val doc = (1 to 150).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunk(df, "doc_id", "text", maxTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id").collect()
+    val c1 = out.filter(_.getLong(0) == 1L).map(_.getString(2))
+    // 150 tokens, stride 48: chunks at 0, 48, 96 → ceil((150-64)/48)+1 = 3
+    assert(c1.length == 3)
+    // dropping the first `overlap` tokens of every later chunk and
+    // concatenating reconstructs the document exactly
+    val stitched = (c1.head +: c1.tail.map(_.split(" ").drop(16).mkString(" ")))
+      .mkString(" ")
+    assert(stitched == doc)
+    // short and empty docs still yield exactly one chunk
+    assert(out.filter(_.getLong(0) == 2L).map(r =>
+      (r.getString(2), r.getLong(3))).toSeq == Seq(("a b", 2L)))
+    assert(out.filter(_.getLong(0) == 3L).map(r =>
+      (r.getString(2), r.getLong(3))).toSeq == Seq(("", 0L)))
+  }
+
   test("assignNearest: each centroid's own vector lands in its cluster at cosine 1") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
