@@ -133,6 +133,44 @@ object Bars {
       .drop("_sum_t")
   }
 
+  /** Per-bucket EWMA — y_i = (1−α)·y_{i−1} + α·x_i folded over the
+    * bucket's ticks in (ts, tie) order, y_0 = first tick: the smoothed
+    * close that weights recent ticks α-geometrically, the standard
+    * denoised bar feature. An ordered fold is inherently sequential,
+    * so it runs as a HOF fold over the bucket's sorted tick array —
+    * exactly the cross-engine-exact technique the cosine kernels use
+    * (DuckDB's list_reduce folds the same direction with the same
+    * expression, so doubles match bit-for-bit; α is kept a
+    * dyadic-rational literal in BOTH engines).
+    *
+    * Scale shape: one partial-agg shuffle like [[ohlc]]; the per-group
+    * state is the bucket's tick array, so memory is bounded by ticks
+    * per (key, bucket) — size `bucketMs` to the feed rate (the same
+    * sizing rule as any windowed collect). Not for unbounded buckets;
+    * the bounded-state per-bar alternatives are [[ohlc]]/[[vwap]].
+    */
+  def ewma(ticks: DataFrame, keyCols: Seq[String], tsMsCol: String,
+      tieCol: String, valueCol: String, bucketMs: Long,
+      alpha: Double = 0.125): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val bucketed = ticks
+      .withColumn("bucket_ms", col(tsMsCol) - col(tsMsCol) % lit(bucketMs))
+    bucketed
+      .groupBy((keyCols :+ "bucket_ms").map(col): _*)
+      .agg(
+        array_sort(collect_list(struct(
+          col(tsMsCol).as("t"), col(tieCol).as("o"),
+          col(valueCol).cast("double").as("v")))).as("_s"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("_vals", transform(col("_s"), x => x("v")))
+      .withColumn("ewma",
+        aggregate(
+          slice(col("_vals"), lit(2), greatest(size(col("_vals")) - 1, lit(0))),
+          element_at(col("_vals"), 1),
+          (acc, x) => acc * lit(1 - alpha) + x * lit(alpha)))
+      .drop("_s", "_vals")
+  }
+
   /** Multi-resolution OHLC in ONE scan: candles at several bucket
     * widths (e.g. 10 min and 1 h) from a single pass over the ticks,
     * via native grouping sets — Catalyst's Expand generates the

@@ -228,6 +228,29 @@ object MarketQ {
       ORDER BY event_type, bucket_ms""")
   )
 
+  /** Per-bucket EWMA (see [[Bars.ewma]]): ordered HOF fold, bit-exact
+    * vs DuckDB's list_reduce because both engines fold the same
+    * direction with the same dyadic-rational α literals.
+    */
+  val qEwma = Q(
+    "q_ewma",
+    (spark, dir) =>
+      Bars.ewma(Tables.events(spark, dir),
+        Seq("event_type"), tsMsCol = "ts_ms", tieCol = "event_id",
+        valueCol = "value", bucketMs = HourMs, alpha = 0.125)
+        .orderBy("event_type", "bucket_ms"),
+    Some(s"""WITH t AS (SELECT event_type, value, event_id,
+          epoch_ms(ts) AS ts_ms FROM events),
+        b AS (SELECT event_type, value, event_id, ts_ms,
+          ts_ms - ts_ms % $HourMs AS bucket_ms FROM t)
+      SELECT event_type, bucket_ms, count(*) AS n_ticks,
+        list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts_ms, event_id),
+          (acc, x) -> acc * 0.875 + x * 0.125) AS ewma
+      FROM b GROUP BY event_type, bucket_ms
+      ORDER BY event_type, bucket_ms""")
+  )
+
   def all: Seq[Q] =
-    Seq(qOhlcBars, qOhlcMulti, qVwap, qMoveVol, qPiiRedact, qGapfill, qTwap)
+    Seq(qOhlcBars, qOhlcMulti, qVwap, qMoveVol, qPiiRedact, qGapfill, qTwap,
+      qEwma)
 }

@@ -270,6 +270,21 @@ class MarketCorpusSpec extends AnyFunSuite {
     assert(out.getAs[Long]("held_ms") === 600L)
   }
 
+  test("ewma: hand-computed fold, tie order by id, lone tick is its own ewma") {
+    // sym A bucket 0: ordered by (ts, id) → 10, 20, 40:
+    //   y0=10, y1=.875·10+.125·20=11.25, y2=.875·11.25+.125·40=14.84375
+    // the two ts=5 ticks are deliberately id-inverted in input order
+    val df = Seq(
+      ("A", 5L, 2L, 40.0), ("A", 0L, 1L, 10.0), ("A", 5L, 1L, 20.0),
+      ("B", 3L, 1L, 7.0)
+    ).toDF("sym", "ts_ms", "event_id", "value")
+    val out = graft.ops.Bars.ewma(df, Seq("sym"), "ts_ms", "event_id",
+      "value", bucketMs = 1000L).orderBy("sym").collect()
+    assert(out(0).getAs[Double]("ewma") === 14.84375)
+    assert(out(0).getAs[Long]("n_ticks") === 3L)
+    assert(out(1).getAs[Double]("ewma") === 7.0)
+  }
+
   test("capPerGroup: keeps k best per group; small groups whole; total order respected") {
     val docs = Seq(
       ("s1", 1L, 100L), ("s1", 2L, 300L), ("s1", 3L, 300L), ("s1", 4L, 200L),
