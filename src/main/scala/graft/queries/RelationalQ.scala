@@ -848,6 +848,68 @@ object RelationalQ {
       ORDER BY user_id, ts_ms, event_id""")
   )
 
+  /** Rolling autocorrelation — per-user Pearson corr of value vs its
+    * lag over a trailing 20-row frame, the mean-reversion signal next
+    * to q_zscore/q_robust_z. Exactness via q_stats_moments' scheme:
+    * integer-scaled decimal power sums (the 100-factors cancel in the
+    * ratio), cast to double only once per sum (all magnitudes ≪ 2⁵³ ⇒
+    * exact), ratio arithmetic in identically-shaped double exprs both
+    * engines; zero-variance frames yield NULL by an identical guard.
+    * Scale shape: lag + filter + five frame sums share ONE shuffle and
+    * sort on user_id — the filter between the two Window nodes
+    * preserves partitioning and order, so no second exchange.
+    */
+  val qRollCorr = Q(
+    "q_roll_corr",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val wRoll = wLag.rowsBetween(-19, Window.currentRow)
+      val x0 = (dec(col("value"), 12, 2) * lit(100).cast("decimal(3,0)"))
+        .cast("decimal(14,0)")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"), x0.as("x0"))
+        .withColumn("y0", lag(col("x0"), 1).over(wLag))
+        .filter(col("y0").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          count(lit(1)).over(wRoll).as("n"),
+          sum(col("x0")).over(wRoll).cast("double").as("sx"),
+          sum(col("y0")).over(wRoll).cast("double").as("sy"),
+          sum(col("x0") * col("x0")).over(wRoll).cast("double").as("sxx"),
+          sum(col("y0") * col("y0")).over(wRoll).cast("double").as("syy"),
+          sum(col("x0") * col("y0")).over(wRoll).cast("double").as("sxy"))
+        .withColumn("autocorr",
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+              (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))))
+        .select("user_id", "event_id", "ts_ms", "n", "autocorr")
+        .orderBy("user_id", "ts_ms", "event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0)) AS x0
+        FROM events),
+      l AS (SELECT *, lag(x0) OVER (PARTITION BY user_id
+          ORDER BY ts_ms, event_id) AS y0 FROM e),
+      f AS (SELECT * FROM l WHERE y0 IS NOT NULL),
+      s AS (SELECT user_id, event_id, ts_ms,
+          count(*) OVER w AS n,
+          CAST(sum(x0) OVER w AS DOUBLE) AS sx,
+          CAST(sum(y0) OVER w AS DOUBLE) AS sy,
+          CAST(sum(x0*x0) OVER w AS DOUBLE) AS sxx,
+          CAST(sum(y0*y0) OVER w AS DOUBLE) AS syy,
+          CAST(sum(x0*y0) OVER w AS DOUBLE) AS sxy
+        FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      SELECT user_id, event_id, ts_ms, n,
+        CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+          THEN (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+        END AS autocorr
+      FROM s ORDER BY user_id, ts_ms, event_id""")
+  )
+
   /** GROUPING SETS with a non-hierarchical set list — ((type, bucket),
     * (bucket), ()) is expressible by neither ROLLUP nor CUBE (no
     * (type) set), completing the grouping-set family next to q_rollup
@@ -1060,5 +1122,5 @@ object RelationalQ {
     qSlideWindow,
     qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,
-    qHistogram, qStatsMoments, qZscore, qRobustZ)
+    qHistogram, qStatsMoments, qZscore, qRobustZ, qRollCorr)
 }

@@ -83,6 +83,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 hash Exchange in q_twap, found $hashEx:\n$p")
   }
 
+  test("q_roll_corr's lag and frame sums share one hash exchange") {
+    // lag-window → filter → sums-window all partition on user_id with
+    // the same order; a second hashpartitioning Exchange means the
+    // filter broke partitioning propagation and the claim is stale
+    val p = planOf("q_roll_corr")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash Exchange in q_roll_corr, found $hashEx:\n$p")
+  }
+
   test("q_kmeans_assign partial-aggregates the argmax below the exchange") {
     // the operator's cost claim: the k-fold centroid expansion is
     // map-side (broadcast cross) and max_by pre-reduces per partition,
