@@ -297,6 +297,50 @@ object StreamQ {
       ORDER BY c.user_id, c_id, v_id""")
   )
 
+  /** Streaming per-key EWMA through the driver gate — custom keyed
+    * ARITHMETIC state (EwmaStream.ewmaStateful): one (ewma, n) per
+    * user folded incrementally. Drained AvailableNow the fold sees the
+    * full in-order history, so the oracle is the batch full-history
+    * fold per user (same dyadic α, same multiply-add shape ⇒
+    * bit-identical doubles). Seventh equivalence pin; its batch face
+    * is q_ewma's bucketed fold.
+    */
+  val qStreamEwma = Q(
+    "q_stream_ewma",
+    (spark, dir) => {
+      import spark.implicits._
+      val rawSchema = Tables.table(spark, dir, "events").schema
+      val name = { counter += 1; s"stream_ewma_$counter" }
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id").as("key"), col("event_id").as("id"),
+          expr("ts div 1000000").as("tsMs"), col("value"))
+        .as[graft.stream.EwmaStream.Tick]
+      val q = graft.stream.EwmaStream.ewmaStateful(src, alpha = 0.125)
+        .toDF()
+        .writeStream
+        .queryName(name)
+        .outputMode("update")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // update mode emits one running row per (key, batch); n is
+      // monotone per key, so the final state is the max-n row
+      spark.table(name)
+        .groupBy(col("key").as("user_id"))
+        .agg(max_by(struct(col("ewma")), col("n")).getField("ewma").as("ewma"),
+          max(col("n")).as("n_ticks"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+        list_reduce(list(CAST(value AS DOUBLE) ORDER BY epoch_ms(ts), event_id),
+          (acc, x) -> acc * 0.875 + x * 0.125) AS ewma,
+        count(*) AS n_ticks
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
   def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow,
-    qStreamOhlc, qStreamSession, qStreamJoin)
+    qStreamOhlc, qStreamSession, qStreamJoin, qStreamEwma)
 }

@@ -624,6 +624,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L), (1L, 101L), (2L, 102L)))
   }
 
+  test("streaming EWMA folds across micro-batches like one batch fold") {
+    // two in-order micro-batches through checkpointed state must equal
+    // the single fold over the concatenated series (the incremental
+    // contract), and the mid-stream emission is the prefix fold
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.EwmaStream
+    import graft.stream.EwmaStream.Tick
+    val in = MemoryStream[Tick]
+    val ckpt = tmp("ckptEwma")
+    def runOnce(): Seq[EwmaStream.EwmaOut] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[EwmaStream.EwmaOut]()
+      val q = EwmaStream.ewmaStateful(in.toDS(), alpha = 0.125)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[EwmaStream.EwmaOut], _: Long) =>
+          ds.collect().foreach(buf.add); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.toArray(Array.empty[EwmaStream.EwmaOut]).toSeq
+    }
+    // series for key 7: 10, 20, 40 (deliberately id-inverted in batch 1)
+    in.addData(Tick(7L, 2L, 5L, 20.0), Tick(7L, 1L, 0L, 10.0))
+    val first = runOnce()
+    assert(first == Seq(EwmaStream.EwmaOut(7L, 0.875 * 10.0 + 0.125 * 20.0, 2L)))
+    in.addData(Tick(7L, 3L, 9L, 40.0))
+    val second = runOnce()
+    val full = Seq(20.0, 40.0).foldLeft(10.0)((a, x) => a * 0.875 + x * 0.125)
+    assert(second == Seq(EwmaStream.EwmaOut(7L, full, 3L)))
+  }
+
   test("streaming latest equals batch argmax oracle (batch/stream equivalence)") {
     val got = SparkEntry.queries("q_stream_latest")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
