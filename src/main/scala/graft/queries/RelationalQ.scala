@@ -964,6 +964,37 @@ object RelationalQ {
       FROM events GROUP BY 1 ORDER BY bin""")
   )
 
+  /** Equi-DEPTH histogram next to q_histogram's equi-width: deciles by
+    * ntile over the total order (value, event_id) per event_type, then
+    * per-bucket bounds/count — the quantile-binning tool (length
+    * curricula, balanced difficulty buckets) where equi-width binning
+    * would leave most bins empty under skew. The tie-broken total
+    * order makes ntile's row assignment engine-deterministic. One
+    * shuffle on event_type, then a per-bucket partial agg.
+    */
+  val qHistogramEqd = Q(
+    "q_histogram_eqd",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(spark, dir)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+        .orderBy("event_type", "decile")
+    },
+    Some("""SELECT event_type, decile, count(*) AS n,
+        min(value) AS lo, max(value) AS hi
+      FROM (SELECT event_type, value,
+          CAST(ntile(10) OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS BIGINT) AS decile
+        FROM events) t
+      GROUP BY event_type, decile ORDER BY event_type, decile""")
+  )
+
   /** Statistical moments per group — mean, population variance/stddev,
     * and Pearson correlation (value vs event time) — WITHOUT the
     * engine's streaming-moment aggregates (Welford accumulation order
@@ -1122,5 +1153,5 @@ object RelationalQ {
     qSlideWindow,
     qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,
-    qHistogram, qStatsMoments, qZscore, qRobustZ, qRollCorr)
+    qHistogram, qHistogramEqd, qStatsMoments, qZscore, qRobustZ, qRollCorr)
 }

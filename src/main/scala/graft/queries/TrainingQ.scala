@@ -621,6 +621,54 @@ object TrainingQ {
     }
   )
 
+  /** Corpus-level source-overlap matrix: exact pairwise Jaccard
+    * between each SOURCE's distinct shingle set — the "which crawl
+    * sources duplicate each other" diagnostic that decides dedup order
+    * and mixing weights before any doc-level pass. Scale shape: the
+    * pair generator is an equality join keyed by shingle whose
+    * per-key work is bounded by #sources² (df per shingle ≤ #sources,
+    * a SMALL constant — unlike doc-level ngram pairs there is no
+    * skewed-df blowup), so total cost is O(shingles·S²) — linear in
+    * corpus size.
+    */
+  val qSourceOverlap = Q(
+    "q_source_overlap",
+    (spark, dir) => {
+      val srcSh = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextOps.shingleSet(col("text"))).as("s"))
+        .distinct()
+      val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+      val a = srcSh.select(col("source").as("sa"), col("s"))
+      val b = srcSh.select(col("source").as("sb"), col("s"))
+      a.join(b, Seq("s")).filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
+        .join(sizes.select(col("source").as("sb"), col("n").as("nb")), Seq("sb"))
+        .select(col("sa"), col("sb"), col("c"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+            .as("jaccard"))
+        .orderBy("sa", "sb")
+    },
+    Some("""WITH toks AS (SELECT source,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      shu AS (SELECT source, unnest(list_distinct(CASE WHEN len(ts) >= 3
+          THEN list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+          ELSE CAST([] AS VARCHAR[]) END)) AS s FROM toks),
+      d AS (SELECT DISTINCT source, s FROM shu),
+      sizes AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+      inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS c
+        FROM d a JOIN d b ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT sa, sb, c,
+        CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+      FROM inter
+      JOIN sizes na ON na.source = sa
+      JOIN sizes nb ON nb.source = sb
+      ORDER BY sa, sb""")
+  )
+
   private val CapPerSource = 10
 
   /** Per-source mixing cap: at most N docs per source, keeping the
@@ -1036,5 +1084,5 @@ object TrainingQ {
     qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
     qDecontaminateBloom, qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
-    qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk)
+    qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap)
 }
