@@ -103,6 +103,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "centroid table is no longer broadcast")
   }
 
+  test("minhash signature kernel runs exactly once per row in the plan") {
+    // the fused kernel's win is one pass per doc; an isNotNull filter
+    // on its output gets predicate-pushed below the project and
+    // re-evaluates kernel+shingle pipeline per row (seen live), and a
+    // CollapseProject regression would inline it 8× into element_at
+    // a range source, not a LocalRelation — ConvertToLocalRelation
+    // would otherwise evaluate the projection at optimize time
+    val docs = spark.range(100).selectExpr("id AS doc_id",
+      "concat('a b c d e f w', id) AS text")
+    val p = graft.ops.Dedup.withMinhashSignature(docs, "doc_id", "text", 8)
+      .queryExecution.optimizedPlan.toString
+    val n = "graft_minhash".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 graft_minhash in the plan, found $n:\n$p")
+  }
+
   test("forest CC stays a single shuffle-free job over materialized pairs") {
     // the operator's whole value is narrow-only execution: partition
     // union-find → coalesce-tree merges, no Exchange anywhere. Feed it

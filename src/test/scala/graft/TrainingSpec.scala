@@ -213,6 +213,20 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(3).isNullAt(3))
   }
 
+  test("fused minhash kernel equals the unfused explode/groupBy formulation") {
+    // random-ish docs incl. a too-short doc (no signature row) and
+    // duplicate texts (identical signatures)
+    val docs = (1L to 40L).map { i =>
+      val n = (i % 13 + 1).toInt // 1..13 tokens — some below shingle size
+      (i, (1 to n).map(t => s"w${(i * 7 + t * 3) % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val fused = Dedup.withMinhashSignature(docs, "doc_id", "text", 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val unfused = Dedup.withMinhashSignatureUnfused(docs, "doc_id", "text", 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fused.nonEmpty && fused == unfused)
+  }
+
   test("chunk: overlap stitches back to the original; every doc yields a chunk") {
     val doc = (1 to 150).map(i => s"t$i").mkString(" ")
     val df = Seq((1L, doc), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
