@@ -634,6 +634,10 @@ object TrainingQ {
   val qSourceOverlap = Q(
     "q_source_overlap",
     (spark, dir) => {
+      // measured note: a collect_set + HOF pair-expansion formulation
+      // (one fewer wide shuffle on paper) benched 2.5 s vs this 2.2 s —
+      // the nested-lambda expansion is CodegenFallback per shingle row
+      // and costs more than the codegen'd hash self-join it replaces
       val srcSh = Tables.documents(spark, dir)
         .select(col("source"), explode(TextOps.shingleSet(col("text"))).as("s"))
         .distinct()

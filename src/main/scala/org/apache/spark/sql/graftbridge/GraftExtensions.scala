@@ -95,6 +95,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_zorder(a, b) takes exactly two arguments")
       }))
+    // graft_minhash(shingles, n): fused two-hash-family MinHash
+    // signature (the kernel behind Dedup.withMinhashSignature) for SQL
+    // users — `n` must be a foldable int literal (it shapes the output)
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, IntegerLiteral(n)) => MinhashSignature(arr, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash(shingles, numHashes) requires an integer literal numHashes")
+      }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -90,6 +90,21 @@ class ExtensionsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("integer literal")))
   }
 
+  test("graft_minhash is callable from SQL and matches the Column API") {
+    val got = spark.sql(
+      "SELECT graft_minhash(array('a b c', 'b c d'), 4) AS s")
+      .collect().head.getSeq[Long](0)
+    val viaColumn = spark.range(1)
+      .select(graft.functions.VectorExprs.minhashNative(
+        array(lit("a b c"), lit("b c d")), 4).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(got == viaColumn && got.length == 4)
+    // empty shingle array ⇒ NULL (the no-shingles-doc convention)
+    assert(spark.sql(
+      "SELECT graft_minhash(CAST(array() AS ARRAY<STRING>), 4) AS s")
+      .collect().head.isNullAt(0))
+  }
+
   test("optimizer rewrites the HOF dot-product pattern to the native expression") {
     // non-foldable input, else constant folding evaluates the whole
     // expression before the rewrite is observable
