@@ -14,4 +14,12 @@ object TextExprs {
     */
   def simhashPackedVotes(c: Column, bits: Int): Column =
     ColumnBridge.column(SimhashPackedVotes(ColumnBridge.expression(c), bits))
+
+  /** Fused tokenize → k-gram → distinct shingle set — see
+    * [[org.apache.spark.sql.graftbridge.ShingleSet]].
+    */
+  def shingleSetNative(text: Column, k: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.ShingleSet(
+        ColumnBridge.expression(text), k))
 }

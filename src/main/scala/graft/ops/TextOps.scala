@@ -40,8 +40,19 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct 3-gram shingles — the unit of near-dup comparison. */
-  def shingleSet(text: Column): Column = array_distinct(shingles(tokens(text), 3))
+  /** Distinct 3-gram shingles — the unit of near-dup comparison.
+    * Fused native kernel (round 6): one JVM pass per doc replacing
+    * four CodegenFallback HOF lambdas + array_distinct; bit-identical
+    * to [[shingleSetComposed]] (equivalence-pinned in TrainingSpec).
+    */
+  def shingleSet(text: Column): Column =
+    graft.functions.TextExprs.shingleSetNative(text, 3)
+
+  /** The composed built-in formulation of [[shingleSet]] — kept as the
+    * executable specification the fused kernel is tested against.
+    */
+  def shingleSetComposed(text: Column): Column =
+    array_distinct(shingles(tokens(text), 3))
 
   /** Sliding-window document chunking: split each document into
     * overlapping token-budget chunks — the pre-training/RAG chunker

@@ -213,6 +213,27 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(3).isNullAt(3))
   }
 
+  test("fused shingle-set kernel equals the composed HOF pipeline (incl. whitespace edges)") {
+    val edge = Seq(
+      "a b c d", "  leading spaces a b c", "trail b c d   ",
+      "multi   space  a b c", "a\tb c d e", // tab stays inside a token
+      "a b", "", "   ", "x y z x y z x y z" // dup shingles
+    )
+    val rand = (1L to 60L).map { i =>
+      (0 until (i % 11).toInt).map(t => s"w${(i * 13 + t * 5) % 17}")
+        .mkString(if (i % 3 == 0) "  " else " ")
+    }
+    val df = (edge ++ rand).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.shingleSet(col("text")).as("s")).orderBy("doc_id")
+      .collect().map(_.getSeq[String](1))
+    val want = df.select(col("doc_id"),
+        TextOps.shingleSetComposed(col("text")).as("s")).orderBy("doc_id")
+      .collect().map(_.getSeq[String](1))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("fused minhash kernel equals the unfused explode/groupBy formulation") {
     // random-ish docs incl. a too-short doc (no signature row) and
     // duplicate texts (identical signatures)
