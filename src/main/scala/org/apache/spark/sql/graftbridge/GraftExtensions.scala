@@ -106,6 +106,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_minhash(shingles, numHashes) requires an integer literal numHashes")
       }))
+    // graft_shingle_set(text, k): fused tokenize → k-gram → distinct
+    // (the kernel behind TextOps.shingleSet) for SQL users — `k` must
+    // be a foldable int literal
+    e.injectFunction((
+      FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, IntegerLiteral(k)) => ShingleSet(text, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingle_set(text, k) requires an integer literal k")
+      }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

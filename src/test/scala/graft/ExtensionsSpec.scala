@@ -105,6 +105,16 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("graft_shingle_set is callable from SQL and matches the Column API") {
+    val got = spark.sql(
+      "SELECT graft_shingle_set('a b  c d', 3) AS s")
+      .collect().head.getSeq[String](0)
+    val viaColumn = spark.range(1)
+      .select(graft.ops.TextOps.shingleSet(lit("a b  c d")).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(got == viaColumn && got == Seq("a b c", "b c d"))
+  }
+
   test("optimizer rewrites the HOF dot-product pattern to the native expression") {
     // non-foldable input, else constant folding evaluates the whole
     // expression before the rewrite is observable
