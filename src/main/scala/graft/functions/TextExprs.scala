@@ -22,4 +22,12 @@ object TextExprs {
     ColumnBridge.column(
       org.apache.spark.sql.graftbridge.ShingleSet(
         ColumnBridge.expression(text), k))
+
+  /** Fused tokenize → positional k-grams (duplicates kept, in order) —
+    * the `shingles(tokens(text), k)` composition.
+    */
+  def shingleListNative(text: Column, k: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.ShingleSet(
+        ColumnBridge.expression(text), k, distinct = false))
 }

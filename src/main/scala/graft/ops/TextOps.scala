@@ -54,6 +54,14 @@ object TextOps {
   def shingleSetComposed(text: Column): Column =
     array_distinct(shingles(tokens(text), 3))
 
+  /** Positional k-gram list straight from text — the fused form of
+    * `shingles(tokens(text), k)` (duplicates kept, document order);
+    * equivalence-pinned against the composed pipeline alongside
+    * [[shingleSet]].
+    */
+  def shingleList(text: Column, k: Int): Column =
+    graft.functions.TextExprs.shingleListNative(text, k)
+
   /** Sliding-window document chunking: split each document into
     * overlapping token-budget chunks — the pre-training/RAG chunker
     * that q_pack's bin packing is the inverse of (pack joins short

@@ -346,7 +346,7 @@ object TrainingQ {
   val qFingerprint = Q(
     "q_fingerprint",
     (spark, dir) => {
-      val shRaw = TextOps.shingles(TextOps.tokens(col("text")), 3)
+      val shRaw = TextOps.shingleList(col("text"), 3)
       Tables.documents(spark, dir)
         .select(col("doc_id"),
           TextOps.winnowFingerprint(shRaw, WinnowW).as("fingerprint"),
@@ -423,7 +423,7 @@ object TrainingQ {
   val qRepetition = Q(
     "q_repetition",
     (spark, dir) => {
-      val shRaw = TextOps.shingles(TextOps.tokens(col("text")), 3)
+      val shRaw = TextOps.shingleList(col("text"), 3)
       Tables.documents(spark, dir)
         .withColumn("ss", shRaw)
         .select(col("doc_id"),

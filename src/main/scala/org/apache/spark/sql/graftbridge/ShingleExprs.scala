@@ -19,7 +19,13 @@ object ShingleKernel {
     * dedupe keeping first occurrence (array_distinct's order).
     * Fewer than k tokens ⇒ empty array.
     */
-  def compute(s: UTF8String, k: Int): ArrayData = {
+  def compute(s: UTF8String, k: Int): ArrayData = compute(s, k, true)
+
+  /** As [[compute]]; `distinct = false` keeps every positional shingle
+    * in order — the `shingles(tokens(text), k)` composition (winnow
+    * fingerprints, positional coverage, repetition ratios).
+    */
+  def compute(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
     val str = s.toString
     var st = 0
     var en = str.length
@@ -40,6 +46,7 @@ object ShingleKernel {
     val n = starts.size()
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
+    val all = if (distinct) null else new java.util.ArrayList[Any](n - k + 1)
     var p = 0
     while (p <= n - k) {
       // shingle = tokens p..p+k-1 joined by ' ' — a substring of str
@@ -52,9 +59,11 @@ object ShingleKernel {
         sb.append(str, starts.get(p + t), ends.get(p + t))
         t += 1
       }
-      seen.add(sb.toString)
+      if (distinct) seen.add(sb.toString)
+      else all.add(UTF8String.fromString(sb.toString))
       p += 1
     }
+    if (!distinct) return new GenericArrayData(all.toArray)
     val out = new Array[Any](seen.size())
     val it = seen.iterator()
     var j = 0
@@ -76,7 +85,7 @@ object ShingleKernel {
   * Null input ⇒ null; fewer than k tokens ⇒ empty array (the
   * composed pipeline's convention).
   */
-case class ShingleSet(child: Expression, k: Int)
+case class ShingleSet(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
   require(k >= 1 && k <= 16, s"shingle size must be in [1, 16], got $k")
 
@@ -84,16 +93,17 @@ case class ShingleSet(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def prettyName: String = "graft_shingle_set"
+  override def prettyName: String =
+    if (distinct) "graft_shingle_set" else "graft_shingles"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleKernel.compute(input.asInstanceOf[UTF8String], k)
+    ShingleKernel.compute(input.asInstanceOf[UTF8String], k, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
-         |  org.apache.spark.sql.graftbridge.ShingleKernel.compute($c, $k);
+         |  org.apache.spark.sql.graftbridge.ShingleKernel.compute($c, $k, $distinct);
        """.stripMargin
     })
 

@@ -232,6 +232,14 @@ class TrainingSpec extends AnyFunSuite {
         TextOps.shingleSetComposed(col("text")).as("s")).orderBy("doc_id")
       .collect().map(_.getSeq[String](1))
     assert(got.toSeq == want.toSeq)
+    // the positional (duplicates-kept) variant against ITS composed form
+    val gotL = df.select(col("doc_id"),
+        TextOps.shingleList(col("text"), 3).as("s")).orderBy("doc_id")
+      .collect().map(_.getSeq[String](1))
+    val wantL = df.select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("s")).orderBy("doc_id")
+      .collect().map(_.getSeq[String](1))
+    assert(gotL.toSeq == wantL.toSeq)
   }
 
   test("fused minhash kernel equals the unfused explode/groupBy formulation") {
