@@ -699,6 +699,95 @@ object TrainingQ {
       WHERE rn <= $CapPerSource ORDER BY doc_id""")
   )
 
+  /** The whole training-data pipeline as ONE query — the composition
+    * story: exact dedup (keep group representative) ∩ quality gate
+    * (q_quality_filter's predicates) ∩ decontamination (drop eval
+    * members and any doc sharing a shingle with them) → ranked
+    * per-source cap → sliding-window chunking, emitting the final
+    * chunk-level training manifest. Every stage is an
+    * already-oracle-verified operator; this pins that they COMPOSE —
+    * the plan is still one DAG (no materialization between stages),
+    * so Catalyst shares the document scan across the dedup, quality,
+    * and shingle branches.
+    */
+  val qPipelineE2e = Q(
+    "q_pipeline_e2e",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val kept1 = Dedup.applyKeep(docs, "doc_id", "text")
+        .filter(col("kept")).select("doc_id")
+      val qual = docs
+        .withColumn("ts", TextOps.tokens(col("text")))
+        .withColumn("n_words", size(col("ts")).cast("long"))
+        .withColumn("avg_wlen",
+          TextOps.totalTokenChars(col("ts")).cast("double") / size(col("ts")))
+        .withColumn("stop_ratio",
+          TextOps.stopwordHits(col("ts")).cast("double") / size(col("ts")))
+        .filter(col("n_words") >= 5 && col("n_words") <= 10000 &&
+          col("avg_wlen") >= 2.0 && col("avg_wlen") <= 12.0 &&
+          col("stop_ratio") >= 0.05)
+        .select("doc_id")
+      val sh = docs.select(col("doc_id"),
+        explode(TextOps.shingleSet(col("text"))).as("s"))
+      val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
+        .select("s").distinct()
+      val contaminated = sh.join(broadcast(bench), Seq("s"))
+        .select("doc_id").distinct()
+      val survivors = docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(kept1, Seq("doc_id"))
+        .join(qual, Seq("doc_id"))
+      val capped = Sample.capPerGroup(survivors, Seq(col("source")),
+        Seq(col("n_chars").desc, col("doc_id")), CapPerSource)
+      TextOps.chunk(capped, "doc_id", "text",
+          maxTokens = ChunkMax, overlap = ChunkOverlap)
+        .join(capped.select("doc_id", "source"), Seq("doc_id"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some {
+      val stride = ChunkMax - ChunkOverlap
+      s"""WITH $tokCtes,
+        g AS (SELECT md5(text) AS h, min(doc_id) AS rep
+          FROM documents GROUP BY md5(text)),
+        kept1 AS (SELECT d.doc_id FROM documents d
+          JOIN g ON md5(d.text) = g.h AND d.doc_id = g.rep),
+        q AS (SELECT doc_id FROM toks WHERE len(ts) BETWEEN 5 AND 10000
+          AND CAST(list_reduce(list_transform(ts, x -> len(x)), (a, b) -> a + b)
+              AS DOUBLE) / len(ts) BETWEEN 2.0 AND 12.0
+          AND CAST(len(list_filter(ts,
+              x -> x IN ('the','a','of','and','in','to','is','on')))
+              AS DOUBLE) / len(ts) >= 0.05),
+        shf AS (SELECT DISTINCT doc_id, unnest(ss) AS s FROM sh),
+        bench AS (SELECT DISTINCT s FROM shf WHERE doc_id % $BenchmarkMod = 0),
+        contaminated AS (SELECT DISTINCT doc_id FROM shf JOIN bench USING (s)),
+        surv AS (SELECT d.doc_id, d.source, d.n_chars, d.text
+          FROM documents d
+          JOIN kept1 USING (doc_id) JOIN q USING (doc_id)
+          WHERE d.doc_id % $BenchmarkMod <> 0
+            AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        capped AS (SELECT doc_id, source, text FROM (
+          SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS rn FROM surv) t
+          WHERE rn <= $CapPerSource),
+        ct AS (SELECT doc_id, source,
+            list_filter(string_split(trim(text), ' '), x -> x <> '') AS cts
+          FROM capped),
+        cn AS (SELECT doc_id, source, cts, len(cts) AS n FROM ct),
+        ck AS (SELECT doc_id, source, cts, n,
+            CASE WHEN n <= $ChunkMax THEN 1
+                 ELSE CAST(ceil((n - $ChunkMax) / CAST($stride AS DOUBLE)) AS BIGINT) + 1
+            END AS nchunks FROM cn),
+        cu AS (SELECT doc_id, source, cts, n,
+            unnest(generate_series(0, nchunks - 1)) AS chunk_id FROM ck)
+      SELECT doc_id, chunk_id,
+        array_to_string(list_slice(cts, chunk_id * $stride + 1,
+          chunk_id * $stride + $ChunkMax), ' ') AS chunk,
+        greatest(least($ChunkMax, n - chunk_id * $stride), 0) AS n_tokens,
+        source
+      FROM cu ORDER BY doc_id, chunk_id"""
+    }
+  )
+
   /** Oracle fragment: sequential-fold double dot product (mirrors
     * Similarity.dot exactly, including fold order).
     */
@@ -1088,5 +1177,6 @@ object TrainingQ {
     qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
     qDecontaminateBloom, qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
-    qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap)
+    qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
+    qPipelineE2e)
 }
