@@ -479,6 +479,69 @@ object RelationalQ {
       ORDER BY event_type""")
   )
 
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+  private val HhTopN = 50
+
+  /** Count-Min-Sketch heavy hitters — the mergeable frequency summary
+    * next to [[qKmvDistinct]]'s distinct-count sketch: every event
+    * increments d=4 md5-salted buckets out of w=512, the d×w counter
+    * table partial-aggregates map-side (the exchange carries ≤ d·w
+    * rows per partition regardless of corpus size), and a point query
+    * for any key is the min over its d buckets — a guaranteed
+    * OVERestimate with error ≤ εN (ε = e/w) at confidence 1−e^−d.
+    * The query reports the top-N keys by exact count alongside their
+    * CMS estimate and the overcount, pinning est ≥ exact row-by-row.
+    * Like the KMV sketch the hashing is deterministic md5, so DuckDB
+    * rebuilds the identical sketch and the oracle hash-checks it.
+    * 100 TB shape: the sketch build is map-only + a tiny fixed-size
+    * exchange; per-day/per-shard sketches ADD cell-wise into any
+    * window's sketch without rescanning (CMS is a counter matrix), and
+    * the candidate probe joins the broadcast d×w table. At this SF the
+    * candidate set is every distinct key (so the overcount is
+    * verifiable); at scale it is a prior round's survivors or a fixed
+    * watchlist.
+    */
+  val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (spark, dir) => {
+      def bucket(i: Int, key: Column): Column =
+        pmod(conv(substring(md5(concat(lit(s"c$i|"), key).cast("binary")),
+          1, 15), 16, 10).cast("long"), lit(CmsWidth.toLong))
+      def buckets(key: Column): Column =
+        posexplode(array((0 until CmsDepth).map(i => bucket(i, key)): _*))
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id").cast("string").as("key"))
+      val cms = ev.select(buckets(col("key")).as(Seq("i", "b")))
+        .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
+      val cand = ev.groupBy("key").agg(count(lit(1)).as("n_exact"))
+      // the d×w counter table is the broadcast side BY CONSTRUCTION —
+      // at scale the candidate side is the unbounded one
+      cand.select(col("key"), col("n_exact"), buckets(col("key")).as(Seq("i", "b")))
+        .join(broadcast(cms), Seq("i", "b"))
+        .groupBy("key", "n_exact").agg(min(col("cnt")).as("est_cms"))
+        .withColumn("over_count", col("est_cms") - col("n_exact"))
+        .orderBy(col("n_exact").desc, col("key"))
+        .limit(HhTopN)
+    },
+    Some(s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+      d AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS i),
+      incr AS (SELECT i,
+          CAST('0x' || substring(md5('c' || i || '|' || key), 1, 15) AS BIGINT)
+            % $CmsWidth AS b
+        FROM ev, d),
+      cms AS (SELECT i, b, count(*) AS cnt FROM incr GROUP BY i, b),
+      cand AS (SELECT key, count(*) AS n_exact FROM ev GROUP BY key),
+      kb AS (SELECT key, n_exact, i,
+          CAST('0x' || substring(md5('c' || i || '|' || key), 1, 15) AS BIGINT)
+            % $CmsWidth AS b
+        FROM cand, d),
+      est AS (SELECT key, n_exact, min(cnt) AS est_cms
+        FROM kb JOIN cms USING (i, b) GROUP BY key, n_exact)
+      SELECT key, n_exact, est_cms, est_cms - n_exact AS over_count
+      FROM est ORDER BY n_exact DESC, key LIMIT $HhTopN""")
+  )
+
   /** Order-insensitive per-group table checksum — the dataset
     * fingerprint a migration/reconciliation pipeline compares across
     * systems without moving rows: 56-bit md5-derived row hash, summed
@@ -1151,7 +1214,8 @@ object RelationalQ {
     qRollup, qCube, qDistinct, qAntiJoin, qBloomAnti, qZorder, qZorder3,
     qTimeWindow,
     qSlideWindow,
-    qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qChecksum,
+    qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qHeavyHitters,
+    qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,
     qHistogram, qHistogramEqd, qStatsMoments, qZscore, qRobustZ, qRollCorr)
 }

@@ -673,6 +673,80 @@ object TrainingQ {
       ORDER BY sa, sb""")
   )
 
+  private val OverlapK = 256
+
+  /** Sketch-path source-overlap matrix — the 100 TB face of
+    * [[qSourceOverlap]]: instead of the exact shingle self-join
+    * (O(shingles·S²) and a wide shuffle of every shingle), each
+    * source is reduced to a KMV sketch of its shingle-hash set in ONE
+    * partial-aggregated pass (≤ k longs per (partition, source) cross
+    * the exchange), and every pairwise Jaccard is then estimated
+    * driver-free from the S-row sketch table: the k-min union sketch
+    * of (A, B) is computable from the two k-min sketches alone, and
+    * the fraction of union-sketch members present in BOTH is an
+    * unbiased Jaccard estimator (±1/√k). The sketch is deterministic
+    * (md5-derived 60-bit hashes, k smallest), so DuckDB reproduces it
+    * bit-for-bit and the oracle hash-checks an "approximate"
+    * algorithm exactly; accuracy vs the exact matrix is pinned in
+    * TrainingSpec.
+    */
+  val qSourceOverlapKmv = Q(
+    "q_source_overlap_kmv",
+    (spark, dir) => {
+      val k = OverlapK
+      val h = conv(substring(md5(concat(lit("sh|"), col("s")).cast("binary")),
+        1, 15), 16, 10).cast("long")
+      // localCheckpoint the S-row sketch table so the self-join reads
+      // the corpus ONCE (ReuseExchange does not fire across the
+      // broadcast side; without the cut the plan scans parquet twice)
+      val sk = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextOps.shingleSet(col("text"))).as("s"))
+        .select(col("source"), h.as("h"))
+        .groupBy("source")
+        .agg(graft.functions.Sketches.kmvMins(col("h"), k).as("kept"))
+        .localCheckpoint()
+      val a = sk.select(col("source").as("sa"), col("kept").as("ka"))
+      val b = sk.select(col("source").as("sb"), col("kept").as("kb"))
+      // S-row sketch table × itself: the nested-loop cross is intended
+      // and stays tiny no matter the corpus size (S = #sources)
+      a.join(b, col("sa") < col("sb"))
+        .withColumn("un", graft.functions.Sketches.kmvMerge(col("ka"), col("kb"), k))
+        .select(col("sa"), col("sb"),
+          size(array_intersect(array_intersect(col("un"), col("ka")), col("kb")))
+            .cast("long").as("n_both"),
+          size(col("un")).cast("long").as("n_union_kept"))
+        .withColumn("j_est",
+          col("n_both").cast("double") / col("n_union_kept").cast("double"))
+        .orderBy("sa", "sb")
+    },
+    Some(s"""WITH toks AS (SELECT source,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      shu AS (SELECT source, unnest(list_distinct(CASE WHEN len(ts) >= 3
+          THEN list_transform(range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+          ELSE CAST([] AS VARCHAR[]) END)) AS s FROM toks),
+      h AS (SELECT DISTINCT source,
+          CAST('0x' || substring(md5('sh|' || s), 1, 15) AS BIGINT) AS h
+        FROM shu),
+      r AS (SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+      sk AS (SELECT source, list(h ORDER BY h) AS kept
+        FROM r WHERE rn <= $OverlapK GROUP BY source),
+      pairs AS (SELECT a.source AS sa, a.kept AS ka, b.source AS sb, b.kept AS kb
+        FROM sk a JOIN sk b ON a.source < b.source),
+      u AS (SELECT sa, sb, ka, kb,
+          list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, $OverlapK) AS un
+        FROM pairs),
+      c AS (SELECT sa, sb,
+          len(list_filter(un, x -> list_contains(ka, x) AND list_contains(kb, x))) AS n_both,
+          len(un) AS n_union_kept
+        FROM u)
+      SELECT sa, sb, n_both, n_union_kept,
+        CAST(n_both AS DOUBLE) / n_union_kept AS j_est
+      FROM c ORDER BY sa, sb""")
+  )
+
   private val CapPerSource = 10
 
   /** Per-source mixing cap: at most N docs per source, keeping the
@@ -1178,5 +1252,5 @@ object TrainingQ {
     qDecontaminateBloom, qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
-    qPipelineE2e)
+    qSourceOverlapKmv, qPipelineE2e)
 }

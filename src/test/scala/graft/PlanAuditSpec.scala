@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val intended = Set("q_knn", "q_ann_ivf", "q_serve_snapshot",
       "q_snapshot_diff", "q_tfidf", "q_ttl_filter",
       "q_embed_outliers", // 2-column percentile stats row × vector side
-      "q_kmeans_assign", "q_semdedup") // k-row centroid table × corpus
+      "q_kmeans_assign", "q_semdedup", // k-row centroid table × corpus
+      "q_source_overlap_kmv") // S-row KMV sketch table × itself (S = #sources)
     for ((name, p) <- sweep if p.contains("BroadcastNestedLoopJoin"))
       assert(intended(name), s"$name plans an unintended BroadcastNestedLoopJoin")
   }

@@ -112,6 +112,42 @@ class SketchSpec extends AnyFunSuite {
         s"group $k: approx ${approx(k)} vs exact $ex drifts past 2%")
   }
 
+  test("KMV source-overlap estimate tracks the exact Jaccard matrix (q_source_overlap_kmv vs q_source_overlap)") {
+    // the sketch query is oracle-HASH-checked (deterministic md5 KMV);
+    // this pins that the ESTIMATES it produces are close to the truth:
+    // k = 256 ⇒ stderr ≈ 1/√k ≈ 0.0625, measured max |err| ≈ 0.03 at
+    // sf0.001/sf0.01 — gate at 0.07
+    val dir = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("q_source_overlap_kmv")(spark, dir)
+      .select("sa", "sb", "j_est").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // exact matrix only emits pairs with a nonzero intersection
+    val exact = SparkEntry.queries("q_source_overlap")(spark, dir)
+      .select("sa", "sb", "jaccard").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(exact.keySet.subsetOf(est.keySet),
+      "sketch matrix is missing pairs the exact matrix found")
+    val errs = est.map { case (pair, e) => math.abs(e - exact.getOrElse(pair, 0.0)) }
+    assert(errs.max <= 0.07, s"max |j_est - jaccard| ${errs.max} exceeds 0.07")
+  }
+
+  test("CMS estimate is a guaranteed overestimate with bounded error for every key") {
+    // at sf0.001 the top-50 cut covers ALL 15 distinct keys, so this
+    // checks the whole-domain contract: exact ≤ est ≤ exact + e/w·N
+    // (the classic CMS bound with ε = e/512, N = total increments)
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+      .select("n_exact", "est_cms", "over_count").collect()
+    val n = graft.io.Tables.events(spark, dir).count()
+    val bound = math.E / 512.0 * n
+    assert(rows.length == 15, "top-50 cut no longer covers every sf0.001 key")
+    for (r <- rows) {
+      assert(r.getLong(2) >= 0, s"CMS UNDERestimated: $r")
+      assert(r.getLong(2) <= bound, s"overcount ${r.getLong(2)} exceeds e/w·N = $bound")
+      assert(r.getLong(1) - r.getLong(0) == r.getLong(2), s"over_count inconsistent: $r")
+    }
+  }
+
   test("fewer than k distinct values returns them all, sorted") {
     val small = Seq(("a", 5L), ("a", 1L), ("a", 5L), ("a", 9L)).toDF("g", "h")
     val got = small.groupBy("g").agg(Sketches.kmvMins(col("h"), k).as("kept"))
