@@ -57,4 +57,42 @@ object Sample {
       .filter(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /** Temperature mixing at T = 2 (the multilingual-corpus standard:
+    * sample share ∝ n^(1/2), so big sources are damped toward the
+    * small ones): per-source keep rate r_s = √(n_min / n_s) — the
+    * UNIQUE rate profile realizing n^(1/2) shares while keeping the
+    * smallest source whole (r = 1 wastes no data; every other source
+    * subsamples by exactly its size excess). Applied as the same
+    * deterministic md5-threshold filter as [[stratifiedHash]], with
+    * the thresholds COMPUTED from the data instead of passed in.
+    *
+    * Every float step (÷, √, ×2³², floor) is a single IEEE
+    * correctly-rounded operation on exact integer inputs, so any
+    * engine reproduces the thresholds bit-for-bit — which is what
+    * makes a data-dependent sampling decision oracle-checkable.
+    *
+    * Scale: one partial-agged count pass (the S-row rate table
+    * localCheckpoints, ≤ S rows held), then a map-side broadcast-join
+    * + hash filter over the corpus — no shuffle of document rows.
+    * Generalizing to arbitrary T needs pow(), which is NOT correctly
+    * rounded and would need quantized rates for cross-engine parity.
+    */
+  def temperatureMixSqrt(df: DataFrame, keyCol: Column, sourceCol: Column,
+      seed: String): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("_src")).agg(count(lit(1)).as("n_src"))
+      .localCheckpoint()
+    val nMin = counts.agg(min(col("n_src")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("keep_rate",
+        sqrt(col("n_min").cast("double") / col("n_src").cast("double")))
+      .withColumn("_thresh",
+        floor(col("keep_rate") * lit(4294967296.0)).cast("long"))
+      .select(col("_src"), col("keep_rate"), col("_thresh"))
+    df.join(broadcast(rates), sourceCol === col("_src"))
+      .filter(conv(substring(
+          md5(concat(lit(s"$seed|"), keyCol.cast("string")).cast("binary")),
+          1, 8), 16, 10).cast("long") < col("_thresh"))
+      .drop("_src", "_thresh")
+  }
 }

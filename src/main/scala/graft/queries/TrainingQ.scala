@@ -588,6 +588,34 @@ object TrainingQ {
       ORDER BY doc_id""")
   )
 
+  /** Temperature-T=2 source mixing (see [[Sample.temperatureMixSqrt]]):
+    * per-source keep rates √(n_min/n_s) computed FROM the corpus, then
+    * the usual deterministic md5-threshold filter. The data-dependent
+    * rates are still hash-exact across engines because every float
+    * step is one correctly-rounded IEEE op on exact integers.
+    */
+  val qMixTemperature = Q(
+    "q_mix_temperature",
+    (spark, dir) =>
+      Sample.temperatureMixSqrt(Tables.documents(spark, dir),
+          keyCol = col("doc_id"), sourceCol = col("source"), seed = "mix")
+        .select("doc_id", "source", "keep_rate")
+        .orderBy("doc_id"),
+    Some("""WITH counts AS (SELECT source, count(*) AS n_src
+          FROM documents GROUP BY source),
+      nmin AS (SELECT min(n_src) AS n_min FROM counts),
+      rates AS (SELECT source,
+          sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE)) AS keep_rate,
+          CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE))
+            * 4294967296.0) AS BIGINT) AS thresh
+        FROM counts, nmin)
+      SELECT d.doc_id, d.source, r.keep_rate
+      FROM documents d JOIN rates r USING (source)
+      WHERE CAST('0x' || substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        AS BIGINT) < r.thresh
+      ORDER BY doc_id""")
+  )
+
   private val ChunkMax = 64
   private val ChunkOverlap = 16
 
@@ -1252,5 +1280,5 @@ object TrainingQ {
     qDecontaminateBloom, qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
-    qSourceOverlapKmv, qPipelineE2e)
+    qSourceOverlapKmv, qMixTemperature, qPipelineE2e)
 }

@@ -276,6 +276,28 @@ class TrainingSpec extends AnyFunSuite {
       (r.getString(2), r.getLong(3))).toSeq == Seq(("", 0L)))
   }
 
+  test("temperatureMixSqrt: smallest source kept whole, larger damped to sqrt share") {
+    // sizes 100 and 400: rates are exactly 1.0 and sqrt(100/400) = 0.5
+    val docs = ((1 to 100).map(i => (i.toLong, "small")) ++
+      (101 to 500).map(i => (i.toLong, "big"))).toDF("doc_id", "source")
+    val kept = graft.ops.Sample.temperatureMixSqrt(
+        docs, col("doc_id"), col("source"), seed = "t")
+      .select("doc_id", "source", "keep_rate").collect()
+    val bySrc = kept.groupBy(_.getString(1))
+    assert(bySrc("small").length == 100, "smallest source must be kept whole")
+    assert(bySrc("small").forall(_.getDouble(2) == 1.0))
+    assert(bySrc("big").forall(_.getDouble(2) == 0.5))
+    // deterministic md5 filter at rate 0.5 over 400 keys: binomial
+    // mean 200, sd 10 — a fixed outcome, gated at ±5 sd
+    val nBig = bySrc("big").length
+    assert(math.abs(nBig - 200) <= 50, s"big-source kept count $nBig far from 200")
+    // replayable: the same seed gives the identical sample
+    val again = graft.ops.Sample.temperatureMixSqrt(
+        docs, col("doc_id"), col("source"), seed = "t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+  }
+
   test("assignNearest: each centroid's own vector lands in its cluster at cosine 1") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
