@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Bars
+import graft.ops.{Bars, Overlap}
 
 /** Scale probe for the bar operators: generates N synthetic ticks
   * in-memory (spark.range — no I/O, pure codegen) and times OHLC
@@ -372,6 +372,55 @@ object Probe {
       println(s"""{"probe":"semdedup","vectors":$nVec,"clusters":$kCent,""" +
         s""""assign_sec":$tAsg,"assigned":$nAsg,"semdedup_sec":$tSd,""" +
         s""""kept":$kept,"vec_per_sec":${(nVec / tSd).toLong}}""")
+    }
+    if (enabled("cms_heavy")) {
+      // CMS at 50M events: 50% of traffic on 100 hot keys, the rest
+      // uniform over 1M cold keys; d=4, w=65536 (ε·N = e/w·50M ≈ 2k).
+      // The build is the scale claim under test — a fixed d×w counter
+      // matrix partial-aggregated map-side, so the exchange carries
+      // ≤ d·w rows per partition at ANY input size. The point-query
+      // pass then pins the overestimate contract on the 100 hot keys.
+      val nEv = 50000000L
+      val depth = 4; val width = 65536
+      val ev = spark.range(nEv).select(
+        when(pmod(col("id"), lit(2)) === 0,
+            concat(lit("H"), pmod(col("id"), lit(100))))
+          .otherwise(concat(lit("C"), pmod(hash(col("id")), lit(1000000))))
+          .as("key"))
+      val t0 = System.nanoTime()
+      val cms = graft.functions.Cms.build(ev, col("key"), depth, width)
+        .localCheckpoint()
+      val tB = (System.nanoTime() - t0) / 1e9
+      val hot = ev.filter(col("key").startsWith("H"))
+        .groupBy("key").agg(count(lit(1)).as("n_exact"))
+      val over = graft.functions.Cms
+        .estimate(hot, cms, col("key"), depth, width)
+        .agg(min(col("est_cms") - col("n_exact")).as("lo"),
+          max(col("est_cms") - col("n_exact")).as("hi")).collect()(0)
+      println(s"""{"probe":"cms_heavy","events":$nEv,"depth":$depth,""" +
+        s""""width":$width,"build_sec":$tB,""" +
+        s""""events_per_sec":${(nEv / tB).toLong},""" +
+        s""""overcount_min":${over.getLong(0)},"overcount_max":${over.getLong(1)}}""")
+    }
+
+    if (enabled("kmv_overlap")) {
+      // Source-overlap at 20× the sf0.1 corpus: 100k ~60-token docs
+      // over 20 sources, every doc sharing its vocabulary so sources
+      // genuinely overlap. Times the exact shingle-self-join matrix
+      // against the KMV sketch path (k=256) — the measured crossover
+      // behind shipping both faces of Overlap.
+      val nDocs = 100000L
+      val nSrc = 20
+      val words = (0 until 60).map(i =>
+        concat(lit("w"), pmod(hash(col("id") * 60 + i), lit(1000))))
+      val docs = spark.range(nDocs).select(
+        concat(lit("src"), pmod(col("id"), lit(nSrc))).as("source"),
+        concat_ws(" ", words: _*).as("text"))
+      val (tEx, rEx) = time(Overlap.exact(docs, "source", "text"))
+      val (tSk, rSk) = time(Overlap.kmvSketch(docs, "source", "text", 256))
+      println(s"""{"probe":"kmv_overlap","docs":$nDocs,"sources":$nSrc,""" +
+        s""""exact_sec":$tEx,"exact_pairs":$rEx,""" +
+        s""""sketch_sec":$tSk,"sketch_pairs":$rSk}""")
     }
     spark.stop()
   }

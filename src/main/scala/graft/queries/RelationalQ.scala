@@ -505,21 +505,12 @@ object RelationalQ {
   val qHeavyHitters = Q(
     "q_heavy_hitters",
     (spark, dir) => {
-      def bucket(i: Int, key: Column): Column =
-        pmod(conv(substring(md5(concat(lit(s"c$i|"), key).cast("binary")),
-          1, 15), 16, 10).cast("long"), lit(CmsWidth.toLong))
-      def buckets(key: Column): Column =
-        posexplode(array((0 until CmsDepth).map(i => bucket(i, key)): _*))
+      import graft.functions.Cms
       val ev = Tables.events(spark, dir)
         .select(col("user_id").cast("string").as("key"))
-      val cms = ev.select(buckets(col("key")).as(Seq("i", "b")))
-        .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
+      val cms = Cms.build(ev, col("key"), CmsDepth, CmsWidth)
       val cand = ev.groupBy("key").agg(count(lit(1)).as("n_exact"))
-      // the d×w counter table is the broadcast side BY CONSTRUCTION —
-      // at scale the candidate side is the unbounded one
-      cand.select(col("key"), col("n_exact"), buckets(col("key")).as(Seq("i", "b")))
-        .join(broadcast(cms), Seq("i", "b"))
-        .groupBy("key", "n_exact").agg(min(col("cnt")).as("est_cms"))
+      Cms.estimate(cand, cms, col("key"), CmsDepth, CmsWidth)
         .withColumn("over_count", col("est_cms") - col("n_exact"))
         .orderBy(col("n_exact").desc, col("key"))
         .limit(HhTopN)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.{Bloom, Dedup, Sample, Similarity, TextOps}
+import graft.ops.{Bloom, Dedup, Overlap, Sample, Similarity, TextOps}
 
 /** Training-data pipeline operators (dedup / similarity / text
   * analysis) over the documents and embeddings tables, each with a
@@ -661,26 +661,9 @@ object TrainingQ {
     */
   val qSourceOverlap = Q(
     "q_source_overlap",
-    (spark, dir) => {
-      // measured note: a collect_set + HOF pair-expansion formulation
-      // (one fewer wide shuffle on paper) benched 2.5 s vs this 2.2 s —
-      // the nested-lambda expansion is CodegenFallback per shingle row
-      // and costs more than the codegen'd hash self-join it replaces
-      val srcSh = Tables.documents(spark, dir)
-        .select(col("source"), explode(TextOps.shingleSet(col("text"))).as("s"))
-        .distinct()
-      val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
-      val a = srcSh.select(col("source").as("sa"), col("s"))
-      val b = srcSh.select(col("source").as("sb"), col("s"))
-      a.join(b, Seq("s")).filter(col("sa") < col("sb"))
-        .groupBy("sa", "sb").agg(count(lit(1)).as("c"))
-        .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
-        .join(sizes.select(col("source").as("sb"), col("n").as("nb")), Seq("sb"))
-        .select(col("sa"), col("sb"), col("c"),
-          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
-            .as("jaccard"))
-        .orderBy("sa", "sb")
-    },
+    (spark, dir) =>
+      Overlap.exact(Tables.documents(spark, dir), "source", "text")
+        .orderBy("sa", "sb"),
     Some("""WITH toks AS (SELECT source,
           list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
         FROM documents),
@@ -720,33 +703,10 @@ object TrainingQ {
     */
   val qSourceOverlapKmv = Q(
     "q_source_overlap_kmv",
-    (spark, dir) => {
-      val k = OverlapK
-      val h = conv(substring(md5(concat(lit("sh|"), col("s")).cast("binary")),
-        1, 15), 16, 10).cast("long")
-      // localCheckpoint the S-row sketch table so the self-join reads
-      // the corpus ONCE (ReuseExchange does not fire across the
-      // broadcast side; without the cut the plan scans parquet twice)
-      val sk = Tables.documents(spark, dir)
-        .select(col("source"), explode(TextOps.shingleSet(col("text"))).as("s"))
-        .select(col("source"), h.as("h"))
-        .groupBy("source")
-        .agg(graft.functions.Sketches.kmvMins(col("h"), k).as("kept"))
-        .localCheckpoint()
-      val a = sk.select(col("source").as("sa"), col("kept").as("ka"))
-      val b = sk.select(col("source").as("sb"), col("kept").as("kb"))
-      // S-row sketch table × itself: the nested-loop cross is intended
-      // and stays tiny no matter the corpus size (S = #sources)
-      a.join(b, col("sa") < col("sb"))
-        .withColumn("un", graft.functions.Sketches.kmvMerge(col("ka"), col("kb"), k))
-        .select(col("sa"), col("sb"),
-          size(array_intersect(array_intersect(col("un"), col("ka")), col("kb")))
-            .cast("long").as("n_both"),
-          size(col("un")).cast("long").as("n_union_kept"))
-        .withColumn("j_est",
-          col("n_both").cast("double") / col("n_union_kept").cast("double"))
-        .orderBy("sa", "sb")
-    },
+    (spark, dir) =>
+      Overlap.kmvSketch(Tables.documents(spark, dir), "source", "text",
+          k = OverlapK)
+        .orderBy("sa", "sb"),
     Some(s"""WITH toks AS (SELECT source,
           list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
         FROM documents),
