@@ -341,6 +341,46 @@ object StreamQ {
       FROM events GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** Streaming Count-Min build through the driver gate: the SAME
+    * [[graft.functions.Cms.build]] plan fragment q_heavy_hitters uses
+    * batch-side, run as a streaming aggregation (complete mode over
+    * the bounded replay) — the live heavy-hitter monitor face of the
+    * sketch. The counter matrix a stream accumulates incrementally
+    * must equal the batch-built one cell-for-cell (counts are
+    * additive), which is exactly what the shared DuckDB oracle
+    * hash-checks. Eighth batch/stream equivalence pin. d=4, w=512
+    * match q_heavy_hitters; state is bounded by d·w cells regardless
+    * of stream length — a sketch is the canonical BOUNDED-state
+    * streaming summary, unlike per-key counts.
+    */
+  val qStreamCms = Q(
+    "q_stream_cms",
+    (spark, dir) => {
+      val rawSchema = Tables.table(spark, dir, "events").schema
+      val name = { counter += 1; s"stream_cms_$counter" }
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id").cast("string").as("key"))
+      val q = graft.functions.Cms.build(src, col("key"), 4, 512)
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).orderBy("i", "b")
+    },
+    Some("""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+      d AS (SELECT unnest(generate_series(0, 3)) AS i),
+      incr AS (SELECT i,
+          CAST('0x' || substring(md5('c' || i || '|' || key), 1, 15) AS BIGINT)
+            % 512 AS b
+        FROM ev, d)
+      SELECT i, b, count(*) AS cnt FROM incr GROUP BY i, b ORDER BY i, b""")
+  )
+
   def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow,
-    qStreamOhlc, qStreamSession, qStreamJoin, qStreamEwma)
+    qStreamOhlc, qStreamSession, qStreamJoin, qStreamEwma, qStreamCms)
 }
