@@ -422,6 +422,35 @@ object Probe {
         s""""exact_sec":$tEx,"exact_pairs":$rEx,""" +
         s""""sketch_sec":$tSk,"sketch_pairs":$rSk}""")
     }
+    if (enabled("pipeline_e2e")) {
+      // The COMPOSED five-stage training pipeline (exact dedup →
+      // quality gate → decontamination → per-source cap → chunking)
+      // at 20× the sf0.1 corpus: 1M ~60-token docs over 1000 sources,
+      // 20% of ids sharing a base text (real work for the dedup
+      // stage), every 10th token a stopword (so the quality gate's
+      // stop-ratio check passes honestly), doc_id % 50 = 0 as the
+      // benchmark slice (~1.2M distinct shingles broadcast for
+      // decontamination). One declarative plan end-to-end — the
+      // docs/sec number here is the pipeline's, not any one stage's.
+      val nDocs = 1000000L
+      val nSrcP = 1000L
+      val words = (0 until 60).map(i =>
+        if (i % 10 == 0) lit("the")
+        else concat(lit("w"), pmod(hash(col("base") * 60 + i), lit(1000))))
+      val docs = spark.range(nDocs)
+        .withColumn("base",
+          when(pmod(col("id"), lit(10)) < 2, expr("(id div 10) * 10"))
+            .otherwise(col("id")))
+        .select(col("id").as("doc_id"),
+          concat(lit("src"), pmod(col("id"), lit(nSrcP))).as("source"),
+          concat_ws(" ", words: _*).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val (tP, rP) = time(graft.ops.Corpus.pipeline(docs,
+        benchmarkMod = 50, capPerSource = 100, chunkMax = 64,
+        chunkOverlap = 16))
+      println(s"""{"probe":"pipeline_e2e","docs":$nDocs,"sources":$nSrcP,""" +
+        s""""sec":$tP,"chunks":$rP,"docs_per_sec":${(nDocs / tP).toLong}}""")
+    }
     spark.stop()
   }
 }

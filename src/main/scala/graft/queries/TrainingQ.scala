@@ -774,38 +774,11 @@ object TrainingQ {
     */
   val qPipelineE2e = Q(
     "q_pipeline_e2e",
-    (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
-      val kept1 = Dedup.applyKeep(docs, "doc_id", "text")
-        .filter(col("kept")).select("doc_id")
-      val qual = docs
-        .withColumn("ts", TextOps.tokens(col("text")))
-        .withColumn("n_words", size(col("ts")).cast("long"))
-        .withColumn("avg_wlen",
-          TextOps.totalTokenChars(col("ts")).cast("double") / size(col("ts")))
-        .withColumn("stop_ratio",
-          TextOps.stopwordHits(col("ts")).cast("double") / size(col("ts")))
-        .filter(col("n_words") >= 5 && col("n_words") <= 10000 &&
-          col("avg_wlen") >= 2.0 && col("avg_wlen") <= 12.0 &&
-          col("stop_ratio") >= 0.05)
-        .select("doc_id")
-      val sh = docs.select(col("doc_id"),
-        explode(TextOps.shingleSet(col("text"))).as("s"))
-      val bench = sh.filter(col("doc_id") % BenchmarkMod === 0)
-        .select("s").distinct()
-      val contaminated = sh.join(broadcast(bench), Seq("s"))
-        .select("doc_id").distinct()
-      val survivors = docs.filter(col("doc_id") % BenchmarkMod =!= 0)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .join(kept1, Seq("doc_id"))
-        .join(qual, Seq("doc_id"))
-      val capped = Sample.capPerGroup(survivors, Seq(col("source")),
-        Seq(col("n_chars").desc, col("doc_id")), CapPerSource)
-      TextOps.chunk(capped, "doc_id", "text",
-          maxTokens = ChunkMax, overlap = ChunkOverlap)
-        .join(capped.select("doc_id", "source"), Seq("doc_id"))
-        .orderBy("doc_id", "chunk_id")
-    },
+    (spark, dir) =>
+      graft.ops.Corpus.pipeline(Tables.documents(spark, dir),
+          benchmarkMod = BenchmarkMod, capPerSource = CapPerSource,
+          chunkMax = ChunkMax, chunkOverlap = ChunkOverlap)
+        .orderBy("doc_id", "chunk_id"),
     Some {
       val stride = ChunkMax - ChunkOverlap
       s"""WITH $tokCtes,
