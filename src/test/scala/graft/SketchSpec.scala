@@ -148,6 +148,25 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS sketches of two shards add cell-wise into the whole-corpus sketch") {
+    // the composability claim behind per-day/per-shard CMS summaries:
+    // counts are additive, so sketch(A) + sketch(B) = sketch(A ∪ B)
+    // exactly (not approximately) — checked cell-for-cell
+    import graft.functions.Cms
+    val depth = 4; val width = 64
+    val all = (1 to 400).map(i => s"k${i % 37}").toDF("key")
+    val a = (1 to 200).map(i => s"k${i % 37}").toDF("key")
+    val b = (201 to 400).map(i => s"k${i % 37}").toDF("key")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells(Cms.build(all, col("key"), depth, width))
+    val summed = cells(
+      Cms.build(a, col("key"), depth, width)
+        .unionAll(Cms.build(b, col("key"), depth, width))
+        .groupBy("i", "b").agg(sum("cnt").as("cnt")))
+    assert(summed == whole)
+  }
+
   test("fewer than k distinct values returns them all, sorted") {
     val small = Seq(("a", 5L), ("a", 1L), ("a", 5L), ("a", 9L)).toDF("g", "h")
     val got = small.groupBy("g").agg(Sketches.kmvMins(col("h"), k).as("kept"))
