@@ -111,6 +111,28 @@ object TextOps {
   def totalTokenChars(toks: Column): Column =
     aggregate(toks, lit(0), (acc, t) => acc + length(t))
 
+  /** Unigram-LM frequency-mass scoring (q_lm_score): the quantized
+    * stand-in for a CCNet-style perplexity filter. Each token
+    * contributes floor(log2(corpus count)) — computed EXACTLY as
+    * length(bin(count)) − 1, pure integer ops, because true log()
+    * rounds differently across engines — and a doc's score is the
+    * integer-ratio mean. Rare-token/gibberish docs score low.
+    * Returns (idCol, n_tokens, lm_mass, lm_score). Scale: counts are
+    * one partial-agged shuffle; the scoring join broadcasts the
+    * PRE-aggregated one-row-per-token count table (shuffle join with
+    * no skew amplification once the vocab outgrows broadcast).
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val qlog = (length(bin(col("cnt"))) - 1).cast("long")
+    toks.join(broadcast(counts), Seq("tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(qlog).as("lm_mass"))
+      .withColumn("lm_score",
+        col("lm_mass").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** GPT-2-style pretokenizer pattern (ASCII simplification, no
     * lookarounds so it runs identically under Java regex and RE2):
     * contraction suffixes, space-prefixed letter runs, space-prefixed

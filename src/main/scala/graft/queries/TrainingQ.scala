@@ -588,6 +588,38 @@ object TrainingQ {
       ORDER BY doc_id""")
   )
 
+  /** Unigram-LM frequency-mass scoring — the quantized stand-in for
+    * the perplexity filter of CCNet-style pipelines: train unigram
+    * counts on the corpus, score each doc by its mean token
+    * log-frequency; gibberish/rare-token documents score LOW and are
+    * the filter's catch. True log-prob needs log(), which no two
+    * engines round identically — instead each token contributes
+    * floor(log2(count)) computed EXACTLY as length(bin(count)) − 1
+    * (pure integer ops), and the per-doc mean is a ratio of integers:
+    * bit-exact everywhere, same quantization family as the
+    * centroid/kmeans integer sums. Scale: token counts are one
+    * partial-agged shuffle; the score pass re-explodes and joins the
+    * counts table — broadcast here (vocab ≪ corpus; at a 100M+-token
+    * vocab it becomes a shuffle join whose 'the'-skew is handled by
+    * the count table being PRE-aggregated, one row per token).
+    */
+  val qLmScore = Q(
+    "q_lm_score",
+    (spark, dir) =>
+      TextOps.lmScore(Tables.documents(spark, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+          unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS tok
+        FROM documents),
+      c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+      s AS (SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(length(bin(cnt)) - 1) AS BIGINT) AS lm_mass
+        FROM t JOIN c USING (tok) GROUP BY doc_id)
+      SELECT doc_id, n_tokens, lm_mass,
+        CAST(lm_mass AS DOUBLE) / n_tokens AS lm_score
+      FROM s ORDER BY doc_id""")
+  )
+
   /** Temperature-T=2 source mixing (see [[Sample.temperatureMixSqrt]]):
     * per-source keep rates √(n_min/n_s) computed FROM the corpus, then
     * the usual deterministic md5-threshold filter. The data-dependent
@@ -1213,5 +1245,5 @@ object TrainingQ {
     qDecontaminateBloom, qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
-    qSourceOverlapKmv, qMixTemperature, qPipelineE2e)
+    qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e)
 }

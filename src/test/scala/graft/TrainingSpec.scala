@@ -276,6 +276,18 @@ class TrainingSpec extends AnyFunSuite {
       (r.getString(2), r.getLong(3))).toSeq == Seq(("", 0L)))
   }
 
+  test("lmScore: common-token docs outscore rare-token gibberish; quantization exact") {
+    val docs = ((1 to 20).map(i => (i.toLong, "the cat sat")) :+
+      (99L, "zxq glorp wibble")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // every common token appears 20×: floor(log2 20) = 4, mass 12, score 4.0
+    assert(out(1L) == ((3L, 12L, 4.0)))
+    // gibberish tokens appear once: floor(log2 1) = 0 ⇒ the filter floor
+    assert(out(99L) == ((3L, 0L, 0.0)))
+    assert(out(99L)._3 < out(1L)._3)
+  }
+
   test("temperatureMixSqrt: smallest source kept whole, larger damped to sqrt share") {
     // sizes 100 and 400: rates are exactly 1.0 and sqrt(100/400) = 0.5
     val docs = ((1 to 100).map(i => (i.toLong, "small")) ++
