@@ -381,6 +381,54 @@ object StreamQ {
       SELECT i, b, count(*) AS cnt FROM incr GROUP BY i, b ORDER BY i, b""")
   )
 
+  /** Streaming KMV distinct-count sketch: the custom mergeable
+    * KmvAggregator (q_kmv_distinct's engine) run as a STREAMING
+    * aggregation — per-group sketch state accumulates across batches
+    * through the Aggregator's merge path and must equal the
+    * batch-built sketch exactly (k smallest distinct values are
+    * arrival-order-invariant). Ninth equivalence pin, and the proof
+    * that the typed-Aggregator sketch family carries over to
+    * streaming state unchanged: ≤ k longs of state per group, the
+    * live "distinct users right now" estimator.
+    */
+  val qStreamKmv = Q(
+    "q_stream_kmv",
+    (spark, dir) => {
+      val rawSchema = Tables.table(spark, dir, "events").schema
+      val name = { counter += 1; s"stream_kmv_$counter" }
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("event_type"),
+          conv(substring(md5(concat(lit("u|"),
+            col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      val q = src.groupBy("event_type")
+        .agg(graft.functions.Sketches.kmvMins(col("h"), 32).as("kept"))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .select(col("event_type"),
+          element_at(col("kept"), -1).as("kth_hash"),
+          size(col("kept")).cast("long").as("n_kept"))
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (SELECT DISTINCT event_type,
+          CAST('0x' || substring(md5('u|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        FROM events),
+      r AS (SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h)
+      SELECT event_type, max(h) AS kth_hash, count(*) AS n_kept
+      FROM r WHERE rn <= 32 GROUP BY event_type ORDER BY event_type""")
+  )
+
   def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow,
-    qStreamOhlc, qStreamSession, qStreamJoin, qStreamEwma, qStreamCms)
+    qStreamOhlc, qStreamSession, qStreamJoin, qStreamEwma, qStreamCms,
+    qStreamKmv)
 }
