@@ -479,6 +479,65 @@ object RelationalQ {
       ORDER BY event_type""")
   )
 
+  /** KMV sketch ROLLUP — the store-sketches-per-partition pattern: a
+    * sketch is built per (event_type, hour), then whole-range
+    * estimates come from MERGING the hourly sketches (HOF fold over
+    * kmvMerge) with no second pass over the rows. The k smallest of a
+    * union equal the k smallest of the per-part k-mins, and the merge
+    * is associative+commutative+idempotent, so collect_list's
+    * nondeterministic order cannot perturb the result — the oracle
+    * checks the merged sketch against the sketch a single global pass
+    * builds, making the rollup identity itself the thing verified
+    * cross-engine. At 100 TB this is how distinct-count serves any
+    * time window: per-day sketches persist (≤ k longs each) and any
+    * window is a fold over its days.
+    */
+  val qKmvRollup = Q(
+    "q_kmv_rollup",
+    (spark, dir) => {
+      val k = 32
+      val ev = Tables.events(spark, dir)
+      val h = conv(substring(md5(concat(lit("u|"),
+        col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      val hourly = ev
+        .select(col("event_type"), expr("ts_ms div 3600000").as("hour"), h.as("h"))
+        .groupBy("event_type", "hour")
+        .agg(graft.functions.Sketches.kmvMins(col("h"), k).as("kept"))
+      hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          aggregate(collect_list(col("kept")),
+            array().cast("array<bigint>"),
+            (acc, x) => graft.functions.Sketches.kmvMerge(acc, x, k))
+            .as("merged"))
+        .select(col("event_type"), col("n_hours"),
+          element_at(col("merged"), -1).as("kth_hash"),
+          size(col("merged")).cast("long").as("n_kept"))
+        .withColumn("est_kmv",
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+              col("kth_hash").cast("double")))
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (SELECT DISTINCT event_type,
+          CAST('0x' || substring(md5('u|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        FROM events),
+      r AS (SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h),
+      sk AS (SELECT event_type, max(h) AS kth_hash, count(*) AS n_kept
+        FROM r WHERE rn <= 32 GROUP BY event_type),
+      hrs AS (SELECT event_type,
+          count(DISTINCT epoch_ms(ts) // 3600000) AS n_hours
+        FROM events GROUP BY event_type)
+      SELECT s.event_type, hrs.n_hours, s.kth_hash, s.n_kept,
+        CASE WHEN s.n_kept < 32 THEN CAST(s.n_kept AS DOUBLE)
+             ELSE (31.0 * 1152921504606846976.0) / CAST(s.kth_hash AS DOUBLE)
+        END AS est_kmv
+      FROM sk s JOIN hrs USING (event_type)
+      ORDER BY event_type""")
+  )
+
   private val CmsDepth = 4
   private val CmsWidth = 512
   private val HhTopN = 50
@@ -1205,7 +1264,7 @@ object RelationalQ {
     qRollup, qCube, qDistinct, qAntiJoin, qBloomAnti, qZorder, qZorder3,
     qTimeWindow,
     qSlideWindow,
-    qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qHeavyHitters,
+    qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qKmvRollup, qHeavyHitters,
     qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,
     qHistogram, qHistogramEqd, qStatsMoments, qZscore, qRobustZ, qRollCorr)
