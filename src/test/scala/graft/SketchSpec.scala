@@ -148,6 +148,26 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("kmvMerge fold over any partitioning and order equals the global k smallest (q_kmv_rollup identity)") {
+    // the rollup query's correctness rests on this algebra: per-part
+    // k-min sketches folded in ANY order reproduce the global k-min —
+    // randomized partitionings, duplicate-heavy domains, parts smaller
+    // than k, singleton parts
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 10) {
+      val values = Seq.fill(rnd.nextInt(200) + 1)(rnd.nextInt(60).toLong + 1)
+      val global = values.distinct.sorted.take(k)
+      val nParts = rnd.nextInt(6) + 1
+      val parts = rnd.shuffle(values.groupBy(_ => rnd.nextInt(nParts)).values.toSeq)
+      val sketches = parts.map(p => p.distinct.sorted.take(k))
+      val merged = sketches.toDF("kept").agg(
+          aggregate(collect_list(col("kept")), array().cast("array<bigint>"),
+            (acc, x) => Sketches.kmvMerge(acc, x, k)).as("m"))
+        .collect().head.getSeq[Long](0)
+      assert(merged == global, s"trial $trial: $merged != $global")
+    }
+  }
+
   test("CMS sketches of two shards add cell-wise into the whole-corpus sketch") {
     // the composability claim behind per-day/per-shard CMS summaries:
     // counts are additive, so sketch(A) + sketch(B) = sketch(A ∪ B)
