@@ -383,8 +383,10 @@ object Probe {
       val nEv = 50000000L
       val depth = 4; val width = 65536
       val ev = spark.range(nEv).select(
+        // id div 2 so the hot residues cover all 100 values (a plain
+        // pmod(id, 100) under the even-id guard only hits the evens)
         when(pmod(col("id"), lit(2)) === 0,
-            concat(lit("H"), pmod(col("id"), lit(100))))
+            concat(lit("H"), pmod(expr("id div 2"), lit(100))))
           .otherwise(concat(lit("C"), pmod(hash(col("id")), lit(1000000))))
           .as("key"))
       val t0 = System.nanoTime()

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Count-Min Sketch as two composable plan fragments (build / point
   * query) over deterministic md5-salted bucket hashing — the
   * frequency-summary sibling of [[Sketches]]' KMV distinct-count
-  * sketch (q_heavy_hitters is the oracle-checked face; Probe's
-  * cms_heavy is the scale evidence).
+  * sketch (q_heavy_hitters / q_stream_cms are the oracle-checked
+  * faces; Probe's cms_heavy is the scale evidence).
   *
   * Scale shape: the build is map-side partial aggregation onto a
   * FIXED d×w counter matrix — the exchange carries ≤ d·w rows per
@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Cms {
 
+  /** The d/w both oracle-checked faces share (batch q_heavy_hitters
+    * and streaming q_stream_cms build cell-for-cell-equal sketches
+    * only while these match).
+    */
+  val DefaultDepth = 4
+  val DefaultWidth = 512
+
   /** Bucket of `key` in hash row i: md5-salted 60-bit value mod width. */
   def bucket(i: Int, key: Column, width: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"c$i|"), key).cast("binary")),
-      1, 15), 16, 10).cast("long"), lit(width.toLong))
+    pmod(Sketches.md5Hash60(s"c$i|", key), lit(width.toLong))
 
   /** All d (row, bucket) increments of `key`, as a posexplode. */
   def buckets(key: Column, depth: Int, width: Int): Column =
@@ -35,14 +41,19 @@ object Cms {
 
   /** Point-query a sketch: adds `est_cms` (min over the d buckets) to
     * a candidate table. The d×w sketch is the broadcast side BY
-    * CONSTRUCTION — at scale the candidate side is the unbounded one.
+    * CONSTRUCTION — at scale the candidate side is the unbounded one
+    * (a prior round's survivors, or a fixed watchlist). The sketch
+    * join is a LEFT join with empty buckets counting 0: a watchlist
+    * key the build never saw gets est_cms = 0, not a dropped row and
+    * not a min over only its colliding buckets.
     */
   def estimate(candidates: DataFrame, cms: DataFrame, key: Column,
       depth: Int, width: Int): DataFrame = {
     val carried = candidates.columns.map(col).toSeq
     candidates
       .select(carried :+ buckets(key, depth, width).as(Seq("i", "b")): _*)
-      .join(broadcast(cms), Seq("i", "b"))
-      .groupBy(carried: _*).agg(min(col("cnt")).as("est_cms"))
+      .join(broadcast(cms), Seq("i", "b"), "left")
+      .groupBy(carried: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cms"))
   }
 }

@@ -55,6 +55,21 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
 }
 
 object Sketches {
+  import org.apache.spark.sql.functions._
+
+  /** The KMV hash domain: 15 hex chars = 60 bits = 2⁶⁰. */
+  val Domain60: Double = 1152921504606846976.0
+
+  /** The one 60-bit md5-derived hash every KMV face shares —
+    * batch/stream equivalence pins and the DuckDB oracles depend on
+    * the salt+width staying byte-identical across call sites, so the
+    * expression lives in exactly one place. DuckDB twin:
+    * `CAST('0x' || substring(md5('<prefix>' || x), 1, 15) AS BIGINT)`.
+    */
+  def md5Hash60(prefix: String, c: Column): Column =
+    conv(substring(md5(concat(lit(prefix), c).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
   /** Column aggregate: k smallest distinct values of a long column,
     * sorted ascending (≤ k elements). Works grouped or global.
     */

@@ -53,17 +53,23 @@ object Overlap {
     */
   def kmvSketch(docs: DataFrame, sourceCol: String, textCol: String,
       k: Int): DataFrame = {
-    val h = conv(substring(md5(concat(lit("sh|"), col("s")).cast("binary")),
-      1, 15), 16, 10).cast("long")
-    // localCheckpoint the S-row sketch table so the self-join reads
-    // the corpus ONCE (ReuseExchange does not fire across the
-    // broadcast side; without the cut the plan scans the corpus twice)
-    val sk = docs
+    val h = graft.functions.Sketches.md5Hash60("sh|", col("s"))
+    val sk0 = docs
       .select(col(sourceCol).as("source"),
         explode(TextOps.shingleSet(col(textCol))).as("s"))
       .select(col("source"), h.as("h"))
       .groupBy("source")
       .agg(graft.functions.Sketches.kmvMins(col("h"), k).as("kept"))
+    // explode drops sources whose docs ALL have < 3 tokens — left-join
+    // the source universe back (a source-column-pruned second scan,
+    // tiny next to the full-text pass) so every pair appears, with
+    // empty sketches estimating j = 0 rather than vanishing.
+    // localCheckpoint the S-row result so the self-join reads the
+    // corpus ONCE (ReuseExchange does not fire across the broadcast
+    // side; without the cut the plan scans the corpus per side)
+    val sk = docs.select(col(sourceCol).as("source")).distinct()
+      .join(sk0, Seq("source"), "left")
+      .withColumn("kept", coalesce(col("kept"), array().cast("array<bigint>")))
       .localCheckpoint()
     val a = sk.select(col("source").as("sa"), col("kept").as("ka"))
     val b = sk.select(col("source").as("sb"), col("kept").as("kb"))
@@ -76,6 +82,8 @@ object Overlap {
           .cast("long").as("n_both"),
         size(col("un")).cast("long").as("n_union_kept"))
       .withColumn("j_est",
-        col("n_both").cast("double") / col("n_union_kept").cast("double"))
+        when(col("n_union_kept") === 0, lit(0.0))
+          .otherwise(col("n_both").cast("double") /
+            col("n_union_kept").cast("double")))
   }
 }

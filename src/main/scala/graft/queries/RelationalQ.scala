@@ -442,9 +442,8 @@ object RelationalQ {
     (spark, dir) => {
       val k = 32
       val ev = Tables.events(spark, dir)
-      val h = conv(substring(md5(concat(lit("u|"),
-        col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
-        .cast("long")
+      val h = graft.functions.Sketches.md5Hash60("u|",
+        col("user_id").cast("string"))
       val sk = ev.select(col("event_type"), h.as("h"))
         .groupBy("event_type")
         .agg(graft.functions.Sketches.kmvMins(col("h"), k).as("kept"))
@@ -497,9 +496,8 @@ object RelationalQ {
     (spark, dir) => {
       val k = 32
       val ev = Tables.events(spark, dir)
-      val h = conv(substring(md5(concat(lit("u|"),
-        col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
-        .cast("long")
+      val h = graft.functions.Sketches.md5Hash60("u|",
+        col("user_id").cast("string"))
       val hourly = ev
         .select(col("event_type"), expr("ts_ms div 3600000").as("hour"), h.as("h"))
         .groupBy("event_type", "hour")
@@ -510,13 +508,11 @@ object RelationalQ {
             array().cast("array<bigint>"),
             (acc, x) => graft.functions.Sketches.kmvMerge(acc, x, k))
             .as("merged"))
+        .withColumn("est_kmv", graft.functions.Sketches.kmvEstimate(
+          col("merged"), k, graft.functions.Sketches.Domain60))
         .select(col("event_type"), col("n_hours"),
           element_at(col("merged"), -1).as("kth_hash"),
-          size(col("merged")).cast("long").as("n_kept"))
-        .withColumn("est_kmv",
-          when(col("n_kept") < k, col("n_kept").cast("double"))
-            .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
-              col("kth_hash").cast("double")))
+          size(col("merged")).cast("long").as("n_kept"), col("est_kmv"))
         .orderBy("event_type")
     },
     Some("""WITH h AS (SELECT DISTINCT event_type,
@@ -538,8 +534,8 @@ object RelationalQ {
       ORDER BY event_type""")
   )
 
-  private val CmsDepth = 4
-  private val CmsWidth = 512
+  private val CmsDepth = graft.functions.Cms.DefaultDepth
+  private val CmsWidth = graft.functions.Cms.DefaultWidth
   private val HhTopN = 50
 
   /** Count-Min-Sketch heavy hitters — the mergeable frequency summary
@@ -586,8 +582,8 @@ object RelationalQ {
           CAST('0x' || substring(md5('c' || i || '|' || key), 1, 15) AS BIGINT)
             % $CmsWidth AS b
         FROM cand, d),
-      est AS (SELECT key, n_exact, min(cnt) AS est_cms
-        FROM kb JOIN cms USING (i, b) GROUP BY key, n_exact)
+      est AS (SELECT key, n_exact, min(COALESCE(cnt, 0)) AS est_cms
+        FROM kb LEFT JOIN cms USING (i, b) GROUP BY key, n_exact)
       SELECT key, n_exact, est_cms, est_cms - n_exact AS over_count
       FROM est ORDER BY n_exact DESC, key LIMIT $HhTopN""")
   )

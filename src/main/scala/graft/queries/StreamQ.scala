@@ -362,7 +362,8 @@ object StreamQ {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .select(col("user_id").cast("string").as("key"))
-      val q = graft.functions.Cms.build(src, col("key"), 4, 512)
+      val q = graft.functions.Cms.build(src, col("key"),
+          graft.functions.Cms.DefaultDepth, graft.functions.Cms.DefaultWidth)
         .writeStream
         .queryName(name)
         .outputMode("complete")
@@ -372,11 +373,11 @@ object StreamQ {
       q.awaitTermination()
       spark.table(name).orderBy("i", "b")
     },
-    Some("""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
-      d AS (SELECT unnest(generate_series(0, 3)) AS i),
+    Some(s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+      d AS (SELECT unnest(generate_series(0, ${graft.functions.Cms.DefaultDepth - 1})) AS i),
       incr AS (SELECT i,
           CAST('0x' || substring(md5('c' || i || '|' || key), 1, 15) AS BIGINT)
-            % 512 AS b
+            % ${graft.functions.Cms.DefaultWidth} AS b
         FROM ev, d)
       SELECT i, b, count(*) AS cnt FROM incr GROUP BY i, b ORDER BY i, b""")
   )
@@ -400,9 +401,8 @@ object StreamQ {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .select(col("event_type"),
-          conv(substring(md5(concat(lit("u|"),
-            col("user_id").cast("string")).cast("binary")), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          graft.functions.Sketches.md5Hash60("u|",
+            col("user_id").cast("string")).as("h"))
       val q = src.groupBy("event_type")
         .agg(graft.functions.Sketches.kmvMins(col("h"), 32).as("kept"))
         .writeStream

@@ -751,8 +751,12 @@ object TrainingQ {
         FROM shu),
       r AS (SELECT source, h,
           row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
-      sk AS (SELECT source, list(h ORDER BY h) AS kept
+      sk0 AS (SELECT source, list(h ORDER BY h) AS kept
         FROM r WHERE rn <= $OverlapK GROUP BY source),
+      srcs AS (SELECT DISTINCT source FROM documents),
+      sk AS (SELECT srcs.source,
+          COALESCE(sk0.kept, CAST([] AS BIGINT[])) AS kept
+        FROM srcs LEFT JOIN sk0 USING (source)),
       pairs AS (SELECT a.source AS sa, a.kept AS ka, b.source AS sb, b.kept AS kb
         FROM sk a JOIN sk b ON a.source < b.source),
       u AS (SELECT sa, sb, ka, kb,
@@ -763,7 +767,8 @@ object TrainingQ {
           len(un) AS n_union_kept
         FROM u)
       SELECT sa, sb, n_both, n_union_kept,
-        CAST(n_both AS DOUBLE) / n_union_kept AS j_est
+        CASE WHEN n_union_kept = 0 THEN 0.0
+             ELSE CAST(n_both AS DOUBLE) / n_union_kept END AS j_est
       FROM c ORDER BY sa, sb""")
   )
 

@@ -168,6 +168,34 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS point query of a never-observed watchlist key returns est_cms = 0, not a dropped row") {
+    // the estimate join is LEFT with empty buckets counting 0 — an
+    // inner join would drop fully-absent keys and over-estimate keys
+    // whose smallest bucket is empty
+    import graft.functions.Cms
+    val built = Seq.fill(50)("seen").toDF("key")
+    val cms = Cms.build(built, col("key"), 4, 512)
+    val watch = Seq(("seen", 1), ("never-seen", 2)).toDF("key", "tag")
+    val out = Cms.estimate(watch, cms, col("key"), 4, 512)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("seen") == 50L)
+    assert(out("never-seen") == 0L, "absent key must estimate 0")
+  }
+
+  test("KMV overlap matrix keeps sources whose docs are all too short to shingle (j_est 0)") {
+    val docs = Seq(
+      (1L, "srcA", "alpha beta gamma delta"),
+      (2L, "srcB", "alpha beta gamma delta"),
+      (3L, "srcC", "hi")) // < 3 tokens: no shingles at all
+      .toDF("doc_id", "source", "text")
+    val m = graft.ops.Overlap.kmvSketch(docs, "source", "text", 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(m.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")),
+      "every source pair must appear, shingle-less sources included")
+    assert(m(("srcA", "srcB")) == 1.0)
+    assert(m(("srcA", "srcC")) == 0.0 && m(("srcB", "srcC")) == 0.0)
+  }
+
   test("CMS sketches of two shards add cell-wise into the whole-corpus sketch") {
     // the composability claim behind per-day/per-shard CMS summaries:
     // counts are additive, so sketch(A) + sketch(B) = sketch(A ∪ B)
