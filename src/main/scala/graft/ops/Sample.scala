@@ -76,7 +76,8 @@ object Sample {
     * localCheckpoints, ≤ S rows held), then a map-side broadcast-join
     * + hash filter over the corpus — no shuffle of document rows.
     * Generalizing to arbitrary T needs pow(), which is NOT correctly
-    * rounded and would need quantized rates for cross-engine parity.
+    * rounded — [[temperatureMixQuantized]] is that generalization,
+    * via grid-quantized rates computed in exact integer arithmetic.
     */
   def temperatureMixSqrt(df: DataFrame, keyCol: Column, sourceCol: Column,
       seed: String): DataFrame = {
@@ -90,6 +91,67 @@ object Sample {
         floor(col("keep_rate") * lit(4294967296.0)).cast("long"))
       .select(col("_src"), col("keep_rate"), col("_thresh"))
     df.join(broadcast(rates), sourceCol === col("_src"))
+      .filter(conv(substring(
+          md5(concat(lit(s"$seed|"), keyCol.cast("string")).cast("binary")),
+          1, 8), 16, 10).cast("long") < col("_thresh"))
+      .drop("_src", "_thresh")
+  }
+
+  /** Temperature mixing at ARBITRARY rational T = tNum/tDen ≥ 1
+    * (sample share ∝ n^(1/T)): per-source keep rate
+    * r_s = (n_min/n_s)^(1/T), QUANTIZED to the 2^-gridBits grid.
+    * Real mixing recipes use T ∈ [1.5, 4] (mT5, PaLM); [[
+    * temperatureMixSqrt]] covers only T = 2 because pow() is not
+    * correctly rounded and a naive pow-computed threshold would
+    * diverge between engines by an ulp — exactly at a hash-threshold
+    * boundary, that flips membership.
+    *
+    * The quantized threshold dodges float entirely: it is the LARGEST
+    * integer t with  t^tNum · n_s^tDen ≤ 2^(gridBits·tNum) · n_min^tDen
+    * — a monotone integer predicate, found by a bit-by-bit descent
+    * over exact BigInt arithmetic, so every engine that can compare
+    * integers agrees on t exactly (the oracle reproduces it with a
+    * recursive-CTE HUGEINT binary search). The reported keep_rate
+    * t / 2^gridBits is a dyadic rational with ≤ gridBits+1 significant
+    * bits — exactly representable as a double — and sits within one
+    * grid step BELOW the true pow() rate (pinned in TrainingSpec).
+    *
+    * Scale: one partial-agged count shuffle; the S-row count table is
+    * collected to the DRIVER for the threshold computation (S =
+    * distinct sources — the same cardinality AQE plans over; this is
+    * query planning, not a data collect), then a broadcast join +
+    * map-side hash filter over the corpus — document rows never
+    * shuffle. gridBits ≤ 32 so thresholds compare against the same
+    * 32-bit md5 prefix as [[stratifiedHash]].
+    */
+  def temperatureMixQuantized(df: DataFrame, keyCol: Column,
+      sourceCol: Column, seed: String, tNum: Int, tDen: Int = 1,
+      gridBits: Int = 32): DataFrame = {
+    require(tNum >= 1 && tDen >= 1 && tNum >= tDen,
+      s"temperature tNum/tDen must be >= 1, got $tNum/$tDen")
+    require(gridBits >= 1 && gridBits <= 32,
+      s"gridBits must be in [1,32], got $gridBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(sourceCol.cast("string").as("_src"))
+      .agg(count(lit(1)).as("n_src"))
+      .as[(String, Long)].collect().toSeq
+    val nMin = counts.map(_._2).min
+    val rows = counts.map { case (s, n) =>
+      val rhs = (BigInt(1) << (gridBits * tNum)) * BigInt(nMin).pow(tDen)
+      val nsT = BigInt(n).pow(tDen)
+      var t = BigInt(0)
+      var step = BigInt(1) << gridBits
+      while (step > 0) {
+        val c = t + step
+        if (c.pow(tNum) * nsT <= rhs) t = c
+        step >>= 1
+      }
+      (s, t.toLong.toDouble / math.pow(2.0, gridBits),
+        (t << (32 - gridBits)).toLong)
+    }
+    val rates = rows.toDF("_src", "keep_rate", "_thresh")
+    df.join(broadcast(rates), sourceCol.cast("string") === col("_src"))
       .filter(conv(substring(
           md5(concat(lit(s"$seed|"), keyCol.cast("string")).cast("binary")),
           1, 8), 16, 10).cast("long") < col("_thresh"))

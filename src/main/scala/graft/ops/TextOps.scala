@@ -100,6 +100,24 @@ object TextOps {
       .drop("_n")
   }
 
+  /** Dolma/FineWeb-style text canonicalization — the normalize step
+    * every real-world dedup pipeline runs BEFORE hashing, so that
+    * case, punctuation, and whitespace variants of the same content
+    * collapse to one key: lowercase → strip every char outside
+    * [a-z0-9 + whitespace] (punctuation and non-ASCII) → collapse
+    * whitespace runs to one space → trim.
+    *
+    * Cross-engine parity: the whitespace class is written explicitly
+    * as [ \t\n\r\f] instead of \s (Java's \s includes \x0B, RE2's
+    * does not), and only character-class regex is used, so Java regex
+    * (Spark) and RE2 (DuckDB/Go) agree on every input. Pure column
+    * expression — map-side, codegen'd, no shuffle.
+    */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r\\f]", ""),
+      "[ \\t\\n\\r\\f]+", " "))
+
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "in", "to", "is", "on")
 

@@ -54,6 +54,47 @@ object TrainingQ {
       ORDER BY d.doc_id""")
   )
 
+  /** Canonicalization dedup (see [[graft.ops.Dedup.exactCanonical]]):
+    * normalize-then-hash over a corpus that provably NEEDS it. The
+    * synthetic documents table is already canonical (uniform lowercase
+    * single-spaced), so the query derives a perturbed twin of every
+    * doc inside the query — case flip / space doubling + punctuation /
+    * trailing punctuation, keyed on doc_id % 3, reproduced exactly by
+    * the oracle — and dedups the union. Canonicalization collapses
+    * each (original, perturbed) pair to one group (plus any raw dups),
+    * so n_groups == distinct original texts and every group has
+    * n_dups ≥ 2; without canonicalize the same corpus yields ~2× the
+    * groups (pinned in TrainingSpec). Scale: same one-shuffle shape
+    * as q_dedup_exact — canonicalize is a map-side projection.
+    */
+  val qDedupCanon = Q(
+    "q_dedup_canon",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val pert = when(col("doc_id") % 3 === 0, upper(col("text")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("  "), replace(col("text"), lit(" "), lit("  ")), lit(" !!")))
+        .otherwise(concat(col("text"), lit(".")))
+      val corpus = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
+        .unionByName(
+          docs.select((col("doc_id") * 2 + 1).as("doc_id"), pert.as("text")))
+      Dedup.exactCanonical(corpus, "doc_id", "text").orderBy("rep_id")
+    },
+    Some("""WITH pert AS (SELECT doc_id AS orig_id,
+          CASE WHEN doc_id % 3 = 0 THEN upper(text)
+               WHEN doc_id % 3 = 1 THEN '  ' || replace(text, ' ', '  ') || ' !!'
+               ELSE text || '.' END AS text
+        FROM documents),
+      corpus AS (SELECT doc_id * 2 AS doc_id, text FROM documents
+                 UNION ALL SELECT orig_id * 2 + 1, text FROM pert),
+      canon AS (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 \t\n\r\f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')) AS text
+        FROM corpus)
+      SELECT md5(text) AS text_hash, min(doc_id) AS rep_id, count(*) AS n_dups
+      FROM canon GROUP BY md5(text) ORDER BY rep_id""")
+  )
+
   /** Span-level duplicated-trigram coverage per doc (Lee et al.
     * ACL'22 exact-substring signal — see
     * [[graft.ops.Dedup.dupNgramCoverage]]): positions whose shingle
@@ -646,6 +687,49 @@ object TrainingQ {
       WHERE CAST('0x' || substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)
         AS BIGINT) < r.thresh
       ORDER BY doc_id""")
+  )
+
+  /** Arbitrary-temperature mixing at T = 3 (see
+    * [[graft.ops.Sample.temperatureMixQuantized]]): keep rate
+    * (n_min/n_s)^(1/3) quantized to the 2^-32 grid. The threshold is
+    * the largest integer t with t³·n_s ≤ 2^96·n_min — Spark finds it
+    * by BigInt bit descent on the driver (S rows), the oracle by a
+    * recursive-CTE HUGEINT binary search (33 halving steps) — so a
+    * pow()-shaped, data-dependent sampling decision is hash-exact
+    * cross-engine. TrainingSpec pins the quantized rate within one
+    * grid step of the real cube root.
+    */
+  val qMixTemperatureT = Q(
+    "q_mix_temperature_t",
+    (spark, dir) =>
+      Sample.temperatureMixQuantized(Tables.documents(spark, dir),
+          keyCol = col("doc_id"), sourceCol = col("source"), seed = "mixt",
+          tNum = 3)
+        .select("doc_id", "source", "keep_rate")
+        .orderBy("doc_id"),
+    Some("""WITH RECURSIVE counts AS (SELECT source, count(*) AS n_src
+          FROM documents GROUP BY source),
+      nmin AS (SELECT min(n_src) AS n_min FROM counts),
+      bs(source, n_src3, rhs, t, step) AS (
+        SELECT source, CAST(n_src AS HUGEINT),
+          CAST(4294967296 AS HUGEINT) * 4294967296 * 4294967296
+            * CAST(n_min AS HUGEINT),
+          CAST(0 AS HUGEINT), CAST(4294967296 AS HUGEINT)
+        FROM counts, nmin
+        UNION ALL
+        SELECT source, n_src3, rhs,
+          CASE WHEN (t + step) * (t + step) * (t + step) * n_src3 <= rhs
+               THEN t + step ELSE t END,
+          step // 2
+        FROM bs WHERE step >= 1),
+      rates AS (SELECT source, CAST(t AS BIGINT) AS thresh,
+          CAST(t AS DOUBLE) / 4294967296.0 AS keep_rate
+        FROM bs WHERE step = 0)
+      SELECT d.doc_id, d.source, r.keep_rate
+      FROM documents d JOIN rates r USING (source)
+      WHERE CAST('0x' || substring(md5('mixt|' || CAST(doc_id AS VARCHAR)),
+        1, 8) AS BIGINT) < r.thresh
+      ORDER BY d.doc_id""")
   )
 
   private val ChunkMax = 64
@@ -1250,5 +1334,6 @@ object TrainingQ {
     qDecontaminateBloom, qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
-    qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e)
+    qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e, qDedupCanon,
+    qMixTemperatureT)
 }

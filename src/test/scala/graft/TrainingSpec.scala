@@ -375,4 +375,57 @@ class TrainingSpec extends AnyFunSuite {
     assert(cents(0)._2 == Seq(2.5, 0.0), "cluster 0 mean wrong")
     assert(cents(1)._2 == Seq(2.0, 0.0), "empty cluster lost its centroid")
   }
+
+  test("canonicalize collapses case/space/punct variants; raw exact dedup provably misses them") {
+    // three surface variants of one content + one genuinely different doc
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "The  Quick   Brown Fox!!"),
+      (3L, "  the quick, brown fox.  "),
+      (4L, "a different document")
+    ).toDF("doc_id", "text")
+    val canon = Dedup.exactCanonical(docs, "doc_id", "text").collect()
+    assert(canon.length == 2, "canonical dedup must find 2 groups")
+    assert(canon.map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 3L), (4L, 1L)))
+    // the un-canonicalized twin finds NO duplicates on the same corpus
+    val raw = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(raw.length == 4, "raw exact dedup must see 4 distinct texts")
+    // canonicalize semantics: lowercase, strip punct/non-ascii, collapse ws
+    val c = docs.filter(col("doc_id") === 2)
+      .select(TextOps.canonicalize(col("text"))).head.getString(0)
+    assert(c == "the quick brown fox")
+  }
+
+  test("temperatureMixQuantized: rate within one grid step below pow, min source whole, rational T") {
+    val docs = ((1 to 100).map(i => (i.toLong, "s1")) ++
+      (101 to 400).map(i => (i.toLong, "s2")) ++
+      (401 to 1300).map(i => (i.toLong, "s3"))).toDF("doc_id", "source")
+    val sizes = Map("s1" -> 100.0, "s2" -> 300.0, "s3" -> 900.0)
+    for ((tn, td) <- Seq((3, 1), (3, 2), (4, 1), (1, 1))) {
+      val kept = graft.ops.Sample.temperatureMixQuantized(
+          docs, col("doc_id"), col("source"), seed = "tq",
+          tNum = tn, tDen = td)
+        .select("source", "keep_rate").distinct().collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+      // smallest source: rate exactly 1.0 (t = 2^32 exactly)
+      assert(kept("s1") == 1.0, s"T=$tn/$td smallest source rate ${kept("s1")}")
+      for ((s, n) <- sizes) {
+        val real = math.pow(100.0 / n, td.toDouble / tn)
+        val q = kept(s)
+        // quantized rate is the floor on the 2^-32 grid: within one
+        // grid step at or below the true pow rate
+        assert(q <= real + 1e-15 && real - q < 2.0 / 4294967296.0,
+          s"T=$tn/$td source $s quantized $q vs real $real")
+      }
+    }
+    // replayable: same seed, same sample
+    val a = graft.ops.Sample.temperatureMixQuantized(
+      docs, col("doc_id"), col("source"), "tq", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.ops.Sample.temperatureMixQuantized(
+      docs, col("doc_id"), col("source"), "tq", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
