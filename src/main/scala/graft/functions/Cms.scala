@@ -42,18 +42,32 @@ object Cms {
   /** Point-query a sketch: adds `est_cms` (min over the d buckets) to
     * a candidate table. The d×w sketch is the broadcast side BY
     * CONSTRUCTION — at scale the candidate side is the unbounded one
-    * (a prior round's survivors, or a fixed watchlist). The sketch
-    * join is a LEFT join with empty buckets counting 0: a watchlist
-    * key the build never saw gets est_cms = 0, not a dropped row and
-    * not a min over only its colliding buckets.
+    * (a prior round's survivors, or a fixed watchlist). Each of the d
+    * sketch rows joins as its own broadcast LEFT join with empty
+    * buckets counting 0: a watchlist key the build never saw gets
+    * est_cms = 0, not a dropped row and not a min over only its
+    * colliding buckets.
+    *
+    * Shape: d map-side broadcast hash joins + a `least` over the d
+    * looked-up counters — the candidate side never shuffles, row
+    * multiplicity and every candidate column (including ones named
+    * i/b/cnt) pass through untouched. Internal columns are
+    * `_cms_b<i>`/`_cms_c<i>`, guarded against collision.
     */
   def estimate(candidates: DataFrame, cms: DataFrame, key: Column,
       depth: Int, width: Int): DataFrame = {
-    val carried = candidates.columns.map(col).toSeq
-    candidates
-      .select(carried :+ buckets(key, depth, width).as(Seq("i", "b")): _*)
-      .join(broadcast(cms), Seq("i", "b"), "left")
-      .groupBy(carried: _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cms"))
+    val internal = (0 until depth).flatMap(i => Seq(s"_cms_b$i", s"_cms_c$i"))
+    val clash = candidates.columns.toSet.intersect(internal.toSet)
+    require(clash.isEmpty,
+      s"candidate columns collide with Cms.estimate internals: $clash")
+    val joined = (0 until depth).foldLeft(candidates) { (acc, i) =>
+      acc.join(broadcast(cms.filter(col("i") === i)
+          .select(col("b").as(s"_cms_b$i"), col("cnt").as(s"_cms_c$i"))),
+        bucket(i, key, width) === col(s"_cms_b$i"), "left")
+    }
+    val cnts = (0 until depth).map(i => coalesce(col(s"_cms_c$i"), lit(0L)))
+    joined
+      .withColumn("est_cms", if (depth == 1) cnts.head else least(cnts: _*))
+      .drop(internal: _*)
   }
 }

@@ -98,6 +98,9 @@ object Bloom {
   def antiJoinSubquery(big: DataFrame, bigKey: Column, small: DataFrame,
       smallKey: Column, expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
+    require(!big.columns.contains("_bloom_key"),
+      "antiJoinSubquery reserves the internal column name _bloom_key; " +
+        "rename or drop it on the big side first")
     val probe = coalesce(
       mightContainSubquery(small, smallKey, bigKey, expectedItems, fpp),
       lit(false))
@@ -140,7 +143,10 @@ object Bloom {
     */
   def antiJoin(big: DataFrame, bigKey: Column, small: DataFrame,
       smallKey: Column, expectedItems: Long,
-      fpp: Double = 0.01): DataFrame =
+      fpp: Double = 0.01): DataFrame = {
+    require(!big.columns.contains("_bloom_key"),
+      "antiJoin reserves the internal column name _bloom_key; " +
+        "rename or drop it on the big side first")
     build(small, smallKey, expectedItems, fpp) match {
       case None => big
       case bloom @ Some(_) =>
@@ -150,4 +156,5 @@ object Bloom {
           big.filter(probe)
             .join(keys, bigKey === col("_bloom_key"), "left_anti"))
     }
+  }
 }

@@ -51,6 +51,9 @@ object Sample {
     */
   def capPerGroup(df: DataFrame, groupCols: Seq[Column],
       order: Seq[Column], k: Int): DataFrame = {
+    require(!df.columns.contains("_rn"),
+      "capPerGroup reserves the internal column name _rn; " +
+        "rename or drop it first")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols: _*).orderBy(order: _*)
     df.withColumn("_rn", row_number().over(w))
@@ -81,6 +84,8 @@ object Sample {
     */
   def temperatureMixSqrt(df: DataFrame, keyCol: Column, sourceCol: Column,
       seed: String): DataFrame = {
+    require(!df.columns.exists(Set("_src", "_thresh")),
+      "temperatureMixSqrt reserves internal column names _src/_thresh")
     val counts = df.groupBy(sourceCol.as("_src")).agg(count(lit(1)).as("n_src"))
       .localCheckpoint()
     val nMin = counts.agg(min(col("n_src")).as("n_min"))
@@ -131,6 +136,8 @@ object Sample {
       s"temperature tNum/tDen must be >= 1, got $tNum/$tDen")
     require(gridBits >= 1 && gridBits <= 32,
       s"gridBits must be in [1,32], got $gridBits")
+    require(!df.columns.exists(Set("_src", "_thresh")),
+      "temperatureMixQuantized reserves internal column names _src/_thresh")
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df.groupBy(sourceCol.cast("string").as("_src"))

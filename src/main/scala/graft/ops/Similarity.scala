@@ -178,8 +178,10 @@ object Similarity {
         col("best.cosine").as("cosine"))
   }
 
-  /** Full Lloyd k-means: seed with the first k vectors (deterministic,
-    * like the oracle-checked q_kmeans_assign), then iterate
+  /** Full Lloyd k-means: seed with the k SMALLEST-id vectors
+    * (deterministic, like the oracle-checked q_kmeans_assign; cluster
+    * labels are those ids, so with dense 0-based ids the labels are
+    * 0..k-1), validated to yield exactly k seeds, then iterate
     * assign → quantized-exact mean a fixed number of rounds. Fixed
     * iteration count, not a convergence test: a fixpoint check is an
     * extra action per round, and training-pipeline k-means (IVF
@@ -196,9 +198,12 @@ object Similarity {
   def kmeans(vectors: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       scale: Long = 1000000L): DataFrame = {
-    var cents = vectors.filter(col(idCol) < k)
+    var cents = vectors.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("cluster"), asDouble(col(vecCol)).as("cv"))
       .localCheckpoint(true)
+    val nSeeds = cents.count()
+    require(nSeeds == k,
+      s"kmeans needs k=$k distinct seed vectors, found only $nSeeds rows")
     for (_ <- 1 to iters) {
       val assigned = assignNearest(vectors, cents, idCol, vecCol)
       val means = assigned

@@ -567,6 +567,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.contains(("u1", 0L, 3L)))
   }
 
+  test("session append eviction at the exact watermark tie: end == wm emits (<= convention)") {
+    // q_stream_session's oracle keeps sessions with end + gap <= wm;
+    // this pins that Spark's eviction predicate agrees AT the tie —
+    // a session whose end sits exactly on the watermark is emitted,
+    // and one strictly past it is not.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)] // (user, ts_ms)
+    val m = 60000L
+    val sessions = in.toDF().toDF("user", "ts_ms")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(col("user"), session_window(col("event_time"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), unix_millis(col("session_window.start")).as("s"))
+    val q = sessions.writeStream.format("memory").queryName("sess_tie")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    in.addData(("u1", 0L), ("u2", 1 * m)) // ends: u1 5m, u2 6m
+    q.processAllAvailable()
+    // max event 15m pins the FINAL watermark at exactly 5m = u1's end
+    // (processAllAvailable runs the trailing no-data batch that
+    // applies the advanced watermark to state eviction)
+    in.addData(("u3", 15 * m))
+    q.processAllAvailable()
+    val atTie = spark.table("sess_tie").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    q.stop()
+    assert(atTie.contains(("u1", 0L)),
+      "session ending exactly AT the watermark must be emitted (oracle's <= convention)")
+    assert(!atTie.exists(_._1 == "u2"),
+      "session ending strictly past the watermark must still be open")
+  }
+
   test("streaming exact dedup: duplicates within the watermark dropped, state evicted past it") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)] // (doc_id, ts_ms)
