@@ -206,4 +206,25 @@ class SkewCcSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length == 60 && labels.forall(_._2 == 1L))
   }
+
+  test("CC auto-switch: node estimate exact below k, threshold picks forest vs star") {
+    val edges = (1L until 100L).map(i => (i, i + 1)).toDF("i", "j")
+      .repartition(8).localCheckpoint(true) // 100 distinct nodes
+    // KMV sketch is EXACT below k (k=1024 default)
+    val est = Dedup.estimateDistinctNodes(edges)
+    assert(est == 100.0, s"estimate $est should be exact below k")
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = labelsOf(Dedup.connectedComponentsStar(edges))
+    // estimate <= limit: the forest path — shuffle-free labeling job
+    val auto = Dedup.connectedComponentsAuto(edges, nodeLimit = 100L)
+    assert(labelsOf(auto) == want)
+    assert(!auto.queryExecution.executedPlan.toString.contains("Exchange"),
+      "nodeLimit >= estimate must select the shuffle-free forest path")
+    // estimate > limit: the star path — shuffled rounds, same labels
+    val autoStar = Dedup.connectedComponentsAuto(edges, nodeLimit = 99L)
+    assert(labelsOf(autoStar) == want)
+    assert(autoStar.queryExecution.executedPlan.toString.contains("Exchange"),
+      "nodeLimit < estimate must select the star path")
+  }
 }
