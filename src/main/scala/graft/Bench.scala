@@ -1,7 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute system load average (-1.0 where unsupported). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Concurrently running JVMs on this box (self included) — the
+    * "is someone else benching right now" signal. /proc scan; -1 on
+    * non-Linux.
+    */
+  private def javaProcs(): Int =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+        .iterator().asScala.count { p =>
+          p.getFileName.toString.forall(_.isDigit) &&
+            (try new String(java.nio.file.Files.readAllBytes(
+                p.resolve("comm"))).trim == "java"
+             catch { case _: Throwable => false })
+        }
+    } catch { case _: Throwable => -1 }
+
   def main(args: Array[String]): Unit = {
+    // environment metadata FIRST, before the session spins up its 32
+    // threads: the start numbers are the ambient contention a reader
+    // needs to judge whether totals are comparable across rounds
+    // (tools/bench_gate.py refuses a "closing" label above threshold)
+    val loadStart = loadAvg()
+    val jvmsStart = javaProcs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -92,7 +119,8 @@ object Bench {
     val rows = results.map { case (k, (_, _, _, n, _)) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val spreadKind = if (results.values.exists(_._5)) "p25p75" else "minmax"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$iqr,"spread_kind":"$spreadKind","rows":$rows,"sf":"$sfDir","reps":$reps}"""
+    val env = s""""env":{"load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"java_procs_start":$jvmsStart,"java_procs_end":${javaProcs()},"cpus":$cpus}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$iqr,"spread_kind":"$spreadKind","rows":$rows,"sf":"$sfDir","reps":$reps,$env}"""
     println(line)
     // persist the record in-repo: round artifacts should not depend on
     // the driver's stdout tail capture (observed truncated mid-JSON)
