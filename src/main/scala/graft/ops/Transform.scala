@@ -182,6 +182,63 @@ object Transform {
     frames.reduce(_ unionByName _)
   }
 
+  /** Collect a parsed config table ([[graft.ops.Config.parse]] shape:
+    * client_id, symbol, rules, renames, removes, overrides) into the
+    * typed map [[serveSnapshotCompiled]] consumes. Driver-side by
+    * design — the compiled path only exists for config sets small
+    * enough to inline into a plan, so collecting them is free by the
+    * same argument.
+    */
+  def collectClientConfigs(configs: DataFrame): Map[String, graft.model.ClientConfig] = {
+    import org.apache.spark.sql.Row
+    configs.select("client_id", "symbol", "rules", "renames", "removes",
+        "overrides")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (client, rows) =>
+        client -> graft.model.ClientConfig(rows.map { r =>
+          val rules = Option(r.getMap[String, Row](2))
+            .map(_.toMap.map { case (k, v) =>
+              k -> graft.model.ValueRule(v.getString(0), v.getDouble(1)) })
+            .getOrElse(Map.empty[String, graft.model.ValueRule])
+          r.getString(1) -> graft.model.SymbolConfig(
+            renameFields = Option(r.getMap[String, String](3))
+              .map(_.toMap).getOrElse(Map.empty),
+            valueRules = rules,
+            overrideFields = Option(r.getMap[String, String](5))
+              .map(_.toMap).getOrElse(Map.empty),
+            removeFields = Option(r.getSeq[String](4)).getOrElse(Seq.empty))
+        }.toMap)
+      }
+  }
+
+  /** Serve-tick entry point that picks the physical strategy FROM THE
+    * CONFIG SHAPE: at or below `maxCompiledBranches` total
+    * (client, symbol) config rows the tick compiles to per-client
+    * literal when-chains ([[serveSnapshotCompiled]] — whole-stage
+    * codegen, no per-row interpreter); above it the interpreted
+    * broadcast-join plan ([[serveSnapshot]]) serves any client count
+    * at a flat plan size. The probe-pinned crossover (Probe
+    * serve_crossover, PERF.md round-7) sets the default: compiled
+    * wins while the plan stays small, and degrades super-linearly as
+    * CollapseProject re-inlines the payload expression per branch.
+    * The decision costs one `limit(n+1).count()` on the config table
+    * — bounded work regardless of config cardinality. Zero configs
+    * take the interpreted path, whose empty cross join correctly
+    * serves zero rows.
+    */
+  def serveSnapshotAuto(snapshot: DataFrame, configs: DataFrame,
+      maxCompiledBranches: Int = 64,
+      symbolCol: String = "symbol", payloadCol: String = "flat"): DataFrame = {
+    val bounded =
+      if (maxCompiledBranches <= 0) 1L
+      else configs.limit(maxCompiledBranches + 1).count()
+    if (bounded > 0 && maxCompiledBranches > 0 && bounded <= maxCompiledBranches)
+      serveSnapshotCompiled(snapshot, collectClientConfigs(configs),
+        symbolCol, payloadCol)
+    else serveSnapshot(snapshot, configs, symbolCol, payloadCol)
+  }
+
   def serveSnapshot(snapshot: DataFrame, configs: DataFrame,
       symbolCol: String = "symbol", payloadCol: String = "flat"): DataFrame = {
     val clients = configs.select("client_id").distinct()

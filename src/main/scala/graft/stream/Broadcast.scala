@@ -53,7 +53,8 @@ object Broadcast {
       registry: Option[Registry] = None,
       shape: DataFrame => DataFrame = identity,
       metrics: Option[Metrics] = None,
-      maxConsecutiveTickFailures: Int = 0): StreamingQuery = {
+      maxConsecutiveTickFailures: Int = 0,
+      compiledMaxBranches: Int = 64): StreamingQuery = {
     val consecutiveFailures = new java.util.concurrent.atomic.AtomicInteger(0)
     val ticker = spark.readStream.format("rate")
       .option("rowsPerSecond", 1).load()
@@ -76,7 +77,14 @@ object Broadcast {
             configs.filter(org.apache.spark.sql.functions.col("client_id")
               .isin(ids.map(x => x: Any): _*))
           }
-          sink(Transform.serveSnapshot(snapshot, active), batchId)
+          // per-tick physical-strategy choice (Transform
+          // .serveSnapshotAuto): a small ACTIVE config set — the
+          // common idle-server case — compiles to codegen'd
+          // when-chains; a large one takes the flat interpreted
+          // broadcast-join plan. compiledMaxBranches = 0 forces the
+          // interpreted path unconditionally.
+          sink(Transform.serveSnapshotAuto(snapshot, active,
+            compiledMaxBranches), batchId)
           consecutiveFailures.set(0)
         } catch {
           case e: Exception =>

@@ -335,4 +335,40 @@ class ServeSpec extends AnyFunSuite {
       spark.streams.removeListener(metrics)
     }
   }
+
+  test("serve tick auto-selects compiled vs interpreted by config-branch count") {
+    val (latestDir, configs) = serveFixture()
+    val snapshot = graft.stream.Pipeline.readLatest(spark, latestDir)
+      .select("symbol", "flat")
+    // 1 config row <= threshold: compiled path (a per-client Union of
+    // literal when-chains; no config join in the plan)
+    val small = graft.ops.Transform.serveSnapshotAuto(snapshot, configs,
+      maxCompiledBranches = 64)
+    val smallPlan = small.queryExecution.analyzed.toString
+    assert(smallPlan.contains("Union") || configs.count() == 1,
+      s"small config set should compile; plan:\n$smallPlan")
+    assert(!smallPlan.contains("_cfg_symbol"),
+      s"compiled path must not join the config table; plan:\n$smallPlan")
+    // same row count / same transformed values through both paths
+    val interp = graft.ops.Transform.serveSnapshot(snapshot, configs)
+    def served(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      df.collect().map { r =>
+        val m = r.getMap[String, String](r.fieldIndex("flat"))
+        (r.getString(r.fieldIndex("client_id")),
+          r.getString(r.fieldIndex("symbol")), m.getOrElse("v", "")) }.toSet
+    assert(served(small) == served(interp))
+    // threshold 0 forces the interpreted broadcast-join plan
+    val forced = graft.ops.Transform.serveSnapshotAuto(snapshot, configs,
+      maxCompiledBranches = 0)
+    assert(forced.queryExecution.analyzed.toString.contains("_cfg_symbol"),
+      "threshold 0 must select the interpreted config-join path")
+    // branch count above threshold: interpreted
+    val big = graft.ops.Transform.serveSnapshotAuto(snapshot, configs,
+      maxCompiledBranches = 64)
+    val auto0 = graft.ops.Transform.serveSnapshotAuto(snapshot,
+      configs.unionByName(configs), maxCompiledBranches = 1)
+    assert(auto0.queryExecution.analyzed.toString.contains("_cfg_symbol"),
+      "branch count above threshold must select the interpreted path")
+    assert(served(big) == served(interp))
+  }
 }
