@@ -194,6 +194,40 @@ object Probe {
         s""""forest_labeled":$nF10,"star_labeled":$nSt10}""")
     }
 
+    if (enabled("cc_forest_limit")) {
+      // Where does the single-task union-find funnel STOP winning?
+      // Same supercritical shape (avg degree ~2.5) at growing node
+      // counts — SPARK_GRAFT_CC_SIZES="edges:nodes,..." overrides.
+      // Also times the KMV node estimate that connectedComponentsAuto
+      // spends to make the choice, and reports its estimate so the
+      // auto threshold is pinned against measured truth.
+      val sizes = sys.env.getOrElse("SPARK_GRAFT_CC_SIZES",
+          "20000000:8000000,40000000:16000000")
+        .split(",").map { s =>
+          val Array(e, v) = s.split(":"); (e.trim.toLong, v.trim.toLong) }
+      for ((nE, nV) <- sizes) {
+        val es = spark.range(nE).select(
+          pmod(hash(col("id")), lit(nV)).cast("long").as("i"),
+          pmod(hash(col("id") + 13), lit(nV)).cast("long").as("j"))
+          .filter(col("i") =!= col("j")).repartition(64)
+          .persist()
+        es.count()
+        val tK0 = System.nanoTime()
+        val est = graft.ops.Dedup.estimateDistinctNodes(es)
+        val tK = (System.nanoTime() - tK0) / 1e9
+        val (tF, cF, nF) = ccStats(
+          graft.ops.Dedup.connectedComponentsForest(es, fanIn = 32))
+        val (tS, cS, nS) = ccStats(
+          graft.ops.Dedup.connectedComponentsStar(es))
+        es.unpersist()
+        println(s"""{"probe":"cc_forest_limit","edges":$nE,"nodes":$nV,""" +
+          s""""kmv_est":${est.toLong},"kmv_sec":$tK,""" +
+          s""""forest_sec":$tF,"star_sec":$tS,""" +
+          s""""forest_components":$cF,"star_components":$cS,""" +
+          s""""forest_labeled":$nF,"star_labeled":$nS}""")
+      }
+    }
+
     if (enabled("bloom_anti")) {
       // Bloom-accelerated exclusion join at 50M corpus keys × 1M
       // exclusions (0.5M of them actually present): plain left_anti
@@ -340,6 +374,40 @@ object Probe {
         s""""clients":$nClients,"sec":$tSc,"served_rows":$rSc,""" +
         s""""rows_per_sec":${(rSc / tSc).toLong}}""")
     }
+
+    if (enabled("serve_crossover")) {
+      // Where does the compiled serve tick stop winning? Both paths
+      // over the same 200k-symbol snapshot at growing config sizes
+      // (total branches = clients × symbols-per-client) — the curve
+      // that pins Transform.serveSnapshotAuto's default threshold.
+      val nSymsX = 200000L
+      val snapX = spark.range(nSymsX).select(
+        concat(lit("S"), col("id")).as("symbol"),
+        map(
+          lit("v"), (pmod(hash(col("id")), lit(10000)) / lit(100.0)).cast("string"),
+          lit("ts"), col("id").cast("string"),
+          lit("drop_me"), lit("x")).as("flat")).persist()
+      snapX.count()
+      for ((nCl, spc) <- Seq((1, 4), (2, 10), (4, 16), (8, 16), (16, 16), (32, 20))) {
+        val nCfg = nCl.toLong * spc
+        val cfgDf = spark.range(nCfg).select(
+          concat(lit("C"), pmod(col("id"), lit(nCl.toLong))).as("client_id"),
+          concat(lit("S"), pmod(col("id") * 997L, lit(nSymsX))).as("symbol"),
+          map(lit("v"), struct(lit("multiply").as("op"), lit(2.0).as("value"))).as("rules"),
+          map(lit("ts"), lit("t")).as("renames"),
+          array(lit("drop_me")).as("removes"),
+          map(lit("src"), lit("graft")).as("overrides"))
+        val cfgMap = graft.ops.Transform.collectClientConfigs(cfgDf)
+        val (tI2, rI2) = time(graft.ops.Transform.serveSnapshot(snapX, cfgDf))
+        val (tC2, rC2) = time(
+          graft.ops.Transform.serveSnapshotCompiled(snapX, cfgMap))
+        println(s"""{"probe":"serve_crossover","symbols":$nSymsX,""" +
+          s""""clients":$nCl,"branches":$nCfg,""" +
+          s""""interpreted_sec":$tI2,"compiled_sec":$tC2,""" +
+          s""""interpreted_rows":$rI2,"compiled_rows":$rC2}""")
+      }
+      snapX.unpersist()
+    }
     if (enabled("semdedup")) {
       // SemDeDup at 100× the sf0.1 embedding table: 200k synthetic
       // 64-dim vectors in 256 REAL clusters (each vector = its
@@ -424,6 +492,54 @@ object Probe {
         s""""exact_sec":$tEx,"exact_pairs":$rEx,""" +
         s""""sketch_sec":$tSk,"sketch_pairs":$rSk}""")
     }
+    if (enabled("stream_floor")) {
+      // How much of the ~1-2.5 s q_stream_* per-pin cost is HARNESS
+      // (file-source listing, microbatch planning, commit log, sink)
+      // vs STATE STORE (HashAggregate state, watermark bookkeeping)?
+      // Same tiny parquet input through (a) a stateless streaming
+      // projection and (b) a watermarked windowed count — each run 5×
+      // in ONE session with fresh checkpoints (the Verify/Bench
+      // shape), plus the first run separated out (plan/codegen
+      // warmup). stateful_median − stateless_median = the state-store
+      // share; stateless_median = the floor every streaming pin pays
+      // no matter what it computes.
+      val sfDir = java.nio.file.Files.createTempDirectory("floor_src").toString
+      spark.range(10000).select(
+        (col("id") % 100).as("k"),
+        timestamp_millis(col("id") * 1000L).as("event_time"),
+        col("id").cast("double").as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(sfDir)
+      val schema = spark.read.parquet(sfDir).schema
+      def runOnce(stateful: Boolean, tag: String): Double = {
+        val src = spark.readStream.schema(schema).parquet(sfDir)
+        val out =
+          if (stateful)
+            src.withWatermark("event_time", "1 minute")
+              .groupBy(col("k"), window(col("event_time"), "1 minute"))
+              .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+          else src.select(col("k"), col("v") * 2)
+        val t0 = System.nanoTime()
+        val q = out.writeStream.format("noop")
+          .queryName(s"floor_$tag")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"floor_ck_$tag").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+      val reps = 5
+      val stateless = (0 until reps).map(i => runOnce(false, s"sl$i"))
+      val stateful = (0 until reps).map(i => runOnce(true, s"sf$i"))
+      println(s"""{"probe":"stream_floor","reps":$reps,""" +
+        s""""stateless_first":${stateless.head},""" +
+        s""""stateless_median":${med(stateless.tail)},""" +
+        s""""stateful_first":${stateful.head},""" +
+        s""""stateful_median":${med(stateful.tail)},""" +
+        s""""state_store_share":${med(stateful.tail) - med(stateless.tail)}}""")
+    }
+
     if (enabled("pipeline_e2e")) {
       // The COMPOSED five-stage training pipeline (exact dedup →
       // quality gate → decontamination → per-source cap → chunking)
@@ -434,7 +550,8 @@ object Probe {
       // benchmark slice (~1.2M distinct shingles broadcast for
       // decontamination). One declarative plan end-to-end — the
       // docs/sec number here is the pipeline's, not any one stage's.
-      val nDocs = 1000000L
+      val nDocs = sys.env.get("SPARK_GRAFT_PIPELINE_DOCS")
+        .map(_.toLong).getOrElse(1000000L)
       val nSrcP = 1000L
       val words = (0 until 60).map(i =>
         if (i % 10 == 0) lit("the")
