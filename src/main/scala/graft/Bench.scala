@@ -119,7 +119,7 @@ object Bench {
     val rows = results.map { case (k, (_, _, _, n, _)) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val spreadKind = if (results.values.exists(_._5)) "p25p75" else "minmax"
-    val env = s""""env":{"load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"java_procs_start":$jvmsStart,"java_procs_end":${javaProcs()},"cpus":$cpus}"""
+    val env = s""""env":{"load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"java_procs_start":$jvmsStart,"java_procs_end":${javaProcs()},"cpus":"$cpus"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$iqr,"spread_kind":"$spreadKind","rows":$rows,"sf":"$sfDir","reps":$reps,$env}"""
     println(line)
     // persist the record in-repo: round artifacts should not depend on

@@ -84,8 +84,8 @@ object Sample {
     */
   def temperatureMixSqrt(df: DataFrame, keyCol: Column, sourceCol: Column,
       seed: String): DataFrame = {
-    require(!df.columns.exists(Set("_src", "_thresh")),
-      "temperatureMixSqrt reserves internal column names _src/_thresh")
+    require(!df.columns.exists(Set("_src", "_thresh", "keep_rate")),
+      "temperatureMixSqrt reserves column names _src/_thresh/keep_rate")
     val counts = df.groupBy(sourceCol.as("_src")).agg(count(lit(1)).as("n_src"))
       .localCheckpoint()
     val nMin = counts.agg(min(col("n_src")).as("n_min"))
@@ -136,32 +136,37 @@ object Sample {
       s"temperature tNum/tDen must be >= 1, got $tNum/$tDen")
     require(gridBits >= 1 && gridBits <= 32,
       s"gridBits must be in [1,32], got $gridBits")
-    require(!df.columns.exists(Set("_src", "_thresh")),
-      "temperatureMixQuantized reserves internal column names _src/_thresh")
+    require(!df.columns.exists(Set("_src", "_thresh", "keep_rate")),
+      "temperatureMixQuantized reserves column names _src/_thresh/keep_rate")
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df.groupBy(sourceCol.cast("string").as("_src"))
       .agg(count(lit(1)).as("n_src"))
       .as[(String, Long)].collect().toSeq
-    val nMin = counts.map(_._2).min
-    val rows = counts.map { case (s, n) =>
-      val rhs = (BigInt(1) << (gridBits * tNum)) * BigInt(nMin).pow(tDen)
-      val nsT = BigInt(n).pow(tDen)
-      var t = BigInt(0)
-      var step = BigInt(1) << gridBits
-      while (step > 0) {
-        val c = t + step
-        if (c.pow(tNum) * nsT <= rhs) t = c
-        step >>= 1
+    if (counts.isEmpty)
+      // empty input: same empty-result flow-through as the sqrt face
+      df.withColumn("keep_rate", lit(0.0)).filter(lit(false))
+    else {
+      val nMin = counts.map(_._2).min
+      val rows = counts.map { case (s, n) =>
+        val rhs = (BigInt(1) << (gridBits * tNum)) * BigInt(nMin).pow(tDen)
+        val nsT = BigInt(n).pow(tDen)
+        var t = BigInt(0)
+        var step = BigInt(1) << gridBits
+        while (step > 0) {
+          val c = t + step
+          if (c.pow(tNum) * nsT <= rhs) t = c
+          step >>= 1
+        }
+        (s, t.toLong.toDouble / math.pow(2.0, gridBits),
+          (t << (32 - gridBits)).toLong)
       }
-      (s, t.toLong.toDouble / math.pow(2.0, gridBits),
-        (t << (32 - gridBits)).toLong)
+      val rates = rows.toDF("_src", "keep_rate", "_thresh")
+      df.join(broadcast(rates), sourceCol.cast("string") === col("_src"))
+        .filter(conv(substring(
+            md5(concat(lit(s"$seed|"), keyCol.cast("string")).cast("binary")),
+            1, 8), 16, 10).cast("long") < col("_thresh"))
+        .drop("_src", "_thresh")
     }
-    val rates = rows.toDF("_src", "keep_rate", "_thresh")
-    df.join(broadcast(rates), sourceCol.cast("string") === col("_src"))
-      .filter(conv(substring(
-          md5(concat(lit(s"$seed|"), keyCol.cast("string")).cast("binary")),
-          1, 8), 16, 10).cast("long") < col("_thresh"))
-      .drop("_src", "_thresh")
   }
 }

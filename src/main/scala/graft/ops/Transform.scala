@@ -189,17 +189,25 @@ object Transform {
     * enough to inline into a plan, so collecting them is free by the
     * same argument.
     */
-  def collectClientConfigs(configs: DataFrame): Map[String, graft.model.ClientConfig] = {
+  def collectClientConfigs(configs: DataFrame): Map[String, graft.model.ClientConfig] =
+    clientConfigsFromRows(configs.select("client_id", "symbol", "rules",
+      "renames", "removes", "overrides").collect())
+
+  private def clientConfigsFromRows(
+      rows: Array[org.apache.spark.sql.Row]): Map[String, graft.model.ClientConfig] = {
     import org.apache.spark.sql.Row
-    configs.select("client_id", "symbol", "rules", "renames", "removes",
-        "overrides")
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (client, rows) =>
-        client -> graft.model.ClientConfig(rows.map { r =>
+    rows.groupBy(_.getString(0))
+      .map { case (client, rs) =>
+        client -> graft.model.ClientConfig(rs.map { r =>
+          // a rule with a null op or null value is identity in the
+          // interpreter (applyRule's when-chain falls through to the
+          // raw value) — skip it here so the compiled plan agrees
+          // instead of NPE-ing on getDouble
           val rules = Option(r.getMap[String, Row](2))
-            .map(_.toMap.map { case (k, v) =>
-              k -> graft.model.ValueRule(v.getString(0), v.getDouble(1)) })
+            .map(_.toMap.collect {
+              case (k, v) if !v.isNullAt(0) && !v.isNullAt(1) =>
+                k -> graft.model.ValueRule(v.getString(0), v.getDouble(1))
+            })
             .getOrElse(Map.empty[String, graft.model.ValueRule])
           r.getString(1) -> graft.model.SymbolConfig(
             renameFields = Option(r.getMap[String, String](3))
@@ -219,24 +227,36 @@ object Transform {
     * codegen, no per-row interpreter); above it the interpreted
     * broadcast-join plan ([[serveSnapshot]]) serves any client count
     * at a flat plan size. The probe-pinned crossover (Probe
-    * serve_crossover, PERF.md round-7) sets the default: compiled
-    * wins while the plan stays small, and degrades super-linearly as
-    * CollapseProject re-inlines the payload expression per branch.
-    * The decision costs one `limit(n+1).count()` on the config table
-    * — bounded work regardless of config cardinality. Zero configs
-    * take the interpreted path, whose empty cross join correctly
-    * serves zero rows.
+    * serve_crossover, PERF.md round-7) sets the default: on WARM
+    * plans the compiled tick costs ~0.07 s per branch (CollapseProject
+    * re-inlines the payload expression per when-branch) while the
+    * interpreted tick is flat ~0.4 s regardless of client count, so
+    * the paths cross near 5 branches — compiled is at parity at 4 and
+    * strictly loses beyond. The default compiles only that
+    * measured-safe trivial-config shape. The decision costs ONE
+    * bounded action — `limit(n+1).collect()` — whose rows, when they
+    * fit, directly seed the compiled map (no second read, no window
+    * for the config table to grow between count and collect). Zero
+    * configs take the interpreted path, whose empty cross join
+    * correctly serves zero rows. Duplicate (client, symbol) rows are
+    * malformed per the reference's map-keyed config and are
+    * normalized away first, so both physical paths serve identical
+    * rows regardless of which side of the threshold fires.
     */
   def serveSnapshotAuto(snapshot: DataFrame, configs: DataFrame,
-      maxCompiledBranches: Int = 64,
+      maxCompiledBranches: Int = 4,
       symbolCol: String = "symbol", payloadCol: String = "flat"): DataFrame = {
-    val bounded =
-      if (maxCompiledBranches <= 0) 1L
-      else configs.limit(maxCompiledBranches + 1).count()
-    if (bounded > 0 && maxCompiledBranches > 0 && bounded <= maxCompiledBranches)
-      serveSnapshotCompiled(snapshot, collectClientConfigs(configs),
-        symbolCol, payloadCol)
-    else serveSnapshot(snapshot, configs, symbolCol, payloadCol)
+    val cfg = configs.dropDuplicates("client_id", "symbol")
+    if (maxCompiledBranches <= 0)
+      serveSnapshot(snapshot, cfg, symbolCol, payloadCol)
+    else {
+      val taken = cfg.select("client_id", "symbol", "rules", "renames",
+        "removes", "overrides").limit(maxCompiledBranches + 1).collect()
+      if (taken.nonEmpty && taken.length <= maxCompiledBranches)
+        serveSnapshotCompiled(snapshot, clientConfigsFromRows(taken),
+          symbolCol, payloadCol)
+      else serveSnapshot(snapshot, cfg, symbolCol, payloadCol)
+    }
   }
 
   def serveSnapshot(snapshot: DataFrame, configs: DataFrame,

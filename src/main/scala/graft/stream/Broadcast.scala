@@ -54,7 +54,7 @@ object Broadcast {
       shape: DataFrame => DataFrame = identity,
       metrics: Option[Metrics] = None,
       maxConsecutiveTickFailures: Int = 0,
-      compiledMaxBranches: Int = 64): StreamingQuery = {
+      compiledMaxBranches: Int = 4): StreamingQuery = {
     val consecutiveFailures = new java.util.concurrent.atomic.AtomicInteger(0)
     val ticker = spark.readStream.format("rate")
       .option("rowsPerSecond", 1).load()

@@ -365,10 +365,44 @@ class ServeSpec extends AnyFunSuite {
     // branch count above threshold: interpreted
     val big = graft.ops.Transform.serveSnapshotAuto(snapshot, configs,
       maxCompiledBranches = 64)
-    val auto0 = graft.ops.Transform.serveSnapshotAuto(snapshot,
-      configs.unionByName(configs), maxCompiledBranches = 1)
-    assert(auto0.queryExecution.analyzed.toString.contains("_cfg_symbol"),
-      "branch count above threshold must select the interpreted path")
     assert(served(big) == served(interp))
+    // duplicate (client, symbol) rows are malformed and NORMALIZED by
+    // the auto entry point, so the served rows cannot flip with the
+    // threshold side; a self-union must serve the same rows, through
+    // either physical path
+    val dup = configs.unionByName(configs)
+    assert(served(graft.ops.Transform.serveSnapshotAuto(snapshot, dup,
+      maxCompiledBranches = 64)) == served(interp))
+    assert(served(graft.ops.Transform.serveSnapshotAuto(snapshot, dup,
+      maxCompiledBranches = 0)) == served(interp))
+  }
+
+  test("compiled path skips null-valued rules like the interpreter (identity passthrough)") {
+    val (latestDir, _) = serveFixture()
+    val snapshot = graft.stream.Pipeline.readLatest(spark, latestDir)
+      .select("symbol", "flat")
+    // value_rules entry with a null value: from_json fills missing
+    // struct fields with null; the interpreter passes the raw value
+    // through — the compiled path must agree, not NPE
+    val nullRule = spark.sql(
+      """SELECT 'alpha' AS client_id, 'sym1' AS symbol,
+           map('v', named_struct('op', 'multiply',
+                                 'value', CAST(NULL AS DOUBLE))) AS rules,
+           CAST(NULL AS MAP<STRING,STRING>) AS renames,
+           CAST(NULL AS ARRAY<STRING>) AS removes,
+           CAST(NULL AS MAP<STRING,STRING>) AS overrides""")
+    val compiled = graft.ops.Transform.serveSnapshotAuto(snapshot, nullRule,
+      maxCompiledBranches = 4)
+    assert(compiled.queryExecution.analyzed.toString.contains("Union") ||
+      !compiled.queryExecution.analyzed.toString.contains("_cfg_symbol"))
+    val interp = graft.ops.Transform.serveSnapshot(snapshot, nullRule)
+    def vOf(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.collect().map { r =>
+        r.getString(r.fieldIndex("symbol")) ->
+          r.getMap[String, String](r.fieldIndex("flat")).getOrElse("v", "")
+      }.toMap
+    assert(vOf(compiled) == vOf(interp))
+    assert(vOf(compiled)("sym1") == "2.0",
+      "null-valued rule must pass the raw value through unchanged")
   }
 }

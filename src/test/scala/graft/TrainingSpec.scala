@@ -393,7 +393,7 @@ class TrainingSpec extends AnyFunSuite {
     assert(raw.length == 4, "raw exact dedup must see 4 distinct texts")
     // canonicalize semantics: lowercase, strip punct/non-ascii, collapse ws
     val c = docs.filter(col("doc_id") === 2)
-      .select(TextOps.canonicalize(col("text"))).head.getString(0)
+      .select(TextOps.canonicalize(col("text"))).head().getString(0)
     assert(c == "the quick brown fox")
   }
 
@@ -427,5 +427,10 @@ class TrainingSpec extends AnyFunSuite {
       docs, col("doc_id"), col("source"), "tq", 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
+    // empty input flows through as an empty result (same as the sqrt
+    // face), not an empty.min crash
+    val none = graft.ops.Sample.temperatureMixQuantized(
+      docs.filter(lit(false)), col("doc_id"), col("source"), "tq", 3)
+    assert(none.columns.contains("keep_rate") && none.count() == 0)
   }
 }

@@ -36,8 +36,8 @@ if load > max_load:
     problems.append(f"load_avg_start {load} > {max_load}")
 # sbt JVM + forked bench JVM are always present; a 3rd JVM means
 # another build/bench/driver was running
-if jvms > 3:
-    problems.append(f"java_procs_start {jvms} > 3 (concurrent JVMs)")
+if jvms > 2:
+    problems.append(f"java_procs_start {jvms} > 2 (concurrent JVMs)")
 
 if problems:
     print("REFUSE closing label: " + "; ".join(problems))
