@@ -169,4 +169,72 @@ object Sample {
         .drop("_src", "_thresh")
     }
   }
+
+  /** Greedy token-budget selection — the "take the best documents
+    * until the budget is spent" mixing step: within each group, order
+    * rows by the caller's quality ranking (made total with a
+    * unique-id tiebreak) and keep rows while the RUNNING total of
+    * `weight` (inclusive of the current row) stays ≤ `budget`. The
+    * boundary row that would push the total past the budget is
+    * dropped — the greedy prefix rule every token-budgeted recipe
+    * uses, deterministic because the order is total and the weights
+    * are integers (no float accumulation).
+    *
+    * The running total is exposed as `cumCol` so downstream stages
+    * (and audits) see how much of the budget each survivor consumed.
+    *
+    * Shape: one shuffle on the group key, a per-group sort, and a
+    * running sum with the rows-unbounded-preceding frame — identical
+    * cost to [[capPerGroup]], which is this operator with
+    * weight ≡ 1. The same giant-group caveat applies, with the same
+    * composable fix (hash-prune huge groups with [[stratifiedHash]]
+    * before the exact ranked pass).
+    */
+  def selectToBudget(df: DataFrame, groupCols: Seq[Column],
+      order: Seq[Column], weight: Column, budget: Long,
+      cumCol: String = "cum_weight"): DataFrame = {
+    require(!df.columns.contains(cumCol),
+      s"selectToBudget writes the running total to '$cumCol'; " +
+        "rename or drop the existing column, or pass another cumCol")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(cumCol, sum(weight.cast("long")).over(w))
+      .filter(col(cumCol) <= budget)
+  }
+
+  /** Deterministic seeded global shuffle into `nShards` shards — the
+    * final write stage of a training-data pipeline: every row gets a
+    * shard in [0, nShards) and a dense position 0..k−1 within its
+    * shard, both pure functions of (seed, key), so any engine — and
+    * any RERUN — produces the identical layout. Shard and order both
+    * derive from md5(seed|key): shard from the first 32 hash bits mod
+    * nShards (uniform to within 2⁻³² bias), order from the full
+    * 128-bit hash with the key as tiebreak — a shuffled order that no
+    * corpus sort key leaks into. Changing the seed is a fresh,
+    * independent epoch permutation.
+    *
+    * Shape: one hash-partitioned exchange on the shard id and a
+    * per-shard sort — exactly the physical work a sharded write must
+    * do anyway, so the operator adds nothing beyond the write's own
+    * cost. The dense in-shard position is a row_number over that
+    * sort; at 100 TB each shard is a task's output file and nShards
+    * is sized to the target file size, not to the executor count.
+    */
+  def shuffleShards(df: DataFrame, keyCol: Column, seed: String,
+      nShards: Int, shardCol: String = "shard",
+      posCol: String = "pos"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("_sh_h"),
+      "shuffleShards reserves the internal column name _sh_h")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(s"$seed|"), keyCol.cast("string")).cast("binary"))
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("_sh_h"), keyCol)
+    df.withColumn("_sh_h", h)
+      .withColumn(shardCol,
+        (conv(substring(col("_sh_h"), 1, 8), 16, 10).cast("long")
+          % nShards).cast("int"))
+      .withColumn(posCol, row_number().over(w).cast("long") - 1)
+      .drop("_sh_h")
+  }
 }

@@ -211,6 +211,30 @@ object TextOps {
     */
   def bigrams(toks: Column): Column = shingles(toks, 2)
 
+  /** Hashing-trick linear scorer — the structural skeleton of a
+    * fastText-style model-based quality filter (FineWeb-Edu's scoring
+    * stage): each token is hashed into a weight bucket and the
+    * document's raw score is the exact integer sum of its tokens'
+    * bucket weights. Real deployments load TRAINED weights; this
+    * container has no model artifacts, so the weight of bucket b is
+    * the deterministic stand-in (b mod 2001) − 1000 ∈ [−1000, 1000],
+    * derived from the same md5 hash that picks the bucket — the
+    * plumbing (hash → bucket → weight → sum → threshold) is the real,
+    * portable part, exercised end-to-end; swapping in learned weights
+    * is a broadcast-joined lookup table in place of the arithmetic.
+    *
+    * Returns the exact integer numerator; callers normalize by
+    * 1000·n_tokens for a mean-weight score in [−1, 1] (a single
+    * correctly-rounded division, so the double is engine-portable).
+    * Map-side only — a per-row array fold, no shuffle.
+    */
+  def hashedLinearScore(toks: Column, seed: String = "w"): Column =
+    aggregate(
+      transform(toks, t =>
+        conv(substring(md5(concat(lit(s"$seed|"), t).cast("binary")), 1, 8),
+          16, 10).cast("long") % 2001 - 1000),
+      lit(0L), (acc, x) => acc + x)
+
   /** SimHash over distinct tokens, `bits` wide (≤32): per bit position
     * k, majority vote of md5-hex-digit high bits (+1/−1), rendered as a
     * '0'/'1' string so the value is engine-portable.

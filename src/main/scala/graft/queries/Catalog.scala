@@ -22,7 +22,8 @@ final case class Q(
 object Catalog {
   def all: Seq[Q] =
     ReferenceQ.all ++ TransformQ.all ++ RelationalQ.all ++ TrainingQ.all ++
-      StreamQ.all ++ MultimodalQ.all ++ MarketQ.all ++ CorpusQ.all
+      StreamQ.all ++ MultimodalQ.all ++ MarketQ.all ++ CorpusQ.all ++
+      PipelineQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

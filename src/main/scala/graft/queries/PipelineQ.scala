@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.{Dedup, Sample, TextOps}
+
+/** Pipeline-assembly stages of a training-data build — the steps
+  * between "corpus is scored/deduped" and "shards are on disk":
+  * paragraph-level dedup, token-budget selection, the deterministic
+  * epoch shuffle into shards, and model-based quality scoring. Each
+  * has a DuckDB oracle replaying the exact same integer/hash
+  * arithmetic.
+  */
+object PipelineQ {
+
+  /** Paragraph width (words) for the derived-paragraph corpus below:
+    * 3 keeps the paragraph space small enough that the synthetic
+    * corpus has REAL cross-document paragraph collisions at every SF
+    * (the vocabulary is tiny), so the keep-first logic is exercised,
+    * not just passed through.
+    */
+  private val ParaWords = 3
+
+  /** Dolma-style paragraph dedup (see
+    * [[graft.ops.Dedup.dedupParagraphs]]). The synthetic documents
+    * are single-line, so the query derives a paragraph structure
+    * INSIDE the query — consecutive [[ParaWords]]-word runs joined by
+    * newlines, reproduced token-for-token by the oracle — then
+    * dedups: any paragraph text seen earlier (in (doc_id, position)
+    * order) is removed, documents reassemble from survivors, and
+    * exact-duplicate documents come back empty. PipelineOpsSpec pins
+    * that the corpus genuinely contains removed paragraphs (n_kept <
+    * n_paras somewhere) so the gate is not vacuously green.
+    */
+  val qParaDedup = Q(
+    "q_para_dedup",
+    (spark, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val nP = floor((size(toks) + lit(ParaWords - 1)) / lit(ParaWords))
+        .cast("int")
+      val paras = transform(
+        sequence(lit(0), greatest(nP, lit(1)) - 1),
+        i => array_join(slice(toks, i * ParaWords + 1, lit(ParaWords)), " "))
+      val docsNl = Tables.documents(spark, dir)
+        .select(col("doc_id"), array_join(paras, "\n").as("text"))
+      Dedup.dedupParagraphs(docsNl, "doc_id", "text").orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      pidx AS (SELECT doc_id, ts,
+          unnest(range(0, (len(ts) + ${ParaWords - 1}) // $ParaWords)) AS idx
+        FROM toks),
+      paras AS (SELECT doc_id, idx,
+          array_to_string(list_slice(ts,
+            idx * $ParaWords + 1, idx * $ParaWords + $ParaWords), ' ') AS para
+        FROM pidx),
+      dd AS (SELECT doc_id, idx, para,
+          row_number() OVER (PARTITION BY md5(para)
+            ORDER BY doc_id, idx) AS rn
+        FROM paras WHERE para <> ''),
+      perdoc AS (SELECT doc_id, count(*) AS n_paras,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+            ORDER BY idx), '') AS clean_text
+        FROM dd GROUP BY doc_id)
+      SELECT doc_id, n_paras, n_kept, clean_text
+      FROM perdoc ORDER BY doc_id""")
+  )
+
+  private val TokenBudget = 800L
+
+  /** Greedy per-source token-budget selection (see
+    * [[graft.ops.Sample.selectToBudget]]): take documents longest-
+    * first (n_chars desc, doc_id tiebreak) until each source has
+    * spent its [[TokenBudget]]-token budget; survivors carry their
+    * running total. The budget binds at every SF (each source holds
+    * well over 800 tokens), so the cutoff — including the dropped
+    * boundary row — is exercised for real.
+    */
+  val qBudgetSelect = Q(
+    "q_budget_select",
+    (spark, dir) => {
+      val withTok = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sample.selectToBudget(withTok, Seq(col("source")),
+          Seq(col("n_chars").desc, col("doc_id").asc),
+          col("n_tokens"), TokenBudget, cumCol = "cum_tokens")
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, n_chars,
+          CAST(len(list_filter(string_split(trim(text), ' '),
+            x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM t)
+      SELECT doc_id, source, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""")
+  )
+
+  private val NumShards = 10
+  private val EpochSeed = "epoch0"
+
+  /** Deterministic epoch shuffle into [[NumShards]] shards (see
+    * [[graft.ops.Sample.shuffleShards]]): every document gets a
+    * (shard, position) that any engine — and any rerun — reproduces
+    * exactly; the oracle independently rebuilds the full layout from
+    * the same md5 arithmetic, pinning both the shard hash and the
+    * within-shard permutation.
+    */
+  val qShardShuffle = Q(
+    "q_shard_shuffle",
+    (spark, dir) =>
+      Sample.shuffleShards(Tables.documents(spark, dir).select("doc_id"),
+          col("doc_id"), seed = EpochSeed, nShards = NumShards)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id"),
+    Some(s"""WITH h AS (SELECT doc_id,
+          md5('$EpochSeed|' || CAST(doc_id AS VARCHAR)) AS hh
+        FROM documents),
+      s AS (SELECT doc_id, hh,
+          CAST(CAST('0x' || substring(hh, 1, 8) AS BIGINT) % $NumShards
+            AS INTEGER) AS shard
+        FROM h)
+      SELECT doc_id, shard,
+        row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1 AS pos
+      FROM s ORDER BY doc_id""")
+  )
+
+  /** Hashing-trick linear quality scoring (see
+    * [[graft.ops.TextOps.hashedLinearScore]]): per-document mean
+    * bucket weight in [−1, 1] plus the keep verdict at threshold 0 —
+    * the fastText-classifier-shaped filter with deterministic
+    * stand-in weights, every arithmetic step exact-integer until one
+    * final correctly-rounded division.
+    */
+  val qQualityHashed = Q(
+    "q_quality_hashed",
+    (spark, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          TextOps.hashedLinearScore(toks).as("score_num"))
+        .withColumn("score",
+          when(col("n_tokens") > 0,
+            col("score_num").cast("double") /
+              (col("n_tokens") * 1000L).cast("double")))
+        .withColumn("keep", col("score") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      sc AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+          CAST(coalesce(list_sum(list_transform(ts, w ->
+            CAST('0x' || substring(md5('w|' || w), 1, 8) AS BIGINT)
+              % 2001 - 1000)), 0) AS BIGINT) AS score_num
+        FROM t)
+      SELECT doc_id, n_tokens, score_num,
+        CASE WHEN n_tokens > 0
+          THEN CAST(score_num AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE)
+        END AS score,
+        CASE WHEN n_tokens > 0
+          THEN CAST(score_num AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE) > 0
+        END AS keep
+      FROM sc ORDER BY doc_id""")
+  )
+
+  def all: Seq[Q] =
+    Seq(qParaDedup, qBudgetSelect, qShardShuffle, qQualityHashed)
+}

@@ -1109,6 +1109,65 @@ object TrainingQ {
     }
   )
 
+  /** Quality-ranked representative per near-dup cluster (see
+    * [[graft.ops.Dedup.clusterRepresentatives]]): the same LSH →
+    * connected-components cluster table as q_dedup_clusters, but the
+    * survivor is the LONGEST document (n_chars desc, doc_id tiebreak)
+    * rather than the min id — the FineWeb keep-best convention.
+    * Every document (clustered or singleton) comes back tagged
+    * (cluster_id, cluster_size, kept). The oracle replays the full
+    * cluster derivation and ranks inside DuckDB, so the quality
+    * choice itself is hash-checked, not just the clustering.
+    */
+  val qDedupRep = Q(
+    "q_dedup_rep",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        bands = Bands, rowsPerBand = RowsPerBand)
+        .filter(col("est_jaccard") >= ClusterEstJaccard)
+      val clusters = Dedup.connectedComponentsForest(pairs)
+      Dedup.clusterRepresentatives(docs.select("doc_id", "n_chars"),
+          clusters, "doc_id",
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select("doc_id", "cluster_id", "cluster_size", "kept")
+        .orderBy("doc_id")
+    },
+    Some {
+      val sigExprs = (0 until NumHashes).map(sqlMinhashSig).mkString(", ")
+      val bandExprs = (0 until Bands).map(b =>
+        s"h${b * RowsPerBand} || '|' || h${b * RowsPerBand + 1} AS b$b").mkString(", ")
+      val bandCond = (0 until Bands).map(b => s"a.b$b = c.b$b").mkString(" OR ")
+      val nMatch = (0 until NumHashes).map(j =>
+        s"(CASE WHEN a.h$j = c.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH RECURSIVE $tokCtes,
+          sig AS (SELECT doc_id, $sigExprs FROM sh),
+          bs AS (SELECT *, $bandExprs FROM sig),
+          pairs AS (SELECT a.doc_id AS i, c.doc_id AS j
+            FROM bs a JOIN bs c ON a.doc_id < c.doc_id AND ($bandCond)
+            WHERE CAST($nMatch AS DOUBLE) / $NumHashes >= $ClusterEstJaccard),
+          edges AS (SELECT i AS a, j AS b FROM pairs
+            UNION SELECT j, i FROM pairs),
+          walk(a, label) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+            UNION
+            SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.a),
+          comp AS (SELECT a AS doc_id, min(label) AS rep FROM walk
+            GROUP BY a),
+          tagged AS (SELECT d.doc_id, d.n_chars,
+              coalesce(c.rep, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+          ranked AS (SELECT doc_id, cluster_id,
+              count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+              row_number() OVER (PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id) AS rn
+            FROM tagged)
+        SELECT doc_id, cluster_id,
+          CAST(cluster_size AS BIGINT) AS cluster_size, rn = 1 AS kept
+        FROM ranked ORDER BY doc_id"""
+    }
+  )
+
   /** IVF-style ANN: probe the nprobe clusters whose representative is
     * most query-similar, exact-rerank their members only (scan
     * fraction nprobe/clusters vs brute force).
@@ -1335,5 +1394,5 @@ object TrainingQ {
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
     qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e, qDedupCanon,
-    qMixTemperatureT)
+    qMixTemperatureT, qDedupRep)
 }

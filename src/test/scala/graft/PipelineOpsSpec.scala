@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Sample, TextOps}
+
+/** Edge semantics of the pipeline-assembly operators (paragraph
+  * dedup, budget selection, shard shuffle, representative selection,
+  * hashed scoring) — the conventions the oracle queries rely on.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("paragraph dedup keeps first occurrence in (id, idx) order, " +
+      "reassembles in document order, empties full duplicates") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha"),   // self-dup: 3rd para repeats 1st
+      (2L, "gamma\nbeta"),          // beta already taken by doc 1
+      (3L, "alpha\nbeta")           // everything already seen
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "alpha\nbeta"),
+      (2L, 2L, 1L, "gamma"),
+      (3L, 2L, 0L, "")))
+  }
+
+  test("paragraph dedup drops empty paragraphs and empty documents") {
+    val docs = Seq((1L, "a\n\nb"), (2L, "")).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1: the "" between a and b is not a paragraph; doc 2: no row
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("paragraph dedup rejects reserved _pd_* columns") {
+    val bad = Seq((1L, "x", "y")).toDF("doc_id", "text", "_pd_h")
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedupParagraphs(bad, "doc_id", "text"))
+    assert(e.getMessage.contains("_pd_"))
+  }
+
+  test("selectToBudget keeps the greedy prefix inclusive of the row " +
+      "that lands exactly on the budget, drops the overshooting row") {
+    val df = Seq(
+      ("s", 1L, 400L), ("s", 2L, 400L), ("s", 3L, 1L),  // 400+400 = budget
+      ("t", 4L, 801L)                                   // first row overshoots
+    ).toDF("source", "doc_id", "w")
+    val out = Sample.selectToBudget(df, Seq(col("source")),
+        Seq(col("doc_id").asc), col("w"), budget = 800L)
+      .select("doc_id", "cum_weight").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 3 arrives after the budget is spent: 801 > 800 → dropped;
+    // group t keeps nothing (its best row alone exceeds the budget)
+    assert(out.toSeq == Seq((1L, 400L), (2L, 800L)))
+  }
+
+  test("selectToBudget refuses an existing cum column") {
+    val df = Seq(("s", 1L, 1L)).toDF("source", "cum_weight", "w")
+    val e = intercept[IllegalArgumentException](
+      Sample.selectToBudget(df, Seq(col("source")), Seq(col("w")),
+        col("w"), 10L))
+    assert(e.getMessage.contains("cum_weight"))
+  }
+
+  test("shuffleShards: shards in range, dense 0-based positions, " +
+      "deterministic across evaluations, seed changes the layout") {
+    val df = (1L to 200L).toDF("doc_id")
+    val a = Sample.shuffleShards(df, col("doc_id"), "e0", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // per shard: positions are exactly 0..k−1
+    a.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    val b = Sample.shuffleShards(df, col("doc_id"), "e0", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    val c = Sample.shuffleShards(df, col("doc_id"), "e1", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
+  }
+
+  test("clusterRepresentatives keeps the best row per cluster under " +
+      "the caller's order; singletons are their own kept cluster") {
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), // one cluster; 2 and 3 tie on chars
+      (9L, 5L)                         // singleton
+    ).toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "rep_id")
+    val out = Dedup.clusterRepresentatives(docs, clusters, "doc_id",
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id", "cluster_id", "cluster_size", "kept")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, false),
+      (2L, 1L, 3L, true),   // 50 chars, lower id than doc 3
+      (3L, 1L, 3L, false),
+      (9L, 9L, 1L, true)))
+  }
+
+  test("q_para_dedup's gate is non-vacuous on the shipped corpus: " +
+      "paragraphs are removed and duplicate docs are emptied") {
+    val out = graft.queries.PipelineQ.qParaDedup
+      .run(spark, "/root/testdata/sf0.001")
+      .agg(sum("n_paras").as("p"), sum("n_kept").as("k"),
+        sum(when(col("n_kept") === 0, 1).otherwise(0)).as("emptied"))
+      .collect()(0)
+    assert(out.getLong(1) < out.getLong(0), "no paragraph was removed")
+    assert(out.getLong(2) > 0, "no duplicate document was emptied")
+  }
+
+  test("q_budget_select's budget binds in every source at sf0.001") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .groupBy("source").count()
+    val kept = graft.queries.PipelineQ.qBudgetSelect
+      .run(spark, "/root/testdata/sf0.001")
+      .groupBy("source").count().withColumnRenamed("count", "kept")
+    val joined = docs.join(kept, Seq("source"), "left")
+      .select(col("source"), col("count"), coalesce(col("kept"), lit(0L)).as("kept"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(2) < r.getLong(1),
+      s"budget did not bind for ${r.getString(0)}"))
+  }
+
+  test("hashedLinearScore is an exact integer sum: order-insensitive " +
+      "per multiset, zero on empty, bounded per token") {
+    val df = Seq("a b c", "c b a", "").toDF("text")
+    val out = df.select(
+      TextOps.hashedLinearScore(TextOps.tokens(col("text"))).as("s"),
+      size(TextOps.tokens(col("text"))).as("n")).collect()
+    assert(out(0).getLong(0) == out(1).getLong(0))
+    assert(out(2).getLong(0) == 0L)
+    assert(math.abs(out(0).getLong(0)) <= 3 * 1000L)
+  }
+}
