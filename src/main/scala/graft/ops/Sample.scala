@@ -203,6 +203,84 @@ object Sample {
       .filter(col(cumCol) <= budget)
   }
 
+  /** Epoch upsampling — the other half of mixture weighting:
+    * [[temperatureMixSqrt]]/[[temperatureMixQuantized]] only DELETE
+    * rows (rate ≤ 1), but real mixing recipes also REPEAT
+    * high-quality sources (factor > 1, e.g. "Wikipedia × 2.5").
+    * Each row is emitted `floor(f)` times plus one more copy with
+    * probability `f − floor(f)`, decided by the same deterministic
+    * md5-threshold coin as [[stratifiedHash]] — so the realized
+    * multiset is a pure function of (seed, key) and the expected
+    * multiplicity is exactly f. The copy index comes back as
+    * `epoch` (0-based), which downstream shuffling/sharding feeds
+    * into its key so copies land in different shards.
+    *
+    * Factors below 1 degenerate to a plain hash subsample (0 or 1
+    * copies), making this a superset of the rate filters; rows whose
+    * multiplicity lands on 0 are dropped.
+    *
+    * Shape: map-side only — a per-row CASE for the factor, one hash
+    * compare, and an explode of a 0..n−1 sequence; no shuffle, no
+    * state. At 100 TB the explode IS the write amplification the
+    * recipe asked for, paid exactly once at the final materialize.
+    */
+  def upsampleEpochs(df: DataFrame, keyCol: Column, sourceCol: Column,
+      factors: Map[String, Double], defaultFactor: Double = 1.0,
+      seed: String): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(f => f >= 0.0),
+      "upsample factors must be non-negative")
+    require(!df.columns.contains("epoch") && !df.columns.contains("_ue_n"),
+      "upsampleEpochs writes 'epoch' and reserves '_ue_n'")
+    def perSource[T](f: Double => T, dflt: T, mk: T => Column): Column =
+      factors.toSeq.sortBy(_._1).foldLeft(mk(dflt)) { case (acc, (s, v)) =>
+        when(sourceCol === s, mk(f(v))).otherwise(acc)
+      }
+    // integer part and fractional-part threshold are both computed
+    // driver-side per source (exact IEEE: floor, subtract, ×2³²,
+    // floor), so the engine only ever compares strings and adds ints
+    val full = perSource[Int](f => math.floor(f).toInt,
+      math.floor(defaultFactor).toInt, lit(_))
+    val thr = perSource[String](f => thresholdHex(f - math.floor(f)),
+      thresholdHex(defaultFactor - math.floor(defaultFactor)), lit(_))
+    val extra = when(substring(
+      md5(concat(lit(s"$seed|"), keyCol.cast("string")).cast("binary")),
+      1, 8) < thr, 1).otherwise(0)
+    df.withColumn("_ue_n", full + extra)
+      .filter(col("_ue_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("_ue_n") - 1)))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .drop("_ue_n")
+  }
+
+  /** Deterministic named-bucket split — train/validation/test
+    * assignment as a pure function of (seed, key): the [0, 1) hash
+    * line is cut at the cumulative fractions and each row is labeled
+    * by the segment its md5 prefix falls in. The last bucket absorbs
+    * the residual up to 1.0, so every row is assigned. Same
+    * hex-string-compare trick as [[stratifiedHash]]: thresholds are
+    * driver-computed, the engine compares strings — map-side only,
+    * no shuffle, rerun-stable, and membership never changes when the
+    * corpus grows (a doc's bucket depends on its key alone).
+    */
+  def splitAssign(df: DataFrame, keyCol: Column,
+      fractions: Seq[(String, Double)], seed: String,
+      splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "need at least one bucket")
+    require(fractions.forall(_._2 >= 0.0), "fractions must be non-negative")
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    require(!df.columns.contains(splitCol),
+      s"splitAssign writes '$splitCol'; rename or drop it first")
+    val h = substring(
+      md5(concat(lit(s"$seed|"), keyCol.cast("string")).cast("binary")), 1, 8)
+    val cuts = fractions.init.scanLeft(0.0)(_ + _._2).tail // cumulative, < last
+    val assign = fractions.init.zip(cuts).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), cut), acc) =>
+      when(h < lit(thresholdHex(cut)), lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, assign)
+  }
+
   /** Deterministic seeded global shuffle into `nShards` shards — the
     * final write stage of a training-data pipeline: every row gets a
     * shard in [0, nShards) and a dense position 0..k−1 within its

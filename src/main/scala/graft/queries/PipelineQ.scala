@@ -173,6 +173,63 @@ object PipelineQ {
       FROM sc ORDER BY doc_id""")
   )
 
+  private val MixSeed = "up0"
+
+  /** Epoch upsampling (see [[graft.ops.Sample.upsampleEpochs]]):
+    * src0 × 2.5, src1 × 0.25, everything else × 1 — both the
+    * integer-repeat path (epochs 0 and 1 for every src0 doc) and the
+    * fractional deterministic coin (epoch 2 for ~half of src0;
+    * survival for ~a quarter of src1) are exercised, and the oracle
+    * rebuilds the exact multiset from the same hash arithmetic.
+    */
+  val qMixEpochs = Q(
+    "q_mix_epochs",
+    (spark, dir) =>
+      Sample.upsampleEpochs(
+          Tables.documents(spark, dir).select("doc_id", "source"),
+          col("doc_id"), col("source"),
+          factors = Map("src0" -> 2.5, "src1" -> 0.25),
+          seed = MixSeed)
+        .orderBy("doc_id", "epoch"),
+    Some(s"""WITH f AS (SELECT doc_id, source,
+          CASE WHEN source = 'src0' THEN 2
+               WHEN source = 'src1' THEN 0 ELSE 1 END AS whole,
+          CASE WHEN source = 'src0' THEN '${Sample.thresholdHex(0.5)}'
+               WHEN source = 'src1' THEN '${Sample.thresholdHex(0.25)}'
+               ELSE '${Sample.thresholdHex(0.0)}' END AS thr
+        FROM documents),
+      e AS (SELECT doc_id, source, whole +
+          CASE WHEN substring(md5('$MixSeed|' || CAST(doc_id AS VARCHAR)),
+            1, 8) < thr THEN 1 ELSE 0 END AS n
+        FROM f)
+      SELECT doc_id, source, unnest(range(0, n)) AS epoch
+      FROM e WHERE n > 0 ORDER BY doc_id, epoch""")
+  )
+
+  private val SplitSeed = "split0"
+
+  /** Deterministic train/val/test assignment (see
+    * [[graft.ops.Sample.splitAssign]]): 90/5/5 on the md5 hash line,
+    * every document labeled, the oracle re-deriving the same cuts.
+    */
+  val qSplitAssign = Q(
+    "q_split_assign",
+    (spark, dir) =>
+      Sample.splitAssign(Tables.documents(spark, dir).select("doc_id"),
+          col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+          seed = SplitSeed)
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+        CASE WHEN substring(md5('$SplitSeed|' || CAST(doc_id AS VARCHAR)),
+            1, 8) < '${Sample.thresholdHex(0.9)}' THEN 'train'
+          WHEN substring(md5('$SplitSeed|' || CAST(doc_id AS VARCHAR)),
+            1, 8) < '${Sample.thresholdHex(0.9 + 0.05)}' THEN 'val'
+          ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
-    Seq(qParaDedup, qBudgetSelect, qShardShuffle, qQualityHashed)
+    Seq(qParaDedup, qBudgetSelect, qShardShuffle, qQualityHashed,
+      qMixEpochs, qSplitAssign)
 }

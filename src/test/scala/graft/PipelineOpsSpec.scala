@@ -127,6 +127,87 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"budget did not bind for ${r.getString(0)}"))
   }
 
+  test("upsampleEpochs: integer factors repeat exactly, fractional " +
+      "coin matches stratifiedHash survivors, zero factor drops") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val out = Sample.upsampleEpochs(df, col("doc_id"), col("source"),
+        factors = Map("a" -> 2.0, "b" -> 0.5), seed = "s0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // source a, factor 2.0: every row exactly twice, epochs 0 and 1
+    val aRows = out.filter(_._2 == "a")
+    assert(aRows.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == Seq(0L, 1L)))
+    assert(aRows.map(_._1).distinct.length == 200)
+    // source b, factor 0.5: survivors are EXACTLY stratifiedHash's at
+    // the same (seed, rate) — one epoch-0 copy each
+    val bKept = out.filter(_._2 == "b").map(_._1).sorted.toSeq
+    val strat = Sample.stratifiedHash(df.filter(col("source") === "b"),
+        col("doc_id"), col("source"), Map("b" -> 0.5), 1.0, "s0")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(bKept == strat)
+    assert(out.filter(_._2 == "b").forall(_._3 == 0L))
+    // factor 0 deletes the source entirely
+    val none = Sample.upsampleEpochs(df, col("doc_id"), col("source"),
+      factors = Map("a" -> 0.0, "b" -> 0.0), seed = "s0")
+    assert(none.count() == 0L)
+  }
+
+  test("upsampleEpochs: fractional part lands near its expectation " +
+      "and the default factor covers unlisted sources") {
+    val df = (1L to 2000L).map(i => (i, "x")).toDF("doc_id", "source")
+    val out = Sample.upsampleEpochs(df, col("doc_id"), col("source"),
+      factors = Map("other" -> 9.0), defaultFactor = 2.5, seed = "e1")
+    val n = out.count()
+    // expectation 2000·2.5 = 5000; md5 coin is uniform so ±5% is safe
+    assert(n > 4750 && n < 5250, s"got $n copies for 2000 rows at 2.5")
+    assert(out.agg(min("epoch"), max("epoch")).collect()(0)
+      .getLong(1) == 2L) // some row reached the fractional third epoch
+  }
+
+  test("upsampleEpochs refuses reserved output columns") {
+    val bad = Seq((1L, "a", 0L)).toDF("doc_id", "source", "epoch")
+    val e = intercept[IllegalArgumentException](
+      Sample.upsampleEpochs(bad, col("doc_id"), col("source"),
+        Map.empty, seed = "s"))
+    assert(e.getMessage.contains("epoch"))
+  }
+
+  test("splitAssign: total assignment, stable under corpus growth, " +
+      "proportions near fractions, residual goes to the last bucket") {
+    val big = (1L to 2000L).toDF("doc_id")
+    val out = Sample.splitAssign(big, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "sp0")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.size == 2000) // every row labeled
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 100)
+    assert(math.abs(counts.getOrElse("val", 0) - 200) < 60)
+    assert(math.abs(counts.getOrElse("test", 0) - 200) < 60)
+    // growth invariance: the first 500 docs keep their buckets
+    val small = Sample.splitAssign((1L to 500L).toDF("doc_id"),
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        seed = "sp0")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(small.forall { case (k, v) => out(k) == v })
+    // fractions summing under 1: the last bucket absorbs the rest
+    val absorb = Sample.splitAssign(big, col("doc_id"),
+        Seq("a" -> 0.5, "b" -> 0.0), seed = "sp0")
+      .groupBy("split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(absorb("a") + absorb("b") == 2000L && absorb("b") > 900L)
+  }
+
+  test("splitAssign validates fractions and reserved column") {
+    val df = Seq(1L).toDF("doc_id")
+    intercept[IllegalArgumentException](
+      Sample.splitAssign(df, col("doc_id"), Seq("a" -> 0.9, "b" -> 0.2), "s"))
+    intercept[IllegalArgumentException](
+      Sample.splitAssign(df, col("doc_id"), Seq.empty, "s"))
+    val bad = Seq((1L, "x")).toDF("doc_id", "split")
+    intercept[IllegalArgumentException](
+      Sample.splitAssign(bad, col("doc_id"), Seq("a" -> 1.0), "s"))
+  }
+
   test("hashedLinearScore is an exact integer sum: order-insensitive " +
       "per multiset, zero on empty, bounded per token") {
     val df = Seq("a b c", "c b a", "").toDF("text")
