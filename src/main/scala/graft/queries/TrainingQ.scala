@@ -159,6 +159,36 @@ object TrainingQ {
       ORDER BY i, j""")
   )
 
+  /** Prefix-filtered EXACT Jaccard self-join at t = 4/5 (see
+    * [[graft.ops.Dedup.ppjoinPairs]]): the cap-free exact answer —
+    * unlike q_dedup_ngram's stop-shingle variant no shingle is
+    * dropped, so this is the TRUE jaccard ≥ 0.8 pair set; the prefix
+    * filter only prunes candidates the threshold already excludes.
+    * The oracle brute-forces the shared-shingle join (cheap at oracle
+    * SFs) with the same integer cross-multiplied threshold — both
+    * engines compare inter·(td+tn) ≥ tn·(ni+nj), doubles appear only
+    * in the single reported division.
+    */
+  val qDedupPpjoin = Q(
+    "q_dedup_ppjoin",
+    (spark, dir) =>
+      Dedup.ppjoinPairs(Tables.documents(spark, dir), "doc_id", "text",
+        tNum = 4, tDen = 5)
+        .orderBy("i", "j"),
+    Some(s"""WITH $tokCtes,
+        shf AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        sizes AS (SELECT doc_id, len(ss) AS n FROM sh),
+        inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+      SELECT i, j, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = i
+      JOIN sizes sb ON sb.doc_id = j
+      WHERE c * 9 >= 4 * (sa.n + sb.n)
+      ORDER BY i, j""")
+  )
+
   private val Bands = 4
   private val RowsPerBand = 2
   private val NumHashes = Bands * RowsPerBand
@@ -194,6 +224,67 @@ object TrainingQ {
           CAST($nShared AS BIGINT) AS n_shared_bands,
           CAST($nMatch AS DOUBLE) / $NumHashes AS est_jaccard
         FROM b a JOIN b c ON a.doc_id < c.doc_id AND ($bandCond)
+        ORDER BY i, j"""
+    }
+  )
+
+  /** Edit-distance near-dup over LSH candidates (see
+    * [[graft.ops.Dedup.editDistanceLshPairs]]), k = 6. The synthetic
+    * corpus has exact duplicates but nothing at small POSITIVE edit
+    * distance, so the query derives a perturbed twin of every doc
+    * (suffix of length 2 / 4 / 6 keyed on doc_id % 3 — barely moves
+    * the shingle set, so twins stay LSH-candidates) and runs over the
+    * union: distances 0 (duplicate docs' identical twins), 2, 4 and
+    * the boundary 6 all appear, and the oracle reproduces corpus,
+    * signatures, band join and the ≤ k cut exactly (full DuckDB
+    * levenshtein vs Spark's banded threshold DP — same surviving
+    * values).
+    */
+  val qDedupEditdist = Q(
+    "q_dedup_editdist",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val suffix = when(col("doc_id") % 3 === 0, lit(" x"))
+        .when(col("doc_id") % 3 === 1, lit(" xyz"))
+        .otherwise(lit(" xy zw"))
+      val corpus = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(col("text"), suffix).as("text")))
+      Dedup.editDistanceLshPairs(corpus, "doc_id", "text",
+          bands = Bands, rowsPerBand = RowsPerBand, k = 6)
+        .orderBy("i", "j")
+    },
+    Some {
+      val sigExprs = (0 until NumHashes).map(sqlMinhashSig).mkString(", ")
+      val bandExprs = (0 until Bands).map(b =>
+        s"h${b * RowsPerBand} || '|' || h${b * RowsPerBand + 1} AS b$b").mkString(", ")
+      val bandCond = (0 until Bands).map(b => s"a.b$b = c.b$b").mkString(" OR ")
+      s"""WITH corpus AS (
+            SELECT doc_id * 2 AS doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id * 2 + 1,
+              text || CASE WHEN doc_id % 3 = 0 THEN ' x'
+                           WHEN doc_id % 3 = 1 THEN ' xyz'
+                           ELSE ' xy zw' END
+            FROM documents),
+          toks AS (SELECT doc_id, text,
+            list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+          FROM corpus),
+          sh AS (SELECT doc_id,
+            list_distinct(CASE WHEN len(ts) >= 3
+              THEN list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+              ELSE CAST([] AS VARCHAR[]) END) AS ss
+          FROM toks),
+          sig AS (SELECT doc_id, $sigExprs FROM sh),
+          b AS (SELECT *, $bandExprs FROM sig),
+          cand AS (SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+            FROM b a JOIN b c ON a.doc_id < c.doc_id AND ($bandCond))
+        SELECT i, j, CAST(levenshtein(ti.text, tj.text) AS BIGINT) AS dist
+        FROM cand
+        JOIN corpus ti ON ti.doc_id = i
+        JOIN corpus tj ON tj.doc_id = j
+        WHERE levenshtein(ti.text, tj.text) <= 6
         ORDER BY i, j"""
     }
   )
@@ -1394,5 +1485,5 @@ object TrainingQ {
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
     qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e, qDedupCanon,
-    qMixTemperatureT, qDedupRep)
+    qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist)
 }

@@ -35,6 +35,53 @@ class TrainingSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("ppjoin == cap-free ngram jaccard on a mixed corpus, and the " +
+      "prefix filter actually prunes candidates") {
+    // near-dup pairs, a shared-boilerplate cluster, and singletons:
+    // every doc shares the common trigram, so the naive candidate set
+    // is all pairs; prefixes are built from the RARE trigrams
+    val common = "the shared boilerplate header line"
+    val docs = (1L to 30L).map { i =>
+      val body =
+        if (i <= 10) s"u${i} v${i} w${i} x${i} y${i} z${i}" // singletons
+        else if (i <= 20) s"dup a dup b dup c tail${i % 2}" // 2 groups
+        else s"p q r s t u${i}"                             // near-dups
+      (i, s"$common $body")
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e12))).sortBy(x => (x._1, x._2)).toSeq
+    val exact = canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5))
+    val pp = canon(Dedup.ppjoinPairs(docs, "doc_id", "text", 1, 2))
+    assert(pp == exact)
+    assert(pp.nonEmpty, "gate is vacuous — no qualifying pairs")
+    // completeness at a high threshold too (fewer, tighter pairs)
+    assert(canon(Dedup.ppjoinPairs(docs, "doc_id", "text", 4, 5)) ==
+      canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)))
+    // pruning: candidates ⊂ all 30·29/2 pairs even though every pair
+    // shares the boilerplate trigrams
+    val cand = Dedup.ppjoinCandidatePairs(docs, "doc_id", "text", 1, 2)
+      .count()
+    assert(cand < 30L * 29 / 2,
+      s"prefix filter pruned nothing ($cand candidates)")
+    assert(cand >= pp.length)
+  }
+
+  test("ppjoin rejects invalid thresholds and handles shingle-less docs") {
+    val docs = Seq((1L, "a b"), (2L, "a b c d"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Dedup.ppjoinPairs(docs, "doc_id", "text", 5, 4))
+    intercept[IllegalArgumentException](
+      Dedup.ppjoinPairs(docs, "doc_id", "text", 0, 4))
+    // doc 1 has <3 tokens (no shingles): never a candidate, never
+    // breaks the plan; docs 2/3 are identical
+    val out = Dedup.ppjoinPairs(docs, "doc_id", "text", 4, 5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == Seq((2L, 3L, 1.0)))
+  }
+
   test("minhash LSH: identical docs share all bands, est_jaccard 1.0") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
