@@ -129,5 +129,17 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
+    // Hard gate (round-7 postmortem: rc=0 with 55 queries timed -1 let
+    // a broken run wear the closing-bench label). The JSON line and
+    // bench_out.json are already written; the nonzero exit refuses the
+    // "every declared query ran" claim — tools/bench_gate.py applies
+    // the same rule to the recorded artifact.
+    val broken = results.collect { case (k, (v, _, _, _, _)) if v < 0 => k }
+    if (broken.nonEmpty) {
+      System.err.println(
+        s"[bench] ${broken.size}/${results.size} queries errored every rep: " +
+          broken.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

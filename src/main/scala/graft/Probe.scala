@@ -593,6 +593,64 @@ object Probe {
       println(s"""{"probe":"pipeline_e2e","docs":$nDocs,"sources":$nSrcP,""" +
         s""""sec":$tP,"chunks":$rP,"docs_per_sec":${(nDocs / tP).toLong}}""")
     }
+
+    if (enabled("editdist")) {
+      // q_dedup_editdist's scale shape at 1M docs (the round-7 bench's
+      // heaviest query): candidate-pair growth and verify cost/pair
+      // for the LSH path, plus the length-band blocker's documented
+      // degenerate case on a single-band length histogram. Corpus:
+      // ~40-token docs, 20% of ids in near-dup pairs (base text +
+      // a short suffix → lev ≤ 6), hash-derived vocab so the other
+      // 80% share no shingles.
+      val nDocs = sys.env.get("SPARK_GRAFT_EDITDIST_DOCS")
+        .map(_.toLong).getOrElse(1000000L)
+      val wordsE = (0 until 40).map(i =>
+        concat(lit("w"), pmod(hash(col("base") * 40 + i), lit(nDocs / 100))))
+      val docsE = spark.range(nDocs)
+        .withColumn("base",
+          when(pmod(col("id"), lit(10)) < 2, expr("(id div 10) * 10"))
+            .otherwise(col("id")))
+        .select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(10)) === 1,
+            concat(concat_ws(" ", wordsE: _*), lit(" zq")))
+            .otherwise(concat_ws(" ", wordsE: _*)).as("text"))
+      // candidate stage alone (band-key equality self-join), then the
+      // full pairs op (candidates + banded-DP verify) — the delta is
+      // the verify cost, reported per candidate pair
+      def lshCand(d: DataFrame) = {
+        val keys = graft.ops.Dedup.lshBandKeys(d, "doc_id", "text", 4, 2)
+        keys.select(col("doc_id").as("i"), col("bk"))
+          .join(keys.select(col("doc_id").as("j"), col("bk")), Seq("bk"))
+          .filter(col("i") < col("j")).select("i", "j").distinct()
+      }
+      val (tCandE, nCandE) = time(lshCand(docsE))
+      val (tFullE, nPairsE) = time(graft.ops.Dedup.editDistanceLshPairs(
+        docsE, "doc_id", "text", bands = 4, rowsPerBand = 2, k = 6))
+      val verifyPerPair =
+        if (nCandE == 0) 0.0 else (tFullE - tCandE) / nCandE * 1e6
+      println(s"""{"probe":"editdist","docs":$nDocs,"cand_pairs":$nCandE,""" +
+        s""""cand_sec":$tCandE,"full_sec":$tFullE,"pairs":$nPairsE,""" +
+        s""""verify_usec_per_cand":$verifyPerPair}""")
+      // degenerate blocker point: every doc the same length ⇒ one
+      // length band ⇒ candidates → n²/2 regardless of content, while
+      // LSH candidates stay content-bound on the SAME corpus. Counted
+      // at 20k docs (2e8 candidate pairs — countable, not verifiable;
+      // the count IS the finding).
+      val nSame = 20000L
+      val sameLen = docsE.filter(col("doc_id") < nSame)
+        .select(col("doc_id"), rpad(col("text"), 300, "p").as("text"))
+      val w = 7 // k + 1
+      val tL = sameLen.select(col("doc_id"),
+        floor(length(col("text")) / w).as("_b"))
+      val (tBandC, nBandC) = time(
+        tL.select(col("doc_id").as("pi"), explode(array(col("_b"), col("_b") + 1)).as("_b"))
+          .join(tL.select(col("doc_id").as("pj"), col("_b")), Seq("_b"))
+          .filter(col("pi") < col("pj")))
+      val (_, nLshSame) = time(lshCand(sameLen))
+      println(s"""{"probe":"editdist_band_degenerate","docs":$nSame,""" +
+        s""""band_cand_pairs":$nBandC,"band_cand_sec":$tBandC,""" +
+        s""""lsh_cand_pairs_same_corpus":$nLshSame}""")
+    }
     spark.stop()
   }
 }

@@ -56,5 +56,16 @@ object Verify {
     if (only.isEmpty) // a filtered run must not clobber the full record
       Files.writeString(Paths.get("verify_out.json"), summary)
     spark.stop()
+    // Hard gate (round-7 postmortem: a sweep with 55 errored queries
+    // was committed under a green label because nothing made the error
+    // count fatal). All dumps and the oracle manifest are already on
+    // disk at this point, so a nonzero exit loses nothing — it only
+    // refuses the "all declared queries ran" claim.
+    val errs = outcomes.collect { case (name, Left(_)) => name }
+    if (errs.nonEmpty) {
+      System.err.println(
+        s"[verify] ${errs.size}/${outcomes.size} queries ERRORED: ${errs.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -1,7 +1,8 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Centralized parquet table access for the driver-generated test data
   * (TESTDATA.md). All readers go through here so session-level quirks
@@ -27,16 +28,50 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     withNanosAsLong(spark).read.parquet(s"$sfDir/$name.parquet")
 
-  /** events with a canonical epoch-millis column `ts_ms` (bigint).
-    * Milliseconds are the reference's native timestamp unit
-    * (server.go:215 time.Now().UnixMilli()), and ms-truncation agrees
-    * bit-for-bit between Spark (ns div 1e6) and the DuckDB oracle
-    * (epoch_ms over its µs timestamps), so all event-time logic and
+  /** Epoch-millis expression for a `ts` column, dispatched on the type
+    * it actually LOADED as — the physical parquet type of the events
+    * table is not under our control (the generator has shipped both
+    * int64 TIMESTAMP(NANOS) and timestamp[us]), so the loader must
+    * accept every flavor and normalize to the same bigint millis:
+    *
+    *  - `LongType`: raw int64 nanos (the nanosAsLong legacy read of
+    *    parquet TIMESTAMP(NANOS)) → `div 1e6`;
+    *  - `TimestampType`: µs-precision with UTC adjustment →
+    *    `unix_micros div 1e3`;
+    *  - `TimestampNTZType`: what Spark's default NTZ inference gives a
+    *    parquet timestamp[us] with isAdjustedToUTC=false →
+    *    `timestampdiff(MICROSECOND, epoch, ts) div 1e3`, which is
+    *    session-timezone-independent (a cast to TIMESTAMP would shift
+    *    by the session zone).
+    *
+    * All three agree bit-for-bit with the DuckDB oracle's
+    * `epoch_ms(ts)` over the same parquet (values are post-1970, so
+    * floor == truncation). TsCanarySpec pins Long and timestamp[us]
+    * flavors producing identical `ts_ms`.
+    */
+  def tsMsExpr(dt: DataType, tsCol: String = "ts"): Column = dt match {
+    case LongType         => expr(s"$tsCol div 1000000")
+    case TimestampType    => expr(s"unix_micros($tsCol) div 1000")
+    case TimestampNTZType =>
+      expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $tsCol) div 1000")
+    case other => throw new IllegalArgumentException(
+      s"events.$tsCol loaded as unsupported type $other; expected int64 nanos or a timestamp")
+  }
+
+  /** Adds the canonical `ts_ms` (bigint epoch millis) next to `ts`.
+    * Works on batch and streaming DataFrames alike — dispatch is on
+    * the frame's own schema, so the streaming file source (which
+    * carries the schema captured from a batch read) takes the same
+    * path. Milliseconds are the reference's native timestamp unit
+    * (server.go:215 time.Now().UnixMilli()); all event-time logic and
     * oracle comparisons are done on ts_ms.
     */
+  def withTsMs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.withColumn("ts_ms", tsMsExpr(df.schema(tsCol).dataType, tsCol))
+
+  /** events with the canonical epoch-millis column `ts_ms` (bigint). */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    withTsMs(table(spark, sfDir, "events"))
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

@@ -15,15 +15,28 @@ object StreamQ {
 
   @volatile private var counter = 0
 
+  /** THE streaming events reader — every StreamQ source goes through
+    * here so the physical-type dispatch for `ts` (Tables.withTsMs)
+    * lives in exactly one place; the schema is captured from a batch
+    * read, so batch and stream see the identical loaded type and the
+    * identical `ts_ms` derivation. Queries that don't need `ts_ms`
+    * still use this reader — column pruning drops the extra column at
+    * the scan.
+    */
+  private def eventsStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val rawSchema = Tables.table(spark, dir, "events").schema
+    Tables.withTsMs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+
   val qStreamLatest = Q(
     "q_stream_latest",
     (spark, dir) => {
-      val rawSchema = Tables.table(spark, dir, "events").schema
       val name = { counter += 1; s"stream_latest_$counter" }
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts_ms", expr("ts div 1000000"))
+      val src = eventsStream(spark, dir)
         .select("user_id", "event_id", "ts_ms", "event_type", "value")
       val latest = Latest.keepLastPerKey(
         Ingest.validate(src, "event_type", "ts_ms"),
@@ -60,12 +73,8 @@ object StreamQ {
   val qStreamDedup = Q(
     "q_stream_dedup",
     (spark, dir) => {
-      val rawSchema = Tables.table(spark, dir, "events").schema
       val name = { counter += 1; s"stream_dedup_$counter" }
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts_ms", expr("ts div 1000000"))
+      val src = eventsStream(spark, dir)
         .select("user_id", "ts_ms")
       val q = src.dropDuplicates("user_id", "ts_ms")
         .writeStream
@@ -93,12 +102,8 @@ object StreamQ {
   val qStreamWindow = Q(
     "q_stream_window",
     (spark, dir) => {
-      val rawSchema = Tables.table(spark, dir, "events").schema
       val name = { counter += 1; s"stream_window_$counter" }
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts_ms", expr("ts div 1000000"))
+      val src = eventsStream(spark, dir)
         .withColumn("event_time", timestamp_millis(col("ts_ms")))
         .withWatermark("event_time", "1 hour")
         .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -137,12 +142,8 @@ object StreamQ {
   val qStreamOhlc = Q(
     "q_stream_ohlc",
     (spark, dir) => {
-      val rawSchema = Tables.table(spark, dir, "events").schema
       val name = { counter += 1; s"stream_ohlc_$counter" }
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts_ms", expr("ts div 1000000"))
+      val src = eventsStream(spark, dir)
         .withColumn("event_time", timestamp_millis(col("ts_ms")))
         .withColumn("o",
           col("ts_ms") * lit(graft.ops.Bars.TiePack) + col("event_id"))
@@ -196,12 +197,8 @@ object StreamQ {
     "q_stream_session",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val rawSchema = Tables.table(spark, dir, "events").schema
       val name = { counter += 1; s"stream_session_$counter" }
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts_ms", expr("ts div 1000000"))
+      val src = eventsStream(spark, dir)
         .withColumn("event_time", timestamp_millis(col("ts_ms")))
         .withWatermark("event_time", "1 hour")
         .groupBy(col("user_id"), session_window(col("event_time"), "6 hours"))
@@ -252,16 +249,12 @@ object StreamQ {
   val qStreamJoin = Q(
     "q_stream_join",
     (spark, dir) => {
-      val rawSchema = Tables.table(spark, dir, "events").schema
       val name = { counter += 1; s"stream_join_$counter" }
       // ONE source scan branched into both join sides (a self-join):
       // micro-batch planning reuses the scan and offset log, which a
       // two-source formulation would pay twice
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val src = eventsStream(spark, dir)
         .filter(col("event_type").isin("click", "view"))
-        .withColumn("ts_ms", expr("ts div 1000000"))
       def side(eventType: String, prefix: String) =
         src.filter(col("event_type") === eventType)
           .withColumn(s"${prefix}_time", timestamp_millis(col("ts_ms")))
@@ -309,13 +302,10 @@ object StreamQ {
     "q_stream_ewma",
     (spark, dir) => {
       import spark.implicits._
-      val rawSchema = Tables.table(spark, dir, "events").schema
       val name = { counter += 1; s"stream_ewma_$counter" }
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val src = eventsStream(spark, dir)
         .select(col("user_id").as("key"), col("event_id").as("id"),
-          expr("ts div 1000000").as("tsMs"), col("value"))
+          col("ts_ms").as("tsMs"), col("value"))
         .as[graft.stream.EwmaStream.Tick]
       val q = graft.stream.EwmaStream.ewmaStateful(src, alpha = 0.125)
         .toDF()
@@ -356,11 +346,8 @@ object StreamQ {
   val qStreamCms = Q(
     "q_stream_cms",
     (spark, dir) => {
-      val rawSchema = Tables.table(spark, dir, "events").schema
       val name = { counter += 1; s"stream_cms_$counter" }
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val src = eventsStream(spark, dir)
         .select(col("user_id").cast("string").as("key"))
       val q = graft.functions.Cms.build(src, col("key"),
           graft.functions.Cms.DefaultDepth, graft.functions.Cms.DefaultWidth)
@@ -395,11 +382,8 @@ object StreamQ {
   val qStreamKmv = Q(
     "q_stream_kmv",
     (spark, dir) => {
-      val rawSchema = Tables.table(spark, dir, "events").schema
       val name = { counter += 1; s"stream_kmv_$counter" }
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val src = eventsStream(spark, dir)
         .select(col("event_type"),
           graft.functions.Sketches.md5Hash60("u|",
             col("user_id").cast("string")).as("h"))

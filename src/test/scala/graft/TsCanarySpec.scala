@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Tables
+
+/** Physical-type canary for the events `ts` column (round-7 postmortem:
+  * the testdata generator switched events.ts from parquet
+  * TIMESTAMP(NANOS) to timestamp[us] and every events query failed
+  * analysis). Writes the same instants as each physical flavor the
+  * generator has shipped — int64 nanos (what the nanosAsLong legacy
+  * read yields from TIMESTAMP(NANOS)), timestamp[us] without UTC
+  * adjustment (pyarrow's default, read as TIMESTAMP_NTZ), and
+  * timestamp[us] with UTC adjustment (read as TIMESTAMP) — and pins
+  * that [[Tables.events]] derives the IDENTICAL `ts_ms` from all
+  * three. If the generator drifts to a fourth flavor, this spec is
+  * the first thing that goes red.
+  */
+class TsCanarySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // µs instants with sub-ms residue so floor-to-ms truncation is exercised
+  private val micros = Seq(
+    (1L, 1704067798778549L),
+    (2L, 1704068166738090L),
+    (3L, 1704068217102229L),
+    (4L, 999L), // < 1 ms after epoch → ts_ms = 0
+    (5L, 1704067798778999L))
+  private val expectMs = micros.map { case (id, us) => (id, us / 1000L) }
+
+  private def tmp(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"tscanary_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def readBack(dir: String, wantType: org.apache.spark.sql.types.DataType)
+      : Seq[(Long, Long)] = {
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == wantType,
+      s"canary wrote a flavor that loaded as ${ev.schema("ts").dataType}, " +
+        s"expected $wantType — the dispatch path under test was not exercised")
+    ev.select("event_id", "ts_ms").as[(Long, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  test("ts_ms identical across int64-nanos, timestamp[us] NTZ, timestamp[us] UTC") {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+    val longDir = tmp("long")
+    micros.map { case (id, us) => (id, us * 1000L + 777L) } // ns with sub-µs residue
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$longDir/events.parquet")
+
+    val ntzDir = tmp("ntz")
+    micros.toDF("event_id", "us")
+      .select(col("event_id"),
+        // session tz is UTC in TestSpark, so TS→NTZ cast is exact
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+
+    val ltzDir = tmp("ltz")
+    micros.toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$ltzDir/events.parquet")
+
+    val fromLong = readBack(longDir, LongType)
+    val fromNtz = readBack(ntzDir, TimestampNTZType)
+    val fromLtz = readBack(ltzDir, TimestampType)
+
+    assert(fromLong == expectMs, "int64-nanos path")
+    assert(fromNtz == expectMs, "timestamp[us] NTZ path")
+    assert(fromLtz == expectMs, "timestamp[us] UTC path")
+  }
+
+  test("unsupported ts type fails loudly, not with a downstream analysis error") {
+    val e = intercept[IllegalArgumentException] {
+      Tables.tsMsExpr(org.apache.spark.sql.types.StringType)
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+}

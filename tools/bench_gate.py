@@ -24,6 +24,22 @@ if "--max-load" in sys.argv:
 with open(path) as f:
     rec = json.load(f)
 
+# A query timed as -1 (or missing/None) means it ERRORED inside the
+# bench harness. Round-7 postmortem: BENCH_r07.json carried 55 such
+# entries under rc=0 and was labeled a closing run. An errored query
+# is disqualifying regardless of how quiet the box was — no load
+# threshold can redeem a bench that didn't run its queries.
+queries = rec.get("queries", {})
+errored = sorted(n for n, t in queries.items()
+                 if t is None or not isinstance(t, (int, float)) or t < 0)
+if not queries:
+    print(f"REFUSE: {path} has no per-query times")
+    sys.exit(2)
+if errored:
+    print(f"REFUSE: {len(errored)}/{len(queries)} queries errored (-1/missing): "
+          + ", ".join(errored[:10]) + ("..." if len(errored) > 10 else ""))
+    sys.exit(1)
+
 env = rec.get("env")
 if env is None:
     print(f"REFUSE: {path} has no env metadata (pre-round-7 bench?)")
