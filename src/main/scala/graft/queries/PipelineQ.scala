@@ -32,20 +32,37 @@ object PipelineQ {
     * that the corpus genuinely contains removed paragraphs (n_kept <
     * n_paras somewhere) so the gate is not vacuously green.
     */
+  /** The derived newline-paragraph corpus both paragraph-dedup faces
+    * share: consecutive [[ParaWords]]-word runs joined by newlines.
+    * Pure column expressions, so it applies to the batch table and
+    * the file stream alike.
+    */
+  private def paraCorpus(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nP = floor((size(toks) + lit(ParaWords - 1)) / lit(ParaWords))
+      .cast("int")
+    val paras = transform(
+      sequence(lit(0), greatest(nP, lit(1)) - 1),
+      i => array_join(slice(toks, i * ParaWords + 1, lit(ParaWords)), " "))
+    docs.select(col("doc_id"), array_join(paras, "\n").as("text"))
+  }
+
   val qParaDedup = Q(
     "q_para_dedup",
     (spark, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      val nP = floor((size(toks) + lit(ParaWords - 1)) / lit(ParaWords))
-        .cast("int")
-      val paras = transform(
-        sequence(lit(0), greatest(nP, lit(1)) - 1),
-        i => array_join(slice(toks, i * ParaWords + 1, lit(ParaWords)), " "))
-      val docsNl = Tables.documents(spark, dir)
-        .select(col("doc_id"), array_join(paras, "\n").as("text"))
+      val docsNl = paraCorpus(Tables.documents(spark, dir))
       Dedup.dedupParagraphs(docsNl, "doc_id", "text").orderBy("doc_id")
     },
-    Some(s"""WITH toks AS (SELECT doc_id,
+    Some(ParaDedupOracle)
+  )
+
+  /** The shared batch/stream paragraph-dedup oracle: replays the
+    * paragraph derivation token-for-token and keeps first occurrences
+    * in (doc_id, idx) order.
+    */
+  private lazy val ParaDedupOracle: String =
+    s"""WITH toks AS (SELECT doc_id,
           list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
         FROM documents),
       pidx AS (SELECT doc_id, ts,
@@ -65,7 +82,51 @@ object PipelineQ {
             ORDER BY idx), '') AS clean_text
         FROM dd GROUP BY doc_id)
       SELECT doc_id, n_paras, n_kept, clean_text
-      FROM perdoc ORDER BY doc_id""")
+      FROM perdoc ORDER BY doc_id"""
+
+  @volatile private var counter = 0
+
+  /** Streaming paragraph dedup — the live-intake face of
+    * [[graft.ops.Dedup.dedupParagraphs]] and the round-8 answer to
+    * its missing batch/stream equivalence pin. The STREAM builds the
+    * first-occurrence index: file-source documents → the map-side
+    * paragraph explode ([[graft.ops.Dedup.paragraphTable]]) → the
+    * declarative `min(struct(id, idx))` per paragraph hash as a
+    * STREAMING aggregation in complete mode (min's merge path makes
+    * the accumulated index arrival-order-invariant and equal to the
+    * batch index exactly). Reassembly — agg → join → agg, a shape
+    * streaming cannot chain — then runs batch-side against the
+    * drained index ([[graft.ops.Dedup.reassembleParagraphs]]), which
+    * is also the production split: the index is the long-lived state
+    * a corpus-intake pipeline keeps, the apply step is a batch pass
+    * over whatever slice is being (re)built. Oracle: identical to
+    * q_para_dedup — what's checked is that the stream-accumulated
+    * index loses nothing.
+    */
+  val qStreamParaDedup = Q(
+    "q_stream_para_dedup",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val name = { counter += 1; s"stream_para_dedup_$counter" }
+      val rawSchema = Tables.documents(spark, dir).schema
+      val docStream = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = Dedup.firstParagraphOccurrence(
+          Dedup.paragraphTable(paraCorpus(docStream), "doc_id", "text"))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val parasBatch = Dedup.paragraphTable(
+        paraCorpus(Tables.documents(spark, dir)), "doc_id", "text")
+      Dedup.reassembleParagraphs(parasBatch, spark.table(name), "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(ParaDedupOracle)
   )
 
   private val TokenBudget = 800L
@@ -230,6 +291,6 @@ object PipelineQ {
   )
 
   def all: Seq[Q] =
-    Seq(qParaDedup, qBudgetSelect, qShardShuffle, qQualityHashed,
-      qMixEpochs, qSplitAssign)
+    Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
+      qQualityHashed, qMixEpochs, qSplitAssign)
 }

@@ -12,6 +12,35 @@ class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("streaming first-occurrence index equals batch index, reassembly " +
+      "identical (q_stream_para_dedup equivalence, multi-batch arrival)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "alpha\nbeta\nalpha"),
+      (2L, "gamma\nbeta"),
+      (3L, "alpha\nbeta"),
+      (4L, "delta\ngamma\nepsilon"))
+    val docs = rows.toDF("doc_id", "text")
+    val batch = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    // stream the same docs in two micro-batches, REVERSED arrival
+    // order — min(struct(id, idx)) must land on the same index anyway
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val streamDocs = in.toDF().toDF("doc_id", "text")
+    val q = Dedup.firstParagraphOccurrence(
+        Dedup.paragraphTable(streamDocs, "doc_id", "text"))
+      .writeStream.queryName("para_first_eq").outputMode("complete")
+      .format("memory").start()
+    in.addData(rows.drop(2): _*); q.processAllAvailable()
+    in.addData(rows.take(2): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = Dedup.reassembleParagraphs(
+        Dedup.paragraphTable(docs, "doc_id", "text"),
+        spark.table("para_first_eq"), "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("paragraph dedup keeps first occurrence in (id, idx) order, " +
       "reassembles in document order, empties full duplicates") {
     val docs = Seq(
