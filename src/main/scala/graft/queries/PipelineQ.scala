@@ -105,7 +105,7 @@ object PipelineQ {
     */
   val qStreamParaDedup = Q(
     "q_stream_para_dedup",
-    (spark, dir) => {
+    (spark, dir) => Catalog.withStatePartitions(spark, 8) {
       import org.apache.spark.sql.streaming.Trigger
       val name = { counter += 1; s"stream_para_dedup_$counter" }
       val rawSchema = Tables.documents(spark, dir).schema

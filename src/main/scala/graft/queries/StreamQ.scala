@@ -412,7 +412,14 @@ object StreamQ {
       FROM r WHERE rn <= 32 GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Stateful-op partition cap for the bounded replays these gates
+    * drain (≤100k state rows) — see
+    * [[Catalog.withStatePartitions]] for the measured basis.
+    */
+  private val StatePartitions = 8
+
   def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow,
     qStreamOhlc, qStreamSession, qStreamJoin, qStreamEwma, qStreamCms,
-    qStreamKmv)
+    qStreamKmv).map(q => q.copy(run = (spark, dir) =>
+      Catalog.withStatePartitions(spark, StatePartitions)(q.run(spark, dir))))
 }
