@@ -250,9 +250,11 @@ object StreamQ {
     "q_stream_join",
     (spark, dir) => {
       val name = { counter += 1; s"stream_join_$counter" }
-      // ONE source scan branched into both join sides (a self-join):
-      // micro-batch planning reuses the scan and offset log, which a
-      // two-source formulation would pay twice
+      // one SOURCE branched into both join sides (a self-join): the
+      // offset log and file listing are shared, though each side still
+      // SCANS its branch (progress metrics show 2x input rows) — the
+      // win over a two-source formulation is one source's planning
+      // state, not a shared scan
       val src = eventsStream(spark, dir)
         .filter(col("event_type").isin("click", "view"))
       def side(eventType: String, prefix: String) =
