@@ -75,6 +75,31 @@ class TsCanarySpec extends AnyFunSuite {
     assert(fromLtz == expectMs, "timestamp[us] UTC path")
   }
 
+  test("property: 512 random post-1970 instants agree across all three flavors") {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // deterministic LCG so the corpus is reproducible; micros spread over
+    // 1970..2262 (the int64-nanos representable range) with sub-ms residue
+    val rnd = new scala.util.Random(0x5eed8L)
+    val us = (1L to 512L).map(i => (i, math.abs(rnd.nextLong()) % 9000000000000000L))
+    val expect = us.map { case (id, u) => (id, u / 1000L) }
+
+    val dirs = Map("long" -> tmp("plong"), "ntz" -> tmp("pntz"), "ltz" -> tmp("pltz"))
+    us.map { case (id, u) => (id, u * 1000L + (id % 1000L)) }
+      .toDF("event_id", "ts").write.mode("overwrite")
+      .parquet(s"${dirs("long")}/events.parquet")
+    us.toDF("event_id", "us")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"${dirs("ntz")}/events.parquet")
+    us.toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"${dirs("ltz")}/events.parquet")
+
+    assert(readBack(dirs("long"), LongType) == expect)
+    assert(readBack(dirs("ntz"), TimestampNTZType) == expect)
+    assert(readBack(dirs("ltz"), TimestampType) == expect)
+  }
+
   test("unsupported ts type fails loudly, not with a downstream analysis error") {
     val e = intercept[IllegalArgumentException] {
       Tables.tsMsExpr(org.apache.spark.sql.types.StringType)
