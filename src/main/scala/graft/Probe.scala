@@ -651,6 +651,37 @@ object Probe {
         s""""band_cand_pairs":$nBandC,"band_cand_sec":$tBandC,""" +
         s""""lsh_cand_pairs_same_corpus":$nLshSame}""")
     }
+
+    if (enabled("para_skew")) {
+      // dedupParagraphs under the worst realistic skew: boilerplate
+      // (header/license/navigation) shared by EVERY document, so one
+      // 128-bit paragraph hash carries nDocs occurrences into the
+      // tag-back equality join — the hot-key case the operator's
+      // scaladoc claims survives (partial agg collapses the min
+      // map-side; the join skew is AQE's to split). Measured against
+      // a boilerplate-free corpus of identical size and paragraph
+      // count as the control.
+      val nDocs = sys.env.get("SPARK_GRAFT_PARA_DOCS")
+        .map(_.toLong).getOrElse(1000000L)
+      def corpus(boiler: Boolean): DataFrame = {
+        val uniq = (0 until 3).map(j =>
+          concat(lit("u"), col("id") * 3 + j, lit(" w"),
+            pmod(hash(col("id") * 3 + j), lit(1000))))
+        val paras = if (boiler) lit("shared header boilerplate") +: uniq
+                    else concat(lit("u"), col("id") * 7, lit("x")) +: uniq
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws("\n", paras: _*).as("text"))
+      }
+      def run(df: DataFrame) =
+        time(graft.ops.Dedup.dedupParagraphs(df, "doc_id", "text"))
+      run(corpus(boiler = false)) // warm codegen on the control shape
+      val (tCtl, rCtl) = run(corpus(boiler = false))
+      val (tHot, rHot) = run(corpus(boiler = true))
+      println(s"""{"probe":"para_skew","docs":$nDocs,""" +
+        s""""control_sec":$tCtl,"control_docs_out":$rCtl,""" +
+        s""""hotkey_sec":$tHot,"hotkey_docs_out":$rHot,""" +
+        s""""slowdown":${tHot / tCtl}}""")
+    }
     spark.stop()
   }
 }
