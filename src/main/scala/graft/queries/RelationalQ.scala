@@ -478,6 +478,102 @@ object RelationalQ {
       ORDER BY event_type""")
   )
 
+  /** Bottom-k value-sample QUANTILE sketch (see
+    * [[graft.functions.BottomKSampleAggregator]]) — the deterministic
+    * mergeable percentile primitive next to q_quantiles' exact
+    * percentile (which needs the whole group's values) and
+    * q_approx_sketch's approx_percentile (engine-specific internals,
+    * no oracle). The kept set — k lexicographically smallest
+    * (md5-hash-of-id, value) pairs — is a uniform row sample both
+    * engines derive identically, and the nearest-rank estimate off it
+    * is one of the sampled doubles, so the whole estimate
+    * hash-checks. One hash agg, ≤ 2k longs of state per group; exact
+    * below k rows (the sample IS the group). Rank error O(n/√k) whp;
+    * k = 256 ⇒ ~6 %.
+    */
+  val qQuantileSample = Q(
+    "q_quantile_sample",
+    (spark, dir) => {
+      val k = 256
+      import graft.functions.Sketches
+      val h = Sketches.md5Hash60("qs|", col("o_orderkey").cast("string"))
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority"), h.as("h"),
+          col("o_totalprice").cast("double").as("v"))
+        .groupBy("o_orderpriority")
+        .agg(Sketches.bottomKSample(col("h"), col("v"), k).as("kept"))
+        .withColumn("vs", Sketches.sampleValues(col("kept")))
+        .select(col("o_orderpriority"),
+          size(col("vs")).cast("long").as("n_kept"),
+          Sketches.sampleQuantile(col("vs"), 0.5).as("p50"),
+          Sketches.sampleQuantile(col("vs"), 0.95).as("p95"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH b AS (SELECT DISTINCT o_orderpriority AS g,
+          CAST('0x' || substring(md5('qs|' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+          CAST(o_totalprice AS DOUBLE) AS v
+        FROM orders),
+      r AS (SELECT g, h, v,
+          row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn FROM b),
+      kept AS (SELECT g, list_sort(list(v)) AS vs
+        FROM r WHERE rn <= 256 GROUP BY g)
+      SELECT g AS o_orderpriority, CAST(len(vs) AS BIGINT) AS n_kept,
+        vs[greatest(1, CAST(ceil(0.5 * len(vs)) AS BIGINT))] AS p50,
+        vs[greatest(1, CAST(ceil(0.95 * len(vs)) AS BIGINT))] AS p95
+      FROM kept ORDER BY o_orderpriority""")
+  )
+
+  /** Quantile-sketch ROLLUP — q_kmv_rollup's
+    * store-sketches-per-partition pattern for PERCENTILES: sketches
+    * built per (priority, shard) merge via union-take-k (an
+    * associative+commutative+idempotent fold, so collect_list's order
+    * cannot perturb it) into whole-group sketches with no second pass
+    * over rows. The oracle computes the DIRECT single-pass sketch —
+    * the rollup identity (merged ≡ direct) is itself what's verified
+    * cross-engine. At 100 TB: per-day 2k-long sketches persist; any
+    * window's p50/p95/p99 is a fold over its days.
+    */
+  val qQuantileRollup = Q(
+    "q_quantile_rollup",
+    (spark, dir) => {
+      val k = 256
+      import graft.functions.Sketches
+      val h = Sketches.md5Hash60("qs|", col("o_orderkey").cast("string"))
+      val sharded = Tables.orders(spark, dir)
+        .select(col("o_orderpriority"), pmod(col("o_orderkey"), lit(12)).as("shard"),
+          h.as("h"), col("o_totalprice").cast("double").as("v"))
+        .groupBy("o_orderpriority", "shard")
+        .agg(Sketches.bottomKSample(col("h"), col("v"), k).as("kept"))
+      sharded.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_shards"),
+          aggregate(collect_list(col("kept")),
+            array().cast("array<struct<_1:bigint,_2:double>>"),
+            (acc, x) => Sketches.sampleMerge(acc, x, k)).as("merged"))
+        .withColumn("vs", Sketches.sampleValues(col("merged")))
+        .select(col("o_orderpriority"), col("n_shards"),
+          size(col("vs")).cast("long").as("n_kept"),
+          Sketches.sampleQuantile(col("vs"), 0.5).as("p50"),
+          Sketches.sampleQuantile(col("vs"), 0.99).as("p99"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH b AS (SELECT DISTINCT o_orderpriority AS g,
+          CAST('0x' || substring(md5('qs|' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+          CAST(o_totalprice AS DOUBLE) AS v
+        FROM orders),
+      r AS (SELECT g, h, v,
+          row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn FROM b),
+      kept AS (SELECT g, list_sort(list(v)) AS vs
+        FROM r WHERE rn <= 256 GROUP BY g),
+      sh AS (SELECT o_orderpriority AS g,
+          count(DISTINCT o_orderkey % 12) AS n_shards
+        FROM orders GROUP BY o_orderpriority)
+      SELECT g AS o_orderpriority, sh.n_shards,
+        CAST(len(vs) AS BIGINT) AS n_kept,
+        vs[greatest(1, CAST(ceil(0.5 * len(vs)) AS BIGINT))] AS p50,
+        vs[greatest(1, CAST(ceil(0.99 * len(vs)) AS BIGINT))] AS p99
+      FROM kept JOIN sh USING (g) ORDER BY o_orderpriority""")
+  )
+
   /** KMV sketch ROLLUP — the store-sketches-per-partition pattern: a
     * sketch is built per (event_type, hour), then whole-range
     * estimates come from MERGING the hourly sketches (HOF fold over
@@ -1260,7 +1356,8 @@ object RelationalQ {
     qRollup, qCube, qDistinct, qAntiJoin, qBloomAnti, qZorder, qZorder3,
     qTimeWindow,
     qSlideWindow,
-    qSnapshotDiff, qQuantiles, qApproxSketch, qKmvDistinct, qKmvRollup, qHeavyHitters,
+    qSnapshotDiff, qQuantiles, qQuantileSample, qQuantileRollup,
+    qApproxSketch, qKmvDistinct, qKmvRollup, qHeavyHitters,
     qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,
     qHistogram, qHistogramEqd, qStatsMoments, qZscore, qRobustZ, qRollCorr)

@@ -221,4 +221,51 @@ class SketchSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](1)
     assert(got == Seq(1L, 5L, 9L))
   }
+
+  test("bottom-k value sample: equals sort-based reference, " +
+      "partitioning-invariant, merge identity, exact below k") {
+    import graft.functions.Sketches
+    val rows = (1 to 400).map { i =>
+      (s"g${i % 2}", (i * 2654435761L) % 100003L, ((i * 31) % 500) / 7.0)
+    }
+    def sketchOf(df: org.apache.spark.sql.DataFrame, kk: Int) =
+      df.groupBy("g")
+        .agg(Sketches.bottomKSample(col("h"), col("v"), kk).as("kept"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getDouble(1))))
+        .toMap
+    val df = rows.toDF("g", "h", "v")
+    // sort-based reference: k smallest distinct (h, v) pairs
+    val ref = rows.distinct.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).distinct.sorted.take(16)
+    }
+    assert(sketchOf(df.repartition(7), 16) == ref, "vs sort-based reference")
+    assert(sketchOf(df.repartition(1), 16) == sketchOf(df.repartition(13), 16),
+      "partitioning-invariant")
+    // merge identity: per-shard sketches folded == single-pass sketch
+    val merged = df.withColumn("shard", pmod(col("h"), lit(5)))
+      .groupBy("g", "shard")
+      .agg(Sketches.bottomKSample(col("h"), col("v"), 16).as("kept"))
+      .groupBy("g")
+      .agg(aggregate(collect_list(col("kept")),
+        array().cast("array<struct<_1:bigint,_2:double>>"),
+        (acc, x) => Sketches.sampleMerge(acc, x, 16)).as("kept"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getDouble(1))))
+      .toMap
+    assert(merged == ref, "merge identity")
+    // below k the sample IS the group (exact)
+    val all = sketchOf(df, 100000)
+    assert(all("g0").size == rows.distinct.count(_._1 == "g0"))
+    // nearest-rank quantile picks a sampled value at the right rank
+    val q = df.groupBy("g")
+      .agg(Sketches.bottomKSample(col("h"), col("v"), 100000).as("kept"))
+      .select(col("g"),
+        Sketches.sampleQuantile(Sketches.sampleValues(col("kept")), 0.5).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val vs0 = rows.distinct.filter(_._1 == "g0").map(_._3).sorted
+    assert(q("g0") == vs0(math.max(1, math.ceil(0.5 * vs0.size).toInt) - 1))
+  }
 }
