@@ -682,6 +682,42 @@ object Probe {
         s""""hotkey_sec":$tHot,"hotkey_docs_out":$rHot,""" +
         s""""slowdown":${tHot / tCtl}}""")
     }
+
+    if (enabled("quantile_sketch")) {
+      // Exact percentile vs the bottom-k sample sketch at 50M rows ×
+      // 100 groups: exact `percentile` collects EVERY group value into
+      // agg state (500k doubles per group here — at 100 TB, the whole
+      // group), the sketch holds ≤ 2k longs per group whatever the
+      // group size. Also reports the sketch's worst-group relative
+      // p50 deviation — the accuracy actually bought for the state cut.
+      val nRows = sys.env.get("SPARK_GRAFT_QSKETCH_ROWS")
+        .map(_.toLong).getOrElse(50000000L)
+      val kQ = 256
+      val rows = spark.range(nRows).select(
+        pmod(col("id"), lit(100)).as("g"),
+        col("id").as("rid"),
+        (pmod(hash(col("id")), lit(1000000)) / lit(1000.0)).as("v"))
+      val (tEx, _) = time(rows.groupBy("g").agg(
+        percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.95)).as("p95")))
+      val sk = rows.select(col("g"),
+          graft.functions.Sketches.md5Hash60("p|", col("rid").cast("string")).as("h"),
+          col("v"))
+        .groupBy("g")
+        .agg(graft.functions.Sketches.bottomKSample(col("h"), col("v"), kQ).as("kept"))
+        .withColumn("vs", graft.functions.Sketches.sampleValues(col("kept")))
+        .select(col("g"),
+          graft.functions.Sketches.sampleQuantile(col("vs"), 0.5).as("p50s"),
+          graft.functions.Sketches.sampleQuantile(col("vs"), 0.95).as("p95s"))
+      val (tSk, _) = time(sk)
+      val dev = rows.groupBy("g").agg(percentile(col("v"), lit(0.5)).as("p50"))
+        .join(sk, Seq("g"))
+        .select(max(abs(col("p50s") - col("p50")) / col("p50")).as("d"))
+        .collect()(0).getDouble(0)
+      println(s"""{"probe":"quantile_sketch","rows":$nRows,"groups":100,""" +
+        s""""k":$kQ,"exact_sec":$tEx,"sketch_sec":$tSk,""" +
+        s""""max_rel_p50_dev":$dev}""")
+    }
     spark.stop()
   }
 }

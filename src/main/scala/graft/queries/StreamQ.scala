@@ -381,6 +381,57 @@ object StreamQ {
     * streaming state unchanged: ≤ k longs of state per group, the
     * live "distinct users right now" estimator.
     */
+  /** Streaming bottom-k value-sample quantile sketch: the round-8
+    * BottomKSampleAggregator (q_quantile_sample's engine) as
+    * STREAMING state — per-group sample accumulates across batches
+    * through the Aggregator's merge path and must equal the
+    * batch-built sample exactly (k smallest (h, v) pairs are
+    * arrival-order-invariant), so the nearest-rank quantiles off it
+    * hash-check against the same batch oracle. Eleventh equivalence
+    * pin, and the proof the quantile sketch serves the LIVE
+    * "p50/p95 right now" monitor with ≤ 2k longs of state per group.
+    */
+  val qStreamQuantile = Q(
+    "q_stream_quantile",
+    (spark, dir) => {
+      val k = 256
+      import graft.functions.Sketches
+      val name = { counter += 1; s"stream_quantile_$counter" }
+      val src = eventsStream(spark, dir)
+        .select(col("event_type"),
+          Sketches.md5Hash60("q|", col("event_id").cast("string")).as("h"),
+          col("value").cast("double").as("v"))
+      val q = src.groupBy("event_type")
+        .agg(Sketches.bottomKSample(col("h"), col("v"), k).as("kept"))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .withColumn("vs", Sketches.sampleValues(col("kept")))
+        .select(col("event_type"),
+          size(col("vs")).cast("long").as("n_kept"),
+          Sketches.sampleQuantile(col("vs"), 0.5).as("p50"),
+          Sketches.sampleQuantile(col("vs"), 0.95).as("p95"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT DISTINCT event_type AS g,
+          CAST('0x' || substring(md5('q|' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+          CAST(value AS DOUBLE) AS v
+        FROM events),
+      r AS (SELECT g, h, v,
+          row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn FROM b),
+      kept AS (SELECT g, list_sort(list(v)) AS vs
+        FROM r WHERE rn <= 256 GROUP BY g)
+      SELECT g AS event_type, CAST(len(vs) AS BIGINT) AS n_kept,
+        vs[greatest(1, CAST(ceil(0.5 * len(vs)) AS BIGINT))] AS p50,
+        vs[greatest(1, CAST(ceil(0.95 * len(vs)) AS BIGINT))] AS p95
+      FROM kept ORDER BY event_type""")
+  )
+
   val qStreamKmv = Q(
     "q_stream_kmv",
     (spark, dir) => {
@@ -422,6 +473,6 @@ object StreamQ {
 
   def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow,
     qStreamOhlc, qStreamSession, qStreamJoin, qStreamEwma, qStreamCms,
-    qStreamKmv).map(q => q.copy(run = (spark, dir) =>
+    qStreamKmv, qStreamQuantile).map(q => q.copy(run = (spark, dir) =>
       Catalog.withStatePartitions(spark, StatePartitions)(q.run(spark, dir))))
 }
