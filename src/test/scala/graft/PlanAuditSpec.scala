@@ -135,4 +135,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"forest CC planned a shuffle — the one-job contract is broken:\n$p")
     assert(p.contains("Coalesce"), s"expected the narrow merge tree in:\n$p")
   }
+
+  test("q_quantile_sample is one partial-agged sketch pass — no sort, no window") {
+    val p = planOf("q_quantile_sample")
+    assert(p.contains("partial_bottomksampleaggregator")
+        || p.toLowerCase.contains("partial_bottomksample"),
+      s"sketch no longer partial-aggregates map-side:\n$p")
+    assert(!p.contains("Window"),
+      "quantile sketch must never plan a window over the rows")
+    // exactly one data shuffle: the grouped agg exchange (plus AQE reads)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected ONE grouped-agg exchange, found $exchanges:\n$p")
+  }
 }
