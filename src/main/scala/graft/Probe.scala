@@ -718,6 +718,36 @@ object Probe {
         s""""k":$kQ,"exact_sec":$tEx,"sketch_sec":$tSk,""" +
         s""""max_rel_p50_dev":$dev}""")
     }
+
+    if (enabled("topk_grouped")) {
+      // grouped top-5 at 50M rows × 1000 groups: the row_number window
+      // (shuffles + sorts EVERY row into its group) vs TopKByAggregator
+      // (map-side partial keeps ≤ k pairs per partition×group; the
+      // exchange carries ~parts·groups·k rows). Identical output —
+      // SketchSpec pins the equality; this point records the cost gap.
+      import org.apache.spark.sql.expressions.Window
+      val nRows = sys.env.get("SPARK_GRAFT_TOPK_ROWS")
+        .map(_.toLong).getOrElse(50000000L)
+      val rows = spark.range(nRows).select(
+        pmod(col("id"), lit(1000)).as("g"),
+        col("id").as("rid"),
+        (pmod(hash(col("id")), lit(1000000)) / lit(1000.0)).as("v"))
+      val w = Window.partitionBy(col("g"))
+        .orderBy(col("v").desc, col("rid").asc)
+      val (tGen, _) = time(rows) // the shared row-generation floor
+      val (tW, nW) = time(rows.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5))
+      val (tA, nA) = time(rows.groupBy("g")
+        .agg(graft.functions.TopK.topKBy(col("v"), col("rid"), 5).as("kept"))
+        .select(col("g"), posexplode(col("kept")).as(Seq("pos", "p"))))
+      val opW = tW - tGen
+      val opA = tA - tGen
+      println(s"""{"probe":"topk_grouped","rows":$nRows,"groups":1000,""" +
+        s""""gen_floor_sec":$tGen,"window_sec":$tW,"window_rows":$nW,""" +
+        s""""agg_sec":$tA,"agg_rows":$nA,""" +
+        s""""op_window_sec":$opW,"op_agg_sec":$opA,""" +
+        s""""op_speedup":${opW / opA}}""")
+    }
     spark.stop()
   }
 }

@@ -129,6 +129,38 @@ object PipelineQ {
     Some(ParaDedupOracle)
   )
 
+  /** Grouped top-k with bounded state (see
+    * [[graft.functions.TopKByAggregator]]): the k best documents per
+    * source by (n_chars DESC, doc_id ASC) — the "keep each domain's
+    * best pages" curation selection. One hash agg whose exchange
+    * carries ≤ k pairs per (map partition × source) instead of the
+    * corpus; the window formulation this replaces
+    * (row_number ≤ k) shuffles and sorts every row. Oracle is that
+    * window form — identical output proves the bounded-state path
+    * loses nothing.
+    */
+  val qTopkGrouped = Q(
+    "q_topk_grouped",
+    (spark, dir) => {
+      import graft.functions.TopK
+      Tables.documents(spark, dir)
+        .groupBy("source")
+        .agg(TopK.topKBy(col("n_chars").cast("double"), col("doc_id"), 5)
+          .as("kept"))
+        .select(col("source"), posexplode(col("kept")).as(Seq("pos", "p")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("p").getField("_2").as("doc_id"),
+          col("p").getField("_1").cast("long").as("n_chars"))
+        .orderBy("source", "rank")
+    },
+    Some("""SELECT source, rank, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+          row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents) t
+      WHERE rank <= 5 ORDER BY source, rank""")
+  )
+
   private val TokenBudget = 800L
 
   /** Greedy per-source token-budget selection (see
@@ -292,5 +324,5 @@ object PipelineQ {
 
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
-      qQualityHashed, qMixEpochs, qSplitAssign)
+      qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped)
 }

@@ -268,4 +268,25 @@ class SketchSpec extends AnyFunSuite {
     val vs0 = rows.distinct.filter(_._1 == "g0").map(_._3).sorted
     assert(q("g0") == vs0(math.max(1, math.ceil(0.5 * vs0.size).toInt) - 1))
   }
+
+  test("grouped top-k: equals the window formulation, partitioning-invariant") {
+    import graft.functions.TopK
+    val rows = (1 to 300).map { i =>
+      (s"g${i % 3}", i.toLong, ((i * 37) % 50).toDouble) // heavy v ties
+    }
+    val df = rows.toDF("g", "id", "v")
+    def agged(parts: Int) = df.repartition(parts).groupBy("g")
+      .agg(TopK.topKBy(col("v"), col("id"), 7).as("kept"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getDouble(0), p.getLong(1))))
+      .toMap
+    // reference: (v DESC, id ASC) take 7 — the row_number window form
+    val ref = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._3, r._2))
+        .sortBy { case (v, id) => (-v, id) }.take(7)
+    }
+    assert(agged(1) == ref, "vs window-formulation reference")
+    assert(agged(11) == ref, "partitioning-invariant")
+  }
 }
