@@ -432,6 +432,47 @@ object StreamQ {
       FROM kept ORDER BY event_type""")
   )
 
+  /** Streaming grouped top-k: TopKByAggregator (q_topk_grouped's
+    * engine) as STREAMING state — the per-group k-best set
+    * accumulates across batches through the Aggregator's merge path
+    * and equals the batch set exactly ((v DESC, id ASC) is a total
+    * order, so k-best is arrival-order-invariant). Twelfth
+    * equivalence pin; completes the custom-Aggregator family's
+    * streaming coverage (KMV, CMS, bottom-k sample, top-k): the live
+    * "best events right now" leaderboard from ≤ 2k longs of state
+    * per group.
+    */
+  val qStreamTopk = Q(
+    "q_stream_topk",
+    (spark, dir) => {
+      val name = { counter += 1; s"stream_topk_$counter" }
+      val src = eventsStream(spark, dir)
+        .select(col("event_type"), col("event_id"),
+          col("value").cast("double").as("v"))
+      val q = src.groupBy("event_type")
+        .agg(graft.functions.TopK.topKBy(col("v"), col("event_id"), 5).as("kept"))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .select(col("event_type"), posexplode(col("kept")).as(Seq("pos", "p")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("p").getField("_2").as("event_id"),
+          col("p").getField("_1").as("v"))
+        .orderBy("event_type", "rank")
+    },
+    Some("""SELECT event_type, rank, event_id, v FROM (
+        SELECT event_type, event_id, CAST(value AS DOUBLE) AS v,
+          row_number() OVER (PARTITION BY event_type
+                             ORDER BY value DESC, event_id) AS rank
+        FROM events) t
+      WHERE rank <= 5 ORDER BY event_type, rank""")
+  )
+
   val qStreamKmv = Q(
     "q_stream_kmv",
     (spark, dir) => {
@@ -473,6 +514,6 @@ object StreamQ {
 
   def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow,
     qStreamOhlc, qStreamSession, qStreamJoin, qStreamEwma, qStreamCms,
-    qStreamKmv, qStreamQuantile).map(q => q.copy(run = (spark, dir) =>
+    qStreamKmv, qStreamQuantile, qStreamTopk).map(q => q.copy(run = (spark, dir) =>
       Catalog.withStatePartitions(spark, StatePartitions)(q.run(spark, dir))))
 }
