@@ -108,8 +108,16 @@ class BottomKSampleAggregator(k: Int)
     out
   }
 
+  /** `+ 0.0` normalizes −0.0 to 0.0 at sketch input: the buffer's
+    * bit-level order (Double.compare) distinguishes −0.0 < 0.0, but
+    * [[Sketches.sampleMerge]]'s array_distinct/array_sort and the
+    * DuckDB oracle use SQL equality where −0.0 == 0.0 — a group
+    * holding both signed zeros under one hash would break the merge
+    * identity. Normalizing makes the invariant (one stored value per
+    * (h, v) under SQL equality) hold by construction.
+    */
   override def reduce(buf: Array[Long], x: (Long, Double)): Array[Long] =
-    insert(buf, x._1, x._2)
+    insert(buf, x._1, x._2 + 0.0)
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var acc = a

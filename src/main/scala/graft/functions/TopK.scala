@@ -56,8 +56,17 @@ class TopKByAggregator(k: Int)
     out
   }
 
+  /** SET semantics: an exact duplicate (v, id) pair collapses (the
+    * cmp == 0 early return in insert), while a row_number window ranks
+    * duplicate input ROWS separately — so equivalence with the window
+    * formulation requires the id to be UNIQUE per group (true for
+    * doc_id/event_id here; callers with duplicated id rows must
+    * pre-aggregate or the window oracle needs SELECT DISTINCT).
+    * `+ 0.0` normalizes −0.0 to 0.0 so the bit-level Double.compare
+    * order cannot split signed zeros that SQL ORDER BY treats equal.
+    */
   override def reduce(buf: Array[Long], x: (Double, Long)): Array[Long] =
-    insert(buf, x._1, x._2)
+    insert(buf, x._1 + 0.0, x._2)
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var acc = a

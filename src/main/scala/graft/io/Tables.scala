@@ -73,8 +73,44 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     withTsMs(table(spark, sfDir, "events"))
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  /** Canonical TimestampType (µs, UTC-adjusted) for a timestamp-like
+    * column, dispatched on the type it actually LOADED as — the same
+    * drift armor [[tsMsExpr]] gives events.ts, applied to the TPC-H
+    * date columns (l_shipdate / o_orderdate), which queries compare
+    * against `java.sql.Timestamp` literals and which would break
+    * asymmetrically (Spark only, not the DuckDB oracle) if the
+    * generator shipped TIMESTAMP(NANOS) (loads as int64 under the
+    * global nanosAsLong flag), timestamp[us] without UTC adjustment
+    * (loads as TIMESTAMP_NTZ), or date32:
+    *
+    *  - `TimestampType`: already canonical;
+    *  - `LongType`: raw nanos from the legacy read → `div 1000` µs;
+    *  - `TimestampNTZType`: `timestampdiff` from the NTZ epoch —
+    *    session-timezone-independent, unlike a cast;
+    *  - `DateType`: `unix_date · 86 400 000 000` µs (midnight UTC).
+    *
+    * All flavors produce the identical instant; TableCanarySpec pins
+    * it. Instants are all post-1970 and pre-2262 in this data, so the
+    * nanos→µs floor division is exact truncation on both engines.
+    */
+  def canonicalTsExpr(dt: DataType, c: String): Column = dt match {
+    case TimestampType => col(c)
+    case LongType => expr(s"timestamp_micros($c div 1000)")
+    case TimestampNTZType => expr(
+      s"timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $c))")
+    case org.apache.spark.sql.types.DateType =>
+      expr(s"timestamp_micros(cast(unix_date($c) as bigint) * 86400000000)")
+    case other => throw new IllegalArgumentException(
+      s"$c loaded as unsupported type $other; expected a timestamp/date flavor")
+  }
+
+  def withCanonicalTs(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, canonicalTsExpr(df.schema(c).dataType, c))
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    withCanonicalTs(table(spark, sfDir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    withCanonicalTs(table(spark, sfDir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")

@@ -8,19 +8,38 @@ import org.apache.spark.sql.functions._
   * per-partition so codec state is initialized once per task, not per
   * row — the Scala analogue of an Arrow-batched decode UDF.
   *
-  * The actual media decode is STUBBED (`StubCodec`): this container
-  * has no image/audio libraries, so the codec derives deterministic
-  * fake dimensions from the bytes. Everything around it — the binary
-  * schema, the typed Dataset plumbing, the mapPartitions batch shape,
-  * partition-level codec lifecycle, the frame-sampling explode — is
-  * real and tested; swapping StubCodec for javax.imageio/ffmpeg is a
-  * one-object change.
+  * The decode sits behind a [[MediaCodec]] interface. The default
+  * [[ImageIoCodec]] does REAL decodes where the JDK alone suffices —
+  * PNG/JPEG/GIF/BMP dimensions via `javax.imageio` header reads and
+  * WAV fmt-chunk parsing for audio — and falls back to the
+  * deterministic [[StubCodec]] for bytes no JDK codec recognizes
+  * (which is also what keeps the synthetic ASCII test corpus
+  * oracle-checkable: fake bytes take the fake-dimension path, real
+  * media takes the real one). Video still needs ffmpeg-class native
+  * deps, so it remains stub-only. Everything around the codec — the
+  * binary schema, the typed Dataset plumbing, the mapPartitions batch
+  * shape, partition-level codec lifecycle, the frame-sampling explode
+  * — is independent of which codec runs.
   *
   * Scale: content bytes never shuffle — metadata extraction is
   * map-only; downstream joins/apply work on the (small) metadata,
   * and frame sampling multiplies rows map-side before any exchange.
   */
 object Multimodal {
+
+  /** The codec contract the pipeline relies on: bytes in, typed
+    * metadata out, `open()` called once per PARTITION (load native
+    * libs, allocate buffers) and never per row. Implementations must
+    * be total — undecodable bytes get a deterministic fallback, never
+    * an exception, so one corrupt file cannot fail a 100 TB stage
+    * (corruption is visible as stub-valued dimensions plus the
+    * checksum/magic columns, and a pipeline filters on those).
+    */
+  trait MediaCodec extends Serializable {
+    def open(): MediaCodec = this
+    def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int, Long)
+    def decodeAudio(bytes: Array[Byte]): (Int, Int, Long)
+  }
 
   final case class MediaFile(media_id: Long, kind: String, content: Array[Byte])
 
@@ -48,16 +67,12 @@ object Multimodal {
   implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
   implicit val audioMetaEnc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
 
-  /** ??? in spirit — a deterministic fake decoder. A real deployment
-    * replaces `decodeDims` with an actual codec call; the signature
-    * (bytes in, dims out, stateful init amortized per partition) is
-    * the contract the pipeline relies on.
+  /** ??? in spirit — the deterministic fake decoder, used directly for
+    * kinds with no JDK codec (video) and as [[ImageIoCodec]]'s
+    * fallback for unrecognizable bytes. Dimensions derive from the
+    * first content bytes so even the fake values are oracle-checkable.
     */
-  object StubCodec {
-    /** "Open" the codec — in reality: load native libs, allocate
-      * buffers. Called once per partition, never per row.
-      */
-    def open(): StubCodec.type = this
+  object StubCodec extends MediaCodec {
 
     def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
       val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
@@ -82,6 +97,94 @@ object Multimodal {
     }
   }
 
+  /** Real JDK-only media decode: PNG/JPEG/GIF/BMP dimensions via a
+    * `javax.imageio` HEADER read (the reader parses IHDR/SOF/etc. and
+    * answers getWidth/getHeight without decoding the raster — the
+    * right cost model for metadata extraction over binary columns:
+    * O(header) per row, not O(pixels)), and WAV sample rate / channels
+    * / duration from the RIFF fmt chunk. Bytes that are not
+    * recognizable media fall back to [[StubCodec]] deterministically —
+    * never an exception (see [[MediaCodec]]'s totality contract).
+    * No native dependencies: ImageIO's standard plugin set ships in
+    * every JDK.
+    */
+  object ImageIoCodec extends MediaCodec {
+
+    private def magicIsImage(b: Array[Byte]): Boolean =
+      b.length >= 4 && (
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 'B' && b(1) == 'M'))
+
+    /** Header-only dimension read; None when no installed reader
+      * claims the bytes or the header is corrupt.
+      */
+    private[ops] def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (!magicIsImage(bytes)) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              Some((r.getWidth(0), r.getHeight(0)))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    /** WAV fmt-chunk parse: (sampleRate, channels, durationMs) from a
+      * canonical RIFF/WAVE layout (fmt chunk walked to wherever it
+      * sits; duration = data-chunk bytes / byte rate). None for
+      * non-WAV or truncated headers.
+      */
+    private[ops] def wavMeta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+      def tag(off: Int, s: String): Boolean =
+        b.length >= off + 4 && s.indices.forall(i => b(off + i) == s(i).toByte)
+      if (!(tag(0, "RIFF") && tag(8, "WAVE"))) return None
+      try {
+        var off = 12
+        var fmt: Option[(Int, Int, Long)] = None // (rate, channels, byteRate)
+        var dataLen = -1L
+        while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+          val size = le32(b, off + 4)
+          if (tag(off, "fmt ") && off + 8 + 16 <= b.length)
+            fmt = Some((le32(b, off + 12).toInt, le16(b, off + 10),
+              le32(b, off + 16)))
+          else if (tag(off, "data")) dataLen = size
+          off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+        fmt.collect { case (rate, ch, byteRate)
+            if rate > 0 && ch > 0 && byteRate > 0 && dataLen >= 0 =>
+          (rate, ch, dataLen * 1000L / byteRate)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    override def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int, Long) =
+      if (kind == "image")
+        imageDims(bytes) match {
+          case Some((w, h)) => (w, h, 0L)
+          case None => StubCodec.decodeDims(kind, bytes)
+        }
+      else StubCodec.decodeDims(kind, bytes)
+
+    override def decodeAudio(bytes: Array[Byte]): (Int, Int, Long) =
+      wavMeta(bytes).getOrElse(StubCodec.decodeAudio(bytes))
+  }
+
   private def hexUpper(bytes: Array[Byte]): String =
     bytes.map(b => f"${b & 0xff}%02X").mkString
 
@@ -93,9 +196,10 @@ object Multimodal {
   /** Decode / feature-extract: one codec per partition, iterator in /
     * iterator out (no per-row setup, no full-partition materialization).
     */
-  def extractMeta(files: Dataset[MediaFile]): Dataset[MediaMeta] =
+  def extractMeta(files: Dataset[MediaFile],
+      codecFactory: MediaCodec = ImageIoCodec): Dataset[MediaMeta] =
     files.mapPartitions { it =>
-      val codec = StubCodec.open()
+      val codec = codecFactory.open()
       it.map { f =>
         val (w, h, d) = codec.decodeDims(f.kind, f.content)
         MediaMeta(
@@ -114,9 +218,10 @@ object Multimodal {
     * the (stubbed) header decode — same per-partition codec lifecycle
     * as [[extractMeta]], map-only, bytes never shuffle.
     */
-  def extractAudioMeta(files: Dataset[MediaFile]): Dataset[AudioMeta] =
+  def extractAudioMeta(files: Dataset[MediaFile],
+      codecFactory: MediaCodec = ImageIoCodec): Dataset[AudioMeta] =
     files.filter(_.kind == "audio").mapPartitions { it =>
-      val codec = StubCodec.open()
+      val codec = codecFactory.open()
       it.map { f =>
         val (rate, channels, durationMs) = codec.decodeAudio(f.content)
         AudioMeta(f.media_id, f.content.length.toLong, rate, channels, durationMs)

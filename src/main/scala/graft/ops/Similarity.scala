@@ -262,6 +262,43 @@ object Similarity {
         not(coalesce(col("_drop"), lit(false))).as("keep"))
   }
 
+  /** Incremental SemDeDup — the new-batch-vs-corpus face of
+    * [[semDedup]], i.e. the q_dedup_incr band-key-postings pattern
+    * lifted to embedding space: both sides assign to the shared
+    * codebook via [[assignNearest]], and a NEW vector is dropped iff
+    * some CORPUS cluster-mate sits at cosine ≥ τ. Candidate pairs come
+    * from the equality join on the cluster id alone, so the pair count
+    * is bounded by Σ_c |new_c|·|corpus_c| — cluster occupancy, never
+    * |new|·|corpus| — and the corpus is touched map-only plus one
+    * keyed join. There is NO corpus self-join: corpus-vs-corpus dedup
+    * is [[semDedup]]'s offline job; this is the per-ingest delta pass
+    * — the same division of labor as [[Dedup.streamAgainstHistory]]
+    * vs [[Dedup.exact]], with cluster postings playing the band-key
+    * role. Returns (vec_id, cluster, keep) for the NEW side only.
+    */
+  def semDedupIncremental(newBatch: DataFrame, corpus: DataFrame,
+      centroidTable: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "cluster", centVecCol: String = "cv"): DataFrame = {
+    def assigned(df: DataFrame) =
+      assignNearest(df, centroidTable, idCol, vecCol, clusterCol, centVecCol)
+        .join(df.select(col(idCol).as("vec_id"),
+          asDouble(col(vecCol)).as("v")), Seq("vec_id"))
+        .withColumn("n", norm2(col("v")))
+    val aN = assigned(newBatch)
+    val dropped = aN
+      .select(col("cluster"), col("vec_id"), col("v").as("av"), col("n").as("an"))
+      .join(assigned(corpus)
+        .select(col("cluster"), col("v").as("bv"), col("n").as("bn")),
+        Seq("cluster"))
+      .withColumn("pc", cosinePre(dot(col("av"), col("bv")), col("an"), col("bn")))
+      .filter(col("pc") >= threshold)
+      .select(col("vec_id")).distinct()
+    aN.join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        not(coalesce(col("_drop"), lit(false))).as("keep"))
+  }
+
   /** Per-label centroids in long form — one row per (label, dim):
     * the building block for IVF index maintenance, cluster-quality
     * monitoring, and embedding-drift checks.

@@ -38,7 +38,14 @@ object Catalog {
     * bound. At production volume the same knob goes the other way:
     * set `spark.sql.shuffle.partitions` to match state size per
     * executor BEFORE the first `start()` (it is fixed into the
-    * checkpoint afterwards).
+    * checkpoint afterwards — a restart under a different conf value
+    * silently keeps the checkpointed count). Outgrowing the frozen
+    * count is a MIGRATION: abandon the checkpoint, rebuild per-key
+    * state offline from the durable append sink
+    * (Pipeline.rebuildLatest / Latest.keepLastPerKey over the log),
+    * and start a fresh query at the new count with that state injected
+    * via `LatestStream.keepLastStateful(initialState = …)` —
+    * StreamingSpec demonstrates the full 4→8-partition recovery.
     *
     * Only the streaming drain belongs inside `body`: the memory-sink
     * post-processing DataFrame executes lazily after restore, so

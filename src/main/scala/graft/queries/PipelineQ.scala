@@ -84,46 +84,45 @@ object PipelineQ {
       SELECT doc_id, n_paras, n_kept, clean_text
       FROM perdoc ORDER BY doc_id"""
 
-  @volatile private var counter = 0
-
   /** Streaming paragraph dedup — the live-intake face of
-    * [[graft.ops.Dedup.dedupParagraphs]] and the round-8 answer to
-    * its missing batch/stream equivalence pin. The STREAM builds the
+    * [[graft.ops.Dedup.dedupParagraphs]]. The STREAM builds the
     * first-occurrence index: file-source documents → the map-side
     * paragraph explode ([[graft.ops.Dedup.paragraphTable]]) → the
     * declarative `min(struct(id, idx))` per paragraph hash as a
-    * STREAMING aggregation in complete mode (min's merge path makes
-    * the accumulated index arrival-order-invariant and equal to the
-    * batch index exactly). Reassembly — agg → join → agg, a shape
-    * streaming cannot chain — then runs batch-side against the
-    * drained index ([[graft.ops.Dedup.reassembleParagraphs]]), which
-    * is also the production split: the index is the long-lived state
-    * a corpus-intake pipeline keeps, the apply step is a batch pass
-    * over whatever slice is being (re)built. Oracle: identical to
+    * STREAMING aggregation, run SCALE-SHAPED
+    * ([[graft.ops.Dedup.firstOccurrenceStreamIndex]]): UPDATE output
+    * mode + a foreachBatch log-structured upsert, so per-trigger
+    * emission is bounded by the batch's touched keys and nothing
+    * index-sized ever lands on the driver (the round-8 complete-mode /
+    * memory-sink face re-emitted and collected the WHOLE index every
+    * trigger). Reassembly — agg → join → agg, a shape streaming cannot
+    * chain — then runs batch-side against the compacted index
+    * ([[graft.ops.Dedup.readFirstOccurrenceIndex]] →
+    * [[graft.ops.Dedup.reassembleParagraphs]]), which is also the
+    * production split: the index is the long-lived state a
+    * corpus-intake pipeline keeps, the apply step is a batch pass over
+    * whatever slice is being (re)built. Oracle: identical to
     * q_para_dedup — what's checked is that the stream-accumulated
-    * index loses nothing.
+    * index loses nothing; StreamingSpec separately pins the bounded
+    * per-trigger emission across multi-file triggers.
     */
   val qStreamParaDedup = Q(
     "q_stream_para_dedup",
     (spark, dir) => Catalog.withStatePartitions(spark, 8) {
-      import org.apache.spark.sql.streaming.Trigger
-      val name = { counter += 1; s"stream_para_dedup_$counter" }
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_para_dedup").toString
       val rawSchema = Tables.documents(spark, dir).schema
       val docStream = spark.readStream.schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
-      val q = Dedup.firstParagraphOccurrence(
-          Dedup.paragraphTable(paraCorpus(docStream), "doc_id", "text"))
-        .writeStream
-        .queryName(name)
-        .outputMode("complete")
-        .format("memory")
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = Dedup.firstOccurrenceStreamIndex(
+        Dedup.paragraphTable(paraCorpus(docStream), "doc_id", "text"),
+        indexDir = s"$work/index", checkpointDir = s"$work/ckpt")
       q.awaitTermination()
       val parasBatch = Dedup.paragraphTable(
         paraCorpus(Tables.documents(spark, dir)), "doc_id", "text")
-      Dedup.reassembleParagraphs(parasBatch, spark.table(name), "doc_id")
+      Dedup.reassembleParagraphs(parasBatch,
+          Dedup.readFirstOccurrenceIndex(spark, s"$work/index"), "doc_id")
         .orderBy("doc_id")
     },
     Some(ParaDedupOracle)
@@ -137,7 +136,10 @@ object PipelineQ {
     * corpus; the window formulation this replaces
     * (row_number ≤ k) shuffles and sorts every row. Oracle is that
     * window form — identical output proves the bounded-state path
-    * loses nothing.
+    * loses nothing. Equivalence precondition: doc_id is UNIQUE (the
+    * aggregator has SET semantics on (v, id) pairs while row_number
+    * ranks duplicate rows separately — see TopKByAggregator.reduce);
+    * documents carries one row per doc_id, so it holds here.
     */
   val qTopkGrouped = Q(
     "q_topk_grouped",

@@ -1104,6 +1104,43 @@ object TrainingQ {
       FROM a LEFT JOIN d ON a.vec_id = d.vec_id ORDER BY a.vec_id""")
   )
 
+  /** Incremental SemDeDup (see
+    * [[graft.ops.Similarity.semDedupIncremental]]): vec_id % 5 == 0 is
+    * the arriving batch, the rest the at-rest corpus, seeds the shared
+    * codebook. The oracle replays assignment for BOTH sides and the
+    * cluster-bucketed new-vs-corpus comparison; keep = no corpus
+    * cluster-mate at cosine ≥ τ.
+    */
+  val qSemDedupIncr = Q(
+    "q_semdedup_incr",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.semDedupIncremental(
+          emb.filter(col("vec_id") % 5 === 0),
+          emb.filter(col("vec_id") % 5 =!= 0),
+          seedCentroids(spark, dir), threshold = SemDedupTau)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $KmeansSeeds),
+      s AS (SELECT vec_id, cluster,
+          ${sqlDot("v", "cv")} / sqrt(${sqlDot("v", "v")} * ${sqlDot("cv", "cv")}) AS cosine
+        FROM e CROSS JOIN c),
+      r AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM s),
+      a AS (SELECT vec_id, cluster FROM r WHERE rn = 1),
+      av AS (SELECT a.vec_id, a.cluster, e.v FROM a JOIN e USING (vec_id)),
+      newv AS (SELECT * FROM av WHERE vec_id % 5 = 0),
+      corpv AS (SELECT * FROM av WHERE vec_id % 5 <> 0),
+      d AS (SELECT DISTINCT n.vec_id FROM newv n JOIN corpv x
+        ON n.cluster = x.cluster
+        WHERE ${sqlDot("n.v", "x.v")} / sqrt(${sqlDot("n.v", "n.v")} * ${sqlDot("x.v", "x.v")}) >= $SemDedupTau)
+      SELECT n.vec_id, n.cluster, d.vec_id IS NULL AS keep
+      FROM newv n LEFT JOIN d ON n.vec_id = d.vec_id ORDER BY n.vec_id""")
+  )
+
   val qKnn = Q(
     "q_knn",
     (spark, dir) => {
@@ -1485,5 +1522,5 @@ object TrainingQ {
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
     qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e, qDedupCanon,
-    qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist)
+    qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr)
 }

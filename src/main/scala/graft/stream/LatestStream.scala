@@ -46,12 +46,34 @@ object LatestStream {
     * with no input (timeouts are work) — that is correct for the
     * long-running pipeline; batch-style runs (Trigger.AvailableNow)
     * should pass `ttlMs = None`.
+    *
+    * `initialState`: one pre-seeded state record per key, for the
+    * STATE-PARTITION MIGRATION path (see
+    * [[graft.queries.Catalog.withStatePartitions]]): the shuffle
+    * partition count of a stateful operator is frozen into its
+    * checkpoint at first `start()`, and a restart under a different
+    * `spark.sql.shuffle.partitions` silently keeps the checkpointed
+    * count — so re-sizing state parallelism means ABANDONING the old
+    * checkpoint and starting a fresh query whose state is rebuilt
+    * offline from the durable append sink
+    * ([[Pipeline.rebuildLatest]] / `Latest.keepLastPerKey` over the
+    * log) and injected here. Exactness: the rebuilt record per key IS
+    * the argmax the old state held (same order columns), so the new
+    * query continues bit-identically — StreamingSpec pins the full
+    * 4-partition → 8-partition migration.
     */
-  def keepLastStateful(ds: Dataset[Keyed], ttlMs: Option[Long]): Dataset[Keyed] = {
+  def keepLastStateful(ds: Dataset[Keyed], ttlMs: Option[Long],
+      initialState: Option[Dataset[Keyed]] = None): Dataset[Keyed] = {
     val conf = if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    ds.groupByKey(_.key)(Encoders.STRING)
-      .flatMapGroupsWithState[Keyed, Keyed](OutputMode.Update(), conf)(
-        updateLatest(ttlMs))
+    val grouped = ds.groupByKey(_.key)(Encoders.STRING)
+    initialState match {
+      case None =>
+        grouped.flatMapGroupsWithState[Keyed, Keyed](OutputMode.Update(), conf)(
+          updateLatest(ttlMs))
+      case Some(init) =>
+        grouped.flatMapGroupsWithState[Keyed, Keyed](OutputMode.Update(), conf,
+          init.groupByKey(_.key)(Encoders.STRING))(updateLatest(ttlMs))
+    }
   }
 }

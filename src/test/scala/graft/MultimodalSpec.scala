@@ -39,4 +39,56 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head
     assert(new String(out.content, "UTF-8") == "abcd" && out.media_id == 1L)
   }
+
+  private def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => img.setRGB(x, 0, 0x3366cc))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes REAL PNG/JPEG dimensions through the full pipeline") {
+    import spark.implicits._
+    val png = encode("png", 17, 23)
+    val jpg = encode("jpg", 31, 5)
+    val ds = spark.createDataset(Seq(
+      MediaFile(1L, "image", png), MediaFile(2L, "image", jpg),
+      // unrecognizable bytes: deterministic stub fallback, no exception
+      MediaFile(3L, "image", "PNGx-data".getBytes("UTF-8"))))(
+      Multimodal.mediaFileEnc)
+    val out = Multimodal.extractMeta(ds).collect().sortBy(_.media_id)
+    assert((out(0).width, out(0).height) == (17, 23))
+    assert(out(0).header_hex == "89504E47") // real PNG magic
+    assert((out(1).width, out(1).height) == (31, 5))
+    assert((out(2).width, out(2).height) ==
+      (64 + 'P'.toInt % 64, 64 + 'N'.toInt % 64)) // stub fallback
+  }
+
+  /** Canonical 44-byte-header WAV with the given fmt parameters. */
+  private def wav(rate: Int, channels: Int, dataBytes: Int): Array[Byte] = {
+    val byteRate = rate * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1)
+      .putShort(channels.toShort).putInt(rate).putInt(byteRate)
+      .putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes).putInt(dataBytes)
+    bb.array()
+  }
+
+  test("ImageIoCodec parses REAL WAV fmt-chunk metadata; non-WAV falls back to stub") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaFile(1L, "audio", wav(rate = 44100, channels = 2, dataBytes = 44100 * 2 * 2)),
+      MediaFile(2L, "audio", "ABCD-noise".getBytes("UTF-8"))))(
+      Multimodal.mediaFileEnc)
+    val out = Multimodal.extractAudioMeta(ds).collect().sortBy(_.media_id)
+    assert((out(0).sample_rate, out(0).channels, out(0).duration_ms) ==
+      (44100, 2, 1000L)) // 1 second of 16-bit stereo
+    val stub = Multimodal.StubCodec.decodeAudio("ABCD-noise".getBytes("UTF-8"))
+    assert((out(1).sample_rate, out(1).channels, out(1).duration_ms) == stub)
+  }
 }

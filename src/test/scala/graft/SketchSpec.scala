@@ -269,6 +269,42 @@ class SketchSpec extends AnyFunSuite {
     assert(q("g0") == vs0(math.max(1, math.ceil(0.5 * vs0.size).toInt) - 1))
   }
 
+  test("quantile sketch on HEAVY-TAILED data: p50/p95/p99 rank error within the k=256 sample bound (zipf/pareto + lognormal)") {
+    import graft.functions.Sketches
+    val k = 256 // the gate k (q_quantile_sample / q_quantile_rollup / q_stream_quantile)
+    val n = 20000
+    val rnd = new scala.util.Random(0xabcde1L)
+    // Pareto(α=1.2): the zipf-class power-law tail (p99/p50 ≈ 45×);
+    // lognormal(σ=3): ~9 decades of spread. Both deterministic.
+    val corpora = Seq(
+      "pareto" -> (1 to n).map(_ => 1.0 / math.pow(1.0 - rnd.nextDouble(), 1.0 / 1.2)),
+      "lognormal" -> (1 to n).map(_ => math.exp(3.0 * rnd.nextGaussian())))
+    val quantiles = Seq(0.5, 0.95, 0.99)
+    val measured = for ((name, vs) <- corpora; q <- quantiles) yield {
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val est = df
+        .select(Sketches.md5Hash60("qb|", col("id").cast("string")).as("h"), col("v"))
+        .agg(Sketches.bottomKSample(col("h"), col("v"), k).as("kept"))
+        .select(Sketches.sampleQuantile(Sketches.sampleValues(col("kept")), q))
+        .collect().head.getDouble(0)
+      // RANK error is the distribution-free metric: a uniform row
+      // sample's nearest-rank estimate has rank within ~sqrt(q(1-q)/k)·n
+      // of q·n whp, REGARDLESS of how skewed the values are (value
+      // error on a power-law tail is unbounded by design — rank error
+      // is what the sketch contracts). 4σ + 1/k discretization slack.
+      val rankErr = math.abs(vs.count(_ <= est).toDouble / n - q)
+      val bound = 4.0 * math.sqrt(q * (1 - q) / k) + 1.0 / k
+      assert(rankErr <= bound,
+        f"$name p${(q * 100).toInt}: rank error $rankErr%.4f > bound $bound%.4f " +
+          "— the uniform sample is tail-blind at this k; a KLL-style " +
+          "compactor variant is needed")
+      (name, q, rankErr, bound)
+    }
+    // surface the measured curve for PERF.md
+    info(measured.map { case (nm, q, e, b) =>
+      f"$nm p${(q * 100).toInt}: rank_err=$e%.4f bound=$b%.4f" }.mkString("; "))
+  }
+
   test("grouped top-k: equals the window formulation, partitioning-invariant") {
     import graft.functions.TopK
     val rows = (1 to 300).map { i =>

@@ -687,6 +687,133 @@ class StreamingSpec extends AnyFunSuite {
     assert(second == Seq(EwmaStream.EwmaOut(7L, full, 3L)))
   }
 
+  test("state-partition migration: checkpoint freezes the count; rebuild + initialState restarts at a new count with identical semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    def statePartitions(ckpt: String): Int = {
+      val d = new java.io.File(s"$ckpt/state/0")
+      if (!d.exists()) -1
+      else d.listFiles().count(f => f.isDirectory && f.getName.forall(_.isDigit))
+    }
+    def withShufflePartitions[A](n: Int)(body: => A): A = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+    val logDir = tmp("mig_log")
+
+    // Phase A: stateful keep-last at 4 partitions, durable update log.
+    val ckptA = tmp("mig_ckptA")
+    withShufflePartitions(4) {
+      val in = MemoryStream[Keyed]
+      val q = LatestStream.keepLastStateful(in.toDS(), ttlMs = None)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckptA)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Keyed], _: Long) =>
+          b.write.mode("append").parquet(logDir)
+        }
+        .trigger(Trigger.ProcessingTime(0)).start()
+      in.addData(Keyed("a", 1L, 100L, 1.0), Keyed("b", 2L, 50L, 2.0))
+      q.processAllAvailable()
+      q.stop()
+    }
+    assert(statePartitions(ckptA) == 4, "phase A froze 4 state partitions")
+
+    // Migration: the old checkpoint is ABANDONED (restarting it under
+    // a different conf would silently keep 4). Rebuild per-key state
+    // from the durable log, start FRESH at 8 partitions with the
+    // rebuilt state injected.
+    val rebuilt = graft.ops.Latest.keepLastPerKey(
+      spark.read.parquet(logDir), Seq("key"), Seq("tsMs", "id")).as[Keyed]
+    val ckptB = tmp("mig_ckptB")
+    val outB = tmp("mig_outB")
+    withShufflePartitions(8) {
+      val in = MemoryStream[Keyed]
+      val q = LatestStream.keepLastStateful(in.toDS(), ttlMs = None,
+          initialState = Some(rebuilt))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckptB)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Keyed], _: Long) =>
+          b.write.mode("append").parquet(outB)
+        }
+        .trigger(Trigger.ProcessingTime(0)).start()
+      // b's stale tick (ts 40 < the migrated 50) proves the rebuilt
+      // state participates: the emitted update must be the OLD argmax.
+      in.addData(Keyed("a", 4L, 200L, 3.0), Keyed("b", 6L, 40L, 9.9),
+        Keyed("c", 5L, 70L, 4.0))
+      q.processAllAvailable()
+      q.stop()
+    }
+    assert(statePartitions(ckptB) == 8, "migrated query runs 8 state partitions")
+    val updates = spark.read.parquet(outB).as[Keyed].collect()
+      .map(k => k.key -> (k.tsMs, k.id)).toMap
+    assert(updates == Map("a" -> (200L, 4L), "b" -> (50L, 2L), "c" -> (70L, 5L)),
+      "post-migration updates continue from the rebuilt argmax state")
+  }
+
+  test("streaming paragraph index: per-trigger emission bounded by batch keys, compacted index equals batch (scale-shaped q_stream_para_dedup)") {
+    import graft.ops.Dedup
+    // Three-file corpus with overlapping paragraphs: file1 = {A, B},
+    // file2 = {B, C} (B already indexed), file3 = {A} (all seen).
+    val docsDir = tmp("paraidx_docs")
+    val batches = Seq(
+      Seq((1L, "A\nB"), (2L, "A")), // keys {A, B}
+      Seq((3L, "B\nC"), (4L, "C")), // keys {B, C}
+      Seq((5L, "A"))) //              keys {A}
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = tmp(s"paraidx_stage$i")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+        .parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        new java.io.File(docsDir, s"file$i.parquet").toPath)
+    }
+
+    val work = tmp("paraidx_work")
+    val emitted = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+    val q = Dedup.firstOccurrenceStreamIndex(
+      Dedup.paragraphTable(stream, "doc_id", "text"),
+      indexDir = s"$work/index", checkpointDir = s"$work/ckpt",
+      onBatch = (id, n) => { emitted.put(id, n); () })
+    q.awaitTermination()
+
+    import scala.jdk.CollectionConverters._
+    val perTrigger = emitted.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(perTrigger.count(_ > 0) == 3, s"expected 3 data triggers: $perTrigger")
+    // Bounded emission: each trigger emits at most ITS batch's distinct
+    // keys (≤ 2 here). Complete-mode re-emission would emit the full
+    // 3-key accumulated index on its final trigger under any file order.
+    assert(perTrigger.forall(_ <= 2),
+      s"per-trigger emission exceeds batch key count (complete-mode shape?): $perTrigger")
+    assert(perTrigger.sum <= 5, s"total emission exceeds touched-key total: $perTrigger")
+
+    // Compacted index == batch-built index, and reassembly == batch dedup.
+    val allDocs = batches.flatten.toDF("doc_id", "text")
+    val batchIndex = Dedup.firstParagraphOccurrence(
+        Dedup.paragraphTable(allDocs, "doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getStruct(1).getLong(0),
+        r.getStruct(1).getInt(1))).toSet
+    val streamIndex = Dedup.readFirstOccurrenceIndex(spark, s"$work/index")
+      .collect().map(r => (r.getString(0), r.getStruct(1).getLong(0),
+        r.getStruct(1).getInt(1))).toSet
+    assert(streamIndex == batchIndex)
+    val got = Dedup.reassembleParagraphs(
+        Dedup.paragraphTable(allDocs, "doc_id", "text"),
+        Dedup.readFirstOccurrenceIndex(spark, s"$work/index"), "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    val want = Dedup.dedupParagraphs(allDocs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(got == want)
+    assert(want == Seq((1L, "A\nB"), (2L, ""), (3L, "C"), (4L, ""), (5L, "")))
+  }
+
   test("streaming latest equals batch argmax oracle (batch/stream equivalence)") {
     val got = SparkEntry.queries("q_stream_latest")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -31,6 +31,20 @@ class TsCanarySpec extends AnyFunSuite {
     (5L, 1704067798778999L))
   private val expectMs = micros.map { case (id, us) => (id, us / 1000L) }
 
+  /** Scoped conf set — saves and restores the prior value so the shared
+    * TestSpark session doesn't leak TIMESTAMP_MICROS into any later
+    * suite in the same JVM that writes timestamp parquet.
+    */
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def tmp(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"tscanary_$tag")
     d.toFile.deleteOnExit()
@@ -47,7 +61,7 @@ class TsCanarySpec extends AnyFunSuite {
   }
 
   test("ts_ms identical across int64-nanos, timestamp[us] NTZ, timestamp[us] UTC") {
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+   withConf("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS") {
 
     val longDir = tmp("long")
     micros.map { case (id, us) => (id, us * 1000L + 777L) } // ns with sub-µs residue
@@ -73,10 +87,11 @@ class TsCanarySpec extends AnyFunSuite {
     assert(fromLong == expectMs, "int64-nanos path")
     assert(fromNtz == expectMs, "timestamp[us] NTZ path")
     assert(fromLtz == expectMs, "timestamp[us] UTC path")
+   }
   }
 
   test("property: 512 random post-1970 instants agree across all three flavors") {
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+   withConf("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS") {
     // deterministic LCG so the corpus is reproducible; micros spread over
     // 1970..2262 (the int64-nanos representable range) with sub-ms residue
     val rnd = new scala.util.Random(0x5eed8L)
@@ -98,6 +113,7 @@ class TsCanarySpec extends AnyFunSuite {
     assert(readBack(dirs("long"), LongType) == expect)
     assert(readBack(dirs("ntz"), TimestampNTZType) == expect)
     assert(readBack(dirs("ltz"), TimestampType) == expect)
+   }
   }
 
   test("unsupported ts type fails loudly, not with a downstream analysis error") {

@@ -1,39 +1,79 @@
 #!/usr/bin/env python3
-"""Gate a bench run on ambient machine load before trusting its numbers.
+"""Gate a bench run on ambient machine load AND per-query regressions
+before trusting its numbers.
 
-Usage: python3 tools/bench_gate.py [bench_out.json] [--max-load N]
+Usage: python3 tools/bench_gate.py [bench_out.json]
+           [--max-load N] [--prev PATH|git] [--max-regress R]
 
 Reads the env metadata graft.Bench embeds in its JSON line and exits
-nonzero (refusing the "closing benchmark" label) when the box was
-contended at bench START — load average above --max-load (default 4.0,
-~12% of the 32-cpu box) or extra JVMs beyond the expected sbt+bench
-pair. The convention (PERF.md round-7): a number recorded as a round's
+nonzero (refusing the "closing benchmark" label) when:
+
+1. Any declared query ERRORED (-1/None time) or the artifact is
+   malformed (non-numeric time) — round-7 postmortem: BENCH_r07.json
+   carried 55 errored entries under rc=0 and was labeled closing.
+2. The box was contended at bench START — load average above
+   --max-load (default 4.0, ~12% of the 32-cpu box) or extra JVMs
+   beyond the expected sbt+bench pair.
+3. Any query comparable to the PREVIOUS closing bench regressed more
+   than --max-regress (default 1.5x) — the r7->r8 lesson: per-query
+   medians are the only cross-round-comparable signal, and a quiet-box
+   total can still hide one operator that got 3x slower. The previous
+   closing run is read from --prev (a bench_out.json-format file), or
+   from git HEAD's committed bench_out.json when --prev git (the
+   default: the closing artifact is committed each round, so HEAD
+   holds the last gate-passed run while the candidate sits in the
+   working tree). Queries present only in the candidate (new this
+   round) or only in the previous run are reported but never refused.
+
+The convention (PERF.md round-7): a number recorded as a round's
 closing benchmark must come from a run this gate passed; contended
 runs are still useful for relative per-query comparison but their
 totals must not be compared across rounds.
 """
 import json
+import subprocess
 import sys
 
 path = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "bench_out.json"
-max_load = 4.0
-if "--max-load" in sys.argv:
-    max_load = float(sys.argv[sys.argv.index("--max-load") + 1])
+
+
+def flag(name, default):
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return default
+
+
+max_load = float(flag("--max-load", 4.0))
+max_regress = float(flag("--max-regress", 1.5))
+prev_src = flag("--prev", "git")
 
 with open(path) as f:
     rec = json.load(f)
 
+
+def is_time(t):
+    # bool is an int subclass in Python: a True/False "time" is artifact
+    # corruption, not a number — classify it as malformed, never numeric.
+    return isinstance(t, (int, float)) and not isinstance(t, bool)
+
+
 # A query timed as -1 (or missing/None) means it ERRORED inside the
-# bench harness. Round-7 postmortem: BENCH_r07.json carried 55 such
-# entries under rc=0 and was labeled a closing run. An errored query
-# is disqualifying regardless of how quiet the box was — no load
-# threshold can redeem a bench that didn't run its queries.
+# bench harness; any other non-numeric value means the artifact itself
+# is corrupt. Both refuse, with distinct messages so a harness bug is
+# not misread as a query failure.
 queries = rec.get("queries", {})
 errored = sorted(n for n, t in queries.items()
-                 if t is None or not isinstance(t, (int, float)) or t < 0)
+                 if t is None or (is_time(t) and t < 0))
+malformed = sorted(n for n, t in queries.items()
+                   if t is not None and not is_time(t))
 if not queries:
     print(f"REFUSE: {path} has no per-query times")
+    sys.exit(2)
+if malformed:
+    print(f"REFUSE: {len(malformed)}/{len(queries)} per-query times are "
+          "non-numeric (corrupt artifact, not query failure): "
+          + ", ".join(malformed[:10]) + ("..." if len(malformed) > 10 else ""))
     sys.exit(2)
 if errored:
     print(f"REFUSE: {len(errored)}/{len(queries)} queries errored (-1/missing): "
@@ -58,5 +98,50 @@ if jvms > 2:
 if problems:
     print("REFUSE closing label: " + "; ".join(problems))
     sys.exit(1)
+
+# --- per-query regression diff against the previous closing run ---
+prev = None
+prev_label = None
+if prev_src == "git":
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:bench_out.json"],
+            capture_output=True, text=True, check=True)
+        prev = json.loads(out.stdout)
+        prev_label = "git HEAD bench_out.json"
+    except (subprocess.CalledProcessError, json.JSONDecodeError, OSError):
+        print("note: no committed bench_out.json at HEAD - "
+              "skipping regression diff")
+elif prev_src not in (None, "none"):
+    with open(prev_src) as f:
+        prev = json.load(f)
+    prev_label = prev_src
+
+if prev is not None:
+    pq = {n: t for n, t in prev.get("queries", {}).items()
+          if is_time(t) and t > 0}
+    regressed = []
+    for n, t in sorted(queries.items()):
+        if n in pq and t > pq[n] * max_regress:
+            regressed.append((n, pq[n], t, t / pq[n]))
+    new_qs = sorted(set(queries) - set(pq))
+    gone_qs = sorted(set(pq) - set(queries))
+    if new_qs:
+        print(f"note: {len(new_qs)} queries new vs {prev_label} "
+              "(no regression baseline): " + ", ".join(new_qs[:10]))
+    if gone_qs:
+        print(f"note: {len(gone_qs)} queries present in {prev_label} "
+              "but missing now: " + ", ".join(gone_qs[:10]))
+    if regressed:
+        detail = ", ".join(f"{n} {p:.2f}s->{t:.2f}s ({r:.2f}x)"
+                           for n, p, t, r in regressed[:10])
+        print(f"REFUSE closing label: {len(regressed)} quer"
+              f"{'y' if len(regressed) == 1 else 'ies'} regressed >"
+              f"{max_regress}x vs {prev_label} on a quiet box: {detail}"
+              + ("..." if len(regressed) > 10 else ""))
+        sys.exit(1)
+    print(f"regression diff vs {prev_label}: "
+          f"{len(set(queries) & set(pq))} comparable, 0 over {max_regress}x")
+
 print(f"OK to label as closing: load_avg_start={load} java_procs_start={jvms} "
       f"(value={rec.get('value')}s over {len(rec.get('queries', {}))} queries)")
