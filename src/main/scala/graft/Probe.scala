@@ -683,6 +683,60 @@ object Probe {
         s""""slowdown":${tHot / tCtl}}""")
     }
 
+    if (enabled("para_skew_join")) {
+      // The r8 verdict ask: AQE skew-split vs Skew.saltedJoin measured
+      // on the SAME boilerplate-skew corpus the para_skew probe uses —
+      // the tag-back equality join (paras ⋈ first on _pd_h) where ONE
+      // 128-bit hash carries nDocs occurrences. The structural
+      // difference from the round-3 hot-key-join measurement (20M
+      // facts ⋈ 5k dim, where salting won 2×): here the build side is
+      // CORPUS-SIZED (one row per distinct paragraph), so saltedJoin's
+      // full-replication of `other` costs salts × |distinct paras|
+      // extra rows — the regime where salting's precondition (small
+      // dim) fails and AQE's split-only-the-straggler approach is the
+      // right tool. Both are measured rather than asserted.
+      val nDocs = sys.env.get("SPARK_GRAFT_PARA_DOCS")
+        .map(_.toLong).getOrElse(1000000L)
+      def corpus: DataFrame = {
+        val uniq = (0 until 3).map(j =>
+          concat(lit("u"), col("id") * 3 + j, lit(" w"),
+            pmod(hash(col("id") * 3 + j), lit(1000))))
+        val paras = lit("shared header boilerplate") +: uniq
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws("\n", paras: _*).as("text"))
+      }
+      val paras = graft.ops.Dedup.paragraphTable(corpus, "doc_id", "text")
+        .localCheckpoint(true)
+      val first = graft.ops.Dedup.firstParagraphOccurrence(paras)
+        .localCheckpoint(true)
+      def withConf[A](kvs: (String, String)*)(body: => A): A = {
+        val prior = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body finally prior.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      // broadcast disabled: at probe scale `first` (~3M rows) can slip
+      // under a generous driver and broadcast away the very skew being
+      // measured; at 100 TB it never could.
+      def noBcast[A](body: => A): A =
+        withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1")(body)
+      def tagJoin = paras.join(first, Seq("_pd_h"))
+      time(noBcast(tagJoin)) // warm
+      val (tDefault, nJ) = time(noBcast(tagJoin))
+      val (tForced, _) = time(noBcast(withConf(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")(tagJoin)))
+      val (tSalted, nS) = time(noBcast(graft.ops.Skew.saltedJoin(
+        paras, first, "_pd_h", "_pd_id", salts = 8)))
+      require(nS == nJ, s"salted join changed the result: $nS vs $nJ")
+      println(s"""{"probe":"para_skew_join","docs":$nDocs,""" +
+        s""""joined_rows":$nJ,"aqe_default_sec":$tDefault,""" +
+        s""""aqe_forced_sec":$tForced,"salted8_sec":$tSalted}""")
+    }
+
     if (enabled("quantile_sketch")) {
       // Exact percentile vs the bottom-k sample sketch at 50M rows ×
       // 100 groups: exact `percentile` collects EVERY group value into

@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
   * The salt is derived from a unique fact column (pmod of its hash),
   * not rand(), so replays/retries are deterministic (same row → same
   * partition), which retried micro-batch sinks rely on.
+  *
+  * SELECTION RULE (both regimes measured, PERF.md rounds 3 and 9):
+  * salting replicates the ENTIRE `other` side S×, so its cost is
+  * S·|other| extra build rows against the straggler time it removes —
+  * choose `saltedJoin` only when `other` is dim-sized (round-3 hot-key
+  * probe, 20M facts ⋈ 5k dim: salted 3.3 s vs AQE 6.4 s, ~2×) and
+  * AQE's split is unavailable or the sort itself is the bottleneck;
+  * when `other` is corpus-sized the replication dominates everything
+  * (round-9 paragraph tag-back probe, 4M paras ⋈ 3M first-occurrence
+  * index with one 1M-occurrence hash: salted-8 19.3 s vs AQE 2.6-3.1 s
+  * — 7× WORSE) and AQE skew-split is the right tool, with lowered
+  * `skewedPartitionThresholdInBytes`/`skewedPartitionFactor` when the
+  * hot partition sits under the 256 MB default. Rule of thumb:
+  * S·|other| must stay broadcast-class; if it doesn't fit in a few
+  * hundred MB, don't salt — split.
   */
 object Skew {
 

@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_snapshot_diff", "q_tfidf", "q_ttl_filter",
       "q_embed_outliers", // 2-column percentile stats row × vector side
       "q_kmeans_assign", "q_semdedup", // k-row centroid table × corpus
+      "q_semdedup_incr", // same centroid cross, once per side (new + corpus)
       "q_source_overlap_kmv", // S-row KMV sketch table × itself (S = #sources)
       "q_mix_temperature") // 1-row global-min × S-row count table
     for ((name, p) <- sweep if p.contains("BroadcastNestedLoopJoin"))
