@@ -73,39 +73,46 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     withTsMs(table(spark, sfDir, "events"))
 
-  /** Canonical TimestampType (µs, UTC-adjusted) for a timestamp-like
-    * column, dispatched on the type it actually LOADED as — the same
-    * drift armor [[tsMsExpr]] gives events.ts, applied to the TPC-H
-    * date columns (l_shipdate / o_orderdate), which queries compare
-    * against `java.sql.Timestamp` literals and which would break
-    * asymmetrically (Spark only, not the DuckDB oracle) if the
-    * generator shipped TIMESTAMP(NANOS) (loads as int64 under the
-    * global nanosAsLong flag), timestamp[us] without UTC adjustment
-    * (loads as TIMESTAMP_NTZ), or date32:
+  /** Drift armor for timestamp-like columns (l_shipdate /
+    * o_orderdate), dispatched on the type the column actually LOADED
+    * as — the [[tsMsExpr]] discipline applied to the TPC-H date
+    * columns, which queries compare against `java.sql.Timestamp`
+    * literals and which would break asymmetrically (Spark only, not
+    * the DuckDB oracle) if the generator shipped TIMESTAMP(NANOS):
+    * under the global nanosAsLong flag that flavor loads as raw int64
+    * and every timestamp comparison fails ANALYSIS — so it is
+    * repaired here to µs TimestampType (`div 1000`; instants are
+    * post-1970/pre-2262, so the floor is exact truncation on both
+    * engines).
     *
-    *  - `TimestampType`: already canonical;
-    *  - `LongType`: raw nanos from the legacy read → `div 1000` µs;
-    *  - `TimestampNTZType`: `timestampdiff` from the NTZ epoch —
-    *    session-timezone-independent, unlike a cast;
-    *  - `DateType`: `unix_date · 86 400 000 000` µs (midnight UTC).
-    *
-    * All flavors produce the identical instant; TableCanarySpec pins
-    * it. Instants are all post-1970 and pre-2262 in this data, so the
-    * nanos→µs floor division is exact truncation on both engines.
+    * The ANALYZABLE flavors — TimestampType, TimestampNTZType (what a
+    * parquet timestamp[us] without UTC adjustment infers as, and what
+    * the generator ships as of round 9), DateType — pass through
+    * UNTOUCHED, deliberately: Spark's type coercion already compares
+    * them with Timestamp literals correctly under the UTC session,
+    * and keeping the raw column attribute is what lets the range
+    * predicate push into the parquet scan. Wrapping NTZ in a
+    * normalizing expression was measured (round 9) to strip
+    * `l_shipdate <= …` from PushedFilters and cost q1_agg 1.86× —
+    * the repair must never tax the healthy path. TableCanarySpec pins
+    * identical filter semantics across all four flavors.
     */
   def canonicalTsExpr(dt: DataType, c: String): Column = dt match {
-    case TimestampType => col(c)
+    case TimestampType | TimestampNTZType |
+         org.apache.spark.sql.types.DateType => col(c)
     case LongType => expr(s"timestamp_micros($c div 1000)")
-    case TimestampNTZType => expr(
-      s"timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $c))")
-    case org.apache.spark.sql.types.DateType =>
-      expr(s"timestamp_micros(cast(unix_date($c) as bigint) * 86400000000)")
     case other => throw new IllegalArgumentException(
       s"$c loaded as unsupported type $other; expected a timestamp/date flavor")
   }
 
   def withCanonicalTs(df: DataFrame, c: String): DataFrame =
-    df.withColumn(c, canonicalTsExpr(df.schema(c).dataType, c))
+    df.schema(c).dataType match {
+      // identity flavors: return df ITSELF (no Project node at all) so
+      // the plan is byte-identical to the pre-armor plan
+      case TimestampType | TimestampNTZType |
+           org.apache.spark.sql.types.DateType => df
+      case dt => df.withColumn(c, canonicalTsExpr(dt, c))
+    }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     withCanonicalTs(table(spark, sfDir, "lineitem"), "l_shipdate")

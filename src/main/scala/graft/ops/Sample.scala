@@ -315,4 +315,51 @@ object Sample {
       .withColumn(posCol, row_number().over(w).cast("long") - 1)
       .drop("_sh_h")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis,
+    * IPL 2006: keep the k items with the largest uᵢ^(1/wᵢ)) in exact
+    * integer-hash arithmetic — the "sample documents ∝ quality
+    * weight" curation primitive. Instead of the float pow (whose
+    * cross-engine bit-identity transcendentals can't guarantee), each
+    * row's priority is the MAX of wᵢ independent 60-bit md5 draws:
+    * max of w uniforms has CDF t^w — the SAME distribution as
+    * u^(1/w) — so ES's top-k-by-priority verdicts are reproduced
+    * exactly, deterministically, and both engines agree on every bit.
+    * Integer weights only (the standard quality-bucket setup);
+    * fractional weights quantize to a grid upstream.
+    *
+    * Scale shape: the w draws are a map-side array expression (no
+    * explode, no per-copy rows — w is bounded by maxWeight), and the
+    * k winners come from ONE bounded-state [[graft.functions
+    * .TopKByAggregator]] pass, so the exchange carries ≤ parts·k
+    * pairs. Draws are 52-bit (13 hex chars) so every priority is
+    * EXACTLY representable in the aggregator's double buffer (2⁵² <
+    * 2⁵³) — a 60-bit draw would silently round and diverge from the
+    * oracle's exact integer comparison. Ties (two rows drawing the
+    * same 52-bit max — ~k²/2⁵²) break by id ascending, keeping the
+    * verdict total. Invalid weights (null, < 1, > maxWeight) raise
+    * inside the draw expression itself, so the guard cannot be
+    * pruned away.
+    */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
+      k: Int, seed: String, maxWeight: Int = 64): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    val wInt = weightCol.cast("int")
+    val guarded = when(wInt.isNull || wInt < 1 || wInt > lit(maxWeight),
+      raise_error(concat(
+        lit(s"weightedSample needs integer weights in [1, $maxWeight], got "),
+        coalesce(wInt.cast("string"), lit("null"))))).otherwise(wInt)
+    val draws = transform(
+      sequence(lit(1), guarded),
+      j => conv(substring(md5(
+        concat(lit(s"$seed|"), idCol.cast("string"), lit("|"), j.cast("string"))
+          .cast("binary")), 1, 13), 16, 10).cast("long"))
+    df.withColumn("_ws_p", array_max(draws))
+      .agg(graft.functions.TopK.topKBy(
+        col("_ws_p").cast("double"), idCol.cast("long"), k).as("_ws_kept"))
+      .select(posexplode(col("_ws_kept")).as(Seq("_ws_pos", "_ws_pair")))
+      .select((col("_ws_pos") + 1).cast("long").as("rank"),
+        col("_ws_pair").getField("_2").as("id"),
+        col("_ws_pair").getField("_1").cast("long").as("priority"))
+  }
 }

@@ -301,6 +301,40 @@ object PipelineQ {
       FROM e WHERE n > 0 ORDER BY doc_id, epoch""")
   )
 
+  private val WsSeed = "ws0"
+  private val WsK = 50
+
+  /** Weighted sampling without replacement (see
+    * [[graft.ops.Sample.weightedSample]]): documents weighted
+    * 1 + n_chars % 4, the [[WsK]] Efraimidis–Spirakis winners by
+    * max-of-w-draws priority. The oracle replays the identical
+    * integer-hash arithmetic (unnest the draws, max per doc,
+    * row_number by priority DESC, id ASC), so the whole sample —
+    * membership, order, and priorities — hash-checks.
+    */
+  val qSampleWeighted = Q(
+    "q_sample_weighted",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      Sample.weightedSample(docs, col("doc_id"),
+          lit(1) + col("n_chars") % 4, k = WsK, seed = WsSeed)
+        .select(col("rank"), col("id").as("doc_id"), col("priority"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, 1 + n_chars % 4 AS w FROM documents),
+      d AS (SELECT doc_id, unnest(range(1, w + 1)) AS j FROM w),
+      h AS (SELECT doc_id, CAST('0x' || substring(md5('$WsSeed|' ||
+          CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 13)
+          AS BIGINT) AS hv
+        FROM d),
+      p AS (SELECT doc_id, max(hv) AS priority FROM h GROUP BY doc_id),
+      r AS (SELECT doc_id, priority,
+          row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+        FROM p)
+      SELECT rank, doc_id, priority FROM r WHERE rank <= $WsK
+      ORDER BY rank""")
+  )
+
   private val SplitSeed = "split0"
 
   /** Deterministic train/val/test assignment (see
@@ -326,5 +360,6 @@ object PipelineQ {
 
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
-      qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped)
+      qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
+      qSampleWeighted)
 }

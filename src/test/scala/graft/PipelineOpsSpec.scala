@@ -247,4 +247,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2).getLong(0) == 0L)
     assert(math.abs(out(0).getLong(0)) <= 3 * 1000L)
   }
+
+  private def hash52(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"${b & 0xff}%02x").mkString.substring(0, 13), 16)
+  }
+
+  test("weightedSample equals a driver-side Efraimidis–Spirakis reference " +
+      "and overrepresents heavy weights") {
+    import spark.implicits._
+    // 2000 docs, 10% carry weight 8, the rest weight 1
+    val rows = (0L until 2000L).map(i => (i, if (i % 10 == 0) 8 else 1))
+    val df = rows.toDF("id", "w")
+    val k = 200
+    val got = Sample.weightedSample(df, col("id"), col("w"), k, seed = "t0")
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // reference: priority = max of w independent 52-bit draws, top-k by
+    // (priority DESC, id ASC) — the ES verdict under the max-of-uniforms
+    // reformulation (max of w uniforms ~ u^(1/w), CDF t^w)
+    val ref = rows.map { case (id, w) =>
+        (id, (1 to w).map(j => hash52(s"t0|$id|$j")).max)
+      }.sortBy { case (id, p) => (-p, id) }.take(k)
+      .zipWithIndex.map { case ((id, p), i) => (i + 1L, id, p) }
+    assert(got == ref)
+    // distribution: weight-8 docs are 10% of the corpus but should take
+    // far more than 10% of the sample (expectation ≈ 8/17 ≈ 47%)
+    val heavy = got.count { case (_, id, _) => id % 10 == 0 }
+    assert(heavy > 60 && heavy < 140,
+      s"weight-8 docs took $heavy/$k sample slots — outside any plausible band")
+  }
+
+  test("weightedSample raises on out-of-range weights instead of sampling wrong") {
+    import spark.implicits._
+    val df = Seq((1L, 1), (2L, 0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sample.weightedSample(df, col("id"), col("w"), 1, seed = "t0").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("weightedSample"))
+  }
 }

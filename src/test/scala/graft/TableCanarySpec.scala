@@ -77,36 +77,54 @@ class TableCanarySpec extends AnyFunSuite {
     dir
   }
 
-  test("l_shipdate flavors: µs LTZ, int64-nanos, µs NTZ all yield the identical instant") {
+  test("l_shipdate flavors: LTZ/NTZ pass through untouched, int64-nanos repaired — all the identical instant") {
     withConf("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS") {
-      def readBack(dir: String, want: DataType): Seq[(Long, Long)] = {
-        val li = Tables.lineitem(spark, dir)
-        assert(li.schema("l_shipdate").dataType == TimestampType,
-          s"canonicalTsExpr must land on TimestampType")
-        li.select(col("l_orderkey"), unix_micros(col("l_shipdate")))
-          .as[(Long, Long)].collect().sortBy(_._1).toSeq
-      }
-      val want = dateUs
-      assert(readBack(writeDateFlavor("ltz", "ltz"), TimestampType) == want)
-      assert(readBack(writeDateFlavor("ntz", "ntz"), TimestampNTZType) == want)
-      assert(readBack(writeDateFlavor("nanos", "nanos"), LongType) == want,
+      // LTZ: passthrough, canonical µs
+      val ltz = Tables.lineitem(spark, writeDateFlavor("ltz", "ltz"))
+      assert(ltz.schema("l_shipdate").dataType == TimestampType)
+      assert(ltz.select(col("l_orderkey"), unix_micros(col("l_shipdate")))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq == dateUs)
+      // int64 nanos (the TIMESTAMP(NANOS) legacy read): REPAIRED to µs
+      // TimestampType — the flavor that fails analysis raw
+      val nan = Tables.lineitem(spark, writeDateFlavor("nanos", "nanos"))
+      assert(nan.schema("l_shipdate").dataType == TimestampType,
+        "nanos flavor must be repaired to TimestampType")
+      assert(nan.select(col("l_orderkey"), unix_micros(col("l_shipdate")))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq == dateUs,
         "nanos path must truncate the sub-µs residue")
+      // NTZ: passthrough (normalizing it was measured to kill the
+      // parquet range pushdown); instants identical via the
+      // session-tz-independent diff
+      val ntz = Tables.lineitem(spark, writeDateFlavor("ntz", "ntz"))
+      assert(ntz.schema("l_shipdate").dataType == TimestampNTZType,
+        "NTZ must pass through untouched — see canonicalTsExpr scaladoc")
+      assert(ntz.select(col("l_orderkey"),
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq == dateUs)
     }
   }
 
-  test("date32 flavor yields midnight-UTC instants; Timestamp-literal filters work on every flavor") {
+  test("date32 passes through; Timestamp-literal filters agree on every flavor; NTZ keeps its range pushdown") {
     withConf("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS") {
-      val got = Tables.lineitem(spark, writeDateFlavor("date", "date"))
-        .select(col("l_orderkey"), unix_micros(col("l_shipdate")))
-        .as[(Long, Long)].collect().sortBy(_._1).toSeq
-      assert(got == dateUs.map { case (k, us) => (k, us - us % 86400000000L) })
-      // the query surface's actual access pattern: a Timestamp literal filter
+      val dd = Tables.lineitem(spark, writeDateFlavor("date", "date"))
+      assert(dd.schema("l_shipdate").dataType == DateType)
+      assert(dd.select(col("l_orderkey"),
+          expr("cast(unix_date(l_shipdate) as bigint) * 86400000000"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+        dateUs.map { case (k, us) => (k, us - us % 86400000000L) })
+      // the query surface's actual access pattern: a Timestamp literal
+      // filter, coerced per flavor by Spark, same verdicts everywhere
       for (flavor <- Seq("ltz", "ntz", "nanos", "date")) {
-        val n = Tables.lineitem(spark, writeDateFlavor(s"f_$flavor", flavor))
+        val q = Tables.lineitem(spark, writeDateFlavor(s"f_$flavor", flavor))
           .filter(col("l_shipdate") <=
             lit(java.sql.Timestamp.valueOf("1996-12-31 23:59:59")))
-          .count()
-        assert(n == 1L, s"flavor $flavor: Timestamp-literal filter")
+        assert(q.count() == 1L, s"flavor $flavor: Timestamp-literal filter")
+        // the property the passthrough buys (and the round-9 q1_agg
+        // regression lost): the RANGE predicate reaches the scan
+        if (flavor == "ntz" || flavor == "ltz")
+          assert(q.queryExecution.executedPlan.toString
+            .contains("LessThanOrEqual(l_shipdate"),
+            s"flavor $flavor: range predicate not pushed into the parquet scan")
       }
     }
   }
