@@ -1111,17 +1111,13 @@ object TrainingQ {
     * cluster-bucketed new-vs-corpus comparison; keep = no corpus
     * cluster-mate at cosine ≥ τ.
     */
-  val qSemDedupIncr = Q(
-    "q_semdedup_incr",
-    (spark, dir) => {
-      val emb = Tables.embeddings(spark, dir)
-      Similarity.semDedupIncremental(
-          emb.filter(col("vec_id") % 5 === 0),
-          emb.filter(col("vec_id") % 5 =!= 0),
-          seedCentroids(spark, dir), threshold = SemDedupTau)
-        .orderBy("vec_id")
-    },
-    Some(s"""WITH e AS (SELECT vec_id,
+  /** Shared by the batch and streaming incremental-SemDeDup faces:
+    * replays assignment for BOTH sides and the cluster-bucketed
+    * new-vs-corpus comparison; keep = no corpus cluster-mate at
+    * cosine ≥ τ.
+    */
+  private lazy val SemDedupIncrOracle: String =
+    s"""WITH e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       c AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $KmeansSeeds),
@@ -1138,7 +1134,59 @@ object TrainingQ {
         ON n.cluster = x.cluster
         WHERE ${sqlDot("n.v", "x.v")} / sqrt(${sqlDot("n.v", "n.v")} * ${sqlDot("x.v", "x.v")}) >= $SemDedupTau)
       SELECT n.vec_id, n.cluster, d.vec_id IS NULL AS keep
-      FROM newv n LEFT JOIN d ON n.vec_id = d.vec_id ORDER BY n.vec_id""")
+      FROM newv n LEFT JOIN d ON n.vec_id = d.vec_id ORDER BY n.vec_id"""
+
+  val qSemDedupIncr = Q(
+    "q_semdedup_incr",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.semDedupIncremental(
+          emb.filter(col("vec_id") % 5 === 0),
+          emb.filter(col("vec_id") % 5 =!= 0),
+          seedCentroids(spark, dir), threshold = SemDedupTau)
+        .orderBy("vec_id")
+    },
+    Some(SemDedupIncrOracle)
+  )
+
+  /** Streaming face of [[qSemDedupIncr]]: arriving embedding batches
+    * run the SAME delta pass per micro-batch in `foreachBatch` against
+    * the at-rest corpus and codebook, results appending to a parquet
+    * log. Verdicts are per-vector against the STATIC corpus — no
+    * new-vs-new comparison — so they are independent of how arrivals
+    * batch, and the union of per-trigger outputs equals the one-shot
+    * batch pass exactly (the CADENCE-INVARIANCE pin; StreamingSpec
+    * also pins it across a forced 2-trigger split). No streaming
+    * state at all: the corpus is at-rest, the codebook broadcasts —
+    * which IS the production shape of a per-ingest dedup delta; when
+    * the corpus itself must grow with accepted arrivals, that is a
+    * checkpointed upsert of the corpus table between triggers, the
+    * [[graft.ops.Dedup.streamAgainstHistory]] staleness contract.
+    */
+  val qStreamSemDedup = Q(
+    "q_stream_semdedup",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_semdedup").toString
+      val emb = Tables.embeddings(spark, dir)
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val cents = seedCentroids(spark, dir)
+      val newStream = spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") % 5 === 0)
+      val q = newStream.writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.semDedupIncremental(batch, corpus, cents, SemDedupTau)
+            .write.mode("append").parquet(s"$work/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$work/out").orderBy("vec_id")
+    },
+    Some(SemDedupIncrOracle)
   )
 
   val qKnn = Q(
@@ -1522,5 +1570,6 @@ object TrainingQ {
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
     qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e, qDedupCanon,
-    qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr)
+    qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr,
+    qStreamSemDedup)
 }

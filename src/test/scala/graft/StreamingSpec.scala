@@ -814,6 +814,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(want == Seq((1L, "A\nB"), (2L, ""), (3L, "C"), (4L, ""), (5L, "")))
   }
 
+  test("streaming semantic dedup: per-trigger delta passes union to the one-shot batch verdicts (cadence invariance)") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    // 2 centroids on the axes; corpus vectors hug them; arrivals split
+    // across two files so the stream sees two triggers.
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cluster", "cv")
+    val corpus = Seq(
+      (100L, Array(0.9f, 0.1f)), (101L, Array(0.1f, 0.9f)),
+      (102L, Array(0.8f, 0.2f))).toDF("vec_id", "embedding")
+    val arrivals = Seq(
+      Seq((200L, Array(0.95f, 0.05f)), (201L, Array(-1.0f, 0.3f))),
+      Seq((202L, Array(0.05f, 0.95f)), (203L, Array(0.4f, -1.0f))))
+    val newDir = tmp("semdd_new")
+    arrivals.zipWithIndex.foreach { case (rows, i) =>
+      val stage = tmp(s"semdd_stage$i")
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        new java.io.File(newDir, s"file$i.parquet").toPath)
+    }
+    val tau = 0.9
+    val work = tmp("semdd_work")
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1").parquet(newDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.semDedupIncremental(batch, corpus, cents, tau)
+          .write.mode("append").parquet(s"$work/out")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val oneShot = Similarity.semDedupIncremental(
+        arrivals.flatten.toDF("vec_id", "embedding"), corpus, cents, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamed == oneShot, "cadence changed the verdicts")
+    // and the verdicts are the expected ones: near-corpus arrivals
+    // dropped, off-axis arrivals kept
+    assert(oneShot == Set((200L, 0L, false), (201L, 1L, true),
+      (202L, 1L, false), (203L, 0L, true)))
+  }
+
   test("streaming latest equals batch argmax oracle (batch/stream equivalence)") {
     val got = SparkEntry.queries("q_stream_latest")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
