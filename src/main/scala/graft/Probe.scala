@@ -737,6 +737,42 @@ object Probe {
         s""""aqe_forced_sec":$tForced,"salted8_sec":$tSalted}""")
     }
 
+    if (enabled("weighted_sample")) {
+      // Sample.weightedSample at corpus scale. The shape claim: the w
+      // 52-bit draws are ONE map-side array expression (no per-copy
+      // rows) and the winners come from ONE bounded-state top-k agg
+      // (exchange ≤ parts·k pairs) — against the formulation a user
+      // would write first: explode the w copies, groupBy-max the nR
+      // per-doc priorities (a full-width shuffle of one row per doc),
+      // then the same top-k. Same verdicts, one extra corpus-sized
+      // exchange — the number that matters at 100 TB.
+      val nR = sys.env.get("SPARK_GRAFT_WS_ROWS")
+        .map(_.toLong).getOrElse(20000000L)
+      val kW = 1000
+      val rows = spark.range(nR).select(col("id"),
+        (lit(1) + pmod(col("id"), lit(4))).cast("int").as("w"))
+      def topk(prio: DataFrame) = prio
+        .agg(graft.functions.TopK.topKBy(
+          col("_ws_p").cast("double"), col("id"), kW).as("kept"))
+        .select(explode(col("kept")))
+      def drawExpr(j: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit("p|"), col("id").cast("string"),
+          lit("|"), j.cast("string")).cast("binary")), 1, 13), 16, 10)
+          .cast("long")
+      time(graft.ops.Sample.weightedSample( // warm
+        rows.limit(1000000), col("id"), col("w"), kW, seed = "p"))
+      val (tMap, _) = time(graft.ops.Sample.weightedSample(
+        rows, col("id"), col("w"), kW, seed = "p"))
+      val exploded = rows
+        .select(col("id"), explode(sequence(lit(1), col("w"))).as("j"))
+        .select(col("id"), drawExpr(col("j")).as("d"))
+        .groupBy("id").agg(max(col("d")).as("_ws_p"))
+      val (tExplode, _) = time(topk(exploded))
+      println(s"""{"probe":"weighted_sample","rows":$nR,"k":$kW,""" +
+        s""""map_side_sec":$tMap,"explode_groupby_sec":$tExplode,""" +
+        s""""rows_per_sec":${(nR / tMap).toLong}}""")
+    }
+
     if (enabled("quantile_sketch")) {
       // Exact percentile vs the bottom-k sample sketch at 50M rows ×
       // 100 groups: exact `percentile` collects EVERY group value into
