@@ -128,6 +128,50 @@ object TrainingQ {
       ORDER BY d.doc_id""")
   )
 
+  /** Exact-substring span dedup APPLY (Lee et al. ACL'22 — see
+    * [[graft.ops.Dedup.spanDedup]]): q_dup_coverage measures the
+    * duplicated-span signal; this excises it. k = 5 tokens; every
+    * non-first occurrence (global (doc_id, pos) order) of a
+    * duplicated 5-token span loses its covered tokens and documents
+    * are rebuilt from the survivors. The oracle's row_number()=1
+    * formulation equals the Spark side's min(struct(id, pos)) index
+    * because (doc_id, pos) is unique per occurrence. Positions are
+    * 1-based on both sides (DuckDB lists and lambda indices are
+    * 1-based; the Spark side shifts its 0-based posexplode/filter
+    * indices up/down at the edges). Fully linear — no pair join, no
+    * frequency cap needed (see the operator scaladoc).
+    */
+  val qDedupSpan = Q(
+    "q_dedup_span",
+    (spark, dir) =>
+      Dedup.spanDedup(Tables.documents(spark, dir), "doc_id", "text", k = 5)
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+        sp0 AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(ts) - 3),
+            i -> struct_pack(pos := i,
+              s := ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                   ts[i+3] || ' ' || ts[i+4]))) AS sp
+        FROM toks),
+        spans AS (SELECT doc_id, sp.pos AS pos, sp.s AS s FROM sp0),
+        marked AS (SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+        FROM spans),
+        rm0 AS (SELECT doc_id, pos, unnest(range(0, 5)) AS o
+          FROM marked WHERE rn > 1),
+        rm AS (SELECT DISTINCT doc_id, pos + o AS tpos FROM rm0),
+        rms AS (SELECT doc_id, list(tpos) AS rml FROM rm GROUP BY doc_id)
+      SELECT t.doc_id, len(ts) AS n_tokens,
+        coalesce(len(rml), 0) AS n_removed,
+        coalesce(array_to_string(list_filter(ts,
+          (x, i) -> rml IS NULL OR NOT list_contains(rml, i)), ' '), '')
+          AS clean_text
+      FROM toks t LEFT JOIN rms USING (doc_id)
+      ORDER BY t.doc_id""")
+  )
+
   /** Stop-shingle doc-frequency cap, active in the shipped ngram /
     * cluster queries: a shingle occurring in more docs than this is
     * dropped from candidate generation (it creates an O(df²) skewed
@@ -1189,6 +1233,42 @@ object TrainingQ {
     Some(SemDedupIncrOracle)
   )
 
+  /** Int8-quantized brute-force top-k (see
+    * [[graft.ops.Similarity.knnQuantized]]): ranking on exact int64
+    * code dots — the all-integer twin of q_knn's exact-double cosine.
+    * The oracle reproduces the quantizer token-for-token
+    * (floor(x·127.0/s), s = list_max |x|) and the same sequential
+    * fold for the dot, so values hash-match exactly.
+    */
+  val qKnnQ8 = Q(
+    "q_knn_q8",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.knnQuantized(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      sc AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+      z AS (SELECT vec_id,
+          CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s) AS BIGINT))
+          END AS q
+        FROM sc),
+      qs AS (SELECT vec_id AS query_id, q AS qa FROM z WHERE vec_id < 10),
+      pairs AS (SELECT query_id, z.vec_id AS neighbor_id,
+          CAST(${sqlDot("qa", "z.q")} AS BIGINT) AS qdot
+        FROM qs CROSS JOIN z WHERE z.vec_id <> query_id),
+      r AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
+        FROM pairs)
+      SELECT query_id, rank, neighbor_id, qdot FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank""")
+  )
+
   val qKnn = Q(
     "q_knn",
     (spark, dir) => {
@@ -1356,7 +1436,15 @@ object TrainingQ {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
-    Some(s"""WITH e AS (SELECT vec_id, label,
+    Some(AnnIvfOracle)
+  )
+
+  /** Shared by q_ann_ivf and q_ann_ivf_layout: the layout variant is
+    * DEFINED to be result-identical to the flat-table IVF — only the
+    * bytes-read differ — so both pin against one oracle.
+    */
+  private lazy val AnnIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       reps AS (SELECT label, min(vec_id) AS rid FROM e GROUP BY label),
@@ -1375,7 +1463,30 @@ object TrainingQ {
           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM cand)
       SELECT query_id, rank, neighbor_id, cosine FROM r
-      WHERE rank <= 5 ORDER BY query_id, rank""")
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** IVF ANN against the AT-REST layout (see
+    * [[graft.io.AnnLayout]]): the corpus is written `cluster=<id>/`
+    * partitioned once, the probe list becomes a partition filter, and
+    * the rerank reads only probed directories — the bytes-read
+    * realization of q_ann_ivf's nprobe/clusters scan fraction.
+    * Same probe ranking, rerank, and tie-breaks, so the SAME oracle
+    * as q_ann_ivf; LayoutSpec additionally pins that the pruned scan's
+    * inputFiles stay inside the probed partitions.
+    */
+  val qAnnIvfLayout = Q(
+    "q_ann_ivf_layout",
+    (spark, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("ann_ivf_layout").toString
+      val emb = Tables.embeddings(spark, dir)
+      graft.io.AnnLayout.writeIvf(emb, work)
+      graft.io.AnnLayout.knnIvf(spark, work,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(AnnIvfOracle)
   )
 
   /** Top document-frequency terms per language: explode distinct
@@ -1571,5 +1682,5 @@ object TrainingQ {
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
     qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e, qDedupCanon,
     qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr,
-    qStreamSemDedup)
+    qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8)
 }

@@ -108,4 +108,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).agg(sum("v")).head().getLong(0) ==
       spark.read.parquet(linDir).agg(sum("v")).head().getLong(0))
   }
+
+  test("IVF layout: result-identical to flat knnIvf, corpus scan confined to probed partitions") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val work = Files.createTempDirectory("ann_layout").toString
+    graft.io.AnnLayout.writeIvf(emb, work)
+    val queries = emb.filter(col("vec_id") < 10)
+
+    val fromLayout = graft.io.AnnLayout
+      .knnIvf(spark, work, queries, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+    val flat = graft.ops.Similarity
+      .knnIvf(queries, emb, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+    assert(fromLayout.toSeq == flat.toSeq)
+
+    // the scan fraction claim, in actual files: a 2-cluster probe
+    // list must touch only those clusters' directories, and fewer
+    // files than the full layout holds
+    val all = spark.read.parquet(s"$work/corpus")
+      .select(input_file_name()).distinct().count()
+    val probe = Seq(0, 1)
+    val touched = graft.io.AnnLayout
+      .prunedCorpusScan(spark, work, "label", probe)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.length < all)
+    assert(touched.forall(f => probe.exists(c => f.contains(s"label=$c/"))),
+      s"unpruned file in scan: ${touched.mkString(", ")}")
+  }
 }

@@ -260,6 +260,52 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(3).isNullAt(3))
   }
 
+  test("spanDedup excises non-first duplicated spans; first copy survives verbatim") {
+    // k=3. Doc 2 embeds doc 1's "a b c d e" region: its three
+    // duplicated 3-windows cover positions 3..7, excising the whole
+    // region while doc 1 (the first occurrence) is untouched. Doc 3
+    // is an exact span copy -> emptied. Doc 4 duplicates a span
+    // WITHIN itself -> the second copy goes, the first stays. Doc 5
+    // is shorter than k -> no spans, untouched.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d e z"),
+      (3L, "a b c"),
+      (4L, "p q r p q r"),
+      (5L, "u v")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", k = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 0L, "a b c d e f"),
+      (2L, 8L, 5L, "x y z"),
+      (3L, 3L, 3L, ""),
+      (4L, 6L, 3L, "p q r"),
+      (5L, 2L, 0L, "u v")))
+  }
+
+  test("knnQuantized: per-vector scale makes code dots magnitude-blind; exact int ties break by id") {
+    // q=(1,0) codes (127,0). a=(0.8,0.6) -> s=.8 -> (127, 95);
+    // c=(1,0.1) -> (127, 12); both dot 127*127=16129 (scale dropped,
+    // like cosine) -> tie broken by id (a=1 before c=3); b=(0,1)
+    // codes (0,127) -> dot 0, last.
+    val mk = (id: Long, x: Double, y: Double) =>
+      (id, Array(x.toFloat, y.toFloat))
+    val corpus = Seq(mk(1L, 0.8, 0.6), mk(2L, 0.0, 1.0), mk(3L, 1.0, 0.1))
+      .toDF("vec_id", "embedding")
+    val queries = Seq(mk(100L, 1.0, 0.0)).toDF("vec_id", "embedding")
+    val out = Similarity.knnQuantized(queries, corpus, k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, 1L, 16129L), (2, 3L, 16129L), (3, 2L, 0L)))
+    // exact scalar multiples get identical codes => identical dots
+    val scaled = Seq(mk(1L, 0.4, 0.3), mk(2L, 0.8, 0.6))
+      .toDF("vec_id", "embedding")
+    val dots = Similarity.knnQuantized(queries, scaled, k = 2)
+      .collect().map(_.getLong(3)).toSet
+    assert(dots.size == 1)
+  }
+
   test("fused shingle-set kernel equals the composed HOF pipeline (incl. whitespace edges)") {
     val edge = Seq(
       "a b c d", "  leading spaces a b c", "trail b c d   ",
