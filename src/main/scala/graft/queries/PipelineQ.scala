@@ -128,6 +128,41 @@ object PipelineQ {
     Some(ParaDedupOracle)
   )
 
+  /** Streaming exact-substring span dedup — [[qStreamParaDedup]]'s
+    * machinery at k-token-span granularity (one first-occurrence
+    * state machine, two granularities — see
+    * [[graft.ops.Dedup.spanTable]]): the STREAM builds the span
+    * first-occurrence index scale-shaped (update mode + foreachBatch
+    * log-structured upsert, per-trigger emission bounded by the
+    * batch's touched keys), then the batch-side apply
+    * ([[graft.ops.Dedup.removeSpans]]) excises against the compacted
+    * index. Oracle: identical to q_dedup_span — what's checked is
+    * that the stream-accumulated span index loses nothing vs the
+    * batch-built one.
+    */
+  val qStreamSpanDedup = Q(
+    "q_stream_span_dedup",
+    (spark, dir) => Catalog.withStatePartitions(spark, 8) {
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_span_dedup").toString
+      val rawSchema = Tables.documents(spark, dir).schema
+      val docStream = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = Dedup.firstOccurrenceStreamIndex(
+        Dedup.spanTable(docStream, "doc_id", "text", k = 5),
+        indexDir = s"$work/index", checkpointDir = s"$work/ckpt")
+      q.awaitTermination()
+      val docs = Tables.documents(spark, dir)
+      Dedup.removeSpans(docs,
+          Dedup.spanTable(docs, "doc_id", "text", k = 5),
+          Dedup.readFirstOccurrenceIndex(spark, s"$work/index"),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    },
+    Some(TrainingQ.SpanDedupOracle)
+  )
+
   /** Grouped top-k with bounded state (see
     * [[graft.functions.TopKByAggregator]]): the k best documents per
     * source by (n_chars DESC, doc_id ASC) — the "keep each domain's
@@ -361,5 +396,5 @@ object PipelineQ {
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
-      qSampleWeighted)
+      qSampleWeighted, qStreamSpanDedup)
 }

@@ -146,7 +146,15 @@ object TrainingQ {
     (spark, dir) =>
       Dedup.spanDedup(Tables.documents(spark, dir), "doc_id", "text", k = 5)
         .orderBy("doc_id"),
-    Some("""WITH toks AS (SELECT doc_id,
+    Some(SpanDedupOracle)
+  )
+
+  /** Shared by q_dedup_span and its streaming face
+    * q_stream_span_dedup (PipelineQ): the stream is checked to build
+    * the SAME first-occurrence index, so both pin one oracle.
+    */
+  private[queries] lazy val SpanDedupOracle: String =
+    """WITH toks AS (SELECT doc_id,
           list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
         FROM documents),
         sp0 AS (SELECT doc_id,
@@ -169,8 +177,7 @@ object TrainingQ {
           (x, i) -> rml IS NULL OR NOT list_contains(rml, i)), ' '), '')
           AS clean_text
       FROM toks t LEFT JOIN rms USING (doc_id)
-      ORDER BY t.doc_id""")
-  )
+      ORDER BY t.doc_id"""
 
   /** Stop-shingle doc-frequency cap, active in the shipped ngram /
     * cluster queries: a shingle occurring in more docs than this is
