@@ -652,6 +652,52 @@ object Probe {
         s""""lsh_cand_pairs_same_corpus":$nLshSame}""")
     }
 
+    if (enabled("spandedup")) {
+      // spanDedup's scale shape at 1M docs, under BOTH its stress
+      // patterns at once: every doc opens with the same 8-token
+      // boilerplate (4 k=5 spans with df = nDocs — the hot-key case:
+      // the first-occurrence min partial-aggregates map-side, and the
+      // non-first excisions are one row per occurrence, linear), and
+      // 20% of ids share a full 40-token body (editdist-probe corpus
+      // shape) so whole-document excision does real work. The control
+      // corpus drops the boilerplate and the base-sharing — same
+      // size, near-zero duplication — isolating what duplication
+      // volume itself costs vs the operator's fixed linear passes.
+      val nDocs = sys.env.get("SPARK_GRAFT_SPANDEDUP_DOCS")
+        .map(_.toLong).getOrElse(1000000L)
+      def corpusS(dup: Boolean): DataFrame = {
+        val baseCol = if (dup)
+          when(pmod(col("id"), lit(10)) < 2, expr("(id div 10) * 10"))
+            .otherwise(col("id"))
+        else col("id")
+        val words = (0 until 40).map(i =>
+          concat(lit("w"), pmod(hash(col("base") * 40 + i), lit(nDocs / 100))))
+        val toks = if (dup)
+          lit("terms of service apply all rights reserved worldwide") +: words
+        else words
+        spark.range(nDocs).withColumn("base", baseCol)
+          .select(col("id").as("doc_id"), concat_ws(" ", toks: _*).as("text"))
+      }
+      // a bare count() would let Catalyst prune the rebuild projection
+      // AND eliminate the left join (row-count-preserving) — timing
+      // nothing; aggregate over the outputs to force the full plan
+      def runS(df: DataFrame): (Double, Long, Long) = {
+        val spanned = graft.ops.Dedup.spanDedup(df, "doc_id", "text", k = 5)
+        val t0 = System.nanoTime()
+        val r = spanned
+          .agg(sum(length(col("clean_text"))).as("chars"),
+            sum("n_removed").as("removed")).head()
+        ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+      }
+      runS(corpusS(dup = false).limit(100000)) // warm codegen
+      val (tCtl, _, _) = runS(corpusS(dup = false))
+      val (tDup, _, removed) = runS(corpusS(dup = true))
+      println(s"""{"probe":"spandedup","docs":$nDocs,""" +
+        s""""control_sec":$tCtl,"dup_sec":$tDup,""" +
+        s""""removed_tokens":$removed,""" +
+        s""""docs_per_sec":${(nDocs / tDup).toLong}}""")
+    }
+
     if (enabled("para_skew")) {
       // dedupParagraphs under the worst realistic skew: boilerplate
       // (header/license/navigation) shared by EVERY document, so one
