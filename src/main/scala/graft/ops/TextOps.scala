@@ -211,6 +211,40 @@ object TextOps {
     */
   def bigrams(toks: Column): Column = shingles(toks, 2)
 
+  /** BPE merge-pair statistics — the inner loop of byte-pair-encoding
+    * tokenizer TRAINING, which at corpus scale is a Spark job before
+    * it is anything else: the first merge iteration scores every
+    * adjacent symbol pair by its frequency-weighted occurrence count
+    * over the corpus (symbols = characters, the initial BPE
+    * alphabet). Returns `(pair, cnt)` where pair is "a b" and cnt =
+    * Σ_words wf(word) · occurrences(pair, word).
+    *
+    * Scale shape — the reason BPE training is feasible on 100 TB at
+    * all: the corpus-sized work is ONE partial-aggregated word-count
+    * shuffle; the pair explode then runs over the DISTINCT vocabulary
+    * only (|vocab| · word-length rows — untethered from corpus size),
+    * and the final pair agg is alphabet²-sized. Subsequent merge
+    * iterations rescore the vocab table alone and never touch the
+    * corpus again. Per-pair expansion indexes the word attribute with
+    * substring inside the lambda (attribute reference, not a
+    * re-inlined subtree — the [[shingles]] lesson).
+    */
+  def bpeMergePairs(docs: DataFrame, textCol: String): DataFrame = {
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    // sequence(1, 0) would DESCEND ([1, 0]), not return empty — guard
+    // single-char words explicitly
+    val adjacent = when(length(col("w")) >= 2,
+      transform(sequence(lit(1), length(col("w")) - 1), i =>
+        concat(col("w").substr(i, lit(1)), lit(" "),
+          col("w").substr(i + 1, lit(1)))))
+      .otherwise(array().cast("array<string>"))
+    words
+      .select(col("wf"), explode(adjacent).as("pair"))
+      .groupBy("pair").agg(sum(col("wf")).as("cnt"))
+  }
+
   /** Hashing-trick linear scorer — the structural skeleton of a
     * fastText-style model-based quality filter (FineWeb-Edu's scoring
     * stage): each token is hashed into a weight bucket and the

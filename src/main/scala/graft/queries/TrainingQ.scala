@@ -1276,6 +1276,40 @@ object TrainingQ {
       WHERE rank <= 10 ORDER BY query_id, rank""")
   )
 
+  /** BPE merge-pair statistics (see
+    * [[graft.ops.TextOps.bpeMergePairs]]): the frequency-weighted
+    * adjacent-character-pair counts of tokenizer training's first
+    * merge iteration, top-50 by count. The global window runs over an
+    * alphabet²-sized table (the corpus-sized work is the word-count
+    * agg below it).
+    */
+  val qBpePairs = Q(
+    "q_bpe_pairs",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("cnt").desc, col("pair"))
+      TextOps.bpeMergePairs(Tables.documents(spark, dir), "text")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 50)
+        .select("rank", "pair", "cnt")
+        .orderBy("rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+        words AS (SELECT w, count(*) AS wf
+          FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+        pr AS (SELECT wf, unnest(list_transform(range(1, length(w)),
+            i -> w[i] || ' ' || w[i+1])) AS pair
+          FROM words),
+        agg AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+          FROM pr GROUP BY pair),
+        r AS (SELECT pair, cnt,
+            row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+          FROM agg)
+      SELECT rank, pair, cnt FROM r WHERE rank <= 50 ORDER BY rank""")
+  )
+
   val qKnn = Q(
     "q_knn",
     (spark, dir) => {
@@ -1689,5 +1723,5 @@ object TrainingQ {
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
     qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e, qDedupCanon,
     qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr,
-    qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8)
+    qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs)
 }

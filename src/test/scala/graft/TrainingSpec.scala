@@ -306,6 +306,16 @@ class TrainingSpec extends AnyFunSuite {
     assert(dots.size == 1)
   }
 
+  test("bpeMergePairs: frequency-weighted adjacent-char counts; single-char words contribute nothing") {
+    // words: ab(wf2), b(wf1), abc(wf1), aa(wf1)
+    // "a b": 2 (from ab) + 1 (from abc) = 3; "b c": 1; "a a": 1
+    val docs = Seq((1L, "ab b abc"), (2L, "ab aa")).toDF("doc_id", "text")
+    val out = TextOps.bpeMergePairs(docs, "text")
+      .orderBy(col("cnt").desc, col("pair"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a b", 3L), ("a a", 1L), ("b c", 1L)))
+  }
+
   test("fused shingle-set kernel equals the composed HOF pipeline (incl. whitespace edges)") {
     val edge = Seq(
       "a b c d", "  leading spaces a b c", "trail b c d   ",
