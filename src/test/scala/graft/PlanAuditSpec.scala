@@ -59,6 +59,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "argmax no longer partial-aggregates map-side")
   }
 
+  test("q_dedup_span ships partial_min below the exchange (hot spans collapse map-side)") {
+    // the operator's hot-key claim rests on this: a span duplicated a
+    // million times must partially aggregate to one candidate per map
+    // partition BEFORE the first-occurrence exchange
+    assert(planOf("q_dedup_span").contains("partial_min"),
+      "span first-occurrence index no longer partial-aggregates map-side")
+  }
+
+  test("q_bpe_pairs partial-aggregates the corpus-sized word count") {
+    val p = planOf("q_bpe_pairs")
+    assert(p.contains("partial_count"),
+      "word-frequency agg lost its map-side combine")
+    assert(p.contains("partial_sum"),
+      "pair-count agg lost its map-side combine")
+  }
+
   test("q_decontaminate broadcasts the eval-set shingles (corpus side stays map-only)") {
     val p = planOf("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "decontamination join lost its broadcast")
