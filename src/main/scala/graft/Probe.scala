@@ -698,6 +698,47 @@ object Probe {
         s""""docs_per_sec":${(nDocs / tDup).toLong}}""")
     }
 
+    if (enabled("ann_layout")) {
+      // AnnLayout's scan-fraction claim in wall-clock: 1M 64-dim
+      // vectors, 256 clusters (hash-assigned — stands in for a
+      // trained coarse quantizer), nprobe=8 ⇒ the layout path should
+      // read ~3% of the corpus where the flat path reads it all.
+      // Both corpora go to DISK first (the flat baseline as plain
+      // parquet) so the comparison is scan-vs-scan, not
+      // scan-vs-generate.
+      val nVec = sys.env.get("SPARK_GRAFT_ANN_VECS")
+        .map(_.toLong).getOrElse(1000000L)
+      val dims = 64
+      val nClusters = 256
+      val root = java.nio.file.Files.createTempDirectory("ann_probe").toString
+      val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)), i =>
+          ((pmod(hash(col("id") * dims + i), lit(1000)) / 500.0) - 1.0)
+            .cast("float")).as("embedding"),
+        pmod(col("id"), lit(nClusters)).cast("int").as("label"))
+      vecs.write.parquet(s"$root/flat")
+      val tW0 = System.nanoTime()
+      graft.io.AnnLayout.writeIvf(vecs, s"$root/ivf")
+      val tWrite = (System.nanoTime() - tW0) / 1e9
+      val flat = spark.read.parquet(s"$root/flat")
+      val queries = flat.filter(col("vec_id") < 10)
+      def timed(df: => DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val r = df.count()
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      timed(graft.ops.Similarity.knnIvf(queries, flat, 10, 8)) // warm
+      val (tFlat, rFlat) = timed(
+        graft.ops.Similarity.knnIvf(queries, flat, 10, 8))
+      val (tLay, rLay) = timed(
+        graft.io.AnnLayout.knnIvf(spark, s"$root/ivf", queries, 10, 8))
+      println(s"""{"probe":"ann_layout","vectors":$nVec,""" +
+        s""""clusters":$nClusters,"nprobe":8,"layout_write_sec":$tWrite,""" +
+        s""""flat_sec":$tFlat,"layout_sec":$tLay,""" +
+        s""""rows_flat":$rFlat,"rows_layout":$rLay,""" +
+        s""""speedup":${tFlat / tLay}}""")
+    }
+
     if (enabled("para_skew")) {
       // dedupParagraphs under the worst realistic skew: boilerplate
       // (header/license/navigation) shared by EVERY document, so one
