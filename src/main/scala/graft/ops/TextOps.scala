@@ -245,6 +245,96 @@ object TextOps {
       .groupBy("pair").agg(sum(col("wf")).as("cnt"))
   }
 
+  /** Left-to-right greedy application of ONE BPE merge (a, b) → ab to
+    * a symbol array, as a pure fold expression: after a merge the new
+    * symbol becomes the fold's last element, so it cannot re-merge
+    * with the next input symbol unless a LATER merge rule says so —
+    * exactly BPE's single-pass semantics ("aaa" under (a,a) →
+    * [aa, a], not [aa, aa…]). O(len²) slice/concat per word — words
+    * are short and the fold runs over the DISTINCT vocab, not the
+    * corpus.
+    */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Character-symbol array of a token (the initial BPE alphabet). */
+  private def charSyms(tok: Column): Column =
+    transform(sequence(lit(1), length(tok)), i => tok.substr(i, lit(1)))
+
+  /** Full BPE tokenizer TRAINING — [[bpeMergePairs]] iterated to a
+    * merge table: each round scores every adjacent symbol pair by
+    * frequency-weighted count over the vocab, takes the argmax
+    * (count desc, pair asc — deterministic), applies the merge
+    * left-to-right to every word, and repeats. Returns the learned
+    * merges in order with their winning counts — the model artifact a
+    * tokenizer ships.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * agg); every iteration thereafter runs on the distinct-vocab
+    * table — one alphabet²-sized pair agg plus a map-side fold — and
+    * collects exactly ONE row (the argmax) to the driver, which is
+    * the loop's control dependency and bounded by construction (the
+    * S-row rate-table collect class). `localCheckpoint` cuts the
+    * lineage each round so round r+1's plan doesn't nest r folds
+    * (the kmeans/CC iterative-plan lesson). Training stops early if
+    * every word has collapsed to a single symbol.
+    *
+    * The merge list is returned driver-side BY DESIGN: it is the
+    * model (≤ nMerges rows), not data — [[bpeEncode]] compiles it
+    * back into a column expression for corpus-scale application.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, Long)] = {
+    var syms = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .select(col("wf"), charSyms(col("w")).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val adj = when(size(col("syms")) >= 2,
+        transform(sequence(lit(1), size(col("syms")) - 1), i =>
+          concat(element_at(col("syms"), i), lit(" "),
+            element_at(col("syms"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val best = syms.select(col("wf"), explode(adj).as("pair"))
+        .groupBy("pair").agg(sum("wf").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        merges += ((pair, best(0).getLong(1)))
+        val Array(a, b) = pair.split(" ", 2)
+        val old = syms
+        syms = syms.select(col("wf"),
+          applyMerge(col("syms"), a, b).as("syms")).localCheckpoint()
+        old.unpersist()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a trained merge list to a text column — the corpus-scale
+    * ENCODE step: tokenize, explode each token to its character
+    * symbols, fold the merges in training order. The merge list is
+    * compiled into one nested column expression (nMerges folds deep),
+    * so encoding is map-side, codegen-planned, and shuffle-free —
+    * train once on the vocab, encode 100 TB with a projection.
+    * Returns `array<array<string>>`: per word, its subword symbols.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    transform(tokens(text), tok =>
+      merges.foldLeft(charSyms(tok)) { case (arr, (a, b)) =>
+        applyMerge(arr, a, b)
+      })
+
   /** Hashing-trick linear scorer — the structural skeleton of a
     * fastText-style model-based quality filter (FineWeb-Edu's scoring
     * stage): each token is hashed into a weight bucket and the

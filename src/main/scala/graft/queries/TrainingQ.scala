@@ -1310,6 +1310,53 @@ object TrainingQ {
       SELECT rank, pair, cnt FROM r WHERE rank <= 50 ORDER BY rank""")
   )
 
+  /** Full BPE tokenizer training (see
+    * [[graft.ops.TextOps.bpeTrain]]): the learned merge table after
+    * 10 iterations over the documents corpus. NOT SQL-expressible
+    * (an iterated argmax-and-rewrite loop) ⇒ no DuckDB oracle —
+    * correctness is pinned in TrainingSpec against an independent
+    * plain-Scala BPE reference plus a hand-computed sequence; the
+    * driver records the rows-only check.
+    */
+  val qBpeTrain = Q(
+    "q_bpe_train",
+    (spark, dir) => {
+      import spark.implicits._
+      TextOps.bpeTrain(Tables.documents(spark, dir), "text", nMerges = 10)
+        .zipWithIndex
+        .map { case ((pair, cnt), i) => (i + 1L, pair, cnt) }
+        .toDF("merge_rank", "pair", "cnt")
+        .orderBy("merge_rank")
+    },
+    None
+  )
+
+  /** Corpus-scale ENCODE with the merges [[qBpeTrain]] learns
+    * ([[graft.ops.TextOps.bpeEncode]]): the 10-merge list compiles
+    * into one nested map-side expression — train on the vocab once,
+    * encode the corpus as a shuffle-free projection. Per-doc subword
+    * stats + a 3-word sample. Rows-only for the same reason as
+    * q_bpe_train; TrainingSpec pins encode == the trainer's final
+    * symbol state.
+    */
+  val qBpeEncode = Q(
+    "q_bpe_encode",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val merges = TextOps.bpeTrain(docs, "text", nMerges = 10)
+        .map { case (p, _) => val Array(a, b) = p.split(" ", 2); (a, b) }
+      val enc = TextOps.bpeEncode(col("text"), merges)
+      docs.select(col("doc_id"), enc.as("_enc"))
+        .select(col("doc_id"),
+          size(col("_enc")).cast("long").as("n_words"),
+          aggregate(col("_enc"), lit(0L),
+            (acc, w) => acc + size(w)).as("n_syms"),
+          array_join(flatten(slice(col("_enc"), 1, 3)), " ").as("sample"))
+        .orderBy("doc_id")
+    },
+    None
+  )
+
   val qKnn = Q(
     "q_knn",
     (spark, dir) => {
@@ -1723,5 +1770,6 @@ object TrainingQ {
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
     qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e, qDedupCanon,
     qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr,
-    qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs)
+    qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs,
+    qBpeTrain, qBpeEncode)
 }

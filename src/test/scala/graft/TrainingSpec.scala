@@ -316,6 +316,64 @@ class TrainingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a b", 3L), ("a a", 1L), ("b c", 1L)))
   }
 
+  test("bpeTrain: hand-computed merge sequence; greedy left-to-right merge semantics") {
+    // words: aaab(wf3), ab(wf2)
+    // r1: "a a" 6 vs "a b" 5 -> (a a, 6); aaab->[aa,a,b], ab->[a,b]
+    // r2: "aa a" 3, "a b" 5 -> (a b, 5); aaab->[aa,ab], ab->[ab]
+    // r3: "aa ab" 3 -> (aa ab, 3)
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, "text", nMerges = 5)
+    assert(merges == Seq(("a a", 6L), ("a b", 5L), ("aa ab", 3L)))
+    // early stop: every word collapsed to one symbol after 3 merges
+    assert(merges.size == 3)
+    // encode applies the same merges in order
+    val enc = Seq((1L, "aaab ab aaa"))
+      .toDF("doc_id", "text")
+      .select(TextOps.bpeEncode(col("text"),
+        merges.map { case (p, _) =>
+          val Array(a, b) = p.split(" ", 2); (a, b) }).as("e"))
+      .head().getSeq[scala.collection.Seq[String]](0).map(_.toSeq)
+    // "aaa" under (a,a) then (a,b), (aa,ab): [aa, a] — greedy, no re-merge
+    assert(enc == Seq(Seq("aaab"), Seq("ab"), Seq("aa", "a")))
+  }
+
+  test("bpeTrain matches an independent plain-Scala BPE reference on a generated corpus") {
+    def refBpe(words: Map[String, Long], n: Int): Seq[(String, Long)] = {
+      var vocab = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var stop = false
+      while (out.size < n && !stop) {
+        val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- vocab; i <- 0 until syms.size - 1)
+          stats((syms(i), syms(i + 1))) =
+            stats.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        if (stats.isEmpty) stop = true
+        else {
+          val ((a, b), c) = stats.minBy { case ((x, y), c) => (-c, x + " " + y) }
+          out += ((a + " " + b, c))
+          vocab = vocab.map { case (syms, f) =>
+            val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (s <- syms)
+              if (nb.nonEmpty && nb.last == a && s == b)
+                nb(nb.size - 1) = a + b
+              else nb += s
+            (nb.toVector, f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val texts = (0 until 40).map { i =>
+      (0 until 6).map(j => s"${('a' + (i * 7 + j) % 5).toChar}" * ((i + j) % 3 + 1) +
+        s"${('a' + (i * 3 + j) % 4).toChar}").mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val wordFreq = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    assert(TextOps.bpeTrain(docs, "text", 8) == refBpe(wordFreq, 8))
+  }
+
   test("fused shingle-set kernel equals the composed HOF pipeline (incl. whitespace edges)") {
     val edge = Seq(
       "a b c d", "  leading spaces a b c", "trail b c d   ",
