@@ -739,6 +739,37 @@ object Probe {
         s""""speedup":${tFlat / tLay}}""")
     }
 
+    if (enabled("bpe")) {
+      // bpeTrain's scale claim measured: the corpus is touched once
+      // (the word-frequency agg); the 10 merge iterations then run on
+      // the distinct-vocab table, whose size is FIXED (10k words)
+      // regardless of corpus size. So corpus 1M → 10M docs should
+      // scale the word-agg term ~10× and leave the per-merge term
+      // flat. 20-word docs drawn hash-deterministically from the
+      // shared vocab.
+      for (n <- Seq(1000000L, 10000000L)) {
+        val words = (0 until 20).map(i =>
+          concat(lit("w"), pmod(hash(col("id") * 20 + i), lit(10000L))))
+        val docs = spark.range(n)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", words: _*).as("text"))
+        def wordAgg(): Long =
+          docs.select(explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+            .groupBy("w").agg(count(lit(1))).count()
+        wordAgg() // warm codegen/scan so both timings below are warm
+        val tA0 = System.nanoTime()
+        wordAgg()
+        val tAgg = (System.nanoTime() - tA0) / 1e9
+        val tT0 = System.nanoTime()
+        val merges = graft.ops.TextOps.bpeTrain(docs, "text", 10)
+        val tTrain = (System.nanoTime() - tT0) / 1e9
+        println(s"""{"probe":"bpe","docs":$n,"vocab":10000,""" +
+          s""""word_agg_sec":$tAgg,"train_sec":$tTrain,""" +
+          s""""merge_iter_sec":${(tTrain - tAgg) / merges.size},""" +
+          s""""merges":${merges.size}}""")
+      }
+    }
+
     if (enabled("para_skew")) {
       // dedupParagraphs under the worst realistic skew: boilerplate
       // (header/license/navigation) shared by EVERY document, so one
