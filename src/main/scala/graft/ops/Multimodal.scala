@@ -39,6 +39,14 @@ object Multimodal {
     def open(): MediaCodec = this
     def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int, Long)
     def decodeAudio(bytes: Array[Byte]): (Int, Int, Long)
+
+    /** 64-bit perceptual average-hash of an image (8×8 block-mean
+      * grayscale, bit b set iff block b is brighter than the global
+      * mean) — the key of image near-dup dedup. Non-image bytes take
+      * the deterministic 60-bit md5-prefix stand-in (content hash:
+      * exact-dup only — the honest non-perceptual fallback).
+      */
+    def decodeAHash(bytes: Array[Byte]): Long
   }
 
   final case class MediaFile(media_id: Long, kind: String, content: Array[Byte])
@@ -62,6 +70,9 @@ object Multimodal {
       channels: Int,
       duration_ms: Long)
 
+  final case class MediaHash(media_id: Long, ahash: Long)
+
+  implicit val mediaHashEnc: Encoder[MediaHash] = Encoders.product[MediaHash]
   implicit val mediaFileEnc: Encoder[MediaFile] = Encoders.product[MediaFile]
   implicit val mediaMetaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
   implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
@@ -95,6 +106,14 @@ object Multimodal {
       val b3 = if (bytes.length > 3) bytes(3) & 0xff else 0
       (SampleRates(b2 % SampleRates.length), 1 + b3 % 2, bytes.length.toLong)
     }
+
+    /** 60-bit md5-prefix content hash (positive in a Long; same
+      * '0x'||substring(md5, 1, 15) form the oracles use) — collapses
+      * EXACT duplicates only, which is all a content hash can honestly
+      * claim for undecodable bytes.
+      */
+    def decodeAHash(bytes: Array[Byte]): Long =
+      java.lang.Long.parseLong(md5Hex(bytes).substring(0, 15), 16)
   }
 
   /** Real JDK-only media decode: PNG/JPEG/GIF/BMP dimensions via a
@@ -183,6 +202,59 @@ object Multimodal {
 
     override def decodeAudio(bytes: Array[Byte]): (Int, Int, Long) =
       wavMeta(bytes).getOrElse(StubCodec.decodeAudio(bytes))
+
+    /** Real pixel-level average-hash: full raster decode (unlike the
+      * header-only dimension read — feature extraction pays O(pixels)
+      * by nature), then an 8×8 BLOCK-MEAN downscale in exact integer
+      * arithmetic (never Graphics2D scaling, whose interpolation is
+      * rendering-hint- and platform-dependent): pixel (x,y) joins
+      * block (y·8/h, x·8/w); bit b of the hash is set iff block b's
+      * mean gray exceeds the global mean, compared by integer
+      * cross-multiplication (exact up to ~16-MP images — beyond that
+      * the products need BigInt; training thumbnails are far below).
+      * Near-identical images differ in few bits (Hamming ≤ ~4);
+      * unrelated images differ in ~32 — MultimodalSpec pins both on
+      * real encoded PNGs.
+      */
+    private[ops] def aHashPixels(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val graySum = new Array[Long](64)
+      val cnt = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val g = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          val b = (y * 8 / h) * 8 + (x * 8 / w)
+          graySum(b) += g
+          cnt(b) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val totGray = graySum.sum
+      val totCnt = cnt.sum
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        // blockMean > globalMean  ⇔  graySum(b)·totCnt > totGray·cnt(b)
+        if (graySum(b) * totCnt > totGray * cnt(b)) hash |= (1L << b)
+        b += 1
+      }
+      hash
+    }
+
+    override def decodeAHash(bytes: Array[Byte]): Long =
+      if (!magicIsImage(bytes)) StubCodec.decodeAHash(bytes)
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) StubCodec.decodeAHash(bytes) else aHashPixels(img)
+      } catch {
+        case scala.util.control.NonFatal(_) => StubCodec.decodeAHash(bytes)
+      }
   }
 
   private def hexUpper(bytes: Array[Byte]): String =
@@ -212,6 +284,21 @@ object Multimodal {
           height = h,
           duration_ms = d)
       }
+    }
+
+  /** Perceptual image hashes — the feature-extraction pass of image
+    * near-dup dedup: 64-bit average-hash per image-kind row, same
+    * per-partition codec lifecycle as [[extractMeta]], map-only,
+    * bytes never shuffle (the 8-byte hash is all that travels into
+    * the downstream groupBy/band join — exact dedup is a hash
+    * groupBy, near-dup is the q_dedup_simhash_ham Hamming-pigeonhole
+    * shape over these keys).
+    */
+  def imageHashes(files: Dataset[MediaFile],
+      codecFactory: MediaCodec = ImageIoCodec): Dataset[MediaHash] =
+    files.filter(_.kind == "image").mapPartitions { it =>
+      val codec = codecFactory.open()
+      it.map(f => MediaHash(f.media_id, codec.decodeAHash(f.content)))
     }
 
   /** Audio-kind metadata: sample rate / channel count / duration from

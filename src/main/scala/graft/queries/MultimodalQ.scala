@@ -136,6 +136,45 @@ object MultimodalQ {
       FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""")
   )
 
+  /** Perceptual image hashing (see
+    * [[graft.ops.Multimodal.imageHashes]]): 64-bit average-hash per
+    * image row plus the exact-dup group it lands in — the feature
+    * pass of image near-dup dedup (near-dup pairing over these keys
+    * is the q_dedup_simhash_ham Hamming-pigeonhole shape). The
+    * synthetic ASCII corpus takes the stub path (60-bit md5-prefix
+    * content hash — exactly what the oracle recomputes); REAL pixel
+    * aHash on encoded PNGs is pinned in MultimodalSpec, where
+    * near-identical images land within Hamming 4 and unrelated ones
+    * don't.
+    */
+  val qMediaPhash = Q(
+    "q_media_phash",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+        .withColumn("kind",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video"))
+      val media = Multimodal.asMedia(docs, "doc_id", "kind", "text")
+      Multimodal.imageHashes(media)
+        .toDF()
+        .withColumnRenamed("media_id", "doc_id")
+        .withColumn("group_size",
+          count(lit(1)).over(Window.partitionBy(col("ahash"))))
+        .withColumn("rep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("ahash"))))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+          CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS ahash
+        FROM documents WHERE doc_id % 3 = 0)
+      SELECT doc_id, ahash,
+        count(*) OVER (PARTITION BY ahash) AS group_size,
+        min(doc_id) OVER (PARTITION BY ahash) AS rep_id
+      FROM h ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalResize,
-    qMultimodalAudio)
+    qMultimodalAudio, qMediaPhash)
 }

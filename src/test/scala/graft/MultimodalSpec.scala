@@ -79,6 +79,43 @@ class MultimodalSpec extends AnyFunSuite {
     bb.array()
   }
 
+  test("imageHashes: REAL pixel aHash clusters near-identical PNGs; unrelated images far; stub = md5 prefix") {
+    import java.awt.image.BufferedImage
+    def gradient(flip: Boolean, noise: Boolean): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = if (flip) 255 - x * 8 % 256 else x * 8 % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      // noise: nudge one 4x4 corner block slightly — a near-dup, not a copy
+      if (noise) for (y <- 0 until 4; x <- 0 until 4)
+        img.setRGB(x, y, img.getRGB(x, y) ^ 0x060606)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val garbage = "not-an-image".getBytes("UTF-8")
+    val ds = spark.createDataset(Seq(
+      MediaFile(1L, "image", gradient(flip = false, noise = false)),
+      MediaFile(2L, "image", gradient(flip = false, noise = true)),
+      MediaFile(3L, "image", gradient(flip = true, noise = false)),
+      MediaFile(4L, "image", garbage),
+      MediaFile(5L, "audio", garbage) // non-image kind: filtered out
+    ))(Multimodal.mediaFileEnc)
+    val h = Multimodal.imageHashes(ds).collect()
+      .map(m => m.media_id -> m.ahash).toMap
+    assert(h.keySet == Set(1L, 2L, 3L, 4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // near-identical: tiny Hamming distance (but content bytes differ)
+    assert(ham(h(1L), h(2L)) <= 4, s"near-dup distance ${ham(h(1L), h(2L))}")
+    // flipped gradient: bright/dark blocks swap => far
+    assert(ham(h(1L), h(3L)) >= 24, s"unrelated distance ${ham(h(1L), h(3L))}")
+    // undecodable bytes: the 60-bit md5-prefix stand-in, bit-exact
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(garbage).map(b => f"${b & 0xff}%02x").mkString
+    assert(h(4L) == java.lang.Long.parseLong(md5.substring(0, 15), 16))
+  }
+
   test("ImageIoCodec parses REAL WAV fmt-chunk metadata; non-WAV falls back to stub") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
