@@ -40,12 +40,62 @@ object AnnLayout {
       maxRecordsPerFile: Long = 5000000L): Unit = {
     Bucketing.writePartitioned(corpus, s"$path/corpus",
       Seq(clusterCol), Seq(idCol), maxRecordsPerFile)
-    val minIds = corpus.groupBy(col(clusterCol))
-      .agg(min(col(idCol)).as("_rid"))
-    corpus.select(col(idCol).as("_rid"), col(vecCol).as("rep_vec"))
-      .join(minIds, Seq("_rid"))
-      .select(col(clusterCol), col("rep_vec"))
+    repsOf(corpus, clusterCol, idCol, vecCol)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/reps")
+  }
+
+  /** `(cluster, rep_id, rep_vec)` — min-id member per cluster, the
+    * engine-exact medoid stand-in knnIvf uses. rep_id is stored so
+    * [[appendIvf]] can merge rep tables without re-reading the corpus.
+    */
+  private def repsOf(corpus: DataFrame, clusterCol: String,
+      idCol: String, vecCol: String): DataFrame = {
+    val minIds = corpus.groupBy(col(clusterCol))
+      .agg(min(col(idCol)).as("rep_id"))
+    corpus.select(col(idCol).as("rep_id"), col(vecCol).as("rep_vec"))
+      .join(minIds, Seq("rep_id"))
+      .select(col(clusterCol), col("rep_id"), col("rep_vec"))
+  }
+
+  /** Incremental index maintenance — the operation a 100 TB at-rest
+    * index lives or dies by (a full rewrite per ingest batch would
+    * cost the whole corpus): APPEND a new vector batch into the
+    * existing layout. The batch's rows append into their
+    * `cluster=<id>/` directories (only touched partitions gain
+    * files — the same partitioned-write path as the initial layout,
+    * small-files-guarded); the reps codebook is refreshed by merging
+    * the OLD reps with the batch's per-cluster minima — min is
+    * associative, so merge-of-minima == min-over-union, and no
+    * corpus re-read ever happens. The merged reps table is
+    * codebook-sized by definition, so materializing it driver-side
+    * before overwriting its own input path is bounded (and the
+    * overwrite-what-you-read hazard is the reason to materialize).
+    * LayoutSpec pins: write(A) + append(B) answers queries
+    * identically to write(A ∪ B) from scratch.
+    */
+  def appendIvf(newVecs: DataFrame, path: String,
+      clusterCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val spark = newVecs.sparkSession
+    newVecs.repartition(col(clusterCol))
+      .sortWithinPartitions(col(clusterCol), col(idCol))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(clusterCol)
+      .parquet(s"$path/corpus")
+    val old = spark.read.parquet(s"$path/reps")
+    val merged = old
+      .unionByName(repsOf(newVecs, clusterCol, idCol, vecCol))
+      .groupBy(col(clusterCol))
+      .agg(min_by(struct(col("rep_id"), col("rep_vec")), col("rep_id"))
+        .as("_r"))
+      .select(col(clusterCol), col("_r.rep_id").as("rep_id"),
+        col("_r.rep_vec").as("rep_vec"))
+      .collect() // codebook-sized; must leave the path before overwrite
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(merged.toIndexedSeq, 1), old.schema)
+      .write.mode("overwrite").parquet(s"$path/reps")
   }
 
   /** IVF top-k against a [[writeIvf]] layout — result-identical to

@@ -136,4 +136,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(touched.forall(f => probe.exists(c => f.contains(s"label=$c/"))),
       s"unpruned file in scan: ${touched.mkString(", ")}")
   }
+
+  test("IVF layout append: write(A) + append(B) answers identically to write(A ∪ B)") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = emb.filter(col("vec_id") % 5 =!= 0)
+    val b = emb.filter(col("vec_id") % 5 === 0)
+    val incr = Files.createTempDirectory("ann_incr").toString
+    val full = Files.createTempDirectory("ann_full").toString
+    graft.io.AnnLayout.writeIvf(a, incr)
+    graft.io.AnnLayout.appendIvf(b, incr)
+    graft.io.AnnLayout.writeIvf(emb, full)
+    // reps codebooks agree (merge-of-minima == min-over-union)
+    val repsI = spark.read.parquet(s"$incr/reps")
+      .select("label", "rep_id").orderBy("label").collect().toSeq
+    val repsF = spark.read.parquet(s"$full/reps")
+      .select("label", "rep_id").orderBy("label").collect().toSeq
+    assert(repsI == repsF)
+    // and so do query answers
+    val queries = emb.filter(col("vec_id") < 10)
+    val outI = graft.io.AnnLayout.knnIvf(spark, incr, queries, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val outF = graft.io.AnnLayout.knnIvf(spark, full, queries, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(outI == outF && outI.nonEmpty)
+  }
 }
