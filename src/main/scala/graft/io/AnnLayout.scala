@@ -147,6 +147,70 @@ object AnnLayout {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Quantized IVF layout — [[writeIvf]] with the floats REPLACED by
+    * int8 codes ([[graft.ops.Similarity.q8Codes]], stored as
+    * array<tinyint>): the index at rest is ~4× smaller, so the probed
+    * partitions cost ~4× fewer bytes to scan — compression and
+    * partition pruning multiply. The reps codebook stores codes too:
+    * probe ranking and rerank are BOTH exact int64 code dots, an
+    * all-integer path end-to-end (q_knn_q8's portability contract
+    * applied to the IVF shape). Recall trades exactly as scalar
+    * quantization does; the float layout ([[writeIvf]]) remains the
+    * exact-rerank option.
+    */
+  def writeIvfQ8(corpus: DataFrame, path: String,
+      clusterCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val codes = Similarity.q8Codes(corpus, idCol, vecCol, idCol, "codes")
+      .withColumn("codes", col("codes").cast("array<tinyint>"))
+      .join(corpus.select(col(idCol), col(clusterCol)), Seq(idCol))
+    Bucketing.writePartitioned(codes, s"$path/corpus",
+      Seq(clusterCol), Seq(idCol), maxRecordsPerFile)
+    val minIds = codes.groupBy(col(clusterCol))
+      .agg(min(col(idCol)).as("rep_id"))
+    codes.select(col(idCol).as("rep_id"), col("codes").as("rep_codes"))
+      .join(minIds, Seq("rep_id"))
+      .select(col(clusterCol), col("rep_id"), col("rep_codes"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/reps")
+  }
+
+  /** IVF top-k against a [[writeIvfQ8]] layout: quantize the query
+    * batch, rank clusters by int code dot against the rep codes
+    * (ties → lowest cluster), rerank probed members by int code dot
+    * (ties → lowest id). Same partition-filter scan discipline as
+    * [[knnIvf]]; oracle-checked by q_ann_ivf_q8.
+    */
+  def knnIvfQ8(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "label"): DataFrame = {
+    val reps = spark.read.parquet(s"$path/reps")
+      .select(col(clusterCol).as("cluster"), col("rep_codes"))
+    val q = Similarity.q8Codes(queries, idCol, vecCol, "query_id", "qa")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(Similarity.intDot(col("qa"), col("rep_codes")).desc,
+        col("cluster"))
+    val probed = q.crossJoin(broadcast(reps))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select("query_id", "qa", "cluster")
+    val probedClusters = probed.select("cluster").distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    val members = spark.read.parquet(s"$path/corpus")
+      .filter(col(clusterCol).isin(probedClusters: _*))
+      .select(col(clusterCol).as("cluster"), col(idCol).as("neighbor_id"),
+        col("codes"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    probed.join(members, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", Similarity.intDot(col("qa"), col("codes")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qdot")
+  }
+
   /** The pruned corpus scan a probe list induces — exposed separately
     * so tests can assert on `inputFiles` (only probed `cluster=<id>/`
     * directories appear).

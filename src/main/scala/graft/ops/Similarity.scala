@@ -95,20 +95,9 @@ object Similarity {
     */
   def knnQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // _s is materialized BEFORE the code lambda so the lambda
-    // references an attribute, not a re-inlined array_max per element
-    // (the TextOps.shingles O(n²) lesson)
-    def codes(df: DataFrame, idAs: String, qAs: String): DataFrame =
-      df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("_v"))
-        .withColumn("_s", array_max(transform(col("_v"), x => abs(x))))
-        .select(col(idAs),
-          when(col("_s") === 0.0, transform(col("_v"), _ => lit(0L)))
-            .otherwise(transform(col("_v"),
-              x => floor(x * lit(127.0) / col("_s")))).as(qAs))
-    val q = codes(queries, "query_id", "qa")
-    val c = codes(corpus, "neighbor_id", "qb")
-    val idot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val q = q8Codes(queries, idCol, vecCol, "query_id", "qa")
+    val c = q8Codes(corpus, idCol, vecCol, "neighbor_id", "qb")
+    val idot = intDot(col("qa"), col("qb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qdot").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
@@ -118,6 +107,31 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "qdot")
   }
+
+  /** `(idAs, codesAs)` — the int8 code table of [[knnQuantized]]'s
+    * quantizer, exposed so at-rest layouts can STORE the codes
+    * (array<bigint> of values in [−127, 127]; a production layout
+    * casts to tinyint for the full 4× — see AnnLayout.writeIvfQ8).
+    * The scale `_s` is materialized BEFORE the code lambda so the
+    * lambda references an attribute, not a re-inlined array_max per
+    * element (the TextOps.shingles O(n²) lesson).
+    */
+  def q8Codes(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, codesAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_s", array_max(transform(col("_v"), x => abs(x))))
+      .select(col(idAs),
+        when(col("_s") === 0.0, transform(col("_v"), _ => lit(0L)))
+          .otherwise(transform(col("_v"),
+            x => floor(x * lit(127.0) / col("_s")))).as(codesAs))
+
+  /** Exact int64 sequential dot over two integer code arrays (cast
+    * per element so tinyint-at-rest codes widen before multiplying).
+    */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
 
   /** Sign-LSH bucket key: one bit per leading dimension (1 ⇔ ≥ 0).
     * Random-hyperplane LSH with axis-aligned planes — deterministic

@@ -1357,6 +1357,53 @@ object TrainingQ {
     None
   )
 
+  /** Quantized IVF against the at-rest CODE layout (see
+    * [[graft.io.AnnLayout.writeIvfQ8]]): int8 codes stored as
+    * array<tinyint> (≈4× smaller index), probe AND rerank both exact
+    * int64 code dots, partition-filter scan. The oracle recomputes
+    * the full all-integer path (q8 CTE → rep codes → probe rank →
+    * code-dot rerank) token-for-token.
+    */
+  val qAnnIvfQ8 = Q(
+    "q_ann_ivf_q8",
+    (spark, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("ann_ivf_q8").toString
+      val emb = Tables.embeddings(spark, dir)
+      graft.io.AnnLayout.writeIvfQ8(emb, work)
+      graft.io.AnnLayout.knnIvfQ8(spark, work,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      sc AS (SELECT vec_id, label, v,
+          list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+      z AS (SELECT vec_id, label,
+          CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s) AS BIGINT))
+          END AS q
+        FROM sc),
+      reps AS (SELECT label, min(vec_id) AS rid FROM z GROUP BY label),
+      repv AS (SELECT r.label, z.q AS rq FROM reps r JOIN z ON z.vec_id = r.rid),
+      qs AS (SELECT vec_id AS query_id, q AS qa FROM z WHERE vec_id < 10),
+      probe AS (SELECT query_id, qa, label,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            CAST(${sqlDot("qa", "rq")} AS BIGINT) DESC, label) AS pr
+        FROM qs CROSS JOIN repv),
+      cand AS (SELECT p.query_id, z.vec_id AS neighbor_id,
+          CAST(${sqlDot("p.qa", "z.q")} AS BIGINT) AS qdot
+        FROM (SELECT query_id, qa, label FROM probe WHERE pr <= 3) p
+        JOIN z ON z.label = p.label WHERE z.vec_id <> p.query_id),
+      r AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id, qdot FROM r
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   val qKnn = Q(
     "q_knn",
     (spark, dir) => {
@@ -1771,5 +1818,5 @@ object TrainingQ {
     qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e, qDedupCanon,
     qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr,
     qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs,
-    qBpeTrain, qBpeEncode)
+    qBpeTrain, qBpeEncode, qAnnIvfQ8)
 }
