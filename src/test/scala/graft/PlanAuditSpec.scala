@@ -37,6 +37,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val intended = Set("q_knn", "q_ann_ivf", "q_serve_snapshot",
       "q_knn_q8", // broadcast query-code table × corpus codes
       "q_ann_ivf_layout", // broadcast per-cluster rep table × query set
+      "q_ann_ivf_q8", // broadcast per-cluster rep-code table × query set
       "q_snapshot_diff", "q_tfidf", "q_ttl_filter",
       "q_embed_outliers", // 2-column percentile stats row × vector side
       "q_kmeans_assign", "q_semdedup", // k-row centroid table × corpus
