@@ -786,6 +786,78 @@ object Probe {
       }
     }
 
+    if (enabled("ann_recall")) {
+      // Recall@10 of every ANN path vs brute-force ground truth —
+      // correctness of each operator is oracle-pinned, but RECALL is
+      // the dimension the approximations trade away and it was only
+      // implied by construction until this probe. Corpus: 100k 64-dim
+      // vectors in 256 planted Gaussian-ish clusters (component =
+      // cluster center ± small hash-noise), 50 query vectors drawn
+      // from the corpus; labels = planted cluster (the trained-
+      // quantizer stand-in, as in the layout queries).
+      val nVec = sys.env.get("SPARK_GRAFT_RECALL_VECS")
+        .map(_.toLong).getOrElse(100000L)
+      val dims = 64
+      val nClusters = 256
+      val vecs = spark.range(nVec).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)), i =>
+          ((pmod(hash(pmod(col("id"), lit(nClusters)) * dims + i), lit(1000))
+            / 500.0) - 1.0 +
+           (pmod(hash(col("id") * dims + i), lit(1000)) / 2500.0) - 0.2)
+            .cast("float")).as("embedding"),
+        pmod(col("id"), lit(nClusters)).cast("int").as("label"))
+        .localCheckpoint()
+      val queries = vecs.filter(col("vec_id") < 50)
+      val k = 10
+      val truth = graft.ops.Similarity.knnBruteForce(queries, vecs, k)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recall(df: DataFrame): Double = {
+        val got = df.select(col("query_id"), col("neighbor_id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        truth.map { case (q, t) =>
+          got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0)
+        }.sum / truth.size
+      }
+      // dot-product ground truth for the dequantized path (which
+      // approximates DOT, not cosine — on unit-normalized production
+      // embeddings the two coincide)
+      val wDot = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("_d").desc, col("neighbor_id"))
+      val truthDotDf = vecs
+        .select(col("vec_id").as("neighbor_id"),
+          graft.ops.Similarity.asDouble(col("embedding")).as("cv"))
+        .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+          graft.ops.Similarity.asDouble(col("embedding")).as("qv"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_d", graft.ops.Similarity.dot(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(wDot))
+        .filter(col("rank") <= k)
+      val truthDot = truthDotDf.select(col("query_id"), col("neighbor_id"))
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recallVs(df: DataFrame, t: Map[Long, Set[Long]]): Double = {
+        val got = df.select(col("query_id"), col("neighbor_id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        t.map { case (q, s) =>
+          got.get(q).map(g => (g & s).size.toDouble / s.size).getOrElse(0.0)
+        }.sum / t.size
+      }
+      val rIvf4 = recall(graft.ops.Similarity.knnIvf(queries, vecs, k, 4))
+      val rIvf16 = recall(graft.ops.Similarity.knnIvf(queries, vecs, k, 16))
+      val rQ8 = recall(graft.ops.Similarity.knnQuantized(queries, vecs, k))
+      val rQ8Dot = recallVs(
+        graft.ops.Similarity.knnQuantizedDot(queries, vecs, k), truthDot)
+      println(s"""{"probe":"ann_recall","vectors":$nVec,"k":$k,""" +
+        s""""recall_ivf_nprobe4":$rIvf4,"recall_ivf_nprobe16":$rIvf16,""" +
+        s""""recall_q8_raw_vs_cosine":$rQ8,""" +
+        s""""recall_q8_dequant_vs_dot":$rQ8Dot,""" +
+        s""""scan_frac_nprobe4":${4.0 / nClusters},""" +
+        s""""scan_frac_nprobe16":${16.0 / nClusters}}""")
+    }
+
     if (enabled("para_skew")) {
       // dedupParagraphs under the worst realistic skew: boilerplate
       // (header/license/navigation) shared by EVERY document, so one

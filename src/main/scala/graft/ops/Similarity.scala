@@ -85,10 +85,13 @@ object Similarity {
     * than the exact-double cosine path. Quantization:
     * floor((x·127)/s) with s = max|x_i| — deterministic IEEE double
     * ops in an expression shape the oracle mirrors token-for-token;
-    * the per-vector scale makes code dots magnitude-blind, mirroring
-    * cosine's normalization (an exact scalar multiple of a vector
-    * gets identical codes — pinned in TrainingSpec). Zero vectors
-    * quantize to zero codes. Same broadcast-the-queries /
+    * the per-vector scale makes code dots magnitude-blind (an exact
+    * scalar multiple of a vector gets identical codes — pinned in
+    * TrainingSpec). NOTE the similarity is l∞-normalized, which is a
+    * near-DUPLICATE key, not a cosine/dot proxy — for ANN-faithful
+    * ranking use [[knnQuantizedDot]] (dequantized scoring; the
+    * measured difference is recall@10 0.06 vs ~1, PERF.md
+    * ann_recall). Zero vectors quantize to zero codes. Same broadcast-the-queries /
     * stream-the-corpus shape as [[knnBruteForce]]: no corpus shuffle,
     * cost |Q|·|C| integer dots on codes a real deployment reads 4×
     * faster than the floats.
@@ -118,12 +121,22 @@ object Similarity {
     */
   def q8Codes(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, codesAs: String): DataFrame =
+    q8CodesScaled(df, idCol, vecCol, idAs, codesAs, "_scale")
+      .drop("_scale")
+
+  /** [[q8Codes]] keeping the per-vector scale — what a real quantized
+    * layout stores next to the codes, because DEQUANTIZED scoring
+    * needs it (see [[knnQuantizedDot]]).
+    */
+  def q8CodesScaled(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, codesAs: String, scaleAs: String): DataFrame =
     df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("_v"))
       .withColumn("_s", array_max(transform(col("_v"), x => abs(x))))
       .select(col(idAs),
         when(col("_s") === 0.0, transform(col("_v"), _ => lit(0L)))
           .otherwise(transform(col("_v"),
-            x => floor(x * lit(127.0) / col("_s")))).as(codesAs))
+            x => floor(x * lit(127.0) / col("_s")))).as(codesAs),
+        col("_s").as(scaleAs))
 
   /** Exact int64 sequential dot over two integer code arrays (cast
     * per element so tinyint-at-rest codes widen before multiplying).
@@ -132,6 +145,34 @@ object Similarity {
     aggregate(zip_with(a, b,
       (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, x) => acc + x)
+
+  /** DEQUANTIZED quantized top-k — the ANN-faithful scoring for int8
+    * codes: score = (sa·sb·qdot)/127² ≈ the true dot product (error
+    * is quantization rounding only), where [[knnQuantized]]'s raw
+    * code dot is an l∞-normalized similarity that is NOT a cosine/dot
+    * proxy (measured: recall@10 vs cosine truth 0.06 on heterogeneous
+    * vectors — see PERF.md ann_recall; raw codes remain the right key
+    * for near-DUPLICATE detection, where near-identical vectors have
+    * near-identical codes). The scales are the two doubles a real
+    * quantized layout stores beside the codes; the score is one
+    * deterministic IEEE product chain the oracle mirrors
+    * token-for-token, with (score, id) total-order ranking.
+    */
+  def knnQuantizedDot(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = q8CodesScaled(queries, idCol, vecCol, "query_id", "qa", "sa")
+    val c = q8CodesScaled(corpus, idCol, vecCol, "neighbor_id", "qb", "sb")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        col("sa") * col("sb") * intDot(col("qa"), col("qb")).cast("double")
+          / lit(16129.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
 
   /** Sign-LSH bucket key: one bit per leading dimension (1 ⇔ ≥ 0).
     * Random-hyperplane LSH with axis-aligned planes — deterministic

@@ -1404,6 +1404,43 @@ object TrainingQ {
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  /** Dequantized quantized top-k (see
+    * [[graft.ops.Similarity.knnQuantizedDot]]): score =
+    * (sa·sb·qdot)/127² ≈ true dot — the ANN-faithful int8 path
+    * (recall ~1 vs dot truth where raw code dots score 0.06 vs
+    * cosine truth; PERF.md ann_recall). The oracle reproduces the
+    * quantizer, the int code dot, and the exact IEEE product chain.
+    */
+  val qKnnQ8Dot = Q(
+    "q_knn_q8dot",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.knnQuantizedDot(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      sc AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+      z AS (SELECT vec_id, s,
+          CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s) AS BIGINT))
+          END AS q
+        FROM sc),
+      qs AS (SELECT vec_id AS query_id, s AS sa, q AS qa FROM z WHERE vec_id < 10),
+      pairs AS (SELECT query_id, z.vec_id AS neighbor_id,
+          sa * z.s * CAST(CAST(${sqlDot("qa", "z.q")} AS BIGINT) AS DOUBLE)
+            / 16129.0 AS score
+        FROM qs CROSS JOIN z WHERE z.vec_id <> query_id),
+      r AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM pairs)
+      SELECT query_id, rank, neighbor_id, score FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank""")
+  )
+
   val qKnn = Q(
     "q_knn",
     (spark, dir) => {
@@ -1818,5 +1855,5 @@ object TrainingQ {
     qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e, qDedupCanon,
     qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr,
     qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs,
-    qBpeTrain, qBpeEncode, qAnnIvfQ8)
+    qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot)
 }

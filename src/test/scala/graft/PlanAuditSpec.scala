@@ -35,7 +35,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // tiny dim (query set, per-group stats, corpus count, config dim) —
     // the cross is the POINT, and the broadcast keeps it linear
     val intended = Set("q_knn", "q_ann_ivf", "q_serve_snapshot",
-      "q_knn_q8", // broadcast query-code table × corpus codes
+      "q_knn_q8", "q_knn_q8dot", // broadcast query-code table × corpus codes
       "q_ann_ivf_layout", // broadcast per-cluster rep table × query set
       "q_ann_ivf_q8", // broadcast per-cluster rep-code table × query set
       "q_snapshot_diff", "q_tfidf", "q_ttl_filter",
