@@ -797,6 +797,11 @@ object Probe {
       // quantizer stand-in, as in the layout queries).
       val nVec = sys.env.get("SPARK_GRAFT_RECALL_VECS")
         .map(_.toLong).getOrElse(100000L)
+      // noise half-width relative to the ±1 center spread: 0.2 =
+      // well-separated clusters (IVF's favorable regime), ≥0.6 =
+      // overlapping clusters where nprobe earns its keep
+      val noise = sys.env.get("SPARK_GRAFT_RECALL_NOISE")
+        .map(_.toDouble).getOrElse(0.2)
       val dims = 64
       val nClusters = 256
       val vecs = spark.range(nVec).select(
@@ -804,9 +809,15 @@ object Probe {
         transform(sequence(lit(1), lit(dims)), i =>
           ((pmod(hash(pmod(col("id"), lit(nClusters)) * dims + i), lit(1000))
             / 500.0) - 1.0 +
-           (pmod(hash(col("id") * dims + i), lit(1000)) / 2500.0) - 0.2)
+           ((pmod(hash(col("id") * dims + i), lit(1000)) / 500.0) - 1.0)
+             * noise)
             .cast("float")).as("embedding"),
-        pmod(col("id"), lit(nClusters)).cast("int").as("label"))
+        (if (sys.env.get("SPARK_GRAFT_RECALL_RANDLABELS").contains("1"))
+           // labels uncorrelated with geometry — the WORST-case coarse
+           // quantizer; true neighbors scatter uniformly over cells,
+           // so IVF recall degrades toward nprobe/nClusters
+           pmod(hash(col("id") + 7), lit(nClusters)).cast("int")
+         else pmod(col("id"), lit(nClusters)).cast("int")).as("label"))
         .localCheckpoint()
       val queries = vecs.filter(col("vec_id") < 50)
       val k = 10
@@ -851,6 +862,7 @@ object Probe {
       val rQ8Dot = recallVs(
         graft.ops.Similarity.knnQuantizedDot(queries, vecs, k), truthDot)
       println(s"""{"probe":"ann_recall","vectors":$nVec,"k":$k,""" +
+        s""""noise":$noise,""" +
         s""""recall_ivf_nprobe4":$rIvf4,"recall_ivf_nprobe16":$rIvf16,""" +
         s""""recall_q8_raw_vs_cosine":$rQ8,""" +
         s""""recall_q8_dequant_vs_dot":$rQ8Dot,""" +
