@@ -776,8 +776,10 @@ object Probe {
         val tA0 = System.nanoTime()
         wordAgg()
         val tAgg = (System.nanoTime() - tA0) / 1e9
+        val nMerges = sys.env.get("SPARK_GRAFT_BPE_MERGES")
+          .map(_.toInt).getOrElse(10)
         val tT0 = System.nanoTime()
-        val merges = graft.ops.TextOps.bpeTrain(docs, "text", 10)
+        val merges = graft.ops.TextOps.bpeTrain(docs, "text", nMerges)
         val tTrain = (System.nanoTime() - tT0) / 1e9
         println(s"""{"probe":"bpe","docs":$n,"vocab":10000,""" +
           s""""word_agg_sec":$tAgg,"train_sec":$tTrain,""" +
