@@ -863,8 +863,25 @@ object Probe {
       val rQ8 = recall(graft.ops.Similarity.knnQuantized(queries, vecs, k))
       val rQ8Dot = recallVs(
         graft.ops.Similarity.knnQuantizedDot(queries, vecs, k), truthDot)
+      // TRAINED quantizer: run the shipped kmeans over the same
+      // geometry and measure where between the brackets recall lands
+      // — the "codebook training is the lever" claim, demonstrated
+      // with the engine's own trainer rather than asserted
+      val trained =
+        if (!sys.env.get("SPARK_GRAFT_RECALL_TRAIN").contains("1")) ""
+        else {
+          val cents = graft.ops.Similarity.kmeans(vecs, nClusters, iters = 3)
+          val relabeled = vecs.drop("label")
+            .join(graft.ops.Similarity.assignNearest(vecs, cents)
+              .select(col("vec_id"), col("cluster").cast("int").as("label")),
+              Seq("vec_id"))
+            .localCheckpoint()
+          val t4 = recall(graft.ops.Similarity.knnIvf(queries, relabeled, k, 4))
+          val t16 = recall(graft.ops.Similarity.knnIvf(queries, relabeled, k, 16))
+          s""""recall_ivf_trained_nprobe4":$t4,"recall_ivf_trained_nprobe16":$t16,"""
+        }
       println(s"""{"probe":"ann_recall","vectors":$nVec,"k":$k,""" +
-        s""""noise":$noise,""" +
+        s""""noise":$noise,""" + trained +
         s""""recall_ivf_nprobe4":$rIvf4,"recall_ivf_nprobe16":$rIvf16,""" +
         s""""recall_q8_raw_vs_cosine":$rQ8,""" +
         s""""recall_q8_dequant_vs_dot":$rQ8Dot,""" +
