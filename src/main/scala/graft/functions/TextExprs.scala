@@ -30,4 +30,13 @@ object TextExprs {
     ColumnBridge.column(
       org.apache.spark.sql.graftbridge.ShingleSet(
         ColumnBridge.expression(text), k, distinct = false))
+
+  /** Unicode NFC normalization (native codegen, already-normalized
+    * fast path) — see
+    * [[org.apache.spark.sql.graftbridge.NfcNormalize]].
+    */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.NfcNormalize(
+        ColumnBridge.expression(text)))
 }

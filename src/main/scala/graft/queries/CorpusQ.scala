@@ -146,5 +146,44 @@ object CorpusQ {
       FROM m ORDER BY doc_id""")
   )
 
-  def all: Seq[Q] = Seq(qEmbedCentroid, qCollocations, qQualityGopher)
+  /** Unicode NFC normalization (see
+    * [[org.apache.spark.sql.graftbridge.NfcNormalize]] — native
+    * codegen expression, already-normalized fast path): the
+    * canonicalization every multilingual pipeline runs before
+    * hashing, exercised on a corpus that provably NEEDS it (the
+    * q_dedup_canon pattern): the ASCII corpus is perturbed in-query
+    * into decomposed sequences keyed on doc_id (e → e+U+0301,
+    * a → a+U+030A), reproduced exactly by the oracle, and normalized
+    * back to composed forms by Java NFC on the Spark side vs DuckDB's
+    * nfc_normalize on the oracle side — two independent Unicode
+    * implementations hash-compared. Map-side only.
+    */
+  val qNormalizeNfc = Q(
+    "q_normalize_nfc",
+    (spark, dir) => {
+      val pert = when(col("doc_id") % 3 === 0,
+          replace(col("text"), lit("e"), lit("e\u0301")))
+        .when(col("doc_id") % 3 === 1,
+          replace(col("text"), lit("a"), lit("a\u030A")))
+        .otherwise(col("text"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), pert.as("_t"))
+        .select(col("doc_id"),
+          graft.functions.TextExprs.nfcNormalize(col("_t")).as("text_nfc"),
+          (graft.functions.TextExprs.nfcNormalize(col("_t")) =!= col("_t"))
+            .as("changed"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769))
+               WHEN doc_id % 3 = 1 THEN replace(text, 'a', 'a' || chr(778))
+               ELSE text END AS t
+        FROM documents)
+      SELECT doc_id, nfc_normalize(t) AS text_nfc,
+        nfc_normalize(t) <> t AS changed
+      FROM p ORDER BY doc_id""")
+  )
+
+  def all: Seq[Q] = Seq(qEmbedCentroid, qCollocations, qQualityGopher,
+    qNormalizeNfc)
 }

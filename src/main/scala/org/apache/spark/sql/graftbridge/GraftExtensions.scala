@@ -117,6 +117,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_shingle_set(text, k) requires an integer literal k")
       }))
+    // graft_nfc(text): Unicode NFC normalization (the kernel behind
+    // TextExprs.nfcNormalize) for SQL users
+    e.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => NfcNormalize(text)
+        case _ => throw new IllegalArgumentException(
+          "graft_nfc(text) takes exactly one argument")
+      }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

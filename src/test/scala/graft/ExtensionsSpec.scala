@@ -115,6 +115,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == viaColumn && got == Seq("a b c", "b c d"))
   }
 
+  test("graft_nfc normalizes to NFC, fast-paths normalized input, matches java.text.Normalizer") {
+    import org.apache.spark.sql.functions.col
+    // explicit escapes (source-encoding-proof): decomposed e+U+0301 ->
+    // composed U+00E9; Hangul jamo -> one syllable; q+U+0301 has no
+    // composed form (stays 2 codepoints); ASCII unchanged
+    val cases = Seq("e\u0301", "A\u030A", "\u1100\u1161\u11A8",
+      "q\u0301", "plain ascii", "")
+    val sess = spark
+    import sess.implicits._
+    val df = cases.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+      .select(col("i"), col("s"),
+        graft.functions.TextExprs.nfcNormalize(col("s")).as("n"))
+    val got = df.collect().sortBy(_.getInt(0)).map(_.getString(2))
+    val want = cases.map(s =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == want)
+    assert(got(0) == "\u00e9" && got(2) == "\uAC01" && got(3).length == 2)
+    assert(got(4) == "plain ascii" && got(5) == "")
+    // SQL face agrees with the Column face; nulls pass through.
+    // (NB Spark's chr() is mod-256 ASCII, unlike DuckDB's codepoint
+    // chr — a unicode escape is the portable way to spell U+0301.)
+    val sql = spark.sql(
+      "SELECT graft_nfc('e\\u0301') AS n, graft_nfc(NULL) AS z")
+      .collect().head
+    assert(sql.getString(0) == "\u00e9" && sql.isNullAt(1))
+  }
+
   test("optimizer rewrites the HOF dot-product pattern to the native expression") {
     // non-foldable input, else constant folding evaluates the whole
     // expression before the rewrite is observable
