@@ -184,6 +184,46 @@ object CorpusQ {
       FROM p ORDER BY doc_id""")
   )
 
+  /** NFC-keyed exact dedup — [[qNormalizeNfc]] composed into the
+    * dedup path on a corpus that provably needs it: every document
+    * spawns a COMPOSED variant (e → U+00E9) and a DECOMPOSED variant
+    * (e → e+U+0301) — byte-different, canonically equivalent. Hashing
+    * `md5(nfc(text))` collapses each pair to ONE group (n_groups ==
+    * n_docs, every n_dups == 2 — TrainingSpec pins that skipping NFC
+    * yields ~2× the groups), which is exactly why multilingual
+    * pipelines normalize before hashing. ASCII-stripping
+    * [[graft.ops.TextOps.canonicalize]] cannot express this (it
+    * deletes the non-ASCII chars outright); NFC is the
+    * content-preserving normalization. Same single-shuffle shape as
+    * q_dedup_exact; the normalize is a map-side native expression.
+    */
+  val qDedupNfc = Q(
+    "q_dedup_nfc",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val composed = docs.select((col("doc_id") * 2).as("doc_id"),
+        replace(col("text"), lit("e"), lit("\u00e9")).as("text"))
+      val decomposed = docs.select((col("doc_id") * 2 + 1).as("doc_id"),
+        replace(col("text"), lit("e"), lit("é")).as("text"))
+      graft.ops.Dedup.exact(
+        composed.unionByName(decomposed)
+          .withColumn("text",
+            graft.functions.TextExprs.nfcNormalize(col("text"))),
+        "doc_id", "text")
+        .orderBy("rep_id")
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id * 2 AS doc_id,
+          replace(text, 'e', chr(233)) AS text FROM documents
+        UNION ALL
+        SELECT doc_id * 2 + 1,
+          replace(text, 'e', 'e' || chr(769)) FROM documents),
+      n AS (SELECT doc_id, nfc_normalize(text) AS t FROM corpus)
+      SELECT md5(t) AS text_hash, min(doc_id) AS rep_id,
+        count(*) AS n_dups
+      FROM n GROUP BY md5(t) ORDER BY rep_id""")
+  )
+
   def all: Seq[Q] = Seq(qEmbedCentroid, qCollocations, qQualityGopher,
-    qNormalizeNfc)
+    qNormalizeNfc, qDedupNfc)
 }

@@ -306,6 +306,25 @@ class TrainingSpec extends AnyFunSuite {
     assert(dots.size == 1)
   }
 
+  test("NFC-keyed exact dedup collapses composed/decomposed variants; without NFC they split") {
+    val docs = Seq((1L, "new era"), (2L, "tree line"), (3L, "dry input"))
+      .toDF("doc_id", "text")
+    val composed = docs.select((col("doc_id") * 2).as("doc_id"),
+      replace(col("text"), lit("e"), lit("\u00e9")).as("text"))
+    val decomposed = docs.select((col("doc_id") * 2 + 1).as("doc_id"),
+      replace(col("text"), lit("e"), lit("é")).as("text"))
+    val corpus = composed.unionByName(decomposed)
+    val withNfc = Dedup.exact(
+      corpus.withColumn("text",
+        graft.functions.TextExprs.nfcNormalize(col("text"))),
+      "doc_id", "text").collect()
+    // every (composed, decomposed) pair lands in one group of 2
+    assert(withNfc.length == 3 && withNfc.forall(_.getLong(2) == 2L))
+    // skipping NFC: e-bearing docs split into byte-distinct variants
+    val without = Dedup.exact(corpus, "doc_id", "text").collect()
+    assert(without.length == 5) // docs 1,2 split; doc 3 (no 'e') still collapses
+  }
+
   test("bpeMergePairs: frequency-weighted adjacent-char counts; single-char words contribute nothing") {
     // words: ab(wf2), b(wf1), abc(wf1), aa(wf1)
     // "a b": 2 (from ab) + 1 (from abc) = 3; "b c": 1; "a a": 1
