@@ -781,10 +781,23 @@ object Probe {
         val tT0 = System.nanoTime()
         val merges = graft.ops.TextOps.bpeTrain(docs, "text", nMerges)
         val tTrain = (System.nanoTime() - tT0) / 1e9
+        // the batched (approximate) path: wall-clock + measured merge-
+        // list agreement with the exact trainer at a real batch size
+        val bs = sys.env.get("SPARK_GRAFT_BPE_BATCH")
+          .map(_.toInt).getOrElse(16)
+        val tB0 = System.nanoTime()
+        val mergesB = graft.ops.TextOps.bpeTrainBatched(docs, "text",
+          nMerges, batchSize = bs)
+        val tBatch = (System.nanoTime() - tB0) / 1e9
+        val agree = merges.map(_._1).toSet
+          .intersect(mergesB.map(_._1).toSet).size
         println(s"""{"probe":"bpe","docs":$n,"vocab":10000,""" +
           s""""word_agg_sec":$tAgg,"train_sec":$tTrain,""" +
           s""""merge_iter_sec":${(tTrain - tAgg) / merges.size},""" +
-          s""""merges":${merges.size}}""")
+          s""""merges":${merges.size},""" +
+          s""""batch_size":$bs,"batched_sec":$tBatch,""" +
+          s""""batched_merges":${mergesB.size},""" +
+          s""""merge_agreement":${agree.toDouble / merges.size}}""")
       }
     }
 

@@ -393,6 +393,24 @@ class TrainingSpec extends AnyFunSuite {
     assert(TextOps.bpeTrain(docs, "text", 8) == refBpe(wordFreq, 8))
   }
 
+  test("bpeTrainBatched: batchSize=1 equals the exact trainer; batched merges stay exact-count and disjoint") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrainBatched(docs, "text", 5, batchSize = 1) ==
+      TextOps.bpeTrain(docs, "text", 5))
+    val gen = (0 until 40).map { i =>
+      (i.toLong, (0 until 6).map(j =>
+        s"${('a' + (i * 7 + j) % 5).toChar}" * ((i + j) % 3 + 1) +
+        s"${('a' + (i * 3 + j) % 4).toChar}").mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(TextOps.bpeTrainBatched(gen, "text", 8, batchSize = 1) ==
+      TextOps.bpeTrain(gen, "text", 8))
+    // batched mode: requested count honored, every batch's accepted
+    // pairs have pairwise-disjoint symbols (the exact-count invariant)
+    val batched = TextOps.bpeTrainBatched(gen, "text", 8, batchSize = 4)
+    assert(batched.size == 8)
+    assert(batched.map(_._1).distinct.size == 8)
+  }
+
   test("fused shingle-set kernel equals the composed HOF pipeline (incl. whitespace edges)") {
     val edge = Seq(
       "a b c d", "  leading spaces a b c", "trail b c d   ",
