@@ -344,22 +344,41 @@ object Sample {
   def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
       k: Int, seed: String, maxWeight: Int = 64): DataFrame = {
     require(k > 0, s"sample size k must be positive, got $k")
+    weightedKeptRows(
+      df.withColumn("_ws_p", weightedPriority(idCol, weightCol, seed, maxWeight))
+        .agg(graft.functions.TopK.topKBy(
+          col("_ws_p").cast("double"), idCol.cast("long"), k).as("_ws_kept")),
+      "_ws_kept")
+  }
+
+  /** The per-row Efraimidis–Spirakis priority as a pure Column — the
+    * max of w independent 52-bit md5 draws (≡ u^(1/w) in
+    * distribution). Row-deterministic (a pure function of id and
+    * weight), which is WHY the streaming face (q_stream_weighted)
+    * equals the batch pass: the priority does not depend on arrival
+    * order or batching, and the bounded top-k agg merges
+    * arrival-order-invariantly.
+    */
+  def weightedPriority(idCol: Column, weightCol: Column, seed: String,
+      maxWeight: Int = 64): Column = {
     val wInt = weightCol.cast("int")
     val guarded = when(wInt.isNull || wInt < 1 || wInt > lit(maxWeight),
       raise_error(concat(
         lit(s"weightedSample needs integer weights in [1, $maxWeight], got "),
         coalesce(wInt.cast("string"), lit("null"))))).otherwise(wInt)
-    val draws = transform(
+    array_max(transform(
       sequence(lit(1), guarded),
       j => conv(substring(md5(
         concat(lit(s"$seed|"), idCol.cast("string"), lit("|"), j.cast("string"))
-          .cast("binary")), 1, 13), 16, 10).cast("long"))
-    df.withColumn("_ws_p", array_max(draws))
-      .agg(graft.functions.TopK.topKBy(
-        col("_ws_p").cast("double"), idCol.cast("long"), k).as("_ws_kept"))
-      .select(posexplode(col("_ws_kept")).as(Seq("_ws_pos", "_ws_pair")))
+          .cast("binary")), 1, 13), 16, 10).cast("long")))
+  }
+
+  /** The (rank, id, priority) explode of a topKBy array — shared by
+    * the batch op and the streaming face's batch-side apply.
+    */
+  def weightedKeptRows(df: DataFrame, keptCol: String): DataFrame =
+    df.select(posexplode(col(keptCol)).as(Seq("_ws_pos", "_ws_pair")))
       .select((col("_ws_pos") + 1).cast("long").as("rank"),
         col("_ws_pair").getField("_2").as("id"),
         col("_ws_pair").getField("_1").cast("long").as("priority"))
-  }
 }

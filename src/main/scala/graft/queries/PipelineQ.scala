@@ -356,7 +356,15 @@ object PipelineQ {
         .select(col("rank"), col("id").as("doc_id"), col("priority"))
         .orderBy("rank")
     },
-    Some(s"""WITH w AS (SELECT doc_id, 1 + n_chars % 4 AS w FROM documents),
+    Some(WeightedSampleOracle)
+  )
+
+  /** Shared by q_sample_weighted and its streaming face
+    * q_stream_weighted (priorities are row-deterministic, so stream
+    * accumulation == the batch pass).
+    */
+  private lazy val WeightedSampleOracle: String =
+    s"""WITH w AS (SELECT doc_id, 1 + n_chars % 4 AS w FROM documents),
       d AS (SELECT doc_id, unnest(range(1, w + 1)) AS j FROM w),
       h AS (SELECT doc_id, CAST('0x' || substring(md5('$WsSeed|' ||
           CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 13)
@@ -367,7 +375,43 @@ object PipelineQ {
           row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
         FROM p)
       SELECT rank, doc_id, priority FROM r WHERE rank <= $WsK
-      ORDER BY rank""")
+      ORDER BY rank"""
+
+  /** Streaming face of [[qSampleWeighted]] — the FIFTEENTH batch/
+    * stream equivalence pin: the Efraimidis–Spirakis priority is a
+    * pure function of (id, weight) ([[graft.ops.Sample
+    * .weightedPriority]]), so it computes map-side on a file STREAM,
+    * and the bounded-state topKBy aggregation merges arrival-order-
+    * invariantly — the streamed sample equals the batch sample
+    * exactly (same oracle). Complete-mode memory sink is fine here:
+    * the aggregate emits ONE row holding ≤ k pairs, bounded by
+    * construction (the acceptable-complete-mode class, unlike the
+    * index-sized outputs the para/span faces upsert instead).
+    */
+  val qStreamWeighted = Q(
+    "q_stream_weighted",
+    (spark, dir) => Catalog.withStatePartitions(spark, 8) {
+      import org.apache.spark.sql.streaming.Trigger
+      val rawSchema = Tables.documents(spark, dir).schema
+      val stream = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val name = "q_stream_weighted_sink"
+      val q = stream
+        .select(col("doc_id"),
+          Sample.weightedPriority(col("doc_id"),
+            lit(1) + col("n_chars") % 4, WsSeed).as("_ws_p"))
+        .agg(graft.functions.TopK.topKBy(
+          col("_ws_p").cast("double"), col("doc_id").cast("long"), WsK)
+          .as("_ws_kept"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Sample.weightedKeptRows(spark.table(name), "_ws_kept")
+        .select(col("rank"), col("id").as("doc_id"), col("priority"))
+        .orderBy("rank")
+    },
+    Some(WeightedSampleOracle)
   )
 
   private val SplitSeed = "split0"
@@ -396,5 +440,5 @@ object PipelineQ {
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
-      qSampleWeighted, qStreamSpanDedup)
+      qSampleWeighted, qStreamSpanDedup, qStreamWeighted)
 }
