@@ -731,13 +731,17 @@ object Probe {
         val r = df.count()
         ((System.nanoTime() - t0) / 1e9, r)
       }
+      // one discarded warm-up per PATH (codegen/JIT + parquet footer
+      // discovery), so flat vs layout vs q8 timings compare warm-to-warm
       timed(graft.ops.Similarity.knnIvf(queries, flat, 10, 8)) // warm
       val (tFlat, rFlat) = timed(
         graft.ops.Similarity.knnIvf(queries, flat, 10, 8))
+      timed(graft.io.AnnLayout.knnIvf(spark, s"$root/ivf", queries, 10, 8)) // warm
       val (tLay, rLay) = timed(
         graft.io.AnnLayout.knnIvf(spark, s"$root/ivf", queries, 10, 8))
       // the quantized layout: same partition pruning, ~4x fewer bytes
       graft.io.AnnLayout.writeIvfQ8(vecs, s"$root/ivf8")
+      timed(graft.io.AnnLayout.knnIvfQ8(spark, s"$root/ivf8", queries, 10, 8)) // warm
       val (tLay8, _) = timed(
         graft.io.AnnLayout.knnIvfQ8(spark, s"$root/ivf8", queries, 10, 8))
       def dirBytes(p: String): Long = {

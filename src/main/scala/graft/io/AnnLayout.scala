@@ -72,6 +72,17 @@ object AnnLayout {
     * overwrite-what-you-read hazard is the reason to materialize).
     * LayoutSpec pins: write(A) + append(B) answers queries
     * identically to write(A ∪ B) from scratch.
+    *
+    * Crash/reader safety: the merged reps are written to a staging
+    * sibling (`reps.stage`) and RENAMED into place — a directory
+    * rename on the same filesystem, so a failure between the corpus
+    * append and the reps refresh leaves the OLD reps intact (stale
+    * codebook: queries still probe correctly, merely without the new
+    * clusters until a retried append completes the swap), never a
+    * half-written one, and a concurrent reader sees old-or-new, not
+    * a mid-overwrite mix. Single WRITER assumed (two concurrent
+    * appends would race the swap) — the same contract every
+    * no-table-format parquet maintenance path here carries.
     */
   def appendIvf(newVecs: DataFrame, path: String,
       clusterCol: String = "label", idCol: String = "vec_id",
@@ -92,10 +103,33 @@ object AnnLayout {
         .as("_r"))
       .select(col(clusterCol), col("_r.rep_id").as("rep_id"),
         col("_r.rep_vec").as("rep_vec"))
-      .collect() // codebook-sized; must leave the path before overwrite
+      .collect() // codebook-sized; must leave the path before the swap
     spark.createDataFrame(
         spark.sparkContext.parallelize(merged.toIndexedSeq, 1), old.schema)
-      .write.mode("overwrite").parquet(s"$path/reps")
+      .write.mode("overwrite").parquet(s"$path/reps.stage")
+    swapDir(spark, s"$path/reps.stage", s"$path/reps")
+  }
+
+  /** Rename `stage` into `target` (backup-then-rename: target →
+    * `<target>.old`, stage → target, delete backup). Both paths must
+    * share a filesystem; callers are single-writer.
+    */
+  private[graft] def swapDir(spark: SparkSession, stage: String,
+      target: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val t = new Path(target)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val s = new Path(stage)
+    val bak = new Path(target + ".old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(t)) { if (!fs.rename(t, bak)) sys.error(s"rename $t -> $bak failed") }
+    if (!fs.rename(s, t)) {
+      // restore the backup so the layout never points at nothing
+      if (fs.exists(bak)) fs.rename(bak, t)
+      sys.error(s"rename $s -> $t failed")
+    }
+    fs.delete(bak, true)
+    ()
   }
 
   /** IVF top-k against a [[writeIvf]] layout — result-identical to
@@ -148,67 +182,131 @@ object AnnLayout {
   }
 
   /** Quantized IVF layout — [[writeIvf]] with the floats REPLACED by
-    * int8 codes ([[graft.ops.Similarity.q8Codes]], stored as
-    * array<tinyint>): the index at rest is ~4× smaller, so the probed
-    * partitions cost ~4× fewer bytes to scan — compression and
-    * partition pruning multiply. The reps codebook stores codes too:
-    * probe ranking and rerank are BOTH exact int64 code dots, an
-    * all-integer path end-to-end (q_knn_q8's portability contract
-    * applied to the IVF shape). Recall trades exactly as scalar
-    * quantization does; the float layout ([[writeIvf]]) remains the
-    * exact-rerank option.
+    * int8 codes ([[graft.ops.Similarity.q8CodesScaled]], stored as
+    * array<tinyint> PLUS the per-vector double scale): the index at
+    * rest is ~4× smaller, so the probed partitions cost ~4× fewer
+    * bytes to scan — compression and partition pruning multiply.
+    * Storing the scale is what makes this TRUE scalar quantization:
+    * a reader reconstructs `scale·code/127 ≈ component`, so
+    * DEQUANTIZED dot scoring — measured recall@10 = 0.96 vs dot
+    * truth, where RAW code dots measure 0.06 (PERF.md ann_recall: an
+    * l∞-normalized near-duplicate key, not an ANN score) — is
+    * computable straight from the layout. The reps codebook stores
+    * (codes, scale) too; [[knnIvfQ8]] probes and reranks with the
+    * dequantized score end-to-end. The float layout ([[writeIvf]])
+    * remains the exact-rerank option.
     */
   def writeIvfQ8(corpus: DataFrame, path: String,
       clusterCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxRecordsPerFile: Long = 5000000L): Unit = {
-    val codes = Similarity.q8Codes(corpus, idCol, vecCol, idCol, "codes")
+    val codes = Similarity.q8CodesScaled(corpus, idCol, vecCol,
+        idCol, "codes", "scale")
       .withColumn("codes", col("codes").cast("array<tinyint>"))
       .join(corpus.select(col(idCol), col(clusterCol)), Seq(idCol))
     Bucketing.writePartitioned(codes, s"$path/corpus",
       Seq(clusterCol), Seq(idCol), maxRecordsPerFile)
     val minIds = codes.groupBy(col(clusterCol))
       .agg(min(col(idCol)).as("rep_id"))
-    codes.select(col(idCol).as("rep_id"), col("codes").as("rep_codes"))
+    codes.select(col(idCol).as("rep_id"), col("codes").as("rep_codes"),
+        col("scale").as("rep_scale"))
       .join(minIds, Seq("rep_id"))
-      .select(col(clusterCol), col("rep_id"), col("rep_codes"))
+      .select(col(clusterCol), col("rep_id"), col("rep_codes"),
+        col("rep_scale"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/reps")
   }
 
-  /** IVF top-k against a [[writeIvfQ8]] layout: quantize the query
-    * batch, rank clusters by int code dot against the rep codes
-    * (ties → lowest cluster), rerank probed members by int code dot
-    * (ties → lowest id). Same partition-filter scan discipline as
-    * [[knnIvf]]; oracle-checked by q_ann_ivf_q8.
+  /** IVF top-k against a [[writeIvfQ8]] layout, ANN-faithful: quantize
+    * the query batch keeping its scales, rank clusters by the
+    * DEQUANTIZED dot against the reps — `(sq·srep·codedot)/127²`, the
+    * [[graft.ops.Similarity.knnQuantizedDot]] score (ties → lowest
+    * cluster) — and rerank probed members the same way (ties → lowest
+    * id). The integer code dot stays the kernel; the two stored
+    * scales turn it into a true dot estimate instead of the
+    * l∞-normalized near-dup key raw code dots are. Same
+    * partition-filter scan discipline as [[knnIvf]]; oracle-checked
+    * by q_ann_ivf_q8.
     */
   def knnIvfQ8(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "label"): DataFrame = {
     val reps = spark.read.parquet(s"$path/reps")
-      .select(col(clusterCol).as("cluster"), col("rep_codes"))
-    val q = Similarity.q8Codes(queries, idCol, vecCol, "query_id", "qa")
+      .select(col(clusterCol).as("cluster"), col("rep_codes"),
+        col("rep_scale"))
+    val q = Similarity.q8CodesScaled(queries, idCol, vecCol,
+      "query_id", "qa", "sq")
     val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(Similarity.intDot(col("qa"), col("rep_codes")).desc,
+      .orderBy((col("sq") * col("rep_scale")
+          * Similarity.intDot(col("qa"), col("rep_codes")).cast("double")
+          / lit(16129.0)).desc,
         col("cluster"))
     val probed = q.crossJoin(broadcast(reps))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
-      .select("query_id", "qa", "cluster")
+      .select("query_id", "qa", "sq", "cluster")
     val probedClusters = probed.select("cluster").distinct()
       .collect().map(_.get(0)).toIndexedSeq
     val members = spark.read.parquet(s"$path/corpus")
       .filter(col(clusterCol).isin(probedClusters: _*))
       .select(col(clusterCol).as("cluster"), col(idCol).as("neighbor_id"),
-        col("codes"))
+        col("codes"), col("scale"))
     val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("qdot").desc, col("neighbor_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
     probed.join(members, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("qdot", Similarity.intDot(col("qa"), col("codes")))
+      .withColumn("score", col("sq") * col("scale")
+        * Similarity.intDot(col("qa"), col("codes")).cast("double")
+        / lit(16129.0))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "qdot")
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** TRAINED-quantizer IVF — [[writeIvf]] with the coarse quantizer
+    * LEARNED instead of inherited: run the shipped deterministic
+    * Lloyd k-means ([[graft.ops.Similarity.kmeans]]: min-id seeds,
+    * integer-quantized exact means, total-order argmax — same result
+    * on any engine/partitioning), label the corpus with a final
+    * [[graft.ops.Similarity.assignNearest]] pass, write it
+    * Hive-partitioned by the learned label, and store the learned
+    * CENTROIDS as the reps codebook (rep_id = the cluster id; no
+    * member is "the" rep once the codebook is trained). [[knnIvf]]
+    * then probes the trained codebook unchanged — same partition
+    * filter, same rerank.
+    *
+    * Why train: with data-blind cluster labels the probe ranking is
+    * uncorrelated with member geometry — measured recall@10 at
+    * nprobe=8/256 was 0.018; k-means relabeling on the same corpus
+    * recovered 1.0 at nprobe=4 (PERF.md ann_recall_trained). This is
+    * the end-to-end wiring of that measurement.
+    *
+    * Cost: iters·(assign + means) shuffles over the corpus, then the
+    * one partitioned write — a bounded index-build job, amortized
+    * over every query against the layout, and incrementally
+    * maintainable afterwards with [[appendIvf]] (new batches assign
+    * to the FROZEN codebook via assignNearest, the standard IVF
+    * practice — retraining is a new layout build by design).
+    * Returns the trained centroid table (cluster, cv).
+    */
+  def trainIvf(corpus: DataFrame, path: String, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label",
+      maxRecordsPerFile: Long = 5000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = corpus.drop(clusterCol) // learned labels replace any prior ones
+    val cents = Similarity.kmeans(base, k, iters, idCol, vecCol)
+    val labeled = base.join(
+      Similarity.assignNearest(base, cents, idCol, vecCol)
+        .select(col("vec_id").as(idCol), col("cluster").as(clusterCol)),
+      Seq(idCol))
+    Bucketing.writePartitioned(labeled, s"$path/corpus",
+      Seq(clusterCol), Seq(idCol), maxRecordsPerFile)
+    cents.select(col("cluster").as(clusterCol),
+        col("cluster").as("rep_id"), col("cv").as("rep_vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/reps.stage")
+    swapDir(spark, s"$path/reps.stage", s"$path/reps")
+    cents
   }
 
   /** The pruned corpus scan a probe list induces — exposed separately

@@ -203,8 +203,11 @@ object CorpusQ {
       val docs = Tables.documents(spark, dir).select("doc_id", "text")
       val composed = docs.select((col("doc_id") * 2).as("doc_id"),
         replace(col("text"), lit("e"), lit("\u00e9")).as("text"))
+      // explicit escape: a raw decomposed literal would be silently
+      // composed by any NFC-normalizing editor/formatter (the
+      // ExtensionsSpec source-encoding-proof rule)
       val decomposed = docs.select((col("doc_id") * 2 + 1).as("doc_id"),
-        replace(col("text"), lit("e"), lit("é")).as("text"))
+        replace(col("text"), lit("e"), lit("e\u0301")).as("text"))
       graft.ops.Dedup.exact(
         composed.unionByName(decomposed)
           .withColumn("text",

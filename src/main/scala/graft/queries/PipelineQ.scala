@@ -115,9 +115,13 @@ object PipelineQ {
       val docStream = spark.readStream.schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
+      // compactEvery=1: every trigger rewrites the append log to one
+      // min row per hash (bounded on-disk state), so the oracle also
+      // checks reads-through-compaction lose nothing
       val q = Dedup.firstOccurrenceStreamIndex(
         Dedup.paragraphTable(paraCorpus(docStream), "doc_id", "text"),
-        indexDir = s"$work/index", checkpointDir = s"$work/ckpt")
+        indexDir = s"$work/index", checkpointDir = s"$work/ckpt",
+        compactEvery = 1)
       q.awaitTermination()
       val parasBatch = Dedup.paragraphTable(
         paraCorpus(Tables.documents(spark, dir)), "doc_id", "text")
@@ -151,7 +155,8 @@ object PipelineQ {
         .parquet(dir)
       val q = Dedup.firstOccurrenceStreamIndex(
         Dedup.spanTable(docStream, "doc_id", "text", k = 5),
-        indexDir = s"$work/index", checkpointDir = s"$work/ckpt")
+        indexDir = s"$work/index", checkpointDir = s"$work/ckpt",
+        compactEvery = 1)
       q.awaitTermination()
       val docs = Tables.documents(spark, dir)
       Dedup.removeSpans(docs,

@@ -1357,12 +1357,45 @@ object TrainingQ {
     None
   )
 
+  /** BATCHED BPE training — the cataloged WALL-CLOCK path for
+    * realistic merge counts (see
+    * [[graft.ops.TextOps.bpeTrainBatched]]: the exact trainer is
+    * inherently sequential at ~0.2 s/merge ⇒ 50k merges ≈ 3 h
+    * regardless of cluster size; batched top-M disjoint merges per
+    * round is the standard escape). Same scan shape — ONE corpus
+    * pass, then vocab-table rounds — but nMerges/batchSize driver
+    * round-trips instead of nMerges. APPROXIMATE by design (a pair
+    * created by an earlier in-batch merge can outrank a later one,
+    * which exact BPE would reorder), so rows-only like its exact
+    * twin: TrainingSpec pins batchSize=1 == [[qBpeTrain]]'s exact
+    * path AND per-round pair-stat exactness of every accepted merge
+    * against the exact trainer's scoring; the Probe bpe fidelity
+    * curve records merge-set agreement and encode-level token-count
+    * delta at real batch sizes (PERF.md).
+    */
+  val qBpeTrainBatched = Q(
+    "q_bpe_train_batched",
+    (spark, dir) => {
+      import spark.implicits._
+      TextOps.bpeTrainBatched(Tables.documents(spark, dir), "text",
+          nMerges = 10, batchSize = 4)
+        .zipWithIndex
+        .map { case ((pair, cnt), i) => (i + 1L, pair, cnt) }
+        .toDF("merge_rank", "pair", "cnt")
+        .orderBy("merge_rank")
+    },
+    None
+  )
+
   /** Quantized IVF against the at-rest CODE layout (see
-    * [[graft.io.AnnLayout.writeIvfQ8]]): int8 codes stored as
-    * array<tinyint> (≈4× smaller index), probe AND rerank both exact
-    * int64 code dots, partition-filter scan. The oracle recomputes
-    * the full all-integer path (q8 CTE → rep codes → probe rank →
-    * code-dot rerank) token-for-token.
+    * [[graft.io.AnnLayout.writeIvfQ8]]): int8 codes + per-vector
+    * scale stored (≈4× smaller index), probe AND rerank both score
+    * the DEQUANTIZED dot `(sq·s·codedot)/127²` — the ANN-faithful
+    * int8 path (recall 0.96 vs dot truth where raw code dots measure
+    * 0.06; PERF.md ann_recall) — over a partition-filter scan. The
+    * oracle recomputes the full path (q8+scale CTE → rep codes →
+    * dequantized probe rank → dequantized rerank) token-for-token,
+    * same IEEE product chain.
     */
   val qAnnIvfQ8 = Q(
     "q_ann_ivf_q8",
@@ -1381,26 +1414,29 @@ object TrainingQ {
         FROM embeddings),
       sc AS (SELECT vec_id, label, v,
           list_max(list_transform(v, x -> abs(x))) AS s FROM e),
-      z AS (SELECT vec_id, label,
+      z AS (SELECT vec_id, label, s,
           CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
                ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s) AS BIGINT))
           END AS q
         FROM sc),
       reps AS (SELECT label, min(vec_id) AS rid FROM z GROUP BY label),
-      repv AS (SELECT r.label, z.q AS rq FROM reps r JOIN z ON z.vec_id = r.rid),
-      qs AS (SELECT vec_id AS query_id, q AS qa FROM z WHERE vec_id < 10),
-      probe AS (SELECT query_id, qa, label,
+      repv AS (SELECT r.label, z.q AS rq, z.s AS rs
+        FROM reps r JOIN z ON z.vec_id = r.rid),
+      qs AS (SELECT vec_id AS query_id, s AS sa, q AS qa FROM z WHERE vec_id < 10),
+      probe AS (SELECT query_id, sa, qa, label,
           row_number() OVER (PARTITION BY query_id ORDER BY
-            CAST(${sqlDot("qa", "rq")} AS BIGINT) DESC, label) AS pr
+            sa * rs * CAST(CAST(${sqlDot("qa", "rq")} AS BIGINT) AS DOUBLE)
+              / 16129.0 DESC, label) AS pr
         FROM qs CROSS JOIN repv),
       cand AS (SELECT p.query_id, z.vec_id AS neighbor_id,
-          CAST(${sqlDot("p.qa", "z.q")} AS BIGINT) AS qdot
-        FROM (SELECT query_id, qa, label FROM probe WHERE pr <= 3) p
+          p.sa * z.s * CAST(CAST(${sqlDot("p.qa", "z.q")} AS BIGINT) AS DOUBLE)
+            / 16129.0 AS score
+        FROM (SELECT query_id, sa, qa, label FROM probe WHERE pr <= 3) p
         JOIN z ON z.label = p.label WHERE z.vec_id <> p.query_id),
       r AS (SELECT *, row_number() OVER
-          (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
         FROM cand)
-      SELECT query_id, rank, neighbor_id, qdot FROM r
+      SELECT query_id, rank, neighbor_id, score FROM r
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
@@ -1661,6 +1697,94 @@ object TrainingQ {
     Some(AnnIvfOracle)
   )
 
+  private val TrainedK = 4
+  private val TrainedIters = 2
+
+  /** One unrolled Lloyd round for the q_ann_ivf_trained oracle:
+    * assign every vector to its argmax-cosine centroid of `c{i-1}`
+    * (ties → lowest cluster — assignNearest's total order), then the
+    * INTEGER-QUANTIZED exact mean per (cluster, component) —
+    * sum(round(comp·10⁶)) / (n·10⁶), the engine-portable mean
+    * Similarity.kmeans computes — with empty clusters keeping their
+    * previous centroid (LEFT JOIN + COALESCE, the Lloyd fallback).
+    */
+  private def kmeansRoundSql(i: Int): String = {
+    val p = s"c${i - 1}"
+    s"""s$i AS (SELECT e.vec_id, c.cluster,
+          ${sqlDot("e.v", "c.cv")} / sqrt(${sqlDot("e.v", "e.v")} * ${sqlDot("c.cv", "c.cv")}) AS cosine
+        FROM e CROSS JOIN $p c),
+      r$i AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM s$i),
+      a$i AS (SELECT vec_id, cluster FROM r$i WHERE rn = 1),
+      x$i AS (SELECT a.cluster, generate_subscripts(e.v, 1) AS pos,
+          unnest(e.v) AS comp
+        FROM a$i a JOIN e USING (vec_id)),
+      m$i AS (SELECT cluster, pos,
+          CAST(sum(CAST(round(comp * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / (count(*) * 1000000) AS m
+        FROM x$i GROUP BY cluster, pos),
+      g$i AS (SELECT cluster, list(m ORDER BY pos) AS mv FROM m$i GROUP BY cluster),
+      c$i AS (SELECT p.cluster, COALESCE(g.mv, p.cv) AS cv
+        FROM $p p LEFT JOIN g$i g USING (cluster))"""
+  }
+
+  /** IVF against a TRAINED coarse quantizer (see
+    * [[graft.io.AnnLayout.trainIvf]]): deterministic seeded Lloyd
+    * k-means (min-id seeds, quantized exact means) learns the
+    * codebook, the corpus is re-labeled by a final assignment pass
+    * and written partitioned by the LEARNED label, and the centroids
+    * themselves are the reps the probe ranks against. The oracle
+    * replays the whole pipeline — seeds → `TrainedIters` unrolled
+    * Lloyd rounds → final assignment → centroid-probe → cosine
+    * rerank — arithmetic-exact (sequential-fold dots, quantized
+    * means, total-order tie-breaks), which is precisely why the
+    * trainer was built deterministic. LayoutSpec pins the partition-
+    * pruned scan on the trained layout; PERF.md ann_recall_trained
+    * records the recall this codebook buys at probe scale.
+    */
+  val qAnnIvfTrained = Q(
+    "q_ann_ivf_trained",
+    (spark, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("ann_ivf_trained").toString
+      val emb = Tables.embeddings(spark, dir)
+      graft.io.AnnLayout.trainIvf(emb, work, k = TrainedK,
+        iters = TrainedIters)
+      graft.io.AnnLayout.knnIvf(spark, work,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS cv
+        FROM e ORDER BY vec_id LIMIT $TrainedK),
+      ${(1 to TrainedIters).map(kmeansRoundSql).mkString(",\n      ")},
+      sf AS (SELECT e.vec_id, c.cluster,
+          ${sqlDot("e.v", "c.cv")} / sqrt(${sqlDot("e.v", "e.v")} * ${sqlDot("c.cv", "c.cv")}) AS cosine
+        FROM e CROSS JOIN c$TrainedIters c),
+      rf AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM sf),
+      lab AS (SELECT vec_id, cluster AS label FROM rf WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      probe AS (SELECT query_id, qv, c.cluster AS label,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            ${sqlDot("qv", "c.cv")} / sqrt(${sqlDot("qv", "qv")} * ${sqlDot("c.cv", "c.cv")}) DESC,
+            c.cluster) AS pr
+        FROM q CROSS JOIN c$TrainedIters c),
+      cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("p.qv", "e.v")} / sqrt(${sqlDot("p.qv", "p.qv")} * ${sqlDot("e.v", "e.v")}) AS cosine
+        FROM (SELECT query_id, qv, label FROM probe WHERE pr <= 2) p
+        JOIN lab l ON l.label = p.label JOIN e ON e.vec_id = l.vec_id
+        WHERE e.vec_id <> p.query_id),
+      r AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   /** Top document-frequency terms per language: explode distinct
     * tokens → two-level agg → per-lang window top-k. Scale shape: the
     * (lang, term) partial agg combines map-side, so the shuffle
@@ -1855,5 +1979,6 @@ object TrainingQ {
     qSourceOverlapKmv, qMixTemperature, qLmScore, qPipelineE2e, qDedupCanon,
     qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr,
     qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs,
-    qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot)
+    qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot, qBpeTrainBatched,
+    qAnnIvfTrained)
 }

@@ -814,6 +814,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(want == Seq((1L, "A\nB"), (2L, ""), (3L, "C"), (4L, ""), (5L, "")))
   }
 
+  test("streaming index compaction: read-equivalent mid-stream, on-disk file count bounded across triggers") {
+    import graft.ops.Dedup
+    // Same overlapping-paragraph corpus as above, but MANY triggers
+    // (one doc per file) so the append log would otherwise accumulate
+    // a file set per trigger. compactEvery=2: compaction interleaves
+    // WITH later appends — the read-equivalence claim is exercised
+    // mid-stream, not just at the end.
+    val docs = Seq(
+      (1L, "A\nB"), (2L, "A"), (3L, "B\nC"), (4L, "C"),
+      (5L, "A\nD"), (6L, "D\nB"), (7L, "E"), (8L, "E\nA"))
+    def runStream(compactEvery: Int): String = {
+      val docsDir = tmp(s"cmpidx_docs$compactEvery")
+      docs.zipWithIndex.foreach { case ((id, text), i) =>
+        val stage = tmp(s"cmpidx_stage${compactEvery}_$i")
+        Seq((id, text)).toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath,
+          new java.io.File(docsDir, s"file$i.parquet").toPath)
+      }
+      val work = tmp(s"cmpidx_work$compactEvery")
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docsDir)
+      val q = Dedup.firstOccurrenceStreamIndex(
+        Dedup.paragraphTable(stream, "doc_id", "text"),
+        indexDir = s"$work/index", checkpointDir = s"$work/ckpt",
+        compactEvery = compactEvery, compactFiles = 1)
+      q.awaitTermination()
+      s"$work/index"
+    }
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    def indexSet(dir: String): Set[(String, Long, Int)] =
+      Dedup.readFirstOccurrenceIndex(spark, dir).collect()
+        .map(r => (r.getString(0), r.getStruct(1).getLong(0),
+          r.getStruct(1).getInt(1))).toSet
+
+    val compacted = runStream(compactEvery = 2)
+    val uncompacted = runStream(compactEvery = 0)
+    val batchIndex = Dedup.firstParagraphOccurrence(
+        Dedup.paragraphTable(docs.toDF("doc_id", "text"), "doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getStruct(1).getLong(0),
+        r.getStruct(1).getInt(1))).toSet
+    // both faces read to the exact batch-built index
+    assert(indexSet(compacted) == batchIndex)
+    assert(indexSet(uncompacted) == batchIndex)
+    // bounded growth: 8 triggers with cadence-2 compaction leave at
+    // most compactFiles + (compactEvery - 1) triggers of appends on
+    // disk; the uncompacted log keeps every trigger's file set
+    val nC = parquetFiles(compacted)
+    val nU = parquetFiles(uncompacted)
+    assert(nU >= 8, s"uncompacted log should hold >= 1 file per trigger, got $nU")
+    assert(nC < nU && nC <= 1 + statePartitionsForTest,
+      s"compacted log not bounded: $nC files vs uncompacted $nU")
+    // one more OFFLINE compaction pass is read-idempotent and lands
+    // exactly at compactFiles files
+    val before = indexSet(compacted)
+    Dedup.compactFirstOccurrenceIndex(spark, compacted, numFiles = 1)
+    assert(indexSet(compacted) == before)
+    assert(parquetFiles(compacted) == 1)
+  }
+
+  // the session's shuffle-partition setting caps one trigger's append
+  // file count in the test above
+  private def statePartitionsForTest: Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
   test("streaming semantic dedup: per-trigger delta passes union to the one-shot batch verdicts (cadence invariance)") {
     import graft.ops.Similarity
     import spark.implicits._

@@ -312,7 +312,7 @@ class TrainingSpec extends AnyFunSuite {
     val composed = docs.select((col("doc_id") * 2).as("doc_id"),
       replace(col("text"), lit("e"), lit("\u00e9")).as("text"))
     val decomposed = docs.select((col("doc_id") * 2 + 1).as("doc_id"),
-      replace(col("text"), lit("e"), lit("é")).as("text"))
+      replace(col("text"), lit("e"), lit("e\u0301")).as("text"))
     val corpus = composed.unionByName(decomposed)
     val withNfc = Dedup.exact(
       corpus.withColumn("text",

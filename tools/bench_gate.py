@@ -127,9 +127,9 @@ elif prev_src not in (None, "none"):
         prev = json.load(f)
     prev_label = prev_src
 
-if prev is not None:
-    pq = {n: t for n, t in prev.get("queries", {}).items()
-          if is_time(t) and t > 0}
+def diff_against(pq, label, refuse_list):
+    """Diff candidate queries against baseline dict pq; regressions
+    that clear BOTH the ratio and the absolute floor go to refuse_list."""
     regressed = []
     jitter = []
     for n, t in sorted(queries.items()):
@@ -139,28 +139,65 @@ if prev is not None:
             else:
                 jitter.append((n, pq[n], t, t / pq[n]))
     if jitter:
-        print(f"note: {len(jitter)} sub-{min_delta}s ratio excursions "
-              "(jitter class, not refused): "
+        print(f"note: {len(jitter)} sub-{min_delta}s ratio excursions vs "
+              f"{label} (jitter class, not refused): "
               + ", ".join(f"{n} {p:.2f}s->{t:.2f}s ({r:.2f}x)"
                           for n, p, t, r in jitter[:10]))
     new_qs = sorted(set(queries) - set(pq))
     gone_qs = sorted(set(pq) - set(queries))
     if new_qs:
-        print(f"note: {len(new_qs)} queries new vs {prev_label} "
+        print(f"note: {len(new_qs)} queries new vs {label} "
               "(no regression baseline): " + ", ".join(new_qs[:10]))
     if gone_qs:
-        print(f"note: {len(gone_qs)} queries present in {prev_label} "
+        print(f"note: {len(gone_qs)} queries present in {label} "
               "but missing now: " + ", ".join(gone_qs[:10]))
     if regressed:
         detail = ", ".join(f"{n} {p:.2f}s->{t:.2f}s ({r:.2f}x)"
                            for n, p, t, r in regressed[:10])
         print(f"REFUSE closing label: {len(regressed)} quer"
               f"{'y' if len(regressed) == 1 else 'ies'} regressed >"
-              f"{max_regress}x vs {prev_label} on a quiet box: {detail}"
+              f"{max_regress}x vs {label} on a quiet box: {detail}"
               + ("..." if len(regressed) > 10 else ""))
-        sys.exit(1)
-    print(f"regression diff vs {prev_label}: "
-          f"{len(set(queries) & set(pq))} comparable, 0 over {max_regress}x")
+        refuse_list.append(label)
+    else:
+        print(f"regression diff vs {label}: "
+              f"{len(set(queries) & set(pq))} comparable, 0 refused")
+
+
+refusals = []
+if prev is not None:
+    pq = {n: t for n, t in prev.get("queries", {}).items()
+          if is_time(t) and t > 0}
+    diff_against(pq, prev_label, refusals)
+
+# --- pinned historical baseline: closes the creep loophole ---
+# The rolling HEAD baseline moves every round, so a query can slow by a
+# sub-floor delta each round forever without refusing. The pin
+# (tools/bench_pin.json, per-query times captured at a deliberately
+# chosen round and only updated via --write-pin) does not roll, so
+# accumulated creep eventually clears min_delta/max_regress against it.
+PIN = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "bench_pin.json")
+if "--write-pin" in sys.argv:
+    with open(PIN, "w") as f:
+        json.dump({"queries": queries, "note":
+                   "pinned per-query baseline for bench_gate creep check"},
+                  f, indent=1, sort_keys=True)
+    print(f"wrote pin {PIN} ({len(queries)} queries)")
+else:
+    try:
+        with open(PIN) as f:
+            pin = json.load(f)
+        pinq = {n: t for n, t in pin.get("queries", {}).items()
+                if is_time(t) and t > 0}
+        diff_against(pinq, "pinned baseline (tools/bench_pin.json)", refusals)
+    except FileNotFoundError:
+        print("note: no tools/bench_pin.json - pinned creep check skipped "
+              "(create with --write-pin)")
+
+if refusals:
+    sys.exit(1)
 
 print(f"OK to label as closing: load_avg_start={load} java_procs_start={jvms} "
       f"(value={rec.get('value')}s over {len(rec.get('queries', {}))} queries)")
