@@ -284,10 +284,10 @@ object AnnLayout {
     * Cost: iters·(assign + means) shuffles over the corpus, then the
     * one partitioned write — a bounded index-build job, amortized
     * over every query against the layout, and incrementally
-    * maintainable afterwards with [[appendIvf]] (new batches assign
-    * to the FROZEN codebook via assignNearest, the standard IVF
-    * practice — retraining is a new layout build by design).
-    * Returns the trained centroid table (cluster, cv).
+    * maintainable afterwards with [[appendTrained]] (NOT
+    * [[appendIvf]], whose min-id reps merge is the UNtrained
+    * codebook's maintenance rule and would overwrite learned
+    * centroids). Returns the trained centroid table (cluster, cv).
     */
   def trainIvf(corpus: DataFrame, path: String, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -307,6 +307,38 @@ object AnnLayout {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/reps.stage")
     swapDir(spark, s"$path/reps.stage", s"$path/reps")
     cents
+  }
+
+  /** Incremental maintenance for a TRAINED layout ([[trainIvf]]):
+    * assign the new batch to the FROZEN codebook (one
+    * [[graft.ops.Similarity.assignNearest]] pass against `path/reps`
+    * — broadcast-sized, no corpus read) and append its rows into
+    * their learned-label partitions. The reps codebook is left
+    * untouched — that is the point: the standard IVF practice is a
+    * frozen coarse quantizer between retrains, and retraining is a
+    * new [[trainIvf]] build by design. LayoutSpec pins reps
+    * invariance, label agreement with assignNearest, and
+    * query-identity against a hand-built reference on the unioned
+    * corpus.
+    */
+  def appendTrained(newVecs: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label",
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = spark.read.parquet(s"$path/reps")
+      .select(col(clusterCol).as("cluster"), col("rep_vec").as("cv"))
+    val base = newVecs.drop(clusterCol)
+    val labeled = base.join(
+      Similarity.assignNearest(base, cents, idCol, vecCol)
+        .select(col("vec_id").as(idCol), col("cluster").as(clusterCol)),
+      Seq(idCol))
+    labeled.repartition(col(clusterCol))
+      .sortWithinPartitions(col(clusterCol), col(idCol))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(clusterCol)
+      .parquet(s"$path/corpus")
   }
 
   /** The pruned corpus scan a probe list induces — exposed separately

@@ -137,6 +137,84 @@ class LayoutSpec extends AnyFunSuite {
       s"unpruned file in scan: ${touched.mkString(", ")}")
   }
 
+  test("trained IVF layout: reps ARE the learned centroids, scan pruned, frozen-codebook append") {
+    import graft.ops.Similarity
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = emb.filter(col("vec_id") % 5 =!= 0)
+    val b = emb.filter(col("vec_id") % 5 === 0)
+    val work = Files.createTempDirectory("ann_trained").toString
+    val cents = graft.io.AnnLayout.trainIvf(a, work, k = 4, iters = 2)
+
+    def repsMap() = spark.read.parquet(s"$work/reps")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Double](2).toSeq)).toMap
+    val centsMap = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val reps0 = repsMap()
+    assert(reps0.view.mapValues(_._2).toMap == centsMap,
+      "reps codebook must be exactly the learned centroids")
+
+    // partition pruning holds on the trained layout too
+    val probe = reps0.keys.toSeq.sorted.take(2)
+    val all = spark.read.parquet(s"$work/corpus")
+      .select(input_file_name()).distinct().count()
+    val touched = graft.io.AnnLayout
+      .prunedCorpusScan(spark, work, "label", probe)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.length < all)
+    assert(touched.forall(f => probe.exists(c => f.contains(s"label=$c/"))))
+
+    // frozen-codebook append: reps invariant, labels = assignNearest
+    graft.io.AnnLayout.appendTrained(b, work)
+    assert(repsMap() == reps0, "appendTrained must not touch the codebook")
+    val gotLabels = spark.read.parquet(s"$work/corpus")
+      .join(b.select("vec_id"), Seq("vec_id"))
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantLabels = Similarity.assignNearest(b, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLabels == wantLabels)
+
+    // query-identity vs a hand-built reference over the unioned corpus
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromLayout = graft.io.AnnLayout
+      .knnIvf(spark, work, queries, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val labeledAll = Similarity.assignNearest(emb, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cluster"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("cluster"), col("neighbor_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", Similarity.norm2(col("cv")))
+    val q = queries.select(col("vec_id").as("query_id"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.norm2(col("qv")))
+    val r = cents.select(col("cluster"), col("cv").as("rv"))
+      .withColumn("rn", Similarity.norm2(col("rv")))
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy((Similarity.dot(col("qv"), col("rv"))
+        / sqrt(col("qn") * col("rn"))).desc, col("cluster"))
+    val probed = q.crossJoin(broadcast(r))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 2)
+      .select("query_id", "qv", "qn", "cluster")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val want = probed.join(labeledAll, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.dot(col("qv"), col("cv"))
+        / sqrt(col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(fromLayout == want && fromLayout.nonEmpty)
+  }
+
   test("IVF layout append: write(A) + append(B) answers identically to write(A ∪ B)") {
     val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = emb.filter(col("vec_id") % 5 =!= 0)

@@ -411,6 +411,45 @@ class TrainingSpec extends AnyFunSuite {
     assert(batched.map(_._1).distinct.size == 8)
   }
 
+  test("bpeTrainBatched: every accepted merge's recorded count is EXACT under sequential replay (the per-round pair-stat oracle)") {
+    // The disjointness rule claims each accepted pair's round-start
+    // count equals its true count at the moment it is applied (earlier
+    // in-batch merges can't create or destroy its adjacencies). Verify
+    // the claim, don't trust it: replay the batched merge list one
+    // merge at a time through an independent plain-Scala state and
+    // recount each pair just before applying it.
+    val texts = (0 until 40).map { i =>
+      (0 until 6).map(j => s"${('a' + (i * 7 + j) % 5).toChar}" * ((i + j) % 3 + 1) +
+        s"${('a' + (i * 3 + j) % 4).toChar}").mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val wordFreq = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    for (bs <- Seq(2, 4)) {
+      val merges = TextOps.bpeTrainBatched(docs, "text", 8, batchSize = bs)
+      assert(merges.size == 8)
+      var vocab: Map[Vector[String], Long] = wordFreq
+        .map { case (w, f) => (w.map(_.toString).toVector, f) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      for ((pair, cnt) <- merges) {
+        val Array(a, b) = pair.split(" ", 2)
+        val trueCnt = vocab.iterator.map { case (syms, f) =>
+          f * (0 until syms.size - 1).count(i => syms(i) == a && syms(i + 1) == b)
+        }.sum
+        assert(trueCnt == cnt,
+          s"batchSize=$bs: merge '$pair' recorded $cnt but replay counts $trueCnt")
+        vocab = vocab.toSeq.map { case (syms, f) =>
+          val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (s <- syms)
+            if (nb.nonEmpty && nb.last == a && s == b) nb(nb.size - 1) = a + b
+            else nb += s
+          (nb.toVector, f)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+  }
+
   test("fused shingle-set kernel equals the composed HOF pipeline (incl. whitespace edges)") {
     val edge = Seq(
       "a b c d", "  leading spaces a b c", "trail b c d   ",
