@@ -84,6 +84,70 @@ object PipelineQ {
       SELECT doc_id, n_paras, n_kept, clean_text
       FROM perdoc ORDER BY doc_id"""
 
+  /** Dolma-order composed curation DAG (see
+    * [[graft.ops.Dedup.curatePipeline]]): paragraph-dedup, then
+    * k-token exact-substring span excision on the paragraph-CLEANED
+    * text, one job, one scan of `documents` (PlanAuditSpec counts
+    * executed file scans via a QueryExecutionListener). The oracle
+    * chains the two stages' oracles: the q_para_dedup CTEs produce
+    * per-doc clean paragraphs, re-tokenized (same space-split — a
+    * token may span the paragraph separator, mirrored exactly) and
+    * fed through the q_dedup_span CTEs. Composition is the check:
+    * stage outputs feed forward, so any drift in either stage or in
+    * the hand-off (separator handling, empty docs) hash-mismatches.
+    */
+  val qCurateE2e = Q(
+    "q_curate_e2e",
+    (spark, dir) =>
+      Dedup.curatePipeline(paraCorpus(Tables.documents(spark, dir)),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      pidx AS (SELECT doc_id, ts,
+          unnest(range(0, (len(ts) + ${ParaWords - 1}) // $ParaWords)) AS idx
+        FROM toks),
+      paras AS (SELECT doc_id, idx,
+          array_to_string(list_slice(ts,
+            idx * $ParaWords + 1, idx * $ParaWords + $ParaWords), ' ') AS para
+        FROM pidx),
+      dd AS (SELECT doc_id, idx, para,
+          row_number() OVER (PARTITION BY md5(para)
+            ORDER BY doc_id, idx) AS rn
+        FROM paras WHERE para <> ''),
+      perdoc AS (SELECT doc_id, count(*) AS n_paras,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+            ORDER BY idx), '') AS clean_text
+        FROM dd GROUP BY doc_id),
+      t2 AS (SELECT doc_id, n_paras, n_kept,
+          list_filter(string_split(trim(clean_text), ' '), x -> x <> '') AS ts
+        FROM perdoc),
+      sp0 AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(ts) - 3),
+            i -> struct_pack(pos := i,
+              s := ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                   ts[i+3] || ' ' || ts[i+4]))) AS sp
+        FROM t2),
+      spans AS (SELECT doc_id, sp.pos AS pos, sp.s AS s FROM sp0),
+      marked AS (SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+        FROM spans),
+      rm0 AS (SELECT doc_id, pos, unnest(range(0, 5)) AS o
+        FROM marked WHERE rn > 1),
+      rm AS (SELECT DISTINCT doc_id, pos + o AS tpos FROM rm0),
+      rms AS (SELECT doc_id, list(tpos) AS rml FROM rm GROUP BY doc_id)
+      SELECT t.doc_id, t.n_paras, t.n_kept,
+        len(ts) AS n_tokens,
+        coalesce(len(rml), 0) AS n_removed,
+        coalesce(array_to_string(list_filter(ts,
+          (x, i) -> rml IS NULL OR NOT list_contains(rml, i)), ' '), '')
+          AS clean_text
+      FROM t2 t LEFT JOIN rms USING (doc_id)
+      ORDER BY t.doc_id""")
+  )
+
   /** Streaming paragraph dedup — the live-intake face of
     * [[graft.ops.Dedup.dedupParagraphs]]. The STREAM builds the
     * first-occurrence index: file-source documents → the map-side
@@ -445,5 +509,5 @@ object PipelineQ {
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
-      qSampleWeighted, qStreamSpanDedup, qStreamWeighted)
+      qSampleWeighted, qStreamSpanDedup, qStreamWeighted, qCurateE2e)
 }

@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_knn_q8", "q_knn_q8dot", // broadcast query-code table × corpus codes
       "q_ann_ivf_layout", // broadcast per-cluster rep table × query set
       "q_ann_ivf_q8", // broadcast per-cluster rep-code table × query set
+      "q_ann_ivf_trained", // broadcast learned-centroid codebook × query set
       "q_snapshot_diff", "q_tfidf", "q_ttl_filter",
       "q_embed_outliers", // 2-column percentile stats row × vector side
       "q_kmeans_assign", "q_semdedup", // k-row centroid table × corpus
@@ -46,6 +47,44 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_mix_temperature") // 1-row global-min × S-row count table
     for ((name, p) <- sweep if p.contains("BroadcastNestedLoopJoin"))
       assert(intended(name), s"$name plans an unintended BroadcastNestedLoopJoin")
+  }
+
+  test("q_curate_e2e executes exactly ONE file scan of documents (shared-scan curation DAG)") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // Count documents-file scans across EVERY action the composed DAG
+    // runs (the localCheckpoint materializations fire the listener via
+    // withAction, the final collect via the driver's normal path).
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = {
+        actions.incrementAndGet()
+        val n = qe.executedPlan.toString.linesIterator
+          .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+        scans.addAndGet(n)
+        ()
+      }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = SparkEntry.queries("q_curate_e2e")(spark, dir)
+      assert(df.count() > 0)
+      // the executed-plan string of the RETURNED frame reads only
+      // checkpointed blocks — no file scan at all downstream
+      assert(!df.queryExecution.executedPlan.toString.contains("FileScan"),
+        "final curate plan should read checkpoints, not files")
+      // listener delivery is async — wait for it to drain
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (actions.get() < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(actions.get() >= 3, s"expected >=3 actions (2 checkpoints + count), saw ${actions.get()}")
+      assert(scans.get() == 1,
+        s"composed curation DAG executed ${scans.get()} documents scans; the shared-scan contract is exactly 1")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("q3_shipping pushes its filters into every scan") {
