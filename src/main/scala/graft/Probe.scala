@@ -759,6 +759,62 @@ object Probe {
         s""""speedup":${tFlat / tLay}}""")
     }
 
+    if (enabled("ann_dpp")) {
+      // Can dynamic partition pruning replace knnIvf's driver-side
+      // probed-cluster collect? Measure BYTES READ (task input
+      // metrics — plan strings lie here: the executed plan can carry
+      // an `IN dynamicpruning#N` filter that never pruned) for each
+      // probe-delivery mechanism on a 200k x 32-dim, 50-cluster
+      // layout probing 3 clusters.
+      val dims = 32
+      val vecs = spark.range(200000).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)), i =>
+          ((pmod(hash(col("id") * dims + i), lit(2000000)) / 1000000.0) - 1.0)
+            .cast("float")).as("embedding"),
+        pmod(col("id"), lit(50)).cast("int").as("label"))
+      val root = java.nio.file.Files.createTempDirectory("ann_dpp").toString
+      graft.io.AnnLayout.writeIvf(vecs, root)
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead); ()
+          }
+        })
+      def measured(f: => Unit): Long = {
+        Thread.sleep(500); bytes.set(0); f; Thread.sleep(1500); bytes.get()
+      }
+      val corpus = () => spark.read.parquet(s"$root/corpus")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(lit(1)).orderBy(col("rep_id"))
+      val derived = spark.read.parquet(s"$root/reps")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("label")
+      val full = measured { corpus().agg(sum(col("vec_id"))).collect(); () }
+      val isin = measured {
+        corpus().filter(col("label").isin(3, 7, 11))
+          .agg(sum(col("vec_id"))).collect(); ()
+      }
+      val dppDefault = measured {
+        corpus().join(broadcast(derived), Seq("label"))
+          .agg(sum(col("vec_id"))).collect(); ()
+      }
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
+      val dppNonreuse = measured {
+        corpus().join(broadcast(derived), Seq("label"))
+          .agg(sum(col("vec_id"))).collect(); ()
+      }
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      println(s"""{"probe":"ann_dpp","bytes_full_scan":$full,""" +
+        s""""bytes_collect_isin":$isin,""" +
+        s""""bytes_dpp_default_conf":$dppDefault,""" +
+        s""""bytes_dpp_reuseBroadcastOnly_false":$dppNonreuse}""")
+    }
+
     if (enabled("bpe")) {
       // bpeTrain's scale claim measured: the corpus is touched once
       // (the word-frequency agg); the 10 merge iterations then run on

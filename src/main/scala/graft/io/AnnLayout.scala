@@ -144,6 +144,19 @@ object AnnLayout {
     * same driver-side-rate-table shape as Sample's mixing tables.
     * Everything heavy stays distributed: the rerank join carries only
     * probed-partition rows.
+    *
+    * Why not dynamic partition pruning instead of the collect?
+    * Measured (Probe ann_dpp, byte-level — plan strings are
+    * unreliable here: the executed plan can show an
+    * `IN dynamicpruning#N` filter that never pruned): under DEFAULT
+    * config a broadcast semi-join on the probe list reads the FULL
+    * corpus — `reuseBroadcastOnly` can't prune through the
+    * window-derived probe subplan — while the static `isin` reads
+    * ~6% of it. Flipping
+    * `spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly=false`
+    * session-wide does make DPP prune to within ~20% of the isin
+    * path, but a library operator mutating global optimizer conf is
+    * worse than one bounded tiny job. Collect stays, deliberately.
     */
   def knnIvf(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int, idCol: String = "vec_id",
