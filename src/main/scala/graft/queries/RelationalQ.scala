@@ -574,6 +574,48 @@ object RelationalQ {
       FROM kept JOIN sh USING (g) ORDER BY o_orderpriority""")
   )
 
+  /** Tail-accurate DDSketch-style quantiles (see
+    * [[graft.functions.DdSketch]]) — the verdict-#6 compactor
+    * decision, shipped: deterministic engine-exact log-bucket sketch
+    * with a RELATIVE-VALUE-error guarantee (≤ 0.5/d2, worst 5%),
+    * where the bottom-k uniform sample (q_quantile_sample) is
+    * tail-blind at fixed k. The rank walk is EXACT (bucket counts are
+    * exact), so p99 on arbitrarily skewed data lands in the right
+    * bucket; state is the touched-bucket table (≤ 90/decade),
+    * mergeable by count addition (SketchSpec pins rollup identity +
+    * the error bound on pareto/lognormal). The oracle reproduces the
+    * whole sketch — %.17e bucketing, cumulative walk, string-decimal
+    * midpoint — hash-exactly, which randomized-compaction KLL can
+    * never offer.
+    */
+  val qQuantileDd = Q(
+    "q_quantile_dd",
+    (spark, dir) => {
+      import graft.functions.DdSketch
+      val b = DdSketch.dd2Buckets(
+        Tables.orders(spark, dir).filter(col("o_totalprice") > 0),
+        col("o_totalprice"))
+      DdSketch.dd2Quantiles(b, Seq(0.5, 0.95, 0.99)).orderBy("pct")
+    },
+    Some("""WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v
+          FROM orders WHERE o_totalprice > 0),
+      b AS (SELECT CAST(string_split(printf('%.17e', v), 'e')[2] AS INT) AS e10,
+          CAST(substr(printf('%.17e', v), 1, 1) AS INT) * 10
+            + CAST(substr(printf('%.17e', v), 3, 1) AS INT) AS d2,
+          count(*) AS c
+        FROM v GROUP BY 1, 2),
+      cum AS (SELECT e10, d2, c, sum(c) OVER (ORDER BY e10, d2) AS cum FROM b),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b),
+      qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+          CAST(0.99 AS DOUBLE)]) AS pct),
+      sel AS (SELECT pct, e10, d2, n,
+          row_number() OVER (PARTITION BY pct ORDER BY e10, d2) AS rn
+        FROM qs CROSS JOIN tot
+        JOIN cum ON cum.cum >= greatest(1, CAST(ceil(pct * n) AS BIGINT)))
+      SELECT pct, CAST(concat(d2 // 10, '.', d2 % 10, '5e', e10) AS DOUBLE) AS est, n
+      FROM sel WHERE rn = 1 ORDER BY pct""")
+  )
+
   /** KMV sketch ROLLUP — the store-sketches-per-partition pattern: a
     * sketch is built per (event_type, hour), then whole-range
     * estimates come from MERGING the hourly sketches (HOF fold over
@@ -1356,7 +1398,7 @@ object RelationalQ {
     qRollup, qCube, qDistinct, qAntiJoin, qBloomAnti, qZorder, qZorder3,
     qTimeWindow,
     qSlideWindow,
-    qSnapshotDiff, qQuantiles, qQuantileSample, qQuantileRollup,
+    qSnapshotDiff, qQuantiles, qQuantileSample, qQuantileRollup, qQuantileDd,
     qApproxSketch, qKmvDistinct, qKmvRollup, qHeavyHitters,
     qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,

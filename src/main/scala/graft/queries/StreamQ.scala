@@ -432,6 +432,58 @@ object StreamQ {
       FROM kept ORDER BY event_type""")
   )
 
+  /** Streaming DDSketch-style quantiles (see
+    * [[graft.functions.DdSketch]]): the bucket-count table as a
+    * STREAMING aggregation — counts accumulate across batches through
+    * the agg's merge path and equal the batch-built sketch exactly
+    * (bucket counts are a pure multiset function, arrival-order-
+    * invariant). The complete-mode memory sink emits the BUCKET
+    * TABLE (≤ 90/decade rows — the bounded class, like
+    * q_stream_weighted's ≤ k pairs), batch-side extraction walks it.
+    * Sixteenth equivalence pin: same oracle as the tail-accurate
+    * batch sketch, live "p99 right now" with exact rank walk.
+    */
+  val qStreamQuantileDd = Q(
+    "q_stream_quantile_dd",
+    (spark, dir) => {
+      import graft.functions.DdSketch
+      val name = { counter += 1; s"stream_quantile_dd_$counter" }
+      val src = eventsStream(spark, dir)
+        .select(col("value").cast("double").as("v"))
+        .filter(col("v") > 0)
+        .select(DdSketch.dd2Key(col("v")).as("k"))
+      val q = src
+        .groupBy(col("k.e10").as("e10"), col("k.d2").as("d2"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      DdSketch.dd2Quantiles(spark.table(name), Seq(0.5, 0.95, 0.99))
+        .orderBy("pct")
+    },
+    Some("""WITH v AS (SELECT CAST(value AS DOUBLE) AS v
+          FROM events WHERE CAST(value AS DOUBLE) > 0),
+      b AS (SELECT CAST(string_split(printf('%.17e', v), 'e')[2] AS INT) AS e10,
+          CAST(substr(printf('%.17e', v), 1, 1) AS INT) * 10
+            + CAST(substr(printf('%.17e', v), 3, 1) AS INT) AS d2,
+          count(*) AS c
+        FROM v GROUP BY 1, 2),
+      cum AS (SELECT e10, d2, c, sum(c) OVER (ORDER BY e10, d2) AS cum FROM b),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b),
+      qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+          CAST(0.99 AS DOUBLE)]) AS pct),
+      sel AS (SELECT pct, e10, d2, n,
+          row_number() OVER (PARTITION BY pct ORDER BY e10, d2) AS rn
+        FROM qs CROSS JOIN tot
+        JOIN cum ON cum.cum >= greatest(1, CAST(ceil(pct * n) AS BIGINT)))
+      SELECT pct, CAST(concat(d2 // 10, '.', d2 % 10, '5e', e10) AS DOUBLE) AS est, n
+      FROM sel WHERE rn = 1 ORDER BY pct""")
+  )
+
   /** Streaming grouped top-k: TopKByAggregator (q_topk_grouped's
     * engine) as STREAMING state — the per-group k-best set
     * accumulates across batches through the Aggregator's merge path
@@ -514,6 +566,7 @@ object StreamQ {
 
   def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow,
     qStreamOhlc, qStreamSession, qStreamJoin, qStreamEwma, qStreamCms,
-    qStreamKmv, qStreamQuantile, qStreamTopk).map(q => q.copy(run = (spark, dir) =>
+    qStreamKmv, qStreamQuantile, qStreamQuantileDd, qStreamTopk)
+    .map(q => q.copy(run = (spark, dir) =>
       Catalog.withStatePartitions(spark, StatePartitions)(q.run(spark, dir))))
 }

@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_kmeans_assign", "q_semdedup", // k-row centroid table × corpus
       "q_semdedup_incr", // same centroid cross, once per side (new + corpus)
       "q_source_overlap_kmv", // S-row KMV sketch table × itself (S = #sources)
-      "q_mix_temperature") // 1-row global-min × S-row count table
+      "q_mix_temperature", // 1-row global-min × S-row count table
+      "q_quantile_dd") // 3-quantile row set × bucket-table-sized cumsum (the sketch)
     for ((name, p) <- sweep if p.contains("BroadcastNestedLoopJoin"))
       assert(intended(name), s"$name plans an unintended BroadcastNestedLoopJoin")
   }

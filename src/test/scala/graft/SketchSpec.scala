@@ -325,4 +325,46 @@ class SketchSpec extends AnyFunSuite {
     assert(agged(1) == ref, "vs window-formulation reference")
     assert(agged(11) == ref, "partitioning-invariant")
   }
+
+  test("dd2 sketch: ≤5% relative error on heavy tails INCLUDING p999, mergeable by count addition") {
+    import graft.functions.DdSketch
+    val n = 20000
+    val rnd = new scala.util.Random(0xdd2L)
+    val corpora = Seq(
+      "pareto" -> (1 to n).map(_ => 1.0 / math.pow(1.0 - rnd.nextDouble(), 1.0 / 1.2)),
+      "lognormal" -> (1 to n).map(_ => math.exp(3.0 * rnd.nextGaussian())))
+    // p999 is the point: the k=256 uniform sample's rank error
+    // (~4√(q(1-q)/k) ≈ 0.8%) CANNOT separate p999 from p992 — on a
+    // power-law tail that is an unbounded VALUE error. The exact-count
+    // bucket walk has no rank error at all; only the ≤0.5/d2 bucket-
+    // midpoint rounding remains, at every quantile.
+    val qs = Seq(0.5, 0.95, 0.99, 0.999)
+    for ((name, vs) <- corpora) {
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val buckets = DdSketch.dd2Buckets(df, col("v"))
+      val est = DdSketch.dd2Quantiles(buckets, qs).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(est.map(_._3).distinct == Seq(n.toLong), "exact total count")
+      val sorted = vs.sorted
+      for ((q, e, _) <- est) {
+        val exact = sorted(math.max(1, math.ceil(q * n).toInt) - 1)
+        val rel = math.abs(e / exact - 1.0)
+        assert(rel <= 0.05,
+          f"$name p$q%.3f: relative error $rel%.4f > the 5%% bucket bound")
+      }
+      // merge = count addition: halves union-summed == direct build
+      val a = DdSketch.dd2Buckets(df.filter(col("id") % 2 === 0), col("v"))
+      val b = DdSketch.dd2Buckets(df.filter(col("id") % 2 =!= 0), col("v"))
+      val merged = a.unionByName(b).groupBy("e10", "d2")
+        .agg(sum(col("c")).as("c")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val direct = buckets.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      assert(merged == direct, s"$name: merged bucket table != direct")
+      // bounded state: bucket count ≤ 90 per touched decade
+      val decades = direct.map(_._1).size
+      assert(direct.size <= 90 * decades)
+    }
+  }
 }
