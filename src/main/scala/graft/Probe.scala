@@ -759,6 +759,49 @@ object Probe {
         s""""speedup":${tFlat / tLay}}""")
     }
 
+    if (enabled("serve_scale")) {
+      // The 100x-clients story: the interpreted serving plan must stay
+      // FLAT per emitted row as client count grows (output rows =
+      // clients x snapshot by the serving semantic, so total time is
+      // necessarily linear in clients — what must NOT grow is the
+      // per-row cost or the plan itself, which is what kills the
+      // compiled path at ~0.07 s/branch). 20k-tick snapshot, 100
+      // symbols; 10/100/1000 clients x 4 symbol configs each, all past
+      // the compile cap so every run is the interpreted single plan.
+      val nRec = 20000L
+      val snapshot = spark.range(nRec).select(
+        concat(lit("sym"), pmod(col("id"), lit(100))).as("symbol"),
+        map(lit("v"), col("id").cast("string")).as("flat"))
+        .localCheckpoint()
+      val results = Seq(10, 100, 1000).map { nClients =>
+        val cfgDf = spark.range(nClients)
+          .select(concat(lit("c"), col("id")).as("client_id"))
+          .crossJoin(spark.range(4)
+            .select(concat(lit("sym"), col("id")).as("symbol")))
+          .withColumn("rules", map(lit("v"),
+            struct(lit("multiply").as("op"), lit(2.0).as("value"))))
+          .withColumn("renames", lit(null).cast("map<string,string>"))
+          .withColumn("removes", lit(null).cast("array<string>"))
+          .withColumn("overrides", map(lit("src"), col("client_id")))
+        val served = graft.ops.Transform.serveSnapshotAuto(snapshot, cfgDf)
+        // sum over the PAYLOAD so the interpret expression cannot be
+        // pruned by a count (the count()-prunes-the-work trap)
+        def run(): Long = served
+          .agg(sum(length(element_at(col("flat"), lit("v")))))
+          .collect().head.getLong(0)
+        run() // warm
+        val t0 = System.nanoTime()
+        val chk = run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val outRows = nClients * nRec
+        (nClients, sec, outRows, 1e9 * sec / outRows, chk)
+      }
+      val body = results.map { case (c, s, r, ns, _) =>
+        s"""{"clients":$c,"sec":$s,"out_rows":$r,"ns_per_row":$ns}"""
+      }.mkString(",")
+      println(s"""{"probe":"serve_scale","runs":[$body]}""")
+    }
+
     if (enabled("ann_dpp")) {
       // Can dynamic partition pruning replace knnIvf's driver-side
       // probed-cluster collect? Measure BYTES READ (task input

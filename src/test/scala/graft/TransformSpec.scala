@@ -105,6 +105,38 @@ class TransformSpec extends AnyFunSuite {
     assert(compiled == interpreted)
   }
 
+  test("serveSnapshotAuto: compiled AT the cap, interpreted one past it, identical rows either side") {
+    val snapshot = Seq(("sym1", "10"), ("sym2", "20"))
+      .toDF("symbol", "v")
+      .withColumn("flat", map(lit("v"), col("v"))).drop("v")
+    def cfgDfOf(n: Int) = (0 until n).map(i => (s"c$i", "sym1"))
+      .toDF("client_id", "symbol")
+      .withColumn("rules",
+        lit(null).cast("map<string,struct<op:string,value:double>>"))
+      .withColumn("renames", lit(null).cast("map<string,string>"))
+      .withColumn("removes", lit(null).cast("array<string>"))
+      .withColumn("overrides", map(lit("src"), col("client_id")))
+    // discriminator: the interpreted path fans out through a broadcast
+    // cross (BroadcastNestedLoopJoin); the compiled path is a join-free
+    // union of literal when-chain projections
+    def interpretedPlan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("client_id", "symbol", "flat").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getMap[String, String](2).toMap))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val atCap = Transform.serveSnapshotAuto(snapshot, cfgDfOf(4))
+    assert(!interpretedPlan(atCap),
+      "exactly maxCompiledBranches rows must take the compiled path")
+    val pastCap = Transform.serveSnapshotAuto(snapshot, cfgDfOf(5))
+    assert(interpretedPlan(pastCap),
+      "cap+1 rows must take the interpreted single-plan path")
+    // decision changes the PLAN, never the rows
+    assert(canon(atCap) == canon(Transform.serveSnapshot(snapshot, cfgDfOf(4))))
+    assert(canon(pastCap) == canon(Transform.serveSnapshotCompiled(snapshot,
+      Transform.collectClientConfigs(cfgDfOf(5)))))
+  }
+
   test("override timestamp=current injects wall-clock millis") {
     val before = System.currentTimeMillis()
     val out = runCfg(Map("timestamp" -> "1"),
