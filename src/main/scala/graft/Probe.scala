@@ -904,6 +904,70 @@ object Probe {
       }
     }
 
+    if (enabled("bpe_fidelity")) {
+      // The batched-trainer fidelity curve PAST 100 merges (verdict
+      // ask): 1k merges, batch sizes 8/32/128, recording merge-SET
+      // agreement AND the encode-level token-count delta — the metric
+      // a tokenizer consumer actually feels. Merge lists come from
+      // the SHIPPED Spark trainers; the encode-level comparison
+      // replays each list over the collected 10k-word vocab in plain
+      // Scala (applying merges sequentially == bpeEncode's compiled
+      // fold by definition; a 1k-deep single expression would only
+      // measure codegen limits, not fidelity).
+      val nDocs = sys.env.get("SPARK_GRAFT_BPE_DOCS")
+        .map(_.toLong).getOrElse(1000000L)
+      val nMerges = sys.env.get("SPARK_GRAFT_BPE_MERGES")
+        .map(_.toInt).getOrElse(1000)
+      val words = (0 until 20).map(i =>
+        concat(lit("w"), pmod(hash(col("id") * 20 + i), lit(10000L))))
+      val docs = spark.range(nDocs)
+        .select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
+      val wordFreq = docs
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def replayTokens(merges: Seq[(String, Long)]): Long = {
+        var vocab: Map[Vector[String], Long] = wordFreq
+          .map { case (w, f) => (w.map(_.toString).toVector, f) }
+        for ((pair, _) <- merges) {
+          val Array(a, b) = pair.split(" ", 2)
+          vocab = vocab.toSeq.map { case (syms, f) =>
+            val touched = syms.contains(a)
+            if (!touched) (syms, f)
+            else {
+              val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+              for (s <- syms)
+                if (nb.nonEmpty && nb.last == a && s == b) nb(nb.size - 1) = a + b
+                else nb += s
+              (nb.toVector, f)
+            }
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+        vocab.iterator.map { case (syms, f) => f * syms.size }.sum
+      }
+      val tE0 = System.nanoTime()
+      val exact = graft.ops.TextOps.bpeTrain(docs, "text", nMerges)
+      val tExact = (System.nanoTime() - tE0) / 1e9
+      val tokExact = replayTokens(exact)
+      val exactSet = exact.map(_._1).toSet
+      val runs = Seq(8, 32, 128).map { bs =>
+        val tB0 = System.nanoTime()
+        val batched = graft.ops.TextOps.bpeTrainBatched(docs, "text",
+          nMerges, batchSize = bs)
+        val tB = (System.nanoTime() - tB0) / 1e9
+        val agree = exactSet.intersect(batched.map(_._1).toSet).size.toDouble /
+          exact.size
+        val tokB = replayTokens(batched)
+        s"""{"batch_size":$bs,"sec":$tB,"merges":${batched.size},""" +
+          s""""merge_agreement":$agree,""" +
+          s""""tokens":$tokB,""" +
+          s""""token_delta_rel":${math.abs(tokB - tokExact).toDouble / tokExact}}"""
+      }
+      println(s"""{"probe":"bpe_fidelity","docs":$nDocs,"vocab":10000,""" +
+        s""""merges":$nMerges,"exact_sec":$tExact,"exact_tokens":$tokExact,""" +
+        s""""runs":[${runs.mkString(",")}]}""")
+    }
+
     if (enabled("ann_recall")) {
       // Recall@10 of every ANN path vs brute-force ground truth —
       // correctness of each operator is oracle-pinned, but RECALL is
@@ -986,7 +1050,14 @@ object Probe {
       val trained =
         if (!sys.env.get("SPARK_GRAFT_RECALL_TRAIN").contains("1")) ""
         else {
-          val cents = graft.ops.Similarity.kmeans(vecs, nClusters, iters = 3)
+          // ONE kmeans run feeds both faces: the at-rest trained
+          // layout (AnnLayout.trainIvf — the shipped end-to-end
+          // pipeline, centroids AS the codebook) and the flat
+          // relabeled path (same geometry, no layout) for comparison.
+          val root = java.nio.file.Files
+            .createTempDirectory("recall_trained_ivf").toString
+          val cents = graft.io.AnnLayout.trainIvf(vecs, root,
+            nClusters, iters = 3)
           val relabeled = vecs.drop("label")
             .join(graft.ops.Similarity.assignNearest(vecs, cents)
               .select(col("vec_id"), col("cluster").cast("int").as("label")),
@@ -994,7 +1065,11 @@ object Probe {
             .localCheckpoint()
           val t4 = recall(graft.ops.Similarity.knnIvf(queries, relabeled, k, 4))
           val t16 = recall(graft.ops.Similarity.knnIvf(queries, relabeled, k, 16))
-          s""""recall_ivf_trained_nprobe4":$t4,"recall_ivf_trained_nprobe16":$t16,"""
+          val l4 = recall(graft.io.AnnLayout.knnIvf(spark, root, queries, k, 4))
+          val l16 = recall(graft.io.AnnLayout.knnIvf(spark, root, queries, k, 16))
+          s""""recall_ivf_trained_nprobe4":$t4,"recall_ivf_trained_nprobe16":$t16,""" +
+            s""""recall_ivf_trained_layout_nprobe4":$l4,""" +
+            s""""recall_ivf_trained_layout_nprobe16":$l16,"""
         }
       println(s"""{"probe":"ann_recall","vectors":$nVec,"k":$k,""" +
         s""""noise":$noise,""" + trained +
