@@ -73,6 +73,52 @@ object DdSketch {
       .groupBy(col("k.e10").as("e10"), col("k.d2").as("d2"))
       .agg(count(lit(1)).as("c"))
 
+  /** Per-GROUP bucket tables — [[dd2Buckets]] keyed by `groups`: one
+    * count per (group, e10, d2). Same single partial-agged shuffle;
+    * state per group stays ≤ 90·decades. This is the per-source /
+    * per-tenant p99 shape, and the rollup identity holds per group
+    * (counts add).
+    */
+  def dd2BucketsBy(df: DataFrame, groups: Seq[String], v: Column): DataFrame =
+    df.select(groups.map(col) :+ dd2Key(v).as("k"): _*)
+      .groupBy(groups.map(col) :+ col("k.e10").as("e10")
+        :+ col("k.d2").as("d2"): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-group quantile extraction off a [[dd2BucketsBy]] table: the
+    * cumulative walk partitions by group, the rank is exact per
+    * group, the non-equi join stays bucket-table-sized. Returns
+    * (groups..., pct, est, n).
+    */
+  def dd2QuantilesBy(buckets: DataFrame, groups: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(groups.map(col): _*)
+      .orderBy(col("e10"), col("d2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = groups.foldLeft(
+        buckets.withColumn("cum", sum(col("c")).over(wCum))) {
+      (d, g) => d.withColumnRenamed(g, s"_b_$g")
+    }
+    val n = buckets.groupBy(groups.map(col): _*).agg(sum(col("c")).as("n"))
+    val cond = groups.map(g => col(g) === col(s"_b_$g")).reduce(_ && _) &&
+      col("cum") >= col("r")
+    val wSel = Window.partitionBy((groups :+ "pct").map(col): _*)
+      .orderBy(col("e10"), col("d2"))
+    qs.toDF("pct").crossJoin(broadcast(n))
+      .withColumn("r", greatest(lit(1L),
+        ceil(col("pct") * col("n")).cast("long")))
+      .join(broadcast(cum), cond)
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") === 1)
+      .select(groups.map(col) :+ col("pct") :+
+        concat(floor(col("d2") / 10).cast("int"), lit("."),
+          (col("d2") % 10).cast("int"), lit("5e"), col("e10"))
+          .cast("double").as("est") :+ col("n"): _*)
+  }
+
   /** Nearest-rank quantile estimates off a [[dd2Buckets]] table: walk
     * buckets in value order to rank ⌈q·n⌉ (exact — counts are exact),
     * reconstruct the winning bucket's midpoint `(d2+0.5)·10^(e10−1)`

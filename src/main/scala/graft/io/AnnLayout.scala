@@ -322,6 +322,44 @@ object AnnLayout {
     cents
   }
 
+  /** [[trainIvf]] composed with the scaled-int8 at-rest format of
+    * [[writeIvfQ8]] — trained recall AND ~4× smaller probed bytes in
+    * ONE artifact: the learned k-means codebook labels the corpus,
+    * the corpus is stored as (codes: array<tinyint>, scale: double)
+    * partitioned by the learned label, and the reps are the QUANTIZED
+    * CENTROIDS (code + scale of each learned centroid).
+    * [[knnIvfQ8]] runs unchanged against it — dequantized probe
+    * ranking against quantized centroids, dequantized rerank over
+    * pruned partitions. Maintenance: [[appendTrained]]'s
+    * frozen-codebook rule applies (assign → quantize → append;
+    * retraining is a new build); oracle-checked end to end by
+    * q_ann_ivf_trained_q8. Returns the (float) centroid table.
+    */
+  def trainIvfQ8(corpus: DataFrame, path: String, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label",
+      maxRecordsPerFile: Long = 5000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = corpus.drop(clusterCol)
+    val cents = Similarity.kmeans(base, k, iters, idCol, vecCol)
+    val labels = Similarity.assignNearest(base, cents, idCol, vecCol)
+      .select(col("vec_id").as(idCol), col("cluster").as(clusterCol))
+    val codes = Similarity.q8CodesScaled(base, idCol, vecCol,
+        idCol, "codes", "scale")
+      .withColumn("codes", col("codes").cast("array<tinyint>"))
+      .join(labels, Seq(idCol))
+    Bucketing.writePartitioned(codes, s"$path/corpus",
+      Seq(clusterCol), Seq(idCol), maxRecordsPerFile)
+    Similarity.q8CodesScaled(cents, "cluster", "cv",
+        "rep_id", "rep_codes", "rep_scale")
+      .withColumn("rep_codes", col("rep_codes").cast("array<tinyint>"))
+      .select(col("rep_id").as(clusterCol), col("rep_id"),
+        col("rep_codes"), col("rep_scale"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/reps.stage")
+    swapDir(spark, s"$path/reps.stage", s"$path/reps")
+    cents
+  }
+
   /** Incremental maintenance for a TRAINED layout ([[trainIvf]]):
     * assign the new batch to the FROZEN codebook (one
     * [[graft.ops.Similarity.assignNearest]] pass against `path/reps`

@@ -616,6 +616,46 @@ object RelationalQ {
       FROM sel WHERE rn = 1 ORDER BY pct""")
   )
 
+  /** Per-group dd2 quantiles (see
+    * [[graft.functions.DdSketch.dd2BucketsBy]]): the tail-accurate
+    * sketch keyed by order priority — the per-source/per-tenant p99
+    * shape. One partial-agged shuffle builds every group's bucket
+    * table at once; extraction walks each group's exact counts.
+    * Same engine-exact oracle machinery with PARTITION BY.
+    */
+  val qQuantileDdGrouped = Q(
+    "q_quantile_dd_grouped",
+    (spark, dir) => {
+      import graft.functions.DdSketch
+      val b = DdSketch.dd2BucketsBy(
+        Tables.orders(spark, dir).filter(col("o_totalprice") > 0),
+        Seq("o_orderpriority"), col("o_totalprice"))
+      DdSketch.dd2QuantilesBy(b, Seq("o_orderpriority"), Seq(0.5, 0.95, 0.99))
+        .orderBy("o_orderpriority", "pct")
+    },
+    Some("""WITH v AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+          FROM orders WHERE o_totalprice > 0),
+      b AS (SELECT g,
+          CAST(string_split(printf('%.17e', v), 'e')[2] AS INT) AS e10,
+          CAST(substr(printf('%.17e', v), 1, 1) AS INT) * 10
+            + CAST(substr(printf('%.17e', v), 3, 1) AS INT) AS d2,
+          count(*) AS c
+        FROM v GROUP BY 1, 2, 3),
+      cum AS (SELECT g, e10, d2, c,
+          sum(c) OVER (PARTITION BY g ORDER BY e10, d2) AS cum FROM b),
+      tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY g),
+      qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+          CAST(0.99 AS DOUBLE)]) AS pct),
+      sel AS (SELECT t.g, pct, e10, d2, n,
+          row_number() OVER (PARTITION BY t.g, pct ORDER BY e10, d2) AS rn
+        FROM qs CROSS JOIN tot t
+        JOIN cum ON cum.g = t.g
+          AND cum.cum >= greatest(1, CAST(ceil(pct * n) AS BIGINT)))
+      SELECT g AS o_orderpriority, pct,
+        CAST(concat(d2 // 10, '.', d2 % 10, '5e', e10) AS DOUBLE) AS est, n
+      FROM sel WHERE rn = 1 ORDER BY o_orderpriority, pct""")
+  )
+
   /** KMV sketch ROLLUP — the store-sketches-per-partition pattern: a
     * sketch is built per (event_type, hour), then whole-range
     * estimates come from MERGING the hourly sketches (HOF fold over
@@ -1399,6 +1439,7 @@ object RelationalQ {
     qTimeWindow,
     qSlideWindow,
     qSnapshotDiff, qQuantiles, qQuantileSample, qQuantileRollup, qQuantileDd,
+    qQuantileDdGrouped,
     qApproxSketch, qKmvDistinct, qKmvRollup, qHeavyHitters,
     qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,

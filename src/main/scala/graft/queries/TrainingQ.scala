@@ -1785,6 +1785,75 @@ object TrainingQ {
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  /** Trained-quantizer IVF in the scaled-int8 at-rest format (see
+    * [[graft.io.AnnLayout.trainIvfQ8]]): the [[qAnnIvfTrained]]
+    * codebook pipeline composed with [[qAnnIvfQ8]]'s storage — the
+    * corpus at rest is (int8 codes, scale) partitioned by the LEARNED
+    * label, the reps are the QUANTIZED CENTROIDS, probe and rerank
+    * both score the dequantized (sq·s·codedot)/127². The oracle
+    * chains the full unrolled Lloyd rounds, the final assignment,
+    * centroid quantization, and the dequantized two-phase search —
+    * every stage arithmetic-exact.
+    */
+  val qAnnIvfTrainedQ8 = Q(
+    "q_ann_ivf_trained_q8",
+    (spark, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("ann_ivf_trained_q8").toString
+      val emb = Tables.embeddings(spark, dir)
+      graft.io.AnnLayout.trainIvfQ8(emb, work, k = TrainedK,
+        iters = TrainedIters)
+      graft.io.AnnLayout.knnIvfQ8(spark, work,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS cv
+        FROM e ORDER BY vec_id LIMIT $TrainedK),
+      ${(1 to TrainedIters).map(kmeansRoundSql).mkString(",\n      ")},
+      sf AS (SELECT e.vec_id, c.cluster,
+          ${sqlDot("e.v", "c.cv")} / sqrt(${sqlDot("e.v", "e.v")} * ${sqlDot("c.cv", "c.cv")}) AS cosine
+        FROM e CROSS JOIN c$TrainedIters c),
+      rf AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM sf),
+      lab AS (SELECT vec_id, cluster AS label FROM rf WHERE rn = 1),
+      sc AS (SELECT e.vec_id, l.label, e.v,
+          list_max(list_transform(e.v, x -> abs(x))) AS s
+        FROM e JOIN lab l USING (vec_id)),
+      z AS (SELECT vec_id, label, s,
+          CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(v, x -> CAST(floor(x * 127.0 / s) AS BIGINT))
+          END AS q
+        FROM sc),
+      cq AS (SELECT cluster AS label, cv,
+          list_max(list_transform(cv, x -> abs(x))) AS rs
+        FROM c$TrainedIters),
+      repz AS (SELECT label, rs,
+          CASE WHEN rs = 0 THEN list_transform(cv, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(cv, x -> CAST(floor(x * 127.0 / rs) AS BIGINT))
+          END AS rq
+        FROM cq),
+      qs AS (SELECT vec_id AS query_id, s AS sa, q AS qa FROM z WHERE vec_id < 10),
+      probe AS (SELECT query_id, sa, qa, label,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            sa * rs * CAST(CAST(${sqlDot("qa", "rq")} AS BIGINT) AS DOUBLE)
+              / 16129.0 DESC, label) AS pr
+        FROM qs CROSS JOIN repz),
+      cand AS (SELECT p.query_id, z.vec_id AS neighbor_id,
+          p.sa * z.s * CAST(CAST(${sqlDot("p.qa", "z.q")} AS BIGINT) AS DOUBLE)
+            / 16129.0 AS score
+        FROM (SELECT query_id, sa, qa, label FROM probe WHERE pr <= 2) p
+        JOIN z ON z.label = p.label WHERE z.vec_id <> p.query_id),
+      r AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id, score FROM r
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   /** Top document-frequency terms per language: explode distinct
     * tokens → two-level agg → per-lang window top-k. Scale shape: the
     * (lang, term) partial agg combines map-side, so the shuffle
@@ -1980,5 +2049,5 @@ object TrainingQ {
     qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr,
     qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs,
     qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot, qBpeTrainBatched,
-    qAnnIvfTrained)
+    qAnnIvfTrained, qAnnIvfTrainedQ8)
 }

@@ -39,13 +39,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_ann_ivf_layout", // broadcast per-cluster rep table × query set
       "q_ann_ivf_q8", // broadcast per-cluster rep-code table × query set
       "q_ann_ivf_trained", // broadcast learned-centroid codebook × query set
+      "q_ann_ivf_trained_q8", // broadcast quantized-centroid codebook × query set
       "q_snapshot_diff", "q_tfidf", "q_ttl_filter",
       "q_embed_outliers", // 2-column percentile stats row × vector side
       "q_kmeans_assign", "q_semdedup", // k-row centroid table × corpus
       "q_semdedup_incr", // same centroid cross, once per side (new + corpus)
       "q_source_overlap_kmv", // S-row KMV sketch table × itself (S = #sources)
       "q_mix_temperature", // 1-row global-min × S-row count table
-      "q_quantile_dd") // 3-quantile row set × bucket-table-sized cumsum (the sketch)
+      "q_quantile_dd", // 3-quantile row set × bucket-table-sized cumsum (the sketch)
+      "q_quantile_dd_grouped") // 3-quantile rows × S-group count table, same class
     for ((name, p) <- sweep if p.contains("BroadcastNestedLoopJoin"))
       assert(intended(name), s"$name plans an unintended BroadcastNestedLoopJoin")
   }
