@@ -884,6 +884,49 @@ class StreamingSpec extends AnyFunSuite {
   private def statePartitionsForTest: Int =
     spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+  test("threshold-policy compaction: log file count stays bounded by threshold + one trigger's appends") {
+    import graft.ops.Dedup
+    val docs = (1L to 12L).map(i => (i, s"P$i\nSHARED"))
+    val docsDir = tmp("thridx_docs")
+    docs.zipWithIndex.foreach { case ((id, text), i) =>
+      val stage = tmp(s"thridx_stage$i")
+      Seq((id, text)).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        new java.io.File(docsDir, s"file$i.parquet").toPath)
+    }
+    val work = tmp("thridx_work")
+    val threshold = 6
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+    val q = Dedup.firstOccurrenceStreamIndex(
+      Dedup.paragraphTable(stream, "doc_id", "text"),
+      indexDir = s"$work/index", checkpointDir = s"$work/ckpt",
+      compactFiles = 1, compactWhenFilesOver = threshold)
+    q.awaitTermination()
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    // 12 triggers, no cadence: only the threshold fires. The count can
+    // sit at threshold + one trigger's appends right after a trigger
+    // that didn't tip it, never beyond.
+    val n = parquetFiles(s"$work/index")
+    assert(n <= threshold + statePartitionsForTest,
+      s"threshold compaction failed to bound the log: $n files")
+    // and the index is still exactly the batch-built one
+    val batchIndex = Dedup.firstParagraphOccurrence(
+        Dedup.paragraphTable(docs.toDF("doc_id", "text"), "doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getStruct(1).getLong(0),
+        r.getStruct(1).getInt(1))).toSet
+    val got = Dedup.readFirstOccurrenceIndex(spark, s"$work/index")
+      .collect().map(r => (r.getString(0), r.getStruct(1).getLong(0),
+        r.getStruct(1).getInt(1))).toSet
+    assert(got == batchIndex)
+  }
+
   test("streaming semantic dedup: per-trigger delta passes union to the one-shot batch verdicts (cadence invariance)") {
     import graft.ops.Similarity
     import spark.implicits._
