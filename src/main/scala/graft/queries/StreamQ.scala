@@ -484,6 +484,60 @@ object StreamQ {
       FROM sel WHERE rn = 1 ORDER BY pct""")
   )
 
+  /** Per-GROUP streaming dd2 quantiles — [[qStreamQuantileDd]] keyed
+    * by event type (the live per-source p99 monitor). State and
+    * emission are (groups × touched buckets) — still the bounded
+    * complete-mode class (group cardinality × ≤90/decade).
+    * Seventeenth equivalence pin; same oracle as the batch grouped
+    * sketch, over events.
+    */
+  val qStreamQuantileDdGrouped = Q(
+    "q_stream_quantile_dd_grouped",
+    (spark, dir) => {
+      import graft.functions.DdSketch
+      val name = { counter += 1; s"stream_quantile_ddg_$counter" }
+      val src = eventsStream(spark, dir)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+        .filter(col("v") > 0)
+        .select(col("event_type"), DdSketch.dd2Key(col("v")).as("k"))
+      val q = src
+        .groupBy(col("event_type"), col("k.e10").as("e10"),
+          col("k.d2").as("d2"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      DdSketch.dd2QuantilesBy(spark.table(name), Seq("event_type"),
+          Seq(0.5, 0.95, 0.99))
+        .orderBy("event_type", "pct")
+    },
+    Some("""WITH v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+          FROM events WHERE CAST(value AS DOUBLE) > 0),
+      b AS (SELECT g,
+          CAST(string_split(printf('%.17e', v), 'e')[2] AS INT) AS e10,
+          CAST(substr(printf('%.17e', v), 1, 1) AS INT) * 10
+            + CAST(substr(printf('%.17e', v), 3, 1) AS INT) AS d2,
+          count(*) AS c
+        FROM v GROUP BY 1, 2, 3),
+      cum AS (SELECT g, e10, d2, c,
+          sum(c) OVER (PARTITION BY g ORDER BY e10, d2) AS cum FROM b),
+      tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY g),
+      qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+          CAST(0.99 AS DOUBLE)]) AS pct),
+      sel AS (SELECT t.g, pct, e10, d2, n,
+          row_number() OVER (PARTITION BY t.g, pct ORDER BY e10, d2) AS rn
+        FROM qs CROSS JOIN tot t
+        JOIN cum ON cum.g = t.g
+          AND cum.cum >= greatest(1, CAST(ceil(pct * n) AS BIGINT)))
+      SELECT g AS event_type, pct,
+        CAST(concat(d2 // 10, '.', d2 % 10, '5e', e10) AS DOUBLE) AS est, n
+      FROM sel WHERE rn = 1 ORDER BY event_type, pct""")
+  )
+
   /** Streaming grouped top-k: TopKByAggregator (q_topk_grouped's
     * engine) as STREAMING state — the per-group k-best set
     * accumulates across batches through the Aggregator's merge path
@@ -566,7 +620,8 @@ object StreamQ {
 
   def all: Seq[Q] = Seq(qStreamLatest, qStreamDedup, qStreamWindow,
     qStreamOhlc, qStreamSession, qStreamJoin, qStreamEwma, qStreamCms,
-    qStreamKmv, qStreamQuantile, qStreamQuantileDd, qStreamTopk)
+    qStreamKmv, qStreamQuantile, qStreamQuantileDd, qStreamQuantileDdGrouped,
+    qStreamTopk)
     .map(q => q.copy(run = (spark, dir) =>
       Catalog.withStatePartitions(spark, StatePartitions)(q.run(spark, dir))))
 }
