@@ -392,6 +392,44 @@ object AnnLayout {
       .parquet(s"$path/corpus")
   }
 
+  /** Incremental maintenance for a TRAINED Q8 layout
+    * ([[trainIvfQ8]]): assign the new batch against the DEQUANTIZED
+    * stored codebook (`code·scale/127` — the only codebook a
+    * Q8-layout reader has, so append-time assignment is
+    * self-consistent with probe-time ranking), quantize the batch,
+    * and append into the learned-label partitions. The quantized
+    * reps stay untouched — same frozen-codebook rule as
+    * [[appendTrained]]. A borderline vector can land in a different
+    * partition than the float-codebook assignment [[trainIvfQ8]]
+    * used for the initial corpus; labels only gate which partitions
+    * a probe reads, never the rerank score, so this shifts recall at
+    * the margin, not correctness (LayoutSpec pins query-identity
+    * against an unpruned reference over the unioned layout).
+    */
+  def appendTrainedQ8(newVecs: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label",
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = spark.read.parquet(s"$path/reps")
+      .select(col(clusterCol).as("cluster"),
+        transform(col("rep_codes"),
+          c => c.cast("double") * col("rep_scale") / lit(127.0)).as("cv"))
+    val base = newVecs.drop(clusterCol)
+    val labels = Similarity.assignNearest(base, cents, idCol, vecCol)
+      .select(col("vec_id").as(idCol), col("cluster").as(clusterCol))
+    val codes = Similarity.q8CodesScaled(base, idCol, vecCol,
+        idCol, "codes", "scale")
+      .withColumn("codes", col("codes").cast("array<tinyint>"))
+      .join(labels, Seq(idCol))
+    codes.repartition(col(clusterCol))
+      .sortWithinPartitions(col(clusterCol), col(idCol))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(clusterCol)
+      .parquet(s"$path/corpus")
+  }
+
   /** The pruned corpus scan a probe list induces — exposed separately
     * so tests can assert on `inputFiles` (only probed `cluster=<id>/`
     * directories appear).

@@ -215,6 +215,72 @@ class LayoutSpec extends AnyFunSuite {
     assert(fromLayout == want && fromLayout.nonEmpty)
   }
 
+  test("trained Q8 layout append: frozen quantized codebook, dequantized-rep labels, queries correct on the union") {
+    import graft.ops.Similarity
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = emb.filter(col("vec_id") % 5 =!= 0)
+    val b = emb.filter(col("vec_id") % 5 === 0)
+    val work = Files.createTempDirectory("ann_trained_q8").toString
+    graft.io.AnnLayout.trainIvfQ8(a, work, k = 4, iters = 2)
+
+    def repsRows() = spark.read.parquet(s"$work/reps")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Byte](2).toSeq, r.getDouble(3))).toSet
+    val reps0 = repsRows()
+    graft.io.AnnLayout.appendTrainedQ8(b, work)
+    assert(repsRows() == reps0, "append must not touch the quantized codebook")
+
+    // appended labels == assignNearest against the DEQUANTIZED codebook
+    val deq = spark.read.parquet(s"$work/reps")
+      .select(col("label").as("cluster"),
+        transform(col("rep_codes"),
+          c => c.cast("double") * col("rep_scale") / lit(127.0)).as("cv"))
+    val want = Similarity.assignNearest(b, deq)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = spark.read.parquet(s"$work/corpus")
+      .join(b.select("vec_id"), Seq("vec_id"))
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+
+    // query-identity vs an UNPRUNED dequantized search that trusts the
+    // layout's own labels — proves partition pruning drops nothing
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromLayout = graft.io.AnnLayout
+      .knnIvfQ8(spark, work, queries, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val reps = spark.read.parquet(s"$work/reps")
+      .select(col("label").as("cluster"), col("rep_codes"), col("rep_scale"))
+    val members = spark.read.parquet(s"$work/corpus")
+      .select(col("label").cast("long").as("cluster"),
+        col("vec_id").as("neighbor_id"), col("codes"), col("scale"))
+    val q = Similarity.q8CodesScaled(queries, "vec_id", "embedding",
+      "query_id", "qa", "sq")
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy((col("sq") * col("rep_scale")
+        * Similarity.intDot(col("qa"), col("rep_codes")).cast("double")
+        / lit(16129.0)).desc, col("cluster"))
+    val probed = q.crossJoin(broadcast(reps))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 2)
+      .select("query_id", "qa", "sq", "cluster")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val wantQ = probed.join(members, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", col("sq") * col("scale")
+        * Similarity.intDot(col("qa"), col("codes")).cast("double")
+        / lit(16129.0))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(fromLayout == wantQ && fromLayout.nonEmpty)
+  }
+
   test("IVF layout append: write(A) + append(B) answers identically to write(A ∪ B)") {
     val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = emb.filter(col("vec_id") % 5 =!= 0)
