@@ -759,6 +759,51 @@ object Probe {
         s""""speedup":${tFlat / tLay}}""")
     }
 
+    if (enabled("index_compaction")) {
+      // What compaction buys at READ time: a long-running intake
+      // stream's first-occurrence log accumulates one update row per
+      // touched key per trigger — reads pay a min over ALL appends
+      // ever. Simulated log: 200k distinct keys, 50 triggers × 40k
+      // touched keys = 2M appended rows for a 200k-row index.
+      val nKeys = 200000L
+      val triggers = 50
+      val perTrigger = 40000L
+      val dir = java.nio.file.Files
+        .createTempDirectory("idx_compact").toString + "/index"
+      for (t <- 0 until triggers)
+        spark.range(perTrigger).select(
+          md5(concat(lit("k"),
+            pmod(hash(col("id") * 31 + t * 7919), lit(nKeys)))
+            .cast("binary")).as("_pd_h"),
+          struct((col("id") * triggers + t).as("_pd_id"),
+            lit(t).as("_pd_idx")).as("_pd_first"))
+          .coalesce(4).write.mode("append").parquet(dir)
+      def files(): Int = new java.io.File(dir).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      def bytes(): Long = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      def readSec(): Double = {
+        val t0 = System.nanoTime()
+        // agg over OUTPUT columns — a count would let Catalyst skip
+        // the min itself (the count()-prunes-the-work trap)
+        graft.ops.Dedup.readFirstOccurrenceIndex(spark, dir)
+          .agg(sum(col("_pd_first._pd_id"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      readSec() // warm
+      val (f0, b0, r0) = (files(), bytes(), readSec())
+      val tC0 = System.nanoTime()
+      graft.ops.Dedup.compactFirstOccurrenceIndex(spark, dir, numFiles = 8)
+      val tCompact = (System.nanoTime() - tC0) / 1e9
+      val (f1, b1, r1) = (files(), bytes(), readSec())
+      println(s"""{"probe":"index_compaction","keys":$nKeys,""" +
+        s""""triggers":$triggers,"appended_rows":${triggers * perTrigger},""" +
+        s""""files_before":$f0,"bytes_before":$b0,"read_sec_before":$r0,""" +
+        s""""compact_sec":$tCompact,""" +
+        s""""files_after":$f1,"bytes_after":$b1,"read_sec_after":$r1,""" +
+        s""""read_speedup":${r0 / r1},"bytes_ratio":${b0.toDouble / b1}}""")
+    }
+
     if (enabled("serve_scale")) {
       // The 100x-clients story: the interpreted serving plan must stay
       // FLAT per emitted row as client count grows (output rows =
