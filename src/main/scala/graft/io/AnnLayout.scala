@@ -113,6 +113,12 @@ object AnnLayout {
   /** Rename `stage` into `target` (backup-then-rename: target →
     * `<target>.old`, stage → target, delete backup). Both paths must
     * share a filesystem; callers are single-writer.
+    *
+    * Self-repairing: a crash between the two renames leaves the
+    * target missing and the backup present — the next swap (the
+    * single writer's retry) restores the backup FIRST, so the window
+    * where a reader can observe a missing target is bounded by the
+    * writer's absence, never permanent.
     */
   private[graft] def swapDir(spark: SparkSession, stage: String,
       target: String): Unit = {
@@ -121,6 +127,7 @@ object AnnLayout {
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val s = new Path(stage)
     val bak = new Path(target + ".old")
+    repairSwap(spark, target)
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(t)) { if (!fs.rename(t, bak)) sys.error(s"rename $t -> $bak failed") }
     if (!fs.rename(s, t)) {
@@ -129,6 +136,23 @@ object AnnLayout {
       sys.error(s"rename $s -> $t failed")
     }
     fs.delete(bak, true)
+    ()
+  }
+
+  /** Restore `target` from its `.old` backup if a previous swap was
+    * interrupted between its two renames (target gone, backup
+    * present). Writers call this before touching the directory —
+    * [[swapDir]] does, and so does any compaction that READS the
+    * target before staging its rewrite.
+    */
+  private[graft] def repairSwap(spark: SparkSession, target: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val t = new Path(target)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(target + ".old")
+    if (!fs.exists(t) && fs.exists(bak)) {
+      if (!fs.rename(bak, t)) sys.error(s"repair rename $bak -> $t failed")
+    }
     ()
   }
 

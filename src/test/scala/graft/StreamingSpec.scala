@@ -884,6 +884,34 @@ class StreamingSpec extends AnyFunSuite {
   private def statePartitionsForTest: Int =
     spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+  test("interrupted compaction swap self-repairs on the next compaction") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.{col, lit, md5, struct}
+    val work = tmp("swaprepair")
+    val dir = s"$work/index"
+    (1L to 20L).map(i => (i, i % 7)).toDF("a", "b")
+      .select(md5(col("a").cast("string").cast("binary")).as("_pd_h"),
+        struct(col("a").as("_pd_id"), col("b").cast("int").as("_pd_idx"))
+          .as("_pd_first"))
+      .write.mode("append").parquet(dir)
+    val before = Dedup.readFirstOccurrenceIndex(spark, dir)
+      .collect().map(_.toString).toSet
+    Dedup.compactFirstOccurrenceIndex(spark, dir, numFiles = 1)
+    // simulate a crash between the two swap renames: target moved to
+    // backup, stage never renamed in
+    val d = new java.io.File(dir)
+    val bak = new java.io.File(dir + ".old")
+    assert(d.renameTo(bak))
+    assert(!d.exists && bak.exists)
+    // the single writer's next compaction must first restore the
+    // backup, then complete — and the index reads identically
+    Dedup.compactFirstOccurrenceIndex(spark, dir, numFiles = 1)
+    assert(d.exists && !bak.exists)
+    val after = Dedup.readFirstOccurrenceIndex(spark, dir)
+      .collect().map(_.toString).toSet
+    assert(after == before)
+  }
+
   test("threshold-policy compaction: log file count stays bounded by threshold + one trigger's appends") {
     import graft.ops.Dedup
     val docs = (1L to 12L).map(i => (i, s"P$i\nSHARED"))
