@@ -322,6 +322,47 @@ object Similarity {
     cents
   }
 
+  /** Cluster-bucketed k-NN GRAPH — every vector's top-k neighbors
+    * WITHIN its assigned cluster, the building block embedding-dedup
+    * and diversity-selection pipelines construct before thresholding
+    * ([[semDedup]] is exactly this graph collapsed to a keep/drop
+    * verdict; keeping the ranked edges lets one corpus pass serve
+    * multiple downstream thresholds and graph algorithms — feed the
+    * edges to [[Dedup.connectedComponents]] for cluster discovery).
+    *
+    * Scale shape: assignment is the broadcast argmax
+    * ([[assignNearest]]); candidate edges come from the equality
+    * self-join on the cluster id — Σ_c |cluster|² pairs, never
+    * |corpus|² — and the per-vector top-k is a hash-partitioned
+    * window over those bucketed pairs. A vector alone in its cluster
+    * contributes no rows (an isolated graph node); multi-probe
+    * recall, if needed, composes by unioning a second
+    * [[assignNearest]] level, the IVF pattern.
+    */
+  def knnGraph(vectors: DataFrame, centroidTable: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "cluster", centVecCol: String = "cv"): DataFrame = {
+    val assigned = assignNearest(vectors, centroidTable,
+        idCol, vecCol, clusterCol, centVecCol)
+      .join(vectors.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("v")), Seq("vec_id"))
+      .withColumn("n", norm2(col("v")))
+    val a = assigned.select(col("cluster"), col("vec_id"),
+      col("v").as("av"), col("n").as("an"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("neighbor_id"),
+      col("v").as("bv"), col("n").as("bn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosinePre(dot(col("av"), col("bv")),
+        col("an"), col("bn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("cluster"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup at scale = cluster
     * first, compare ONLY within a cluster. Assignment via
     * [[assignNearest]]; then an equality self-join on the cluster id

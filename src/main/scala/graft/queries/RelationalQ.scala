@@ -656,6 +656,46 @@ object RelationalQ {
       FROM sel WHERE rn = 1 ORDER BY o_orderpriority, pct""")
   )
 
+  /** dd2 sketch ROLLUP — q_kmv_rollup's store-sketches-per-partition
+    * pattern for the tail-accurate quantiles: bucket tables built per
+    * shard merge by COUNT ADDITION (associative+commutative, merge-
+    * order-free) into the whole-corpus sketch with no second pass
+    * over rows. The oracle computes the DIRECT single-pass sketch —
+    * the rollup identity (merged ≡ direct) is itself what's verified
+    * cross-engine, exactly as with KMV. At 100 TB: per-day bucket
+    * tables persist (≤ 90/decade rows each); any window's p99 is a
+    * count-sum over its days.
+    */
+  val qQuantileDdRollup = Q(
+    "q_quantile_dd_rollup",
+    (spark, dir) => {
+      import graft.functions.DdSketch
+      val df = Tables.orders(spark, dir).filter(col("o_totalprice") > 0)
+        .withColumn("shard", pmod(col("o_orderkey"), lit(12)))
+      val perShard = DdSketch.dd2BucketsBy(df, Seq("shard"),
+        col("o_totalprice"))
+      val merged = perShard.groupBy("e10", "d2").agg(sum(col("c")).as("c"))
+      DdSketch.dd2Quantiles(merged, Seq(0.5, 0.95, 0.99)).orderBy("pct")
+    },
+    Some("""WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v
+          FROM orders WHERE o_totalprice > 0),
+      b AS (SELECT CAST(string_split(printf('%.17e', v), 'e')[2] AS INT) AS e10,
+          CAST(substr(printf('%.17e', v), 1, 1) AS INT) * 10
+            + CAST(substr(printf('%.17e', v), 3, 1) AS INT) AS d2,
+          count(*) AS c
+        FROM v GROUP BY 1, 2),
+      cum AS (SELECT e10, d2, c, sum(c) OVER (ORDER BY e10, d2) AS cum FROM b),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b),
+      qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+          CAST(0.99 AS DOUBLE)]) AS pct),
+      sel AS (SELECT pct, e10, d2, n,
+          row_number() OVER (PARTITION BY pct ORDER BY e10, d2) AS rn
+        FROM qs CROSS JOIN tot
+        JOIN cum ON cum.cum >= greatest(1, CAST(ceil(pct * n) AS BIGINT)))
+      SELECT pct, CAST(concat(d2 // 10, '.', d2 % 10, '5e', e10) AS DOUBLE) AS est, n
+      FROM sel WHERE rn = 1 ORDER BY pct""")
+  )
+
   /** KMV sketch ROLLUP — the store-sketches-per-partition pattern: a
     * sketch is built per (event_type, hour), then whole-range
     * estimates come from MERGING the hourly sketches (HOF fold over
@@ -1439,7 +1479,7 @@ object RelationalQ {
     qTimeWindow,
     qSlideWindow,
     qSnapshotDiff, qQuantiles, qQuantileSample, qQuantileRollup, qQuantileDd,
-    qQuantileDdGrouped,
+    qQuantileDdGrouped, qQuantileDdRollup,
     qApproxSketch, qKmvDistinct, qKmvRollup, qHeavyHitters,
     qChecksum,
     qDateRollup, qPivot, qSessionize, qRunningRange, qGroupingSets,

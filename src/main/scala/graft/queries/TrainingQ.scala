@@ -1155,6 +1155,44 @@ object TrainingQ {
       FROM a LEFT JOIN d ON a.vec_id = d.vec_id ORDER BY a.vec_id""")
   )
 
+  /** Cluster-bucketed k-NN graph (see
+    * [[graft.ops.Similarity.knnGraph]]): every vector's top-3
+    * in-cluster neighbors as ranked edges — the primitive SemDeDup
+    * collapses to a verdict and CC-based cluster discovery consumes.
+    * Same assignment + bucketed-pair machinery as q_semdedup, one
+    * extra window for the per-vector rank. The oracle replays
+    * assignment, the cluster-equality pair join, and the
+    * (cosine DESC, id) rank.
+    */
+  val qKnnGraph = Q(
+    "q_knn_graph",
+    (spark, dir) =>
+      Similarity.knnGraph(Tables.embeddings(spark, dir),
+          seedCentroids(spark, dir), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("vec_id", "rank"),
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $KmeansSeeds),
+      s AS (SELECT vec_id, cluster,
+          ${sqlDot("v", "cv")} / sqrt(${sqlDot("v", "v")} * ${sqlDot("cv", "cv")}) AS cosine
+        FROM e CROSS JOIN c),
+      r AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM s),
+      a AS (SELECT vec_id, cluster FROM r WHERE rn = 1),
+      av AS (SELECT a.vec_id, a.cluster, e.v FROM a JOIN e USING (vec_id)),
+      p AS (SELECT x.vec_id, x.cluster, y.vec_id AS neighbor_id,
+          ${sqlDot("x.v", "y.v")} / sqrt(${sqlDot("x.v", "x.v")} * ${sqlDot("y.v", "y.v")}) AS cosine
+        FROM av x JOIN av y
+        ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM p)
+      SELECT vec_id, cluster, rank, neighbor_id, cosine FROM rk
+      WHERE rank <= 3 ORDER BY vec_id, rank""")
+  )
+
   /** Incremental SemDeDup (see
     * [[graft.ops.Similarity.semDedupIncremental]]): vec_id % 5 == 0 is
     * the arriving batch, the rest the at-rest corpus, seeds the shared
@@ -2049,5 +2087,5 @@ object TrainingQ {
     qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr,
     qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs,
     qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot, qBpeTrainBatched,
-    qAnnIvfTrained, qAnnIvfTrainedQ8)
+    qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph)
 }

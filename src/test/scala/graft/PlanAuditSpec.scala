@@ -44,10 +44,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_embed_outliers", // 2-column percentile stats row × vector side
       "q_kmeans_assign", "q_semdedup", // k-row centroid table × corpus
       "q_semdedup_incr", // same centroid cross, once per side (new + corpus)
+      "q_knn_graph", // k-row centroid table × corpus (assignment), then bucketed pairs
       "q_source_overlap_kmv", // S-row KMV sketch table × itself (S = #sources)
       "q_mix_temperature", // 1-row global-min × S-row count table
       "q_quantile_dd", // 3-quantile row set × bucket-table-sized cumsum (the sketch)
-      "q_quantile_dd_grouped") // 3-quantile rows × S-group count table, same class
+      "q_quantile_dd_grouped", // 3-quantile rows × S-group count table, same class
+      "q_quantile_dd_rollup") // same sketch-extraction cross over the merged buckets
     for ((name, p) <- sweep if p.contains("BroadcastNestedLoopJoin"))
       assert(intended(name), s"$name plans an unintended BroadcastNestedLoopJoin")
   }
