@@ -342,4 +342,50 @@ object Multimodal {
       col(idCol).cast("long").as("media_id"),
       col(kindCol).as("kind"),
       col(contentCol).cast("binary").as("content")).as[MediaFile]
+
+  /** Image NEAR-duplicate pairs over the [[imageHashes]] perceptual
+    * hash — the multimodal face of the SimHash Hamming-pigeonhole
+    * dedup: re-encoded / slightly-retouched copies land within a few
+    * bits of each other's aHash (MultimodalSpec: real PNG near-dups
+    * within Hamming 4), so exact-hash grouping (q_media_phash)
+    * misses them.
+    *
+    * Scale shape — pigeonhole banding, never all pairs: the 60-bit
+    * hash splits into `bands` equal bit-bands; a pair within
+    * `maxHamming < bands` differing bits must agree EXACTLY on at
+    * least one band, so candidate pairs come from `bands` equality
+    * self-joins on (band, 15-bit key) — Σ_bucket |bucket|², the
+    * q_dedup_simhash_ham discipline on an integer key — and one
+    * `bit_count(xor)` verifies each distinct candidate. Bands are
+    * integer shift/mask arithmetic, reproduced bit-for-bit by the
+    * oracle.
+    */
+  def imageNearDups(hashes: DataFrame, idCol: String = "media_id",
+      hashCol: String = "ahash", bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(60 % bands == 0, s"bands must divide 60, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands, got $maxHamming >= $bands")
+    val bandBits = 60 / bands
+    val mask = (1L << bandBits) - 1
+    val keyed = hashes.select(col(idCol).as("_id"), col(hashCol).as("_h"))
+      .select(col("_id"), col("_h"),
+        explode(array((0 until bands).map(k =>
+          struct(lit(k).as("band"),
+            shiftright(col("_h"), k * bandBits).bitwiseAND(lit(mask))
+              .as("key"))): _*)).as("bk"))
+      .select(col("_id"), col("_h"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val a = keyed.select(col("band"), col("key"),
+      col("_id").as("i"), col("_h").as("ha"))
+    val b = keyed.select(col("band"), col("key"),
+      col("_id").as("j"), col("_h").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("i") < col("j"))
+      .select("i", "j", "ha", "hb").distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("i", "j", "hamming")
+  }
 }

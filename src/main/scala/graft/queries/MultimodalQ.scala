@@ -175,6 +175,55 @@ object MultimodalQ {
       FROM h ORDER BY doc_id""")
   )
 
+  /** Image NEAR-dup pairs (see
+    * [[graft.ops.Multimodal.imageNearDups]]): Hamming-banded
+    * candidate generation + bit_count verify over the perceptual
+    * hash — what exact-hash grouping (q_media_phash) misses. The
+    * corpus is perturbed IN-QUERY into controlled twins (the
+    * q_dedup_nfc pattern): each image gains a near twin at Hamming 2
+    * (`ahash ^ 3` — a re-encode's low-bit drift) and a far twin at
+    * Hamming 9 spread across bands (`ahash ^ 0x111111111`); the
+    * operator must pair every original with its near twin and
+    * nothing else. The oracle replays the shift/mask banding, the
+    * bucketed self-join, and bit_count(xor) bit-for-bit.
+    */
+  val qMediaDedup = Q(
+    "q_media_dedup",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("kind",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video"))
+      val hashes = Multimodal
+        .imageHashes(Multimodal.asMedia(docs, "doc_id", "kind", "text"))
+        .toDF().select(col("media_id").as("doc_id"), col("ahash"))
+      val near = hashes.select((col("doc_id") + 100000L).as("doc_id"),
+        col("ahash").bitwiseXOR(lit(3L)).as("ahash"))
+      val far = hashes.select((col("doc_id") + 200000L).as("doc_id"),
+        col("ahash").bitwiseXOR(lit(0x111111111L)).as("ahash"))
+      Multimodal.imageNearDups(
+          hashes.unionByName(near).unionByName(far),
+          idCol = "doc_id", hashCol = "ahash", bands = 4, maxHamming = 3)
+        .orderBy("i", "j")
+    },
+    Some("""WITH h0 AS (SELECT doc_id,
+          CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS ahash
+        FROM documents WHERE doc_id % 3 = 0),
+      h AS (SELECT doc_id, ahash FROM h0
+        UNION ALL SELECT doc_id + 100000, xor(ahash, 3) FROM h0
+        UNION ALL SELECT doc_id + 200000, xor(ahash, 4581298449) FROM h0),
+      k AS (SELECT doc_id, ahash, band,
+          (ahash >> (band * 15)) & 32767 AS key
+        FROM h, unnest(range(0, 4)) AS t(band)),
+      cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j,
+          x.ahash AS ha, y.ahash AS hb
+        FROM k x JOIN k y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      SELECT i, j, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY i, j""")
+  )
+
   def all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalResize,
-    qMultimodalAudio, qMediaPhash)
+    qMultimodalAudio, qMediaPhash, qMediaDedup)
 }
