@@ -759,6 +759,46 @@ object Probe {
         s""""speedup":${tFlat / tLay}}""")
     }
 
+    if (enabled("quantile_tail")) {
+      // Head-to-head tail error: the k=256 bottom-k uniform sample vs
+      // the dd2 exact-count sketch at p99/p999 on a Pareto(α=1.2)
+      // corpus — the VALUE-error comparison behind the round-10
+      // quantile decision, measured at 200k rows (deterministic
+      // hash-uniform inverse-CDF draws).
+      val n = 200000L
+      val df = spark.range(n).select(col("id"),
+        pow(lit(1.0) - (pmod(hash(col("id")), lit(1000000)) + 0.5) / 1000000.0,
+          lit(-1.0 / 1.2)).as("v"))
+        .localCheckpoint()
+      val qs = Seq(0.99, 0.999)
+      val sorted = df.select(col("v")).orderBy(col("v"))
+        .collect().map(_.getDouble(0))
+      def exact(q: Double): Double =
+        sorted(math.max(1, math.ceil(q * n).toInt) - 1)
+      import graft.functions.{Sketches, DdSketch}
+      val kept = df
+        .select(Sketches.md5Hash60("qt|", col("id").cast("string")).as("h"),
+          col("v"))
+        .agg(Sketches.bottomKSample(col("h"), col("v"), 256).as("kept"))
+      val bkEsts = qs.map { q =>
+        kept.select(Sketches.sampleQuantile(
+            Sketches.sampleValues(col("kept")), q))
+          .collect().head.getDouble(0)
+      }
+      val ddEsts = DdSketch.dd2Quantiles(
+          DdSketch.dd2Buckets(df, col("v")), qs)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val rows = qs.zip(bkEsts).map { case (q, bk) =>
+        val e = exact(q)
+        s"""{"pct":$q,"exact":$e,"bottomk":$bk,""" +
+          s""""bottomk_rel_err":${math.abs(bk / e - 1.0)},""" +
+          s""""dd2":${ddEsts(q)},""" +
+          s""""dd2_rel_err":${math.abs(ddEsts(q) / e - 1.0)}}"""
+      }
+      println(s"""{"probe":"quantile_tail","rows":$n,"k_sample":256,""" +
+        s""""runs":[${rows.mkString(",")}]}""")
+    }
+
     if (enabled("index_compaction")) {
       // What compaction buys at READ time: a long-running intake
       // stream's first-occurrence log accumulates one update row per
