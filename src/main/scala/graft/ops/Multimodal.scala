@@ -363,19 +363,7 @@ object Multimodal {
   def imageNearDups(hashes: DataFrame, idCol: String = "media_id",
       hashCol: String = "ahash", bands: Int = 4,
       maxHamming: Int = 3): DataFrame = {
-    require(60 % bands == 0, s"bands must divide 60, got $bands")
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands, got $maxHamming >= $bands")
-    val bandBits = 60 / bands
-    val mask = (1L << bandBits) - 1
-    val keyed = hashes.select(col(idCol).as("_id"), col(hashCol).as("_h"))
-      .select(col("_id"), col("_h"),
-        explode(array((0 until bands).map(k =>
-          struct(lit(k).as("band"),
-            shiftright(col("_h"), k * bandBits).bitwiseAND(lit(mask))
-              .as("key"))): _*)).as("bk"))
-      .select(col("_id"), col("_h"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
+    val keyed = bandKeys(hashes, idCol, hashCol, bands, maxHamming)
     val a = keyed.select(col("band"), col("key"),
       col("_id").as("i"), col("_h").as("ha"))
     val b = keyed.select(col("band"), col("key"),
@@ -387,5 +375,55 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("i", "j", "hamming")
+  }
+
+  /** Incremental face of [[imageNearDups]] — the per-ingest delta
+    * pass: a NEW image is dropped iff some AT-REST corpus image sits
+    * within `maxHamming` bits of its perceptual hash. Corpus-vs-
+    * corpus dedup is [[imageNearDups]]'s offline job; this is the
+    * [[graft.ops.Dedup.streamAgainstHistory]] /
+    * semDedupIncremental division of labor with Hamming band keys
+    * playing the posting role: the corpus is touched map-only (band
+    * explode) plus one keyed join, pair count bounded by band-bucket
+    * occupancy, never |new|·|corpus|. Returns
+    * (idCol, n_matches, keep) for the NEW side only.
+    */
+  def imageNearDupsIncremental(newHashes: DataFrame, corpusHashes: DataFrame,
+      idCol: String = "media_id", hashCol: String = "ahash",
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val nw = bandKeys(newHashes, idCol, hashCol, bands, maxHamming)
+      .select(col("band"), col("key"), col("_id").as("i"), col("_h").as("ha"))
+    val cp = bandKeys(corpusHashes, idCol, hashCol, bands, maxHamming)
+      .select(col("band"), col("key"), col("_id").as("j"), col("_h").as("hb"))
+    val matches = nw.join(cp, Seq("band", "key"))
+      .select("i", "ha", "j", "hb").distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n_matches"))
+    newHashes.select(col(idCol).as("i"))
+      .join(matches, Seq("i"), "left")
+      .select(col("i").as(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) === 0L).as("keep"))
+  }
+
+  /** Shared pigeonhole band keying for the Hamming dedup pair:
+    * `(._id, _h, band, key)` with one row per (hash, band).
+    */
+  private def bandKeys(hashes: DataFrame, idCol: String, hashCol: String,
+      bands: Int, maxHamming: Int): DataFrame = {
+    require(60 % bands == 0, s"bands must divide 60, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands, got $maxHamming >= $bands")
+    val bandBits = 60 / bands
+    val mask = (1L << bandBits) - 1
+    hashes.select(col(idCol).as("_id"), col(hashCol).as("_h"))
+      .select(col("_id"), col("_h"),
+        explode(array((0 until bands).map(k =>
+          struct(lit(k).as("band"),
+            shiftright(col("_h"), k * bandBits).bitwiseAND(lit(mask))
+              .as("key"))): _*)).as("bk"))
+      .select(col("_id"), col("_h"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
   }
 }

@@ -224,6 +224,58 @@ object MultimodalQ {
       FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY i, j""")
   )
 
+  /** Incremental image near-dup (see
+    * [[graft.ops.Multimodal.imageNearDupsIncremental]]): the
+    * per-ingest delta pass — a NEW image is dropped iff an AT-REST
+    * corpus image sits within Hamming 3 of its perceptual hash. The
+    * new batch is built in-query as one near twin (Hamming 2 — must
+    * be DROPPED) and one far twin (Hamming 9 — must be KEPT) per
+    * corpus image, so both verdicts are exercised on every row. Same
+    * band-postings discipline as q_dedup_incr, integer keys.
+    */
+  val qMediaDedupIncr = Q(
+    "q_media_dedup_incr",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("kind",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video"))
+      val corpus = Multimodal
+        .imageHashes(Multimodal.asMedia(docs, "doc_id", "kind", "text"))
+        .toDF().select(col("media_id").as("doc_id"), col("ahash"))
+      val newBatch = corpus
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          col("ahash").bitwiseXOR(lit(3L)).as("ahash"))
+        .unionByName(corpus
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            col("ahash").bitwiseXOR(lit(0x111111111L)).as("ahash")))
+      Multimodal.imageNearDupsIncremental(newBatch, corpus,
+          idCol = "doc_id", hashCol = "ahash", bands = 4, maxHamming = 3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH h0 AS (SELECT doc_id,
+          CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS ahash
+        FROM documents WHERE doc_id % 3 = 0),
+      nw AS (SELECT doc_id + 100000 AS doc_id, xor(ahash, 3) AS ahash FROM h0
+        UNION ALL SELECT doc_id + 200000, xor(ahash, 4581298449) FROM h0),
+      kn AS (SELECT doc_id, ahash, band,
+          (ahash >> (band * 15)) & 32767 AS key
+        FROM nw, unnest(range(0, 4)) AS t(band)),
+      kc AS (SELECT doc_id, ahash, band,
+          (ahash >> (band * 15)) & 32767 AS key
+        FROM h0, unnest(range(0, 4)) AS t(band)),
+      cand AS (SELECT DISTINCT n.doc_id AS i, n.ahash AS ha,
+          c.doc_id AS j, c.ahash AS hb
+        FROM kn n JOIN kc c ON n.band = c.band AND n.key = c.key),
+      m AS (SELECT i, count(*) AS n_matches FROM cand
+        WHERE bit_count(xor(ha, hb)) <= 3 GROUP BY i)
+      SELECT nw.doc_id, coalesce(m.n_matches, 0) AS n_matches,
+        coalesce(m.n_matches, 0) = 0 AS keep
+      FROM nw LEFT JOIN m ON m.i = nw.doc_id
+      ORDER BY nw.doc_id""")
+  )
+
   def all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalResize,
-    qMultimodalAudio, qMediaPhash, qMediaDedup)
+    qMultimodalAudio, qMediaPhash, qMediaDedup, qMediaDedupIncr)
 }
