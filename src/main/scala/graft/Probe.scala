@@ -903,13 +903,13 @@ object Probe {
       val root = java.nio.file.Files.createTempDirectory("ann_dpp").toString
       graft.io.AnnLayout.writeIvf(vecs, root)
       val bytes = new java.util.concurrent.atomic.AtomicLong(0)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onTaskEnd(
-              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-            bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead); ()
-          }
-        })
+      val byteListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(byteListener)
       def measured(f: => Unit): Long = {
         Thread.sleep(500); bytes.set(0); f; Thread.sleep(1500); bytes.get()
       }
@@ -937,6 +937,9 @@ object Probe {
       }
       spark.conf.unset(
         "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      // detach: leaving it registered would tax every later probe's
+      // tasks and double-count into these AtomicLongs on a re-run
+      spark.sparkContext.removeSparkListener(byteListener)
       println(s"""{"probe":"ann_dpp","bytes_full_scan":$full,""" +
         s""""bytes_collect_isin":$isin,""" +
         s""""bytes_dpp_default_conf":$dppDefault,""" +

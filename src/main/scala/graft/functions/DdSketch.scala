@@ -45,7 +45,10 @@ import org.apache.spark.sql.functions._
   * pareto/lognormal corpora; PERF.md records measured error vs the
   * bottom-k sample at gate k.
   *
-  * Domain: v > 0 (log buckets; callers filter, as with any DDSketch).
+  * Domain: finite v > 0 (log buckets, as with any DDSketch) —
+  * enforced inside dd2Buckets/dd2BucketsBy, so out-of-domain rows
+  * are excluded from the sketch (and from n) rather than silently
+  * skewing the cumulative walk.
   */
 object DdSketch {
 
@@ -69,9 +72,23 @@ object DdSketch {
     * buckets(B) (count addition — SketchSpec pins it).
     */
   def dd2Buckets(df: DataFrame, v: Column): DataFrame =
-    df.select(dd2Key(v).as("k"))
+    df.filter(inDomain(v))
+      .select(dd2Key(v).as("k"))
       .groupBy(col("k.e10").as("e10"), col("k.d2").as("d2"))
       .agg(count(lit(1)).as("c"))
+
+  /** The sketch's domain, ENFORCED (not just documented): finite
+    * v > 0. Without this, non-positive / NaN / ±Inf rows fell into a
+    * (null, null) bucket that still inflated n and sorted FIRST in
+    * the cumulative walk — silently skewed quantiles for any caller
+    * who forgot the filter. (`v > 0` alone already rejects NaN and
+    * -Inf under SQL comparison semantics; +Inf needs the explicit
+    * finiteness check.)
+    */
+  private def inDomain(v: Column): Column = {
+    val d = v.cast("double")
+    d > 0 && d =!= lit(Double.PositiveInfinity)
+  }
 
   /** Per-GROUP bucket tables — [[dd2Buckets]] keyed by `groups`: one
     * count per (group, e10, d2). Same single partial-agged shuffle;
@@ -80,7 +97,8 @@ object DdSketch {
     * (counts add).
     */
   def dd2BucketsBy(df: DataFrame, groups: Seq[String], v: Column): DataFrame =
-    df.select(groups.map(col) :+ dd2Key(v).as("k"): _*)
+    df.filter(inDomain(v))
+      .select(groups.map(col) :+ dd2Key(v).as("k"): _*)
       .groupBy(groups.map(col) :+ col("k.e10").as("e10")
         :+ col("k.d2").as("d2"): _*)
       .agg(count(lit(1)).as("c"))

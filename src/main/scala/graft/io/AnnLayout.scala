@@ -79,23 +79,32 @@ object AnnLayout {
     * append and the reps refresh leaves the OLD reps intact (stale
     * codebook: queries still probe correctly, merely without the new
     * clusters until a retried append completes the swap), never a
-    * half-written one, and a concurrent reader sees old-or-new, not
-    * a mid-overwrite mix. Single WRITER assumed (two concurrent
-    * appends would race the swap) — the same contract every
-    * no-table-format parquet maintenance path here carries.
+    * half-written one. The swap itself is TWO renames (target→.old,
+    * stage→target), so there is a window — and any crash inside it —
+    * where the target directory is missing and only the `.old`
+    * backup exists; every read path here goes through
+    * [[readSwapped]], which falls back to the backup (the consistent
+    * pre-swap version) without mutating anything, so readers observe
+    * old-or-new data, never a failure, and repair stays the next
+    * writer's job ([[swapDir]] calls [[repairSwap]] first). Single
+    * WRITER assumed (two concurrent appends would race the swap) —
+    * the same contract every no-table-format parquet maintenance
+    * path here carries.
     */
   def appendIvf(newVecs: DataFrame, path: String,
       clusterCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L,
+      compactWhenFilesOver: Int = 0, compactFiles: Int = 1): Unit = {
     val spark = newVecs.sparkSession
+    repairPartitionSwaps(spark, path)
     newVecs.repartition(col(clusterCol))
       .sortWithinPartitions(col(clusterCol), col(idCol))
       .write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(clusterCol)
       .parquet(s"$path/corpus")
-    val old = spark.read.parquet(s"$path/reps")
+    val old = readSwapped(spark, s"$path/reps")
     val merged = old
       .unionByName(repsOf(newVecs, clusterCol, idCol, vecCol))
       .groupBy(col(clusterCol))
@@ -108,26 +117,36 @@ object AnnLayout {
         spark.sparkContext.parallelize(merged.toIndexedSeq, 1), old.schema)
       .write.mode("overwrite").parquet(s"$path/reps.stage")
     swapDir(spark, s"$path/reps.stage", s"$path/reps")
+    if (compactWhenFilesOver > 0)
+      compactIvfPartitions(spark, path, clusterCol, idCol,
+        compactFiles, compactWhenFilesOver,
+        maxRecordsPerFile = maxRecordsPerFile)
+    ()
   }
 
   /** Rename `stage` into `target` (backup-then-rename: target →
-    * `<target>.old`, stage → target, delete backup). Both paths must
-    * share a filesystem; callers are single-writer.
+    * `backup` (default `<target>.old`), stage → target, delete
+    * backup). Both paths must share a filesystem; callers are
+    * single-writer. The explicit `backup` parameter exists for
+    * Hive-partition directories, whose backup must be a HIDDEN
+    * sibling (`.old_cluster=5`) — a visible `cluster=5.old` would be
+    * parsed by partition discovery as partition value "5.old".
     *
     * Self-repairing: a crash between the two renames leaves the
     * target missing and the backup present — the next swap (the
     * single writer's retry) restores the backup FIRST, so the window
     * where a reader can observe a missing target is bounded by the
-    * writer's absence, never permanent.
+    * writer's absence, never permanent; [[readSwapped]] additionally
+    * lets default-backup readers fall back without mutating.
     */
   private[graft] def swapDir(spark: SparkSession, stage: String,
-      target: String): Unit = {
+      target: String, backup: String = null): Unit = {
     import org.apache.hadoop.fs.Path
     val t = new Path(target)
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val s = new Path(stage)
-    val bak = new Path(target + ".old")
-    repairSwap(spark, target)
+    val bak = new Path(if (backup == null) target + ".old" else backup)
+    repairSwap(spark, target, backup)
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(t)) { if (!fs.rename(t, bak)) sys.error(s"rename $t -> $bak failed") }
     if (!fs.rename(s, t)) {
@@ -139,21 +158,43 @@ object AnnLayout {
     ()
   }
 
-  /** Restore `target` from its `.old` backup if a previous swap was
-    * interrupted between its two renames (target gone, backup
-    * present). Writers call this before touching the directory —
-    * [[swapDir]] does, and so does any compaction that READS the
-    * target before staging its rewrite.
+  /** Restore `target` from its backup (default `<target>.old`) if a
+    * previous swap was interrupted between its two renames (target
+    * gone, backup present). Writers call this before touching the
+    * directory — [[swapDir]] does, and so does any compaction that
+    * READS the target before staging its rewrite.
     */
-  private[graft] def repairSwap(spark: SparkSession, target: String): Unit = {
+  private[graft] def repairSwap(spark: SparkSession, target: String,
+      backup: String = null): Unit = {
     import org.apache.hadoop.fs.Path
     val t = new Path(target)
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bak = new Path(target + ".old")
+    val bak = new Path(if (backup == null) target + ".old" else backup)
     if (!fs.exists(t) && fs.exists(bak)) {
       if (!fs.rename(bak, t)) sys.error(s"repair rename $bak -> $t failed")
     }
     ()
+  }
+
+  /** Crash-tolerant READ of a [[swapDir]]-maintained directory: read
+    * `target` if it exists, else its `.old` backup — the consistent
+    * pre-swap version a crash between the two swap renames leaves
+    * behind. Deliberately MUTATION-FREE (no repair rename): a reader
+    * must never race a live writer mid-swap, and restoring the
+    * backup is [[swapDir]]'s own first step on the writer's retry.
+    * Every reps/index read in this package and in
+    * [[graft.ops.Dedup.readFirstOccurrenceIndex]] goes through here,
+    * so a crashed maintenance pass degrades readers to the previous
+    * version instead of path-not-found (LayoutSpec pins it).
+    */
+  private[graft] def readSwapped(spark: SparkSession,
+      target: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val t = new Path(target)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = if (!fs.exists(t) && fs.exists(new Path(target + ".old")))
+      target + ".old" else target
+    spark.read.parquet(src)
   }
 
   /** IVF top-k against a [[writeIvf]] layout — result-identical to
@@ -186,7 +227,7 @@ object AnnLayout {
       k: Int, nprobe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "label"): DataFrame = {
-    val reps = spark.read.parquet(s"$path/reps")
+    val reps = readSwapped(spark, s"$path/reps")
       .select(col(clusterCol).as("cluster"),
         Similarity.asDouble(col("rep_vec")).as("rv"))
       .withColumn("rn", Similarity.norm2(col("rv")))
@@ -268,7 +309,7 @@ object AnnLayout {
       k: Int, nprobe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding",
       clusterCol: String = "label"): DataFrame = {
-    val reps = spark.read.parquet(s"$path/reps")
+    val reps = readSwapped(spark, s"$path/reps")
       .select(col(clusterCol).as("cluster"), col("rep_codes"),
         col("rep_scale"))
     val q = Similarity.q8CodesScaled(queries, idCol, vecCol,
@@ -399,9 +440,11 @@ object AnnLayout {
   def appendTrained(newVecs: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       clusterCol: String = "label",
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L,
+      compactWhenFilesOver: Int = 0, compactFiles: Int = 1): Unit = {
     val spark = newVecs.sparkSession
-    val cents = spark.read.parquet(s"$path/reps")
+    repairPartitionSwaps(spark, path)
+    val cents = readSwapped(spark, s"$path/reps")
       .select(col(clusterCol).as("cluster"), col("rep_vec").as("cv"))
     val base = newVecs.drop(clusterCol)
     val labeled = base.join(
@@ -414,6 +457,11 @@ object AnnLayout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(clusterCol)
       .parquet(s"$path/corpus")
+    if (compactWhenFilesOver > 0)
+      compactIvfPartitions(spark, path, clusterCol, idCol,
+        compactFiles, compactWhenFilesOver,
+        maxRecordsPerFile = maxRecordsPerFile)
+    ()
   }
 
   /** Incremental maintenance for a TRAINED Q8 layout
@@ -433,9 +481,11 @@ object AnnLayout {
   def appendTrainedQ8(newVecs: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       clusterCol: String = "label",
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L,
+      compactWhenFilesOver: Int = 0, compactFiles: Int = 1): Unit = {
     val spark = newVecs.sparkSession
-    val cents = spark.read.parquet(s"$path/reps")
+    repairPartitionSwaps(spark, path)
+    val cents = readSwapped(spark, s"$path/reps")
       .select(col(clusterCol).as("cluster"),
         transform(col("rep_codes"),
           c => c.cast("double") * col("rep_scale") / lit(127.0)).as("cv"))
@@ -452,6 +502,114 @@ object AnnLayout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(clusterCol)
       .parquet(s"$path/corpus")
+    if (compactWhenFilesOver > 0)
+      compactIvfPartitions(spark, path, clusterCol, idCol,
+        compactFiles, compactWhenFilesOver,
+        maxRecordsPerFile = maxRecordsPerFile)
+    ()
+  }
+
+  /** Small-file compaction for the layout's `cluster=<id>/`
+    * partitions — the last unbounded-file-count path in the repo:
+    * every [[appendIvf]]/[[appendTrained]]/[[appendTrainedQ8]] batch
+    * adds a file set to each touched partition (`maxRecordsPerFile`
+    * bounds file SIZE, nothing bounded file COUNT), so a long-running
+    * ingest degrades probed-partition scans exactly the way the dedup
+    * index log did before its compaction landed. This is the same
+    * in-place maintenance semantic (the reference's Redis SET on an
+    * existing key, `internal/app/services/storage/cache_service.go:45`)
+    * one level down: per partition, rewrite the accumulated file set
+    * to `compactFiles` files (id-sorted, so rewritten row groups keep
+    * their stats locality) and swap it in crash-safely.
+    *
+    * Scale shape: the decision pass is ONE driver-side listing of the
+    * partition directories (codebook-sized — #dirs == #clusters) with
+    * a per-dir file count; only partitions over `onlyWhenFilesOver`
+    * (or all listed, when 0 — the offline full-compaction mode) pay a
+    * rewrite, and each rewrite reads exactly that partition's bytes —
+    * work proportional to accumulated garbage, never corpus size.
+    * `clusters` restricts the sweep to named partition values (the
+    * "compact what this ingest touched" mode).
+    *
+    * Crash safety: stage dirs and backups are HIDDEN siblings inside
+    * the corpus root (`.stage_cluster=5` / `.old_cluster=5` — dot
+    * prefix, ignored by partition discovery, so a reader NEVER sees a
+    * partial partition as data). The swap is the two-rename
+    * [[swapDir]]; a crash inside it leaves the partition directory
+    * missing and the hidden backup present — invisible-rows, not
+    * wrong-rows — and [[repairPartitionSwaps]] (called on entry here
+    * and by every append) restores it. The reps codebook is never
+    * touched. Single writer assumed, as everywhere in this layout.
+    *
+    * Returns the number of partitions rewritten. LayoutSpec pins
+    * query-identity before/after on a multi-append layout and the
+    * bounded per-partition file count across N appends.
+    */
+  def compactIvfPartitions(spark: SparkSession, path: String,
+      clusterCol: String = "label", idCol: String = "vec_id",
+      compactFiles: Int = 1, onlyWhenFilesOver: Int = 0,
+      clusters: Seq[Any] = null,
+      maxRecordsPerFile: Long = 5000000L): Int = {
+    import org.apache.hadoop.fs.Path
+    require(onlyWhenFilesOver <= 0 || onlyWhenFilesOver > compactFiles,
+      s"onlyWhenFilesOver=$onlyWhenFilesOver must exceed " +
+        s"compactFiles=$compactFiles: the compacted partition alone " +
+        "would re-trip the threshold on every pass")
+    val corpus = new Path(s"$path/corpus")
+    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairPartitionSwaps(spark, path)
+    if (!fs.exists(corpus)) return 0
+    val wanted: Set[String] =
+      if (clusters == null) null
+      else clusters.map(v => s"$clusterCol=$v").toSet
+    var compacted = 0
+    fs.listStatus(corpus).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(s"$clusterCol=") &&
+          (wanted == null || wanted(name))) {
+        val nFiles = fs.listStatus(st.getPath).count(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (nFiles > compactFiles &&
+            (onlyWhenFilesOver <= 0 || nFiles > onlyWhenFilesOver)) {
+          val stage = new Path(corpus, s".stage_$name")
+          if (fs.exists(stage)) fs.delete(stage, true)
+          spark.read.parquet(st.getPath.toString)
+            .repartition(compactFiles)
+            .sortWithinPartitions(idCol)
+            .write.option("maxRecordsPerFile", maxRecordsPerFile)
+            .mode("overwrite").parquet(stage.toString)
+          swapDir(spark, stage.toString, st.getPath.toString,
+            backup = new Path(corpus, s".old_$name").toString)
+          compacted += 1
+        }
+      }
+    }
+    compacted
+  }
+
+  /** Finish any partition swap a crashed [[compactIvfPartitions]]
+    * left half-done: for each hidden `.old_<partition>` backup in the
+    * corpus root, restore it if its partition directory is missing
+    * (crash between the two renames) or drop it if the swap committed
+    * (crash before the backup delete). One driver-side listing; every
+    * layout writer calls this on entry, so a crash degrades the
+    * layout for at most one maintenance cycle.
+    */
+  def repairPartitionSwaps(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val corpus = new Path(s"$path/corpus")
+    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(corpus)) return
+    fs.listStatus(corpus).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(".old_")) {
+        val target = new Path(corpus, name.stripPrefix(".old_"))
+        if (!fs.exists(target)) {
+          if (!fs.rename(st.getPath, target))
+            sys.error(s"repair rename ${st.getPath} -> $target failed")
+        } else fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** The pruned corpus scan a probe list induces — exposed separately

@@ -359,8 +359,8 @@ object Similarity {
         col("an"), col("bn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("vec_id"), col("cluster"), col("rank"),
-        col("neighbor_id"), col("cosine"))
+      .select(col("vec_id").as(idCol), col("cluster").as(clusterCol),
+        col("rank"), col("neighbor_id"), col("cosine"))
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup at scale = cluster

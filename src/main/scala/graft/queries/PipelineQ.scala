@@ -179,13 +179,18 @@ object PipelineQ {
       val docStream = spark.readStream.schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
-      // compactEvery=1: every trigger rewrites the append log to one
-      // min row per hash (bounded on-disk state), so the oracle also
-      // checks reads-through-compaction lose nothing
+      // THRESHOLD-policy compaction — the production log-structured
+      // policy (work proportional to accumulated garbage, one
+      // driver-side listing per trigger), not the compactEvery=1
+      // demonstrate-correctness setting that rewrote the FULL index
+      // every trigger (O(triggers × index) total — round-10's one
+      // bench regression). 4 triggers' worth of appends at 8 state
+      // partitions; StreamingSpec separately pins compactEvery=1
+      // read-equivalence mid-stream.
       val q = Dedup.firstOccurrenceStreamIndex(
         Dedup.paragraphTable(paraCorpus(docStream), "doc_id", "text"),
         indexDir = s"$work/index", checkpointDir = s"$work/ckpt",
-        compactEvery = 1)
+        compactWhenFilesOver = 32)
       q.awaitTermination()
       val parasBatch = Dedup.paragraphTable(
         paraCorpus(Tables.documents(spark, dir)), "doc_id", "text")
@@ -217,10 +222,11 @@ object PipelineQ {
       val docStream = spark.readStream.schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
+      // threshold policy, same rationale as q_stream_para_dedup
       val q = Dedup.firstOccurrenceStreamIndex(
         Dedup.spanTable(docStream, "doc_id", "text", k = 5),
         indexDir = s"$work/index", checkpointDir = s"$work/ckpt",
-        compactEvery = 1)
+        compactWhenFilesOver = 32)
       q.awaitTermination()
       val docs = Tables.documents(spark, dir)
       Dedup.removeSpans(docs,

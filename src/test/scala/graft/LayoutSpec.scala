@@ -304,4 +304,106 @@ class LayoutSpec extends AnyFunSuite {
       .orderBy("query_id", "rank").collect().toSeq
     assert(outI == outF && outI.nonEmpty)
   }
+
+  private def partitionFileCounts(root: String): Map[String, Int] = {
+    import org.apache.hadoop.fs.Path
+    val corpus = new Path(s"$root/corpus")
+    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(corpus).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("label="))
+      .map(s => s.getPath.getName ->
+        fs.listStatus(s.getPath).count(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet")))
+      .toMap
+  }
+
+  test("IVF partition compaction: bounded file counts, query identity, hidden staging") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("ann_compact").toString
+    graft.io.AnnLayout.writeIvf(emb.filter(col("vec_id") % 5 === 0), root)
+    // 4 un-compacted appends: every touched partition gains a file set
+    (1 to 4).foreach { r =>
+      graft.io.AnnLayout.appendIvf(emb.filter(col("vec_id") % 5 === r), root)
+    }
+    val before = partitionFileCounts(root)
+    assert(before.values.max > 1, s"appends should accumulate files: $before")
+    val queries = emb.filter(col("vec_id") < 10)
+    val preCompact = graft.io.AnnLayout
+      .knnIvf(spark, root, queries, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    // offline full compaction: every partition down to one file
+    val n = graft.io.AnnLayout.compactIvfPartitions(spark, root,
+      compactFiles = 1)
+    assert(n == before.count(_._2 > 1))
+    val after = partitionFileCounts(root)
+    assert(after.keySet == before.keySet)
+    assert(after.values.forall(_ == 1), s"expected 1 file/partition: $after")
+    // no hidden stage/backup litter survives
+    assert(!new java.io.File(s"$root/corpus").listFiles()
+      .exists(f => f.getName.startsWith(".stage_") ||
+        f.getName.startsWith(".old_")))
+    val postCompact = graft.io.AnnLayout
+      .knnIvf(spark, root, queries, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(postCompact == preCompact && postCompact.nonEmpty)
+  }
+
+  test("append with compactWhenFilesOver keeps every partition at a bounded file count") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("ann_thresh").toString
+    val full = Files.createTempDirectory("ann_thresh_full").toString
+    graft.io.AnnLayout.writeIvf(emb.filter(col("vec_id") % 8 === 0), root)
+    (1 to 7).foreach { r =>
+      graft.io.AnnLayout.appendIvf(emb.filter(col("vec_id") % 8 === r), root,
+        compactWhenFilesOver = 3, compactFiles = 1)
+    }
+    // invariant across N appends: post-append state never exceeds the
+    // threshold (over-threshold partitions were rewritten to 1 file)
+    val counts = partitionFileCounts(root)
+    assert(counts.values.forall(_ <= 3), s"threshold violated: $counts")
+    // and the maintained layout answers exactly like a from-scratch one
+    graft.io.AnnLayout.writeIvf(emb, full)
+    val queries = emb.filter(col("vec_id") < 10)
+    val outI = graft.io.AnnLayout.knnIvf(spark, root, queries, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val outF = graft.io.AnnLayout.knnIvf(spark, full, queries, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(outI == outF && outI.nonEmpty)
+  }
+
+  test("trained layout: threshold compaction leaves reps untouched; crashed partition swap is repaired") {
+    import org.apache.hadoop.fs.Path
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("ann_trained_compact").toString
+    graft.io.AnnLayout.trainIvf(emb.filter(col("vec_id") % 4 === 0), root,
+      k = 4, iters = 2)
+    val repsBefore = spark.read.parquet(s"$root/reps")
+      .orderBy("label").collect().toSeq
+    (1 to 3).foreach { r =>
+      graft.io.AnnLayout.appendTrained(
+        emb.filter(col("vec_id") % 4 === r), root,
+        compactWhenFilesOver = 2, compactFiles = 1)
+    }
+    assert(partitionFileCounts(root).values.forall(_ <= 2))
+    assert(spark.read.parquet(s"$root/reps").orderBy("label")
+      .collect().toSeq == repsBefore) // frozen codebook untouched
+    val queries = emb.filter(col("vec_id") < 10)
+    val healthy = graft.io.AnnLayout
+      .knnIvf(spark, root, queries, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    // simulate a crash between compactIvfPartitions' two swap renames:
+    // partition dir gone, hidden backup holding the data
+    val corpus = new Path(s"$root/corpus")
+    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(corpus)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("label="))
+      .head.getPath
+    assert(fs.rename(victim, new Path(corpus, s".old_${victim.getName}")))
+    graft.io.AnnLayout.repairPartitionSwaps(spark, root)
+    assert(fs.exists(victim))
+    val repaired = graft.io.AnnLayout
+      .knnIvf(spark, root, queries, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(repaired == healthy && repaired.nonEmpty)
+  }
 }

@@ -856,13 +856,18 @@ class StreamingSpec extends AnyFunSuite {
 
     val compacted = runStream(compactEvery = 2)
     val uncompacted = runStream(compactEvery = 0)
+    val everyTrigger = runStream(compactEvery = 1)
     val batchIndex = Dedup.firstParagraphOccurrence(
         Dedup.paragraphTable(docs.toDF("doc_id", "text"), "doc_id", "text"))
       .collect().map(r => (r.getString(0), r.getStruct(1).getLong(0),
         r.getStruct(1).getInt(1))).toSet
-    // both faces read to the exact batch-built index
+    // all three cadences read to the exact batch-built index —
+    // including compactEvery=1 (full rewrite EVERY trigger, the
+    // demonstrate-correctness setting the catalog faces moved off of)
     assert(indexSet(compacted) == batchIndex)
     assert(indexSet(uncompacted) == batchIndex)
+    assert(indexSet(everyTrigger) == batchIndex)
+    assert(parquetFiles(everyTrigger) == 1)
     // bounded growth: 8 triggers with cadence-2 compaction leave at
     // most compactFiles + (compactEvery - 1) triggers of appends on
     // disk; the uncompacted log keeps every trigger's file set
