@@ -390,12 +390,35 @@ object Multimodal {
     */
   def imageNearDupsIncremental(newHashes: DataFrame, corpusHashes: DataFrame,
       idCol: String = "media_id", hashCol: String = "ahash",
-      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    verdictsAgainstPostings(newHashes,
+      imageBandPostings(corpusHashes, idCol, hashCol, bands, maxHamming),
+      idCol, hashCol, bands, maxHamming)
+
+  /** The corpus side of the incremental/streaming Hamming dedup AS A
+    * TABLE: `(band, key, j, hb)` — one row per (corpus hash, band).
+    * This is the at-rest artifact a live intake pipeline keeps next
+    * to the corpus (band-bucket postings, the media analogue of the
+    * LSH posting tables in [[Dedup]]): build once per corpus epoch,
+    * persist or write out, and let every delta batch join against it
+    * instead of re-banding the corpus per trigger.
+    */
+  def imageBandPostings(corpusHashes: DataFrame,
+      idCol: String = "media_id", hashCol: String = "ahash",
+      bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    bandKeys(corpusHashes, idCol, hashCol, bands, maxHamming)
+      .select(col("band"), col("key"), col("_id").as("j"), col("_h").as("hb"))
+
+  /** New-batch verdicts against a prepared postings table — the
+    * shared kernel of [[imageNearDupsIncremental]] (batch) and
+    * [[imageNearDupsStream]] (per-trigger).
+    */
+  private def verdictsAgainstPostings(newHashes: DataFrame,
+      postings: DataFrame, idCol: String, hashCol: String,
+      bands: Int, maxHamming: Int): DataFrame = {
     val nw = bandKeys(newHashes, idCol, hashCol, bands, maxHamming)
       .select(col("band"), col("key"), col("_id").as("i"), col("_h").as("ha"))
-    val cp = bandKeys(corpusHashes, idCol, hashCol, bands, maxHamming)
-      .select(col("band"), col("key"), col("_id").as("j"), col("_h").as("hb"))
-    val matches = nw.join(cp, Seq("band", "key"))
+    val matches = nw.join(postings, Seq("band", "key"))
       .select("i", "ha", "j", "hb").distinct()
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
       .groupBy(col("i"))
@@ -405,6 +428,55 @@ object Multimodal {
       .select(col("i").as(idCol),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         (coalesce(col("n_matches"), lit(0L)) === 0L).as("keep"))
+  }
+
+  /** STREAMING face of [[imageNearDupsIncremental]] — the
+    * [[graft.ops.Dedup.streamAgainstHistory]] division of labor for
+    * media: a live stream of new image hashes is verdict-ed per
+    * micro-batch against the AT-REST corpus band postings
+    * ([[imageBandPostings]] — build once, persist; the static
+    * corpus-epoch contract, same as streamAgainstHistory's), and the
+    * per-trigger (id, n_matches, keep) rows APPEND to `outDir` — a
+    * foreachBatch log whose per-trigger emission is bounded by the
+    * batch's own row count, never corpus-sized (each verdict row is
+    * final on emission: it depends only on the batch row and the
+    * static postings, so no upsert/compaction is ever needed, unlike
+    * the first-occurrence index log). Candidate pairs per trigger are
+    * bounded by band-bucket occupancy — the postings join discipline,
+    * never |batch|·|corpus|. StreamingSpec pins trigger-cadence
+    * invariance (1-file vs all-at-once triggers, identical verdicts);
+    * q_stream_media_dedup oracle-checks the accumulated log against
+    * the batch incremental on the same split.
+    */
+  def imageNearDupsStream(newHashes: DataFrame, postings: DataFrame,
+      outDir: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      idCol: String = "media_id", hashCol: String = "ahash",
+      bands: Int = 4, maxHamming: Int = 3,
+      onBatch: (Long, Long) => Unit = null)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(newHashes.isStreaming,
+      "imageNearDupsStream expects a STREAMING newHashes side")
+    require(!postings.isStreaming,
+      "imageNearDupsStream requires BATCH corpus postings (static " +
+        "corpus-epoch contract; rebuild postings per epoch)")
+    newHashes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = verdictsAgainstPostings(batch, postings,
+          idCol, hashCol, bands, maxHamming)
+        if (onBatch == null) out.write.mode("append").parquet(outDir)
+        else {
+          val b = out.persist()
+          b.write.mode("append").parquet(outDir)
+          onBatch(batchId, b.count())
+          b.unpersist()
+          ()
+        }
+      }
+      .trigger(trigger)
+      .start()
   }
 
   /** Shared pigeonhole band keying for the Hamming dedup pair:

@@ -254,7 +254,16 @@ object MultimodalQ {
           idCol = "doc_id", hashCol = "ahash", bands = 4, maxHamming = 3)
         .orderBy("doc_id")
     },
-    Some("""WITH h0 AS (SELECT doc_id,
+    Some(MediaDedupIncrOracle)
+  )
+
+  /** Shared by q_media_dedup_incr and its streaming face: the stream
+    * accumulates EXACTLY the batch incremental's verdicts (each
+    * verdict row depends only on its own input row + the static
+    * postings), so one oracle serves both.
+    */
+  private def MediaDedupIncrOracle: String =
+    """WITH h0 AS (SELECT doc_id,
           CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS ahash
         FROM documents WHERE doc_id % 3 = 0),
       nw AS (SELECT doc_id + 100000 AS doc_id, xor(ahash, 3) AS ahash FROM h0
@@ -273,9 +282,59 @@ object MultimodalQ {
       SELECT nw.doc_id, coalesce(m.n_matches, 0) AS n_matches,
         coalesce(m.n_matches, 0) = 0 AS keep
       FROM nw LEFT JOIN m ON m.i = nw.doc_id
-      ORDER BY nw.doc_id""")
+      ORDER BY nw.doc_id"""
+
+  /** STREAMING media near-dup (see
+    * [[graft.ops.Multimodal.imageNearDupsStream]]): the live-intake
+    * face of q_media_dedup_incr — the corpus's Hamming band postings
+    * are built ONCE and persisted (the at-rest artifact), the new
+    * images arrive as a file stream, are hashed in-stream
+    * (mapPartitions codec — streaming-compatible), twinned into the
+    * same near/far perturbations, and verdict-ed per micro-batch
+    * with bounded per-trigger emission appended to a log. Oracle:
+    * identical to q_media_dedup_incr — what's checked is that the
+    * accumulated per-trigger log loses nothing vs the batch pass.
+    */
+  val qStreamMediaDedup = Q(
+    "q_stream_media_dedup",
+    (spark, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_media_dedup").toString
+      val docs = Tables.documents(spark, dir)
+        .withColumn("kind",
+          when(col("doc_id") % 3 === 0, "image").otherwise("other"))
+      val corpus = Multimodal
+        .imageHashes(Multimodal.asMedia(docs, "doc_id", "kind", "text"))
+        .toDF().select(col("media_id").as("doc_id"), col("ahash"))
+      val postings = Multimodal.imageBandPostings(corpus,
+        idCol = "doc_id", hashCol = "ahash", bands = 4, maxHamming = 3)
+        .persist()
+      val docStream = spark.readStream
+        .schema(Tables.documents(spark, dir).schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("kind",
+          when(col("doc_id") % 3 === 0, "image").otherwise("other"))
+      val hashStream = Multimodal
+        .imageHashes(Multimodal.asMedia(docStream, "doc_id", "kind", "text"))
+        .toDF().select(col("media_id").as("doc_id"), col("ahash"))
+      val newStream = hashStream.select(explode(array(
+          struct((col("doc_id") + 100000L).as("doc_id"),
+            col("ahash").bitwiseXOR(lit(3L)).as("ahash")),
+          struct((col("doc_id") + 200000L).as("doc_id"),
+            col("ahash").bitwiseXOR(lit(0x111111111L)).as("ahash"))))
+          .as("t"))
+        .select(col("t.doc_id"), col("t.ahash"))
+      val q = Multimodal.imageNearDupsStream(newStream, postings,
+        outDir = s"$work/out", checkpointDir = s"$work/ckpt",
+        idCol = "doc_id", hashCol = "ahash", bands = 4, maxHamming = 3)
+      q.awaitTermination()
+      postings.unpersist()
+      spark.read.parquet(s"$work/out").orderBy("doc_id")
+    },
+    Some(MediaDedupIncrOracle)
   )
 
   def all: Seq[Q] = Seq(qMultimodalMeta, qMultimodalFrames, qMultimodalResize,
-    qMultimodalAudio, qMediaPhash, qMediaDedup, qMediaDedupIncr)
+    qMultimodalAudio, qMediaPhash, qMediaDedup, qMediaDedupIncr,
+    qStreamMediaDedup)
 }

@@ -512,8 +512,127 @@ object PipelineQ {
       FROM documents ORDER BY doc_id""")
   )
 
+  // ---- trained quality classifier (see graft.ops.Classify) ----
+  // Hyperparameters shared by the Spark entries and the unrolled
+  // DuckDB oracle; 64 buckets / 3 GD rounds keep the oracle SQL
+  // bounded while exercising every piece of the recipe.
+  private val ClsB = 64
+  private val ClsIters = 3
+  private val Cls4S = 4L << 16
+  private val Cls8S = 8L << 16
+
+  /** Shared CTE prefix: tokens, hashed sparse features (the SAME
+    * md5-prefix integer hashedLinearScore uses, mod 64), stand-in
+    * gate labels (score_num > 0 — the q_quality_hashed heuristic
+    * providing supervision), doc count N, zero-initialized
+    * fixed-point weights. All-BIGINT from here on.
+    */
+  private def clsBaseSql: String =
+    s"""t AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      hv AS (SELECT doc_id, unnest(list_transform(ts, w ->
+          CAST('0x' || substring(md5('w|' || w), 1, 8) AS BIGINT))) AS h
+        FROM t),
+      feat AS (SELECT doc_id, h % $ClsB AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM hv GROUP BY 1, 2),
+      lab AS (SELECT doc_id, CASE WHEN coalesce(list_sum(list_transform(ts,
+            w -> CAST('0x' || substring(md5('w|' || w), 1, 8) AS BIGINT)
+              % 2001 - 1000)), 0) > 0
+          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y FROM t),
+      kk AS (SELECT 8 * COUNT(*) AS k FROM documents),
+      w0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+        FROM range($ClsB))"""
+
+  /** One unrolled gradient-descent round: exact integer margin per
+    * doc, hard-sigmoid residual numerator clamp(4S+z,0,8S) − 8S·y,
+    * exact long gradient sum per bucket, floorDiv(G, 8N) update —
+    * floorDiv spelled as (G − floorMod(G,k)) // k so DuckDB's
+    * truncating // sees an exact multiple (identical to Scala's
+    * Math.floorDiv by the division identity).
+    */
+  private def clsRoundSql(i: Int): String = {
+    val p = s"w${i - 1}"
+    s"""z$i AS (SELECT f.doc_id, SUM(f.c * w.w) AS z
+        FROM feat f JOIN $p w USING (b) GROUP BY 1),
+      r$i AS (SELECT l.doc_id,
+          GREATEST(CAST(0 AS BIGINT), LEAST(CAST($Cls8S AS BIGINT),
+            $Cls4S + COALESCE(z.z, 0))) - $Cls8S * l.y AS rn
+        FROM lab l LEFT JOIN z$i z USING (doc_id)),
+      g$i AS (SELECT f.b, SUM(r.rn * f.c) AS g
+        FROM feat f JOIN r$i r USING (doc_id) GROUP BY 1),
+      w$i AS (SELECT w.b, w.w - CAST((COALESCE(g.g, 0)
+            - (((COALESCE(g.g, 0) % kk.k) + kk.k) % kk.k)) // kk.k
+          AS BIGINT) AS w
+        FROM $p w LEFT JOIN g$i g USING (b) CROSS JOIN kk)"""
+  }
+
+  private def clsRoundsSql: String =
+    (1 to ClsIters).map(clsRoundSql).mkString(",\n      ")
+
+  private def clsLabel = (TextOps.hashedLinearScore(
+    TextOps.tokens(col("text"))) > 0)
+
+  /** IN-ENGINE TRAINING of the quality classifier (see
+    * [[graft.ops.Classify.trainHashedLogistic]]): 3 full-batch
+    * gradient-descent rounds of the integer fixed-point hard-sigmoid
+    * logistic model over 64 hashed buckets, supervised by the
+    * existing q_quality_hashed heuristic gate (rule→model
+    * distillation). Because every step is exact long arithmetic, the
+    * oracle replays the ENTIRE training run unrolled in DuckDB SQL —
+    * the k-means-oracle treatment applied to gradient descent — and
+    * the weight table hash-matches. TrainingSpec additionally pins
+    * the trainer against an independent plain-Scala implementation
+    * and checks the learned model beats the base rate at predicting
+    * its labels.
+    */
+  val qQualityTrain = Q(
+    "q_quality_train",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = graft.ops.Classify.trainHashedLogistic(
+        Tables.documents(spark, dir), "doc_id", "text", clsLabel,
+        buckets = ClsB, iters = ClsIters)
+      w.toIndexedSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }
+        .toDF("bucket", "w").orderBy("bucket")
+    },
+    Some(s"""WITH $clsBaseSql,
+      $clsRoundsSql
+      SELECT b AS bucket, w FROM w$ClsIters ORDER BY bucket""")
+  )
+
+  /** The trained weights FLOWING INTO the scoring gate
+    * ([[graft.ops.Classify.scoreHashedLogistic]]): train as in
+    * q_quality_train, then score every document with the learned
+    * model — exact integer margin, keep at the 0 threshold — next to
+    * the heuristic label it was distilled from. This is the serving
+    * join a 1000-executor cluster runs: B-row broadcast + one keyed
+    * agg per corpus pass.
+    */
+  val qQualityTrainScore = Q(
+    "q_quality_train_score",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val w = graft.ops.Classify.trainHashedLogistic(
+        docs, "doc_id", "text", clsLabel, buckets = ClsB, iters = ClsIters)
+      graft.ops.Classify.scoreHashedLogistic(docs, "doc_id", "text", w, ClsB)
+        .join(docs.select(col("doc_id"), clsLabel.cast("long").as("label")),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $clsBaseSql,
+      $clsRoundsSql,
+      zf AS (SELECT f.doc_id, SUM(f.c * w.w) AS z
+        FROM feat f JOIN w$ClsIters w USING (b) GROUP BY 1)
+      SELECT d.doc_id, COALESCE(zf.z, 0) AS z, COALESCE(zf.z, 0) > 0 AS keep,
+        l.y AS label
+      FROM documents d LEFT JOIN zf USING (doc_id) JOIN lab l USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
-      qSampleWeighted, qStreamSpanDedup, qStreamWeighted, qCurateE2e)
+      qSampleWeighted, qStreamSpanDedup, qStreamWeighted, qCurateE2e,
+      qQualityTrain, qQualityTrainScore)
 }

@@ -884,6 +884,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(parquetFiles(compacted) == 1)
   }
 
+  test("streaming media near-dup: cadence-invariant, equals batch incremental, bounded per-trigger emission") {
+    import graft.ops.Multimodal
+    // 4 corpus images; each spawns a near twin (Hamming 2 — drop) and
+    // a far twin (Hamming 9 across bands — keep) in the NEW stream
+    val corpusHashes = Seq(
+      (1L, 0x0123456789abcdL), (2L, 0x0fedcba9876543L),
+      (3L, 0x0aaaaaaaaaaaaaL), (4L, 0x0555555555555fL))
+    val newRows = corpusHashes.flatMap { case (id, h) =>
+      Seq((id + 100L, h ^ 3L), (id + 200L, h ^ 0x111111111L)) }
+    val corpusDf = corpusHashes.toDF("media_id", "ahash")
+    val docsDir = tmp("media_stream_docs")
+    newRows.zipWithIndex.foreach { case ((id, h), i) =>
+      val stage = tmp(s"media_stream_stage$i")
+      Seq((id, h)).toDF("media_id", "ahash").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        new java.io.File(docsDir, s"file$i.parquet").toPath)
+    }
+    val postings = Multimodal.imageBandPostings(corpusDf).persist()
+    def runStream(tag: String, maxFilesPerTrigger: Option[Int])
+        : (Seq[(Long, Long, Boolean)], Seq[Long]) = {
+      val work = tmp(s"media_stream_work$tag")
+      var reader = spark.readStream.schema("media_id LONG, ahash LONG")
+      maxFilesPerTrigger.foreach(n =>
+        reader = reader.option("maxFilesPerTrigger", n.toString))
+      val perTrigger = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = Multimodal.imageNearDupsStream(
+        reader.parquet(docsDir), postings,
+        outDir = s"$work/out", checkpointDir = s"$work/ckpt",
+        onBatch = (_, n) => { perTrigger += n; () })
+      q.awaitTermination()
+      val got = spark.read.parquet(s"$work/out")
+        .orderBy("media_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSeq
+      (got, perTrigger.toSeq)
+    }
+    val (oneByOne, triggers1) = runStream("single", Some(1))
+    val (allAtOnce, _) = runStream("all", None)
+    // cadence invariance: per-file triggers == one big trigger
+    assert(oneByOne == allAtOnce)
+    // and both equal the batch incremental on the same split
+    val batch = Multimodal.imageNearDupsIncremental(
+        newRows.toDF("media_id", "ahash"), corpusDf)
+      .orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq
+    assert(oneByOne == batch)
+    // verdicts: every near twin dropped, every far twin kept
+    assert(oneByOne.count { case (id, _, keep) => id < 200L && !keep } == 4)
+    assert(oneByOne.count { case (id, _, keep) => id >= 200L && keep } == 4)
+    // bounded emission: one verdict row per input row per trigger
+    assert(triggers1.size == newRows.size && triggers1.forall(_ == 1L))
+    postings.unpersist()
+    ()
+  }
+
   // the session's shuffle-partition setting caps one trigger's append
   // file count in the test above
   private def statePartitionsForTest: Int =

@@ -670,4 +670,84 @@ class TrainingSpec extends AnyFunSuite {
       docs.filter(lit(false)), col("doc_id"), col("source"), "tq", 3)
     assert(none.columns.contains("keep_rate") && none.count() == 0)
   }
+
+  // ---- independent plain-Scala replica of Classify's integer
+  // fixed-point hard-sigmoid trainer (no Spark, no SQL) ----
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def hval(tok: String): Long =
+    java.lang.Long.parseLong(md5hex("w|" + tok).substring(0, 8), 16)
+
+  private def plainTrain(docs: Seq[(Long, String)], buckets: Int,
+      iters: Int): Array[Long] = {
+    val s4 = 4L << 16
+    val s8 = 8L << 16
+    val toks = docs.map { case (_, t) =>
+      t.trim.split(" ", -1).toSeq.filter(_.nonEmpty) }
+    val labels = toks.map(ts =>
+      if (ts.map(t => hval(t) % 2001 - 1000).sum > 0) 1L else 0L)
+    val feats: Seq[Map[Long, Long]] = toks.map(ts =>
+      ts.groupBy(t => hval(t) % buckets).map { case (b, g) =>
+        b -> g.size.toLong })
+    val k = 8L * docs.size
+    var w = Array.fill(buckets)(0L)
+    for (_ <- 1 to iters) {
+      val grads = Array.fill(buckets)(0L)
+      feats.zip(labels).foreach { case (f, y) =>
+        val z = f.map { case (b, c) => c * w(b.toInt) }.sum
+        val rn = math.max(0L, math.min(s8, s4 + z)) - s8 * y
+        f.foreach { case (b, c) => grads(b.toInt) += rn * c }
+      }
+      w = w.zipWithIndex.map { case (wv, b) =>
+        wv - Math.floorDiv(grads(b), k) }
+    }
+    w
+  }
+
+  test("trainHashedLogistic == independent plain-Scala trainer; model beats base rate") {
+    // one dominant token per doc (repeated), plus noise tokens — the
+    // learnable structure: a bucket's weight should converge to the
+    // majority stand-in-score sign of the tokens hashing into it
+    val docs = (0 until 80).map { i =>
+      val main = s"tok$i " * (5 + i % 7)
+      val noise = s"x${i % 11} y${i % 13}"
+      (i.toLong, main + noise)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val label = TextOps.hashedLinearScore(TextOps.tokens(col("text"))) > 0
+    val got = graft.ops.Classify.trainHashedLogistic(
+      df, "doc_id", "text", label, buckets = 64, iters = 3)
+    val want = plainTrain(docs, buckets = 64, iters = 3)
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists(_ != 0L), "training moved no weight at all")
+    // the learned model predicts its own supervision labels better
+    // than the always-majority baseline
+    val scored = graft.ops.Classify.scoreHashedLogistic(
+        df, "doc_id", "text", got, 64)
+      .join(df.select(col("doc_id"), label.as("y")), Seq("doc_id"))
+      .select((col("keep") === col("y")).cast("int").as("hit"),
+        col("y").cast("int").as("yi"))
+      .collect()
+    val acc = scored.map(_.getInt(0)).sum.toDouble / scored.length
+    val pos = scored.map(_.getInt(1)).sum.toDouble / scored.length
+    val baseRate = math.max(pos, 1 - pos)
+    assert(acc > baseRate && acc >= 0.7,
+      s"no learning: accuracy $acc vs base rate $baseRate")
+  }
+
+  test("trainHashedLogistic: token-less docs count in N but move no gradient") {
+    val withEmpty = Seq((1L, "aa aa aa"), (2L, "   "), (3L, "bb bb")).toDF("doc_id", "text")
+    val label = TextOps.hashedLinearScore(TextOps.tokens(col("text"))) > 0
+    val w = graft.ops.Classify.trainHashedLogistic(
+      withEmpty, "doc_id", "text", label, buckets = 8, iters = 2)
+    val want = plainTrain(
+      Seq((1L, "aa aa aa"), (2L, "   "), (3L, "bb bb")), 8, 2)
+    assert(w.toSeq == want.toSeq)
+    // scoring the empty doc yields margin 0, keep = false
+    val empty = graft.ops.Classify.scoreHashedLogistic(
+        withEmpty, "doc_id", "text", w, 8)
+      .filter(col("doc_id") === 2L).head()
+    assert(empty.getLong(1) == 0L && !empty.getBoolean(2))
+  }
 }
