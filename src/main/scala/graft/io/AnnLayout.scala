@@ -436,6 +436,20 @@ object AnnLayout {
     * invariance, label agreement with assignNearest, and
     * query-identity against a hand-built reference on the unioned
     * corpus.
+    *
+    * RETRAIN POLICY (measured — PERF.md round-11 "frozen-codebook
+    * drift"): recall is ROBUST to pure distribution shift, because
+    * queries and corpus are binned by the SAME frozen codebook —
+    * assignment consistency, not fit, is what IVF recall needs
+    * (recall@10 held ≥ 0.94 at nprobe=4 / 1.0 at nprobe=16 while the
+    * batch assignment cosine collapsed 0.98 → 0.41). What drift
+    * costs is CROWDING: drifted batches pile into few cells,
+    * inflating probed-partition scan bytes and, later, low-nprobe
+    * recall. Gate retrains on the free per-batch aggregates of the
+    * assignNearest pass this append already runs: WARN at assign-
+    * cosine p50 < 0.7 (early, recall still intact), RETRAIN (a new
+    * [[trainIvf]] build) when the batch's top-cell share exceeds
+    * ~3× 1/k — the measured knee where crowding materializes.
     */
   def appendTrained(newVecs: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
