@@ -1262,6 +1262,66 @@ object Probe {
         s""""retrained_recall_nprobe16":$retrained16}""")
     }
 
+    if (enabled("knn_graph_recall")) {
+      // Edge recall of the cluster-bucketed kNN graph vs brute-force
+      // truth, single- vs multi-probe: a single-probe graph cannot
+      // see a true neighbor whose cluster differs from the vector's
+      // own. On planted clusters matched by the trained codebook that
+      // blind spot never fires (measured 1.0 at probe 1 — cells ==
+      // natural clusters, no boundary pairs); the HONEST hard regime
+      // is structureless data, where k-means cells are arbitrary
+      // partitions of a continuum and true neighborhoods straddle
+      // every boundary. Corpus: hash-uniform vectors, no planted
+      // structure. Measured: does probing the second-nearest cell
+      // close the gap?
+      val dims = 32
+      val nClusters = 64
+      val k = 5
+      val nVec = 50000L
+      def corpusOf(planted: Boolean): DataFrame =
+        spark.range(nVec).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(dims)), i => {
+            val u = (pmod(hash(col("id") * dims + i), lit(2000000))
+              / 1000000.0) - 1.0
+            (if (!planted) u
+             else (pmod(hash(pmod(col("id"), lit(nClusters)) * dims + i),
+               lit(1000)) / 500.0) - 1.0 + u * 0.6)
+              .cast("float")
+          }).as("embedding"))
+          .localCheckpoint()
+      def regime(planted: Boolean): (Double, Double, Double) = {
+        val vecs = corpusOf(planted)
+        val cents = graft.ops.Similarity.kmeans(vecs, nClusters, iters = 2)
+          .localCheckpoint()
+        val sample = vecs.filter(col("vec_id") % lit(nVec / 200) === 0)
+        val truth = graft.ops.Similarity.knnBruteForce(sample, vecs, k)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        def edgeRecall(probes: Int): Double = {
+          val got = graft.ops.Similarity
+            .knnGraphMultiProbe(vecs, cents, k, probes)
+            .join(sample.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .select(col("vec_id"), col("neighbor_id")).collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+          truth.map { case (q, t) =>
+            got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0)
+          }.sum / truth.size
+        }
+        (edgeRecall(1), edgeRecall(2), edgeRecall(4))
+      }
+      val (p1, p2, p4) = regime(planted = true)
+      val (u1, u2, u4) = regime(planted = false)
+      println(s"""{"probe":"knn_graph_recall","vectors":$nVec,"k":$k,""" +
+        s""""clusters":$nClusters,""" +
+        s""""planted_edge_recall_probe1":$p1,""" +
+        s""""planted_edge_recall_probe2":$p2,""" +
+        s""""planted_edge_recall_probe4":$p4,""" +
+        s""""uniform_edge_recall_probe1":$u1,""" +
+        s""""uniform_edge_recall_probe2":$u2,""" +
+        s""""uniform_edge_recall_probe4":$u4}""")
+    }
+
     if (enabled("para_skew")) {
       // dedupParagraphs under the worst realistic skew: boilerplate
       // (header/license/navigation) shared by EVERY document, so one

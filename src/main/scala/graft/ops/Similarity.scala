@@ -363,6 +363,88 @@ object Similarity {
         col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Top-`probes` cluster assignment — [[assignNearest]] widened to
+    * keep the `probes` best centroids per vector (same total order:
+    * cosine DESC, cluster ASC; probe_rank 1 row == assignNearest).
+    * The multi-probe primitive: IVF probing, multi-probe graph
+    * construction, and soft-assignment diagnostics all read from it.
+    * Same broadcast-crossJoin shape as assignNearest — the widening
+    * is a window over the already-materialized per-(vector, centroid)
+    * cosines, no extra corpus pass.
+    */
+  def assignNearestMulti(vectors: DataFrame, centroidTable: DataFrame,
+      probes: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "cluster", centVecCol: String = "cv"): DataFrame = {
+    val c = centroidTable.select(col(clusterCol).as("cluster"),
+      asDouble(col(centVecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+    val v = vectors.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", norm2(col("v")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("cluster"))
+    v.crossJoin(broadcast(c))
+      .withColumn("cosine", cosinePre(dot(col("v"), col("cv")), col("vn"), col("cn")))
+      .withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= probes)
+      .select(col("vec_id"), col("cluster"), col("probe_rank"), col("cosine"))
+  }
+
+  /** MULTI-PROBE k-NN graph — [[knnGraph]] with the cross-cluster
+    * blind spot closed: single-probe graphs cannot see a true
+    * neighbor whose cluster differs from the vector's own (a pair
+    * straddling a cluster boundary), which costs edge recall exactly
+    * in the overlapping-cluster regime where embedding corpora live.
+    * Here each vector PROBES its `probes` nearest clusters and takes
+    * candidates from vectors PRIMARY-assigned there — the IVF query
+    * discipline applied to graph construction. Measured (PERF.md
+    * round-11 knn_graph_recall): on planted clusters matched by the
+    * trained codebook, probe 1 already reads edge recall 1.0 (no
+    * boundary pairs — multi-probe buys nothing); on STRUCTURELESS
+    * data, where every neighborhood straddles cell boundaries, edge
+    * recall climbs 0.22 → 0.33 → 0.49 at probes 1/2/4 — each probe
+    * level trades candidate volume (`probes`× the single-probe join)
+    * for boundary edges no single-probe graph can see.
+    *
+    * Scale shape: candidate pairs are Σ_c |probers(c)|·|members(c)| —
+    * `probes`× the single-probe join, still never |corpus|²; the pair
+    * dedup is on the (vec_id, neighbor_id) key alone (duplicate
+    * candidates carry identical vectors), and the top-k window runs
+    * once over the deduped candidates. probes=1 reproduces
+    * [[knnGraph]] exactly (SimilaritySpec pins it). Output schema ==
+    * knnGraph's, cluster = the PRIMARY assignment.
+    */
+  def knnGraphMultiProbe(vectors: DataFrame, centroidTable: DataFrame,
+      k: Int, probes: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", clusterCol: String = "cluster",
+      centVecCol: String = "cv"): DataFrame = {
+    val multi = assignNearestMulti(vectors, centroidTable, probes,
+      idCol, vecCol, clusterCol, centVecCol)
+    val data = vectors.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm2(col("v")))
+    val primary = multi.filter(col("probe_rank") === 1)
+      .select(col("vec_id"), col("cluster"))
+    val a = multi.select(col("vec_id"), col("cluster"))
+      .join(data, Seq("vec_id"))
+      .select(col("cluster"), col("vec_id"), col("v").as("av"),
+        col("n").as("an"))
+    val b = primary.join(data, Seq("vec_id"))
+      .select(col("cluster"), col("vec_id").as("neighbor_id"),
+        col("v").as("bv"), col("n").as("bn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .dropDuplicates("vec_id", "neighbor_id")
+      .withColumn("cosine", cosinePre(dot(col("av"), col("bv")),
+        col("an"), col("bn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(primary.withColumnRenamed("cluster", "_pc"), Seq("vec_id"))
+      .select(col("vec_id").as(idCol), col("_pc").as(clusterCol),
+        col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup at scale = cluster
     * first, compare ONLY within a cluster. Assignment via
     * [[assignNearest]]; then an equality self-join on the cluster id

@@ -1193,6 +1193,52 @@ object TrainingQ {
       WHERE rank <= 3 ORDER BY vec_id, rank""")
   )
 
+  /** MULTI-PROBE kNN graph (see
+    * [[graft.ops.Similarity.knnGraphMultiProbe]], probes = 2): each
+    * vector's candidates come from its TWO nearest clusters'
+    * primary members — the IVF probe discipline applied to graph
+    * construction, closing the cross-cluster blind spot measured in
+    * PERF.md round-11 (edge recall 0.22 → 0.33 at probe 2 on
+    * structureless data; planted regimes need no probes). The oracle
+    * replays the widened assignment (rn ≤ 2), the probe-side ×
+    * primary-side cluster join, the pair dedup, and the top-k
+    * window.
+    */
+  val qKnnGraphMp = Q(
+    "q_knn_graph_mp",
+    (spark, dir) =>
+      Similarity.knnGraphMultiProbe(Tables.embeddings(spark, dir),
+          seedCentroids(spark, dir), k = 3, probes = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("vec_id", "rank"),
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $KmeansSeeds),
+      s AS (SELECT vec_id, cluster,
+          ${sqlDot("v", "cv")} / sqrt(${sqlDot("v", "v")} * ${sqlDot("cv", "cv")}) AS cosine
+        FROM e CROSS JOIN c),
+      r AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM s),
+      pr AS (SELECT vec_id, cluster FROM r WHERE rn <= 2),
+      a1 AS (SELECT vec_id, cluster FROM r WHERE rn = 1),
+      av AS (SELECT a.vec_id, a.cluster, e.v FROM a1 a JOIN e USING (vec_id)),
+      pv AS (SELECT p.vec_id, p.cluster, e.v FROM pr p JOIN e USING (vec_id)),
+      cand AS (SELECT DISTINCT x.vec_id, y.vec_id AS neighbor_id,
+          x.v AS xv, y.v AS yv
+        FROM pv x JOIN av y
+        ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
+      p AS (SELECT vec_id, neighbor_id,
+          ${sqlDot("xv", "yv")} / sqrt(${sqlDot("xv", "xv")} * ${sqlDot("yv", "yv")}) AS cosine
+        FROM cand),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM p)
+      SELECT rk.vec_id, a1.cluster, rk.rank, rk.neighbor_id, rk.cosine
+      FROM rk JOIN a1 USING (vec_id)
+      WHERE rk.rank <= 3 ORDER BY rk.vec_id, rk.rank""")
+  )
+
   /** Incremental SemDeDup (see
     * [[graft.ops.Similarity.semDedupIncremental]]): vec_id % 5 == 0 is
     * the arriving batch, the rest the at-rest corpus, seeds the shared
@@ -2087,5 +2133,5 @@ object TrainingQ {
     qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr,
     qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs,
     qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot, qBpeTrainBatched,
-    qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph)
+    qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp)
 }

@@ -671,6 +671,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(none.columns.contains("keep_rate") && none.count() == 0)
   }
 
+  test("knnGraphMultiProbe: probes=1 == knnGraph; more probes never rank worse edges") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getDouble(4)))
+        .toSeq
+    val single = edges(Similarity.knnGraph(emb, cents, k = 3))
+    val mp1 = edges(Similarity.knnGraphMultiProbe(emb, cents, k = 3, probes = 1))
+    assert(mp1 == single && mp1.nonEmpty)
+    // probes=2 candidates are a superset: at every (vector, rank) the
+    // selected edge's cosine can only improve
+    val mp2 = Similarity.knnGraphMultiProbe(emb, cents, k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(4)).toMap
+    val worse = single.filter { case (v, rank, _, cos) =>
+      mp2.get((v, rank)).exists(_ < cos) }
+    assert(worse.isEmpty, s"multi-probe lost edges: $worse")
+  }
+
   // ---- independent plain-Scala replica of Classify's integer
   // fixed-point hard-sigmoid trainer (no Spark, no SQL) ----
   private def md5hex(s: String): String =
