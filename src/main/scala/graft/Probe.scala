@@ -1322,6 +1322,39 @@ object Probe {
         s""""uniform_edge_recall_probe4":$u4}""")
     }
 
+    if (enabled("unigram")) {
+      // Unigram.train's scale claim measured, the bpe probe's shape:
+      // the corpus is touched once (the word-frequency agg); every EM
+      // round then runs on the distinct-word table, whose size is
+      // FIXED (10k words) regardless of corpus size — 1M → 4M docs
+      // should scale the word-agg term ~4× and leave the per-round
+      // term flat. 20-word docs drawn hash-deterministically from the
+      // shared vocab.
+      for (n <- Seq(1000000L, 4000000L)) {
+        val words = (0 until 20).map(i =>
+          concat(lit("w"), pmod(hash(col("id") * 20 + i), lit(10000L))))
+        val docs = spark.range(n)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", words: _*).as("text"))
+        def wordAgg(): Long =
+          graft.ops.Unigram.wordTable(docs, "text").count()
+        wordAgg() // warm codegen/scan
+        val tA0 = System.nanoTime()
+        wordAgg()
+        val tAgg = (System.nanoTime() - tA0) / 1e9
+        val iters = 3
+        val tT0 = System.nanoTime()
+        val model = graft.ops.Unigram.train(docs, "text",
+          vocabSize = 8000, iters = iters, maxPieceLen = 5)
+        val tTrain = (System.nanoTime() - tT0) / 1e9
+        println(s"""{"probe":"unigram","docs":$n,"vocab_words":10000,""" +
+          s""""target_pieces":8000,"iters":$iters,""" +
+          s""""word_agg_sec":$tAgg,"train_sec":$tTrain,""" +
+          s""""em_iter_sec":${(tTrain - tAgg) / iters},""" +
+          s""""model_pieces":${model.size}}""")
+      }
+    }
+
     if (enabled("para_skew")) {
       // dedupParagraphs under the worst realistic skew: boilerplate
       // (header/license/navigation) shared by EVERY document, so one

@@ -1415,6 +1415,55 @@ object TrainingQ {
     None
   )
 
+  /** Unigram-LM (SentencePiece-style) tokenizer training (see
+    * [[graft.ops.Unigram.train]]): seed from frequency-weighted
+    * substrings, Viterbi hard-EM over the distinct-word table (the
+    * per-word DP is pure Catalyst higher-order functions — one
+    * codegen projection per round), gradual prune to the target
+    * vocab. Rows-only like its BPE siblings: the per-round log-probs
+    * are driver-computed ln() literals, deterministic within-engine
+    * but not cross-engine replayable; TrainingSpec pins the ENTIRE
+    * training run against an independent plain-Scala Viterbi-EM
+    * implementation instead.
+    */
+  val qUnigramTrain = Q(
+    "q_unigram_train",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.ops.Unigram.train(Tables.documents(spark, dir), "text",
+          vocabSize = 120, iters = 3, maxPieceLen = 5)
+        .toDF("piece", "cnt", "logp")
+        .orderBy(col("cnt").desc, col("piece"))
+    },
+    None
+  )
+
+  /** Corpus-scale ENCODE with the model [[qUnigramTrain]] learns
+    * ([[graft.ops.Unigram.encode]]): the trained (piece, logp) table
+    * travels as a plan literal and every document segments in one
+    * map-side projection — per-doc subword stats plus the first
+    * word's segmentation. Rows-only for the same reason as the
+    * trainer; TrainingSpec pins encode's Viterbi against hand-scored
+    * segmentations.
+    */
+  val qUnigramEncode = Q(
+    "q_unigram_encode",
+    (spark, dir) => {
+      val model = graft.ops.Unigram.train(Tables.documents(spark, dir),
+        "text", vocabSize = 120, iters = 3, maxPieceLen = 5)
+      graft.ops.Unigram.encodeDocs(Tables.documents(spark, dir),
+          "doc_id", "text", model.map(t => (t._1, t._3)), maxPieceLen = 5)
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_words"),
+          aggregate(col("pieces"), lit(0L), (a, w) => a + size(w))
+            .as("n_pieces"),
+          array_join(element_at(col("pieces"), 1), "|")
+            .as("first_word_pieces"))
+        .orderBy("doc_id")
+    },
+    None
+  )
+
   /** Corpus-scale ENCODE with the merges [[qBpeTrain]] learns
     * ([[graft.ops.TextOps.bpeEncode]]): the 10-merge list compiles
     * into one nested map-side expression — train on the vocab once,
@@ -2133,5 +2182,6 @@ object TrainingQ {
     qMixTemperatureT, qDedupRep, qDedupPpjoin, qDedupEditdist, qSemDedupIncr,
     qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs,
     qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot, qBpeTrainBatched,
-    qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp)
+    qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp,
+    qUnigramTrain, qUnigramEncode)
 }

@@ -691,6 +691,117 @@ class TrainingSpec extends AnyFunSuite {
     assert(worse.isEmpty, s"multi-probe lost edges: $worse")
   }
 
+  // ---- independent plain-Scala replica of Unigram's Viterbi-EM
+  // trainer (no Spark; same seed/tie-break/prune/smoothing recipe) ----
+  private def plainUnigramTrain(docs: Seq[String], vocabSize: Int,
+      iters: Int, maxPieceLen: Int,
+      seedMultiplier: Int = 4): Seq[(String, Long, Double)] = {
+    val Neg = -1.0e18
+    val words: Map[String, Long] = docs
+      .flatMap(_.trim.split(" ", -1).filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val subCounts = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    words.foreach { case (w, wf) =>
+      for (i <- 0 until w.length;
+           j <- (i + 1) to math.min(w.length, i + maxPieceLen))
+        subCounts(w.substring(i, j)) += wf
+    }
+    val (charSeeds, multiSeeds) = subCounts.toSeq.partition(_._1.length == 1)
+    val nTarget = math.max(0, vocabSize - charSeeds.length)
+    val topMulti = multiSeeds.sortBy { case (p, c) => (-c, p) }
+      .take(nTarget * seedMultiplier)
+    var counts: Map[String, Long] = (charSeeds ++ topMulti).toMap
+    def logProbs(m: Map[String, Long]): Map[String, Double] = {
+      val adj = m.map { case (p, c) =>
+        p -> (if (p.length == 1) c + 1L else c) }
+      val total = adj.values.sum.toDouble
+      adj.map { case (p, c) => p -> Math.log(c / total) }
+    }
+    def viterbi(w: String, lp: Map[String, Double]): List[String] = {
+      val n = w.length
+      val best = Array.fill(n + 1)(Neg)
+      val back = Array.fill(n + 1)(-1)
+      best(0) = 0.0
+      for (i <- 1 to n; j <- math.max(0, i - maxPieceLen) until i) {
+        val cand = best(j) + lp.getOrElse(w.substring(j, i), Neg)
+        if (cand > best(i)) { best(i) = cand; back(i) = j }
+      }
+      var p = n
+      val ps = scala.collection.mutable.ListBuffer[String]()
+      while (p > 0) { val b = back(p); w.substring(b, p) +=: ps; p = b }
+      ps.toList
+    }
+    for (round <- 1 to iters) {
+      val lp = logProbs(counts)
+      val seg = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      words.foreach { case (w, wf) =>
+        viterbi(w, lp).foreach(p => seg(p) += wf) }
+      val chars = counts.keySet.filter(_.length == 1).map(p => p -> seg(p))
+      val multisNow = counts.keySet.filter(_.length > 1)
+        .map(p => p -> seg(p)).filter(_._2 > 0L).toSeq
+      val keep = math.max(nTarget,
+        if (round == iters) nTarget else (multisNow.size * 6) / 10)
+      counts = (chars ++
+        multisNow.sortBy { case (p, c) => (-c, p) }.take(keep)).toMap
+    }
+    val lp = logProbs(counts)
+    counts.toSeq.map { case (p, c) => (p, c, lp(p)) }
+      .sortBy { case (p, c, _) => (-c, p) }
+  }
+
+  test("unigram encode: Viterbi picks the higher-probability segmentation") {
+    import graft.ops.Unigram
+    val model = Seq(
+      "ab" -> Math.log(0.4), "a" -> Math.log(0.2),
+      "b" -> Math.log(0.2), "c" -> Math.log(0.2))
+    val out = Seq("abc ab cab").toDF("text")
+      .select(Unigram.encode(col("text"), model, maxPieceLen = 2).as("e"))
+      .head().getSeq[Seq[String]](0)
+    // "abc": ab+c (log .4 + log .2) beats a+b+c; "cab": c+ab likewise
+    assert(out == Seq(Seq("ab", "c"), Seq("ab"), Seq("c", "ab")))
+  }
+
+  test("unigram train == independent plain-Scala Viterbi-EM; stems learned; encode compresses") {
+    import graft.ops.Unigram
+    val docs =
+      Seq.fill(6)("interest internal international internet") ++
+      Seq.fill(4)("station nation nationalism rational") ++
+      Seq.fill(3)("the cat sat on the mat") ++
+      Seq("zq")
+    val df = docs.toDF("text")
+    val got = Unigram.train(df, "text", vocabSize = 40, iters = 3,
+      maxPieceLen = 5)
+    val want = plainUnigramTrain(docs, vocabSize = 40, iters = 3,
+      maxPieceLen = 5)
+    assert(got == want)
+    val pieces = got.map(_._1).toSet
+    // every single char survives; a shared stem earned a slot
+    assert("interna".forall(c => pieces.contains(c.toString)))
+    assert(pieces.exists(p => p.length >= 3 && "international".contains(p)),
+      s"no stem learned: $pieces")
+    // the trained model compresses: fewer pieces than chars
+    val enc = df.select(
+        Unigram.encode(col("text"), got.map(t => (t._1, t._3)), 5).as("e"))
+      .select(explode(col("e")).as("w"))
+      .select(size(col("w")).as("np"),
+        length(concat_ws("", col("w"))).as("nc"))
+      .agg(sum("np"), sum("nc")).head()
+    assert(enc.getLong(0) < enc.getLong(1),
+      s"no compression: ${enc.getLong(0)} pieces vs ${enc.getLong(1)} chars")
+    // corpus-scale face == column face, order preserved
+    val ided = df.withColumn("doc_id", monotonically_increasing_id())
+    val viaDocs = Unigram.encodeDocs(ided, "doc_id", "text",
+        got.map(t => (t._1, t._3)), 5)
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[Seq[String]](1)).toSeq
+    val viaCol = ided.orderBy("doc_id")
+      .select(Unigram.encode(col("text"), got.map(t => (t._1, t._3)), 5))
+      .collect().map(_.getSeq[Seq[String]](0)).toSeq
+    assert(viaDocs == viaCol)
+  }
+
   // ---- independent plain-Scala replica of Classify's integer
   // fixed-point hard-sigmoid trainer (no Spark, no SQL) ----
   private def md5hex(s: String): String =
