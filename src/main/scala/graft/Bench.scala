@@ -123,11 +123,14 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"spread":$iqr,"spread_kind":"$spreadKind","rows":$rows,"sf":"$sfDir","reps":$reps,$env}"""
     println(line)
     // persist the record in-repo: round artifacts should not depend on
-    // the driver's stdout tail capture (observed truncated mid-JSON)
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-        (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // the driver's stdout tail capture (observed truncated mid-JSON).
+    // A FILTERED run must not clobber the full-record artifact — the
+    // same guard Verify applies to verify_out.json.
+    if (only.isEmpty)
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
     spark.stop()
     // Hard gate (round-7 postmortem: rc=0 with 55 queries timed -1 let
     // a broken run wear the closing-bench label). The JSON line and

@@ -406,12 +406,14 @@ object Similarity {
     * for boundary edges no single-probe graph can see.
     *
     * Scale shape: candidate pairs are Σ_c |probers(c)|·|members(c)| —
-    * `probes`× the single-probe join, still never |corpus|²; the pair
-    * dedup is on the (vec_id, neighbor_id) key alone (duplicate
-    * candidates carry identical vectors), and the top-k window runs
-    * once over the deduped candidates. probes=1 reproduces
-    * [[knnGraph]] exactly (SimilaritySpec pins it). Output schema ==
-    * knnGraph's, cluster = the PRIMARY assignment.
+    * `probes`× the single-probe join, still never |corpus|² — and
+    * need NO dedup pass: a pair (v, u) can arise only once, because
+    * u has exactly ONE primary cluster and v's probed clusters are
+    * distinct (a dropDuplicates here measured 3× the whole query —
+    * it shuffled every candidate WITH its vector payloads for
+    * duplicates that cannot exist). probes=1 reproduces [[knnGraph]]
+    * exactly (TrainingSpec pins it). Output schema == knnGraph's,
+    * cluster = the PRIMARY assignment.
     */
   def knnGraphMultiProbe(vectors: DataFrame, centroidTable: DataFrame,
       k: Int, probes: Int, idCol: String = "vec_id",
@@ -435,7 +437,6 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     a.join(b, Seq("cluster"))
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .dropDuplicates("vec_id", "neighbor_id")
       .withColumn("cosine", cosinePre(dot(col("av"), col("bv")),
         col("an"), col("bn")))
       .withColumn("rank", row_number().over(w))

@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_kmeans_assign", "q_semdedup", // k-row centroid table × corpus
       "q_semdedup_incr", // same centroid cross, once per side (new + corpus)
       "q_knn_graph", // k-row centroid table × corpus (assignment), then bucketed pairs
+      "q_knn_graph_mp", // same centroid cross, widened to top-p probes per vector
       "q_source_overlap_kmv", // S-row KMV sketch table × itself (S = #sources)
       "q_mix_temperature", // 1-row global-min × S-row count table
       "q_quantile_dd", // 3-quantile row set × bucket-table-sized cumsum (the sketch)

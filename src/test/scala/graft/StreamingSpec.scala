@@ -884,6 +884,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(parquetFiles(compacted) == 1)
   }
 
+  test("streaming index append repairs a crashed compaction swap before recreating the log") {
+    import graft.ops.Dedup
+    val docs1 = Seq((1L, "A\nB"), (2L, "A"), (3L, "B\nC"), (4L, "C"))
+    val docs2 = Seq((5L, "A\nD"), (6L, "D\nB"), (7L, "E"), (8L, "E\nA"))
+    val docsDir = tmp("crashidx_docs")
+    def addFiles(docs: Seq[(Long, String)], off: Int): Unit =
+      docs.zipWithIndex.foreach { case ((id, text), i) =>
+        val stage = tmp(s"crashidx_stage${off + i}")
+        Seq((id, text)).toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath,
+          new java.io.File(docsDir, s"file${off + i}.parquet").toPath)
+      }
+    val work = tmp("crashidx_work")
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(docsDir)
+      Dedup.firstOccurrenceStreamIndex(
+        Dedup.paragraphTable(stream, "doc_id", "text"),
+        indexDir = s"$work/index", checkpointDir = s"$work/ckpt")
+        .awaitTermination()
+    }
+    addFiles(docs1, 0)
+    drain()
+    Dedup.compactFirstOccurrenceIndex(spark, s"$work/index", numFiles = 1)
+    // simulate a crash BETWEEN compaction's two swap renames while the
+    // stream is down: target gone, backup holding the whole index
+    val idx = new org.apache.hadoop.fs.Path(s"$work/index")
+    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(idx, new org.apache.hadoop.fs.Path(s"$work/index.old")))
+    // restart with more files: the append path must RESTORE the backup
+    // before recreating the directory — append-first would strand the
+    // backed-up index and silently truncate it to the new batch
+    addFiles(docs2, 4)
+    drain()
+    val got = Dedup.readFirstOccurrenceIndex(spark, s"$work/index")
+      .collect().map(r => (r.getString(0), r.getStruct(1).getLong(0),
+        r.getStruct(1).getInt(1))).toSet
+    val want = Dedup.firstParagraphOccurrence(
+        Dedup.paragraphTable((docs1 ++ docs2).toDF("doc_id", "text"),
+          "doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getStruct(1).getLong(0),
+        r.getStruct(1).getInt(1))).toSet
+    assert(got == want)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$work/index.old")))
+  }
+
   test("streaming media near-dup: cadence-invariant, equals batch incremental, bounded per-trigger emission") {
     import graft.ops.Multimodal
     // 4 corpus images; each spawns a near twin (Hamming 2 — drop) and
