@@ -450,6 +450,8 @@ object AnnLayout {
     * cosine p50 < 0.7 (early, recall still intact), RETRAIN (a new
     * [[trainIvf]] build) when the batch's top-cell share exceeds
     * ~3× 1/k — the measured knee where crowding materializes.
+    * [[appendTrainedWithStats]] computes and returns exactly these
+    * statistics from the append's own assignment pass.
     */
   def appendTrained(newVecs: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -476,6 +478,78 @@ object AnnLayout {
         compactFiles, compactWhenFilesOver,
         maxRecordsPerFile = maxRecordsPerFile)
     ()
+  }
+
+  /** Per-batch drift statistics from the assignment pass an append
+    * already runs — the free gate inputs of the measured retrain
+    * policy (PERF.md round-11: WARN at `assignCosP50 < 0.7`, RETRAIN
+    * at `topCellShare > ~3/k`). Quantiles carry the dd2 sketch's
+    * ≤0.5/d2 relative error on the +2-shifted cosine (≈ ±0.015
+    * absolute on [-1, 1] — far inside the 0.7-threshold margin);
+    * occupancy numbers are exact.
+    */
+  final case class AppendStats(n: Long, assignCosP50: Double,
+      assignCosP05: Double, topCellShare: Double, cellsUsed: Long)
+
+  /** [[appendTrained]] that also RETURNS the drift statistics the
+    * retrain policy gates on, computed from the SAME assignNearest
+    * pass the append needs anyway (the batch's assignment is
+    * persisted across the two uses, so the corpus-shaped work runs
+    * once):
+    *  - assignment-cosine p05/p50 via the dd2 sketch on the
+    *    +2-shifted cosine (cosine spans [-1, 1]; dd2 is
+    *    positive-domain; the shift is undone on the estimate) —
+    *    bounded state, engine-deterministic, no driver-side value
+    *    collection;
+    *  - top-cell share and cells-used from one codebook-sized
+    *    occupancy aggregate.
+    * A production intake loop calls this instead of
+    * [[appendTrained]], logs the stats per epoch, and triggers
+    * [[trainIvf]] when the policy fires — no second corpus pass,
+    * no extra scan. LayoutSpec pins the stats against hand-computed
+    * values and append-equivalence with appendTrained.
+    */
+  def appendTrainedWithStats(newVecs: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label",
+      maxRecordsPerFile: Long = 5000000L,
+      compactWhenFilesOver: Int = 0, compactFiles: Int = 1): AppendStats = {
+    val spark = newVecs.sparkSession
+    repairPartitionSwaps(spark, path)
+    val cents = readSwapped(spark, s"$path/reps")
+      .select(col(clusterCol).as("cluster"), col("rep_vec").as("cv"))
+    val base = newVecs.drop(clusterCol)
+    val assigned = Similarity.assignNearest(base, cents, idCol, vecCol)
+      .persist()
+    base.join(assigned
+        .select(col("vec_id").as(idCol), col("cluster").as(clusterCol)),
+        Seq(idCol))
+      .repartition(col(clusterCol))
+      .sortWithinPartitions(col(clusterCol), col(idCol))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(clusterCol)
+      .parquet(s"$path/corpus")
+    val occ = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // codebook-sized
+      .map(_.getLong(1))
+    val n = occ.sum
+    val quants = graft.functions.DdSketch.dd2Quantiles(
+        graft.functions.DdSketch.dd2Buckets(assigned,
+          col("cosine") + lit(2.0)),
+        Seq(0.05, 0.5))
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1) - 2.0)).toMap
+    assigned.unpersist()
+    if (compactWhenFilesOver > 0)
+      compactIvfPartitions(spark, path, clusterCol, idCol,
+        compactFiles, compactWhenFilesOver,
+        maxRecordsPerFile = maxRecordsPerFile)
+    AppendStats(n,
+      assignCosP50 = quants.getOrElse(0.5, Double.NaN),
+      assignCosP05 = quants.getOrElse(0.05, Double.NaN),
+      topCellShare = if (n == 0L) 0.0 else occ.max.toDouble / n,
+      cellsUsed = occ.length.toLong)
   }
 
   /** Incremental maintenance for a TRAINED Q8 layout

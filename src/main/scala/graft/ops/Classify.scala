@@ -129,6 +129,26 @@ object Classify {
     w
   }
 
+  /** Score a token array with a trained weight vector as ONE
+    * map-side column expression — no shuffle, no aggregation state:
+    * the exact integer margin z = Σ_tokens w[bucket(token)], same
+    * arithmetic as [[scoreHashedLogistic]] (OpsSpec-pinned equal).
+    * The weights travel as a B-entry map literal, so this is the
+    * SMALL-B face (map-literal lookups scan linearly — fine at the
+    * hashing-trick B here; a 2^18-bucket model should use the
+    * broadcast-join face). Being stateless, it runs UNCHANGED as a
+    * streaming projection — q_stream_quality scores a live document
+    * stream with it against the frozen trained model.
+    */
+  def hashedLogisticMargin(toks: Column, weights: Array[Long],
+      buckets: Int): Column = {
+    val wmap = typedLit(weights.toIndexedSeq.zipWithIndex
+      .map { case (wv, b) => b.toLong -> wv }.toMap)
+    aggregate(
+      transform(toks, t => element_at(wmap, bucketOf(t, buckets))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** Score documents with a trained weight vector — the serving face:
     * features (map-side), one broadcast join with the B-row weight
     * table, one keyed agg. Returns (idCol, z, keep) with the exact

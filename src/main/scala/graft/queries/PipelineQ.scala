@@ -630,9 +630,54 @@ object PipelineQ {
       ORDER BY doc_id""")
   )
 
+  /** STREAMING quality scoring with the FROZEN trained classifier —
+    * the serving face a live intake pipeline runs: train batch-side
+    * (the model is the long-lived artifact), then score the document
+    * stream with [[graft.ops.Classify.hashedLogisticMargin]] — a
+    * STATELESS map-side projection (the weights are a plan literal),
+    * so it flows through a true `parquet` streaming sink in append
+    * mode with no state store, no foreachBatch, and per-trigger cost
+    * exactly the batch's row count. Oracle: the same unrolled
+    * training replay as q_quality_train_score, scoring every
+    * document — what's checked is that the stream path loses nothing
+    * vs the batch scorer (the 19th streaming equivalence face;
+    * TrainingSpec separately pins margin-expression == join-scorer).
+    */
+  val qStreamQuality = Q(
+    "q_stream_quality",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_quality").toString
+      val docs = Tables.documents(spark, dir)
+      val w = graft.ops.Classify.trainHashedLogistic(
+        docs, "doc_id", "text", clsLabel, buckets = ClsB, iters = ClsIters)
+      val docStream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val scored = docStream.select(col("doc_id"),
+          graft.ops.Classify.hashedLogisticMargin(
+            TextOps.tokens(col("text")), w, ClsB).as("z"))
+        .withColumn("keep", col("z") > 0)
+      val q = scored.writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$work/out").orderBy("doc_id")
+    },
+    Some(s"""WITH $clsBaseSql,
+      $clsRoundsSql,
+      zf AS (SELECT f.doc_id, SUM(f.c * w.w) AS z
+        FROM feat f JOIN w$ClsIters w USING (b) GROUP BY 1)
+      SELECT d.doc_id, COALESCE(zf.z, 0) AS z, COALESCE(zf.z, 0) > 0 AS keep
+      FROM documents d LEFT JOIN zf USING (doc_id)
+      ORDER BY d.doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
       qSampleWeighted, qStreamSpanDedup, qStreamWeighted, qCurateE2e,
-      qQualityTrain, qQualityTrainScore)
+      qQualityTrain, qQualityTrainScore, qStreamQuality)
 }

@@ -371,6 +371,43 @@ class LayoutSpec extends AnyFunSuite {
     assert(outI == outF && outI.nonEmpty)
   }
 
+  test("appendTrainedWithStats: layout identical to appendTrained; stats match hand-computed values") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rootA = Files.createTempDirectory("ann_stats_a").toString
+    val rootB = Files.createTempDirectory("ann_stats_b").toString
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    graft.io.AnnLayout.trainIvf(base, rootA, k = 4, iters = 2)
+    graft.io.AnnLayout.trainIvf(base, rootB, k = 4, iters = 2)
+    val batch = emb.filter(col("vec_id") % 3 === 1)
+    graft.io.AnnLayout.appendTrained(batch, rootA)
+    val stats = graft.io.AnnLayout.appendTrainedWithStats(batch, rootB)
+    // identical layout: same query answers either way
+    val queries = emb.filter(col("vec_id") < 10)
+    def ans(root: String) = graft.io.AnnLayout
+      .knnIvf(spark, root, queries, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ans(rootA) == ans(rootB) && ans(rootA).nonEmpty)
+    // stats vs hand-computed ground truth from the same assignment
+    val cents = spark.read.parquet(s"$rootB/reps")
+      .select(col("label").as("cluster"), col("rep_vec").as("cv"))
+    val assigned = graft.ops.Similarity.assignNearest(batch, cents)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val n = assigned.length.toLong
+    assert(stats.n == n && n > 0)
+    val occ = assigned.groupBy(_._1).view.mapValues(_.length).values
+    assert(stats.cellsUsed == occ.size.toLong)
+    assert(math.abs(stats.topCellShare - occ.max.toDouble / n) < 1e-12)
+    // dd2 p50/p05 of the shifted cosine: within the sketch's bucket
+    // width of the exact nearest-rank values
+    val sorted = assigned.map(_._2).sorted
+    def nearestRank(q: Double): Double =
+      sorted(math.max(0, math.ceil(q * n).toInt - 1))
+    assert(math.abs(stats.assignCosP50 - nearestRank(0.5)) < 0.02,
+      s"p50 ${stats.assignCosP50} vs exact ${nearestRank(0.5)}")
+    assert(math.abs(stats.assignCosP05 - nearestRank(0.05)) < 0.02,
+      s"p05 ${stats.assignCosP05} vs exact ${nearestRank(0.05)}")
+  }
+
   test("trained layout: threshold compaction leaves reps untouched; crashed partition swap is repaired") {
     import org.apache.hadoop.fs.Path
     val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")

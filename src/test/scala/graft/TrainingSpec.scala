@@ -867,6 +867,26 @@ class TrainingSpec extends AnyFunSuite {
       s"no learning: accuracy $acc vs base rate $baseRate")
   }
 
+  test("hashedLogisticMargin expression == join-based scorer on every doc") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"tok$i x${i % 5} tok${i % 7} y${i % 3}"))
+      .toDF("doc_id", "text")
+    val label = TextOps.hashedLinearScore(TextOps.tokens(col("text"))) > 0
+    val w = graft.ops.Classify.trainHashedLogistic(
+      docs, "doc_id", "text", label, buckets = 32, iters = 2)
+    val viaJoin = graft.ops.Classify.scoreHashedLogistic(
+        docs, "doc_id", "text", w, 32)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val viaExpr = docs.select(col("doc_id"),
+        graft.ops.Classify.hashedLogisticMargin(
+          TextOps.tokens(col("text")), w, 32).as("z"))
+      .withColumn("keep", col("z") > 0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(viaExpr == viaJoin && viaExpr.nonEmpty)
+  }
+
   test("trainHashedLogistic: token-less docs count in N but move no gradient") {
     val withEmpty = Seq((1L, "aa aa aa"), (2L, "   "), (3L, "bb bb")).toDF("doc_id", "text")
     val label = TextOps.hashedLinearScore(TextOps.tokens(col("text"))) > 0
