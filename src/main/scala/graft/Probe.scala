@@ -1355,6 +1355,52 @@ object Probe {
       }
     }
 
+    if (enabled("classifier_width")) {
+      // The cataloged quality trainer runs B=64 for oracle size; a
+      // production fastText-shaped gate hashes into 2^17..2^21
+      // buckets. Measure per-round cost and label-agreement accuracy
+      // as B widens on a corpus whose vocabulary (100k words) makes
+      // collisions the accuracy limiter, and note where the B-row
+      // weight table stops being broadcast-class.
+      val nDocs = 1000000L
+      val words = (0 until 20).map(i =>
+        concat(lit("w"), pmod(hash(col("id") * 20 + i), lit(100000L))))
+      val docs = spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", words: _*).as("text"))
+        .localCheckpoint()
+      val label = graft.ops.TextOps.hashedLinearScore(
+        graft.ops.TextOps.tokens(col("text"))) > 0
+      val results = Seq(64, 4096, 262144).map { b =>
+        val t0 = System.nanoTime()
+        val w = graft.ops.Classify.trainHashedLogistic(
+          docs, "doc_id", "text", label, buckets = b, iters = 3)
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        val acc = graft.ops.Classify.scoreHashedLogistic(
+            docs, "doc_id", "text", w, b)
+          .join(docs.select(col("doc_id"), label.as("y")), Seq("doc_id"))
+          .select(avg((col("keep") === col("y")).cast("double")).as("a"))
+          .head().getDouble(0)
+        val nonZero = w.count(_ != 0L)
+        s"""{"buckets":$b,"train_sec":$tTrain,""" +
+          s""""round_sec":${tTrain / 3},"accuracy":$acc,""" +
+          s""""nonzero_weights":$nonZero}"""
+      }
+      // depth leg: same widest model, 12 rounds — is 3-round accuracy
+      // a width limit or an underfit?
+      val wDeep = graft.ops.Classify.trainHashedLogistic(
+        docs, "doc_id", "text", label, buckets = 262144, iters = 12)
+      val accDeep = graft.ops.Classify.scoreHashedLogistic(
+          docs, "doc_id", "text", wDeep, 262144)
+        .join(docs.select(col("doc_id"), label.as("y")), Seq("doc_id"))
+        .select(avg((col("keep") === col("y")).cast("double")).as("a"))
+        .head().getDouble(0)
+      println(s"""{"probe":"classifier_width","docs":$nDocs,""" +
+        s""""vocab_words":100000,"iters":3,""" +
+        s""""widths":${results.mkString("[", ",", "]")},""" +
+        s""""accuracy_b262144_iters12":$accDeep}""")
+    }
+
     if (enabled("para_skew")) {
       // dedupParagraphs under the worst realistic skew: boilerplate
       // (header/license/navigation) shared by EVERY document, so one
