@@ -700,6 +700,37 @@ object AnnLayout {
     }
   }
 
+  /** Per-partition layout statistics from ONE driver-side listing —
+    * no data read: `(cluster value, parquet file count, bytes)` for
+    * every `cluster=<id>/` directory. The shared input of both
+    * maintenance policies: file counts feed the
+    * [[compactIvfPartitions]] threshold, and byte skew is the at-rest
+    * face of the CROWDING statistic the retrain policy gates on
+    * (PERF.md round-11: a drifted ingest piles rows into few cells —
+    * visible here as top-partition byte share — inflating probed
+    * bytes per query even while recall holds). Codebook-sized output;
+    * repairs any crashed partition swap first so a post-crash listing
+    * reflects the repaired layout.
+    */
+  def layoutStats(spark: SparkSession, path: String,
+      clusterCol: String = "label"): Seq[(String, Int, Long)] = {
+    import org.apache.hadoop.fs.Path
+    repairPartitionSwaps(spark, path)
+    val corpus = new Path(s"$path/corpus")
+    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(corpus)) return Seq.empty
+    fs.listStatus(corpus).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$clusterCol="))
+      .map { st =>
+        val files = fs.listStatus(st.getPath).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (st.getPath.getName.stripPrefix(s"$clusterCol="),
+          files.length, files.map(_.getLen).sum)
+      }
+      .sortBy(_._1)
+  }
+
   /** The pruned corpus scan a probe list induces — exposed separately
     * so tests can assert on `inputFiles` (only probed `cluster=<id>/`
     * directories appear).

@@ -346,6 +346,12 @@ class LayoutSpec extends AnyFunSuite {
       .knnIvf(spark, root, queries, k = 5, nprobe = 3)
       .orderBy("query_id", "rank").collect().toSeq
     assert(postCompact == preCompact && postCompact.nonEmpty)
+    // layoutStats agrees with the direct listing, bytes are real, and
+    // the compaction is visible in it
+    val stats = graft.io.AnnLayout.layoutStats(spark, root)
+    assert(stats.map(s => s"label=${s._1}" -> s._2).toMap ==
+      partitionFileCounts(root))
+    assert(stats.nonEmpty && stats.forall(_._3 > 0L))
   }
 
   test("append with compactWhenFilesOver keeps every partition at a bounded file count") {
