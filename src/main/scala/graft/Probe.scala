@@ -1347,11 +1347,36 @@ object Probe {
         val model = graft.ops.Unigram.train(docs, "text",
           vocabSize = 8000, iters = iters, maxPieceLen = 5)
         val tTrain = (System.nanoTime() - tT0) / 1e9
+        // SOFT (forward-backward) EM head-to-head: extra per-round
+        // cost, vocab agreement, and the encode-level token delta —
+        // does the real SentencePiece E-step change what the
+        // tokenizer DOES, or only how it is derived?
+        val tS0 = System.nanoTime()
+        val modelSoft = graft.ops.Unigram.trainSoft(docs, "text",
+          vocabSize = 8000, iters = iters, maxPieceLen = 5)
+        val tSoft = (System.nanoTime() - tS0) / 1e9
+        val hardSet = model.map(_._1).toSet
+        val softSet = modelSoft.map(_._1).toSet
+        val agree = (hardSet & softSet).size.toDouble / hardSet.size
+        def nPieces(m: Seq[(String, Double)]): Long =
+          graft.ops.Unigram.encodeDocs(
+              docs.limit(20000), "doc_id", "text", m, 5)
+            .select(aggregate(col("pieces"), lit(0L),
+              (a, w) => a + size(w)).as("np"))
+            .agg(sum("np")).head().getLong(0)
+        val npHard = nPieces(model.map(t => (t._1, t._3)))
+        val npSoft = nPieces(modelSoft.map(t => (t._1, t._3)))
         println(s"""{"probe":"unigram","docs":$n,"vocab_words":10000,""" +
           s""""target_pieces":8000,"iters":$iters,""" +
           s""""word_agg_sec":$tAgg,"train_sec":$tTrain,""" +
           s""""em_iter_sec":${(tTrain - tAgg) / iters},""" +
-          s""""model_pieces":${model.size}}""")
+          s""""model_pieces":${model.size},""" +
+          s""""soft_train_sec":$tSoft,""" +
+          s""""soft_em_iter_sec":${(tSoft - tAgg) / iters},""" +
+          s""""vocab_agreement":$agree,""" +
+          s""""encode_pieces_hard":$npHard,"encode_pieces_soft":$npSoft,""" +
+          s""""encode_delta_frac":${
+            math.abs(npHard - npSoft).toDouble / npHard}}""")
       }
     }
 

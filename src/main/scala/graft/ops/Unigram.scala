@@ -146,7 +146,12 @@ object Unigram {
     * the `-1` sentinel and keeps its unsegmentable prefix WHOLE — the
     * deterministic <unk> fallback.
     */
-  def segmented(words: DataFrame, wCol: String,
+  /** Attach each word's sorted in-vocab arc list `_ug_arcs`
+    * (`array<struct<i,j,lp>>`, sorted by (i, j)) via the broadcast
+    * hash join — the shared E-step front half of [[segmented]]
+    * (Viterbi) and [[trainSoft]] (forward-backward).
+    */
+  private def withArcs(words: DataFrame, wCol: String,
       lp: Map[String, Double], maxPieceLen: Int): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
@@ -167,10 +172,14 @@ object Unigram {
       .drop("_ug_w")
       .withColumn("_ug_arcs", coalesce(col("_ug_arcs"),
         array().cast("array<struct<i:int,j:int,lp:double>>")))
+  }
+
+  def segmented(words: DataFrame, wCol: String,
+      lp: Map[String, Double], maxPieceLen: Int): DataFrame =
+    withArcs(words, wCol, lp, maxPieceLen)
       .withColumn("_ug_dp", dpExpr(col(wCol), col("_ug_arcs")))
       .withColumn("_ug_pieces", piecesExpr(col(wCol), col("_ug_dp")))
       .drop("_ug_dp", "_ug_arcs")
-  }
 
   /** Train the unigram LM: returns the final model as
     * `(piece, count, logp)` rows, count DESC then piece ASC. The
@@ -215,6 +224,139 @@ object Unigram {
         if (round == iters) nTarget else (multisNow.size * 6) / 10)
       val kept = multisNow.sortBy { case (p, c) => (-c, p) }.take(keep)
       counts = (chars ++ kept).toMap
+    }
+    val lp = logProbs(counts)
+    counts.toSeq.map { case (p, c) => (p, c, lp(p)) }
+      .sortBy { case (p, c, _) => (-c, p) }
+  }
+
+  // ---- SOFT (forward-backward) EM — the real SentencePiece E-step,
+  // made deterministic by integer-quantizing each arc's expected
+  // count before the distributed sum (the kmeans recipe applied to
+  // posterior mass; double sums are partition-order-dependent,
+  // quantized long sums are exact) ----
+
+  /** Expected-count quantization: one unit = 2^-20 of an occurrence.
+    * Σ over a word's arcs of its posterior mass is ≤ len(word), so
+    * the rounding error per word is ≤ len·2^-21 occurrences —
+    * invisible next to corpus-frequency scales.
+    */
+  private val SoftScale = 1L << 20
+
+  /** log(e^a + e^b) with the −1e18 sentinel as −∞; max-shifted so it
+    * is finite-safe. Evaluation order is fixed by the arc-list fold,
+    * so the double result is engine-deterministic (and replicated
+    * op-for-op by the plain-Scala spec pin).
+    */
+  private def lseMerge(a: Column, b: Column): Column =
+    when(a === lit(Neg), b).otherwise(when(b === lit(Neg), a)
+      .otherwise(greatest(a, b) +
+        log(exp(a - greatest(a, b)) + exp(b - greatest(a, b)))))
+
+  /** Forward log-masses: array, element p+1 = logα[p] (total log
+    * probability of all segmentations of the prefix ending at p).
+    */
+  private def alphaExpr(w: Column, arcs: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(lit(0.0)),
+      (acc, i) => concat(acc, array(
+        aggregate(
+          filter(arcs, a => a.getField("i") === i),
+          lit(Neg),
+          (s, a) => lseMerge(s,
+            element_at(acc, a.getField("j") + 1) + a.getField("lp"))))))
+
+  /** Backward log-masses, built end-first: element m = logβ[n−m+1],
+    * so logβ[i] sits at index n−i+1 (available when needed — the
+    * fold at position p = n−k only references i > p).
+    */
+  private def betaExpr(w: Column, arcs: Column): Column = {
+    val n = length(w)
+    aggregate(
+      sequence(lit(1), n),
+      array(lit(0.0)),
+      (acc, k) => {
+        val p = n - k
+        concat(acc, array(
+          aggregate(
+            filter(arcs, a => a.getField("j") === p),
+            lit(Neg),
+            (s, a) => lseMerge(s,
+              a.getField("lp") + element_at(acc, n - a.getField("i") + 1)))))
+      })
+  }
+
+  /** Per-arc posterior mass, quantized: (piece, q) with
+    * q = round(exp(α[j] + lp + β[i] − logZ) · 2^20) — a long, so the
+    * downstream per-piece sum is exact and order-invariant.
+    * Unsegmentable words (logZ = −∞) contribute zero.
+    */
+  private def expectedArcCounts(w: Column, arcs: Column,
+      alpha: Column, beta: Column): Column = {
+    val n = length(w)
+    val logZ = element_at(alpha, n + 1)
+    transform(arcs, a => struct(
+      w.substr(a.getField("j") + 1, a.getField("i") - a.getField("j"))
+        .as("piece"),
+      when(logZ === lit(Neg), lit(0L)).otherwise(
+        round(exp(element_at(alpha, a.getField("j") + 1) + a.getField("lp")
+          + element_at(beta, n - a.getField("i") + 1) - logZ)
+          * lit(SoftScale.toDouble)).cast("long")).as("q")))
+  }
+
+  /** [[train]] with the FULL (soft) EM E-step: expected piece counts
+    * over ALL segmentations via forward-backward, instead of
+    * Viterbi's single best path — the actual SentencePiece update
+    * rule (Kudo 2018, §3.2). Same seeding, same gradual prune, same
+    * Laplace smoothing (in quantized units), same total orders; the
+    * per-round distributed work is the same arc join plus two more
+    * HOF passes (α, β) over each word's arcs. Counts are returned in
+    * 2^20 units. Determinism: the only double arithmetic (LSE,
+    * posterior exp) happens INSIDE one row's fixed-order fold; the
+    * cross-row aggregation sums quantized longs. TrainingSpec pins
+    * the whole run against an independent plain-Scala
+    * forward-backward; the `unigram_soft` probe records the
+    * hard-vs-soft model and encode deltas.
+    */
+  def trainSoft(docs: DataFrame, textCol: String, vocabSize: Int,
+      iters: Int, maxPieceLen: Int = 6,
+      seedMultiplier: Int = 4): Seq[(String, Long, Double)] = {
+    require(vocabSize > 0 && iters > 0 && maxPieceLen >= 2)
+    val words = wordTable(docs, textCol).localCheckpoint()
+    val seeds = substringCounts(words, maxPieceLen)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (charSeeds, multiSeeds) = seeds.partition(_._1.length == 1)
+    val nTarget = math.max(0, vocabSize - charSeeds.length)
+    val topMulti = multiSeeds
+      .sortBy { case (p, c) => (-c, p) }
+      .take(nTarget * seedMultiplier)
+    var counts: Map[String, Long] = (charSeeds ++ topMulti)
+      .map { case (p, c) => p -> c * SoftScale }.toMap
+    def logProbs(m: Map[String, Long]): Map[String, Double] = {
+      val adj = m.map { case (p, c) =>
+        p -> (if (p.length == 1) c + SoftScale else c) }
+      val total = adj.values.sum.toDouble
+      adj.map { case (p, c) => p -> Math.log(c / total) }
+    }
+    for (round <- 1 to iters) {
+      val seg = withArcs(words, "w", logProbs(counts), maxPieceLen)
+        .withColumn("_ug_alpha", alphaExpr(col("w"), col("_ug_arcs")))
+        .withColumn("_ug_beta", betaExpr(col("w"), col("_ug_arcs")))
+        .select(col("wf"), explode(expectedArcCounts(col("w"),
+          col("_ug_arcs"), col("_ug_alpha"), col("_ug_beta"))).as("pq"))
+        .select(col("pq.piece").as("piece"),
+          (col("pq.q") * col("wf")).as("qw"))
+        .groupBy("piece").agg(sum(col("qw")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val chars = counts.keySet.filter(_.length == 1)
+        .map(p => p -> seg.getOrElse(p, 0L))
+      val multisNow = counts.keySet.filter(_.length > 1)
+        .map(p => p -> seg.getOrElse(p, 0L)).filter(_._2 > 0L).toSeq
+      val keep = math.max(nTarget,
+        if (round == iters) nTarget else (multisNow.size * 6) / 10)
+      counts = (chars ++
+        multisNow.sortBy { case (p, c) => (-c, p) }.take(keep)).toMap
     }
     val lp = logProbs(counts)
     counts.toSeq.map { case (p, c) => (p, c, lp(p)) }

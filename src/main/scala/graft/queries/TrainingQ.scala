@@ -1438,6 +1438,31 @@ object TrainingQ {
     None
   )
 
+  /** Unigram-LM training with the FULL (soft) EM E-step
+    * ([[graft.ops.Unigram.trainSoft]]): expected piece counts over
+    * ALL segmentations via forward-backward — the actual
+    * SentencePiece update rule — with each arc's posterior mass
+    * integer-quantized (2^-20 units) before the distributed sum, so
+    * the cross-row aggregation is exact and order-invariant.
+    * Measured head-to-head (PERF.md round-11): no slower than
+    * Viterbi hard-EM (the backtrack pass disappears), ~90% final
+    * vocab agreement, and ~3% FEWER encode pieces — the better
+    * estimator compresses better. Rows-only for the same ln-literal
+    * reason as its siblings; TrainingSpec pins the whole run against
+    * an independent plain-Scala forward-backward.
+    */
+  val qUnigramTrainSoft = Q(
+    "q_unigram_train_soft",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.ops.Unigram.trainSoft(Tables.documents(spark, dir), "text",
+          vocabSize = 120, iters = 3, maxPieceLen = 5)
+        .toDF("piece", "cnt", "logp")
+        .orderBy(col("cnt").desc, col("piece"))
+    },
+    None
+  )
+
   /** Corpus-scale ENCODE with the model [[qUnigramTrain]] learns
     * ([[graft.ops.Unigram.encode]]): the trained (piece, logp) table
     * travels as a plan literal and every document segments in one
@@ -2183,5 +2208,5 @@ object TrainingQ {
     qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs,
     qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot, qBpeTrainBatched,
     qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp,
-    qUnigramTrain, qUnigramEncode)
+    qUnigramTrain, qUnigramEncode, qUnigramTrainSoft)
 }

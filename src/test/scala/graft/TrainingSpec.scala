@@ -751,6 +751,98 @@ class TrainingSpec extends AnyFunSuite {
       .sortBy { case (p, c, _) => (-c, p) }
   }
 
+  // soft-EM replica: same seed/prune/smoothing as the hard replica,
+  // E-step = forward-backward expected counts with the same fold
+  // orders and the same 2^20 quantization as Unigram.trainSoft
+  private def plainUnigramTrainSoft(docs: Seq[String], vocabSize: Int,
+      iters: Int, maxPieceLen: Int,
+      seedMultiplier: Int = 4): Seq[(String, Long, Double)] = {
+    val Neg = -1.0e18
+    val S2 = 1L << 20
+    val words: Map[String, Long] = docs
+      .flatMap(_.trim.split(" ", -1).filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val subCounts = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    words.foreach { case (w, wf) =>
+      for (i <- 0 until w.length;
+           j <- (i + 1) to math.min(w.length, i + maxPieceLen))
+        subCounts(w.substring(i, j)) += wf
+    }
+    val (charSeeds, multiSeeds) = subCounts.toSeq.partition(_._1.length == 1)
+    val nTarget = math.max(0, vocabSize - charSeeds.length)
+    val topMulti = multiSeeds.sortBy { case (p, c) => (-c, p) }
+      .take(nTarget * seedMultiplier)
+    var counts: Map[String, Long] =
+      (charSeeds ++ topMulti).map { case (p, c) => p -> c * S2 }.toMap
+    def logProbs(m: Map[String, Long]): Map[String, Double] = {
+      val adj = m.map { case (p, c) =>
+        p -> (if (p.length == 1) c + S2 else c) }
+      val total = adj.values.sum.toDouble
+      adj.map { case (p, c) => p -> Math.log(c / total) }
+    }
+    def lse(a: Double, b: Double): Double =
+      if (a == Neg) b else if (b == Neg) a
+      else { val m = math.max(a, b); m + Math.log(Math.exp(a - m) + Math.exp(b - m)) }
+    for (round <- 1 to iters) {
+      val lp = logProbs(counts)
+      val seg = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      words.foreach { case (w, wf) =>
+        val n = w.length
+        val arcs = for (i <- 1 to n;
+                        j <- math.max(0, i - maxPieceLen) until i;
+                        l <- lp.get(w.substring(j, i))) yield (i, j, l)
+        val alpha = Array.fill(n + 1)(Neg)
+        alpha(0) = 0.0
+        for ((i, j, l) <- arcs) alpha(i) = lse(alpha(i), alpha(j) + l)
+        val beta = Array.fill(n + 1)(Neg)
+        beta(n) = 0.0
+        for (p <- n - 1 to 0 by -1) {
+          var s = Neg
+          for ((i, j, l) <- arcs if j == p) s = lse(s, l + beta(i))
+          beta(p) = s
+        }
+        val logZ = alpha(n)
+        for ((i, j, l) <- arcs) {
+          val q = if (logZ == Neg) 0L
+            else Math.round(Math.exp(alpha(j) + l + beta(i) - logZ)
+              * S2.toDouble)
+          if (q != 0L) seg(w.substring(j, i)) += q * wf
+        }
+      }
+      val chars = counts.keySet.filter(_.length == 1).map(p => p -> seg(p))
+      val multisNow = counts.keySet.filter(_.length > 1)
+        .map(p => p -> seg(p)).filter(_._2 > 0L).toSeq
+      val keep = math.max(nTarget,
+        if (round == iters) nTarget else (multisNow.size * 6) / 10)
+      counts = (chars ++
+        multisNow.sortBy { case (p, c) => (-c, p) }.take(keep)).toMap
+    }
+    val lp = logProbs(counts)
+    counts.toSeq.map { case (p, c) => (p, c, lp(p)) }
+      .sortBy { case (p, c, _) => (-c, p) }
+  }
+
+  test("unigram trainSoft == independent plain-Scala forward-backward EM") {
+    import graft.ops.Unigram
+    val docs =
+      Seq.fill(6)("interest internal international internet") ++
+      Seq.fill(4)("station nation nationalism rational") ++
+      Seq.fill(3)("the cat sat on the mat") ++
+      Seq("zq")
+    val got = Unigram.trainSoft(docs.toDF("text"), "text",
+      vocabSize = 40, iters = 3, maxPieceLen = 5)
+    val want = plainUnigramTrainSoft(docs, vocabSize = 40, iters = 3,
+      maxPieceLen = 5)
+    assert(got == want)
+    // soft EM spreads mass across ALL segmentations: some piece's
+    // expected count must be a non-integer number of units (a pure
+    // Viterbi count is always a whole-occurrence multiple of 2^20)
+    assert(got.exists { case (_, c, _) => c % (1L << 20) != 0L },
+      "no fractional expected counts — this is not a soft E-step")
+  }
+
   test("unigram encode: Viterbi picks the higher-probability segmentation") {
     import graft.ops.Unigram
     val model = Seq(
