@@ -1426,6 +1426,120 @@ object Probe {
         s""""accuracy_b262144_iters12":$accDeep}""")
     }
 
+    if (enabled("pq")) {
+      // Product quantization at rest, honestly sized: FULL-ENTROPY
+      // components (the round-9 lesson — low-entropy synthetics let
+      // parquet dictionary-encode floats and fake the ratio), 100k ×
+      // 64-dim. Measure bytes on disk (float32 vs SQ8 vs PQ m=8/k=256)
+      // and recall@10 of decoded-dot vs exact dot.
+      val dims = 64
+      val nVec = 100000L
+      val vecs = spark.range(nVec).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)), i =>
+          ((pmod(hash(col("id") * dims + i), lit(2000000)) / 1000000.0) - 1.0)
+            .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val root = java.nio.file.Files.createTempDirectory("pq_probe").toString
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(p))
+      }
+      vecs.write.parquet(s"$root/float")
+      graft.ops.Similarity.q8CodesScaled(vecs, "vec_id", "embedding",
+          "vec_id", "codes", "scale")
+        .withColumn("codes", col("codes").cast("array<tinyint>"))
+        .write.parquet(s"$root/sq8")
+      val tT0 = System.nanoTime()
+      val model = graft.ops.Pq.train(vecs, m = 8, k = 256, iters = 2)
+      val tTrain = (System.nanoTime() - tT0) / 1e9
+      val tE0 = System.nanoTime()
+      val codes = graft.ops.Pq.encode(vecs, model).localCheckpoint()
+      codes.write.parquet(s"$root/pq")
+      val tEncode = (System.nanoTime() - tE0) / 1e9
+      val bFloat = dirBytes(s"$root/float")
+      val bSq8 = dirBytes(s"$root/sq8")
+      val bPq = dirBytes(s"$root/pq")
+      // recall@10 vs exact dot, 50 queries
+      val queries = vecs.filter(col("vec_id") % lit(nVec / 50) === 0)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d").desc, col("neighbor_id"))
+      val truth = vecs.select(col("vec_id").as("neighbor_id"),
+          graft.ops.Similarity.asDouble(col("embedding")).as("cv"))
+        .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+          graft.ops.Similarity.asDouble(col("embedding")).as("qv"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("d", graft.ops.Similarity.dot(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val got = graft.ops.Pq.knnDecoded(queries, codes, model, 10)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val recall = truth.map { case (q, t) =>
+        got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0)
+      }.sum / truth.size
+      // planted-structure leg: the regime real embedding corpora live
+      // in (cluster structure, noise 0.6) — uniform full-entropy above
+      // is the adversarial bound
+      val planted = spark.range(nVec).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)), i =>
+          ((pmod(hash(pmod(col("id"), lit(256)) * dims + i), lit(1000))
+            / 500.0) - 1.0 +
+           ((pmod(hash(col("id") * dims + i), lit(1000)) / 500.0) - 1.0)
+             * 0.6)
+            .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val modelP = graft.ops.Pq.train(planted, m = 8, k = 256, iters = 2)
+      val codesP = graft.ops.Pq.encode(planted, modelP).localCheckpoint()
+      val queriesP = planted.filter(col("vec_id") % lit(nVec / 50) === 0)
+      val truthP = planted.select(col("vec_id").as("neighbor_id"),
+          graft.ops.Similarity.asDouble(col("embedding")).as("cv"))
+        .crossJoin(broadcast(queriesP.select(col("vec_id").as("query_id"),
+          graft.ops.Similarity.asDouble(col("embedding")).as("qv"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("d", graft.ops.Similarity.dot(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val gotP = graft.ops.Pq.knnDecoded(queriesP, codesP, modelP, 10)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val recallP = truthP.map { case (q, t) =>
+        gotP.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0)
+      }.sum / truthP.size
+      // the deployment shape: 100-deep PQ shortlist + exact rerank
+      def recallRerank(qdf: DataFrame, cdf: DataFrame, corp: DataFrame,
+          mdl: graft.ops.Pq.PqModel,
+          truthMap: Map[Long, Set[Long]]): Double = {
+        val got = graft.ops.Pq.knnRerank(qdf, cdf, mdl, corp,
+            k = 10, shortlist = 100)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        truthMap.map { case (q, t) =>
+          got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0)
+        }.sum / truthMap.size
+      }
+      val recallRerankU = recallRerank(queries, codes, vecs, model, truth)
+      val recallRerankP = recallRerank(queriesP, codesP, planted, modelP,
+        truthP)
+      println(s"""{"probe":"pq","vectors":$nVec,"dims":$dims,""" +
+        s""""m":8,"k":256,"train_sec":$tTrain,"encode_sec":$tEncode,""" +
+        s""""bytes_float":$bFloat,"bytes_sq8":$bSq8,"bytes_pq":$bPq,""" +
+        s""""ratio_float_over_pq":${bFloat.toDouble / bPq},""" +
+        s""""ratio_float_over_sq8":${bFloat.toDouble / bSq8},""" +
+        s""""recall_at10_uniform":$recall,""" +
+        s""""recall_at10_planted":$recallP,""" +
+        s""""recall_at10_rerank100_uniform":$recallRerankU,""" +
+        s""""recall_at10_rerank100_planted":$recallRerankP}""")
+    }
+
     if (enabled("para_skew")) {
       // dedupParagraphs under the worst realistic skew: boilerplate
       // (header/license/navigation) shared by EVERY document, so one

@@ -363,6 +363,70 @@ object Similarity {
         col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Nearest-centroid assignment under SQUARED L2 — the metric
+    * product quantization needs ([[Pq]]): PQ approximates the FULL
+    * dot product, dot(q, x) = Σ_m dot(q_m, x_m) ≈ Σ_m dot(q_m, c_m),
+    * and the sub-centroid minimizing the dot-approximation error is
+    * the L2-nearest one (cosine would ignore subvector magnitude and
+    * mis-assign). dist² = |x|² − 2·x·c + |c|², every term the same
+    * engine-exact dot fold the cosine path uses, so the oracle
+    * replays it token-for-token. Ties → lowest cluster id (min_by on
+    * the (dist², cluster) struct — a total order). Broadcast
+    * crossJoin + partial min_by, the assignNearest scale shape.
+    */
+  def assignNearestL2(vectors: DataFrame, centroidTable: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "cluster", centVecCol: String = "cv"): DataFrame = {
+    val c = centroidTable.select(col(clusterCol).as("cluster"),
+      asDouble(col(centVecCol)).as("cv"))
+      .withColumn("cn", norm2(col("cv")))
+    val v = vectors.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vn", norm2(col("v")))
+    v.crossJoin(broadcast(c))
+      .withColumn("dist2",
+        col("vn") - lit(2.0) * dot(col("v"), col("cv")) + col("cn"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cluster"), col("dist2")),
+        struct(col("dist2"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.dist2").as("dist2"))
+  }
+
+  /** Lloyd k-means under squared L2 — [[kmeans]] with the assignment
+    * metric swapped ([[assignNearestL2]]); seeds, the
+    * integer-quantized exact mean update, and the empty-cluster
+    * keep-previous fallback are identical, so the determinism
+    * argument carries over unchanged. The [[Pq]] sub-space trainer.
+    */
+  def kmeansL2(vectors: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scale: Long = 1000000L): DataFrame = {
+    var cents = vectors.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cluster"), asDouble(col(vecCol)).as("cv"))
+      .localCheckpoint(true)
+    val nSeeds = cents.count()
+    require(nSeeds == k,
+      s"kmeansL2 needs k=$k distinct seed vectors, found only $nSeeds rows")
+    for (_ <- 1 to iters) {
+      val assigned = assignNearestL2(vectors, cents, idCol, vecCol)
+      val means = assigned
+        .join(vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+          Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "comp")))
+        .withColumn("q", round(col("comp").cast("double") * lit(scale)).cast("long"))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("m", col("sq").cast("double") / (col("n") * lit(scale)))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), transform(col("pm"), x => x("m")).as("mv"))
+      cents = cents.join(means, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("mv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** Top-`probes` cluster assignment — [[assignNearest]] widened to
     * keep the `probes` best centroids per vector (same total order:
     * cosine DESC, cluster ASC; probe_rank 1 row == assignNearest).

@@ -1239,6 +1239,179 @@ object TrainingQ {
       WHERE rk.rank <= 3 ORDER BY rk.vec_id, rk.rank""")
   )
 
+  // ---- product quantization oracle fragments (see graft.ops.Pq):
+  // per sub-space, the UNROLLED L2 Lloyd trainer — the
+  // q_ann_ivf_trained oracle treatment with the metric swapped to
+  // dist² = (vn − 2·dot) + cn (expression order matching
+  // Similarity.assignNearestL2 token-for-token) ----
+
+  private def pqSubBaseSql(s: Int, sub: Int, k: Int): String = {
+    val lo = s * sub + 1
+    val hi = (s + 1) * sub
+    s"""e$s AS (SELECT vec_id,
+          list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      en$s AS (SELECT vec_id, v, ${sqlDot("v", "v")} AS vn FROM e$s),
+      c${s}_0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS cv
+        FROM e$s WHERE vec_id < $k)"""
+  }
+
+  private def pqRoundSql(s: Int, i: Int): String = {
+    val p = s"c${s}_${i - 1}"
+    s"""d${s}_$i AS (SELECT e.vec_id, c.cluster,
+          e.vn - 2.0 * ${sqlDot("e.v", "c.cv")} + ${sqlDot("c.cv", "c.cv")} AS dist2
+        FROM en$s e CROSS JOIN $p c),
+      r${s}_$i AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn FROM d${s}_$i),
+      a${s}_$i AS (SELECT vec_id, cluster FROM r${s}_$i WHERE rn = 1),
+      x${s}_$i AS (SELECT a.cluster, generate_subscripts(e.v, 1) AS pos,
+          unnest(e.v) AS comp
+        FROM a${s}_$i a JOIN e$s e USING (vec_id)),
+      m${s}_$i AS (SELECT cluster, pos,
+          CAST(sum(CAST(round(comp * 1000000.0) AS BIGINT)) AS DOUBLE)
+            / (count(*) * 1000000) AS m
+        FROM x${s}_$i GROUP BY cluster, pos),
+      g${s}_$i AS (SELECT cluster, list(m ORDER BY pos) AS mv
+        FROM m${s}_$i GROUP BY cluster),
+      c${s}_$i AS (SELECT p.cluster, COALESCE(g.mv, p.cv) AS cv
+        FROM $p p LEFT JOIN g${s}_$i g USING (cluster))"""
+  }
+
+  /** Final sub-space assignment against the trained codebook plus the
+    * label→code remap (codes are positions in sorted-label order).
+    */
+  private def pqCodeSql(s: Int, iters: Int): String =
+    s"""fd$s AS (SELECT e.vec_id, c.cluster,
+          e.vn - 2.0 * ${sqlDot("e.v", "c.cv")} + ${sqlDot("c.cv", "c.cv")} AS dist2
+        FROM en$s e CROSS JOIN c${s}_$iters c),
+      fr$s AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn FROM fd$s),
+      lab$s AS (SELECT vec_id, cluster FROM fr$s WHERE rn = 1),
+      code$s AS (SELECT cluster,
+          CAST(row_number() OVER (ORDER BY cluster) - 1 AS BIGINT) AS code
+        FROM c${s}_$iters)"""
+
+  private def pqOracleCtes: String =
+    Seq(pqSubBaseSql(0, 32, 4), pqSubBaseSql(1, 32, 4),
+      pqRoundSql(0, 1), pqRoundSql(0, 2),
+      pqRoundSql(1, 1), pqRoundSql(1, 2),
+      pqCodeSql(0, 2), pqCodeSql(1, 2)).mkString(",\n      ")
+
+  /** PRODUCT-QUANTIZED codes (see [[graft.ops.Pq]]): two 32-dim
+    * sub-spaces, each with a deterministically-trained 4-centroid L2
+    * codebook (2 Lloyd rounds), every vector replaced by its
+    * (code0, code1) pair — 64 floats → 2 small ints at rest. The
+    * oracle replays BOTH sub-space trainings unrolled (seeds, L2
+    * assignment with the exact (vn − 2·dot) + cn expression shape,
+    * integer-quantized exact means, empty-cluster fallback), the
+    * final assignments, and the sorted-label code remap — and
+    * hash-matches: the strongest-correctness treatment extended from
+    * the trained-IVF oracle to PQ.
+    */
+  val qAnnPq = Q(
+    "q_ann_pq",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val model = graft.ops.Pq.train(emb, m = 2, k = 4, iters = 2)
+      graft.ops.Pq.encode(emb, model)
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).cast("long").as("c0"),
+          element_at(col("codes"), 2).cast("long").as("c1"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $pqOracleCtes
+      SELECT l0.vec_id AS vec_id, k0.code AS c0, k1.code AS c1
+      FROM lab0 l0 JOIN code0 k0 ON l0.cluster = k0.cluster
+      JOIN lab1 l1 ON l1.vec_id = l0.vec_id
+      JOIN code1 k1 ON l1.cluster = k1.cluster
+      ORDER BY vec_id""")
+  )
+
+  /** Asymmetric PQ top-k (see [[graft.ops.Pq.knnDecoded]]): float
+    * queries against the DECODED corpus — each stored code pair
+    * reconstructs to its centroid concatenation and the existing dot
+    * kernel scores it (the ADC sum realized through decode, so it
+    * composes with every kNN operator instead of a parallel scoring
+    * path). The oracle decodes through the same trained codebooks
+    * (list concatenation of the two sub-centroids) and replays the
+    * dot ranking.
+    */
+  val qAnnPqKnn = Q(
+    "q_ann_pq_knn",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val model = graft.ops.Pq.train(emb, m = 2, k = 4, iters = 2)
+      val codes = graft.ops.Pq.encode(emb, model)
+      graft.ops.Pq.knnDecoded(emb.filter(col("vec_id") < 10), codes,
+          model, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $pqOracleCtes,
+      dec AS (SELECT l0.vec_id, c0.cv || c1.cv AS cv
+        FROM lab0 l0 JOIN c0_2 c0 ON l0.cluster = c0.cluster
+        JOIN lab1 l1 ON l1.vec_id = l0.vec_id
+        JOIN c1_2 c1 ON l1.cluster = c1.cluster),
+      qf AS (SELECT vec_id AS query_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 10),
+      pr AS (SELECT q.query_id, d.vec_id AS neighbor_id,
+          ${sqlDot("q.qv", "d.cv")} AS adot
+        FROM qf q CROSS JOIN dec d WHERE d.vec_id <> q.query_id),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY adot DESC, neighbor_id) AS rank
+        FROM pr)
+      SELECT query_id, rank, neighbor_id, adot FROM rk
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
+  /** PQ shortlist + EXACT rerank (see [[graft.ops.Pq.knnRerank]]) —
+    * the deployment shape: the 20×-compressed coded table is the
+    * only full scan (a 15-deep decoded-dot shortlist here), then
+    * only shortlisted ids fetch their float vectors for the exact-dot
+    * rerank. The oracle chains the whole pipeline: both unrolled
+    * sub-space trainings → codes → decode → shortlist ranking →
+    * id-join → exact rerank.
+    */
+  val qAnnPqRerank = Q(
+    "q_ann_pq_rerank",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val model = graft.ops.Pq.train(emb, m = 2, k = 4, iters = 2)
+      val codes = graft.ops.Pq.encode(emb, model)
+      graft.ops.Pq.knnRerank(emb.filter(col("vec_id") < 10), codes,
+          model, emb, k = 5, shortlist = 15)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $pqOracleCtes,
+      dec AS (SELECT l0.vec_id, c0.cv || c1.cv AS cv
+        FROM lab0 l0 JOIN c0_2 c0 ON l0.cluster = c0.cluster
+        JOIN lab1 l1 ON l1.vec_id = l0.vec_id
+        JOIN c1_2 c1 ON l1.cluster = c1.cluster),
+      qf AS (SELECT vec_id AS query_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 10),
+      pr AS (SELECT q.query_id, d.vec_id AS neighbor_id,
+          ${sqlDot("q.qv", "d.cv")} AS adot
+        FROM qf q CROSS JOIN dec d WHERE d.vec_id <> q.query_id),
+      sl AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY adot DESC, neighbor_id) AS rank
+        FROM pr) WHERE rank <= 15),
+      ef AS (SELECT vec_id AS neighbor_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings),
+      rr AS (SELECT s.query_id, s.neighbor_id,
+          ${sqlDot("q.qv", "e.cv")} AS dot
+        FROM sl s JOIN ef e USING (neighbor_id)
+        JOIN qf q USING (query_id)),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+        FROM rr)
+      SELECT query_id, rank, neighbor_id, dot FROM rk
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   /** Incremental SemDeDup (see
     * [[graft.ops.Similarity.semDedupIncremental]]): vec_id % 5 == 0 is
     * the arriving batch, the rest the at-rest corpus, seeds the shared
@@ -2208,5 +2381,6 @@ object TrainingQ {
     qStreamSemDedup, qDedupSpan, qAnnIvfLayout, qKnnQ8, qBpePairs,
     qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot, qBpeTrainBatched,
     qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp,
-    qUnigramTrain, qUnigramEncode, qUnigramTrainSoft)
+    qUnigramTrain, qUnigramEncode, qUnigramTrainSoft, qAnnPq, qAnnPqKnn,
+    qAnnPqRerank)
 }

@@ -46,6 +46,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_semdedup_incr", // same centroid cross, once per side (new + corpus)
       "q_knn_graph", // k-row centroid table × corpus (assignment), then bucketed pairs
       "q_knn_graph_mp", // same centroid cross, widened to top-p probes per vector
+      "q_ann_pq", // k-row sub-codebook table × corpus slices (L2 assignment)
+      "q_ann_pq_knn", // same trainer cross + broadcast query set × decoded corpus
+      "q_ann_pq_rerank", // same shortlist cross; the rerank itself is an id-equality join
       "q_source_overlap_kmv", // S-row KMV sketch table × itself (S = #sources)
       "q_mix_temperature", // 1-row global-min × S-row count table
       "q_quantile_dd", // 3-quantile row set × bucket-table-sized cumsum (the sketch)

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Pq, Similarity}
+
+/** Pins for product quantization: the L2 sub-space trainer, the
+  * encode == assignNearestL2 identity (the compiled expression must
+  * reproduce the distributed assignment bit-for-bit), reconstruction
+  * behavior in k, and the decoded-dot kNN contract.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("kmeansL2 recovers planted L2 clusters; empty cluster keeps previous centroid") {
+    // four tight planted blobs at distinct corners; seeds = first 4
+    // vectors, one drawn from each blob
+    val pts = (0 until 80).map { i =>
+      val b = i % 4
+      val base = Seq(10.0 * (b & 1), 10.0 * ((b >> 1) & 1))
+      (i.toLong, Seq(base(0) + (i % 7) * 0.01, base(1) + (i % 5) * 0.01))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansL2(df, k = 4, iters = 3)
+      .orderBy("cluster").collect()
+    assert(cents.length == 4)
+    val assigned = Similarity.assignNearestL2(df, Similarity.kmeansL2(df, 4, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every blob lands in exactly one cluster
+    val byBlob = assigned.groupBy(_._1 % 4).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(byBlob.values.forall(_.size == 1))
+    assert(byBlob.values.toSet.size == 4)
+  }
+
+  test("encodeExpr codes == per-subspace assignNearestL2 labels (sorted-label order)") {
+    val model = Pq.train(emb, m = 2, k = 4, iters = 2)
+    val codes = Pq.encode(emb, model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for (s <- 0 until 2) {
+      val sliceDf = emb.select(col("vec_id"),
+        slice(col("embedding"), s * 32 + 1, 32).as("embedding"))
+      val cents = Similarity.kmeansL2(sliceDf, k = 4, iters = 2)
+      val labelToCode = cents.select("cluster").orderBy("cluster")
+        .collect().map(_.getLong(0)).zipWithIndex.toMap
+      val want = Similarity.assignNearestL2(sliceDf, cents)
+        .collect().map(r => r.getLong(0) -> labelToCode(r.getLong(1))).toMap
+      assert(codes.view.mapValues(_(s)).toMap == want,
+        s"subspace $s codes diverge from assignNearestL2")
+    }
+  }
+
+  test("reconstruction error falls with k; decoded-dot kNN finds structured neighbors") {
+    def reconErr(k: Int): Double = {
+      val model = Pq.train(emb, m = 2, k = k, iters = 2)
+      val codes = Pq.encode(emb, model)
+      emb.join(codes, Seq("vec_id"))
+        .select(aggregate(
+          zip_with(Similarity.asDouble(col("embedding")),
+            Pq.decodeExpr(col("codes"), model),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("e"))
+        .agg(avg("e")).head().getDouble(0)
+    }
+    val e4 = reconErr(4)
+    val e16 = reconErr(16)
+    assert(e16 < e4, s"k=16 should reconstruct better: $e16 vs $e4")
+
+    // finer product grid for the kNN check: PQ quality comes from m
+    // (16 cells in a 32-dim subspace is hopeless on near-random data;
+    // 8 subspaces of 8 dims give 16^8 effective cells)
+    val model = Pq.train(emb, m = 8, k = 16, iters = 2)
+    val codes = Pq.encode(emb, model)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Pq.knnDecoded(queries, codes, model, k = 10)
+    val rows = got.collect()
+    assert(rows.length == 50) // 5 queries x 10
+    assert(rows.forall(_.getInt(1) >= 1))
+    // overlap with exact-dot truth well above chance (10/499)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d").desc, col("neighbor_id"))
+    val truth = emb.select(col("vec_id").as("neighbor_id"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        Similarity.asDouble(col("embedding")).as("qv"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSet = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (gotSet & truth).size.toDouble / truth.size
+    assert(overlap > 0.2, s"decoded-dot overlap with exact dot only $overlap")
+    // shortlist + exact rerank: with the shortlist covering most of
+    // the corpus, rerank must reproduce exact-dot truth outright
+    val reranked = Pq.knnRerank(queries, codes, model, emb,
+        k = 10, shortlist = 400)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerankRecall = (reranked & truth).size.toDouble / truth.size
+    assert(rerankRecall > overlap,
+      s"rerank ($rerankRecall) should beat direct decoded-dot ($overlap)")
+  }
+}
