@@ -425,6 +425,114 @@ object AnnLayout {
     cents
   }
 
+  /** IVF-PQ — the FAISS composition, assembled from three shipped
+    * pieces: the TRAINED coarse quantizer ([[trainIvf]]'s
+    * deterministic Lloyd codebook) partitions the corpus, PRODUCT
+    * QUANTIZATION ([[graft.ops.Pq]]) replaces every stored vector
+    * with its m sub-space codes, and queries probe the float
+    * centroid reps exactly as [[knnIvf]] does. The probed-partition
+    * scan therefore reads ~nprobe/k of a corpus that is itself
+    * ~20× smaller than float at rest (PERF.md round-11 pq) —
+    * partition pruning and code compression MULTIPLY, the
+    * [[trainIvfQ8]] argument taken to PQ's compression level.
+    *
+    * Three artifacts: `corpus` (codes, Hive-partitioned by the
+    * learned label), `reps` (float coarse centroids — the probe
+    * codebook), `pq` (the m×k sub-centroid codebook as rows
+    * (s, code, cv) — [[readPqModel]] reconstructs the
+    * [[graft.ops.Pq.PqModel]]). PQ is trained on the RAW vectors
+    * (not per-cluster residuals — the residual refinement is a
+    * documented non-goal: raw-vector PQ keeps encode independent of
+    * the coarse assignment, so [[appendTrained]]-style maintenance
+    * could assign and encode in one pass). Returns (coarse
+    * centroids, PqModel).
+    */
+  def trainIvfPq(corpus: DataFrame, path: String, kCoarse: Int,
+      itersCoarse: Int, pqM: Int, pqK: Int, pqIters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label",
+      maxRecordsPerFile: Long = 5000000L)
+      : (DataFrame, graft.ops.Pq.PqModel) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.drop(clusterCol)
+    val cents = Similarity.kmeans(base, kCoarse, itersCoarse, idCol, vecCol)
+    val labels = Similarity.assignNearest(base, cents, idCol, vecCol)
+      .select(col("vec_id").as(idCol), col("cluster").as(clusterCol))
+    val model = graft.ops.Pq.train(base, pqM, pqK, pqIters, idCol, vecCol)
+    val codes = graft.ops.Pq.encode(base, model, idCol, vecCol)
+      .join(labels, Seq(idCol))
+    Bucketing.writePartitioned(codes, s"$path/corpus",
+      Seq(clusterCol), Seq(idCol), maxRecordsPerFile)
+    cents.select(col("cluster").as(clusterCol),
+        col("cluster").as("rep_id"), col("cv").as("rep_vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/reps.stage")
+    swapDir(spark, s"$path/reps.stage", s"$path/reps")
+    model.codebooks.zipWithIndex
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (cv, code) =>
+        (s, code, cv.toSeq) } }
+      .toDF("s", "code", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    (cents, model)
+  }
+
+  /** Reconstruct the [[graft.ops.Pq.PqModel]] from a [[trainIvfPq]]
+    * layout's `pq` artifact — codebook-sized read.
+    */
+  def readPqModel(spark: SparkSession, path: String): graft.ops.Pq.PqModel = {
+    val rows = readSwapped(spark, s"$path/pq")
+      .orderBy("s", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+    val m = rows.map(_._1).max + 1
+    val codebooks = (0 until m).map(s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3).toIndexedSeq)
+    graft.ops.Pq.PqModel(m, codebooks.head.length,
+      codebooks.head.head.length, codebooks)
+  }
+
+  /** Query the [[trainIvfPq]] layout: probe the float coarse reps
+    * (the [[knnIvf]] cosine probe, same bounded collect→isin
+    * partition filter), DECODE only the probed partitions' codes
+    * (m O(1) codebook-literal lookups per row), rank by decoded dot.
+    * Returns (query_id, rank, neighbor_id, adot) — feed the ids into
+    * an exact rerank against a float table for the deployment shape
+    * ([[graft.ops.Pq.knnRerank]]'s argument, q_ann_ivf_pq does it).
+    */
+  def knnIvfPq(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "label"): DataFrame = {
+    val model = readPqModel(spark, path)
+    val reps = readSwapped(spark, s"$path/reps")
+      .select(col(clusterCol).as("cluster"),
+        Similarity.asDouble(col("rep_vec")).as("rv"))
+      .withColumn("rn", Similarity.norm2(col("rv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", Similarity.norm2(col("qv")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy((Similarity.dot(col("qv"), col("rv"))
+        / sqrt(col("qn") * col("rn"))).desc, col("cluster"))
+    val probed = q.crossJoin(broadcast(reps))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select("query_id", "qv", "cluster")
+    val probedClusters = probed.select("cluster").distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    val members = spark.read.parquet(s"$path/corpus")
+      .filter(col(clusterCol).isin(probedClusters: _*))
+      .select(col(clusterCol).as("cluster"), col(idCol).as("neighbor_id"),
+        graft.ops.Pq.decodeExpr(col("codes"), model).as("cv"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("neighbor_id"))
+    probed.join(members, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adot", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adot")
+  }
+
   /** Incremental maintenance for a TRAINED layout ([[trainIvf]]):
     * assign the new batch to the FROZEN codebook (one
     * [[graft.ops.Similarity.assignNearest]] pass against `path/reps`

@@ -1412,6 +1412,65 @@ object TrainingQ {
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  /** IVF-PQ (see [[graft.io.AnnLayout.trainIvfPq]]): trained coarse
+    * quantizer partitions the corpus, product-quantized codes at
+    * rest, cosine probe of the float reps, decoded-dot ranking over
+    * ONLY the probed partitions — pruning × compression. The oracle
+    * chains the unrolled coarse Lloyd rounds, BOTH unrolled PQ
+    * sub-space trainings, the final assignments, decode, the probe
+    * ranking, and the decoded scoring in one DuckDB replay — the
+    * largest chained oracle in the catalog, every stage
+    * arithmetic-exact.
+    */
+  val qAnnIvfPq = Q(
+    "q_ann_ivf_pq",
+    (spark, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("ann_ivf_pq").toString
+      val emb = Tables.embeddings(spark, dir)
+      graft.io.AnnLayout.trainIvfPq(emb, work, kCoarse = TrainedK,
+        itersCoarse = TrainedIters, pqM = 2, pqK = 4, pqIters = 2)
+      graft.io.AnnLayout.knnIvfPq(spark, work,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS cv
+        FROM e ORDER BY vec_id LIMIT $TrainedK),
+      ${(1 to TrainedIters).map(kmeansRoundSql).mkString(",\n      ")},
+      sf AS (SELECT e.vec_id, c.cluster,
+          ${sqlDot("e.v", "c.cv")} / sqrt(${sqlDot("e.v", "e.v")} * ${sqlDot("c.cv", "c.cv")}) AS cosine
+        FROM e CROSS JOIN c$TrainedIters c),
+      rf AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM sf),
+      lab AS (SELECT vec_id, cluster AS label FROM rf WHERE rn = 1),
+      $pqOracleCtes,
+      dec AS (SELECT l0.vec_id, c0.cv || c1.cv AS cv
+        FROM lab0 l0 JOIN c0_2 c0 ON l0.cluster = c0.cluster
+        JOIN lab1 l1 ON l1.vec_id = l0.vec_id
+        JOIN c1_2 c1 ON l1.cluster = c1.cluster),
+      qq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      probe AS (SELECT query_id, qv, c.cluster AS label,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            ${sqlDot("qv", "c.cv")} / sqrt(${sqlDot("qv", "qv")} * ${sqlDot("c.cv", "c.cv")}) DESC,
+            c.cluster) AS pr
+        FROM qq CROSS JOIN c$TrainedIters c),
+      cand AS (SELECT p.query_id, l.vec_id AS neighbor_id,
+          ${sqlDot("p.qv", "d.cv")} AS adot
+        FROM (SELECT query_id, qv, label FROM probe WHERE pr <= 2) p
+        JOIN lab l ON l.label = p.label
+        JOIN dec d ON d.vec_id = l.vec_id
+        WHERE l.vec_id <> p.query_id),
+      rr AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY adot DESC, neighbor_id) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id, adot FROM rr
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   /** Incremental SemDeDup (see
     * [[graft.ops.Similarity.semDedupIncremental]]): vec_id % 5 == 0 is
     * the arriving batch, the rest the at-rest corpus, seeds the shared
@@ -2028,8 +2087,8 @@ object TrainingQ {
     Some(AnnIvfOracle)
   )
 
-  private val TrainedK = 4
-  private val TrainedIters = 2
+  private final val TrainedK = 4
+  private final val TrainedIters = 2
 
   /** One unrolled Lloyd round for the q_ann_ivf_trained oracle:
     * assign every vector to its argmax-cosine centroid of `c{i-1}`
@@ -2382,5 +2441,5 @@ object TrainingQ {
     qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot, qBpeTrainBatched,
     qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp,
     qUnigramTrain, qUnigramEncode, qUnigramTrainSoft, qAnnPq, qAnnPqKnn,
-    qAnnPqRerank)
+    qAnnPqRerank, qAnnIvfPq)
 }

@@ -106,4 +106,32 @@ class PqSpec extends AnyFunSuite {
     assert(rerankRecall > overlap,
       s"rerank ($rerankRecall) should beat direct decoded-dot ($overlap)")
   }
+
+  test("IVF-PQ layout: probed-partition pruning engages; full-probe equals flat decoded ranking") {
+    val root = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val (_, model) = graft.io.AnnLayout.trainIvfPq(emb, root,
+      kCoarse = 4, itersCoarse = 2, pqM = 2, pqK = 4, pqIters = 2)
+    // the stored pq codebook round-trips
+    assert(graft.io.AnnLayout.readPqModel(spark, root) == model)
+    val queries = emb.filter(col("vec_id") < 5)
+    // pruning: a 1-probe scan touches a strict subset of partitions
+    val probedScan = graft.io.AnnLayout.knnIvfPq(spark, root, queries,
+      k = 5, nprobe = 1)
+    assert(probedScan.count() > 0)
+    val allParts = new java.io.File(s"$root/corpus").listFiles()
+      .count(_.getName.startsWith("label="))
+    assert(allParts == 4)
+    // full probe (nprobe = #clusters) == flat decoded-dot ranking over
+    // the whole corpus (same arithmetic, no pruning)
+    val full = graft.io.AnnLayout.knnIvfPq(spark, root, queries,
+        k = 5, nprobe = 4)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val flat = Pq.knnDecoded(queries, Pq.encode(emb, model), model, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(full == flat && full.nonEmpty)
+  }
 }
