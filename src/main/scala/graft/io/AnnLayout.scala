@@ -533,6 +533,46 @@ object AnnLayout {
       .select("query_id", "rank", "neighbor_id", "adot")
   }
 
+  /** Incremental maintenance for an IVF-PQ layout ([[trainIvfPq]]):
+    * ONE pass assigns the batch to the frozen coarse codebook AND
+    * encodes it with the frozen PQ codebook (raw-vector PQ makes the
+    * two independent — the design reason documented on trainIvfPq),
+    * then appends into the learned-label partitions. Reps and the pq
+    * artifact stay untouched (the [[appendTrained]] frozen-codebook
+    * rule; the [[appendTrainedWithStats]] drift gates apply
+    * unchanged — retrain is a new [[trainIvfPq]] build). The
+    * compaction threshold composes like every other append.
+    * LayoutSpec pins append-equivalence with a from-scratch encode
+    * of the union under the same frozen models.
+    */
+  def appendTrainedPq(newVecs: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label",
+      maxRecordsPerFile: Long = 5000000L,
+      compactWhenFilesOver: Int = 0, compactFiles: Int = 1): Unit = {
+    val spark = newVecs.sparkSession
+    repairPartitionSwaps(spark, path)
+    val model = readPqModel(spark, path)
+    val cents = readSwapped(spark, s"$path/reps")
+      .select(col(clusterCol).as("cluster"), col("rep_vec").as("cv"))
+    val base = newVecs.drop(clusterCol)
+    val labels = Similarity.assignNearest(base, cents, idCol, vecCol)
+      .select(col("vec_id").as(idCol), col("cluster").as(clusterCol))
+    graft.ops.Pq.encode(base, model, idCol, vecCol)
+      .join(labels, Seq(idCol))
+      .repartition(col(clusterCol))
+      .sortWithinPartitions(col(clusterCol), col(idCol))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(clusterCol)
+      .parquet(s"$path/corpus")
+    if (compactWhenFilesOver > 0)
+      compactIvfPartitions(spark, path, clusterCol, idCol,
+        compactFiles, compactWhenFilesOver,
+        maxRecordsPerFile = maxRecordsPerFile)
+    ()
+  }
+
   /** Incremental maintenance for a TRAINED layout ([[trainIvf]]):
     * assign the new batch to the FROZEN codebook (one
     * [[graft.ops.Similarity.assignNearest]] pass against `path/reps`

@@ -134,4 +134,37 @@ class PqSpec extends AnyFunSuite {
       .toSeq
     assert(full == flat && full.nonEmpty)
   }
+
+  test("appendTrainedPq: frozen-codebook append answers like a from-scratch encode of the union") {
+    val a = emb.filter(col("vec_id") % 4 =!= 0)
+    val b = emb.filter(col("vec_id") % 4 === 0)
+    val incr = java.nio.file.Files.createTempDirectory("ivfpq_incr").toString
+    graft.io.AnnLayout.trainIvfPq(a, incr, kCoarse = 4, itersCoarse = 2,
+      pqM = 2, pqK = 4, pqIters = 2)
+    val repsBefore = spark.read.parquet(s"$incr/reps")
+      .orderBy("label").collect().toSeq
+    val pqBefore = spark.read.parquet(s"$incr/pq")
+      .orderBy("s", "code").collect().toSeq
+    graft.io.AnnLayout.appendTrainedPq(b, incr,
+      compactWhenFilesOver = 3, compactFiles = 1)
+    // both codebooks frozen
+    assert(spark.read.parquet(s"$incr/reps").orderBy("label")
+      .collect().toSeq == repsBefore)
+    assert(spark.read.parquet(s"$incr/pq").orderBy("s", "code")
+      .collect().toSeq == pqBefore)
+    // query identity vs a hand-built reference: same frozen models,
+    // whole union encoded flat, same probe + decoded ranking
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = graft.io.AnnLayout.knnIvfPq(spark, incr, queries,
+        k = 5, nprobe = 4)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val model = graft.io.AnnLayout.readPqModel(spark, incr)
+    val flat = Pq.knnDecoded(queries, Pq.encode(emb, model), model, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == flat && got.nonEmpty)
+  }
 }
