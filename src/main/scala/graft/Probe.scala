@@ -1529,6 +1529,56 @@ object Probe {
       val recallRerankU = recallRerank(queries, codes, vecs, model, truth)
       val recallRerankP = recallRerank(queriesP, codesP, planted, modelP,
         truthP)
+      // shortlist depth curve (planted regime): where is the knee?
+      def recallShortlist(depth: Int): Double = {
+        val got = graft.ops.Pq.knnRerank(queriesP, codesP, modelP, planted,
+            k = 10, shortlist = depth)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        truthP.map { case (q, t) =>
+          got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0)
+        }.sum / truthP.size
+      }
+      val curve = Seq(50, 100, 200, 400).map(d =>
+        s""""rerank$d":${recallShortlist(d)}""").mkString(",")
+      // RESIDUAL PQ (the classic IVF-PQ refinement): quantize
+      // x − coarseCentroid(x) instead of x. Does it buy recall at
+      // equal bits on the structured regime where residuals are
+      // small?
+      val coarse = graft.ops.Similarity.kmeans(planted, 64, iters = 2)
+        .localCheckpoint()
+      val assignedP = graft.ops.Similarity.assignNearest(planted, coarse)
+        .select(col("vec_id"), col("cluster"))
+      val resid = planted.join(assignedP, Seq("vec_id"))
+        .join(coarse.select(col("cluster"),
+          col("cv").as("_cc")), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"),
+          zip_with(graft.ops.Similarity.asDouble(col("embedding")),
+            col("_cc"), (a, b) => (a - b).cast("float")).as("embedding"))
+        .localCheckpoint()
+      val modelR = graft.ops.Pq.train(resid, m = 8, k = 256, iters = 2)
+      val codesR = graft.ops.Pq.encode(resid, modelR).localCheckpoint()
+      // decoded vector = coarse centroid + decoded residual
+      val decodedR = codesR
+        .join(assignedP, Seq("vec_id"))
+        .join(coarse.select(col("cluster"), col("cv").as("_cc")),
+          Seq("cluster"))
+        .select(col("vec_id").as("neighbor_id"),
+          zip_with(col("_cc"),
+            graft.ops.Pq.decodeExpr(col("codes"), modelR),
+            (a, b) => a + b).as("cv"))
+      val gotR = decodedR
+        .crossJoin(broadcast(queriesP.select(col("vec_id").as("query_id"),
+          graft.ops.Similarity.asDouble(col("embedding")).as("qv"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("d", graft.ops.Similarity.dot(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val recallResid = truthP.map { case (q, t) =>
+        gotR.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0)
+      }.sum / truthP.size
       println(s"""{"probe":"pq","vectors":$nVec,"dims":$dims,""" +
         s""""m":8,"k":256,"train_sec":$tTrain,"encode_sec":$tEncode,""" +
         s""""bytes_float":$bFloat,"bytes_sq8":$bSq8,"bytes_pq":$bPq,""" +
@@ -1537,7 +1587,9 @@ object Probe {
         s""""recall_at10_uniform":$recall,""" +
         s""""recall_at10_planted":$recallP,""" +
         s""""recall_at10_rerank100_uniform":$recallRerankU,""" +
-        s""""recall_at10_rerank100_planted":$recallRerankP}""")
+        s""""recall_at10_rerank100_planted":$recallRerankP,""" +
+        s""""shortlist_curve_planted":{$curve},""" +
+        s""""recall_at10_residual_planted":$recallResid}""")
     }
 
     if (enabled("para_skew")) {

@@ -1245,12 +1245,13 @@ object TrainingQ {
   // dist² = (vn − 2·dot) + cn (expression order matching
   // Similarity.assignNearestL2 token-for-token) ----
 
-  private def pqSubBaseSql(s: Int, sub: Int, k: Int): String = {
+  private def pqSubBaseSql(s: Int, sub: Int, k: Int,
+      src: String = "embeddings"): String = {
     val lo = s * sub + 1
     val hi = (s + 1) * sub
     s"""e$s AS (SELECT vec_id,
           list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+        FROM $src),
       en$s AS (SELECT vec_id, v, ${sqlDot("v", "v")} AS vn FROM e$s),
       c${s}_0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS cv
         FROM e$s WHERE vec_id < $k)"""
@@ -1291,11 +1292,13 @@ object TrainingQ {
           CAST(row_number() OVER (ORDER BY cluster) - 1 AS BIGINT) AS code
         FROM c${s}_$iters)"""
 
-  private def pqOracleCtes: String =
-    Seq(pqSubBaseSql(0, 32, 4), pqSubBaseSql(1, 32, 4),
+  private def pqOracleCtesFrom(src: String): String =
+    Seq(pqSubBaseSql(0, 32, 4, src), pqSubBaseSql(1, 32, 4, src),
       pqRoundSql(0, 1), pqRoundSql(0, 2),
       pqRoundSql(1, 1), pqRoundSql(1, 2),
       pqCodeSql(0, 2), pqCodeSql(1, 2)).mkString(",\n      ")
+
+  private def pqOracleCtes: String = pqOracleCtesFrom("embeddings")
 
   /** PRODUCT-QUANTIZED codes (see [[graft.ops.Pq]]): two 32-dim
     * sub-spaces, each with a deterministically-trained 4-centroid L2
@@ -1463,6 +1466,73 @@ object TrainingQ {
         FROM (SELECT query_id, qv, label FROM probe WHERE pr <= 2) p
         JOIN lab l ON l.label = p.label
         JOIN dec d ON d.vec_id = l.vec_id
+        WHERE l.vec_id <> p.query_id),
+      rr AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY adot DESC, neighbor_id) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id, adot FROM rr
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
+  /** RESIDUAL IVF-PQ (see [[graft.io.AnnLayout.trainIvfPq]] with
+    * `residual = true`): the classic refinement — quantize
+    * x − coarseCentroid(x), decode centroid + residual. Measured
+    * reason to exist: direct decoded recall 0.15 → 0.33 at equal
+    * bits on clustered data (PERF.md round-11 pq). The oracle adds
+    * the residual-table derivation between the coarse chain and the
+    * PQ chains, and the centroid-add in scoring — still one DuckDB
+    * replay, hash-exact.
+    */
+  val qAnnIvfPqRes = Q(
+    "q_ann_ivf_pq_res",
+    (spark, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("ann_ivf_pq_res").toString
+      val emb = Tables.embeddings(spark, dir)
+      graft.io.AnnLayout.trainIvfPq(emb, work, kCoarse = TrainedK,
+        itersCoarse = TrainedIters, pqM = 2, pqK = 4, pqIters = 2,
+        residual = true)
+      graft.io.AnnLayout.knnIvfPq(spark, work,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS cv
+        FROM e ORDER BY vec_id LIMIT $TrainedK),
+      ${(1 to TrainedIters).map(kmeansRoundSql).mkString(",\n      ")},
+      sf AS (SELECT e.vec_id, c.cluster,
+          ${sqlDot("e.v", "c.cv")} / sqrt(${sqlDot("e.v", "e.v")} * ${sqlDot("c.cv", "c.cv")}) AS cosine
+        FROM e CROSS JOIN c$TrainedIters c),
+      rf AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM sf),
+      lab AS (SELECT vec_id, cluster AS label FROM rf WHERE rn = 1),
+      rsrc AS (SELECT e.vec_id,
+          list_transform(list_zip(e.v, c.cv), x -> x[1] - x[2]) AS embedding
+        FROM e JOIN lab l ON l.vec_id = e.vec_id
+        JOIN c$TrainedIters c ON c.cluster = l.label),
+      ${pqOracleCtesFrom("rsrc")},
+      dec AS (SELECT l0.vec_id, c0.cv || c1.cv AS cv
+        FROM lab0 l0 JOIN c0_2 c0 ON l0.cluster = c0.cluster
+        JOIN lab1 l1 ON l1.vec_id = l0.vec_id
+        JOIN c1_2 c1 ON l1.cluster = c1.cluster),
+      full_dec AS (SELECT d.vec_id,
+          list_transform(list_zip(c.cv, d.cv), x -> x[1] + x[2]) AS cv
+        FROM dec d JOIN lab l ON l.vec_id = d.vec_id
+        JOIN c$TrainedIters c ON c.cluster = l.label),
+      qq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      probe AS (SELECT query_id, qv, c.cluster AS label,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            ${sqlDot("qv", "c.cv")} / sqrt(${sqlDot("qv", "qv")} * ${sqlDot("c.cv", "c.cv")}) DESC,
+            c.cluster) AS pr
+        FROM qq CROSS JOIN c$TrainedIters c),
+      cand AS (SELECT p.query_id, l.vec_id AS neighbor_id,
+          ${sqlDot("p.qv", "d.cv")} AS adot
+        FROM (SELECT query_id, qv, label FROM probe WHERE pr <= 2) p
+        JOIN lab l ON l.label = p.label
+        JOIN full_dec d ON d.vec_id = l.vec_id
         WHERE l.vec_id <> p.query_id),
       rr AS (SELECT *, row_number() OVER
           (PARTITION BY query_id ORDER BY adot DESC, neighbor_id) AS rank
@@ -2441,5 +2511,5 @@ object TrainingQ {
     qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot, qBpeTrainBatched,
     qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp,
     qUnigramTrain, qUnigramEncode, qUnigramTrainSoft, qAnnPq, qAnnPqKnn,
-    qAnnPqRerank, qAnnIvfPq)
+    qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes)
 }

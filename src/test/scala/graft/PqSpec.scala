@@ -135,6 +135,68 @@ class PqSpec extends AnyFunSuite {
     assert(full == flat && full.nonEmpty)
   }
 
+  test("residual IVF-PQ layout: flag round-trips, reconstruction beats raw at equal bits, append stays consistent") {
+    val rootRaw = java.nio.file.Files.createTempDirectory("ivfpq_raw").toString
+    val rootRes = java.nio.file.Files.createTempDirectory("ivfpq_res").toString
+    graft.io.AnnLayout.trainIvfPq(emb, rootRaw, kCoarse = 4,
+      itersCoarse = 2, pqM = 2, pqK = 4, pqIters = 2)
+    graft.io.AnnLayout.trainIvfPq(emb, rootRes, kCoarse = 4,
+      itersCoarse = 2, pqM = 2, pqK = 4, pqIters = 2, residual = true)
+    assert(!graft.io.AnnLayout.readPqResidualFlag(spark, rootRaw))
+    assert(graft.io.AnnLayout.readPqResidualFlag(spark, rootRes))
+    // mean squared reconstruction error: residual coding must beat
+    // raw coding at the same bit budget (the measured 0.15->0.33
+    // recall story's mechanism)
+    def reconErrOf(root: String): Double = {
+      val queries = emb.filter(col("vec_id") < 20)
+      // reconstruct via the query path: full probe returns the
+      // decoded-dot of every vector; instead measure directly: join
+      // the layout corpus' decoded vectors against the floats
+      val model = graft.io.AnnLayout.readPqModel(spark, root)
+      val res = graft.io.AnnLayout.readPqResidualFlag(spark, root)
+      val decodedCol = graft.ops.Pq.decodeExpr(col("codes"), model)
+      val base = spark.read.option("basePath", s"$root/corpus")
+        .parquet(s"$root/corpus")
+      val dec =
+        if (!res) base.select(col("vec_id"), decodedCol.as("cv"))
+        else base.join(
+            spark.read.parquet(s"$root/reps")
+              .select(col("label"), col("rep_vec").as("_cc")), Seq("label"))
+          .select(col("vec_id"),
+            zip_with(col("_cc"), decodedCol, (a, b) => a + b).as("cv"))
+      emb.join(dec, Seq("vec_id"))
+        .select(aggregate(
+          zip_with(Similarity.asDouble(col("embedding")), col("cv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("e"))
+        .agg(avg("e")).head().getDouble(0)
+    }
+    val eRaw = reconErrOf(rootRaw)
+    val eRes = reconErrOf(rootRes)
+    assert(eRes < eRaw,
+      s"residual coding should reconstruct better: $eRes vs $eRaw")
+    // append into the residual layout: frozen codebooks, query sane
+    val before = graft.io.AnnLayout.knnIvfPq(spark, rootRes,
+        emb.filter(col("vec_id") < 3), k = 3, nprobe = 4)
+      .count()
+    assert(before > 0)
+    graft.io.AnnLayout.appendTrainedPq(
+      emb.filter(col("vec_id") >= 400), rootRes)
+    val model2 = graft.io.AnnLayout.readPqModel(spark, rootRes)
+    assert(graft.io.AnnLayout.readPqResidualFlag(spark, rootRes))
+    // appended rows appear in query results identically to their
+    // pre-existing twins (codes for re-appended ids equal originals)
+    val origCodes = spark.read.option("basePath", s"$rootRes/corpus")
+      .parquet(s"$rootRes/corpus")
+      .filter(col("vec_id") >= 400)
+      .select("vec_id", "codes").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getSeq[Int](1)).toSet)
+    assert(origCodes.nonEmpty &&
+      origCodes.values.forall(_.size == 1),
+      "append-time residual encode diverged from train-time codes")
+    assert(model2.m == 2)
+  }
+
   test("appendTrainedPq: frozen-codebook append answers like a from-scratch encode of the union") {
     val a = emb.filter(col("vec_id") % 4 =!= 0)
     val b = emb.filter(col("vec_id") % 4 === 0)
