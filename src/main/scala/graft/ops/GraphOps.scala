@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms over edge tables — the layer above
+  * [[Dedup.connectedComponents]]'s cluster discovery: once a corpus
+  * has a similarity graph ([[Similarity.knnGraph]] /
+  * [[Similarity.knnGraphMultiProbe]] edges), centrality turns it
+  * into SELECTION signal — rank documents by how linked-to they are
+  * inside their neighborhood and keep the hubs (or drop them:
+  * boilerplate detection), the link-analysis face of
+  * curation next to the quality classifier's content face.
+  */
+object GraphOps {
+
+  /** Deterministic integer PageRank — the [[Similarity.kmeans]]
+    * quantization recipe applied to power iteration, so the ENTIRE
+    * iterated computation is exact long arithmetic and the oracle
+    * replays it unrolled (q_pagerank hash-matches):
+    *
+    *  - ranks are fixed-point longs, one unit = 2^-scaleBits of a
+    *    unit rank; every node starts at exactly 1.0 (r = 2^scaleBits);
+    *  - an iteration sends each node's rank equally along its
+    *    out-edges as floorDiv(r, outdeg) — exact integer division,
+    *    identical on any engine (all quantities non-negative, so
+    *    floor == truncate == SQL integer division);
+    *  - the damped update is
+    *    r' = floorDiv((dampDen−dampNum)·2^scaleBits, dampDen)
+    *       + floorDiv(dampNum · Σ inbound, dampDen)
+    *    with the inbound sum an exact long aggregation —
+    *    associative, commutative, partition-order-invariant;
+    *  - floor division leaks ≤ 1 unit per edge per iteration and a
+    *    dangling node's mass simply vanishes — both sub-rounding
+    *    effects (≤ |E|·2^-scaleBits per round, invisible at
+    *    scaleBits = 32) accepted as the price of cross-engine
+    *    exactness, the same trade every quantized kernel here makes.
+    *
+    * Scale shape: per iteration ONE join of the edge table with the
+    * node-rank table (shuffle on src), one keyed sum (shuffle on
+    * dst), one left join back to nodes — linear in |E|, the standard
+    * distributed power-iteration plan; state is the |V|-row rank
+    * table, localCheckpointed per round so plans don't nest (the
+    * kmeans/CC iterative-plan lesson). Edges are treated as given
+    * (a duplicated edge carries double weight — dedupe upstream if
+    * that is not intended).
+    *
+    * Returns (id, r) — fixed-point rank per node.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      dampNum: Int = 85, dampDen: Int = 100, scaleBits: Int = 32,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
+    require(scaleBits > 0 && scaleBits < 40, "rank units must leave sum headroom")
+    val s = 1L << scaleBits
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val base = Math.floorDiv((dampDen - dampNum).toLong * s, dampDen.toLong)
+    var r = nodes.select(col("id"), lit(s).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val ins = e.join(r, e("src") === r("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("ins"))
+      val old = r
+      r = nodes.join(ins, nodes("id") === ins("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr(
+            s"($dampNum * coalesce(ins, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("r"))
+        .localCheckpoint(true)
+      old.unpersist()
+      ()
+    }
+    r
+  }
+}

@@ -1474,6 +1474,70 @@ object TrainingQ {
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  private def prBase: Long = Math.floorDiv(15L << 32, 100L)
+
+  /** One unrolled integer power-iteration round for the q_pagerank
+    * oracle: per-edge share = exact integer division of the source's
+    * fixed-point rank by its out-degree, exact long inbound sum, the
+    * damped update with the same floor divisions GraphOps.pageRank
+    * computes (all quantities non-negative, so DuckDB's `//` ==
+    * Spark's `div` == floorDiv).
+    */
+  private def prRoundSql(i: Int): String = {
+    val p = s"pr${i - 1}"
+    s"""pc$i AS (SELECT e.dst, SUM(r.r // d.d) AS ins
+        FROM pedges e JOIN $p r ON r.id = e.src
+        JOIN pdeg d ON d.src = e.src
+        GROUP BY e.dst),
+      pr$i AS (SELECT n.id, CAST($prBase AS BIGINT)
+          + (85 * COALESCE(c.ins, 0)) // 100 AS r
+        FROM pnodes n LEFT JOIN pc$i c ON c.dst = n.id)"""
+  }
+
+  /** Deterministic integer PageRank over the cluster-bucketed kNN
+    * graph (see [[graft.ops.GraphOps.pageRank]]): the kmeans
+    * quantization recipe applied to power iteration — fixed-point
+    * long ranks, floorDiv edge shares, exact long inbound sums — so
+    * the ENTIRE 3-round iteration replays unrolled in DuckDB on top
+    * of the replayed graph construction and hash-matches. The
+    * centrality signal link-analysis curation ranks documents by.
+    */
+  val qPagerank = Q(
+    "q_pagerank",
+    (spark, dir) => {
+      val edges = Similarity.knnGraph(Tables.embeddings(spark, dir),
+          seedCentroids(spark, dir), k = 3)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      graft.ops.GraphOps.pageRank(edges, iters = 3).orderBy("id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $KmeansSeeds),
+      s AS (SELECT vec_id, cluster,
+          ${sqlDot("v", "cv")} / sqrt(${sqlDot("v", "v")} * ${sqlDot("cv", "cv")}) AS cosine
+        FROM e CROSS JOIN c),
+      r AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM s),
+      a AS (SELECT vec_id, cluster FROM r WHERE rn = 1),
+      av AS (SELECT a.vec_id, a.cluster, e.v FROM a JOIN e USING (vec_id)),
+      p AS (SELECT x.vec_id, x.cluster, y.vec_id AS neighbor_id,
+          ${sqlDot("x.v", "y.v")} / sqrt(${sqlDot("x.v", "x.v")} * ${sqlDot("y.v", "y.v")}) AS cosine
+        FROM av x JOIN av y
+        ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM p),
+      pedges AS (SELECT vec_id AS src, neighbor_id AS dst
+        FROM rk WHERE rank <= 3),
+      pnodes AS (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM pedges UNION ALL SELECT dst FROM pedges)),
+      pdeg AS (SELECT src, COUNT(*) AS d FROM pedges GROUP BY src),
+      pr0 AS (SELECT id, CAST(${1L << 32} AS BIGINT) AS r FROM pnodes),
+      ${(1 to 3).map(prRoundSql).mkString(",\n      ")}
+      SELECT id, r FROM pr3 ORDER BY id""")
+  )
+
   /** RESIDUAL IVF-PQ (see [[graft.io.AnnLayout.trainIvfPq]] with
     * `residual = true`): the classic refinement — quantize
     * x − coarseCentroid(x), decode centroid + residual. Measured
@@ -2511,5 +2575,5 @@ object TrainingQ {
     qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot, qBpeTrainBatched,
     qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp,
     qUnigramTrain, qUnigramEncode, qUnigramTrainSoft, qAnnPq, qAnnPqKnn,
-    qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes)
+    qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank)
 }

@@ -51,6 +51,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_ann_pq_rerank", // same shortlist cross; the rerank itself is an id-equality join
       "q_ann_ivf_pq", // coarse + sub-codebook trainer crosses + broadcast rep probe
       "q_ann_ivf_pq_res", // same crosses over the residual table
+      "q_pagerank", // the knnGraph centroid cross building the edge table
       "q_source_overlap_kmv", // S-row KMV sketch table × itself (S = #sources)
       "q_mix_temperature", // 1-row global-min × S-row count table
       "q_quantile_dd", // 3-quantile row set × bucket-table-sized cumsum (the sketch)
