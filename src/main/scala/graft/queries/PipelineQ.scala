@@ -675,9 +675,56 @@ object PipelineQ {
       ORDER BY d.doc_id""")
   )
 
+  /** QUALITY-CURRICULUM sampling — the FineWeb-Edu/DCLM selection
+    * stage assembled from shipped pieces: TRAIN the classifier
+    * in-engine, score every document, band into quality terciles
+    * (ntile over the (margin DESC, doc_id) total order — at these
+    * SFs a doc-count-bounded global window; at 100 TB the band
+    * thresholds come from the rank-sketch instead, the bottom-k
+    * contract), then keep top band whole, sample the middle at 0.5
+    * and the bottom at 0.1 with the deterministic md5 coin
+    * ([[graft.ops.Sample.stratifiedHash]]). The oracle chains the
+    * unrolled classifier training, the scoring join, NTILE, and the
+    * hex-threshold coin — one DuckDB replay, hash-exact.
+    */
+  val qQualityCurriculum = Q(
+    "q_quality_curriculum",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      val w = graft.ops.Classify.trainHashedLogistic(
+        docs, "doc_id", "text", clsLabel, buckets = ClsB, iters = ClsIters)
+      val scored = graft.ops.Classify.scoreHashedLogistic(
+        docs, "doc_id", "text", w, ClsB)
+      val banded = scored.withColumn("band",
+        ntile(3).over(Window.orderBy(col("z").desc, col("doc_id")))
+          .cast("long"))
+      Sample.stratifiedHash(banded, col("doc_id"),
+          col("band").cast("string"),
+          Map("1" -> 1.0, "2" -> 0.5, "3" -> 0.1), 0.0, seed = "cur0")
+        .select(col("doc_id"), col("z"), col("band"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $clsBaseSql,
+      $clsRoundsSql,
+      zf AS (SELECT f.doc_id, SUM(f.c * w.w) AS z
+        FROM feat f JOIN w$ClsIters w USING (b) GROUP BY 1),
+      sc2 AS (SELECT d.doc_id, COALESCE(zf.z, 0) AS z
+        FROM documents d LEFT JOIN zf USING (doc_id)),
+      bd AS (SELECT doc_id, z,
+          CAST(NTILE(3) OVER (ORDER BY z DESC, doc_id) AS BIGINT) AS band
+        FROM sc2)
+      SELECT doc_id, z, band FROM bd
+      WHERE substring(md5('cur0|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        CASE band WHEN 1 THEN 'g' WHEN 2 THEN '80000000'
+          ELSE '19999999' END
+      ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
       qSampleWeighted, qStreamSpanDedup, qStreamWeighted, qCurateE2e,
-      qQualityTrain, qQualityTrainScore, qStreamQuality)
+      qQualityTrain, qQualityTrainScore, qStreamQuality,
+      qQualityCurriculum)
 }
