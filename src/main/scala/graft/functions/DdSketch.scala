@@ -81,13 +81,16 @@ object DdSketch {
     * v > 0. Without this, non-positive / NaN / ±Inf rows fell into a
     * (null, null) bucket that still inflated n and sorted FIRST in
     * the cumulative walk — silently skewed quantiles for any caller
-    * who forgot the filter. (`v > 0` alone already rejects NaN and
-    * -Inf under SQL comparison semantics; +Inf needs the explicit
-    * finiteness check.)
+    * who forgot the filter. Spark ORDERS NaN greater than every
+    * numeric (unlike SQL-null comparison engines), so `NaN > 0` is
+    * TRUE and `NaN =!= Inf` is TRUE — both would admit NaN. The one
+    * predicate false for NaN, +Inf, -Inf, 0 and negatives alike
+    * under Spark's ordering is `0 < d < +Inf` (NaN < Inf is false
+    * because NaN sorts above Inf).
     */
   private def inDomain(v: Column): Column = {
     val d = v.cast("double")
-    d > 0 && d =!= lit(Double.PositiveInfinity)
+    d > 0 && d < lit(Double.PositiveInfinity)
   }
 
   /** Per-GROUP bucket tables — [[dd2Buckets]] keyed by `groups`: one

@@ -485,11 +485,17 @@ object AnnLayout {
         col("cluster").as("rep_id"), col("cv").as("rep_vec"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/reps.stage")
     swapDir(spark, s"$path/reps.stage", s"$path/reps")
+    // Stage+swap like reps: a plain overwrite on a RE-build into an
+    // existing layout can crash mid-write and leave a torn pq dir
+    // with no .old for readSwapped to fall back to — the pq codebook
+    // carries the same crash-safety contract as every other artifact
+    // here.
     model.codebooks.zipWithIndex
       .flatMap { case (cb, s) => cb.zipWithIndex.map { case (cv, code) =>
         (s, code, cv.toSeq, residual) } }
       .toDF("s", "code", "cv", "residual")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq.stage")
+    swapDir(spark, s"$path/pq.stage", s"$path/pq")
     (cents, model)
   }
 

@@ -105,6 +105,8 @@ object Classify {
       .select(col(idCol).as("_c_id"), label.cast("long").as("_c_y"))
       .persist()
     val n = labels.count()
+    require(n > 0, "trainHashedLogistic needs a non-empty corpus " +
+      "(n = 0 would divide the gradient by zero)")
     val k = 8L * n
     var w = Array.fill(buckets)(0L)
     for (_ <- 1 to iters) {

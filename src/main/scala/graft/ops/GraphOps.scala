@@ -51,6 +51,13 @@ object GraphOps {
       dampNum: Int = 85, dampDen: Int = 100, scaleBits: Int = 32,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
+    // Headroom contract: total rank mass is ≤ |V|·2^scaleBits (damping
+    // only shrinks it), and a single hub's inbound sum is bounded by
+    // that total — so ranks are exact iff |V| < 2^(63−scaleBits)
+    // (≈ 2·10^9 nodes at the default 32; pick scaleBits ≤ 24 for a
+    // 10^11-node web graph). The damped update below is arranged so
+    // its intermediates never exceed the inbound sum itself — the
+    // mass bound is the ONLY overflow surface.
     require(scaleBits > 0 && scaleBits < 40, "rank units must leave sum headroom")
     val s = 1L << scaleBits
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -69,10 +76,22 @@ object GraphOps {
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("ins"))
       val old = r
+      // floorDiv(dampNum · ins, dampDen) computed WITHOUT the raw
+      // product: for a ≥ 0, floor(n·a/d) = (a div d)·n + ((a mod d)·n)
+      // div d exactly (write a = q·d + m; q·n is integral). The naive
+      // dampNum * ins overflows Long once a hub's inbound sum nears
+      // 2^63/dampNum — reachable at |V| ≈ 10^8 with scaleBits = 32,
+      // since total mass is bounded by |V|·2^scaleBits — and Spark's
+      // non-ANSI multiply wraps silently. The split form's
+      // intermediates never exceed max(ins, result), so ranks stay
+      // exact whenever |V|·2^scaleBits itself fits in a Long (the
+      // bound the scaleBits require below documents).
+      val insL = s"coalesce(ins, CAST(0 AS BIGINT))"
       r = nodes.join(ins, nodes("id") === ins("dst"), "left")
         .select(col("id"),
           (lit(base) + expr(
-            s"($dampNum * coalesce(ins, CAST(0 AS BIGINT))) div $dampDen"))
+            s"($insL div $dampDen) * $dampNum" +
+              s" + (($insL % $dampDen) * $dampNum) div $dampDen"))
             .as("r"))
         .localCheckpoint(true)
       old.unpersist()

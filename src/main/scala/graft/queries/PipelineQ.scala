@@ -522,19 +522,21 @@ object PipelineQ {
   private val Cls8S = 8L << 16
 
   /** Shared CTE prefix: tokens, hashed sparse features (the SAME
-    * md5-prefix integer hashedLinearScore uses, mod 64), stand-in
+    * md5-prefix integer hashedLinearScore uses, mod `b`), stand-in
     * gate labels (score_num > 0 — the q_quality_hashed heuristic
     * providing supervision), doc count N, zero-initialized
-    * fixed-point weights. All-BIGINT from here on.
+    * fixed-point weights. All-BIGINT from here on. Parameterized by
+    * bucket width so the narrow (ClsB = 64) and realistic-width
+    * (ClsWideB) faces replay through one CTE builder.
     */
-  private def clsBaseSql: String =
+  private def clsBaseSqlB(b: Int): String =
     s"""t AS (SELECT doc_id,
           list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
         FROM documents),
       hv AS (SELECT doc_id, unnest(list_transform(ts, w ->
           CAST('0x' || substring(md5('w|' || w), 1, 8) AS BIGINT))) AS h
         FROM t),
-      feat AS (SELECT doc_id, h % $ClsB AS b, CAST(COUNT(*) AS BIGINT) AS c
+      feat AS (SELECT doc_id, h % $b AS b, CAST(COUNT(*) AS BIGINT) AS c
         FROM hv GROUP BY 1, 2),
       lab AS (SELECT doc_id, CASE WHEN coalesce(list_sum(list_transform(ts,
             w -> CAST('0x' || substring(md5('w|' || w), 1, 8) AS BIGINT)
@@ -542,7 +544,9 @@ object PipelineQ {
           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y FROM t),
       kk AS (SELECT 8 * COUNT(*) AS k FROM documents),
       w0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
-        FROM range($ClsB))"""
+        FROM range($b))"""
+
+  private def clsBaseSql: String = clsBaseSqlB(ClsB)
 
   /** One unrolled gradient-descent round: exact integer margin per
     * doc, hard-sigmoid residual numerator clamp(4S+z,0,8S) − 8S·y,
@@ -622,7 +626,7 @@ object PipelineQ {
     },
     Some(s"""WITH $clsBaseSql,
       $clsRoundsSql,
-      zf AS (SELECT f.doc_id, SUM(f.c * w.w) AS z
+      zf AS (SELECT f.doc_id, CAST(SUM(f.c * w.w) AS BIGINT) AS z
         FROM feat f JOIN w$ClsIters w USING (b) GROUP BY 1)
       SELECT d.doc_id, COALESCE(zf.z, 0) AS z, COALESCE(zf.z, 0) > 0 AS keep,
         l.y AS label
@@ -668,7 +672,7 @@ object PipelineQ {
     },
     Some(s"""WITH $clsBaseSql,
       $clsRoundsSql,
-      zf AS (SELECT f.doc_id, SUM(f.c * w.w) AS z
+      zf AS (SELECT f.doc_id, CAST(SUM(f.c * w.w) AS BIGINT) AS z
         FROM feat f JOIN w$ClsIters w USING (b) GROUP BY 1)
       SELECT d.doc_id, COALESCE(zf.z, 0) AS z, COALESCE(zf.z, 0) > 0 AS keep
       FROM documents d LEFT JOIN zf USING (doc_id)
@@ -707,7 +711,7 @@ object PipelineQ {
     },
     Some(s"""WITH $clsBaseSql,
       $clsRoundsSql,
-      zf AS (SELECT f.doc_id, SUM(f.c * w.w) AS z
+      zf AS (SELECT f.doc_id, CAST(SUM(f.c * w.w) AS BIGINT) AS z
         FROM feat f JOIN w$ClsIters w USING (b) GROUP BY 1),
       sc2 AS (SELECT d.doc_id, COALESCE(zf.z, 0) AS z
         FROM documents d LEFT JOIN zf USING (doc_id)),
@@ -721,10 +725,164 @@ object PipelineQ {
       ORDER BY doc_id""")
   )
 
+  /** The shared post-training curriculum oracle tail: unrolled
+    * scoring, the bottom-k rank-sketch tercile cuts, threshold
+    * banding, and the deterministic md5 coin — used verbatim by the
+    * batch sketch face and its streaming twin (same coin seed, so
+    * their outputs are IDENTICAL — that identity is the 20th
+    * batch/stream equivalence pin, checked through the driver's hash
+    * rather than a spec-only diff).
+    */
+  private def curriculumSketchOracle: String =
+    s"""WITH $clsBaseSql,
+      $clsRoundsSql,
+      zf AS (SELECT f.doc_id, CAST(SUM(f.c * w.w) AS BIGINT) AS z
+        FROM feat f JOIN w$ClsIters w USING (b) GROUP BY 1),
+      sc2 AS (SELECT d.doc_id, COALESCE(zf.z, 0) AS z
+        FROM documents d LEFT JOIN zf USING (doc_id)),
+      sh AS (SELECT doc_id,
+          CAST('0x' || substring(md5('cb|' || CAST(doc_id AS VARCHAR)),
+            1, 15) AS BIGINT) AS h,
+          CAST(z AS DOUBLE) AS v
+        FROM sc2),
+      rr AS (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rn FROM sh),
+      vsx AS (SELECT list_sort(list(v)) AS vs FROM rr WHERE rn <= 256),
+      thr AS (SELECT vs[(len(vs) + 2) // 3] AS t_lo,
+          vs[(len(vs) * 2 + 2) // 3] AS t_hi FROM vsx),
+      bd AS (SELECT s.doc_id, s.z,
+          CASE WHEN CAST(s.z AS DOUBLE) > t.t_hi THEN CAST(1 AS BIGINT)
+            WHEN CAST(s.z AS DOUBLE) > t.t_lo THEN CAST(2 AS BIGINT)
+            ELSE CAST(3 AS BIGINT) END AS band
+        FROM sc2 s CROSS JOIN thr t)
+      SELECT doc_id, z, band FROM bd
+      WHERE substring(md5('curs0|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        CASE band WHEN 1 THEN 'g' WHEN 2 THEN '80000000'
+          ELSE '19999999' END
+      ORDER BY doc_id"""
+
+  /** The 100 TB curriculum face (see [[graft.ops.Curriculum]]): same
+    * selection pipeline as q_quality_curriculum, but the band cuts
+    * come from the bottom-k rank sketch instead of a global ntile
+    * window — ONE bounded aggregation for the two thresholds (the
+    * same driver-side model-sized collect class as the trained
+    * weights they sit next to), then banding and the md5 coin are
+    * stateless map-side expressions. No partition-less WindowExec
+    * anywhere in the plan (PlanAuditSpec pins it); the ntile face
+    * stays cataloged as the exact-rank small-SF cross-check. Band
+    * populations differ from exact terciles by the sample's O(n/√k)
+    * rank error — the membership RULE (frozen thresholds) is exact
+    * and replayed by the oracle end to end.
+    */
+  val qQualityCurriculumSketch = Q(
+    "q_quality_curriculum_sk",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val w = graft.ops.Classify.trainHashedLogistic(
+        docs, "doc_id", "text", clsLabel, buckets = ClsB, iters = ClsIters)
+      val scored = graft.ops.Classify.scoreHashedLogistic(
+        docs, "doc_id", "text", w, ClsB)
+      val (tLo, tHi) = graft.ops.Curriculum.sketchTerciles(
+        scored, "doc_id", "z")
+      val banded = scored.withColumn("band",
+        graft.ops.Curriculum.bandByThresholds(col("z"), tLo, tHi))
+      Sample.stratifiedHash(banded, col("doc_id"),
+          col("band").cast("string"),
+          Map("1" -> 1.0, "2" -> 0.5, "3" -> 0.1), 0.0, seed = "curs0")
+        .select(col("doc_id"), col("z"), col("band"))
+        .orderBy("doc_id")
+    },
+    Some(curriculumSketchOracle)
+  )
+
+  /** STREAMING curriculum selection — the 20th batch/stream
+    * equivalence pin: the frozen trained model + frozen sketch
+    * thresholds turn the whole selection into a stateless map-side
+    * gate (score via [[graft.ops.Classify.hashedLogisticMargin]],
+    * band by comparison, keep by md5 coin), so it flows through a
+    * true parquet streaming sink in append mode with no state store —
+    * the live-intake twin of q_quality_curriculum_sk, same coin seed,
+    * same oracle, byte-identical output.
+    */
+  val qStreamCurriculum = Q(
+    "q_stream_curriculum",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_curriculum").toString
+      val docs = Tables.documents(spark, dir)
+      val w = graft.ops.Classify.trainHashedLogistic(
+        docs, "doc_id", "text", clsLabel, buckets = ClsB, iters = ClsIters)
+      val scored = graft.ops.Classify.scoreHashedLogistic(
+        docs, "doc_id", "text", w, ClsB)
+      val (tLo, tHi) = graft.ops.Curriculum.sketchTerciles(
+        scored, "doc_id", "z")
+      val docStream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val gated = Sample.stratifiedHash(
+        docStream.select(col("doc_id"),
+            graft.ops.Classify.hashedLogisticMargin(
+              TextOps.tokens(col("text")), w, ClsB).as("z"))
+          .withColumn("band",
+            graft.ops.Curriculum.bandByThresholds(col("z"), tLo, tHi)),
+        col("doc_id"), col("band").cast("string"),
+        Map("1" -> 1.0, "2" -> 0.5, "3" -> 0.1), 0.0, seed = "curs0")
+      val q = gated.select(col("doc_id"), col("z"), col("band"))
+        .writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$work/out").orderBy("doc_id")
+    },
+    Some(curriculumSketchOracle)
+  )
+
+  /** Realistic-width bucket space for the classifier serving face:
+    * 2^16 buckets — wide enough that the map-literal margin
+    * expression is the wrong tool (documented small-B-only on
+    * [[graft.ops.Classify.hashedLogisticMargin]]) and the
+    * broadcast-join scorer is the shape a 100 TB run uses. PERF.md's
+    * width probe measured cost FLAT in B to 2^18 with width the
+    * accuracy lever, so the wide face costs what the narrow one does.
+    */
+  private val ClsWideB = 65536
+
+  /** The wide-B classifier face: train at [[ClsWideB]] buckets and
+    * score every document through the broadcast-join scorer
+    * ([[graft.ops.Classify.scoreHashedLogistic]] — B-row broadcast +
+    * one keyed agg, no B-sized plan literal). Same unrolled DuckDB
+    * training replay, parameterized CTE width; the oracle's w0/round
+    * tables are B rows per round — codebook-class, not corpus-class.
+    */
+  val qQualityTrainWide = Q(
+    "q_quality_train_wide",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val w = graft.ops.Classify.trainHashedLogistic(
+        docs, "doc_id", "text", clsLabel, buckets = ClsWideB,
+        iters = ClsIters)
+      graft.ops.Classify.scoreHashedLogistic(docs, "doc_id", "text", w,
+          ClsWideB)
+        .join(docs.select(col("doc_id"), clsLabel.cast("long").as("label")),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${clsBaseSqlB(ClsWideB)},
+      $clsRoundsSql,
+      zf AS (SELECT f.doc_id, CAST(SUM(f.c * w.w) AS BIGINT) AS z
+        FROM feat f JOIN w$ClsIters w USING (b) GROUP BY 1)
+      SELECT d.doc_id, COALESCE(zf.z, 0) AS z, COALESCE(zf.z, 0) > 0 AS keep,
+        l.y AS label
+      FROM documents d LEFT JOIN zf USING (doc_id) JOIN lab l USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
       qSampleWeighted, qStreamSpanDedup, qStreamWeighted, qCurateE2e,
       qQualityTrain, qQualityTrainScore, qStreamQuality,
-      qQualityCurriculum)
+      qQualityCurriculum, qQualityCurriculumSketch, qStreamCurriculum,
+      qQualityTrainWide)
 }

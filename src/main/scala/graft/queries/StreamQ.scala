@@ -363,7 +363,7 @@ object StreamQ {
       spark.table(name).orderBy("i", "b")
     },
     Some(s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
-      d AS (SELECT unnest(generate_series(0, ${graft.functions.Cms.DefaultDepth - 1})) AS i),
+      d AS (SELECT CAST(unnest(generate_series(0, ${graft.functions.Cms.DefaultDepth - 1})) AS INTEGER) AS i),
       incr AS (SELECT i,
           CAST('0x' || substring(md5('c' || i || '|' || key), 1, 15) AS BIGINT)
             % ${graft.functions.Cms.DefaultWidth} AS b

@@ -1485,7 +1485,7 @@ object TrainingQ {
     */
   private def prRoundSql(i: Int): String = {
     val p = s"pr${i - 1}"
-    s"""pc$i AS (SELECT e.dst, SUM(r.r // d.d) AS ins
+    s"""pc$i AS (SELECT e.dst, CAST(SUM(r.r // d.d) AS BIGINT) AS ins
         FROM pedges e JOIN $p r ON r.id = e.src
         JOIN pdeg d ON d.src = e.src
         GROUP BY e.dst),

@@ -288,4 +288,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null && e.getMessage.contains("weightedSample"))
   }
+
+  test("sketchTerciles: exact-quantile replica at k >= n, tie-at-cut falls to the lower band") {
+    import graft.ops.Curriculum
+    import graft.functions.Sketches
+    // 60 docs, many REPEATED margins (ties are the interesting case)
+    val zs = (0 until 60).map(i => (i.toLong, ((i * 7) % 12).toLong))
+    val df = zs.toDF("doc_id", "z")
+    val (tLo, tHi) = Curriculum.sketchTerciles(df, "doc_id", "z", k = 256)
+    // k >= n: the sample is the whole corpus; cuts are the EXACT
+    // nearest-rank elements of the ascending value multiset
+    val sorted = zs.map(_._2.toDouble).sorted
+    val n = sorted.size
+    assert(tLo == sorted((n + 2) / 3 - 1), "t_lo must be the ceil(n/3)-th ascending value")
+    assert(tHi == sorted((2 * n + 2) / 3 - 1), "t_hi must be the ceil(2n/3)-th ascending value")
+    // banding: strict > on both cuts, so every doc AT a cut value
+    // lands in the lower-quality band — deterministic without an id
+    // tiebreak, and identical between batch column and plain Scala
+    val got = df.withColumn("band",
+        Curriculum.bandByThresholds(col("z"), tLo, tHi))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((id, z) <- zs) {
+      val want = if (z.toDouble > tHi) 1L else if (z.toDouble > tLo) 2L else 3L
+      assert(got(id) == want, s"doc $id z=$z: band ${got(id)} != $want")
+    }
+    assert(got.values.toSet == Set(1L, 2L, 3L), "all three bands populated")
+    // sub-sampled regime (k < n): cuts are still SOME sampled values,
+    // and the sample is the deterministic bottom-k — rerunning gives
+    // the identical thresholds (no randomness anywhere)
+    val big = (0 until 2000).map(i => (i.toLong, (i % 997).toLong)).toDF("doc_id", "z")
+    val a = Curriculum.sketchTerciles(big, "doc_id", "z", k = 64)
+    val b = Curriculum.sketchTerciles(big.repartition(7), "doc_id", "z", k = 64)
+    assert(a == b, "sketch thresholds must be partitioning-invariant")
+    assert(a._1 <= a._2)
+  }
 }

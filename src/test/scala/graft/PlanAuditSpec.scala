@@ -219,4 +219,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"expected ONE grouped-agg exchange, found $exchanges:\n$p")
   }
+
+  test("q_quality_curriculum_sk bands with NO window anywhere (the 100 TB curriculum plan)") {
+    // The ntile face (q_quality_curriculum) is the exact-rank
+    // small-SF cross-check and keeps its global window; the sketch
+    // face is the plan a 100 TB run uses — frozen thresholds, banding
+    // as a map-side comparison. A Window (any window: the partition-
+    // less ntile sort was the catalog's one scale-killer) in this
+    // plan means the scale face regressed to the rank formulation.
+    val p = planOf("q_quality_curriculum_sk")
+    assert(!p.contains("Window"),
+      s"sketch-thresholded curriculum planned a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the B-row weight join lost its broadcast")
+  }
 }

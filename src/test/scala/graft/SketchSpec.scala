@@ -367,4 +367,34 @@ class SketchSpec extends AnyFunSuite {
       assert(direct.size <= 90 * decades)
     }
   }
+
+  test("dd2 domain enforcement: NaN / ±Inf / 0 / negatives excluded under SPARK NaN ordering") {
+    import graft.functions.DdSketch
+    // Spark orders NaN ABOVE every numeric (NaN > 0 is TRUE, NaN =!= Inf
+    // is TRUE) — the exact semantics that let a NaN row slip a naive
+    // domain filter, land in the (null,null) bucket, and inflate n.
+    // Reachable in production via a zero-norm vector's cosine in
+    // appendTrainedWithStats. Only the five clean rows may count.
+    val clean = Seq(1.0, 2.0, 4.0, 8.0, 16.0)
+    val dirty = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 0.0, -3.0)
+    val df = (clean ++ dirty).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val buckets = DdSketch.dd2Buckets(df, col("v")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(buckets.map(_._3).sum == clean.size.toLong,
+      s"n must count ONLY finite positives, got ${buckets.toSeq}")
+    // (a (null,null) bucket would have thrown in getInt above)
+    // quantiles over the cleaned bucket table stay sane (p50 of the
+    // five clean values ~4 within bucket rounding)
+    val est = DdSketch.dd2Quantiles(
+      DdSketch.dd2Buckets(df, col("v")), Seq(0.5)).collect()
+    assert(est.head.getLong(2) == clean.size.toLong)
+    assert(math.abs(est.head.getDouble(1) / 4.0 - 1.0) <= 0.05)
+    // grouped face honors the same domain
+    val grouped = DdSketch.dd2BucketsBy(
+      df.withColumn("g", lit("a")), Seq("g"), col("v"))
+      .agg(sum("c")).collect().head.getLong(0)
+    assert(grouped == clean.size.toLong)
+  }
 }

@@ -22,8 +22,13 @@ def canon(con, rel_sql):
     rel = con.sql(rel_sql)
     cols = sorted(rel.columns)
     quoted = ", ".join(f'"{c}"' for c in cols)
-    rows = con.sql(f"SELECT {quoted} FROM ({rel_sql}) ORDER BY ALL").fetchall()
-    return cols, rows
+    srel = con.sql(f"SELECT {quoted} FROM ({rel_sql}) ORDER BY ALL")
+    # The driver's hash is TYPE-sensitive (DuckDB SUM(BIGINT) widens to
+    # HUGEINT; Spark writes BIGINT — equal Python ints, different hash).
+    # Round 11 shipped 4 red rows because this gate compared values only.
+    types = [str(t) for t in srel.types]
+    rows = srel.fetchall()
+    return cols, types, rows
 
 
 def eq(a, b):
@@ -44,14 +49,20 @@ def main():
     failed = []
     for name, sql in sorted(oracles.items()):
         try:
-            ocols, orows = canon(con, sql)
-            scols, srows = canon(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            ocols, otypes, orows = canon(con, sql)
+            scols, stypes, srows = canon(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             failed.append(name)
             continue
         if ocols != scols:
             print(f"FAIL {name}: columns oracle={ocols} spark={scols}")
+            failed.append(name)
+            continue
+        if otypes != stypes:
+            diffs = [f"{c}: oracle={a} spark={b}"
+                     for c, a, b in zip(ocols, otypes, stypes) if a != b]
+            print(f"FAIL {name}: types differ — {'; '.join(diffs)}")
             failed.append(name)
             continue
         if len(orows) != len(srows):
