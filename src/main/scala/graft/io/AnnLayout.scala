@@ -758,6 +758,77 @@ object AnnLayout {
       cellsUsed = occ.length.toLong)
   }
 
+  /** Outcome of one [[maintainTrained]] epoch: the append's drift
+    * statistics plus which policy gates fired. `retrained = true`
+    * means the layout's codebook was REBUILT this call (queries keep
+    * answering identically across the swap — LayoutSpec pins it).
+    */
+  final case class MaintainResult(stats: AppendStats,
+      warned: Boolean, retrained: Boolean)
+
+  /** The measured retrain policy, WIRED: append the batch via
+    * [[appendTrainedWithStats]], then apply the gates its statistics
+    * feed — WARN when the batch's assignment-cosine p50 falls under
+    * `warnCosP50` (default 0.7 — drift is visible but recall is
+    * still intact; the caller should start planning a retrain), and
+    * RETRAIN when the batch's top-cell share exceeds
+    * `retrainShareFactor / k` (default 3/k — the measured knee where
+    * crowding starts inflating probed bytes; PERF.md round-11
+    * "frozen-codebook drift"). k is read from the layout's own reps
+    * table, so the gate threshold always matches the codebook
+    * actually installed.
+    *
+    * The retrain is a full [[trainIvf]]-shape rebuild over the
+    * UNIONED corpus (which already includes this batch — the append
+    * lands first, so no rows are ever in flight during the rebuild),
+    * executed crash-safely: the re-labeled corpus stages to
+    * `corpus.stage` and swaps via [[swapDir]] (the read side streams
+    * from the live `corpus` directory, which the stage write never
+    * touches), then the new centroids swap into `reps` — the same
+    * two-rename discipline as every other maintenance path here. A
+    * crash between the two corpus renames is repaired by the
+    * `repairSwap` this method (and any later rebuild) runs first.
+    *
+    * This is the production intake loop's single entry point: call
+    * per epoch, log the returned stats, and the codebook keeps
+    * itself fit without a second corpus pass — the gate inputs ride
+    * the append's own assignment.
+    */
+  def maintainTrained(newVecs: DataFrame, path: String, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label",
+      warnCosP50: Double = 0.7, retrainShareFactor: Double = 3.0,
+      maxRecordsPerFile: Long = 5000000L,
+      compactWhenFilesOver: Int = 0, compactFiles: Int = 1)
+      : MaintainResult = {
+    val spark = newVecs.sparkSession
+    repairSwap(spark, s"$path/corpus")
+    val stats = appendTrainedWithStats(newVecs, path, idCol, vecCol,
+      clusterCol, maxRecordsPerFile, compactWhenFilesOver, compactFiles)
+    val k = readSwapped(spark, s"$path/reps").count()
+    require(k > 0, s"empty reps table at $path")
+    val warned = stats.assignCosP50 < warnCosP50
+    val retrain = stats.topCellShare > retrainShareFactor / k.toDouble
+    if (retrain) {
+      val base = spark.read.parquet(s"$path/corpus")
+        .drop(clusterCol)
+        .select(col(idCol), col(vecCol))
+      val cents = Similarity.kmeans(base, k.toInt, iters, idCol, vecCol)
+      val labeled = base.join(
+        Similarity.assignNearest(base, cents, idCol, vecCol)
+          .select(col("vec_id").as(idCol), col("cluster").as(clusterCol)),
+        Seq(idCol))
+      Bucketing.writePartitioned(labeled, s"$path/corpus.stage",
+        Seq(clusterCol), Seq(idCol), maxRecordsPerFile)
+      swapDir(spark, s"$path/corpus.stage", s"$path/corpus")
+      cents.select(col("cluster").as(clusterCol),
+          col("cluster").as("rep_id"), col("cv").as("rep_vec"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/reps.stage")
+      swapDir(spark, s"$path/reps.stage", s"$path/reps")
+    }
+    MaintainResult(stats, warned, retrained = retrain)
+  }
+
   /** Incremental maintenance for a TRAINED Q8 layout
     * ([[trainIvfQ8]]): assign the new batch against the DEQUANTIZED
     * stored codebook (`code·scale/127` — the only codebook a

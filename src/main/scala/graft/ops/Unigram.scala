@@ -81,6 +81,37 @@ object Unigram {
             col("w").substr(i, j - i + 1))))).as("piece"))
       .groupBy("piece").agg(sum(col("wf")).as("cnt"))
 
+  /** Seed-candidate selection, BOUNDED ENGINE-SIDE: single-char
+    * seeds (alphabet-sized by construction) and the top
+    * nTarget·seedMultiplier multi-char substrings under the
+    * (cnt DESC, piece ASC) total order — selected with
+    * orderBy+limit, which Spark plans as TakeOrderedAndProject
+    * (per-partition top-k, then a k-row merge on the driver). The
+    * previous formulation collected EVERY distinct substring of
+    * length ≤ maxPieceLen before truncating — at web scale
+    * (≳100 M distinct words) hundreds of millions of driver rows,
+    * dwarfing the model-sized collects everything else here is
+    * bounded to. The selected set is bit-identical (same total
+    * order, piece names distinct so the tie-break is total).
+    * Returns (charSeeds, topMulti); driver rows ≤ |alphabet| +
+    * nTarget·seedMultiplier by construction.
+    */
+  private[graft] def seedCandidates(words: DataFrame, maxPieceLen: Int,
+      vocabSize: Int, seedMultiplier: Int)
+      : (Array[(String, Long)], Array[(String, Long)]) = {
+    val subs = substringCounts(words, maxPieceLen).persist()
+    try {
+      val charSeeds = subs.filter(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val nTarget = math.max(0, vocabSize - charSeeds.length)
+      val topMulti = subs.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(nTarget * seedMultiplier)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      (charSeeds, topMulti)
+    } finally { subs.unpersist(); () }
+  }
+
   /** The Viterbi DP table for word `w` given its ARC LIST (the
     * (i, j, lp) triples of in-vocab substrings, sorted by (i, j) —
     * see [[segmented]] for why arcs instead of a map literal): array
@@ -192,13 +223,9 @@ object Unigram {
       seedMultiplier: Int = 4): Seq[(String, Long, Double)] = {
     require(vocabSize > 0 && iters > 0 && maxPieceLen >= 2)
     val words = wordTable(docs, textCol).localCheckpoint()
-    val seeds = substringCounts(words, maxPieceLen)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val (charSeeds, multiSeeds) = seeds.partition(_._1.length == 1)
+    val (charSeeds, topMulti) =
+      seedCandidates(words, maxPieceLen, vocabSize, seedMultiplier)
     val nTarget = math.max(0, vocabSize - charSeeds.length)
-    val topMulti = multiSeeds
-      .sortBy { case (p, c) => (-c, p) }
-      .take(nTarget * seedMultiplier)
     // state: (piece -> count); chars Laplace-smoothed below
     var counts: Map[String, Long] =
       (charSeeds ++ topMulti).map { case (p, c) => p -> c }.toMap
@@ -324,13 +351,9 @@ object Unigram {
       seedMultiplier: Int = 4): Seq[(String, Long, Double)] = {
     require(vocabSize > 0 && iters > 0 && maxPieceLen >= 2)
     val words = wordTable(docs, textCol).localCheckpoint()
-    val seeds = substringCounts(words, maxPieceLen)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val (charSeeds, multiSeeds) = seeds.partition(_._1.length == 1)
+    val (charSeeds, topMulti) =
+      seedCandidates(words, maxPieceLen, vocabSize, seedMultiplier)
     val nTarget = math.max(0, vocabSize - charSeeds.length)
-    val topMulti = multiSeeds
-      .sortBy { case (p, c) => (-c, p) }
-      .take(nTarget * seedMultiplier)
     var counts: Map[String, Long] = (charSeeds ++ topMulti)
       .map { case (p, c) => p -> c * SoftScale }.toMap
     def logProbs(m: Map[String, Long]): Map[String, Double] = {

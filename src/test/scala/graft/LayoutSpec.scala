@@ -449,4 +449,55 @@ class LayoutSpec extends AnyFunSuite {
       .orderBy("query_id", "rank").collect().toSeq
     assert(repaired == healthy && repaired.nonEmpty)
   }
+
+  test("maintainTrained: five-epoch intake loop — retrain fires at the crowding knee, queries identical across the swap") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("ann_maintain").toString
+    val k = 4
+    graft.io.AnnLayout.trainIvf(emb.filter(col("vec_id") % 6 === 0), root,
+      k = k, iters = 2)
+    // epochs 1-3: in-distribution slices; epochs 4-5: a DRIFTED source
+    // (every component shifted to a common large positive direction, so
+    // the whole batch crowds into one frozen cell — the measured
+    // failure mode the 3/k share gate exists for)
+    def drifted(r: Int) = emb.filter(col("vec_id") % 6 === r)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * 0.05f + 10.0f))
+    val results = (1 to 5).map { r =>
+      val batch = if (r <= 3) emb.filter(col("vec_id") % 6 === r)
+                  else drifted(r)
+      r -> graft.io.AnnLayout.maintainTrained(batch, root, iters = 2)
+    }.toMap
+    // the gate is the measured knee, not a per-batch coincidence:
+    // in-distribution epochs never fire, the first drifted epoch does
+    for (r <- 1 to 3)
+      assert(!results(r).retrained,
+        s"epoch $r (in-distribution) fired a retrain: ${results(r).stats}")
+    assert(results(4).stats.topCellShare > 3.0 / k,
+      s"drifted batch did not crowd: ${results(4).stats}")
+    assert(results(4).retrained, "retrain did not fire at the knee")
+    // warned is exactly the documented p50 gate — no hidden coupling
+    for (r <- 1 to 5)
+      assert(results(r).warned == (results(r).stats.assignCosP50 < 0.7))
+    // after the rebuild the codebook FITS the drifted source: epoch 5's
+    // assignment cosine is near-perfect (the drift cluster has its own
+    // centroid now), evidencing the retrain did its job
+    assert(results(5).stats.assignCosP50 > 0.95,
+      s"rebuilt codebook still misfits the drift: ${results(5).stats}")
+    // query identity: the maintained layout answers exactly like a
+    // from-scratch trainIvf build over the same unioned corpus
+    val union = emb.filter(col("vec_id") % 6 <= 3)
+      .unionByName(drifted(4)).unionByName(drifted(5))
+    val ref = Files.createTempDirectory("ann_maintain_ref").toString
+    graft.io.AnnLayout.trainIvf(union, ref, k = k, iters = 2)
+    val queries = emb.filter(col("vec_id") < 10)
+    def ans(p: String) = graft.io.AnnLayout
+      .knnIvf(spark, p, queries, k = 5, nprobe = k)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ans(root) == ans(ref) && ans(root).nonEmpty)
+    // no stage/backup litter after the swaps
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(!left.exists(n => n.endsWith(".stage") || n.endsWith(".old")),
+      s"stage/backup litter: $left")
+  }
 }

@@ -993,4 +993,42 @@ class TrainingSpec extends AnyFunSuite {
       .filter(col("doc_id") === 2L).head()
     assert(empty.getLong(1) == 0L && !empty.getBoolean(2))
   }
+
+  test("unigram seedCandidates: engine-side top-k == full-collect reference, driver rows bounded by the seed budget") {
+    import graft.ops.Unigram
+    // vocabulary with a BIG substring universe relative to the seed
+    // budget: 400 distinct words of length 8 over 26 letters
+    val rnd = new scala.util.Random(0x5eedL)
+    val docs = (1 to 400).map(_ =>
+      (1 to 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .mkString(" ")
+    val words = Unigram.wordTable(Seq(docs).toDF("text"), "text")
+      .localCheckpoint()
+    val vocabSize = 40
+    val mult = 4
+    val (chars, multi) = Unigram.seedCandidates(words, 6, vocabSize, mult)
+    // reference: the old formulation — collect EVERYTHING, sort, take
+    val all = Unigram.substringCounts(words, 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (refChars, refMulti) = all.partition(_._1.length == 1)
+    val nTarget = math.max(0, vocabSize - refChars.length)
+    val refTop = refMulti.sortBy { case (p, c) => (-c, p) }
+      .take(nTarget * mult)
+    assert(chars.toMap == refChars.toMap, "char seeds differ")
+    assert(multi.sortBy { case (p, c) => (-c, p) }.toSeq == refTop.toSeq,
+      "engine-side top-k selected a different multi-char seed set")
+    // the scale contract: collected rows are seed-budget-sized even
+    // though the substring universe is ~50x larger
+    val budget = refChars.length + nTarget * mult
+    assert(chars.length + multi.length <= budget)
+    assert(all.length > 10 * budget,
+      s"test corpus too small to exercise the bound (universe ${all.length} vs budget $budget)")
+    // and the selection plans the per-partition top-k, not a global sort
+    val plan = Unigram.substringCounts(words, 6)
+      .filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(nTarget * mult)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit should plan TakeOrderedAndProject:\n$plan")
+  }
 }
