@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Higher-order n-gram language-model scoring — the CCNet-style
+  * fluency filter ([[TextOps.lmScore]] is the unigram cut-down) at
+  * trigram order with STUPID BACKOFF (Brants et al., EMNLP'07: "Large
+  * Language Models in Machine Translation" — score, don't normalize;
+  * back off with a constant penalty), the model large-scale pipelines
+  * actually train because it needs nothing but count tables.
+  *
+  * Why not true Kneser-Ney perplexity: discounted probabilities need
+  * float log-sums whose last-ulp rounding differs across engines —
+  * the same reason lmScore quantizes. Here EVERY step is exact long
+  * arithmetic, so the whole pipeline (train counts → score corpus)
+  * replays hash-exact in the DuckDB oracle:
+  *
+  *  - counts: one groupBy per order (1/2/3) over the position table —
+  *    three partial-agged shuffles, each output one row per distinct
+  *    n-gram;
+  *  - per-position contribution at the HIGHEST matched order, as a
+  *    fixed-point ratio floor(S·c(ngram) / c(context)) with
+  *    S = 2^scaleBits (c ≤ context count always, so the ratio is ≤ S);
+  *  - backoff penalty α = 1/4 PER LEVEL SKIPPED, applied as exact
+  *    integer division by 4 (dyadic — the [[Bars.ewma]] α recipe), so
+  *    a position that falls to the bigram scores base2 div 4 and to
+  *    the unigram base1 div 16. The best REACHABLE order at position
+  *    p is min(p+1, 3): the first token of a doc backs off nothing
+  *    for matching only its unigram;
+  *  - doc score: sb_mass = Σ contributions (exact long, associative,
+  *    partition-order-invariant), sb_score = mass/n_tokens cast to
+  *    double only at the end.
+  *
+  * Scale shape: the position table is map-side (posexplode + two
+  * element_at lookups against the materialized token array — no
+  * re-inlined tokenize, the [[TextOps.shingles]] lesson). Each scoring
+  * join probes a PRE-AGGREGATED count table — one row per distinct
+  * n-gram, so 'the'-skew never amplifies (the skewed key exists once
+  * on the build side); the unigram table broadcasts, the bigram/
+  * trigram tables are shuffle hash joins that AQE handles. Headroom
+  * contract (the [[GraphOps.pageRank]] discipline): S·c must stay
+  * under 2^63 — at the default scaleBits = 20 that is 8.8e12 training
+  * tokens (~35 TB of text); shard the training corpus or lower
+  * scaleBits beyond that.
+  *
+  * Reference lineage: the reference has no text scoring at all — this
+  * extends its validate-gate family (internal/app/services/ingestion/
+  * service.go:73 validateRecord) to the learned-fluency gate an LLM
+  * corpus pipeline needs.
+  */
+object NgramLm {
+
+  /** Fixed-point scale exponent: contributions live in [0, 2^bits]. */
+  val DefaultScaleBits = 20
+
+  /** Position table: one row per token occurrence with its 0-based
+    * position and up to two preceding tokens (null when the position
+    * has no such context). Map-side only.
+    */
+  def positions(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("_ts"))
+      .select(col(idCol), col("_ts"),
+        posexplode(col("_ts")).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos"), col("tok"),
+        when(col("pos") >= 1, element_at(col("_ts"), col("pos"))).as("w1"),
+        when(col("pos") >= 2, element_at(col("_ts"), col("pos") - 1)).as("w2"))
+
+  /** Trigram count table (w2, w1, tok, cnt) — the trained artifact a
+    * pipeline persists (orders 1 and 2 are its marginals only in the
+    * sliding-window sense; they are counted directly in scoring).
+    */
+  def trigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    positions(docs, idCol, textCol).filter(col("pos") >= 2)
+      .groupBy("w2", "w1", "tok").agg(count(lit(1)).as("cnt"))
+
+  /** Score `docs` under the stupid-backoff trigram model trained on
+    * `train` (default: self-scored, the in-corpus outlier-filter
+    * setup; a held-out reference corpus is the CCNet setup). Returns
+    * (idCol, n_tokens, sb_mass, sb_score); docs with no tokens are
+    * absent (the [[TextOps.lmScore]] convention).
+    */
+  def scoreBackoff(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame = null, scaleBits: Int = DefaultScaleBits): DataFrame = {
+    val s = 1L << scaleBits
+    // localCheckpoint (the Unigram.wordTable convention): eager, cuts
+    // lineage, shared by the three count scans + the total; blocks are
+    // freed by the ContextCleaner when the plan is GC'd.
+    val tr = positions(
+      Option(train).getOrElse(docs), idCol, textCol)
+      .localCheckpoint()
+    val c1 = tr.groupBy("tok").agg(count(lit(1)).as("cnt1"))
+    val c2 = tr.filter(col("pos") >= 1)
+      .groupBy("w1", "tok").agg(count(lit(1)).as("cnt2"))
+    val c3 = tr.filter(col("pos") >= 2)
+      .groupBy("w2", "w1", "tok").agg(count(lit(1)).as("cnt3"))
+    // total training tokens: one bounded scalar (model-sized collect)
+    val n = tr.count()
+    require(n > 0, "scoreBackoff needs a non-empty training corpus")
+    // pre-divided ratio tables: base_o = floor(S * c / c_context).
+    // Joining the denominator here keeps the corpus-sized probe pass
+    // to pure lookups; each hat table is one row per distinct n-gram.
+    val h3 = c3.join(
+        c2.select(col("w1").as("w2"), col("tok").as("w1"),
+          col("cnt2").as("den")),
+        Seq("w2", "w1"))
+      .select(col("w2"), col("w1"), col("tok"),
+        expr(s"($s * cnt3) div den").as("b3"))
+    val h2 = c2.join(
+        c1.select(col("tok").as("w1"), col("cnt1").as("den")), Seq("w1"))
+      .select(col("w1"), col("tok"), expr(s"($s * cnt2) div den").as("b2"))
+    val h1 = c1.select(col("tok"), expr(s"($s * cnt1) div $n").as("b1"))
+    val contrib =
+      when(col("pos") >= 2, coalesce(col("b3"), expr("b2 div 4"),
+        expr("b1 div 16"), lit(0L)))
+      .when(col("pos") === 1, coalesce(col("b2"), expr("b1 div 4"), lit(0L)))
+      .otherwise(coalesce(col("b1"), lit(0L)))
+    val out = positions(docs, idCol, textCol)
+      .join(h3, Seq("w2", "w1", "tok"), "left")
+      .join(h2, Seq("w1", "tok"), "left")
+      .join(broadcast(h1), Seq("tok"), "left")
+      .select(col(idCol), contrib.as("contrib"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("contrib").as("sb_mass"))
+      .withColumn("sb_score",
+        col("sb_mass").cast("double") / col("n_tokens").cast("double"))
+    out
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.{Bloom, Dedup, Overlap, Sample, Similarity, TextOps}
+import graft.ops.{Bloom, Dedup, NgramLm, Overlap, Sample, Similarity, TextOps}
 
 /** Training-data pipeline operators (dedup / similarity / text
   * analysis) over the documents and embeddings tables, each with a
@@ -2563,6 +2563,86 @@ object TrainingQ {
       FROM e CROSS JOIN s ORDER BY vec_id""")
   )
 
+  // final val: compile-time constant, immune to object-init order
+  private final val LmTopNgrams = 5000
+
+  /** Stupid-backoff trigram LM, TRAIN face: the trigram count table
+    * ([[graft.ops.NgramLm.trigramCounts]]) — the persisted model
+    * artifact. Output bounded to the top `LmTopNgrams` by
+    * (cnt DESC, w2, w1, tok) — a deterministic total order planned as
+    * TakeOrderedAndProject (per-partition top-k + k-row driver merge),
+    * never a global sort.
+    */
+  val qLmBackoffTrain = Q(
+    "q_lm_backoff_train",
+    (spark, dir) =>
+      NgramLm.trigramCounts(Tables.documents(spark, dir), "doc_id", "text")
+        .orderBy(col("cnt").desc, col("w2"), col("w1"), col("tok"))
+        .limit(LmTopNgrams),
+    Some(s"""WITH t AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      p AS (SELECT generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok,
+          ts FROM t),
+      px AS (SELECT pos, tok,
+          CASE WHEN pos >= 1 THEN ts[pos] END AS w1,
+          CASE WHEN pos >= 2 THEN ts[pos - 1] END AS w2 FROM p)
+      SELECT w2, w1, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM px WHERE pos >= 2 GROUP BY 1, 2, 3
+      ORDER BY cnt DESC, w2, w1, tok LIMIT $LmTopNgrams""")
+  )
+
+  /** Stupid-backoff trigram LM, SCORE face ([[graft.ops.NgramLm
+    * .scoreBackoff]]): the CCNet-fluency-filter upgrade of q_lm_score
+    * — each position scores floor(2^20·c(ngram)/c(context)) at its
+    * highest attested order with an exact ÷4-per-level backoff
+    * penalty, so the whole train-then-score pipeline is long
+    * arithmetic end to end and the oracle replays it in one chain.
+    * LmSpec additionally pins the math against a plain-Scala replica.
+    */
+  val qLmBackoff = Q(
+    "q_lm_backoff",
+    (spark, dir) =>
+      NgramLm.scoreBackoff(Tables.documents(spark, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some {
+      val s = 1L << NgramLm.DefaultScaleBits
+      s"""WITH t AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      p AS (SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos,
+          unnest(ts) AS tok, ts FROM t),
+      px AS (SELECT doc_id, pos, tok,
+          CASE WHEN pos >= 1 THEN ts[pos] END AS w1,
+          CASE WHEN pos >= 2 THEN ts[pos - 1] END AS w2 FROM p),
+      c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt1
+        FROM px GROUP BY tok),
+      nn AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS n FROM c1),
+      c2 AS (SELECT w1, tok, CAST(COUNT(*) AS BIGINT) AS cnt2
+        FROM px WHERE pos >= 1 GROUP BY 1, 2),
+      c3 AS (SELECT w2, w1, tok, CAST(COUNT(*) AS BIGINT) AS cnt3
+        FROM px WHERE pos >= 2 GROUP BY 1, 2, 3),
+      h3 AS (SELECT c3.w2, c3.w1, c3.tok, ($s * cnt3) // d.cnt2 AS b3
+        FROM c3 JOIN c2 d ON d.w1 = c3.w2 AND d.tok = c3.w1),
+      h2 AS (SELECT c2.w1, c2.tok, ($s * cnt2) // d.cnt1 AS b2
+        FROM c2 JOIN c1 d ON d.tok = c2.w1),
+      h1 AS (SELECT tok, ($s * cnt1) // nn.n AS b1 FROM c1 CROSS JOIN nn),
+      sc AS (SELECT px.doc_id,
+          CASE WHEN px.pos >= 2
+                 THEN COALESCE(h3.b3, h2.b2 // 4, h1.b1 // 16, 0)
+               WHEN px.pos = 1 THEN COALESCE(h2.b2, h1.b1 // 4, 0)
+               ELSE COALESCE(h1.b1, 0) END AS contrib
+        FROM px LEFT JOIN h3 ON px.w2 = h3.w2 AND px.w1 = h3.w1
+            AND px.tok = h3.tok
+          LEFT JOIN h2 ON px.w1 = h2.w1 AND px.tok = h2.tok
+          LEFT JOIN h1 ON px.tok = h1.tok)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(contrib) AS BIGINT) AS sb_mass,
+        CAST(SUM(contrib) AS DOUBLE) / COUNT(*) AS sb_score
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""
+    }
+  )
+
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
     qDedupSimhashHam, qDedupClusters, qTextStats, qLangId, qTokenCount,
     qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
@@ -2575,5 +2655,6 @@ object TrainingQ {
     qBpeTrain, qBpeEncode, qAnnIvfQ8, qKnnQ8Dot, qBpeTrainBatched,
     qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp,
     qUnigramTrain, qUnigramEncode, qUnigramTrainSoft, qAnnPq, qAnnPqKnn,
-    qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank)
+    qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
+    qLmBackoff)
 }
