@@ -878,11 +878,180 @@ object PipelineQ {
       ORDER BY doc_id""")
   )
 
+  // DSIR bucket width: realistic-resolution feature space (the wide-B
+  // classifier lesson — width is the accuracy lever, cost is flat);
+  // final val = compile-time constant, immune to object-init order.
+  private final val DsirB = 4096
+
+  /** Shared DSIR oracle prefix (see [[graft.ops.Dsir]]): uni+bigram
+    * features hashed by the md5-prefix recipe (seed "d") into
+    * [[DsirB]] buckets, per-bucket target/raw counts over the
+    * `lang = 'en'` target subset, and the quantized
+    * log-likelihood-ratio weight table — every step exact integer,
+    * mirroring the Spark side literally.
+    */
+  private def dsirBaseSql: String =
+    s"""t AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      fx AS (SELECT doc_id, unnest(list_concat(ts,
+          CASE WHEN len(ts) >= 2
+            THEN list_transform(range(1, len(ts)),
+              i -> ts[i] || ' ' || ts[i + 1])
+            ELSE CAST([] AS VARCHAR[]) END)) AS f FROM t),
+      feat AS (SELECT doc_id,
+          CAST('0x' || substring(md5('d|' || f), 1, 8) AS BIGINT) % $DsirB
+            AS b,
+          CAST(COUNT(*) AS BIGINT) AS c FROM fx GROUP BY 1, 2),
+      lab AS (SELECT doc_id, (lang = 'en') AS tgt FROM documents),
+      ag AS (SELECT b,
+          CAST(SUM(CASE WHEN l.tgt THEN c ELSE 0 END) AS BIGINT) AS nt,
+          CAST(SUM(c) AS BIGINT) AS nr
+        FROM feat f JOIN lab l USING (doc_id) GROUP BY b),
+      tot AS (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) + $DsirB AS dt,
+          CAST(COALESCE(SUM(nr), 0) AS BIGINT) + $DsirB AS dr FROM ag),
+      wt AS (SELECT r.b, COALESCE(ag.nt, 0) AS nt, COALESCE(ag.nr, 0) AS nr,
+          CAST((length(bin(COALESCE(ag.nt, 0) + 1)) - 1)
+            - (length(bin(COALESCE(ag.nr, 0) + 1)) - 1)
+            + (length(bin(t.dr)) - 1) - (length(bin(t.dt)) - 1)
+            AS BIGINT) AS w
+        FROM (SELECT CAST(range AS BIGINT) AS b FROM range($DsirB)) r
+        LEFT JOIN ag USING (b) CROSS JOIN tot t)"""
+
+  /** Scoring tail shared by the score/select/stream faces. */
+  private def dsirScoreSql: String =
+    s"""zf AS (SELECT f.doc_id, CAST(SUM(f.c * w.w) AS BIGINT) AS z
+        FROM feat f JOIN wt w USING (b) GROUP BY 1),
+      sc AS (SELECT d.doc_id, COALESCE(zf.z, 0) AS z
+        FROM documents d LEFT JOIN zf USING (doc_id))"""
+
+  /** The frozen-cut replay: bottom-256 sample of z (salt "ds|"),
+    * ascending nearest-rank cut at ceil(3n/4), keep strictly above.
+    */
+  private def dsirCutSql: String =
+    s"""sh2 AS (SELECT doc_id,
+          CAST('0x' || substring(md5('ds|' || CAST(doc_id AS VARCHAR)),
+            1, 15) AS BIGINT) AS h,
+          CAST(z AS DOUBLE) AS v FROM sc),
+      rr2 AS (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rn
+        FROM sh2),
+      vsx2 AS (SELECT list_sort(list(v)) AS vs FROM rr2 WHERE rn <= 256),
+      cut AS (SELECT vs[(len(vs) * 3 + 3) // 4] AS c FROM vsx2)"""
+
+  /** DSIR importance-resampling, MODEL face
+    * ([[graft.ops.Dsir.bucketWeights]]): the B-row quantized
+    * log-likelihood-ratio weight table between the `lang = 'en'`
+    * target subset's hashed uni+bigram distribution and the whole
+    * corpus's — the persisted artifact one pass derives and every
+    * scoring pass broadcasts.
+    */
+  val qDsirWeights = Q(
+    "q_dsir_weights",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      graft.ops.Dsir.bucketWeights(docs, "doc_id", "text",
+          col("lang") === "en", DsirB)
+        .orderBy("b")
+    },
+    Some(s"""WITH $dsirBaseSql
+      SELECT b, nt, nr, w FROM wt ORDER BY b""")
+  )
+
+  /** DSIR SCORE face ([[graft.ops.Dsir.importance]]): every doc's
+    * exact-integer importance margin z = Σ c·w under the frozen
+    * weight table — one broadcast join + keyed agg, the
+    * 1000-executor corpus pass.
+    */
+  val qDsirScore = Q(
+    "q_dsir_score",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val w = graft.ops.Dsir.bucketWeights(docs, "doc_id", "text",
+        col("lang") === "en", DsirB)
+      graft.ops.Dsir.importance(docs, "doc_id", "text", w, DsirB)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $dsirBaseSql,
+      $dsirScoreSql
+      SELECT doc_id, z FROM sc ORDER BY doc_id""")
+  )
+
+  /** DSIR SELECT face: keep docs whose importance is strictly above
+    * the frozen sketch cut at rank ceil(3n/4) — approximately the
+    * top quarter, membership exactly determined by the frozen cut
+    * ([[graft.ops.Dsir.sketchCut]]). No global sort, no window: one
+    * bounded aggregation for the cut, then a stateless map-side gate.
+    */
+  val qDsirSelect = Q(
+    "q_dsir_select",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val w = graft.ops.Dsir.bucketWeights(docs, "doc_id", "text",
+        col("lang") === "en", DsirB)
+      val scored = graft.ops.Dsir.importance(docs, "doc_id", "text", w,
+        DsirB)
+      val cut = graft.ops.Dsir.sketchCut(scored, "doc_id", "z", 3, 4)
+      scored.filter(col("z").cast("double") > cut).orderBy("doc_id")
+    },
+    Some(s"""WITH $dsirBaseSql,
+      $dsirScoreSql,
+      $dsirCutSql
+      SELECT doc_id, z FROM sc CROSS JOIN cut
+      WHERE CAST(z AS DOUBLE) > cut.c ORDER BY doc_id""")
+  )
+
+  /** STREAMING DSIR selection — the 21st batch/stream equivalence
+    * pin: frozen weight table + frozen cut make the whole selection a
+    * stateless map-side gate. The weights travel as a B-element ARRAY
+    * literal indexed by bucket ([[graft.ops.Dsir.importanceMargin]] —
+    * element_at on an array literal is O(1) positional access, so the
+    * margin expression stays cheap at the realistic B = 4096 where a
+    * map literal's linear scan would not), and the gate flows through
+    * a true parquet streaming sink in append mode with no state
+    * store. Same oracle as q_dsir_select — byte-identical output is
+    * the pin.
+    */
+  val qStreamDsir = Q(
+    "q_stream_dsir",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_dsir").toString
+      val docs = Tables.documents(spark, dir)
+      val wdf = graft.ops.Dsir.bucketWeights(docs, "doc_id", "text",
+        col("lang") === "en", DsirB)
+      val scored = graft.ops.Dsir.importance(docs, "doc_id", "text", wdf,
+        DsirB)
+      val cut = graft.ops.Dsir.sketchCut(scored, "doc_id", "z", 3, 4)
+      val wArr = new Array[Long](DsirB)
+      wdf.select("b", "w").collect()
+        .foreach(r => wArr(r.getLong(0).toInt) = r.getLong(1))
+      val docStream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val gated = docStream.select(col("doc_id"),
+          graft.ops.Dsir.importanceMargin(col("text"), wArr, DsirB).as("z"))
+        .filter(col("z").cast("double") > cut)
+      val q = gated.writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$work/out").orderBy("doc_id")
+    },
+    Some(s"""WITH $dsirBaseSql,
+      $dsirScoreSql,
+      $dsirCutSql
+      SELECT doc_id, z FROM sc CROSS JOIN cut
+      WHERE CAST(z AS DOUBLE) > cut.c ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
       qSampleWeighted, qStreamSpanDedup, qStreamWeighted, qCurateE2e,
       qQualityTrain, qQualityTrainScore, qStreamQuality,
       qQualityCurriculum, qQualityCurriculumSketch, qStreamCurriculum,
-      qQualityTrainWide)
+      qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
+      qStreamDsir)
 }
