@@ -988,8 +988,13 @@ object PipelineQ {
       val docs = Tables.documents(spark, dir)
       val w = graft.ops.Dsir.bucketWeights(docs, "doc_id", "text",
         col("lang") === "en", DsirB)
+      // one scoring pass: the (doc_id, z) manifest is checkpointed —
+      // the cut's sample aggregation and the final gate both read it,
+      // instead of re-running the feature explode + join per consumer
+      // (measured 5.4 s -> ~3.2 s at sf0.1). 16 bytes/doc of state:
+      // the selection manifest a production run persists anyway.
       val scored = graft.ops.Dsir.importance(docs, "doc_id", "text", w,
-        DsirB)
+        DsirB).localCheckpoint()
       val cut = graft.ops.Dsir.sketchCut(scored, "doc_id", "z", 3, 4)
       scored.filter(col("z").cast("double") > cut).orderBy("doc_id")
     },
@@ -1020,8 +1025,11 @@ object PipelineQ {
       val docs = Tables.documents(spark, dir)
       val wdf = graft.ops.Dsir.bucketWeights(docs, "doc_id", "text",
         col("lang") === "en", DsirB)
+      // the cut is the only batch-side consumer of the scored
+      // manifest here, but checkpointing keeps the face's batch
+      // prelude identical to q_dsir_select's (one scoring pass)
       val scored = graft.ops.Dsir.importance(docs, "doc_id", "text", wdf,
-        DsirB)
+        DsirB).localCheckpoint()
       val cut = graft.ops.Dsir.sketchCut(scored, "doc_id", "z", 3, 4)
       val wArr = new Array[Long](DsirB)
       wdf.select("b", "w").collect()
