@@ -1778,6 +1778,65 @@ object Probe {
         s""""op_window_sec":$opW,"op_agg_sec":$opA,""" +
         s""""op_speedup":${opW / opA}}""")
     }
+    if (enabled("margin_lookup")) {
+      // The three ways to score a frozen B-bucket linear model over
+      // hashed features, at stream-serving time:
+      //   map-literal  element_at(map, key)  — LINEAR scan of the
+      //     literal per lookup (the measured 10× Unigram lesson;
+      //     why hashedLogisticMargin is documented small-B-only),
+      //   array-literal element_at(arr, b+1) — O(1) positional access
+      //     (the q_stream_dsir design),
+      //   broadcast-join + keyed agg        — the batch serving face.
+      // Timed as agg(sum(z)) over the OUTPUT (count() would let
+      // Catalyst prune the scoring work entirely — the round-9 trap).
+      import graft.ops.{Classify, Dsir}
+      val nDocs = sys.env.get("SPARK_GRAFT_MARGIN_DOCS")
+        .map(_.toLong).getOrElse(200000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(40)),
+          i => concat(lit("w"),
+            pmod(hash(col("id") * 131 + i), lit(100000)))))
+          .as("text"))
+        .localCheckpoint() // freeze generation out of the timings
+      def wArrOf(b: Int): Array[Long] =
+        Array.tabulate(b)(i => ((i * 2654435761L) % 1024) - 512)
+      def viaMap(b: Int): DataFrame = {
+        val wm = typedLit(wArrOf(b).toIndexedSeq.zipWithIndex
+          .map { case (w, i) => i.toLong -> w }.toMap)
+        docs.select(aggregate(
+          transform(Dsir.featureArr(col("text")),
+            f => element_at(wm, Classify.bucketOf(f, b, seed = "d"))),
+          lit(0L), (acc, x) => acc + x).as("z"))
+      }
+      def viaArr(b: Int): DataFrame =
+        docs.select(Dsir.importanceMargin(col("text"), wArrOf(b), b).as("z"))
+      def viaJoin(b: Int): DataFrame = {
+        import spark.implicits._
+        val wdf = wArrOf(b).toIndexedSeq.zipWithIndex
+          .map { case (w, i) => (i.toLong, w) }.toDF("b", "w")
+        Dsir.importance(docs, "doc_id", "text", wdf, b)
+      }
+      def timeSum(df: => DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val s = df.agg(sum(col("z"))).head().getLong(0)
+        ((System.nanoTime() - t0) / 1e9, s)
+      }
+      timeSum(viaArr(64)) // warm codegen once
+      val (tM64, sM64) = timeSum(viaMap(64))
+      val (tM4k, sM4k) = timeSum(viaMap(4096))
+      val (tA64, sA64) = timeSum(viaArr(64))
+      val (tA4k, sA4k) = timeSum(viaArr(4096))
+      val (tJ4k, sJ4k) = timeSum(viaJoin(4096))
+      require(sM64 == sA64 && sM4k == sA4k && sA4k == sJ4k,
+        s"scoring disagreement: $sM64/$sA64 $sM4k/$sA4k/$sJ4k")
+      println(s"""{"probe":"margin_lookup","docs":$nDocs,"toks_per_doc":40,""" +
+        s""""map_b64_sec":$tM64,"map_b4096_sec":$tM4k,""" +
+        s""""arr_b64_sec":$tA64,"arr_b4096_sec":$tA4k,""" +
+        s""""join_b4096_sec":$tJ4k,""" +
+        s""""map_blowup_64_to_4096":${tM4k / tM64},""" +
+        s""""arr_blowup_64_to_4096":${tA4k / tA64}}""")
+    }
+
     spark.stop()
   }
 }

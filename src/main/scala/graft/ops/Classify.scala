@@ -137,8 +137,12 @@ object Classify {
     * arithmetic as [[scoreHashedLogistic]] (OpsSpec-pinned equal).
     * The weights travel as a B-entry map literal, so this is the
     * SMALL-B face (map-literal lookups scan linearly — fine at the
-    * hashing-trick B here; a 2^18-bucket model should use the
-    * broadcast-join face). Being stateless, it runs UNCHANGED as a
+    * hashing-trick B here; measured 6.8× blowup by B=4096 in Probe
+    * margin_lookup. A wide-B margin EXPRESSION should index a
+    * B-element array literal instead — O(1) positional element_at,
+    * flat in B, the [[Dsir.importanceMargin]] pattern — and the
+    * batch-side wide face is the broadcast-join scorer below).
+    * Being stateless, it runs UNCHANGED as a
     * streaming projection — q_stream_quality scores a live document
     * stream with it against the frozen trained model.
     */
