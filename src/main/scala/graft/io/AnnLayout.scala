@@ -1008,6 +1008,79 @@ object AnnLayout {
       .sortBy(_._1)
   }
 
+  /** [[layoutStats]] plus EXACT per-partition row counts from the
+    * parquet FOOTERS — `(cluster value, file count, bytes, rows)` —
+    * still no data read: a footer is a tail-of-file metadata block
+    * holding the row count of every row group, so the whole audit
+    * costs one driver-side listing plus one ~8 KB footer fetch per
+    * file (bounded by [[compactIvfPartitions]]'s file-count policy),
+    * not a corpus scan. This makes the CROWDING statistic the retrain
+    * policy gates on exact AT REST: [[maintainTrained]] reads it from
+    * the append batch's own assignment, but a layout that drifted
+    * across many past appends (or was inherited from another writer)
+    * can be audited without pushing any batch through —
+    * [[auditTrained]] below.
+    */
+  def layoutRowStats(spark: SparkSession, path: String,
+      clusterCol: String = "label"): Seq[(String, Int, Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    repairPartitionSwaps(spark, path)
+    val corpus = new Path(s"$path/corpus")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = corpus.getFileSystem(conf)
+    if (!fs.exists(corpus)) return Seq.empty
+    fs.listStatus(corpus).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$clusterCol="))
+      .map { st =>
+        val files = fs.listStatus(st.getPath).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val rows = files.map { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+        (st.getPath.getName.stripPrefix(s"$clusterCol="),
+          files.length, files.map(_.getLen).sum, rows)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Outcome of an at-rest crowding audit: exact row counts per cell
+    * (from [[layoutRowStats]]), the top-cell row share, and whether
+    * the measured retrain gate (share > factor/k against the
+    * INSTALLED codebook's k) fires.
+    */
+  final case class AuditResult(cells: Long, rows: Long,
+      topCellShare: Double, retrain: Boolean)
+
+  /** The [[maintainTrained]] crowding gate applied AT REST — no
+    * append, no assignment pass, no corpus read: row counts come from
+    * the parquet footers, k from the layout's own reps table, and the
+    * gate threshold is the same measured `retrainShareFactor / k`
+    * knee (PERF.md round-11 "frozen-codebook drift": crowding, not
+    * assignment fit, is what inflates probed bytes). The periodic
+    * maintenance audit a fleet runs over every layout it owns —
+    * codebook-sized cost per layout, independent of corpus size.
+    * A fired gate is acted on by pushing the next batch through
+    * [[maintainTrained]] (whose rebuild machinery already exists) or
+    * rebuilding directly via [[trainIvf]].
+    */
+  def auditTrained(spark: SparkSession, path: String,
+      retrainShareFactor: Double = 3.0,
+      clusterCol: String = "label"): AuditResult = {
+    val stats = layoutRowStats(spark, path, clusterCol)
+    val k = readSwapped(spark, s"$path/reps").count()
+    require(k > 0, s"empty reps table at $path")
+    val total = stats.map(_._4).sum
+    val share =
+      if (total == 0L) 0.0
+      else stats.map(_._4).max.toDouble / total
+    AuditResult(stats.length.toLong, total, share,
+      retrain = share > retrainShareFactor / k.toDouble)
+  }
+
   /** The pruned corpus scan a probe list induces — exposed separately
     * so tests can assert on `inputFiles` (only probed `cluster=<id>/`
     * directories appear).

@@ -500,4 +500,44 @@ class LayoutSpec extends AnyFunSuite {
     assert(!left.exists(n => n.endsWith(".stage") || n.endsWith(".old")),
       s"stage/backup litter: $left")
   }
+
+  test("layoutRowStats: footer row counts exact per partition; auditTrained fires the crowding gate at rest") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("ann_audit").toString
+    // k=8: the 3/k crowding knee needs k large enough that "everything
+    // in one cell" clears it even when the balanced half dilutes the
+    // share (at k=4 the gate is 0.75 and a 50/50 balanced/drifted mix
+    // tops out near 0.62)
+    val k = 8
+    graft.io.AnnLayout.trainIvf(emb.filter(col("vec_id") % 4 =!= 3), root,
+      k = k, iters = 2)
+    // multi-file partitions so per-file footers actually sum
+    graft.io.AnnLayout.appendTrained(emb.filter(col("vec_id") % 4 === 3), root)
+    val stats = graft.io.AnnLayout.layoutRowStats(spark, root)
+    // footer-derived rows == an actual data-scan groupBy, cell by cell
+    val scanned = spark.read.parquet(s"$root/corpus")
+      .groupBy("label").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(stats.map(s => s._1 -> s._4).toMap == scanned)
+    // and the (cluster, files, bytes) prefix agrees with layoutStats
+    assert(stats.map(s => (s._1, s._2, s._3)) ==
+      graft.io.AnnLayout.layoutStats(spark, root))
+    // a balanced layout does not fire the at-rest gate
+    val balanced = graft.io.AnnLayout.auditTrained(spark, root)
+    assert(balanced.rows == scanned.values.sum &&
+      balanced.cells > 0 && balanced.cells <= k)
+    assert(balanced.topCellShare <= 3.0 / k && !balanced.retrain,
+      s"balanced layout fired: $balanced")
+    // pile a drifted source into one frozen cell (the maintainTrained
+    // crowding recipe) WITHOUT maintenance — the at-rest audit must
+    // see exactly what the append-time gate would have
+    val drifted = emb.withColumn("embedding",
+      transform(col("embedding"), x => x * 0.05f + 10.0f))
+    graft.io.AnnLayout.appendTrained(drifted, root)
+    val crowded = graft.io.AnnLayout.auditTrained(spark, root)
+    assert(crowded.topCellShare > 3.0 / k && crowded.retrain,
+      s"crowded layout did not fire: $crowded")
+    // the audit never read the corpus: it stays exact after the check
+    assert(crowded.rows == balanced.rows + drifted.count())
+  }
 }
