@@ -74,21 +74,22 @@ object NgramLm {
     positions(docs, idCol, textCol).filter(col("pos") >= 2)
       .groupBy("w2", "w1", "tok").agg(count(lit(1)).as("cnt"))
 
-  /** Score `docs` under the stupid-backoff trigram model trained on
-    * `train` (default: self-scored, the in-corpus outlier-filter
-    * setup; a held-out reference corpus is the CCNet setup). Returns
-    * (idCol, n_tokens, sb_mass, sb_score); docs with no tokens are
-    * absent (the [[TextOps.lmScore]] convention).
+  /** The three pre-divided ratio tables of a trained model —
+    * base_o = floor(S · c(ngram) / c(context)) per attested n-gram of
+    * order 3/2/1 — the at-rest model artifact a pipeline persists
+    * (columns (w2,w1,tok,b3) / (w1,tok,b2) / (tok,b1)). Joining the
+    * context denominator HERE keeps every later corpus-sized scoring
+    * pass to pure lookups; each table is one row per distinct n-gram,
+    * so the skewed token exists once on the build side.
     */
-  def scoreBackoff(docs: DataFrame, idCol: String, textCol: String,
-      train: DataFrame = null, scaleBits: Int = DefaultScaleBits): DataFrame = {
+  def backoffTables(train: DataFrame, idCol: String, textCol: String,
+      scaleBits: Int = DefaultScaleBits)
+      : (DataFrame, DataFrame, DataFrame) = {
     val s = 1L << scaleBits
     // localCheckpoint (the Unigram.wordTable convention): eager, cuts
     // lineage, shared by the three count scans + the total; blocks are
     // freed by the ContextCleaner when the plan is GC'd.
-    val tr = positions(
-      Option(train).getOrElse(docs), idCol, textCol)
-      .localCheckpoint()
+    val tr = positions(train, idCol, textCol).localCheckpoint()
     val c1 = tr.groupBy("tok").agg(count(lit(1)).as("cnt1"))
     val c2 = tr.filter(col("pos") >= 1)
       .groupBy("w1", "tok").agg(count(lit(1)).as("cnt2"))
@@ -96,10 +97,7 @@ object NgramLm {
       .groupBy("w2", "w1", "tok").agg(count(lit(1)).as("cnt3"))
     // total training tokens: one bounded scalar (model-sized collect)
     val n = tr.count()
-    require(n > 0, "scoreBackoff needs a non-empty training corpus")
-    // pre-divided ratio tables: base_o = floor(S * c / c_context).
-    // Joining the denominator here keeps the corpus-sized probe pass
-    // to pure lookups; each hat table is one row per distinct n-gram.
+    require(n > 0, "backoffTables needs a non-empty training corpus")
     val h3 = c3.join(
         c2.select(col("w1").as("w2"), col("tok").as("w1"),
           col("cnt2").as("den")),
@@ -110,20 +108,52 @@ object NgramLm {
         c1.select(col("tok").as("w1"), col("cnt1").as("den")), Seq("w1"))
       .select(col("w1"), col("tok"), expr(s"($s * cnt2) div den").as("b2"))
     val h1 = c1.select(col("tok"), expr(s"($s * cnt1) div $n").as("b1"))
+    (h3, h2, h1)
+  }
+
+  /** Per-position contributions of `docs` against a FROZEN model —
+    * (idCol, pos, contrib), one row per token occurrence. Every step
+    * is STATELESS (posexplode projection + three left joins against
+    * batch-side tables), which is exactly what lets this run on a
+    * STREAMING `docs` as stream-static joins with no state store —
+    * the q_stream_lm serving face. The unigram table broadcasts; the
+    * bigram/trigram probes are shuffle hash joins on a batch plan and
+    * per-micro-batch stream-static joins on a stream.
+    */
+  def positionContribs(docs: DataFrame, idCol: String, textCol: String,
+      h3: DataFrame, h2: DataFrame, h1: DataFrame): DataFrame = {
     val contrib =
       when(col("pos") >= 2, coalesce(col("b3"), expr("b2 div 4"),
         expr("b1 div 16"), lit(0L)))
       .when(col("pos") === 1, coalesce(col("b2"), expr("b1 div 4"), lit(0L)))
       .otherwise(coalesce(col("b1"), lit(0L)))
-    val out = positions(docs, idCol, textCol)
+    positions(docs, idCol, textCol)
       .join(h3, Seq("w2", "w1", "tok"), "left")
       .join(h2, Seq("w1", "tok"), "left")
       .join(broadcast(h1), Seq("tok"), "left")
-      .select(col(idCol), contrib.as("contrib"))
-      .groupBy(idCol)
+      .select(col(idCol), col("pos"), contrib.as("contrib"))
+  }
+
+  /** Roll per-position contributions up to the per-doc score —
+    * (idCol, n_tokens, sb_mass, sb_score). Factored out so the
+    * streaming face can apply the identical rollup to its sink.
+    */
+  def rollupScore(contribs: DataFrame, idCol: String): DataFrame =
+    contribs.groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"), sum("contrib").as("sb_mass"))
       .withColumn("sb_score",
         col("sb_mass").cast("double") / col("n_tokens").cast("double"))
-    out
+
+  /** Score `docs` under the stupid-backoff trigram model trained on
+    * `train` (default: self-scored, the in-corpus outlier-filter
+    * setup; a held-out reference corpus is the CCNet setup). Returns
+    * (idCol, n_tokens, sb_mass, sb_score); docs with no tokens are
+    * absent (the [[TextOps.lmScore]] convention).
+    */
+  def scoreBackoff(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame = null, scaleBits: Int = DefaultScaleBits): DataFrame = {
+    val (h3, h2, h1) = backoffTables(
+      Option(train).getOrElse(docs), idCol, textCol, scaleBits)
+    rollupScore(positionContribs(docs, idCol, textCol, h3, h2, h1), idCol)
   }
 }

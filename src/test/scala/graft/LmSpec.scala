@@ -119,4 +119,24 @@ class LmSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"unigram table should broadcast:\n$plan")
   }
+
+  test("persisted-model round trip: backoffTables -> parquet -> " +
+      "positionContribs + rollupScore == scoreBackoff (the q_stream_lm " +
+      "serving decomposition loses nothing)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("lm_rt").toString
+    val (h3, h2, h1) = NgramLm.backoffTables(docs, "doc_id", "text")
+    h3.write.parquet(s"$work/h3")
+    h2.write.parquet(s"$work/h2")
+    h1.write.parquet(s"$work/h1")
+    val viaModel = NgramLm.rollupScore(
+      NgramLm.positionContribs(docs, "doc_id", "text",
+        spark.read.parquet(s"$work/h3"),
+        spark.read.parquet(s"$work/h2"),
+        spark.read.parquet(s"$work/h1")), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = NgramLm.scoreBackoff(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaModel == direct && viaModel.nonEmpty)
+  }
 }
