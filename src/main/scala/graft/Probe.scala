@@ -1837,6 +1837,86 @@ object Probe {
         s""""arr_blowup_64_to_4096":${tA4k / tA64}}""")
     }
 
+    if (enabled("backoff_lm")) {
+      // Stupid-backoff trigram scoring at volume: 1M docs × 40 tokens
+      // (40M training tokens), vocabulary with natural-language skew
+      // (half of all occurrences drawn from a 100-word head, half from
+      // a 100k-word tail) — the 'the'-skew lands on the c2/c3 join
+      // probe side, where the build side is pre-aggregated one row
+      // per n-gram (the operator's skew-safety claim, here measured).
+      // Timed over the output sum, not count().
+      import graft.ops.NgramLm
+      val nDocs = sys.env.get("SPARK_GRAFT_LM_DOCS")
+        .map(_.toLong).getOrElse(1000000L)
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(40)), i => {
+          val h = hash(col("id") * 131 + i)
+          concat(lit("w"), when(pmod(h, lit(2)) === 0,
+            pmod(hash(h), lit(100))).otherwise(pmod(hash(h), lit(100000))))
+        })).as("text"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val nTri = NgramLm.trigramCounts(docs, "doc_id", "text")
+        .agg(sum(col("cnt"))).head().getLong(0)
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val mass = NgramLm.scoreBackoff(docs, "doc_id", "text")
+        .agg(sum(col("sb_mass")), count(lit(1))).head()
+      val tScore = (System.nanoTime() - t1) / 1e9
+      val toks = nDocs * 40
+      println(s"""{"probe":"backoff_lm","docs":$nDocs,"tokens":$toks,""" +
+        s""""trigram_count_sec":$tTrain,"trigram_occurrences":$nTri,""" +
+        s""""train_and_score_sec":$tScore,"scored_docs":${mass.getLong(1)},""" +
+        s""""score_tokens_per_sec":${toks / tScore}}""")
+    }
+
+    if (enabled("footer_audit")) {
+      // At-rest crowding audit cost: parquet-footer row counts
+      // (layoutRowStats — driver listing + one footer fetch per file)
+      // vs the corpus-scan alternative (groupBy(label).count over the
+      // layout) on a 1M×32d trained IVF layout with multi-file
+      // partitions. The audit's cost scales with FILE COUNT; the
+      // scan's with corpus bytes — the gap is what makes a per-layout
+      // periodic audit free at 100 TB.
+      val dims = 32
+      val nClusters = 64
+      val n = 1000000L
+      def mkVecs(lo: Long, hi: Long): DataFrame =
+        spark.range(lo, hi).select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(dims)), i => {
+            val c = pmod(col("id"), lit(nClusters))
+            val center = (pmod(hash(c * dims + i), lit(1000)) / 500.0) - 1.0
+            val noise =
+              ((pmod(hash(col("id") * dims + i), lit(1000)) / 500.0) - 1.0) * 0.2
+            (center + noise).cast("float")
+          }).as("embedding"))
+      val root = java.nio.file.Files
+        .createTempDirectory("footer_audit").toString
+      graft.io.AnnLayout.trainIvf(mkVecs(0L, n / 2), root, nClusters,
+        iters = 2)
+      (0 until 4).foreach { b =>
+        graft.io.AnnLayout.appendTrained(
+          mkVecs(n / 2 + b * n / 8, n / 2 + (b + 1) * n / 8), root)
+      }
+      val t0 = System.nanoTime()
+      val stats = graft.io.AnnLayout.layoutRowStats(spark, root)
+      val tFooter = (System.nanoTime() - t0) / 1e9
+      val files = stats.map(_._2).sum
+      val rowsF = stats.map(_._4).sum
+      val t1 = System.nanoTime()
+      val rowsS = spark.read.parquet(s"$root/corpus")
+        .groupBy("label").count().agg(sum("count")).head().getLong(0)
+      val tScan = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val audit = graft.io.AnnLayout.auditTrained(spark, root)
+      val tAudit = (System.nanoTime() - t2) / 1e9
+      require(rowsF == rowsS, s"footer rows $rowsF != scan rows $rowsS")
+      println(s"""{"probe":"footer_audit","vectors":$n,"files":$files,""" +
+        s""""cells":${stats.length},"footer_stats_sec":$tFooter,""" +
+        s""""scan_count_sec":$tScan,"audit_sec":$tAudit,""" +
+        s""""top_cell_share":${audit.topCellShare}}""")
+    }
+
     spark.stop()
   }
 }

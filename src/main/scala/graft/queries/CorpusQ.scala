@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.{Similarity, TextOps}
@@ -91,11 +92,29 @@ object CorpusQ {
       ORDER BY dice DESC, bigram LIMIT $TopCollocations""")
   )
 
-  private val MinWords = 20
-  private val MaxWords = 90
-  private val MeanLenMin = 4.0
-  private val MeanLenMax = 5.0
-  private val StopFracMin = 0.03
+  // private[queries]: shared with the multi-signal ensemble gate
+  // (PipelineQ q_quality_ensemble), whose rule leg must agree with
+  // q_quality_gopher threshold-for-threshold.
+  private[queries] val MinWords = 20
+  private[queries] val MaxWords = 90
+  private[queries] val MeanLenMin = 4.0
+  private[queries] val MeanLenMax = 5.0
+  private[queries] val StopFracMin = 0.03
+
+  /** The gopher conjunction as ONE boolean Column over a text column
+    * — map-side, zero shuffles; token-less docs fail the word-count
+    * band so the null ratio legs never decide (false && null = false
+    * in both engines). Shared by q_quality_gopher's semantics and the
+    * ensemble gate's rule leg.
+    */
+  private[queries] def gopherPass(text: Column): Column = {
+    val ts = TextOps.tokens(text)
+    val n = size(ts)
+    n.cast("long").between(MinWords, MaxWords) &&
+      when(n > 0, TextOps.totalTokenChars(ts).cast("double") / n)
+        .between(MeanLenMin, MeanLenMax) &&
+      when(n > 0, TextOps.stopwordHits(ts).cast("double") / n) >= StopFracMin
+  }
 
   /** Composite Gopher-style quality gate (Rae et al. 2021 §A1.1
     * class of rules, thresholds tuned to this corpus): word-count

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.{Dedup, Sample, TextOps}
+import graft.ops.{Dedup, NgramLm, Sample, TextOps}
 
 /** Pipeline-assembly stages of a training-data build — the steps
   * between "corpus is scored/deduped" and "shards are on disk":
@@ -1054,6 +1054,116 @@ object PipelineQ {
       WHERE CAST(z AS DOUBLE) > cut.c ORDER BY doc_id""")
   )
 
+  // LM-fluency rescue threshold of the ensemble gate: keep when the
+  // mean per-token backoff ratio clears S/16 (S = 2^20 fixed-point —
+  // a dyadic constant, so the compare is exact long arithmetic;
+  // sits just under this corpus's median sb_score, making the rescue
+  // leg decisive for roughly half the rule-failing docs).
+  private final val EnsSbTau = 1L << 16
+
+  /** MULTI-SIGNAL quality gate — the FineWeb/DCLM-style ensemble
+    * decision assembled from three shipped signal families over ONE
+    * corpus: the Gopher rule conjunction ([[CorpusQ.gopherPass]],
+    * map-side), the IN-ENGINE-TRAINED hashed classifier margin
+    * ([[graft.ops.Classify.trainHashedLogistic]] →
+    * [[graft.ops.Classify.scoreHashedLogistic]]), and stupid-backoff
+    * LM fluency ([[graft.ops.NgramLm.scoreBackoff]]). Decision: rules
+    * must pass, then EITHER the learned model ranks the doc in its
+    * top half OR the doc is fluent enough to rescue (sb_mass >
+    * τ·n_tokens, exact long compare at the dyadic τ = 2^16). The
+    * classifier leg deliberately thresholds at the FROZEN
+    * sketch-median of the margin ([[graft.ops.Dsir.sketchCut]] at
+    * rank ⌈n/2⌉, salt "ens|"), not at 0: the fixed-round trainer's
+    * raw sign saturates with corpus size (all-negative at tiny SF,
+    * all-positive past it), while the median cut is calibrated —
+    * non-degenerate at every scale — and costs one bounded
+    * aggregation, no global sort (the DSIR select discipline).
+    * Emitting all three signals next to the verdict is deliberate —
+    * the curation audit table a pipeline stores so every kept/dropped
+    * doc is explainable.
+    *
+    * The oracle composes the three chains over a SINGLE shared tokens
+    * CTE — the unrolled classifier training ([[clsBaseSql]] +
+    * [[clsRoundsSql]]), the LM count/ratio chain
+    * ([[TrainingQ.lmScoreCtes]]), the gopher metrics, and the
+    * bottom-k cut replay — one DuckDB replay, hash-exact. Scale
+    * shape: every leg is a map pass or a pre-aggregated-build-side
+    * join; the three per-doc signal tables join on the doc key
+    * (co-partitioned by the same shuffle key, no global sort
+    * anywhere).
+    */
+  val qQualityEnsemble = Q(
+    "q_quality_ensemble",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val w = graft.ops.Classify.trainHashedLogistic(
+        docs, "doc_id", "text", clsLabel, buckets = ClsB, iters = ClsIters)
+      // checkpointed (doc_id, z) manifest: the cut's sample agg and
+      // the final join both read it — one scoring pass (the
+      // q_dsir_select lesson)
+      val cls = graft.ops.Classify.scoreHashedLogistic(
+          docs, "doc_id", "text", w, ClsB).select(col("doc_id"), col("z"))
+        .localCheckpoint()
+      val zCut = graft.ops.Dsir.sketchCut(cls, "doc_id", "z", 1, 2,
+        saltPrefix = "ens|")
+      val lm = NgramLm.scoreBackoff(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("sb_mass"))
+      docs.select(col("doc_id"),
+          CorpusQ.gopherPass(col("text")).as("gopher_pass"))
+        .join(cls, Seq("doc_id"))
+        .join(lm, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("gopher_pass"), col("z"),
+          coalesce(col("sb_mass"), lit(0L)).as("sb_mass"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        .withColumn("keep", col("gopher_pass") &&
+          (col("z").cast("double") > zCut ||
+            col("sb_mass") > lit(EnsSbTau) * col("n_tokens")))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $clsBaseSql,
+      $clsRoundsSql,
+      zf AS (SELECT f.doc_id, CAST(SUM(f.c * w.w) AS BIGINT) AS z
+        FROM feat f JOIN w$ClsIters w USING (b) GROUP BY 1),
+      zs AS (SELECT d.doc_id, COALESCE(zf.z, 0) AS z
+        FROM documents d LEFT JOIN zf USING (doc_id)),
+      ch AS (SELECT doc_id, CAST('0x' || substring(md5('ens|' ||
+          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+          CAST(z AS DOUBLE) AS v FROM zs),
+      cr AS (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rn
+        FROM ch),
+      cv AS (SELECT list_sort(list(v)) AS vs FROM cr WHERE rn <= 256),
+      cc AS (SELECT vs[(len(vs) + 1) // 2] AS c FROM cv),
+      ${TrainingQ.lmScoreCtes},
+      lmd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(contrib) AS BIGINT) AS sb_mass FROM sc GROUP BY doc_id),
+      gm AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+          CASE WHEN len(ts) > 0 THEN
+            CAST(list_reduce(list_transform(ts, w -> len(w)),
+                 (a, b) -> a + b) AS DOUBLE) / len(ts) END AS mean_word_len,
+          CASE WHEN len(ts) > 0 THEN
+            CAST(len(list_filter(ts, w -> w IN
+              ('the','a','of','and','in','to','is','on'))) AS DOUBLE)
+              / len(ts) END AS stop_frac
+        FROM t),
+      gp AS (SELECT doc_id,
+          ((n_words BETWEEN ${CorpusQ.MinWords} AND ${CorpusQ.MaxWords})
+            AND (mean_word_len BETWEEN ${CorpusQ.MeanLenMin}
+              AND ${CorpusQ.MeanLenMax})
+            AND (stop_frac >= ${CorpusQ.StopFracMin})) AS gopher_pass
+        FROM gm)
+      SELECT zs.doc_id, gp.gopher_pass, zs.z,
+        COALESCE(lmd.sb_mass, 0) AS sb_mass,
+        COALESCE(lmd.n_tokens, 0) AS n_tokens,
+        (gp.gopher_pass AND (CAST(zs.z AS DOUBLE) > cc.c
+          OR COALESCE(lmd.sb_mass, 0)
+            > $EnsSbTau * COALESCE(lmd.n_tokens, 0))) AS keep
+      FROM zs
+      JOIN gp USING (doc_id)
+      LEFT JOIN lmd USING (doc_id)
+      CROSS JOIN cc
+      ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
@@ -1061,5 +1171,5 @@ object PipelineQ {
       qQualityTrain, qQualityTrainScore, qStreamQuality,
       qQualityCurriculum, qQualityCurriculumSketch, qStreamCurriculum,
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
-      qStreamDsir)
+      qStreamDsir, qQualityEnsemble)
 }

@@ -1510,7 +1510,15 @@ object TrainingQ {
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       graft.ops.GraphOps.pageRank(edges, iters = 3).orderBy("id")
     },
-    Some(s"""WITH e AS (SELECT vec_id,
+    Some(s"""WITH $prChainSql
+      SELECT id, r FROM pr3 ORDER BY id""")
+  )
+
+  /** Shared CTE chain of q_pagerank and q_rank_sample: kNN-graph
+    * construction replay + 3 unrolled integer power-iteration rounds
+    * ending at `pr3 (id, r)`.
+    */
+  private def prChainSql: String = s"""e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       c AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $KmeansSeeds),
@@ -1534,8 +1542,50 @@ object TrainingQ {
         (SELECT src AS id FROM pedges UNION ALL SELECT dst FROM pedges)),
       pdeg AS (SELECT src, COUNT(*) AS d FROM pedges GROUP BY src),
       pr0 AS (SELECT id, CAST(${1L << 32} AS BIGINT) AS r FROM pnodes),
-      ${(1 to 3).map(prRoundSql).mkString(",\n      ")}
-      SELECT id, r FROM pr3 ORDER BY id""")
+      ${(1 to 3).map(prRoundSql).mkString(",\n      ")}"""
+
+  private val RankSampleSeed = "rs0"
+  private val RankSampleK = 40
+
+  /** CENTRALITY-WEIGHTED corpus sampling — link-analysis curation
+    * (the harmonic-centrality seed-ranking idea of CCNet/RefinedWeb
+    * crawl curation, run on the in-corpus similarity graph): PageRank
+    * over the kNN graph ([[graft.ops.GraphOps.pageRank]]) becomes the
+    * sampling weight of the deterministic Efraimidis–Spirakis sample
+    * ([[graft.ops.Sample.weightedSample]]) — central, well-connected
+    * documents are proportionally more likely to be kept. The rank →
+    * weight map is a FIXED integer quantization, w = min(64,
+    * 1 + r div 2^30) (fixed-point ranks sit at the 2^32 scale, so
+    * ordinary mass ⇒ w ≈ 5 and hubs saturate the cap) — no
+    * data-dependent scalars, so the whole chain graph → 3 power
+    * rounds → weights → max-of-w-draws priorities → top-k replays in
+    * ONE DuckDB oracle, hash-exact. Scale shape: pageRank is linear
+    * per round, the weight map and draws are map-side, and the sample
+    * is one bounded-state topKBy pass — no global sort anywhere.
+    */
+  val qRankSample = Q(
+    "q_rank_sample",
+    (spark, dir) => {
+      val edges = Similarity.knnGraph(Tables.embeddings(spark, dir),
+          seedCentroids(spark, dir), k = 3)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      val ranks = graft.ops.GraphOps.pageRank(edges, iters = 3)
+      Sample.weightedSample(ranks, col("id"),
+          least(lit(64), lit(1L) + expr(s"r div ${1L << 30}")),
+          k = RankSampleK, seed = RankSampleSeed)
+        .orderBy("rank")
+    },
+    Some(s"""WITH $prChainSql,
+      wt AS (SELECT id, LEAST(64, 1 + r // ${1L << 30}) AS w FROM pr3),
+      wd AS (SELECT id, unnest(range(1, w + 1)) AS j FROM wt),
+      wh AS (SELECT id, CAST('0x' || substring(md5('$RankSampleSeed|' ||
+          CAST(id AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 13)
+          AS BIGINT) AS hv FROM wd),
+      wp AS (SELECT id, max(hv) AS priority FROM wh GROUP BY id),
+      wr AS (SELECT id, priority,
+          row_number() OVER (ORDER BY priority DESC, id) AS rank FROM wp)
+      SELECT rank, id, priority FROM wr WHERE rank <= $RankSampleK
+      ORDER BY rank""")
   )
 
   /** RESIDUAL IVF-PQ (see [[graft.io.AnnLayout.trainIvfPq]] with
@@ -2605,12 +2655,34 @@ object TrainingQ {
     (spark, dir) =>
       NgramLm.scoreBackoff(Tables.documents(spark, dir), "doc_id", "text")
         .orderBy("doc_id"),
-    Some {
-      val s = 1L << NgramLm.DefaultScaleBits
-      s"""WITH t AS (SELECT doc_id,
+    Some(LmBackoffOracle)
+  )
+
+  /** Shared by q_lm_backoff and its streaming face q_stream_lm: the
+    * frozen model the stream serves is the same self-trained count
+    * chain, and per-position contributions are arrival-order-
+    * independent, so both faces replay through one oracle.
+    */
+  private lazy val LmBackoffOracle: String =
+    s"""WITH t AS (SELECT doc_id,
           list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
         FROM documents),
-      p AS (SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos,
+      $lmScoreCtes
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(contrib) AS BIGINT) AS sb_mass,
+        CAST(SUM(contrib) AS DOUBLE) / COUNT(*) AS sb_score
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
+  /** The stupid-backoff scoring chain as CTEs over an existing
+    * `t (doc_id, ts)` tokens CTE, ending at `sc (doc_id, contrib)` —
+    * shared by the LM faces here and the multi-signal ensemble gate
+    * (PipelineQ), whose oracle composes this chain with the
+    * classifier-training and gopher chains over ONE shared tokens
+    * CTE.
+    */
+  private[queries] def lmScoreCtes: String = {
+      val s = 1L << NgramLm.DefaultScaleBits
+      s"""p AS (SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos,
           unnest(ts) AS tok, ts FROM t),
       px AS (SELECT doc_id, pos, tok,
           CASE WHEN pos >= 1 THEN ts[pos] END AS w1,
@@ -2635,12 +2707,54 @@ object TrainingQ {
         FROM px LEFT JOIN h3 ON px.w2 = h3.w2 AND px.w1 = h3.w1
             AND px.tok = h3.tok
           LEFT JOIN h2 ON px.w1 = h2.w1 AND px.tok = h2.tok
-          LEFT JOIN h1 ON px.tok = h1.tok)
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        CAST(SUM(contrib) AS BIGINT) AS sb_mass,
-        CAST(SUM(contrib) AS DOUBLE) / COUNT(*) AS sb_score
-      FROM sc GROUP BY doc_id ORDER BY doc_id"""
-    }
+          LEFT JOIN h1 ON px.tok = h1.tok)"""
+  }
+
+  /** STREAMING LM scoring against the PERSISTED frozen model — the
+    * serving face for a model too large to travel as a plan literal
+    * (the trigram table is corpus-derived and unbounded, unlike the
+    * B-row classifier weights q_stream_quality inlines): the batch
+    * side trains once and writes the three ratio tables
+    * ([[graft.ops.NgramLm.backoffTables]]) as parquet — the at-rest
+    * artifact — and the document stream scores via STREAM-STATIC
+    * joins against them ([[graft.ops.NgramLm.positionContribs]]):
+    * posexplode + three left joins, all STATELESS (no state store, no
+    * watermark; the static side is re-resolved per micro-batch, which
+    * is also what makes a model refresh a simple directory swap). The
+    * sink receives per-position contribution rows append-only; the
+    * per-doc rollup ([[graft.ops.NgramLm.rollupScore]]) runs at read
+    * — the score-annotation-stream shape, keeping the streaming plan
+    * state-free where a streaming groupBy(doc) would retain one state
+    * row per document forever. The 22nd batch/stream equivalence pin:
+    * same oracle as q_lm_backoff — the stream path loses nothing vs
+    * the batch scorer.
+    */
+  val qStreamLm = Q(
+    "q_stream_lm",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_lm").toString
+      val docs = Tables.documents(spark, dir)
+      val (h3, h2, h1) = NgramLm.backoffTables(docs, "doc_id", "text")
+      h3.write.parquet(s"$work/h3")
+      h2.write.parquet(s"$work/h2")
+      h1.write.parquet(s"$work/h1")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val contribs = NgramLm.positionContribs(stream, "doc_id", "text",
+        spark.read.parquet(s"$work/h3"),
+        spark.read.parquet(s"$work/h2"),
+        spark.read.parquet(s"$work/h1"))
+      val q = contribs.writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      NgramLm.rollupScore(spark.read.parquet(s"$work/out"), "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(LmBackoffOracle)
   )
 
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
@@ -2656,5 +2770,5 @@ object TrainingQ {
     qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp,
     qUnigramTrain, qUnigramEncode, qUnigramTrainSoft, qAnnPq, qAnnPqKnn,
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
-    qLmBackoff)
+    qLmBackoff, qStreamLm, qRankSample)
 }
