@@ -1014,7 +1014,11 @@ object AnnLayout {
     * holding the row count of every row group, so the whole audit
     * costs one driver-side listing plus one ~8 KB footer fetch per
     * file (bounded by [[compactIvfPartitions]]'s file-count policy),
-    * not a corpus scan. This makes the CROWDING statistic the retrain
+    * not a corpus scan. Footer fetches run on a bounded driver pool —
+    * sequential opens are latency-bound (~10 ms each measured on
+    * local disk, worse on object stores), and the fetches are
+    * independent, so the wall cost is files/16 round trips. This
+    * makes the CROWDING statistic the retrain
     * policy gates on exact AT REST: [[maintainTrained]] reads it from
     * the append batch's own assignment, but a layout that drifted
     * across many past appends (or was inherited from another writer)
@@ -1031,20 +1035,32 @@ object AnnLayout {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = corpus.getFileSystem(conf)
     if (!fs.exists(corpus)) return Seq.empty
-    fs.listStatus(corpus).toSeq
+    val cells = fs.listStatus(corpus).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(s"$clusterCol="))
       .map { st =>
-        val files = fs.listStatus(st.getPath).filter(f =>
-          f.isFile && f.getPath.getName.endsWith(".parquet"))
-        val rows = files.map { f =>
+        (st.getPath.getName.stripPrefix(s"$clusterCol="),
+          fs.listStatus(st.getPath).filter(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet")).toSeq)
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, cells.iterator.map(_._2.size).sum)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val submitted = cells.map { case (cell, files) =>
+        (cell, files, Future.traverse(files) { f => Future {
           val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
           try r.getRecordCount finally r.close()
-        }.sum
-        (st.getPath.getName.stripPrefix(s"$clusterCol="),
-          files.length, files.map(_.getLen).sum, rows)
+        }})
       }
-      .sortBy(_._1)
+      submitted.map { case (cell, files, rows) =>
+        (cell, files.length, files.map(_.getLen).sum,
+          Await.result(rows, Duration.Inf).sum)
+      }.sortBy(_._1)
+    } finally pool.shutdown()
   }
 
   /** Outcome of an at-rest crowding audit: exact row counts per cell
