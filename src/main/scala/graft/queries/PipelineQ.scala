@@ -1120,7 +1120,17 @@ object PipelineQ {
             col("sb_mass") > lit(EnsSbTau) * col("n_tokens")))
         .orderBy("doc_id")
     },
-    Some(s"""WITH $clsBaseSql,
+    Some(EnsembleOracle)
+  )
+
+  /** Shared by q_quality_ensemble and its streaming face
+    * q_stream_ensemble: the stream freezes the SAME trained weights,
+    * the SAME "ens|"-salted sketch-median cut, and the SAME LM ratio
+    * tables, and every signal is arrival-order-independent, so both
+    * faces replay through one oracle.
+    */
+  private lazy val EnsembleOracle: String =
+    s"""WITH $clsBaseSql,
       $clsRoundsSql,
       zf AS (SELECT f.doc_id, CAST(SUM(f.c * w.w) AS BIGINT) AS z
         FROM feat f JOIN w$ClsIters w USING (b) GROUP BY 1),
@@ -1161,7 +1171,78 @@ object PipelineQ {
       JOIN gp USING (doc_id)
       LEFT JOIN lmd USING (doc_id)
       CROSS JOIN cc
-      ORDER BY doc_id""")
+      ORDER BY doc_id"""
+
+  /** STREAMING ensemble gate — the full multi-signal keep decision as
+    * a LIVE intake stage (23rd batch/stream equivalence pin). Every
+    * frozen artifact travels in the form its size dictates: the B-row
+    * classifier weights as a plan-literal margin expression
+    * ([[graft.ops.Classify.hashedLogisticMargin]] — the measured
+    * array-literal serving face), the 1-value sketch-median cut as a
+    * comparison literal, the corpus-sized LM ratio tables as PARQUET
+    * probed by stream-static joins (the q_stream_lm shape). Two
+    * stateless streams run over the same source — a doc-level signal
+    * stream (gopher rules + margin, pure map) and a position-level LM
+    * contribution stream (posexplode + three joins) — each through an
+    * append-only parquet sink with no state store; the audit table is
+    * assembled at read (LM rollup + doc-key join + frozen-cut
+    * verdict). A streaming groupBy(doc) would instead retain one
+    * state row per document forever — rollup-at-read keeps the
+    * per-trigger cost exactly the batch's row count. Oracle:
+    * [[EnsembleOracle]], identical to the batch face — the stream
+    * path loses nothing.
+    */
+  val qStreamEnsemble = Q(
+    "q_stream_ensemble",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_ens").toString
+      val docs = Tables.documents(spark, dir)
+      val w = graft.ops.Classify.trainHashedLogistic(
+        docs, "doc_id", "text", clsLabel, buckets = ClsB, iters = ClsIters)
+      val cls = graft.ops.Classify.scoreHashedLogistic(
+          docs, "doc_id", "text", w, ClsB).select(col("doc_id"), col("z"))
+        .localCheckpoint()
+      val zCut = graft.ops.Dsir.sketchCut(cls, "doc_id", "z", 1, 2,
+        saltPrefix = "ens|")
+      val (h3, h2, h1) = NgramLm.backoffTables(docs, "doc_id", "text")
+      h3.write.parquet(s"$work/h3")
+      h2.write.parquet(s"$work/h2")
+      h1.write.parquet(s"$work/h1")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val sig = stream.select(col("doc_id"),
+        CorpusQ.gopherPass(col("text")).as("gopher_pass"),
+        graft.ops.Classify.hashedLogisticMargin(
+          TextOps.tokens(col("text")), w, ClsB).as("z"))
+      val q1 = sig.writeStream.format("parquet")
+        .option("path", s"$work/sig")
+        .option("checkpointLocation", s"$work/ckpt1")
+        .trigger(Trigger.AvailableNow()).start()
+      val contribs = NgramLm.positionContribs(stream, "doc_id", "text",
+        spark.read.parquet(s"$work/h3"),
+        spark.read.parquet(s"$work/h2"),
+        spark.read.parquet(s"$work/h1"))
+      val q2 = contribs.writeStream.format("parquet")
+        .option("path", s"$work/lm")
+        .option("checkpointLocation", s"$work/ckpt2")
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      q2.awaitTermination()
+      val lm = NgramLm.rollupScore(spark.read.parquet(s"$work/lm"), "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("sb_mass"))
+      spark.read.parquet(s"$work/sig")
+        .join(lm, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("gopher_pass"), col("z"),
+          coalesce(col("sb_mass"), lit(0L)).as("sb_mass"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        .withColumn("keep", col("gopher_pass") &&
+          (col("z").cast("double") > zCut ||
+            col("sb_mass") > lit(EnsSbTau) * col("n_tokens")))
+        .orderBy("doc_id")
+    },
+    Some(EnsembleOracle)
   )
 
   def all: Seq[Q] =
@@ -1171,5 +1252,5 @@ object PipelineQ {
       qQualityTrain, qQualityTrainScore, qStreamQuality,
       qQualityCurriculum, qQualityCurriculumSketch, qStreamCurriculum,
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
-      qStreamDsir, qQualityEnsemble)
+      qStreamDsir, qQualityEnsemble, qStreamEnsemble)
 }
