@@ -74,30 +74,72 @@ object NgramLm {
     positions(docs, idCol, textCol).filter(col("pos") >= 2)
       .groupBy("w2", "w1", "tok").agg(count(lit(1)).as("cnt"))
 
-  /** The three pre-divided ratio tables of a trained model —
-    * base_o = floor(S · c(ngram) / c(context)) per attested n-gram of
-    * order 3/2/1 — the at-rest model artifact a pipeline persists
-    * (columns (w2,w1,tok,b3) / (w1,tok,b2) / (tok,b1)). Joining the
-    * context denominator HERE keeps every later corpus-sized scoring
-    * pass to pure lookups; each table is one row per distinct n-gram,
-    * so the skewed token exists once on the build side.
+  /** The MERGEABLE training artifact: raw count tables per order plus
+    * the total token count — unlike the pre-divided ratio tables,
+    * counts are ADDITIVE, so a model maintained incrementally (new
+    * corpus shards arriving over time, or shard-parallel training
+    * across clusters) persists THESE and derives the ratio tables at
+    * publish time ([[ratioTables]]). [[mergeCounts]] is the exact
+    * union: counting the concatenated corpus and summing per-shard
+    * counts are the same integers, so the incremental path loses
+    * nothing vs a from-scratch retrain (q_lm_merge pins this against
+    * q_lm_backoff's oracle verbatim).
     */
-  def backoffTables(train: DataFrame, idCol: String, textCol: String,
-      scaleBits: Int = DefaultScaleBits)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val s = 1L << scaleBits
+  final case class CountTables(c3: DataFrame, c2: DataFrame,
+      c1: DataFrame, n: Long)
+
+  /** Count a training corpus into the mergeable artifact. */
+  def countTables(train: DataFrame, idCol: String,
+      textCol: String): CountTables = {
     // localCheckpoint (the Unigram.wordTable convention): eager, cuts
     // lineage, shared by the three count scans + the total; blocks are
     // freed by the ContextCleaner when the plan is GC'd.
     val tr = positions(train, idCol, textCol).localCheckpoint()
-    val c1 = tr.groupBy("tok").agg(count(lit(1)).as("cnt1"))
-    val c2 = tr.filter(col("pos") >= 1)
-      .groupBy("w1", "tok").agg(count(lit(1)).as("cnt2"))
-    val c3 = tr.filter(col("pos") >= 2)
-      .groupBy("w2", "w1", "tok").agg(count(lit(1)).as("cnt3"))
-    // total training tokens: one bounded scalar (model-sized collect)
-    val n = tr.count()
-    require(n > 0, "backoffTables needs a non-empty training corpus")
+    CountTables(
+      tr.filter(col("pos") >= 2)
+        .groupBy("w2", "w1", "tok").agg(count(lit(1)).as("cnt3")),
+      tr.filter(col("pos") >= 1)
+        .groupBy("w1", "tok").agg(count(lit(1)).as("cnt2")),
+      tr.groupBy("tok").agg(count(lit(1)).as("cnt1")),
+      // total training tokens: one bounded scalar (model-sized collect)
+      tr.count())
+  }
+
+  /** Exact additive merge of two count artifacts — a full-outer sum
+    * per order (one shuffle per table, build sides pre-aggregated one
+    * row per n-gram) plus a long add for the totals.
+    */
+  def mergeCounts(a: CountTables, b: CountTables): CountTables = {
+    def add(l: DataFrame, r: DataFrame, keys: Seq[String],
+        cnt: String): DataFrame =
+      l.withColumnRenamed(cnt, "_l")
+        .join(r.withColumnRenamed(cnt, "_r"), keys, "full_outer")
+        .select(keys.map(col) :+
+          (coalesce(col("_l"), lit(0L)) + coalesce(col("_r"), lit(0L)))
+            .as(cnt): _*)
+    CountTables(
+      add(a.c3, b.c3, Seq("w2", "w1", "tok"), "cnt3"),
+      add(a.c2, b.c2, Seq("w1", "tok"), "cnt2"),
+      add(a.c1, b.c1, Seq("tok"), "cnt1"),
+      a.n + b.n)
+  }
+
+  /** Publish step: the three pre-divided ratio tables of a trained
+    * model — base_o = floor(S · c(ngram) / c(context)) per attested
+    * n-gram of order 3/2/1, derived from a count artifact (columns
+    * (w2,w1,tok,b3) / (w1,tok,b2) / (tok,b1)). The division is the
+    * one non-additive step, so it runs once per published model, not
+    * per merge. Joining the context denominator HERE keeps every
+    * later corpus-sized scoring pass to pure lookups; each table is
+    * one row per distinct n-gram, so the skewed token exists once on
+    * the build side.
+    */
+  def ratioTables(counts: CountTables,
+      scaleBits: Int = DefaultScaleBits)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val s = 1L << scaleBits
+    val CountTables(c3, c2, c1, n) = counts
+    require(n > 0, "ratioTables needs a non-empty training corpus")
     val h3 = c3.join(
         c2.select(col("w1").as("w2"), col("tok").as("w1"),
           col("cnt2").as("den")),
@@ -110,6 +152,15 @@ object NgramLm {
     val h1 = c1.select(col("tok"), expr(s"($s * cnt1) div $n").as("b1"))
     (h3, h2, h1)
   }
+
+  /** Train-and-publish in one step: count `train`, derive the ratio
+    * tables. The incremental path is countTables → mergeCounts* →
+    * ratioTables.
+    */
+  def backoffTables(train: DataFrame, idCol: String, textCol: String,
+      scaleBits: Int = DefaultScaleBits)
+      : (DataFrame, DataFrame, DataFrame) =
+    ratioTables(countTables(train, idCol, textCol), scaleBits)
 
   /** Per-position contributions of `docs` against a FROZEN model —
     * (idCol, pos, contrib), one row per token occurrence. Every step

@@ -2757,6 +2757,40 @@ object TrainingQ {
     Some(LmBackoffOracle)
   )
 
+  /** INCREMENTAL / shard-parallel LM training — the maintenance path
+    * a growing corpus needs: count each shard independently
+    * ([[graft.ops.NgramLm.countTables]] — here the corpus split in
+    * two by doc-id parity, standing in for "last month's model + this
+    * month's batch"), MERGE the count artifacts exactly
+    * ([[graft.ops.NgramLm.mergeCounts]] — a full-outer sum per order;
+    * counts are additive, so shard-and-sum produces the same integers
+    * as counting the concatenated corpus), then publish the ratio
+    * tables once ([[graft.ops.NgramLm.ratioTables]] — the division is
+    * the only non-additive step) and score. Oracle: q_lm_backoff's
+    * verbatim — the incremental path must lose NOTHING vs a
+    * from-scratch retrain, which is what makes "retrain monthly" an
+    * O(new data) cost instead of an O(corpus) one at 100 TB. Scale
+    * shape: per-shard counting is the same partial-agged shuffles as
+    * direct training; each merge is one full-outer join per order on
+    * pre-aggregated one-row-per-n-gram sides.
+    */
+  val qLmMerge = Q(
+    "q_lm_merge",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val a = NgramLm.countTables(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val b = NgramLm.countTables(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      val (h3, h2, h1) = NgramLm.ratioTables(NgramLm.mergeCounts(a, b))
+      NgramLm.rollupScore(
+          NgramLm.positionContribs(docs, "doc_id", "text", h3, h2, h1),
+          "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(LmBackoffOracle)
+  )
+
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
     qDedupSimhashHam, qDedupClusters, qTextStats, qLangId, qTokenCount,
     qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
@@ -2770,5 +2804,5 @@ object TrainingQ {
     qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp,
     qUnigramTrain, qUnigramEncode, qUnigramTrainSoft, qAnnPq, qAnnPqKnn,
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
-    qLmBackoff, qStreamLm, qRankSample)
+    qLmBackoff, qStreamLm, qLmMerge, qRankSample)
 }

@@ -139,4 +139,34 @@ class LmSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(viaModel == direct && viaModel.nonEmpty)
   }
+
+  test("mergeCounts: shard-and-sum == count-the-union, scored identically " +
+      "(the q_lm_merge incremental-training contract), on an ASYMMETRIC " +
+      "3-way split including an empty shard") {
+    val docs = corpus.toDF("doc_id", "text")
+    // uneven shards: one doc / the rest / empty — merge must be exact
+    // regardless of shard shape, and an empty shard must be a no-op
+    val s1 = NgramLm.countTables(
+      docs.filter(col("doc_id") === 1), "doc_id", "text")
+    val s2 = NgramLm.countTables(
+      docs.filter(col("doc_id") =!= 1), "doc_id", "text")
+    val s3 = NgramLm.countTables(docs.limit(0), "doc_id", "text")
+    val merged = NgramLm.mergeCounts(NgramLm.mergeCounts(s1, s2), s3)
+    val direct = NgramLm.countTables(docs, "doc_id", "text")
+    assert(merged.n == direct.n)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.toSeq.init.mkString("|") -> r.getLong(r.length - 1)).toMap
+    assert(asMap(merged.c1) == asMap(direct.c1))
+    assert(asMap(merged.c2) == asMap(direct.c2))
+    assert(asMap(merged.c3) == asMap(direct.c3))
+    // end to end: publish the merged counts, score, compare to direct
+    val (h3, h2, h1) = NgramLm.ratioTables(merged)
+    val viaMerge = NgramLm.rollupScore(
+      NgramLm.positionContribs(docs, "doc_id", "text", h3, h2, h1), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val whole = NgramLm.scoreBackoff(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaMerge == whole && viaMerge.nonEmpty)
+  }
 }
