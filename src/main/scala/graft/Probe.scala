@@ -1917,6 +1917,92 @@ object Probe {
         s""""top_cell_share":${audit.topCellShare}}""")
     }
 
+    if (enabled("kpp_seeding")) {
+      // What distance-aware seeding buys: 400k×16d vectors in 32
+      // planted clusters, ids ORDERED so the first 32 ids all fall in
+      // cluster 0 — the regime where first-k-ids seeding is
+      // degenerate by construction (real corpora hit it whenever
+      // ingestion order correlates with content: per-source id
+      // blocks, crawl order, shard order). Train Lloyd(3) from (a)
+      // first-k seeds, (b) kmeansParInit seeds; compare post-train
+      // balance (top-cell share — what IVF probe cost follows) and
+      // mean quantized L2 inertia (fit), plus the seeding pass cost.
+      import graft.ops.Similarity
+      val n = 400000L
+      val dims = 16
+      val kTrue = 32
+      val block = n / kTrue
+      def vecs: DataFrame = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)), i => {
+          val c = col("id") / block // id-blocked: first ids share a cluster
+          val center = (pmod(hash(c * dims + i), lit(1000)) / 500.0) - 1.0
+          val noise =
+            ((pmod(hash(col("id") * dims + i), lit(1000)) / 500.0) - 1.0) * 0.1
+          center + noise
+        }).as("embedding")).localCheckpoint()
+      val v = vecs
+      def inertiaAndBalance(cents: DataFrame): (Double, Double) = {
+        val a = Similarity.assignNearestL2(v, cents).localCheckpoint()
+        val inert = a.agg(avg("dist2")).head().getDouble(0)
+        val counts = a.groupBy("cluster").count()
+          .agg(max("count"), sum("count")).head()
+        (inert, counts.getLong(0).toDouble / counts.getLong(1))
+      }
+      val t1 = System.nanoTime()
+      val seeds = Similarity.kmeansParInit(v, kTrue, rounds = 3,
+        oversample = 2 * kTrue).select("cluster", "cv").localCheckpoint()
+      val tSeed = (System.nanoTime() - t1) / 1e9
+      // fit-vs-iteration-budget matrix: each Lloyd round is 2 corpus
+      // shuffles, so "equal fit at fewer rounds" is the real currency
+      val cells = for (it <- Seq(0, 1, 3); seeded <- Seq(false, true)) yield {
+        val cents =
+          if (it == 0 && !seeded)
+            v.orderBy("vec_id").limit(kTrue)
+              .select(col("vec_id").as("cluster"), col("embedding").as("cv"))
+          else if (it == 0) seeds
+          else Similarity.kmeans(v, kTrue, iters = it,
+            seeds = if (seeded) seeds else null)
+        val (in, bal) = inertiaAndBalance(cents)
+        val tag = (if (seeded) "kpp" else "firstk") + s"_it$it"
+        s""""${tag}_mean_dist2":$in,"${tag}_top_share":$bal"""
+      }
+      println(s"""{"probe":"kpp_seeding","vectors":$n,"dims":$dims,""" +
+        s""""k":$kTrue,"kpp_seed_sec":$tSeed,""" + cells.mkString(",") + "}")
+
+      // the QUALITATIVE regime: duplicate head rows (boilerplate docs
+      // sharing one embedding — ingestion reality). first-k seeds are
+      // then k IDENTICAL centroids: every point ties to the min
+      // cluster id, the other k−1 clusters stay empty FOREVER (the
+      // keep-previous fallback can never split a tie) — no iteration
+      // budget recovers. kpp is structurally immune: a candidate at
+      // d²=0 of an existing one can never re-enter (coin right side
+      // is 0).
+      val headVec = v.orderBy("vec_id").select("embedding")
+        .head().getSeq[Double](0)
+      val dup = v.select(col("vec_id"),
+          when(col("vec_id") < kTrue, typedLit(headVec))
+            .otherwise(col("embedding")).as("embedding"))
+        .localCheckpoint()
+      val vv = dup
+      def inertiaAndBalance2(cents: DataFrame): (Double, Double) = {
+        val a = Similarity.assignNearestL2(vv, cents).localCheckpoint()
+        val inert = a.agg(avg("dist2")).head().getDouble(0)
+        val counts = a.groupBy("cluster").count()
+          .agg(max("count"), sum("count")).head()
+        (inert, counts.getLong(0).toDouble / counts.getLong(1))
+      }
+      val (inFd, balFd) = inertiaAndBalance2(
+        Similarity.kmeans(vv, kTrue, iters = 3))
+      val (inKd, balKd) = inertiaAndBalance2(
+        Similarity.kmeans(vv, kTrue, iters = 3,
+          seeds = Similarity.kmeansParInit(vv, kTrue, rounds = 3,
+            oversample = 2 * kTrue).select("cluster", "cv")))
+      println(s"""{"probe":"kpp_seeding_dup_head","vectors":$n,""" +
+        s""""k":$kTrue,"firstk_it3_mean_dist2":$inFd,""" +
+        s""""firstk_it3_top_share":$balFd,"kpp_it3_mean_dist2":$inKd,""" +
+        s""""kpp_it3_top_share":$balKd}""")
+    }
+
     spark.stop()
   }
 }

@@ -366,14 +366,25 @@ object AnnLayout {
     * [[appendIvf]], whose min-id reps merge is the UNtrained
     * codebook's maintenance rule and would overwrite learned
     * centroids). Returns the trained centroid table (cluster, cv).
+    *
+    * `seeds`: optional (cluster, cv) Lloyd initialization override —
+    * pass [[graft.ops.Similarity.kmeansParInit]]'s output for
+    * distance-aware k-means‖ seeding. Use it whenever corpus id order
+    * correlates with content (per-source id blocks, crawl order) or
+    * head rows may be duplicates: first-k-ids seeding from k identical
+    * head vectors yields k identical centroids that Lloyd can NEVER
+    * split (measured: top-cell share 0.40 vs 0.034 — PERF.md
+    * round-12 kpp_seeding), and IVF probe cost follows top-cell share.
     */
   def trainIvf(corpus: DataFrame, path: String, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       clusterCol: String = "label",
-      maxRecordsPerFile: Long = 5000000L): DataFrame = {
+      maxRecordsPerFile: Long = 5000000L,
+      seeds: DataFrame = null): DataFrame = {
     val spark = corpus.sparkSession
     val base = corpus.drop(clusterCol) // learned labels replace any prior ones
-    val cents = Similarity.kmeans(base, k, iters, idCol, vecCol)
+    val cents = Similarity.kmeans(base, k, iters, idCol, vecCol,
+      seeds = seeds)
     val labeled = base.join(
       Similarity.assignNearest(base, cents, idCol, vecCol)
         .select(col("vec_id").as(idCol), col("cluster").as(clusterCol)),

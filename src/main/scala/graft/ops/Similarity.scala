@@ -295,9 +295,14 @@ object Similarity {
     */
   def kmeans(vectors: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      scale: Long = 1000000L): DataFrame = {
-    var cents = vectors.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long").as("cluster"), asDouble(col(vecCol)).as("cv"))
+      scale: Long = 1000000L, seeds: DataFrame = null): DataFrame = {
+    // seeds: optional (cluster, cv) override — e.g. [[kmeansParInit]]
+    // .select("cluster", "cv") for distance-aware seeding
+    var cents = Option(seeds)
+      .map(_.select(col("cluster").cast("long"), asDouble(col("cv")).as("cv")))
+      .getOrElse(vectors.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast("long").as("cluster"),
+          asDouble(col(vecCol)).as("cv")))
       .localCheckpoint(true)
     val nSeeds = cents.count()
     require(nSeeds == k,
@@ -400,9 +405,12 @@ object Similarity {
     */
   def kmeansL2(vectors: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      scale: Long = 1000000L): DataFrame = {
-    var cents = vectors.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long").as("cluster"), asDouble(col(vecCol)).as("cv"))
+      scale: Long = 1000000L, seeds: DataFrame = null): DataFrame = {
+    var cents = Option(seeds)
+      .map(_.select(col("cluster").cast("long"), asDouble(col("cv")).as("cv")))
+      .getOrElse(vectors.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast("long").as("cluster"),
+          asDouble(col(vecCol)).as("cv")))
       .localCheckpoint(true)
     val nSeeds = cents.count()
     require(nSeeds == k,
@@ -425,6 +433,127 @@ object Similarity {
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** One selected seed of [[kmeansParInit]]: selection rank (the
+    * cluster id a downstream trainer uses), the seed's source vector
+    * id, its attraction weight (points nearest to it among all
+    * candidates), and the vector itself.
+    */
+  final case class KppSeed(cluster: Long, vec_id: Long, w: Long,
+      cv: Seq[Double])
+
+  /** DETERMINISTIC k-means‖ seeding (Bahmani et al., VLDB'12:
+    * "Scalable K-Means++") — the distance-aware seeding [[kmeans]] /
+    * [[kmeansL2]] currently skip (first-k-ids seeding is
+    * oracle-trivial but distance-blind: when the data's true clusters
+    * aren't uniformly represented among the first k rows, Lloyd
+    * starts from crowded seeds and the IVF layout inherits the
+    * imbalance). Sequential k-means++ is inherently k passes; k-means‖
+    * OVERSAMPLES ~`oversample` candidates per round for a fixed few
+    * rounds, then reduces the candidate set to k — each round is one
+    * corpus pass, and the reduction runs on a model-sized set.
+    *
+    * Every stochastic step is DERANDOMIZED into exact integer
+    * arithmetic so the whole chain replays hash-exact in the oracle
+    * (the temperature-mixing/DSIR coin discipline):
+    *
+    *  - d²(x, C) comes from [[assignNearestL2]] (the engine-exact
+    *    |x|²−2·x·c+|c|² fold), quantized q = round(2^scaleBits · d²)
+    *    as a long, so the round's potential φ = Σq is an EXACT long
+    *    (a raw double Σd² would be partition-order-dependent);
+    *  - the per-point keep coin "p = min(1, ℓ·q/φ)" is the exact
+    *    integer comparison h·φ < ℓ·q·2^60 with h the point's salted
+    *    60-bit md5 — both products in decimal(38,0) (≤ ~2^102, exact;
+    *    the oracle compares the same integers in HUGEINT). Points at
+    *    d² = 0 (the candidates themselves, exact duplicates) can
+    *    never re-enter: the right side is 0;
+    *  - the weight of each candidate is its attraction count under
+    *    the (d², id)-total-ordered assignment;
+    *  - the final reduction is the deterministic greedy weighted
+    *    farthest-first: start at the heaviest candidate (w DESC, id
+    *    ASC), then repeatedly add the candidate maximizing
+    *    w · min_{s∈chosen} round(2^scaleBits · d²(c, s)) (score DESC,
+    *    id ASC) — weighted k-centers on the model-sized candidate
+    *    set, the usual k-means‖ finisher with the weighted-k-means++
+    *    coin replaced by its deterministic argmax.
+    *
+    * Scale shape: `rounds` corpus passes, each a broadcast-crossJoin
+    * assignment against a ≤(1+ℓ·rounds)-row candidate table + one
+    * exact-long agg + one model-sized collect of new candidates; the
+    * reduction is driver-side over the bounded candidate set (the
+    * codebook-sized-collect discipline). Returns the k seeds as
+    * (cluster 0..k-1 in selection order, vec_id, w, cv) — `cv` slots
+    * straight into [[kmeans]]/[[kmeansL2]]-style centroid tables and
+    * [[graft.io.AnnLayout]] reps.
+    */
+  def kmeansParInit(vectors: DataFrame, k: Int, rounds: Int = 3,
+      oversample: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding", scaleBits: Int = 20,
+      salt: String = "kpp|"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val l = if (oversample > 0) oversample else 2 * k
+    val s = 1L << scaleBits
+    val two60 = 1L << 60
+    val v = vectors.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+    def candDf(c: Seq[(Long, Seq[Double])]): DataFrame =
+      c.toDF("cluster", "cv")
+    // candidate 0: the smallest-id vector (deterministic start)
+    var cands: Vector[(Long, Seq[Double])] =
+      v.orderBy("vec_id").limit(1).as[(Long, Seq[Double])].collect().toVector
+    require(cands.nonEmpty, "kmeansParInit needs a non-empty corpus")
+    for (r <- 1 to rounds) {
+      val d = assignNearestL2(v, candDf(cands), "vec_id", "v")
+        .withColumn("q", round(col("dist2") * s).cast("long"))
+        .localCheckpoint()
+      val phi = d.agg(sum("q")).head().getLong(0)
+      if (phi > 0) {
+        val kept = d
+          .withColumn("h",
+            graft.functions.Sketches.md5Hash60(s"$salt$r|",
+              col("vec_id").cast("string")))
+          .filter(col("h").cast("decimal(38,0)") * lit(phi) <
+            lit(l).cast("decimal(38,0)") * col("q") * lit(two60))
+          .join(v, Seq("vec_id"))
+          .select(col("vec_id"), col("v"))
+          .as[(Long, Seq[Double])].collect()
+        cands = cands ++ kept.sortBy(_._1)
+      }
+    }
+    require(cands.length >= k,
+      s"k-means|| produced ${cands.length} candidates < k=$k — " +
+        "raise oversample/rounds or shrink k")
+    // attraction weights under the total-ordered assignment
+    val w = assignNearestL2(v, candDf(cands), "vec_id", "v")
+      .groupBy("cluster").count()
+      .as[(Long, Long)].collect().toMap
+    // greedy weighted farthest-first reduction (driver, model-sized);
+    // d² here is the same |a|²−2ab+|b|² fold the engine/oracle use
+    def fold(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def qd2(a: Seq[Double], b: Seq[Double]): Long =
+      math.round((fold(a, a) - 2.0 * fold(a, b) + fold(b, b)) * s)
+    val weighted = cands.map { case (id, cv) =>
+      (id, cv, w.getOrElse(id, 0L)) }
+    val first = weighted.minBy { case (id, _, cw) => (-cw, id) }
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    while (chosen.length < k) {
+      val next = weighted
+        .filter(c => !chosen.exists(_._1 == c._1))
+        .map { case (id, cv, cw) =>
+          (id, cv, cw, cw * chosen.iterator.map(s0 => qd2(cv, s0._2)).min) }
+        .minBy { case (id, _, _, score) => (-score, id) }
+      chosen += ((next._1, next._2, next._3))
+    }
+    spark.createDataFrame(chosen.zipWithIndex.map { case ((id, cv, cw), i) =>
+      KppSeed(i.toLong, id, cw, cv) }.toSeq)
+      .select(col("cluster"), col("vec_id"), col("w"), col("cv"))
   }
 
   /** Top-`probes` cluster assignment — [[assignNearest]] widened to

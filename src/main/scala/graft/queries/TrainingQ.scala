@@ -1126,6 +1126,161 @@ object TrainingQ {
       SELECT vec_id, cluster, cosine FROM r WHERE rn = 1 ORDER BY vec_id""")
   )
 
+  private val KppK = 8
+  private val KppRounds = 3
+  private val KppL = 16
+  private val KppS = 1L << 20
+
+  /** Oracle fragment: the engine-exact squared-L2 between two list
+    * columns — |a|² − 2·a·b + |b|², each term the [[sqlDot]] fold,
+    * same association order as Similarity.assignNearestL2's
+    * `vn - 2.0*dot + cn`.
+    */
+  private def sqlD2(a: String, b: String): String =
+    s"${sqlDot(a, a)} - 2 * ${sqlDot(a, b)} + ${sqlDot(b, b)}"
+
+  /** One k-means‖ oversampling round as CTEs: min-d² against the
+    * current candidate set, quantize, exact-long potential, integer
+    * coin, union the kept points in.
+    */
+  private def kppRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""kd$r AS (SELECT p.vec_id, MIN(${sqlD2("p.v", "c.v")}) AS d2
+        FROM e p CROSS JOIN kc$p c GROUP BY p.vec_id),
+      kq$r AS MATERIALIZED (SELECT vec_id, CAST(round(d2 * $KppS) AS BIGINT) AS q
+        FROM kd$r),
+      kf$r AS (SELECT SUM(q) AS phi FROM kq$r),
+      kn$r AS (SELECT q.vec_id FROM kq$r q, kf$r
+        WHERE CAST(CAST('0x' || substring(md5('kpp|$r|' ||
+            CAST(q.vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS HUGEINT) * phi
+          < CAST($KppL AS HUGEINT) * q.q * CAST(${1L << 60} AS HUGEINT)),
+      kc$r AS MATERIALIZED (SELECT * FROM kc$p UNION ALL
+        SELECT e.vec_id, e.v FROM e JOIN kn$r USING (vec_id))"""
+  }
+
+  /** One greedy weighted-farthest-first selection step as CTEs: the
+    * quantized min-d² of every unchosen candidate to the chosen set,
+    * then the (w·d DESC, id ASC) argmax; ku$j accumulates the chosen.
+    */
+  private def kppSelSql(j: Int): String = {
+    val p = j - 1
+    s"""ksc$j AS (SELECT c.cid, c.v, c.w,
+          MIN(CAST(round(($KppS) * (${sqlD2("c.v", "s.v")})) AS BIGINT)) AS md
+        FROM cw c CROSS JOIN ku$p s
+        WHERE c.cid NOT IN (SELECT cid FROM ku$p)
+        GROUP BY c.cid, c.v, c.w),
+      ks$j AS (SELECT cid, v, w FROM ksc$j ORDER BY w * md DESC, cid LIMIT 1),
+      ku$j AS MATERIALIZED (SELECT * FROM ku$p UNION ALL SELECT * FROM ks$j)"""
+  }
+
+  /** The shared kpp oracle prefix: candidate start → `KppRounds`
+    * oversampling rounds → attraction weights → greedy weighted
+    * farthest-first selection (ks1..ks`KppK`). Expects an `e`
+    * (vec_id, v) CTE in scope; both [[qKmeansPp]] (which reads the
+    * selection directly) and [[qAnnIvfKpp]] (which feeds it into the
+    * unrolled Lloyd chain as c0) splice this in.
+    */
+  private def kppChainSql: String =
+    s"""kc0 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+      ${(1 to KppRounds).map(kppRoundSql).mkString(",\n      ")},
+      fa AS (SELECT p.vec_id AS pid, c.vec_id AS cid,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY ${sqlD2("p.v", "c.v")}, c.vec_id) AS rn
+        FROM e p CROSS JOIN kc$KppRounds c),
+      wt AS (SELECT cid, COUNT(*) AS w FROM fa WHERE rn = 1 GROUP BY cid),
+      cw AS MATERIALIZED (SELECT c.vec_id AS cid, c.v,
+          CAST(COALESCE(wt.w, 0) AS BIGINT) AS w
+        FROM kc$KppRounds c LEFT JOIN wt ON wt.cid = c.vec_id),
+      ks1 AS (SELECT cid, v, w FROM cw ORDER BY w DESC, cid LIMIT 1),
+      ku1 AS MATERIALIZED (SELECT * FROM ks1),
+      ${(2 to KppK).map(kppSelSql).mkString(",\n      ")}"""
+
+  /** DETERMINISTIC k-means‖ seeding (Bahmani et al., VLDB'12) — the
+    * distance-aware seed selection the first-k-ids trainers skip,
+    * derandomized into exact integer arithmetic (quantized potentials,
+    * 60-bit md5 coins, integer-product comparisons, greedy weighted
+    * farthest-first reduction) so the WHOLE chain — 3 oversampling
+    * corpus passes + attraction weighting + 8 selection steps —
+    * replays hash-exact in one DuckDB oracle. See
+    * [[graft.ops.Similarity.kmeansParInit]] for the scale shape
+    * (per-round broadcast assignment + model-sized collects).
+    */
+  val qKmeansPp = Q(
+    "q_kmeanspp",
+    (spark, dir) =>
+      Similarity.kmeansParInit(Tables.embeddings(spark, dir), KppK,
+          rounds = KppRounds, oversample = KppL)
+        .select(col("cluster"), col("vec_id"), col("w"))
+        .orderBy("cluster"),
+    Some(s"""WITH e AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      $kppChainSql,
+      fin AS (${(1 to KppK).map(j =>
+        s"SELECT CAST(${j - 1} AS BIGINT) AS cluster, cid, w FROM ks$j")
+        .mkString("\n        UNION ALL ")})
+      SELECT cluster, cid AS vec_id, w FROM fin ORDER BY cluster""")
+  )
+
+  /** The trained-IVF build seeded by k-means‖ instead of first-k-ids —
+    * the end-to-end wiring of [[qKmeansPp]]'s seeds into
+    * [[graft.io.AnnLayout.trainIvf]]: kpp selects the codebook
+    * initialization, `TrainedIters` Lloyd rounds refine it, the corpus
+    * is written partitioned by the LEARNED label, and the probe runs
+    * unchanged. Use this build whenever corpus id order correlates
+    * with content or head rows may be duplicates — first-k seeding
+    * from identical head vectors can NEVER split its tied centroids
+    * (measured: top-cell share 0.40 vs 0.034, PERF.md round-12
+    * kpp_seeding). The oracle replays seed selection → Lloyd →
+    * assignment → centroid probe → rerank in one chain.
+    */
+  val qAnnIvfKpp = Q(
+    "q_ann_ivf_kpp",
+    (spark, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("ann_ivf_kpp").toString
+      val emb = Tables.embeddings(spark, dir)
+      val seeds = Similarity.kmeansParInit(emb, KppK,
+        rounds = KppRounds, oversample = KppL).select("cluster", "cv")
+      graft.io.AnnLayout.trainIvf(emb, work, k = KppK,
+        iters = TrainedIters, seeds = seeds)
+      graft.io.AnnLayout.knnIvf(spark, work,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      $kppChainSql,
+      c0 AS (${(1 to KppK).map(j =>
+        s"SELECT CAST(${j - 1} AS BIGINT) AS cluster, v AS cv FROM ks$j")
+        .mkString("\n        UNION ALL ")}),
+      ${(1 to TrainedIters).map(kmeansRoundSql).mkString(",\n      ")},
+      sfin AS (SELECT e.vec_id, c.cluster,
+          ${sqlDot("e.v", "c.cv")} / sqrt(${sqlDot("e.v", "e.v")} * ${sqlDot("c.cv", "c.cv")}) AS cosine
+        FROM e CROSS JOIN c$TrainedIters c),
+      rfin AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM sfin),
+      lab AS (SELECT vec_id, cluster AS label FROM rfin WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      probe AS (SELECT query_id, qv, c.cluster AS label,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            ${sqlDot("qv", "c.cv")} / sqrt(${sqlDot("qv", "qv")} * ${sqlDot("c.cv", "c.cv")}) DESC,
+            c.cluster) AS pr
+        FROM q CROSS JOIN c$TrainedIters c),
+      cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("p.qv", "e.v")} / sqrt(${sqlDot("p.qv", "p.qv")} * ${sqlDot("e.v", "e.v")}) AS cosine
+        FROM (SELECT query_id, qv, label FROM probe WHERE pr <= 2) p
+        JOIN lab l ON l.label = p.label JOIN e ON e.vec_id = l.vec_id
+        WHERE e.vec_id <> p.query_id),
+      rr AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id, cosine FROM rr
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   /** SemDeDup: cluster-bucketed semantic dedup — drop a vector iff a
     * smaller-id member of ITS OWN cluster sits at cosine ≥ τ; the
     * equality join on the assigned cluster id is what replaces the
@@ -2302,6 +2457,41 @@ object TrainingQ {
         FROM $p p LEFT JOIN g$i g USING (cluster))"""
   }
 
+  /** Shared oracle for [[qAnnIvfTrained]] and [[qStreamAnn]]: the
+    * first-k-seeded unrolled Lloyd chain → final assignment →
+    * centroid probe → rerank. The stream face serves the SAME frozen
+    * layout, so its per-trigger output replays on the identical SQL.
+    */
+  private lazy val AnnIvfTrainedOracle: String =
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS cv
+        FROM e ORDER BY vec_id LIMIT $TrainedK),
+      ${(1 to TrainedIters).map(kmeansRoundSql).mkString(",\n      ")},
+      sf AS (SELECT e.vec_id, c.cluster,
+          ${sqlDot("e.v", "c.cv")} / sqrt(${sqlDot("e.v", "e.v")} * ${sqlDot("c.cv", "c.cv")}) AS cosine
+        FROM e CROSS JOIN c$TrainedIters c),
+      rf AS (SELECT vec_id, cluster, row_number() OVER
+          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM sf),
+      lab AS (SELECT vec_id, cluster AS label FROM rf WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      probe AS (SELECT query_id, qv, c.cluster AS label,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            ${sqlDot("qv", "c.cv")} / sqrt(${sqlDot("qv", "qv")} * ${sqlDot("c.cv", "c.cv")}) DESC,
+            c.cluster) AS pr
+        FROM q CROSS JOIN c$TrainedIters c),
+      cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+          ${sqlDot("p.qv", "e.v")} / sqrt(${sqlDot("p.qv", "p.qv")} * ${sqlDot("e.v", "e.v")}) AS cosine
+        FROM (SELECT query_id, qv, label FROM probe WHERE pr <= 2) p
+        JOIN lab l ON l.label = p.label JOIN e ON e.vec_id = l.vec_id
+        WHERE e.vec_id <> p.query_id),
+      r AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id, cosine FROM r
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** IVF against a TRAINED coarse quantizer (see
     * [[graft.io.AnnLayout.trainIvf]]): deterministic seeded Lloyd
     * k-means (min-id seeds, quantized exact means) learns the
@@ -2329,34 +2519,52 @@ object TrainingQ {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
-    Some(s"""WITH e AS (SELECT vec_id,
-          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
-      c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, v AS cv
-        FROM e ORDER BY vec_id LIMIT $TrainedK),
-      ${(1 to TrainedIters).map(kmeansRoundSql).mkString(",\n      ")},
-      sf AS (SELECT e.vec_id, c.cluster,
-          ${sqlDot("e.v", "c.cv")} / sqrt(${sqlDot("e.v", "e.v")} * ${sqlDot("c.cv", "c.cv")}) AS cosine
-        FROM e CROSS JOIN c$TrainedIters c),
-      rf AS (SELECT vec_id, cluster, row_number() OVER
-          (PARTITION BY vec_id ORDER BY cosine DESC, cluster) AS rn FROM sf),
-      lab AS (SELECT vec_id, cluster AS label FROM rf WHERE rn = 1),
-      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-      probe AS (SELECT query_id, qv, c.cluster AS label,
-          row_number() OVER (PARTITION BY query_id ORDER BY
-            ${sqlDot("qv", "c.cv")} / sqrt(${sqlDot("qv", "qv")} * ${sqlDot("c.cv", "c.cv")}) DESC,
-            c.cluster) AS pr
-        FROM q CROSS JOIN c$TrainedIters c),
-      cand AS (SELECT p.query_id, e.vec_id AS neighbor_id,
-          ${sqlDot("p.qv", "e.v")} / sqrt(${sqlDot("p.qv", "p.qv")} * ${sqlDot("e.v", "e.v")}) AS cosine
-        FROM (SELECT query_id, qv, label FROM probe WHERE pr <= 2) p
-        JOIN lab l ON l.label = p.label JOIN e ON e.vec_id = l.vec_id
-        WHERE e.vec_id <> p.query_id),
-      r AS (SELECT *, row_number() OVER
-          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        FROM cand)
-      SELECT query_id, rank, neighbor_id, cosine FROM r
-      WHERE rank <= 5 ORDER BY query_id, rank""")
+    Some(AnnIvfTrainedOracle)
+  )
+
+  /** ONLINE ANN SERVING — the 24th batch/stream equivalence pin:
+    * queries arrive as a STREAM and are answered against a FROZEN
+    * trained IVF layout. Build once (trainIvf — the batch job), then
+    * serve per trigger inside `foreachBatch`: each micro-batch's
+    * query set probes the broadcast centroid codebook and reranks
+    * only the probed `cluster=<id>/` partitions — the same
+    * partition-pruned read [[qAnnIvfTrained]] pins, now paid per
+    * trigger on the batch's queries only. No state store anywhere:
+    * the index is at-rest data, the trigger work is proportional to
+    * arriving queries × probed fraction, which is what makes this
+    * the 100 TB online-serving shape (layout maintenance runs
+    * separately via appendTrained/maintainTrained, swap-safe under
+    * readers). foreachBatch is the documented Spark route for
+    * per-batch top-k against static data; AvailableNow drains the
+    * backlog in bounded triggers. Same oracle as q_ann_ivf_trained —
+    * the stream path must lose nothing vs the batch probe.
+    */
+  val qStreamAnn = Q(
+    "q_stream_ann",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_ann").toString
+      val emb = Tables.embeddings(spark, dir)
+      graft.io.AnnLayout.trainIvf(emb, s"$work/ivf", k = TrainedK,
+        iters = TrainedIters)
+      val qStream = spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") < 10)
+      val q = qStream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.io.AnnLayout.knnIvf(spark, s"$work/ivf", batch,
+              k = 5, nprobe = 2)
+            .withColumn("rank", col("rank").cast("long"))
+            .write.mode("append").parquet(s"$work/out")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$work/out").orderBy("query_id", "rank")
+    },
+    Some(AnnIvfTrainedOracle)
   )
 
   /** Trained-quantizer IVF in the scaled-int8 at-rest format (see
@@ -2804,5 +3012,6 @@ object TrainingQ {
     qAnnIvfTrained, qAnnIvfTrainedQ8, qKnnGraph, qKnnGraphMp,
     qUnigramTrain, qUnigramEncode, qUnigramTrainSoft, qAnnPq, qAnnPqKnn,
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
-    qLmBackoff, qStreamLm, qLmMerge, qRankSample)
+    qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
+    qStreamAnn)
 }

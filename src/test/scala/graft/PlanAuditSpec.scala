@@ -40,6 +40,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_ann_ivf_q8", // broadcast per-cluster rep-code table × query set
       "q_ann_ivf_trained", // broadcast learned-centroid codebook × query set
       "q_ann_ivf_trained_q8", // broadcast quantized-centroid codebook × query set
+      "q_ann_ivf_kpp", // same trained-codebook probe, kpp-seeded build
       "q_snapshot_diff", "q_tfidf", "q_ttl_filter",
       "q_embed_outliers", // 2-column percentile stats row × vector side
       "q_kmeans_assign", "q_semdedup", // k-row centroid table × corpus
