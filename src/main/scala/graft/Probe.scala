@@ -1917,6 +1917,77 @@ object Probe {
         s""""top_cell_share":${audit.topCellShare}}""")
     }
 
+    if (enabled("bin_recall")) {
+      // What the 1-bit sketch buys and costs: 200k×64d FULL-ENTROPY
+      // vectors (hash-derived — dictionary-encoded synthetics fake
+      // both recall and bytes), exact cosine top-10 truth for 50
+      // queries vs knnBinary at growing shortlist depth, plus the
+      // at-rest parquet bytes of floats vs packed sign words.
+      import graft.ops.Similarity
+      val n = 200000L
+      val dims = 64
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)), i =>
+          ((pmod(hash(col("id") * dims + i), lit(100000)) / 50000.0) - 1.0)
+            .cast("float")).as("embedding")).localCheckpoint()
+      val queries = vecs.filter(col("vec_id") < 50).localCheckpoint()
+      val truth = Similarity.knnBruteForce(queries, vecs, k = 10)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val recalls = Seq(50, 200, 800, 3200).map { s =>
+        val got = Similarity.knnBinary(queries, vecs, dims, k = 10,
+          shortlist = s).select("query_id", "neighbor_id")
+        val hits = truth.join(got, Seq("query_id", "neighbor_id")).count()
+        s""""recall10_sl$s":${hits.toDouble / (50 * 10)}"""
+      }
+      val work = java.nio.file.Files.createTempDirectory("bin_rest").toString
+      vecs.write.parquet(s"$work/f32")
+      Similarity.binSketch(vecs, dims)
+        .groupBy("vec_id").pivot("word_idx").sum("word")
+        .write.parquet(s"$work/bin")
+      def bytesOf(p: String): Long = {
+        val d = new java.io.File(p)
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      }
+      val t0 = System.nanoTime()
+      val probed = Similarity.knnBinary(queries, vecs, dims, k = 10,
+        shortlist = 800).count()
+      val tBin = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val brute = Similarity.knnBruteForce(queries, vecs, k = 10).count()
+      val tBrute = (System.nanoTime() - t1) / 1e9
+      println(s"""{"probe":"bin_recall","vectors":$n,"dims":$dims,""" +
+        recalls.mkString(",") + "," +
+        s""""f32_bytes":${bytesOf(s"$work/f32")},""" +
+        s""""bin_bytes":${bytesOf(s"$work/bin")},""" +
+        s""""knn_bin_sl800_sec":$tBin,"knn_brute_sec":$tBrute,""" +
+        s""""rows_bin":$probed,"rows_brute":$brute}""")
+
+      // the regime the sketch is FOR: clustered/near-dup corpora —
+      // 2000 tight planted clusters (±2% noise around shared
+      // centers); true top-10 are same-cluster, sign agreement is
+      // near-total within a cluster, so a SHALLOW shortlist suffices
+      val kClust = 2000
+      val cvecs = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)), i => {
+          val c = pmod(col("id"), lit(kClust))
+          val center = (pmod(hash(c * dims + i), lit(100000)) / 50000.0) - 1.0
+          val noise =
+            ((pmod(hash(col("id") * dims + i), lit(100000)) / 50000.0) - 1.0) * 0.02
+          (center + noise).cast("float")
+        }).as("embedding")).localCheckpoint()
+      val cq = cvecs.filter(col("vec_id") < 50).localCheckpoint()
+      val ctruth = Similarity.knnBruteForce(cq, cvecs, k = 10)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val crecalls = Seq(50, 200).map { s =>
+        val got = Similarity.knnBinary(cq, cvecs, dims, k = 10,
+          shortlist = s).select("query_id", "neighbor_id")
+        val hits = ctruth.join(got, Seq("query_id", "neighbor_id")).count()
+        s""""recall10_sl$s":${hits.toDouble / (50 * 10)}"""
+      }
+      println(s"""{"probe":"bin_recall_clustered","vectors":$n,""" +
+        s""""clusters":$kClust,""" + crecalls.mkString(",") + "}")
+    }
+
     if (enabled("kpp_seeding")) {
       // What distance-aware seeding buys: 400k×16d vectors in 32
       // planted clusters, ids ORDERED so the first 32 ids all fall in

@@ -556,6 +556,116 @@ object Similarity {
       .select(col("cluster"), col("vec_id"), col("w"), col("cv"))
   }
 
+  /** 1-BIT SIGN SKETCH — the far end of the at-rest compression
+    * spectrum (float32 256 B → q8 64 B → PQ ~12 B → THIS: 8 B for a
+    * 64-dim vector, 32×): each dimension contributes its sign bit
+    * (x > 0), packed 32 bits per int64 word (32 not 64 so the oracle's
+    * `1::BIGINT << b` never touches the sign bit — both engines then
+    * agree on xor/bit_count over plain positive longs). Hamming
+    * distance between sign sketches is a cosine-angle proxy (SimHash
+    * with axis-aligned hyperplanes — Charikar'02 applied to the raw
+    * dims; for isotropic embeddings a random rotation would decorrelate
+    * dims, but determinism and oracle-replay win here).
+    *
+    * The expression is a STATIC UNROLL — `dims` CASE terms summed into
+    * ceil(dims/32) words — all codegen'd comparisons/adds, no HOF
+    * lambda, mirrored token-for-token by the SQL oracle. Returns
+    * (vec_id, word_idx, word) EXPLODED — scalar columns hash-compare
+    * across engines without list-type coupling, and the long format is
+    * directly joinable per word for the hamming fold.
+    */
+  def binSketch(vectors: DataFrame, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nWords = (dims + 31) / 32
+    binWords(vectors, dims, idCol, vecCol, "vec_id", "sv")
+      .select(col("vec_id"),
+        explode(array((0 until nWords).map(w =>
+          struct(lit(w.toLong).as("word_idx"),
+            element_at(col("sv"), w + 1).as("word"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.word_idx"), col("s.word"))
+  }
+
+  /** The packed form of [[binSketch]]: (outId, outVec array<long> of
+    * ceil(dims/32) 32-bit-packed sign words).
+    */
+  private def binWords(vectors: DataFrame, dims: Int, idCol: String,
+      vecCol: String, outId: String, outVec: String): DataFrame = {
+    require(dims > 0, "binSketch needs the vector dimensionality")
+    val nWords = (dims + 31) / 32
+    val words = (0 until nWords).map { w =>
+      (0 until math.min(32, dims - w * 32)).map { b =>
+        when(element_at(col(vecCol), w * 32 + b + 1) > 0f,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    vectors.select(col(idCol).cast("long").as(outId),
+      array(words: _*).as(outVec))
+  }
+
+  /** Hamming-shortlist ANN over [[binSketch]] sketches with exact
+    * cosine rerank — the 32×-compressed first pass: queries' sketches
+    * broadcast against the corpus sketch table (8 B/vector read
+    * instead of 256 B — at 100 TB the scan that fits in page cache),
+    * per-pair hamming = Σ_words bit_count(xor) as an EXACT long,
+    * shortlist = top-`shortlist` by (hamming ASC, id ASC), then the
+    * exact-double cosine rerank reads the RAW vectors for shortlist
+    * rows only (id-equality join — the selective probe). Same
+    * two-phase contract as [[graft.ops.Pq.knnRerank]]: the sketch
+    * decides WHERE to look, exact arithmetic decides the answer, and
+    * the whole chain replays in the oracle (integer hamming, exact
+    * cosine, total-order ties).
+    */
+  def knnBinary(queries: DataFrame, corpus: DataFrame, dims: Int, k: Int,
+      shortlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // The corpus sketch goes through an RDD round-trip ON PURPOSE:
+    // whole-stage codegen DEFERS the 64-CASE word projection to its
+    // first use, which after fusing with the nested-loop join is
+    // INSIDE the per-broadcast-row loop — the sketch gets recomputed
+    // |Q| times per corpus row (measured 20.4 s vs 1.6 s on 10M
+    // pairs, Probe bin_recall). The barrier materializes each sketch
+    // once per corpus row and the join stage reads 16-byte rows. At
+    // production scale the barrier is moot: the corpus sketch is
+    // AT-REST data (q_ann_bin's 8 B/vector table), scanned, not
+    // recomputed per query. The broadcast query side needs no
+    // barrier — its projection runs once at broadcast time.
+    val cs0 = binWords(corpus, dims, idCol, vecCol, "neighbor_id", "sv")
+    val cs = corpus.sparkSession.createDataFrame(cs0.rdd, cs0.schema)
+    val qs = binWords(queries, dims, idCol, vecCol, "query_id", "qv")
+    // STATIC per-word unroll (nWords is known from dims) — keeps the
+    // |Q|·|C| hamming inside whole-stage codegen; the zip_with/
+    // aggregate HOF formulation is an interpreted lambda per pair
+    val nWords = (dims + 31) / 32
+    val hammingExpr = (0 until nWords).map { w =>
+      bit_count(element_at(col("qv"), w + 1)
+        .bitwiseXOR(element_at(col("sv"), w + 1))).cast("long")
+    }.reduce(_ + _)
+    val ham = cs.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", hammingExpr)
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val short = ham.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id", "hamming")
+    val qraw = queries.select(col(idCol).cast("long").as("query_id"),
+        asDouble(col(vecCol)).as("qraw"))
+      .withColumn("qn", norm2(col("qraw")))
+    val craw = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        asDouble(col(vecCol)).as("craw"))
+      .withColumn("cn", norm2(col("craw")))
+    val rer = short.join(broadcast(qraw), Seq("query_id"))
+      .join(craw, Seq("neighbor_id"))
+      .withColumn("cosine",
+        cosinePre(dot(col("qraw"), col("craw")), col("qn"), col("cn")))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    rer.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("hamming"), col("cosine"))
+  }
+
   /** Top-`probes` cluster assignment — [[assignNearest]] widened to
     * keep the `probes` best centroids per vector (same total order:
     * cosine DESC, cluster ASC; probe_rank 1 row == assignNearest).

@@ -1281,6 +1281,82 @@ object TrainingQ {
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  private final val BinDims = 64
+
+  /** Oracle fragment: one 32-bit-packed sign word of the 1-bit
+    * sketch — the static CASE unroll [[graft.ops.Similarity.binSketch]]
+    * emits, token-for-token (per-term BIGINT casts so DuckDB's +
+    * stays BIGINT, never INT32-overflows, never widens to HUGEINT).
+    */
+  private def binWordSql(w: Int): String =
+    (0 until 32).map { b =>
+      s"CASE WHEN embedding[${w * 32 + b + 1}] > 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n          + ")
+
+  /** 1-bit sign sketch at rest — the 32× end of the compression
+    * spectrum (float32 256 B → q8 64 B → PQ ~12 B → 8 B/vector):
+    * sign bits packed 32-per-int64 word, exploded to scalar
+    * (vec_id, word_idx, word) rows so the cross-engine hash compares
+    * longs, not list types. See [[qAnnBinKnn]] for the search face
+    * this sketch feeds.
+    */
+  val qAnnBin = Q(
+    "q_ann_bin",
+    (spark, dir) =>
+      Similarity.binSketch(Tables.embeddings(spark, dir), BinDims)
+        .orderBy("vec_id", "word_idx"),
+    Some(s"""WITH s AS (SELECT vec_id,
+          ${binWordSql(0)} AS w0,
+          ${binWordSql(1)} AS w1 FROM embeddings)
+      SELECT vec_id, CAST(0 AS BIGINT) AS word_idx, w0 AS word FROM s
+      UNION ALL SELECT vec_id, CAST(1 AS BIGINT), w1 FROM s
+      ORDER BY vec_id, word_idx""")
+  )
+
+  /** Hamming-shortlist ANN over the 1-bit sketch with exact cosine
+    * rerank — first pass reads 8 B/vector (the scan that stays in
+    * page cache at 100 TB), Σ bit_count(xor) is an EXACT long so the
+    * shortlist is engine-portable by construction, and only shortlist
+    * rows touch the raw floats (id-equality join). Same two-phase
+    * contract as the PQ rerank face; recall-vs-shortlist measured in
+    * Probe bin_recall (PERF.md round-12).
+    */
+  val qAnnBinKnn = Q(
+    "q_ann_bin_knn",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.knnBinary(emb.filter(col("vec_id") < 10), emb,
+          BinDims, k = 5, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      sk AS (SELECT vec_id,
+          ${binWordSql(0)} AS w0,
+          ${binWordSql(1)} AS w1 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+        FROM sk WHERE vec_id < 10),
+      ham AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+          CAST(bit_count(xor(q.q0, c.w0)) AS BIGINT)
+            + CAST(bit_count(xor(q.q1, c.w1)) AS BIGINT) AS hamming
+        FROM q CROSS JOIN sk c WHERE c.vec_id <> q.query_id),
+      sh AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS sr
+        FROM ham),
+      rer AS (SELECT s.query_id, s.neighbor_id, s.hamming,
+          ${sqlDot("eq.v", "ec.v")} / sqrt(${sqlDot("eq.v", "eq.v")} * ${sqlDot("ec.v", "ec.v")}) AS cosine
+        FROM (SELECT query_id, neighbor_id, hamming FROM sh WHERE sr <= 50) s
+        JOIN e eq ON eq.vec_id = s.query_id
+        JOIN e ec ON ec.vec_id = s.neighbor_id),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM rer)
+      SELECT query_id, rank, neighbor_id, hamming, cosine FROM rk
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   /** SemDeDup: cluster-bucketed semantic dedup — drop a vector iff a
     * smaller-id member of ITS OWN cluster sits at cosine ≥ τ; the
     * equality join on the assigned cluster id is what replaces the
@@ -3013,5 +3089,5 @@ object TrainingQ {
     qUnigramTrain, qUnigramEncode, qUnigramTrainSoft, qAnnPq, qAnnPqKnn,
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
-    qStreamAnn)
+    qStreamAnn, qAnnBin, qAnnBinKnn)
 }
