@@ -1917,6 +1917,70 @@ object Probe {
         s""""top_cell_share":${audit.topCellShare}}""")
     }
 
+    if (enabled("bm25_index")) {
+      // Inverted-index selectivity at volume: 500k docs × 20 tokens,
+      // log-uniform (Zipf-like) term ids over a 50k vocab; 5 queries
+      // of 8 mid-frequency terms each. Measured: end-to-end bm25TopK
+      // wall, the candidate fraction the term-equality join admits
+      // (vs the |Q|·|C| a dense scorer would touch), and the same
+      // query with one corpus-wide stopword added — the skew case
+      // (a stopword admits ~every doc; BM25's negative iq then ranks
+      // it away, but the JOIN still pays for it — the measured
+      // argument for stopword pre-pruning at 100 TB).
+      import graft.ops.Retrieval
+      val nd = 500000L
+      val toksPerDoc = 20
+      val docsP = spark.range(nd).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until toksPerDoc).map(i =>
+          concat(lit("t"), floor(pow(lit(50000.0),
+            pmod(hash(col("id") * toksPerDoc + i), lit(1000000)) / 1000000.0))
+            .cast("long").cast("string"))): _*).as("text"))
+        .localCheckpoint()
+      // mid-frequency terms: ids around 1000..1040
+      val qdf = spark.range(5).select(col("id").as("query_id"),
+        concat_ws(" ", (0 until 8).map(i =>
+          concat(lit("t"), (lit(1000) + col("id") * 8 + i).cast("string"))): _*)
+          .as("text")).localCheckpoint()
+      val tB0 = System.nanoTime()
+      val idx0 = Retrieval.buildIndex(docsP)
+      val idx = Retrieval.Bm25Index(idx0.postings.localCheckpoint(),
+        idx0.df.localCheckpoint(), idx0.dl.localCheckpoint(),
+        idx0.nDocs, idx0.avgdl)
+      val tBuild = (System.nanoTime() - tB0) / 1e9
+      val tQ0 = System.nanoTime()
+      val topkFrozen = Retrieval.bm25Query(idx, qdf, k = 10).count()
+      val tFrozen = (System.nanoTime() - tQ0) / 1e9
+      val t0 = System.nanoTime()
+      val topk = Retrieval.bm25TopK(docsP, qdf, k = 10).count()
+      val tQ = (System.nanoTime() - t0) / 1e9
+      // candidate fraction: pairs admitted by the term join
+      val toks = docsP.select(col("doc_id"),
+        explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").count()
+      val qt = qdf.select(col("query_id"),
+        explode(array_distinct(graft.ops.TextOps.tokens(col("text")))).as("term"))
+      val candPairs = toks.join(broadcast(qt), Seq("term"))
+        .select("query_id", "doc_id").distinct().count()
+      // the stopword case: append t1 (the most frequent term) to a query
+      val qStop = spark.range(1).select(lit(9L).as("query_id"),
+        lit((0 until 8).map(i => s"t${1000 + i}").mkString(" ") + " t1").as("text"))
+      val t1 = System.nanoTime()
+      val topkStop = Retrieval.bm25Query(idx, qStop, k = 10).count()
+      val tStop = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val topkPruned = Retrieval.bm25Query(idx, qStop, k = 10,
+        maxDfPpm = 100000L).count()
+      val tPruned = (System.nanoTime() - t2) / 1e9
+      println(s"""{"probe":"bm25_index","docs":$nd,"tokens_per_doc":$toksPerDoc,""" +
+        s""""index_build_sec":$tBuild,"query_frozen_5q_sec":$tFrozen,""" +
+        s""""rows_frozen":$topkFrozen,""" +
+        s""""bm25_onehot_5q_sec":$tQ,"rows":$topk,""" +
+        s""""cand_pairs":$candPairs,"dense_pairs":${5 * nd},""" +
+        s""""cand_fraction":${candPairs.toDouble / (5 * nd)},""" +
+        s""""bm25_stopword_sec":$tStop,"rows_stop":$topkStop,""" +
+        s""""bm25_stopword_pruned_sec":$tPruned,"rows_pruned":$topkPruned}""")
+    }
+
     if (enabled("bin_recall")) {
       // What the 1-bit sketch buys and costs: 200k×64d FULL-ENTROPY
       // vectors (hash-derived — dictionary-encoded synthetics fake

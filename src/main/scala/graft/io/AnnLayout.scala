@@ -810,7 +810,8 @@ object AnnLayout {
       clusterCol: String = "label",
       warnCosP50: Double = 0.7, retrainShareFactor: Double = 3.0,
       maxRecordsPerFile: Long = 5000000L,
-      compactWhenFilesOver: Int = 0, compactFiles: Int = 1)
+      compactWhenFilesOver: Int = 0, compactFiles: Int = 1,
+      kppSeeds: Boolean = false)
       : MaintainResult = {
     val spark = newVecs.sparkSession
     repairSwap(spark, s"$path/corpus")
@@ -824,7 +825,20 @@ object AnnLayout {
       val base = spark.read.parquet(s"$path/corpus")
         .drop(clusterCol)
         .select(col(idCol), col(vecCol))
-      val cents = Similarity.kmeans(base, k.toInt, iters, idCol, vecCol)
+      // kppSeeds: distance-aware k-means‖ seeding for the rebuild
+      // (3 bounded corpus passes extra). The retrain fires exactly
+      // when the corpus CROWDS — the regime where first-k-ids seeds
+      // are most likely to all land in the crowded region (and where
+      // duplicate head rows make first-k permanently degenerate —
+      // PERF.md round-12 kpp_seeding). Ids here are ingestion ids,
+      // which at intake time correlate with source/time by
+      // construction, so the crowding retrain is kpp's home case.
+      val seeds = if (kppSeeds)
+        Similarity.kmeansParInit(base, k.toInt, idCol = idCol,
+          vecCol = vecCol).select(col("cluster"), col("cv"))
+      else null
+      val cents = Similarity.kmeans(base, k.toInt, iters, idCol, vecCol,
+        seeds = seeds)
       val labeled = base.join(
         Similarity.assignNearest(base, cents, idCol, vecCol)
           .select(col("vec_id").as(idCol), col("cluster").as(clusterCol)),

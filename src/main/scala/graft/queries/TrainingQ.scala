@@ -1281,6 +1281,138 @@ object TrainingQ {
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  /** BM25 ranked retrieval over the inverted index — related-document
+    * search with the first 3 docs as queries (their distinct tokens
+    * as term sets, self excluded): quantized-idf × exact-rational tf
+    * saturation, every score an exact long (see
+    * [[graft.ops.Retrieval.bm25TopK]] for the derivation and the
+    * overflow headroom bound). The oracle replays tokenize → postings
+    * → df/dl/N/L → quantized avgdl → per-term integer scores → sum →
+    * top-k in one chain; candidates come from the term-equality join
+    * (docs sharing ≥1 query term), never a cross join.
+    */
+  /** Shared oracle for [[qBm25]] and [[qStreamBm25]] — the stream
+    * face serves the SAME frozen index, so its per-trigger output
+    * replays on the identical SQL.
+    */
+  private lazy val Bm25Oracle: String =
+    s"""WITH $tokCtes,
+      post AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+      tfq AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM post GROUP BY 1, 2),
+      dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+      dlq AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+      stq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(dl) AS BIGINT) AS l FROM dlq),
+      av AS (SELECT n, l // n AS a FROM stq),
+      qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ts)) AS term
+        FROM toks WHERE doc_id < 3),
+      cand AS (SELECT q.query_id, t.doc_id, t.tf, d.df, dlq.dl, av.n, av.a
+        FROM qt q JOIN tfq t USING (term) JOIN dft d USING (term)
+        JOIN dlq ON dlq.doc_id = t.doc_id CROSS JOIN av
+        WHERE t.doc_id <> q.query_id),
+      tsc AS (SELECT query_id, doc_id,
+          (CAST(length(bin(2 * (n - df) + 1)) - 1 AS BIGINT)
+            - CAST(length(bin(2 * df + 1)) - 1 AS BIGINT))
+          * ((22 * a * ${1L << 20} * tf) // (10 * a * tf + 3 * a + 9 * dl)) AS s
+        FROM cand),
+      sc AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score
+        FROM tsc GROUP BY 1, 2),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score FROM rk
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  val qBm25 = Q(
+    "q_bm25",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      graft.ops.Retrieval.bm25TopK(docs,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    Some(Bm25Oracle)
+  )
+
+  /** INCREMENTAL index maintenance — build the inverted index on two
+    * disjoint corpus shards independently (doc-id parity standing in
+    * for "last month's index + this month's batch"), merge the
+    * ARTIFACTS exactly ([[graft.ops.Retrieval.mergeIndex]] — postings
+    * /dl by union, df by full-outer sum, scalars add; no re-tokenize
+    * of the old shard), and query the merged index. Same oracle as
+    * q_bm25: merge(build(A), build(B)) must equal build(A∪B) row for
+    * row — the shard-and-sum contract q_lm_merge pins for the LM,
+    * here for retrieval.
+    */
+  val qBm25Merge = Q(
+    "q_bm25_merge",
+    (spark, dir) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(spark, dir)
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      val ia = Retrieval.buildIndex(even)
+      val ib = Retrieval.buildIndex(odd)
+      val merged = Retrieval.mergeIndex(ia, Retrieval.totalLen(ia),
+        ib, Retrieval.totalLen(ib))
+      Retrieval.bm25Query(merged,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    Some(Bm25Oracle)
+  )
+
+  /** RETRIEVAL SERVING — the 25th batch/stream equivalence pin:
+    * queries arrive as a STREAM and are answered against a FROZEN
+    * persisted inverted index ([[graft.ops.Retrieval.buildIndex]]
+    * written once as three plain parquet tables + two scalars — the
+    * NgramLm/classifier/ANN frozen-artifact discipline). Per trigger
+    * inside `foreachBatch`, the batch's query terms broadcast against
+    * the AT-REST postings (term-equality join — candidate work is the
+    * batch's term selectivity, never |Q|·|C|), then the same integer
+    * scoring + top-k as the batch face. No state store; index
+    * refresh is a swap under readers like every other artifact here.
+    * Same oracle as q_bm25 — the stream path must lose nothing.
+    */
+  val qStreamBm25 = Q(
+    "q_stream_bm25",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_bm25").toString
+      val docs = Tables.documents(spark, dir)
+      val idx = graft.ops.Retrieval.buildIndex(docs)
+      idx.postings.write.parquet(s"$work/postings")
+      idx.df.write.parquet(s"$work/df")
+      idx.dl.write.parquet(s"$work/dl")
+      val frozen = graft.ops.Retrieval.Bm25Index(
+        spark.read.parquet(s"$work/postings"),
+        spark.read.parquet(s"$work/df"),
+        spark.read.parquet(s"$work/dl"), idx.nDocs, idx.avgdl)
+      val qStream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val q = qStream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.ops.Retrieval.bm25Query(frozen, batch, k = 5,
+              excludeSelf = true)
+            .write.mode("append").parquet(s"$work/out")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$work/out").orderBy("query_id", "rank")
+    },
+    Some(Bm25Oracle)
+  )
+
   private final val BinDims = 64
 
   /** Oracle fragment: one 32-bit-packed sign word of the 1-bit
@@ -3089,5 +3221,5 @@ object TrainingQ {
     qUnigramTrain, qUnigramEncode, qUnigramTrainSoft, qAnnPq, qAnnPqKnn,
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
-    qStreamAnn, qAnnBin, qAnnBinKnn)
+    qStreamAnn, qAnnBin, qAnnBinKnn, qBm25, qStreamBm25, qBm25Merge)
 }

@@ -501,6 +501,45 @@ class LayoutSpec extends AnyFunSuite {
       s"stage/backup litter: $left")
   }
 
+  test("maintainTrained(kppSeeds): crowding retrain rebuilds from distance-aware seeds, queries identical at full probe") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("ann_maintain_kpp").toString
+    val k = 4
+    graft.io.AnnLayout.trainIvf(emb.filter(col("vec_id") % 3 === 0), root,
+      k = k, iters = 2)
+    // one massively drifted batch — crowds a single frozen cell and
+    // fires the 3/k gate on the first epoch
+    val drifted = emb.filter(col("vec_id") % 3 === 1)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * 0.05f + 10.0f))
+    val r1 = graft.io.AnnLayout.maintainTrained(drifted, root, iters = 2,
+      kppSeeds = true)
+    assert(r1.retrained, s"drifted batch did not fire the retrain: ${r1.stats}")
+    // post-rebuild codebook fits the drift: the next drifted slice
+    // assigns near-perfectly
+    val r2 = graft.io.AnnLayout.maintainTrained(
+      emb.filter(col("vec_id") % 3 === 2)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * 0.05f + 10.0f)),
+      root, iters = 2, kppSeeds = true)
+    assert(r2.stats.assignCosP50 > 0.95,
+      s"kpp-rebuilt codebook misfits the drift: ${r2.stats}")
+    // at nprobe=k (all partitions probed) answers must equal a
+    // from-scratch build over the same corpus, whatever the codebook
+    val union = emb.filter(col("vec_id") % 3 === 0)
+      .unionByName(drifted)
+      .unionByName(emb.filter(col("vec_id") % 3 === 2)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * 0.05f + 10.0f)))
+    val ref = Files.createTempDirectory("ann_maintain_kpp_ref").toString
+    graft.io.AnnLayout.trainIvf(union, ref, k = k, iters = 2)
+    val queries = emb.filter(col("vec_id") < 10)
+    def ans(p: String) = graft.io.AnnLayout
+      .knnIvf(spark, p, queries, k = 5, nprobe = k)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ans(root) == ans(ref) && ans(root).nonEmpty)
+  }
+
   test("layoutRowStats: footer row counts exact per partition; auditTrained fires the crowding gate at rest") {
     val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val root = Files.createTempDirectory("ann_audit").toString

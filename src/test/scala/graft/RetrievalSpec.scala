@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Retrieval
+
+/** Pins for exact-integer BM25 retrieval: an independent plain-Scala
+  * replica of the whole quantized scoring chain, the inverted-index
+  * selectivity property (no shared term ⇒ never a candidate), and
+  * partitioning invariance.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def replica(docs: Seq[(Long, String)], queries: Seq[(Long, String)],
+      k: Int, scaleBits: Int, excludeSelf: Boolean): Seq[(Long, Long, Long, Long)] = {
+    def toks(t: String): Seq[String] =
+      t.trim.split(" ").filter(_.nonEmpty).toSeq
+    def qlog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val tf = docs.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).map { case (w, g) => w -> g.length.toLong } }.toMap
+    val dl = docs.map { case (id, t) => id -> toks(t).length.toLong }.toMap
+    val dfT = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val n = docs.length.toLong
+    val a = Math.floorDiv(dl.values.sum, n)
+    val s = 1L << scaleBits
+    queries.flatMap { case (qid, qtext) =>
+      val terms = toks(qtext).distinct
+      val cands = docs.map(_._1)
+        .filter(d => !(excludeSelf && d == qid))
+        .map { d =>
+          val score = terms.collect {
+            case t if tf(d).contains(t) =>
+              val tfv = tf(d)(t)
+              val df = dfT(t)
+              val iq = qlog2(2 * (n - df) + 1) - qlog2(2 * df + 1)
+              // floor-div FIRST (positive operands), then the iq multiply
+              iq * ((22L * a * s * tfv) / (10L * a * tfv + 3L * a + 9L * dl(d)))
+          }.sum
+          (d, score)
+        }
+        .filter { case (d, _) => terms.exists(t => tf(d).contains(t)) }
+      cands.sortBy { case (d, sc) => (-sc, d) }.take(k).zipWithIndex
+        .map { case ((d, sc), i) => (qid, i.toLong + 1, d, sc) }
+    }
+  }
+
+  // corpus with planted term structure: shared rares, common stopword
+  private val docs: Seq[(Long, String)] = Seq(
+    (0L, "alpha beta gamma the the"),
+    (1L, "alpha beta the"),
+    (2L, "gamma delta epsilon the"),
+    (3L, "zeta eta theta the the the"),
+    (4L, "alpha alpha alpha beta the"),
+    (5L, "delta epsilon zeta"),
+    (6L, "iota kappa lambda"),
+    (7L, "beta gamma delta the"))
+
+  test("bm25TopK == plain-Scala replica, and is partitioning-invariant") {
+    val queries = Seq((0L, "alpha beta gamma the the"), (2L, "gamma delta epsilon the"))
+    val want = replica(docs, queries, k = 4, scaleBits = 20, excludeSelf = true)
+    def got(dd: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(dd,
+          queries.toDF("query_id", "text"), k = 4, excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val df = docs.toDF("doc_id", "text")
+    assert(got(df) == want.sortBy(t => (t._1, t._2)))
+    assert(got(df.repartition(5)) == want.sortBy(t => (t._1, t._2)))
+  }
+
+  test("inverted-index selectivity: docs sharing no query term are never candidates") {
+    val res = Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
+        Seq((100L, "iota kappa")).toDF("query_id", "text"), k = 8)
+      .collect().map(_.getLong(2)).toSet
+    assert(res == Set(6L), s"only doc 6 contains iota/kappa, got $res")
+  }
+
+  test("mergeIndex(build(even), build(odd)) == build(all), query-for-query") {
+    val df = docs.toDF("doc_id", "text")
+    val queries = Seq((0L, "alpha beta gamma the"), (5L, "delta zeta")).toDF("query_id", "text")
+    val whole = Retrieval.bm25Query(Retrieval.buildIndex(df), queries,
+        k = 8, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val ia = Retrieval.buildIndex(df.filter($"doc_id" % 2 === 0))
+    val ib = Retrieval.buildIndex(df.filter($"doc_id" % 2 === 1))
+    val merged = Retrieval.mergeIndex(ia, Retrieval.totalLen(ia),
+      ib, Retrieval.totalLen(ib))
+    val got = Retrieval.bm25Query(merged, queries, k = 8, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got.toSeq == whole.toSeq)
+    assert(merged.nDocs == docs.length)
+  }
+
+  test("maxDfPpm prunes corpus-wide terms before the postings join") {
+    // 'the' is in 6 of 8 docs (750000 ppm); a 500000 ppm ceiling
+    // drops it from the query, so a the+iota query degenerates to
+    // the iota-only candidate set
+    val idx = Retrieval.buildIndex(docs.toDF("doc_id", "text"))
+    val res = Retrieval.bm25Query(idx,
+        Seq((100L, "iota the")).toDF("query_id", "text"), k = 8,
+        maxDfPpm = 500000L)
+      .collect().map(_.getLong(2)).toSet
+    assert(res == Set(6L), s"pruned query should only see doc 6, got $res")
+  }
+
+  test("rare terms outrank the corpus-wide stopword") {
+    // query = one rare + the stopword 'the' (in 6 of 8 docs, iq<0):
+    // doc 6 (iota, no 'the') must beat every the-only doc
+    val res = Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
+        Seq((100L, "iota the")).toDF("query_id", "text"), k = 8)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(res.head._1 == 6L, s"expected doc 6 first, got ${res.toSeq}")
+    assert(res.head._2 > 0 && res.tail.forall(_._2 <= 0),
+      s"stopword-only matches should score <= 0: ${res.toSeq}")
+  }
+}
