@@ -2050,6 +2050,45 @@ object Probe {
       }
       println(s"""{"probe":"bin_recall_clustered","vectors":$n,""" +
         s""""clusters":$kClust,""" + crecalls.mkString(",") + "}")
+
+      // the ANISOTROPY regime (real embedding models): per-dim
+      // offsets push ~75% of dims all-positive — their raw sign bits
+      // go CONSTANT and sketch capacity collapses to the remaining
+      // dims; cutting at the per-dim quantized mean restores ~50/50
+      // bits with one agg pass
+      val biased = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)), i =>
+          ((((pmod(hash(col("id") * dims + i), lit(100000)) / 50000.0) - 1.0)
+            * 0.25) + (pmod(i * lit(2654435761L), lit(100)) / 125.0))
+            .cast("float")).as("embedding")).localCheckpoint()
+      val bq = biased.filter(col("vec_id") < 50).localCheckpoint()
+      val btruth = Similarity.knnBruteForce(bq, biased, k = 10)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val thr = Similarity.binMeans(biased, dims)
+      def brecall(tag: String, th: Seq[Double], s: Int): String = {
+        val got = Similarity.knnBinary(bq, biased, dims, k = 10,
+          shortlist = s, thresholds = th).select("query_id", "neighbor_id")
+        val hits = btruth.join(got, Seq("query_id", "neighbor_id")).count()
+        s""""${tag}_sl$s":${hits.toDouble / (50 * 10)}"""
+      }
+      // constant-bit count under the raw cut: a bit is constant iff
+      // it is set in the AND of every sketch word (always 1) or clear
+      // in the OR (always 0) — exact via the bit_and/bit_or aggs
+      val constBits = Similarity.binSketch(biased, dims)
+        .groupBy("word_idx")
+        .agg(expr("bit_and(word)").as("allAnd"),
+          expr("bit_or(word)").as("allOr"))
+        .collect().map { r =>
+          val andW = r.getLong(1) & 0xFFFFFFFFL
+          val orW = r.getLong(2) & 0xFFFFFFFFL
+          java.lang.Long.bitCount(andW) +
+            (32 - java.lang.Long.bitCount(orW))
+        }.sum
+      println(s"""{"probe":"bin_recall_biased","vectors":$n,"dims":$dims,""" +
+        s""""const_bits_raw":$constBits,""" +
+        brecall("raw", Nil, 200) + "," + brecall("raw", Nil, 800) + "," +
+        brecall("centered", thr, 200) + "," + brecall("centered", thr, 800) +
+        "}")
     }
 
     if (enabled("kpp_seeding")) {

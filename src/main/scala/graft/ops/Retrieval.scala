@@ -80,8 +80,10 @@ object Retrieval {
     val dl = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("l")).head()
     val nDocs = st.getLong(0)
+    require(nDocs > 0, "buildIndex needs a non-empty corpus " +
+      "(sum(dl) is null on empty input)")
     Bm25Index(posting, dfT, dl, nDocs,
-      Math.floorDiv(st.getLong(1), math.max(nDocs, 1L)))
+      Math.floorDiv(st.getLong(1), nDocs))
   }
 
   /** BM25 top-`k` docs per query against a frozen [[Bm25Index]].
@@ -92,6 +94,25 @@ object Retrieval {
     * related-document retrieval).
     */
   def bm25Query(idx: Bm25Index, queries: DataFrame, k: Int,
+      queryIdCol: String = "query_id", textCol: String = "text",
+      scaleBits: Int = 20, excludeSelf: Boolean = false,
+      maxDfPpm: Long = 1000000L): DataFrame = {
+    val scored = bm25Scores(idx, queries, queryIdCol, textCol,
+      scaleBits, excludeSelf, maxDfPpm)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** The full (query_id, doc_id, score) candidate table behind
+    * [[bm25Query]] — sparse by construction (only docs sharing ≥1
+    * query term appear). Use directly when the consumer is a
+    * THRESHOLD rather than a top-k: decontamination flags every doc
+    * whose score clears a cut, however many per query.
+    */
+  def bm25Scores(idx: Bm25Index, queries: DataFrame,
       queryIdCol: String = "query_id", textCol: String = "text",
       scaleBits: Int = 20, excludeSelf: Boolean = false,
       maxDfPpm: Long = 1000000L): DataFrame = {
@@ -123,13 +144,8 @@ object Retrieval {
       .withColumn("den", lit(10L * idx.avgdl) * col("tf") +
         lit(3L * idx.avgdl) + lit(9L) * col("dl"))
       .withColumn("ts", iq * expr("num div den"))
-    val scored = termScore.groupBy("query_id", "doc_id")
+    termScore.groupBy("query_id", "doc_id")
       .agg(sum(col("ts")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "doc_id", "score")
   }
 
   /** One-shot convenience: [[buildIndex]] + [[bm25Query]]. */

@@ -575,9 +575,10 @@ object Similarity {
     * directly joinable per word for the hamming fold.
     */
   def binSketch(vectors: DataFrame, dims: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      thresholds: Seq[Double] = Nil): DataFrame = {
     val nWords = (dims + 31) / 32
-    binWords(vectors, dims, idCol, vecCol, "vec_id", "sv")
+    binWords(vectors, dims, idCol, vecCol, "vec_id", "sv", thresholds)
       .select(col("vec_id"),
         explode(array((0 until nWords).map(w =>
           struct(lit(w.toLong).as("word_idx"),
@@ -585,16 +586,53 @@ object Similarity {
       .select(col("vec_id"), col("s.word_idx"), col("s.word"))
   }
 
+  /** Per-dimension QUANTIZED means for centered sketching — the
+    * integer-exact mean recipe of [[kmeans]] (sum of round(x·10⁶)
+    * longs, divided once at the end): a per-dim float sum would be
+    * partition-order-dependent; the quantized long sum is exact, so
+    * the derived thresholds (and every bit cut on them) replay
+    * identically in the oracle. Returns the dims-sized threshold
+    * vector — model-sized driver data by construction.
+    *
+    * Why center: [[binSketch]]'s raw cut at 0 assumes each dimension
+    * is sign-balanced. Real embedding models emit dims with strong
+    * non-zero means (anisotropy); a dim whose values are all positive
+    * contributes a CONSTANT bit — zero hamming information, sketch
+    * capacity silently shrinks (measured collapse + recovery in
+    * Probe bin_recall_biased). Cutting at the per-dim mean restores
+    * ~50/50 bits with one corpus agg pass.
+    */
+  def binMeans(vectors: DataFrame, dims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Double] = {
+    require(dims > 0, "binMeans needs the vector dimensionality")
+    val v = vectors.select(asDouble(col(vecCol)).as("v"))
+    val aggs = (0 until dims).map { d =>
+      sum(round(element_at(col("v"), d + 1) * 1000000.0).cast("long"))
+        .as(s"s$d")
+    } :+ count(lit(1)).as("n")
+    val row = v.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(dims)
+    require(n > 0, "binMeans needs a non-empty corpus")
+    (0 until dims).map(d => row.getLong(d).toDouble / (n * 1000000L).toDouble)
+  }
+
   /** The packed form of [[binSketch]]: (outId, outVec array<long> of
-    * ceil(dims/32) 32-bit-packed sign words).
+    * ceil(dims/32) 32-bit-packed sign words). `thresholds` (empty =
+    * cut at 0) holds per-dim cut points — pass [[binMeans]] for
+    * centered sketching.
     */
   private def binWords(vectors: DataFrame, dims: Int, idCol: String,
-      vecCol: String, outId: String, outVec: String): DataFrame = {
+      vecCol: String, outId: String, outVec: String,
+      thresholds: Seq[Double] = Nil): DataFrame = {
     require(dims > 0, "binSketch needs the vector dimensionality")
+    require(thresholds.isEmpty || thresholds.length == dims,
+      s"thresholds size ${thresholds.length} != dims $dims")
     val nWords = (dims + 31) / 32
     val words = (0 until nWords).map { w =>
       (0 until math.min(32, dims - w * 32)).map { b =>
-        when(element_at(col(vecCol), w * 32 + b + 1) > 0f,
+        val d = w * 32 + b
+        val cut = if (thresholds.isEmpty) lit(0f) else lit(thresholds(d))
+        when(element_at(col(vecCol), d + 1) > cut,
           lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
@@ -617,7 +655,8 @@ object Similarity {
     */
   def knnBinary(queries: DataFrame, corpus: DataFrame, dims: Int, k: Int,
       shortlist: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      thresholds: Seq[Double] = Nil): DataFrame = {
     // The corpus sketch goes through an RDD round-trip ON PURPOSE:
     // whole-stage codegen DEFERS the 64-CASE word projection to its
     // first use, which after fusing with the nested-loop join is
@@ -629,9 +668,11 @@ object Similarity {
     // AT-REST data (q_ann_bin's 8 B/vector table), scanned, not
     // recomputed per query. The broadcast query side needs no
     // barrier — its projection runs once at broadcast time.
-    val cs0 = binWords(corpus, dims, idCol, vecCol, "neighbor_id", "sv")
+    val cs0 = binWords(corpus, dims, idCol, vecCol, "neighbor_id", "sv",
+      thresholds)
     val cs = corpus.sparkSession.createDataFrame(cs0.rdd, cs0.schema)
-    val qs = binWords(queries, dims, idCol, vecCol, "query_id", "qv")
+    val qs = binWords(queries, dims, idCol, vecCol, "query_id", "qv",
+      thresholds)
     // STATIC per-word unroll (nWords is known from dims) — keeps the
     // |Q|·|C| hamming inside whole-stage codegen; the zip_with/
     // aggregate HOF formulation is an interpreted lambda per pair

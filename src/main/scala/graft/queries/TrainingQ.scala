@@ -1295,8 +1295,12 @@ object TrainingQ {
     * face serves the SAME frozen index, so its per-trigger output
     * replays on the identical SQL.
     */
-  private lazy val Bm25Oracle: String =
-    s"""WITH $tokCtes,
+  /** The shared CTE chain through the sparse (query_id, doc_id,
+    * score) table — [[Bm25Oracle]] tops it with rank≤k,
+    * [[qDeconQuery]] with a threshold.
+    */
+  private lazy val Bm25Ctes: String =
+    s"""$tokCtes,
       post AS (SELECT doc_id, unnest(ts) AS term FROM toks),
       tfq AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
         FROM post GROUP BY 1, 2),
@@ -1317,12 +1321,62 @@ object TrainingQ {
           * ((22 * a * ${1L << 20} * tf) // (10 * a * tf + 3 * a + 9 * dl)) AS s
         FROM cand),
       sc AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score
-        FROM tsc GROUP BY 1, 2),
+        FROM tsc GROUP BY 1, 2)"""
+
+  private lazy val Bm25Oracle: String =
+    s"""WITH $Bm25Ctes,
       rk AS (SELECT *, row_number() OVER
           (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
         FROM sc)
       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score FROM rk
       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Decontamination BY QUERY — the retrieval face of the eval-set
+    * leak check (complements the n-gram/Bloom overlap faces, which
+    * need verbatim token runs; retrieval also surfaces PARAPHRASED
+    * leaks sharing rare vocabulary): eval prompts (docs 0–2 standing
+    * in) retrieve against the corpus index, and every doc whose BM25
+    * score clears the cut is flagged with its hit count and worst
+    * (max) score — the audit table a curation run reviews or
+    * anti-joins away. The flag is RANK-RELATIVE — the top 1% of each
+    * query's candidates (minimum 1) — because an absolute score cut
+    * has no portable unit: on this synthetic corpus every term's df
+    * exceeds N/2, idf is negative corpus-wide, and any fixed positive
+    * cut flags nothing (measured); a production run calibrates an
+    * absolute cut on labeled leaks, the face pins the rank-relative
+    * replay including the two-window (rank + per-query candidate
+    * count) shape.
+    */
+  val qDeconQuery = Q(
+    "q_decon_query",
+    (spark, dir) => {
+      import graft.ops.Retrieval
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      val idx = Retrieval.buildIndex(docs)
+      val scored = Retrieval.bm25Scores(idx,
+        docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text")),
+        excludeSelf = true)
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val wc = Window.partitionBy(col("query_id"))
+      scored.withColumn("r", row_number().over(wr))
+        .withColumn("nc", count(lit(1)).over(wc))
+        .filter(col("r") * 100 <= col("nc") || col("r") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), max("score").as("max_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $Bm25Ctes,
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r,
+        COUNT(*) OVER (PARTITION BY query_id) AS nc FROM sc)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        CAST(MAX(score) AS BIGINT) AS max_score
+      FROM rk WHERE r * 100 <= nc OR r = 1
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
 
   val qBm25 = Q(
     "q_bm25",
@@ -1441,6 +1495,53 @@ object TrainingQ {
     Some(s"""WITH s AS (SELECT vec_id,
           ${binWordSql(0)} AS w0,
           ${binWordSql(1)} AS w1 FROM embeddings)
+      SELECT vec_id, CAST(0 AS BIGINT) AS word_idx, w0 AS word FROM s
+      UNION ALL SELECT vec_id, CAST(1 AS BIGINT), w1 FROM s
+      ORDER BY vec_id, word_idx""")
+  )
+
+  /** Oracle fragments for the CENTERED sketch: the per-dim quantized
+    * mean sums (the kmeansRoundSql integer-mean recipe — float sums
+    * would be partition-order-dependent) and the word unroll cutting
+    * at mean instead of 0.
+    */
+  private def binMeanSumsSql: String =
+    (1 to BinDims).map(i =>
+      s"SUM(CAST(round(CAST(embedding[$i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s$i")
+      .mkString(",\n          ") +
+      ",\n          CAST(COUNT(*) AS BIGINT) AS nn"
+
+  private def binCenteredWordSql(w: Int): String =
+    (0 until 32).map { b =>
+      val i = w * 32 + b + 1
+      s"CASE WHEN embedding[$i] > CAST(m.s$i AS DOUBLE) / CAST(m.nn * 1000000 AS DOUBLE) " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n          + ")
+
+  /** CENTERED 1-bit sketch — cut each dimension at its QUANTIZED
+    * corpus mean instead of 0. Raw sign cuts assume sign-balanced
+    * dims; real embedding models are anisotropic (dims with strong
+    * non-zero means), and an always-positive dim contributes a
+    * constant bit — zero hamming information (measured collapse +
+    * recovery: Probe bin_recall_biased). The mean is the exact
+    * integer-quantized mean (sum of round(x·10⁶) longs / n·10⁶ — the
+    * Lloyd-mean recipe), so the thresholds and every bit cut on them
+    * replay identically in the oracle, which re-derives them in its
+    * own aggregate CTE.
+    */
+  val qAnnBinCentered = Q(
+    "q_ann_bin_centered",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.binSketch(emb, BinDims,
+          thresholds = Similarity.binMeans(emb, BinDims))
+        .orderBy("vec_id", "word_idx")
+    },
+    Some(s"""WITH wm AS (SELECT $binMeanSumsSql FROM embeddings),
+      s AS (SELECT vec_id,
+          ${binCenteredWordSql(0)} AS w0,
+          ${binCenteredWordSql(1)} AS w1
+        FROM embeddings CROSS JOIN wm m)
       SELECT vec_id, CAST(0 AS BIGINT) AS word_idx, w0 AS word FROM s
       UNION ALL SELECT vec_id, CAST(1 AS BIGINT), w1 FROM s
       ORDER BY vec_id, word_idx""")
@@ -3221,5 +3322,6 @@ object TrainingQ {
     qUnigramTrain, qUnigramEncode, qUnigramTrainSoft, qAnnPq, qAnnPqKnn,
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
-    qStreamAnn, qAnnBin, qAnnBinKnn, qBm25, qStreamBm25, qBm25Merge)
+    qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
+    qBm25Merge, qDeconQuery)
 }

@@ -72,6 +72,42 @@ class BinSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("centered sketch: quantized-mean thresholds match a replica; biased dim's constant bit becomes balanced") {
+    val dims = 4
+    // dim 0 heavily positive-shifted: raw sign bit is constant 1
+    val data = (0 until 40).map { i =>
+      (i.toLong, Seq(
+        5.0f + (i % 7) * 0.1f,
+        ((i % 5) - 2) * 0.3f,
+        ((i % 3) - 1) * 0.5f,
+        ((i % 11) - 5) * 0.1f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    // replica of the quantized mean: sum(round(x*1e6)) / (n*1e6)
+    val wantThr = (0 until dims).map { d =>
+      data.map { case (_, v) => math.round(v(d).toDouble * 1000000.0) }.sum
+        .toDouble / (data.length * 1000000L).toDouble
+    }
+    val gotThr = Similarity.binMeans(df, dims)
+    assert(gotThr == wantThr)
+    def bits(th: Seq[Double]): Map[Long, Long] =
+      Similarity.binSketch(df, dims, thresholds = th)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val raw = bits(Nil)
+    assert(raw.values.forall(w => (w & 1L) == 1L),
+      "raw sign bit of the shifted dim should be constant 1")
+    val centered = bits(wantThr)
+    val ones = centered.values.count(w => (w & 1L) == 1L)
+    assert(ones > 5 && ones < 35,
+      s"centered bit should be roughly balanced, got $ones/40 ones")
+    // and the centered sketch equals the replica cut bit-for-bit
+    val want = data.map { case (id, v) =>
+      id -> (0 until dims).map(d =>
+        if (v(d) > wantThr(d)) 1L << d else 0L).sum
+    }.toMap
+    assert(centered == want)
+  }
+
   test("knnBinary == plain-Scala replica, and is partitioning-invariant") {
     val dims = 64
     val data = pts(dims)
