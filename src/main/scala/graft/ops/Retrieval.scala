@@ -188,4 +188,35 @@ object Retrieval {
     */
   def totalLen(idx: Bm25Index): Long =
     idx.dl.agg(sum("dl")).head().getLong(0)
+
+  /** RECIPROCAL-RANK FUSION (Cormack et al., SIGIR'09) — hybrid
+    * retrieval's standard combiner, in the exact-integer discipline:
+    * each input list contributes floorDiv(2^scaleBits, rrfK + rank)
+    * per (query, doc), an exact long, so the fused ranking is
+    * engine-portable without touching either retriever's score units
+    * (the whole point of RRF: ranks compose where raw BM25 longs and
+    * cosine doubles cannot). Inputs are already-ranked lists
+    * (query_id, rank, doc_id) — pass [[bm25Query]]'s top-k and a
+    * dense kNN's top-k (rename neighbor_id → doc_id) for classic
+    * lexical+dense hybrid search. Union is list-count-bounded per
+    * (query, doc); the fusion agg is map-side partial; the final
+    * top-k windows the already-tiny fused table.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60,
+      scaleBits: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(scaleBits > 0 && scaleBits < 40, "scaleBits must leave headroom")
+    val s = 1L << scaleBits
+    val contribs = lists.map(_.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      expr(s"$s div ($rrfK + rank)").as("c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id").agg(sum("c").as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf")
+  }
 }

@@ -1378,6 +1378,59 @@ object TrainingQ {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** HYBRID lexical+dense retrieval — BM25 top-10 and brute-force
+    * cosine top-10 (documents and embeddings share ids) fused by
+    * exact-integer reciprocal-rank fusion
+    * ([[graft.ops.Retrieval.rrfFuse]]): contribution
+    * floorDiv(2^20, 60+rank) per list, summed, top-5 by (rrf DESC,
+    * doc_id). RRF composes RANKS, so the incomparable score units
+    * (scaled-long BM25 vs double cosine) never meet — which is also
+    * what makes the whole hybrid chain hash-exact across engines.
+    * The oracle replays both retrievers AND the fusion in one chain.
+    */
+  val qHybridRrf = Q(
+    "q_hybrid_rrf",
+    (spark, dir) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val lex = Retrieval.bm25Query(Retrieval.buildIndex(docs),
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 10, excludeSelf = true)
+        .select("query_id", "rank", "doc_id")
+      val den = Similarity.knnBruteForce(
+          emb.filter(col("vec_id") < 3), emb, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id").as("doc_id"))
+      Retrieval.rrfFuse(Seq(lex, den), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $Bm25Ctes,
+      lexr AS (SELECT query_id, doc_id, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r FROM sc),
+      lex AS (SELECT query_id, doc_id, ${1L << 20} // (60 + r) AS c
+        FROM lexr WHERE r <= 10),
+      ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      eq AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 3),
+      dn AS (SELECT q.query_id, e.vec_id AS doc_id,
+          ${sqlDot("q.qv", "e.v")} / sqrt(${sqlDot("q.qv", "q.qv")} * ${sqlDot("e.v", "e.v")}) AS cosine
+        FROM eq q CROSS JOIN ev e WHERE e.vec_id <> q.query_id),
+      dnr AS (SELECT query_id, doc_id, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS r FROM dn),
+      den AS (SELECT query_id, doc_id, ${1L << 20} // (60 + r) AS c
+        FROM dnr WHERE r <= 10),
+      fu AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)
+        GROUP BY 1, 2),
+      fr AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fu)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf FROM fr
+      WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   val qBm25 = Q(
     "q_bm25",
     (spark, dir) => {
@@ -3323,5 +3376,5 @@ object TrainingQ {
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
-    qBm25Merge, qDeconQuery)
+    qBm25Merge, qDeconQuery, qHybridRrf)
 }

@@ -105,6 +105,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(res == Set(6L), s"pruned query should only see doc 6, got $res")
   }
 
+  test("rrfFuse == hand-computed fusion; docs on both lists beat single-list docs") {
+    // list A ranks docs 10,11,12; list B ranks 12,10,13
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+      .toDF("query_id", "rank", "doc_id")
+    val b = Seq((1L, 1L, 12L), (1L, 2L, 10L), (1L, 3L, 13L))
+      .toDF("query_id", "rank", "doc_id")
+    val s = 1L << 20
+    def c(r: Long) = s / (60 + r)
+    val want = Map(
+      10L -> (c(1) + c(2)), 11L -> c(2), 12L -> (c(3) + c(1)), 13L -> c(3))
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 4)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(got == want)
+    // both-list docs (10, 12) outrank every single-list doc
+    val ranks = Retrieval.rrfFuse(Seq(a, b), k = 4)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(Set(ranks(10L), ranks(12L)) == Set(1L, 2L), s"ranks: $ranks")
+  }
+
   test("rare terms outrank the corpus-wide stopword") {
     // query = one rare + the stopword 'the' (in 6 of 8 docs, iq<0):
     // doc 6 (iota, no 'the') must beat every the-only doc
