@@ -1971,6 +1971,28 @@ object Probe {
       val topkPruned = Retrieval.bm25Query(idx, qStop, k = 10,
         maxDfPpm = 100000L).count()
       val tPruned = (System.nanoTime() - t2) / 1e9
+      // MaxScore: exact pruning, no df ceiling to tune — equality
+      // with the naive operator is spec-pinned; here the wall + the
+      // candidate-doc reduction on the stopword query
+      val ubT = Retrieval.termUpperBounds(idx).localCheckpoint()
+      val t3 = System.nanoTime()
+      val msRows = Retrieval.bm25QueryMaxScore(idx, qStop, k = 10,
+        ub = ubT).count()
+      val tMs = (System.nanoTime() - t3) / 1e9
+      def candDocs(q: DataFrame): Long = toks.join(broadcast(
+          q.select(col("query_id"),
+            explode(array_distinct(graft.ops.TextOps.tokens(col("text"))))
+              .as("term"))), Seq("term"))
+        .select("doc_id").distinct().count()
+      val naiveCand = candDocs(qStop)
+      // the structural win: candidate docs once the stopword stops
+      // driving the space (essential terms = the 8 mid-freq ones)
+      val essCand = candDocs(spark.range(1).select(lit(9L).as("query_id"),
+        lit((0 until 8).map(i => s"t${1000 + i}").mkString(" ")).as("text")))
+      val t4 = System.nanoTime()
+      val msClean = Retrieval.bm25QueryMaxScore(idx, qdf, k = 10,
+        ub = ubT).count()
+      val tMsClean = (System.nanoTime() - t4) / 1e9
       println(s"""{"probe":"bm25_index","docs":$nd,"tokens_per_doc":$toksPerDoc,""" +
         s""""index_build_sec":$tBuild,"query_frozen_5q_sec":$tFrozen,""" +
         s""""rows_frozen":$topkFrozen,""" +
@@ -1978,7 +2000,11 @@ object Probe {
         s""""cand_pairs":$candPairs,"dense_pairs":${5 * nd},""" +
         s""""cand_fraction":${candPairs.toDouble / (5 * nd)},""" +
         s""""bm25_stopword_sec":$tStop,"rows_stop":$topkStop,""" +
-        s""""bm25_stopword_pruned_sec":$tPruned,"rows_pruned":$topkPruned}""")
+        s""""bm25_stopword_pruned_sec":$tPruned,"rows_pruned":$topkPruned,""" +
+        s""""maxscore_stopword_sec":$tMs,"rows_ms":$msRows,""" +
+        s""""maxscore_5q_sec":$tMsClean,"rows_ms_clean":$msClean,""" +
+        s""""naive_cand_docs_stopword":$naiveCand,""" +
+        s""""essential_cand_docs":$essCand}""")
     }
 
     if (enabled("bin_recall")) {

@@ -189,6 +189,137 @@ object Retrieval {
   def totalLen(idx: Bm25Index): Long =
     idx.dl.agg(sum("dl")).head().getLong(0)
 
+  /** Per-term score UPPER BOUNDS — max over a term's postings of its
+    * exact per-(doc, term) contribution (iq · scaled tf saturation,
+    * the same integers [[bm25Scores]] sums). The MaxScore planning
+    * statistic: a doc can never score above the sum of its matched
+    * terms' bounds. Model-sized (one row per term), computed in one
+    * postings pass at build time — persist it next to df at scale.
+    */
+  def termUpperBounds(idx: Bm25Index, scaleBits: Int = 20): DataFrame = {
+    val s = 1L << scaleBits
+    val iq = qlog2(lit(2L) * (lit(idx.nDocs) - col("df")) + lit(1L)) -
+      qlog2(lit(2L) * col("df") + lit(1L))
+    idx.postings.join(idx.df, Seq("term")).join(idx.dl, Seq("doc_id"))
+      .withColumn("num", lit(22L * idx.avgdl * s) * col("tf"))
+      .withColumn("den", lit(10L * idx.avgdl) * col("tf") +
+        lit(3L * idx.avgdl) + lit(9L) * col("dl"))
+      .withColumn("ts", iq * expr("num div den"))
+      .groupBy("term").agg(max("ts").as("ub"))
+  }
+
+  /** MAXSCORE-pruned BM25 top-k (Turtle & Flood'95 brought to the
+    * batch engine) — EXACTLY equal output to [[bm25Query]] (pinned in
+    * RetrievalSpec; the catalog face replays on q_bm25's own oracle),
+    * but common low-impact terms stop driving the candidate space:
+    *
+    *  1. θ: exactly score the docs matching each query's RAREST term
+    *    (min df, term tie-break) and take the kth best — a valid
+    *    LOWER bound on the final kth score (any subset's kth best
+    *    is). Fewer than k docs ⇒ no pruning for that query.
+    *  2. Essential terms: sort the query's terms by (max(ub,0) ASC,
+    *    term); the maximal prefix whose cumulative Σ max(ub,0) < θ is
+    *    NON-essential — a doc matching only those can't reach θ
+    *    (negative-ub terms can never lift a doc, so they clamp to 0
+    *    in the sum and always prune first). The rest are essential.
+    *  3. Candidates = docs matching ≥1 essential term (∪ the already
+    *    scored phase-1 docs); each is scored EXACTLY over ALL its
+    *    matched query terms via a doc_id-keyed postings probe — the
+    *    non-essential (common) postings lists are never enumerated,
+    *    only point-probed for candidate docs.
+    *
+    * Why it's safe with the tie-break: a pruned doc's score is
+    * STRICTLY below θ ≤ final kth score, so it cannot even tie into
+    * the top-k. On corpora where every idf is negative (θ < 0, the
+    * small synthetic tables) the non-essential set is provably empty
+    * and the operator degenerates to the naive plan — correct,
+    * unpruned; the pruning payoff is measured on the Zipf probe
+    * corpus (Probe bm25_index maxscore rows). The per-query planning
+    * set (terms × [df, ub]) is collected driver-side — bounded by the
+    * query set, which is broadcast-sized by contract.
+    */
+  def bm25QueryMaxScore(idx: Bm25Index, queries: DataFrame, k: Int,
+      queryIdCol: String = "query_id", textCol: String = "text",
+      scaleBits: Int = 20, excludeSelf: Boolean = false,
+      maxDfPpm: Long = 1000000L, ub: DataFrame = null): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val s = 1L << scaleBits
+    // ub is an INDEX-TIME artifact (one postings pass) — persist it
+    // next to df and pass it in; recomputing per query call would pay
+    // that pass every time (the measured fixed cost, PERF.md)
+    val ubT = Option(ub).getOrElse(termUpperBounds(idx, scaleBits))
+    val qt0 = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+    val qt = if (maxDfPpm >= 1000000L) qt0
+      else qt0.join(idx.df.filter(
+          col("df") * lit(1000000L) <= lit(maxDfPpm * idx.nDocs)),
+        Seq("term"), "left_semi")
+    // planning stats: (query_id, term, df, ub) — query-sized collect
+    val plan = qt.join(idx.df, Seq("term"))
+      .join(ubT, Seq("term"))
+      .select("query_id", "term", "df", "ub")
+      .as[(Long, String, Long, Long)].collect()
+    val byQ = plan.groupBy(_._1)
+    // phase 1: exact scores of rarest-term docs → θ per query
+    val seed = byQ.map { case (q, ts) =>
+      val (_, term, _, _) = ts.minBy { case (_, t, df, _) => (df, t) }
+      (q, term)
+    }.toSeq.toDF("query_id", "term")
+    val p1Docs = idx.postings.join(broadcast(seed), Seq("term"))
+      .select("query_id", "doc_id").distinct()
+    val p1Scores = scoreDocs(idx, qt, p1Docs, s, excludeSelf)
+    val wTh = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val thetas = p1Scores.withColumn("r", row_number().over(wTh))
+      .filter(col("r") === k).select("query_id", "score")
+      .as[(Long, Long)].collect().toMap
+    // essential terms per query (driver, query-sized)
+    val essential = byQ.toSeq.flatMap { case (q, ts) =>
+      thetas.get(q) match {
+        case None => ts.toSeq.map { case (_, t, _, _) => (q, t) } // no pruning
+        case Some(theta) =>
+          val sorted = ts.sortBy { case (_, t, _, ub) => (math.max(ub, 0L), t) }
+          var cum = 0L
+          val nonEss = sorted.takeWhile { case (_, _, _, ub) =>
+            cum += math.max(ub, 0L); cum < theta }
+          val nonSet = nonEss.map(_._2).toSet
+          ts.toSeq.collect { case (_, t, _, _) if !nonSet.contains(t) => (q, t) }
+      }
+    }.toDF("query_id", "term")
+    // candidates: essential-term matches ∪ phase-1 docs, scored exactly
+    val cand = idx.postings.join(broadcast(essential), Seq("term"))
+      .select("query_id", "doc_id")
+      .unionByName(p1Docs.select("query_id", "doc_id")).distinct()
+    val scored = scoreDocs(idx, qt, cand, s, excludeSelf)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** Exact BM25 scores for a given (query_id, doc_id) candidate set:
+    * doc_id-keyed probe into the postings (never enumerating any
+    * term's full list), filtered to the query's terms, then the same
+    * integer term-score sum as [[bm25Scores]].
+    */
+  private def scoreDocs(idx: Bm25Index, qt: DataFrame, cand: DataFrame,
+      s: Long, excludeSelf: Boolean): DataFrame = {
+    val c0 = if (excludeSelf)
+      cand.filter(col("doc_id") =!= col("query_id")) else cand
+    val iq = qlog2(lit(2L) * (lit(idx.nDocs) - col("df")) + lit(1L)) -
+      qlog2(lit(2L) * col("df") + lit(1L))
+    idx.postings.join(c0, Seq("doc_id"))
+      .join(broadcast(qt), Seq("query_id", "term"), "left_semi")
+      .join(idx.df, Seq("term")).join(idx.dl, Seq("doc_id"))
+      .withColumn("num", lit(22L * idx.avgdl * s) * col("tf"))
+      .withColumn("den", lit(10L * idx.avgdl) * col("tf") +
+        lit(3L * idx.avgdl) + lit(9L) * col("dl"))
+      .withColumn("ts", iq * expr("num div den"))
+      .groupBy("query_id", "doc_id").agg(sum(col("ts")).as("score"))
+  }
+
   /** RECIPROCAL-RANK FUSION (Cormack et al., SIGIR'09) — hybrid
     * retrieval's standard combiner, in the exact-integer discipline:
     * each input list contributes floorDiv(2^scaleBits, rrfK + rank)

@@ -1378,6 +1378,31 @@ object TrainingQ {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** MAXSCORE-pruned BM25 — [[qBm25]] through
+    * [[graft.ops.Retrieval.bm25QueryMaxScore]]: rarest-term phase
+    * sets θ, terms whose cumulative positive upper bounds stay under
+    * θ become non-essential, and only essential-term postings drive
+    * the candidate space (non-essential lists are point-probed by
+    * doc_id, never enumerated). Output is EXACTLY [[qBm25]]'s — same
+    * oracle, which is the point: the optimization is plan-level, the
+    * answer is pinned. On this synthetic corpus every idf is negative
+    * so θ < 0 and the operator provably degenerates to the naive
+    * plan; the pruning payoff is measured on the Zipf probe corpus.
+    */
+  val qBm25Pruned = Q(
+    "q_bm25_pruned",
+    (spark, dir) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(spark, dir)
+      Retrieval.bm25QueryMaxScore(Retrieval.buildIndex(docs),
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    Some(Bm25Oracle)
+  )
+
   /** HYBRID lexical+dense retrieval — BM25 top-10 and brute-force
     * cosine top-10 (documents and embeddings share ids) fused by
     * exact-integer reciprocal-rank fusion
@@ -3376,5 +3401,5 @@ object TrainingQ {
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
-    qBm25Merge, qDeconQuery, qHybridRrf)
+    qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned)
 }

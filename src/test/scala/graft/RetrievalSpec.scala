@@ -105,6 +105,41 @@ class RetrievalSpec extends AnyFunSuite {
     assert(res == Set(6L), s"pruned query should only see doc 6, got $res")
   }
 
+  test("bm25QueryMaxScore == bm25Query on a Zipf corpus with real pruning headroom") {
+    // 200 docs over a reciprocal-frequency vocab: term tN appears in
+    // ~200/N docs, so rare terms carry positive idf and θ > 0 — the
+    // regime where non-essential pruning actually engages (unlike the
+    // all-negative-idf planted corpus below, where MaxScore must
+    // provably degenerate to the naive plan — also asserted)
+    val zipf = (0 until 200).map { d =>
+      val terms = (0 until 12).map { j =>
+        val r = ((d * 12 + j) * 2654435761L % 1000) / 1000.0
+        s"t${math.max(1, math.pow(40, r).toLong)}"
+      }
+      (d.toLong, terms.mkString(" "))
+    }
+    val df = zipf.toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(df)
+    val queries = Seq(
+      (0L, zipf(0)._2),                     // doc-as-query
+      (1L, "t39 t38 t1 t2"),                // rare + stopwords
+      (2L, "t1 t2 t3")                      // stopwords only
+    ).toDF("query_id", "text")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    for (k <- Seq(3, 10); ex <- Seq(false, true)) {
+      val naive = canon(Retrieval.bm25Query(idx, queries, k, excludeSelf = ex))
+      val ms = canon(Retrieval.bm25QueryMaxScore(idx, queries, k, excludeSelf = ex))
+      assert(ms == naive, s"k=$k excludeSelf=$ex")
+    }
+    // and on the all-negative-idf planted corpus
+    val idx2 = Retrieval.buildIndex(docs.toDF("doc_id", "text"))
+    val q2 = Seq((0L, "alpha beta gamma the"), (100L, "iota the")).toDF("query_id", "text")
+    assert(canon(Retrieval.bm25QueryMaxScore(idx2, q2, 4)) ==
+      canon(Retrieval.bm25Query(idx2, q2, 4)))
+  }
+
   test("rrfFuse == hand-computed fusion; docs on both lists beat single-list docs") {
     // list A ranks docs 10,11,12; list B ranks 12,10,13
     val a = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
