@@ -1413,25 +1413,12 @@ object TrainingQ {
     * what makes the whole hybrid chain hash-exact across engines.
     * The oracle replays both retrievers AND the fusion in one chain.
     */
-  val qHybridRrf = Q(
-    "q_hybrid_rrf",
-    (spark, dir) => {
-      import graft.ops.Retrieval
-      val docs = Tables.documents(spark, dir)
-      val emb = Tables.embeddings(spark, dir)
-      val lex = Retrieval.bm25Query(Retrieval.buildIndex(docs),
-          docs.filter(col("doc_id") < 3)
-            .select(col("doc_id").as("query_id"), col("text")),
-          k = 10, excludeSelf = true)
-        .select("query_id", "rank", "doc_id")
-      val den = Similarity.knnBruteForce(
-          emb.filter(col("vec_id") < 3), emb, k = 10)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("neighbor_id").as("doc_id"))
-      Retrieval.rrfFuse(Seq(lex, den), k = 5)
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""WITH $Bm25Ctes,
+  /** Shared oracle for [[qHybridRrf]] and [[qStreamHybrid]] — the
+    * stream face fuses against the same frozen artifacts, so its
+    * per-trigger output replays on the identical SQL.
+    */
+  private lazy val HybridRrfOracle: String =
+    s"""WITH $Bm25Ctes,
       lexr AS (SELECT query_id, doc_id, row_number() OVER
           (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r FROM sc),
       lex AS (SELECT query_id, doc_id, ${1L << 20} // (60 + r) AS c
@@ -1453,7 +1440,81 @@ object TrainingQ {
       fr AS (SELECT *, row_number() OVER
           (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fu)
       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf FROM fr
-      WHERE rank <= 5 ORDER BY query_id, rank""")
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  val qHybridRrf = Q(
+    "q_hybrid_rrf",
+    (spark, dir) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val lex = Retrieval.bm25Query(Retrieval.buildIndex(docs),
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 10, excludeSelf = true)
+        .select("query_id", "rank", "doc_id")
+      val den = Similarity.knnBruteForce(
+          emb.filter(col("vec_id") < 3), emb, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id").as("doc_id"))
+      Retrieval.rrfFuse(Seq(lex, den), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(HybridRrfOracle)
+  )
+
+  /** HYBRID retrieval SERVING — the 26th batch/stream equivalence
+    * pin: streaming queries answered by BOTH retrievers against their
+    * frozen artifacts (the persisted BM25 postings/df/dl for the
+    * lexical half; the embeddings corpus for the dense half) and
+    * fused per trigger with the same exact-integer RRF. Per-trigger
+    * work: one term-equality probe + one broadcast-queries cosine
+    * pass + a fused top-k over two 10-row-per-query lists — no state
+    * store, the frozen-artifact serving shape every other pin uses.
+    * Same oracle as q_hybrid_rrf — the stream path loses nothing.
+    */
+  val qStreamHybrid = Q(
+    "q_stream_hybrid",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.ops.Retrieval
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_hybrid").toString
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val idx = Retrieval.buildIndex(docs)
+      idx.postings.write.parquet(s"$work/postings")
+      idx.df.write.parquet(s"$work/df")
+      idx.dl.write.parquet(s"$work/dl")
+      val frozen = Retrieval.Bm25Index(
+        spark.read.parquet(s"$work/postings"),
+        spark.read.parquet(s"$work/df"),
+        spark.read.parquet(s"$work/dl"), idx.nDocs, idx.avgdl)
+      val qStream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val q = qStream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val lex = Retrieval.bm25Query(frozen, batch, k = 10,
+              excludeSelf = true)
+            .select("query_id", "rank", "doc_id")
+          val qemb = emb.join(
+            broadcast(batch.select(col("query_id").as("vec_id"))),
+            Seq("vec_id"), "left_semi")
+          val den = Similarity.knnBruteForce(qemb, emb, k = 10)
+            .select(col("query_id"), col("rank").cast("long").as("rank"),
+              col("neighbor_id").as("doc_id"))
+          Retrieval.rrfFuse(Seq(lex, den), k = 5)
+            .write.mode("append").parquet(s"$work/out")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$work/out").orderBy("query_id", "rank")
+    },
+    Some(HybridRrfOracle)
   )
 
   val qBm25 = Q(
@@ -3401,5 +3462,5 @@ object TrainingQ {
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
-    qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned)
+    qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid)
 }

@@ -42,6 +42,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_ann_ivf_trained_q8", // broadcast quantized-centroid codebook × query set
       "q_ann_ivf_kpp", // same trained-codebook probe, kpp-seeded build
       "q_ann_bin_knn", // broadcast query sign-sketches × corpus sketch table
+      "q_hybrid_rrf", // dense half: broadcast query vectors × corpus (knnBruteForce)
       "q_snapshot_diff", "q_tfidf", "q_ttl_filter",
       "q_embed_outliers", // 2-column percentile stats row × vector side
       "q_kmeans_assign", "q_semdedup", // k-row centroid table × corpus
