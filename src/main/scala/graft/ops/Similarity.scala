@@ -640,6 +640,79 @@ object Similarity {
       array(words: _*).as(outVec))
   }
 
+  /** DOMINANT PRINCIPAL DIRECTION — derandomized integer power
+    * iteration on the exact integer scatter matrix (the anisotropy
+    * DIAGNOSIS behind [[binMeans]]'s fix: mean-centering repairs
+    * constant bits, PC1 tells you which directions still carry the
+    * variance — split axes for spill trees, whitening priorities,
+    * "is this embedding space collapsed?" checks).
+    *
+    * Exactness chain (everything replays in the oracle):
+    *  - quantize q_i = round(x_i·2^qBits) per component (long);
+    *  - ONE corpus pass aggregates the raw scatter S[i,j] = Σ q_i·q_j
+    *    and the sums s_i = Σ q_i — exact longs (per-row cost is
+    *    dims² products, map-side partial agg collapses each partition
+    *    to dims² rows, so the shuffle is model-sized at any corpus);
+    *  - the centered scatter M = n·S − s·sᵀ is formed DRIVER-side in
+    *    BigInt (dims² entries, model-sized) — same eigenvectors as
+    *    the covariance (positive scaling);
+    *  - power iteration: v₀ = e_j at the max-diagonal j (min j on
+    *    ties); each round w = M·v in BigInt, then renormalize
+    *    v = (w·2^20)/max|w| with division TRUNCATING TOWARD ZERO —
+    *    BigInt `/` and DuckDB HUGEINT `//` agree on negatives
+    *    (both -7/2 = -3), which is what makes the rounds replayable.
+    *
+    * Overflow headroom (engine side, before BigInt): each S[i,j]
+    * partial sum is ≤ n·2^(2·qBits)·max|x|² — at the default
+    * qBits=10 that bounds n·max|x|² < 2^42 (~4e12 rows of unit-range
+    * embeddings); shrink qBits for bigger corpora or pre-sample (PC1
+    * is a statistic — a uniform sample estimates it; this operator
+    * is the exact small/medium-corpus face).
+    *
+    * Returns (pos, v) — dims rows, components scaled to
+    * max|v| = 2^20. Sign is pinned by v₀ and truncation, so the
+    * result is deterministic, not just determined-up-to-sign.
+    */
+  def pc1Power(vectors: DataFrame, dims: Int, iters: Int = 3,
+      qBits: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims > 0 && iters > 0, "pc1Power needs dims > 0, iters > 0")
+    require(qBits > 0 && qBits < 20, "qBits must leave product headroom")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val s = 1L << qBits
+    val q = vectors.select(transform(asDouble(col(vecCol)),
+      x => round(x * s).cast("long")).as("q"))
+    val n = q.count()
+    require(n > 0, "pc1Power needs a non-empty corpus")
+    val qi = q.select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+    val sums = qi.groupBy("i").agg(sum("qi").as("si"))
+      .as[(Int, Long)].collect().toMap
+    val scat = qi.select(col("i"), col("qi"),
+        posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy("i", "j").agg(sum(col("qi") * col("qj")).as("sij"))
+      .as[(Int, Int, Long)].collect()
+    // centered scatter in BigInt; power iteration — all model-sized
+    val m = Array.ofDim[BigInt](dims, dims)
+    for (i <- 0 until dims; j <- 0 until dims) m(i)(j) = BigInt(0)
+    scat.foreach { case (i, j, sij) =>
+      m(i)(j) = BigInt(n) * BigInt(sij) -
+        BigInt(sums.getOrElse(i, 0L)) * BigInt(sums.getOrElse(j, 0L))
+    }
+    val j0 = (0 until dims).minBy(i => (-m(i)(i), i))
+    var v = Array.tabulate(dims)(i => if (i == j0) BigInt(1) else BigInt(0))
+    val scale = BigInt(1L << 20)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => m(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      require(mx > 0, "pc1Power: zero matvec — degenerate (constant) corpus")
+      v = w.map(x => x * scale / mx) // BigInt /: truncates toward zero
+    }
+    (0 until dims).map(i => (i.toLong, v(i).toLong))
+      .toDF("pos", "v")
+  }
+
   /** Hamming-shortlist ANN over [[binSketch]] sketches with exact
     * cosine rerank — the 32×-compressed first pass: queries' sketches
     * broadcast against the corpus sketch table (8 B/vector read

@@ -1606,6 +1606,63 @@ object TrainingQ {
     Some(Bm25Oracle)
   )
 
+  private final val Pc1Iters = 3
+
+  /** One power-iteration round as CTEs: exact HUGEINT matvec against
+    * the centered scatter, then renormalize to max|v| = 2^20 with
+    * truncating division (DuckDB `//` and BigInt `/` agree on
+    * negatives — both truncate toward zero — which is what makes the
+    * rounds replayable).
+    */
+  private def pc1RoundSql(t: Int): String =
+    s"""pw$t AS (SELECT mm.i AS pos, SUM(mm.mij * v.v) AS w
+        FROM mm JOIN pv${t - 1} v ON mm.j = v.pos GROUP BY 1),
+      px$t AS (SELECT MAX(ABS(w)) AS mx FROM pw$t),
+      pv$t AS (SELECT pos, (w * ${1L << 20}) // mx AS v
+        FROM pw$t CROSS JOIN px$t)"""
+
+  /** Dominant principal direction of the embedding corpus —
+    * [[graft.ops.Similarity.pc1Power]]'s exact integer power
+    * iteration, whole chain unrolled in the oracle: quantized
+    * components → one-pass scatter matrix + sums → centered scatter
+    * n·S − s·sᵀ in HUGEINT → deterministic max-diagonal start → 3
+    * matvec+renormalize rounds. The anisotropy diagnosis face: which
+    * direction carries the corpus variance (the centered-sketch
+    * story's sequel — [[qAnnBinCentered]] fixes constant bits, this
+    * tells you what structure remains).
+    */
+  val qEmbedPc1 = Q(
+    "q_embed_pc1",
+    (spark, dir) =>
+      Similarity.pc1Power(Tables.embeddings(spark, dir), dims = 64,
+          iters = Pc1Iters)
+        .orderBy("pos"),
+    Some(s"""WITH eq AS (SELECT list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+        FROM embeddings),
+      pst AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM eq),
+      ppi AS (SELECT q, unnest(list_transform(range(1, len(q) + 1),
+          i -> {'i': i - 1, 'qi': q[i]})) AS u FROM eq),
+      ppj AS (SELECT u.i AS i, u.qi AS qi,
+          unnest(list_transform(range(1, len(q) + 1),
+            j -> {'j': j - 1, 'qj': q[j]})) AS w FROM ppi),
+      psm AS (SELECT i, w.j AS j,
+          CAST(SUM(CAST(qi AS HUGEINT) * w.qj) AS HUGEINT) AS sij
+        FROM ppj GROUP BY 1, 2),
+      psv AS (SELECT u.i AS i, CAST(SUM(u.qi) AS HUGEINT) AS si
+        FROM ppi GROUP BY 1),
+      mm AS (SELECT psm.i, psm.j, pst.n * psm.sij - a.si * b.si AS mij
+        FROM psm CROSS JOIN pst
+        JOIN psv a ON a.i = psm.i JOIN psv b ON b.i = psm.j),
+      pd0 AS (SELECT i FROM mm WHERE i = j ORDER BY mij DESC, i LIMIT 1),
+      pv0 AS (SELECT i AS pos,
+          CAST(CASE WHEN i IN (SELECT i FROM pd0) THEN 1 ELSE 0 END
+            AS HUGEINT) AS v FROM psv),
+      ${(1 to Pc1Iters).map(pc1RoundSql).mkString(",\n      ")}
+      SELECT CAST(pos AS BIGINT) AS pos, CAST(v AS BIGINT) AS v
+      FROM pv$Pc1Iters ORDER BY pos""")
+  )
+
   private final val BinDims = 64
 
   /** Oracle fragment: one 32-bit-packed sign word of the 1-bit
@@ -3462,5 +3519,6 @@ object TrainingQ {
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
-    qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid)
+    qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
+    qEmbedPc1)
 }
