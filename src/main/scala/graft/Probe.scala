@@ -1358,7 +1358,7 @@ object Probe {
         val hardSet = model.map(_._1).toSet
         val softSet = modelSoft.map(_._1).toSet
         val agree = (hardSet & softSet).size.toDouble / hardSet.size
-        def nPieces(m: Seq[(String, Double)]): Long =
+        def nPieces(m: Seq[(String, Long)]): Long =
           graft.ops.Unigram.encodeDocs(
               docs.limit(20000), "doc_id", "text", m, 5)
             .select(aggregate(col("pieces"), lit(0L),

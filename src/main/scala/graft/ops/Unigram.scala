@@ -14,41 +14,52 @@ import org.apache.spark.sql.functions._
   * rows (piece counts per round — the classifier's B-row gradient
   * shape).
   *
-  * The algorithm, made deterministic (Viterbi hard-EM, the standard
-  * tractable variant):
+  * EVERY number in training is an exact integer — there is no
+  * floating-point state anywhere, which is what makes the whole
+  * multi-round run replay hash-exactly in the DuckDB oracle
+  * (q_unigram_train / q_unigram_train_soft), closing the gap the
+  * previous `Math.log`-literal design had (libm `ln` is not
+  * ulp-specified across engines):
+  *
+  *  - HARD (Viterbi) EM scores arcs with the quantized log-prob
+  *    `qlp(piece) = qlog2(c_adj) − qlog2(total)` in 2^-16-bit units
+  *    ([[Qlog.qlog2]] — the square-and-shift integer log2 both
+  *    engines compute bit-identically). DP sums and comparisons are
+  *    long arithmetic: exact, total-ordered, portable.
+  *  - SOFT (forward-backward) EM needs products and SUMS of
+  *    probabilities (log-sum-exp is transcendental), so it runs in
+  *    block-floating-point: every mass is `m·2^e` with a 30-bit
+  *    integer mantissa; multiply, add (align-truncate), normalize,
+  *    and posterior division are shifts and integer ops only — the
+  *    softmax-free exact-integer E-step.
+  *
+  * The algorithm, made deterministic:
   *  1. SEED: every substring of length ≤ `maxPieceLen` of every
   *     distinct word, frequency-weighted; vocab = ALL single
-  *     characters (segmentability guarantee: any word can always be
-  *     split char-by-char) + the top multi-character candidates by
-  *     (count DESC, piece ASC) — a total order, engine-portable.
-  *  2. E-STEP: best segmentation of each distinct word under the
-  *     current piece log-probabilities — candidate substrings score
-  *     via a BROADCAST HASH JOIN against the piece table (the
-  *     distributed model lookup; a map-literal element_at would scan
-  *     the whole vocab per lookup), then a per-word Viterbi DP over
-  *     the word's own arc list, expressed ENTIRELY in Catalyst
-  *     higher-order functions — no UDF. Ties (equal scores) resolve
-  *     to the SMALLEST split point — arcs scan in ascending-j order
-  *     with a strict `>`, keeping the first maximum — a fixed total
-  *     order.
-  *  3. M-STEP: piece counts = segmentation occurrences weighted by
-  *     word frequency (one keyed agg on the word table); new
-  *     log-prob = ln(count / total), computed DRIVER-side with
-  *     Math.log and shipped back as literals — within-engine
-  *     deterministic, which is the contract (cross-engine ln() ulp
-  *     drift is why q_unigram_train is rows-only + spec-pinned, the
-  *     BPE precedent, rather than hash-oracled).
-  *  4. PRUNE: drop multi-char pieces the Viterbi never used, then
-  *     shrink geometrically (keep top `max(target, ⌊0.6·current⌋)`
-  *     multi-char pieces per round by (count DESC, piece ASC)) until
-  *     the target vocab size — SentencePiece's gradual-prune
-  *     schedule, deterministically.
+  *     characters (segmentability guarantee) + the top multi-char
+  *     candidates by (count DESC, piece ASC in UTF-8 byte order — the
+  *     collation Spark's ORDER BY and DuckDB's binary collation
+  *     share; driver-side tie-breaks use [[Qlog.u8Less]] for the
+  *     same reason).
+  *  2. E-STEP: per distinct word, candidate substrings score via a
+  *     BROADCAST HASH JOIN against the piece table, then a per-word
+  *     DP over the word's own arc list, ENTIRELY in Catalyst
+  *     higher-order functions — no UDF. Hard: Viterbi argmax, ties
+  *     to the smallest split point (ascending-j scan, strict `>`).
+  *     Soft: forward-backward posteriors, quantized to 2^-20
+  *     occurrence units per arc.
+  *  3. M-STEP: piece counts = (expected) segmentation occurrences
+  *     weighted by word frequency — one keyed agg on the word table;
+  *     new scores derived driver-side from the integer counts.
+  *  4. PRUNE: drop multi-char pieces with zero mass, then shrink
+  *     geometrically (keep top `max(target, ⌊0.6·current⌋)` by
+  *     (count DESC, piece ASC)) until the target vocab size.
   *
-  * Single characters are Laplace-smoothed (+1) so no TRAINING char
-  * ever gets probability zero; a char never seen in training has no
-  * piece at all, and apply-time segmentation keeps such a token's
-  * unsegmentable prefix whole — the deterministic <unk> fallback
-  * (see [[segmented]]).
+  * Single characters are Laplace-smoothed (+1 occurrence unit) so no
+  * TRAINING char ever gets probability zero; a char never seen in
+  * training has no piece at all, and apply-time segmentation keeps
+  * such a token's unsegmentable prefix whole — the deterministic
+  * <unk> fallback (see [[segmented]]).
   *
   * Scale: seed counting explodes ≤ len·maxPieceLen substrings per
   * DISTINCT word (vocab-table-sized ×~100, not corpus-sized); each EM
@@ -60,7 +71,16 @@ import org.apache.spark.sql.functions._
   */
 object Unigram {
 
-  private val Neg = -1.0e18
+  /** Quantized −∞ sentinel for the hard DP (−2^61: adding any real
+    * arc score cannot overflow, and no reachable path score ever
+    * comes near it). The DuckDB oracle uses the same literal.
+    */
+  private[graft] val NegQ: Long = -(1L << 61)
+
+  /** Occurrence unit of SOFT expected counts: 2^-20 of one
+    * occurrence (so soft counts are longs; hard counts use unit 1).
+    */
+  private[graft] val SoftScale: Long = 1L << 20
 
   /** Distinct-word frequency table `(w, wf)` — the ONE corpus-shaped
     * aggregation; everything in training iterates over this.
@@ -91,8 +111,11 @@ object Unigram {
     * length ≤ maxPieceLen before truncating — at web scale
     * (≳100 M distinct words) hundreds of millions of driver rows,
     * dwarfing the model-sized collects everything else here is
-    * bounded to. The selected set is bit-identical (same total
-    * order, piece names distinct so the tie-break is total).
+    * bounded to. The piece tie-break is Spark's string ORDER BY =
+    * unsigned UTF-8 byte order, which is also DuckDB's binary
+    * collation — the oracle replays it verbatim. (Java's
+    * `String.compareTo` would differ on supplementary-plane text;
+    * nothing driver-side uses it — see [[Qlog.u8Less]].)
     * Returns (charSeeds, topMulti); driver rows ≤ |alphabet| +
     * nTarget·seedMultiplier by construction.
     */
@@ -112,23 +135,43 @@ object Unigram {
     } finally { subs.unpersist(); () }
   }
 
+  /** (count DESC, piece ASC in UTF-8 byte order) — the driver-side
+    * mirror of the engines' total order, used by every prune.
+    */
+  private def byCountDescPieceAsc(a: (String, Long), b: (String, Long)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && Qlog.u8Less(a._1, b._1))
+
+  /** Quantized log-probabilities of a count table: qlp(p) =
+    * qlog2(c_adj) − qlog2(Σ c_adj), c_adj = c + unit for single
+    * chars (Laplace). `unit` is 1 for hard counts, [[SoftScale]]
+    * for soft. All longs; the oracle recomputes the identical
+    * integers with the [[Qlog]] recursive CTE.
+    */
+  private[graft] def qlogProbs(m: Map[String, Long], unit: Long): Map[String, Long] = {
+    val adj = m.map { case (p, c) =>
+      p -> (if (p.length == 1) c + unit else c) }
+    val qt = Qlog.qlog2(adj.values.sum)
+    adj.map { case (p, c) => p -> (Qlog.qlog2(c) - qt) }
+  }
+
   /** The Viterbi DP table for word `w` given its ARC LIST (the
-    * (i, j, lp) triples of in-vocab substrings, sorted by (i, j) —
-    * see [[segmented]] for why arcs instead of a map literal): array
-    * (1-indexed, position p at element p+1) of `(s: best score to
-    * prefix p, b: split point)`. Nested aggregate: outer over
-    * positions, inner over that position's arcs; the ascending-j arc
-    * order plus the strict `>` keeps the SMALLEST split point on
-    * ties — the documented total order.
+    * (i, j, lp) triples of in-vocab substrings, lp a quantized-long
+    * score, sorted by (i, j) — see [[segmented]] for why arcs instead
+    * of a map literal): array (1-indexed, position p at element p+1)
+    * of `(s: best score to prefix p, b: split point)`. Nested
+    * aggregate: outer over positions, inner over that position's
+    * arcs; the ascending-j arc order plus the strict `>` keeps the
+    * SMALLEST split point on ties — a fixed total order, exact on
+    * longs.
     */
   private def dpExpr(w: Column, arcs: Column): Column =
     aggregate(
       sequence(lit(1), length(w)),
-      array(struct(lit(0.0).as("s"), lit(-1).as("b"))),
+      array(struct(lit(0L).as("s"), lit(-1).as("b"))),
       (acc, i) => concat(acc, array(
         aggregate(
           filter(arcs, a => a.getField("i") === i),
-          struct(lit(Neg).as("s"), lit(-1).as("b")),
+          struct(lit(NegQ).as("s"), lit(-1).as("b")),
           (best, a) => {
             val cand = element_at(acc, a.getField("j") + 1).getField("s") +
               a.getField("lp")
@@ -158,36 +201,17 @@ object Unigram {
       },
       st => st.getField("ps"))
 
-  /** Best segmentation of every word in `words` under model `lp`:
-    * adds `_ug_pieces` (array<string>).
-    *
-    * The model lookup is a BROADCAST HASH JOIN, not a map literal:
-    * `element_at` on a map literal is a LINEAR scan of the map per
-    * lookup (O(vocab) each — measured 23 s/EM round at 8k pieces
-    * against 10k words before this restructure), so the candidate
-    * substrings (`(word, i, j, piece)` arcs — ≤ len·maxPieceLen per
-    * word) explode map-side, join the broadcast piece table for O(1)
-    * per-arc scoring, and collapse back to one sorted arc list per
-    * word. The DP then runs over each word's own arcs. The DP column
-    * is materialized before backtracking so it evaluates once per
-    * word.
-    *
-    * A word containing a substring no piece covers (possible only in
-    * APPLY data — training seeds every observed char) backtracks to
-    * the `-1` sentinel and keeps its unsegmentable prefix WHOLE — the
-    * deterministic <unk> fallback.
+  /** Candidate arcs of every distinct value of `wCol`:
+    * `(_ug_w, i, j, piece)` rows, piece = substr(w, j+1, i−j),
+    * 1 ≤ i−j ≤ maxPieceLen. The shared front half of both E-steps:
+    * the arcs join the broadcast model table for O(1) per-arc scoring
+    * (`element_at` on a map literal is a LINEAR scan of the map per
+    * lookup — measured 23 s/EM round at 8k pieces before this
+    * restructure).
     */
-  /** Attach each word's sorted in-vocab arc list `_ug_arcs`
-    * (`array<struct<i,j,lp>>`, sorted by (i, j)) via the broadcast
-    * hash join — the shared E-step front half of [[segmented]]
-    * (Viterbi) and [[trainSoft]] (forward-backward).
-    */
-  private def withArcs(words: DataFrame, wCol: String,
-      lp: Map[String, Double], maxPieceLen: Int): DataFrame = {
-    val spark = words.sparkSession
-    import spark.implicits._
-    val lpDf = broadcast(lp.toSeq.toDF("_ug_piece", "_ug_lp"))
-    val cand = words.select(col(wCol).as("_ug_w")).distinct()
+  private def candArcs(words: DataFrame, wCol: String,
+      maxPieceLen: Int): DataFrame =
+    words.select(col(wCol).as("_ug_w")).distinct()
       .select(col("_ug_w"), explode(flatten(
         transform(sequence(lit(1), length(col("_ug_w"))), i =>
           transform(sequence(greatest(lit(0), i - maxPieceLen), i - 1), j =>
@@ -195,48 +219,70 @@ object Unigram {
               col("_ug_w").substr(j + 1, i - j).as("piece")))))).as("a"))
       .select(col("_ug_w"), col("a.i").as("i"), col("a.j").as("j"),
         col("a.piece").as("piece"))
-    val arcs = cand.join(lpDf, cand("piece") === lpDf("_ug_piece"))
+
+  /** Attach each word's sorted in-vocab arc list `_ug_arcs` via the
+    * broadcast hash join; `mkVal` provides the per-arc model payload
+    * columns from the joined model row (hard: `lp`; soft: `pm`/`pe`).
+    */
+  private def withArcsBy(words: DataFrame, wCol: String,
+      modelDf: DataFrame, arcStructType: String,
+      mkVal: Seq[Column], maxPieceLen: Int): DataFrame = {
+    val cand = candArcs(words, wCol, maxPieceLen)
+    val arcs = cand.join(broadcast(modelDf),
+        cand("piece") === modelDf("_ug_piece"))
       .groupBy("_ug_w")
       .agg(array_sort(collect_list(
-        struct(col("i"), col("j"), col("_ug_lp").as("lp")))).as("_ug_arcs"))
+        struct(col("i") +: col("j") +: mkVal: _*))).as("_ug_arcs"))
     words.join(arcs, col(wCol) === col("_ug_w"), "left")
       .drop("_ug_w")
       .withColumn("_ug_arcs", coalesce(col("_ug_arcs"),
-        array().cast("array<struct<i:int,j:int,lp:double>>")))
+        array().cast(s"array<$arcStructType>")))
   }
 
+  private def withArcs(words: DataFrame, wCol: String,
+      lp: Map[String, Long], maxPieceLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    withArcsBy(words, wCol, lp.toSeq.toDF("_ug_piece", "_ug_lp"),
+      "struct<i:int,j:int,lp:bigint>",
+      Seq(col("_ug_lp").as("lp")), maxPieceLen)
+  }
+
+  /** Best segmentation of every word in `words` under quantized
+    * model `lp`: adds `_ug_pieces` (array<string>). The DP column is
+    * materialized before backtracking so it evaluates once per word.
+    *
+    * A word containing a substring no piece covers (possible only in
+    * APPLY data — training seeds every observed char) backtracks to
+    * the `-1` sentinel and keeps its unsegmentable prefix WHOLE — the
+    * deterministic <unk> fallback.
+    */
   def segmented(words: DataFrame, wCol: String,
-      lp: Map[String, Double], maxPieceLen: Int): DataFrame =
+      lp: Map[String, Long], maxPieceLen: Int): DataFrame =
     withArcs(words, wCol, lp, maxPieceLen)
       .withColumn("_ug_dp", dpExpr(col(wCol), col("_ug_arcs")))
       .withColumn("_ug_pieces", piecesExpr(col(wCol), col("_ug_dp")))
       .drop("_ug_dp", "_ug_arcs")
 
-  /** Train the unigram LM: returns the final model as
-    * `(piece, count, logp)` rows, count DESC then piece ASC. The
-    * model is driver-sized BY DESIGN (it IS the tokenizer artifact,
-    * like [[TextOps.bpeTrain]]'s merge list); [[encode]] compiles it
-    * back into a projection for corpus-scale application.
+  /** Train the unigram LM (hard/Viterbi EM): returns the final model
+    * as `(piece, count, qlp)` rows, count DESC then piece ASC; qlp is
+    * the quantized log2-prob ([[qlogProbs]]). The model is
+    * driver-sized BY DESIGN (it IS the tokenizer artifact, like
+    * [[TextOps.bpeTrain]]'s merge list); [[encode]] compiles it back
+    * into a projection for corpus-scale application.
     */
   def train(docs: DataFrame, textCol: String, vocabSize: Int,
       iters: Int, maxPieceLen: Int = 6,
-      seedMultiplier: Int = 4): Seq[(String, Long, Double)] = {
+      seedMultiplier: Int = 4): Seq[(String, Long, Long)] = {
     require(vocabSize > 0 && iters > 0 && maxPieceLen >= 2)
     val words = wordTable(docs, textCol).localCheckpoint()
     val (charSeeds, topMulti) =
       seedCandidates(words, maxPieceLen, vocabSize, seedMultiplier)
     val nTarget = math.max(0, vocabSize - charSeeds.length)
-    // state: (piece -> count); chars Laplace-smoothed below
     var counts: Map[String, Long] =
       (charSeeds ++ topMulti).map { case (p, c) => p -> c }.toMap
-    def logProbs(m: Map[String, Long]): Map[String, Double] = {
-      val adj = m.map { case (p, c) =>
-        p -> (if (p.length == 1) c + 1L else c) }
-      val total = adj.values.sum.toDouble
-      adj.map { case (p, c) => p -> Math.log(c / total) }
-    }
     for (round <- 1 to iters) {
-      val seg = segmented(words, "w", logProbs(counts), maxPieceLen)
+      val seg = segmented(words, "w", qlogProbs(counts, 1L), maxPieceLen)
         .select(col("wf"), explode(col("_ug_pieces")).as("piece"))
         .groupBy("piece").agg(sum(col("wf")).as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -249,106 +295,178 @@ object Unigram {
         .map(p => p -> seg.getOrElse(p, 0L)).filter(_._2 > 0L).toSeq
       val keep = math.max(nTarget,
         if (round == iters) nTarget else (multisNow.size * 6) / 10)
-      val kept = multisNow.sortBy { case (p, c) => (-c, p) }.take(keep)
+      val kept = multisNow.sortWith(byCountDescPieceAsc).take(keep)
       counts = (chars ++ kept).toMap
     }
-    val lp = logProbs(counts)
+    val lp = qlogProbs(counts, 1L)
     counts.toSeq.map { case (p, c) => (p, c, lp(p)) }
-      .sortBy { case (p, c, _) => (-c, p) }
+      .sortWith((a, b) => byCountDescPieceAsc((a._1, a._2), (b._1, b._2)))
   }
 
-  // ---- SOFT (forward-backward) EM — the real SentencePiece E-step,
-  // made deterministic by integer-quantizing each arc's expected
-  // count before the distributed sum (the kmeans recipe applied to
-  // posterior mass; double sums are partition-order-dependent,
-  // quantized long sums are exact) ----
+  // ---- SOFT (forward-backward) EM in BLOCK-FLOATING-POINT — the
+  // real SentencePiece E-step with an all-integer arithmetic core:
+  // probabilities and path masses are (m, e) pairs, value = m·2^e,
+  // m = 0 or m ∈ [2^29, 2^30). Multiply = long multiply + normalize;
+  // add = align-exponents (truncating the smaller) + add + normalize;
+  // posterior = shift + floor division. Every op is exact integer
+  // arithmetic with deterministic truncation, so the distributed sum
+  // of per-arc expected counts is exact AND the whole run replays in
+  // DuckDB with the same shifts (q_unigram_train_soft). ----
 
-  /** Expected-count quantization: one unit = 2^-20 of an occurrence.
-    * Σ over a word's arcs of its posterior mass is ≤ len(word), so
-    * the rounding error per word is ≤ len·2^-21 occurrences —
-    * invisible next to corpus-frequency scales.
+  private val MantBits = 30
+
+  private def bZero: Column = struct(lit(0L).as("m"), lit(0).as("e"))
+
+  private def shl(x: Column, n: Column): Column =
+    call_function("shiftleft", x, n)
+  private def shr(x: Column, n: Column): Column =
+    call_function("shiftright", x, n)
+
+  /** Normalize a non-negative (m ≤ 2^62, e) to canonical form.
+    * `length(bin(m))` is the bit length — the same expression DuckDB
+    * evaluates. Shift amounts are bounded (≤ 32) by construction.
     */
-  private val SoftScale = 1L << 20
+  private def bNorm(m: Column, e: Column): Column = {
+    val s = (length(bin(m)) - MantBits).cast("int")
+    when(m === 0L, bZero).otherwise(struct(
+      when(s > 0, shr(m, s)).when(s < 0, shl(m, -s)).otherwise(m).as("m"),
+      (e + s).as("e")))
+  }
 
-  /** log(e^a + e^b) with the −1e18 sentinel as −∞; max-shifted so it
-    * is finite-safe. Evaluation order is fixed by the arc-list fold,
-    * so the double result is engine-deterministic (and replicated
-    * op-for-op by the plain-Scala spec pin).
+  private def bMul(a: Column, b: Column): Column =
+    when(a.getField("m") === 0L || b.getField("m") === 0L, bZero)
+      .otherwise(bNorm(a.getField("m") * b.getField("m"),
+        a.getField("e") + b.getField("e")))
+
+  /** ORDER-FREE k-ary add of a term list: every non-zero term's
+    * mantissa shifts right to the group's maximum exponent (clamp 62
+    * — both engines' shifts are only specified below the word size)
+    * and the long sum renormalizes once. Align-to-max makes the
+    * truncation a function of the term SET, not the visit order —
+    * the addition is exactly associative/commutative, so no fold
+    * order needs pinning anywhere (a sequential truncating add would
+    * be order-dependent, and DuckDB 1.0's list_reduce additionally
+    * mis-evaluates repeated accumulator subexpressions — measured,
+    * see UnigramOracle). Sum headroom: ≤ maxPieceLen mantissas of
+    * < 2^30 each, far under 2^62.
     */
-  private def lseMerge(a: Column, b: Column): Column =
-    when(a === lit(Neg), b).otherwise(when(b === lit(Neg), a)
-      .otherwise(greatest(a, b) +
-        log(exp(a - greatest(a, b)) + exp(b - greatest(a, b)))))
+  private def bSum(terms: Column): Column = {
+    val zf = filter(terms, t => t.getField("m") =!= 0L)
+    val emax = array_max(transform(zf, t => t.getField("e")))
+    val msum = aggregate(zf, lit(0L), (s, x) =>
+      s + shr(x.getField("m"), least(emax - x.getField("e"), lit(62))))
+    when(size(zf) === 0, bZero).otherwise(bNorm(msum, emax))
+  }
 
-  /** Forward log-masses: array, element p+1 = logα[p] (total log
-    * probability of all segmentations of the prefix ending at p).
+  /** Driver-side bfp of c/ct (0 < c ≤ ct): mantissas truncate to 30
+    * bits, quotient = floor((mc·2^29)/mt) then normalized. The SQL
+    * twin computes the identical integers.
+    */
+  private[graft] def bfpDiv(c: Long, ct: Long): (Long, Int) = {
+    def norm(m0: Long, e0: Int): (Long, Int) = {
+      if (m0 == 0L) (0L, 0)
+      else {
+        val s = (64 - java.lang.Long.numberOfLeadingZeros(m0)) - MantBits
+        (if (s >= 0) m0 >> s else m0 << -s, e0 + s)
+      }
+    }
+    val (mc, ec) = norm(c, 0)
+    val (mt, et) = norm(ct, 0)
+    norm((mc << (MantBits - 1)) / mt, ec - et - (MantBits - 1))
+  }
+
+  private def withArcsSoft(words: DataFrame, wCol: String,
+      probs: Map[String, (Long, Int)], maxPieceLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val pDf = probs.toSeq.map { case (p, (m, e)) => (p, m, e) }
+      .toDF("_ug_piece", "_ug_pm", "_ug_pe")
+    withArcsBy(words, wCol, pDf,
+      "struct<i:int,j:int,pm:bigint,pe:int>",
+      Seq(col("_ug_pm").as("pm"), col("_ug_pe").as("pe")), maxPieceLen)
+  }
+
+  private def arcProb(a: Column): Column =
+    struct(a.getField("pm").as("m"), a.getField("pe").as("e"))
+
+  private def bOne: Column =
+    struct(lit(1L << (MantBits - 1)).as("m"), lit(-(MantBits - 1)).as("e"))
+
+  /** Forward masses: array, element p+1 = α[p] as bfp struct (total
+    * probability mass of all segmentations of the prefix ending at
+    * p) — the position's incoming-arc terms summed with the
+    * order-free [[bSum]].
     */
   private def alphaExpr(w: Column, arcs: Column): Column =
     aggregate(
       sequence(lit(1), length(w)),
-      array(lit(0.0)),
+      array(bOne),
       (acc, i) => concat(acc, array(
-        aggregate(
+        bSum(transform(
           filter(arcs, a => a.getField("i") === i),
-          lit(Neg),
-          (s, a) => lseMerge(s,
-            element_at(acc, a.getField("j") + 1) + a.getField("lp"))))))
+          a => bMul(element_at(acc, a.getField("j") + 1), arcProb(a)))))))
 
-  /** Backward log-masses, built end-first: element m = logβ[n−m+1],
-    * so logβ[i] sits at index n−i+1 (available when needed — the
-    * fold at position p = n−k only references i > p).
+  /** Backward masses, built end-first: element m = β[n−m+1], so β[i]
+    * sits at index n−i+1.
     */
   private def betaExpr(w: Column, arcs: Column): Column = {
     val n = length(w)
     aggregate(
       sequence(lit(1), n),
-      array(lit(0.0)),
+      array(bOne),
       (acc, k) => {
         val p = n - k
         concat(acc, array(
-          aggregate(
+          bSum(transform(
             filter(arcs, a => a.getField("j") === p),
-            lit(Neg),
-            (s, a) => lseMerge(s,
-              a.getField("lp") + element_at(acc, n - a.getField("i") + 1)))))
+            a => bMul(arcProb(a), element_at(acc, n - a.getField("i") + 1))))))
       })
   }
 
-  /** Per-arc posterior mass, quantized: (piece, q) with
-    * q = round(exp(α[j] + lp + β[i] − logZ) · 2^20) — a long, so the
-    * downstream per-piece sum is exact and order-invariant.
-    * Unsegmentable words (logZ = −∞) contribute zero.
+  /** Per-arc posterior mass, quantized to [[SoftScale]] units:
+    * q = floor( (α[j]·p·β[i] / Z) · 2^20 ) via shift-and-divide on
+    * the bfp pair — num = (α[j]⊗p)⊗β[i], Z = α[n], t = e_num − e_Z
+    * + 20, q = num.m·2^t / Z.m with the shift clamped at 33 (q ≤ ~2^21
+    * by posterior ≤ 1, so the clamp is unreachable headroom, and
+    * 2^30 << 33 stays in-range on both engines). Unsegmentable words
+    * (Z = 0) contribute zero.
     */
   private def expectedArcCounts(w: Column, arcs: Column,
       alpha: Column, beta: Column): Column = {
     val n = length(w)
-    val logZ = element_at(alpha, n + 1)
-    transform(arcs, a => struct(
-      w.substr(a.getField("j") + 1, a.getField("i") - a.getField("j"))
-        .as("piece"),
-      when(logZ === lit(Neg), lit(0L)).otherwise(
-        round(exp(element_at(alpha, a.getField("j") + 1) + a.getField("lp")
-          + element_at(beta, n - a.getField("i") + 1) - logZ)
-          * lit(SoftScale.toDouble)).cast("long")).as("q")))
+    val z = element_at(alpha, n + 1)
+    transform(arcs, a => {
+      val num = bMul(bMul(element_at(alpha, a.getField("j") + 1),
+        arcProb(a)), element_at(beta, n - a.getField("i") + 1))
+      val t = (num.getField("e") - z.getField("e") + 20).cast("int")
+      val q = when(num.getField("m") === 0L || z.getField("m") === 0L, lit(0L))
+        .when(t >= 0,
+          call_function("div", shl(num.getField("m"), least(t, lit(33))),
+            z.getField("m")))
+        .when(-t > 33, lit(0L))
+        .otherwise(call_function("div", num.getField("m"),
+          shl(z.getField("m"), -t)))
+      struct(
+        w.substr(a.getField("j") + 1, a.getField("i") - a.getField("j"))
+          .as("piece"),
+        q.as("q"))
+    })
   }
 
   /** [[train]] with the FULL (soft) EM E-step: expected piece counts
-    * over ALL segmentations via forward-backward, instead of
-    * Viterbi's single best path — the actual SentencePiece update
-    * rule (Kudo 2018, §3.2). Same seeding, same gradual prune, same
-    * Laplace smoothing (in quantized units), same total orders; the
-    * per-round distributed work is the same arc join plus two more
-    * HOF passes (α, β) over each word's arcs. Counts are returned in
-    * 2^20 units. Determinism: the only double arithmetic (LSE,
-    * posterior exp) happens INSIDE one row's fixed-order fold; the
-    * cross-row aggregation sums quantized longs. TrainingSpec pins
-    * the whole run against an independent plain-Scala
-    * forward-backward; the `unigram_soft` probe records the
-    * hard-vs-soft model and encode deltas.
+    * over ALL segmentations via forward-backward — the actual
+    * SentencePiece update rule (Kudo 2018, §3.2) — in the
+    * block-floating-point integer arithmetic described on the
+    * object: no floats anywhere, so the run is hash-oracle-exact.
+    * Same seeding, same gradual prune, same Laplace smoothing (in
+    * [[SoftScale]] units), same total orders; the per-round
+    * distributed work is the same arc join plus two more HOF passes
+    * (α, β) over each word's arcs. Counts are returned in 2^20
+    * units; qlp is the quantized log2-prob of the final counts.
     */
   def trainSoft(docs: DataFrame, textCol: String, vocabSize: Int,
       iters: Int, maxPieceLen: Int = 6,
-      seedMultiplier: Int = 4): Seq[(String, Long, Double)] = {
+      seedMultiplier: Int = 4): Seq[(String, Long, Long)] = {
     require(vocabSize > 0 && iters > 0 && maxPieceLen >= 2)
     val words = wordTable(docs, textCol).localCheckpoint()
     val (charSeeds, topMulti) =
@@ -356,14 +474,14 @@ object Unigram {
     val nTarget = math.max(0, vocabSize - charSeeds.length)
     var counts: Map[String, Long] = (charSeeds ++ topMulti)
       .map { case (p, c) => p -> c * SoftScale }.toMap
-    def logProbs(m: Map[String, Long]): Map[String, Double] = {
+    def probs(m: Map[String, Long]): Map[String, (Long, Int)] = {
       val adj = m.map { case (p, c) =>
         p -> (if (p.length == 1) c + SoftScale else c) }
-      val total = adj.values.sum.toDouble
-      adj.map { case (p, c) => p -> Math.log(c / total) }
+      val total = adj.values.sum
+      adj.map { case (p, c) => p -> bfpDiv(c, total) }
     }
     for (round <- 1 to iters) {
-      val seg = withArcs(words, "w", logProbs(counts), maxPieceLen)
+      val seg = withArcsSoft(words, "w", probs(counts), maxPieceLen)
         .withColumn("_ug_alpha", alphaExpr(col("w"), col("_ug_arcs")))
         .withColumn("_ug_beta", betaExpr(col("w"), col("_ug_arcs")))
         .select(col("wf"), explode(expectedArcCounts(col("w"),
@@ -379,11 +497,11 @@ object Unigram {
       val keep = math.max(nTarget,
         if (round == iters) nTarget else (multisNow.size * 6) / 10)
       counts = (chars ++
-        multisNow.sortBy { case (p, c) => (-c, p) }.take(keep)).toMap
+        multisNow.sortWith(byCountDescPieceAsc).take(keep)).toMap
     }
-    val lp = logProbs(counts)
+    val lp = qlogProbs(counts, SoftScale)
     counts.toSeq.map { case (p, c) => (p, c, lp(p)) }
-      .sortBy { case (p, c, _) => (-c, p) }
+      .sortWith((a, b) => byCountDescPieceAsc((a._1, a._2), (b._1, b._2)))
   }
 
   /** Per-token arc list built from a MAP LITERAL — the inline-lambda
@@ -399,16 +517,16 @@ object Unigram {
             element_at(lp, w.substr(j + 1, i - j)).as("lp"))))),
       a => a.getField("lp").isNotNull)
 
-  /** Column-level application of a trained model: per token, its
-    * Viterbi segmentation — `array<array<string>>`, the
-    * [[TextOps.bpeEncode]] output contract, as ONE expression.
+  /** Column-level application of a trained model (quantized scores):
+    * per token, its Viterbi segmentation — `array<array<string>>`,
+    * the [[TextOps.bpeEncode]] output contract, as ONE expression.
     * Carries the model as a map literal whose lookups are linear
     * scans (and re-inlines the DP in backtracking — lambdas can't
     * materialize columns), so this is the SMALL-MODEL face; the
     * corpus-scale face is [[encodeDocs]], whose model lookup is the
     * same broadcast join [[segmented]] uses.
     */
-  def encode(text: Column, model: Seq[(String, Double)],
+  def encode(text: Column, model: Seq[(String, Long)],
       maxPieceLen: Int): Column = {
     val lpLit = typedLit(model.toMap)
     transform(TextOps.tokens(text), tok =>
@@ -427,7 +545,7 @@ object Unigram {
     * yield an empty pieces array.
     */
   def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
-      model: Seq[(String, Double)], maxPieceLen: Int): DataFrame = {
+      model: Seq[(String, Long)], maxPieceLen: Int): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("_ug_pos", "_ug_tok")))
     val segs = segmented(

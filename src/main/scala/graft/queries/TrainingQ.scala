@@ -2496,11 +2496,13 @@ object TrainingQ {
     * substrings, Viterbi hard-EM over the distinct-word table (the
     * per-word DP is pure Catalyst higher-order functions — one
     * codegen projection per round), gradual prune to the target
-    * vocab. Rows-only like its BPE siblings: the per-round log-probs
-    * are driver-computed ln() literals, deterministic within-engine
-    * but not cross-engine replayable; TrainingSpec pins the ENTIRE
-    * training run against an independent plain-Scala Viterbi-EM
-    * implementation instead.
+    * vocab. HASH-ORACLED since round 13: arc scores are quantized
+    * integer log2s ([[graft.ops.Qlog.qlog2]]), so the whole 3-round
+    * run has no floating-point state and [[UnigramOracle.hardSql]]
+    * replays it in DuckDB CTE-for-CTE (recursive qlog2 + per-word
+    * Viterbi DP + backtrack + prune, per round). TrainingSpec
+    * additionally pins the run against an independent plain-Scala
+    * Viterbi-EM implementation.
     */
   val qUnigramTrain = Q(
     "q_unigram_train",
@@ -2508,10 +2510,10 @@ object TrainingQ {
       import spark.implicits._
       graft.ops.Unigram.train(Tables.documents(spark, dir), "text",
           vocabSize = 120, iters = 3, maxPieceLen = 5)
-        .toDF("piece", "cnt", "logp")
+        .toDF("piece", "cnt", "qlp")
         .orderBy(col("cnt").desc, col("piece"))
     },
-    None
+    Some(UnigramOracle.hardSql(vocabSize = 120, iters = 3, maxPieceLen = 5))
   )
 
   /** Unigram-LM training with the FULL (soft) EM E-step
@@ -2523,9 +2525,13 @@ object TrainingQ {
     * Measured head-to-head (PERF.md round-11): no slower than
     * Viterbi hard-EM (the backtrack pass disappears), ~90% final
     * vocab agreement, and ~3% FEWER encode pieces — the better
-    * estimator compresses better. Rows-only for the same ln-literal
-    * reason as its siblings; TrainingSpec pins the whole run against
-    * an independent plain-Scala forward-backward.
+    * estimator compresses better. HASH-ORACLED since round 13: the
+    * E-step runs in block-floating-point integer arithmetic (30-bit
+    * mantissa/exponent pairs — multiply, align-truncate add,
+    * shift-and-divide posterior; no transcendentals anywhere), so
+    * [[UnigramOracle.softSql]] replays the whole run in DuckDB with
+    * the identical shifts. TrainingSpec additionally pins the run
+    * against an independent plain-Scala forward-backward.
     */
   val qUnigramTrainSoft = Q(
     "q_unigram_train_soft",
@@ -2533,19 +2539,21 @@ object TrainingQ {
       import spark.implicits._
       graft.ops.Unigram.trainSoft(Tables.documents(spark, dir), "text",
           vocabSize = 120, iters = 3, maxPieceLen = 5)
-        .toDF("piece", "cnt", "logp")
+        .toDF("piece", "cnt", "qlp")
         .orderBy(col("cnt").desc, col("piece"))
     },
-    None
+    Some(UnigramOracle.softSql(vocabSize = 120, iters = 3, maxPieceLen = 5))
   )
 
   /** Corpus-scale ENCODE with the model [[qUnigramTrain]] learns
     * ([[graft.ops.Unigram.encode]]): the trained (piece, logp) table
     * travels as a plan literal and every document segments in one
     * map-side projection — per-doc subword stats plus the first
-    * word's segmentation. Rows-only for the same reason as the
-    * trainer; TrainingSpec pins encode's Viterbi against hand-scored
-    * segmentations.
+    * word's segmentation. HASH-ORACLED since round 13:
+    * [[UnigramOracle.encodeSql]] replays training, segments the
+    * distinct words under the final model, and reassembles documents
+    * in token order. TrainingSpec pins encode's Viterbi against
+    * hand-scored segmentations.
     */
   val qUnigramEncode = Q(
     "q_unigram_encode",
@@ -2562,7 +2570,7 @@ object TrainingQ {
             .as("first_word_pieces"))
         .orderBy("doc_id")
     },
-    None
+    Some(UnigramOracle.encodeSql(vocabSize = 120, iters = 3, maxPieceLen = 5))
   )
 
   /** Corpus-scale ENCODE with the merges [[qBpeTrain]] learns

@@ -692,11 +692,42 @@ class TrainingSpec extends AnyFunSuite {
   }
 
   // ---- independent plain-Scala replica of Unigram's Viterbi-EM
-  // trainer (no Spark; same seed/tie-break/prune/smoothing recipe) ----
-  private def plainUnigramTrain(docs: Seq[String], vocabSize: Int,
-      iters: Int, maxPieceLen: Int,
-      seedMultiplier: Int = 4): Seq[(String, Long, Double)] = {
-    val Neg = -1.0e18
+  // trainer (no Spark; same seed/tie-break/prune/smoothing recipe,
+  // same quantized-integer scoring — qlog2 reimplemented from its
+  // square-and-shift spec, not imported) ----
+  private def refQlog2(n: Long): Long = {
+    require(n > 0)
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var x = n.toDouble / (1L << e).toDouble
+    var acc = e.toLong
+    for (_ <- 0 until 16) {
+      val y = x * x
+      if (y >= 2.0) { acc = acc * 2 + 1; x = y / 2 }
+      else { acc = acc * 2; x = y }
+    }
+    acc
+  }
+  private def refU8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < math.min(x.length, y.length)) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+  private def refPieceOrd(a: (String, Long), b: (String, Long)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && refU8Less(a._1, b._1))
+  private def refQlogProbs(m: Map[String, Long], unit: Long): Map[String, Long] = {
+    val adj = m.map { case (p, c) =>
+      p -> (if (p.length == 1) c + unit else c) }
+    val qt = refQlog2(adj.values.sum)
+    adj.map { case (p, c) => p -> (refQlog2(c) - qt) }
+  }
+  private def refWordsAndSeeds(docs: Seq[String], vocabSize: Int,
+      maxPieceLen: Int, seedMultiplier: Int)
+      : (Map[String, Long], Seq[(String, Long)], Seq[(String, Long)], Int) = {
     val words: Map[String, Long] = docs
       .flatMap(_.trim.split(" ", -1).filter(_.nonEmpty))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -709,22 +740,24 @@ class TrainingSpec extends AnyFunSuite {
     }
     val (charSeeds, multiSeeds) = subCounts.toSeq.partition(_._1.length == 1)
     val nTarget = math.max(0, vocabSize - charSeeds.length)
-    val topMulti = multiSeeds.sortBy { case (p, c) => (-c, p) }
+    val topMulti = multiSeeds.sortWith(refPieceOrd)
       .take(nTarget * seedMultiplier)
+    (words, charSeeds, topMulti, nTarget)
+  }
+  private def plainUnigramTrain(docs: Seq[String], vocabSize: Int,
+      iters: Int, maxPieceLen: Int,
+      seedMultiplier: Int = 4): Seq[(String, Long, Long)] = {
+    val NegQ = -(1L << 61)
+    val (words, charSeeds, topMulti, nTarget) =
+      refWordsAndSeeds(docs, vocabSize, maxPieceLen, seedMultiplier)
     var counts: Map[String, Long] = (charSeeds ++ topMulti).toMap
-    def logProbs(m: Map[String, Long]): Map[String, Double] = {
-      val adj = m.map { case (p, c) =>
-        p -> (if (p.length == 1) c + 1L else c) }
-      val total = adj.values.sum.toDouble
-      adj.map { case (p, c) => p -> Math.log(c / total) }
-    }
-    def viterbi(w: String, lp: Map[String, Double]): List[String] = {
+    def viterbi(w: String, lp: Map[String, Long]): List[String] = {
       val n = w.length
-      val best = Array.fill(n + 1)(Neg)
+      val best = Array.fill(n + 1)(NegQ)
       val back = Array.fill(n + 1)(-1)
-      best(0) = 0.0
+      best(0) = 0L
       for (i <- 1 to n; j <- math.max(0, i - maxPieceLen) until i) {
-        val cand = best(j) + lp.getOrElse(w.substring(j, i), Neg)
+        val cand = best(j) + lp.getOrElse(w.substring(j, i), NegQ)
         if (cand > best(i)) { best(i) = cand; back(i) = j }
       }
       var p = n
@@ -733,7 +766,7 @@ class TrainingSpec extends AnyFunSuite {
       ps.toList
     }
     for (round <- 1 to iters) {
-      val lp = logProbs(counts)
+      val lp = refQlogProbs(counts, 1L)
       val seg = scala.collection.mutable.Map[String, Long]()
         .withDefaultValue(0L)
       words.foreach { case (w, wf) =>
@@ -744,70 +777,86 @@ class TrainingSpec extends AnyFunSuite {
       val keep = math.max(nTarget,
         if (round == iters) nTarget else (multisNow.size * 6) / 10)
       counts = (chars ++
-        multisNow.sortBy { case (p, c) => (-c, p) }.take(keep)).toMap
+        multisNow.sortWith(refPieceOrd).take(keep)).toMap
     }
-    val lp = logProbs(counts)
+    val lp = refQlogProbs(counts, 1L)
     counts.toSeq.map { case (p, c) => (p, c, lp(p)) }
-      .sortBy { case (p, c, _) => (-c, p) }
+      .sortWith((a, b) => refPieceOrd((a._1, a._2), (b._1, b._2)))
   }
 
   // soft-EM replica: same seed/prune/smoothing as the hard replica,
-  // E-step = forward-backward expected counts with the same fold
-  // orders and the same 2^20 quantization as Unigram.trainSoft
+  // E-step = forward-backward expected counts in the same
+  // block-floating-point integer arithmetic as Unigram.trainSoft
+  // (30-bit mantissas, align-truncate add, shift-and-divide
+  // posterior quantized to 2^20 units) — reimplemented from spec
   private def plainUnigramTrainSoft(docs: Seq[String], vocabSize: Int,
       iters: Int, maxPieceLen: Int,
-      seedMultiplier: Int = 4): Seq[(String, Long, Double)] = {
-    val Neg = -1.0e18
+      seedMultiplier: Int = 4): Seq[(String, Long, Long)] = {
     val S2 = 1L << 20
-    val words: Map[String, Long] = docs
-      .flatMap(_.trim.split(" ", -1).filter(_.nonEmpty))
-      .groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val subCounts = scala.collection.mutable.Map[String, Long]()
-      .withDefaultValue(0L)
-    words.foreach { case (w, wf) =>
-      for (i <- 0 until w.length;
-           j <- (i + 1) to math.min(w.length, i + maxPieceLen))
-        subCounts(w.substring(i, j)) += wf
+    type B = (Long, Int) // (mantissa, exponent); m = 0 or m in [2^29, 2^30)
+    def norm(m0: Long, e0: Int): B =
+      if (m0 == 0L) (0L, 0)
+      else {
+        val s = (64 - java.lang.Long.numberOfLeadingZeros(m0)) - 30
+        (if (s >= 0) m0 >> s else m0 << -s, e0 + s)
+      }
+    def bmul(a: B, b: B): B =
+      if (a._1 == 0L || b._1 == 0L) (0L, 0)
+      else norm(a._1 * b._1, a._2 + b._2)
+    // order-free k-ary add: align every term to the max exponent,
+    // sum mantissas, renormalize once (matches Unigram.bSum)
+    def bsum(ts: Seq[B]): B = {
+      val zf = ts.filter(_._1 != 0L)
+      if (zf.isEmpty) (0L, 0)
+      else {
+        val emax = zf.map(_._2).max
+        norm(zf.map(x => x._1 >> math.min(emax - x._2, 62)).sum, emax)
+      }
     }
-    val (charSeeds, multiSeeds) = subCounts.toSeq.partition(_._1.length == 1)
-    val nTarget = math.max(0, vocabSize - charSeeds.length)
-    val topMulti = multiSeeds.sortBy { case (p, c) => (-c, p) }
-      .take(nTarget * seedMultiplier)
+    def bdiv(c: Long, ct: Long): B = {
+      val (mc, ec) = norm(c, 0)
+      val (mt, et) = norm(ct, 0)
+      norm((mc << 29) / mt, ec - et - 29)
+    }
+    val one: B = (1L << 29, -29)
+    val (words, charSeeds, topMulti, nTarget) =
+      refWordsAndSeeds(docs, vocabSize, maxPieceLen, seedMultiplier)
     var counts: Map[String, Long] =
       (charSeeds ++ topMulti).map { case (p, c) => p -> c * S2 }.toMap
-    def logProbs(m: Map[String, Long]): Map[String, Double] = {
+    def probs(m: Map[String, Long]): Map[String, B] = {
       val adj = m.map { case (p, c) =>
         p -> (if (p.length == 1) c + S2 else c) }
-      val total = adj.values.sum.toDouble
-      adj.map { case (p, c) => p -> Math.log(c / total) }
+      val total = adj.values.sum
+      adj.map { case (p, c) => p -> bdiv(c, total) }
     }
-    def lse(a: Double, b: Double): Double =
-      if (a == Neg) b else if (b == Neg) a
-      else { val m = math.max(a, b); m + Math.log(Math.exp(a - m) + Math.exp(b - m)) }
     for (round <- 1 to iters) {
-      val lp = logProbs(counts)
+      val pr = probs(counts)
       val seg = scala.collection.mutable.Map[String, Long]()
         .withDefaultValue(0L)
       words.foreach { case (w, wf) =>
         val n = w.length
         val arcs = for (i <- 1 to n;
                         j <- math.max(0, i - maxPieceLen) until i;
-                        l <- lp.get(w.substring(j, i))) yield (i, j, l)
-        val alpha = Array.fill(n + 1)(Neg)
-        alpha(0) = 0.0
-        for ((i, j, l) <- arcs) alpha(i) = lse(alpha(i), alpha(j) + l)
-        val beta = Array.fill(n + 1)(Neg)
-        beta(n) = 0.0
-        for (p <- n - 1 to 0 by -1) {
-          var s = Neg
-          for ((i, j, l) <- arcs if j == p) s = lse(s, l + beta(i))
-          beta(p) = s
-        }
-        val logZ = alpha(n)
-        for ((i, j, l) <- arcs) {
-          val q = if (logZ == Neg) 0L
-            else Math.round(Math.exp(alpha(j) + l + beta(i) - logZ)
-              * S2.toDouble)
+                        p <- pr.get(w.substring(j, i))) yield (i, j, p)
+        val alpha = Array.fill[B](n + 1)((0L, 0))
+        alpha(0) = one
+        for (i <- 1 to n)
+          alpha(i) = bsum(arcs.collect { case (`i`, j, p) => bmul(alpha(j), p) })
+        val beta = Array.fill[B](n + 1)((0L, 0))
+        beta(n) = one
+        for (pp <- n - 1 to 0 by -1)
+          beta(pp) = bsum(arcs.collect { case (i, `pp`, p) => bmul(p, beta(i)) })
+        val z = alpha(n)
+        for ((i, j, p) <- arcs) {
+          val num = bmul(bmul(alpha(j), p), beta(i))
+          val q =
+            if (num._1 == 0L || z._1 == 0L) 0L
+            else {
+              val t = num._2 - z._2 + 20
+              if (t >= 0) (num._1 << math.min(t, 33)) / z._1
+              else if (-t > 33) 0L
+              else num._1 / (z._1 << -t)
+            }
           if (q != 0L) seg(w.substring(j, i)) += q * wf
         }
       }
@@ -817,11 +866,11 @@ class TrainingSpec extends AnyFunSuite {
       val keep = math.max(nTarget,
         if (round == iters) nTarget else (multisNow.size * 6) / 10)
       counts = (chars ++
-        multisNow.sortBy { case (p, c) => (-c, p) }.take(keep)).toMap
+        multisNow.sortWith(refPieceOrd).take(keep)).toMap
     }
-    val lp = logProbs(counts)
+    val lp = refQlogProbs(counts, S2)
     counts.toSeq.map { case (p, c) => (p, c, lp(p)) }
-      .sortBy { case (p, c, _) => (-c, p) }
+      .sortWith((a, b) => refPieceOrd((a._1, a._2), (b._1, b._2)))
   }
 
   test("unigram trainSoft == independent plain-Scala forward-backward EM") {
@@ -845,9 +894,11 @@ class TrainingSpec extends AnyFunSuite {
 
   test("unigram encode: Viterbi picks the higher-probability segmentation") {
     import graft.ops.Unigram
+    // quantized log2-probs (2^-16-bit units): ab ≈ .4, a/b/c ≈ .2 —
+    // "ab" as one piece beats "a"+"b"
     val model = Seq(
-      "ab" -> Math.log(0.4), "a" -> Math.log(0.2),
-      "b" -> Math.log(0.2), "c" -> Math.log(0.2))
+      "ab" -> -86633L, "a" -> -152169L,
+      "b" -> -152169L, "c" -> -152169L)
     val out = Seq("abc ab cab").toDF("text")
       .select(Unigram.encode(col("text"), model, maxPieceLen = 2).as("e"))
       .head().getSeq[Seq[String]](0)
