@@ -2472,11 +2472,14 @@ object TrainingQ {
 
   /** Full BPE tokenizer training (see
     * [[graft.ops.TextOps.bpeTrain]]): the learned merge table after
-    * 10 iterations over the documents corpus. NOT SQL-expressible
-    * (an iterated argmax-and-rewrite loop) ⇒ no DuckDB oracle —
-    * correctness is pinned in TrainingSpec against an independent
-    * plain-Scala BPE reference plus a hand-computed sequence; the
-    * driver records the rows-only check.
+    * 10 iterations over the documents corpus. HASH-ORACLED since
+    * round 13: the trainer was always all-integer (argmax on counts,
+    * (cnt DESC, pair ASC) total order); [[BpeOracle.trainSql]]
+    * unrolls the 10 argmax-and-rewrite rounds into CTEs, with the
+    * greedy single-pass merge application expressed set-at-a-time as
+    * run-parity over matched positions. TrainingSpec additionally
+    * pins the trainer against an independent plain-Scala BPE
+    * reference plus a hand-computed sequence.
     */
   val qBpeTrain = Q(
     "q_bpe_train",
@@ -2488,7 +2491,7 @@ object TrainingQ {
         .toDF("merge_rank", "pair", "cnt")
         .orderBy("merge_rank")
     },
-    None
+    Some(BpeOracle.trainSql(nMerges = 10))
   )
 
   /** Unigram-LM (SentencePiece-style) tokenizer training (see
@@ -2577,9 +2580,11 @@ object TrainingQ {
     * ([[graft.ops.TextOps.bpeEncode]]): the 10-merge list compiles
     * into one nested map-side expression — train on the vocab once,
     * encode the corpus as a shuffle-free projection. Per-doc subword
-    * stats + a 3-word sample. Rows-only for the same reason as
-    * q_bpe_train; TrainingSpec pins encode == the trainer's final
-    * symbol state.
+    * stats + a 3-word sample. HASH-ORACLED since round 13:
+    * [[BpeOracle.encodeSql]] replays training and reads each word's
+    * encoding off the final round's symbol state (== encode, the
+    * TrainingSpec-pinned equivalence), then reassembles documents in
+    * token order.
     */
   val qBpeEncode = Q(
     "q_bpe_encode",
@@ -2596,7 +2601,7 @@ object TrainingQ {
           array_join(flatten(slice(col("_enc"), 1, 3)), " ").as("sample"))
         .orderBy("doc_id")
     },
-    None
+    Some(BpeOracle.encodeSql(nMerges = 10))
   )
 
   /** BATCHED BPE training — the cataloged WALL-CLOCK path for
@@ -2608,8 +2613,11 @@ object TrainingQ {
     * pass, then vocab-table rounds — but nMerges/batchSize driver
     * round-trips instead of nMerges. APPROXIMATE by design (a pair
     * created by an earlier in-batch merge can outrank a later one,
-    * which exact BPE would reorder), so rows-only like its exact
-    * twin: TrainingSpec pins batchSize=1 == [[qBpeTrain]]'s exact
+    * which exact BPE would reorder) — approximate vs exact BPE, but
+    * fully deterministic, and HASH-ORACLED since round 13:
+    * [[BpeOracle.trainBatchedSql]] unrolls the rounds with the
+    * greedy disjoint-accept scan as a recursive CTE over candidate
+    * rank. TrainingSpec pins batchSize=1 == [[qBpeTrain]]'s exact
     * path AND per-round pair-stat exactness of every accepted merge
     * against the exact trainer's scoring; the Probe bpe fidelity
     * curve records merge-set agreement and encode-level token-count
@@ -2626,7 +2634,7 @@ object TrainingQ {
         .toDF("merge_rank", "pair", "cnt")
         .orderBy("merge_rank")
     },
-    None
+    Some(BpeOracle.trainBatchedSql(nMerges = 10, batchSize = 4))
   )
 
   /** Quantized IVF against the at-rest CODE layout (see
