@@ -3377,13 +3377,19 @@ object TrainingQ {
     * highest attested order with an exact ÷4-per-level backoff
     * penalty, so the whole train-then-score pipeline is long
     * arithmetic end to end and the oracle replays it in one chain.
-    * LmSpec additionally pins the math against a plain-Scala replica.
+    * Scores against the FROZEN published ratio tables (the same
+    * artifact q_stream_lm serves; q_lm_backoff_train times training
+    * itself). LmSpec additionally pins the math against a
+    * plain-Scala replica.
     */
   val qLmBackoff = Q(
     "q_lm_backoff",
-    (spark, dir) =>
-      NgramLm.scoreBackoff(Tables.documents(spark, dir), "doc_id", "text")
-        .orderBy("doc_id"),
+    (spark, dir) => {
+      val (h3, h2, h1) = PipelineQ.frozenLmTables(spark, dir)
+      NgramLm.rollupScore(NgramLm.positionContribs(
+          Tables.documents(spark, dir), "doc_id", "text", h3, h2, h1),
+        "doc_id").orderBy("doc_id")
+    },
     Some(LmBackoffOracle)
   )
 
@@ -3465,16 +3471,14 @@ object TrainingQ {
       val work = java.nio.file.Files
         .createTempDirectory("stream_lm").toString
       val docs = Tables.documents(spark, dir)
-      val (h3, h2, h1) = NgramLm.backoffTables(docs, "doc_id", "text")
-      h3.write.parquet(s"$work/h3")
-      h2.write.parquet(s"$work/h2")
-      h1.write.parquet(s"$work/h1")
+      // the frozen ratio tables are the shared published artifact
+      // (graft.io.FrozenStore — parquet, stage+swap); the readers
+      // below are parquet scans of it, re-resolved per micro-batch
+      val (h3, h2, h1) = PipelineQ.frozenLmTables(spark, dir)
       val stream = spark.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val contribs = NgramLm.positionContribs(stream, "doc_id", "text",
-        spark.read.parquet(s"$work/h3"),
-        spark.read.parquet(s"$work/h2"),
-        spark.read.parquet(s"$work/h1"))
+        h3, h2, h1)
       val q = contribs.writeStream.format("parquet")
         .option("path", s"$work/out")
         .option("checkpointLocation", s"$work/ckpt")
