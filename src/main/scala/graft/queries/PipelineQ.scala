@@ -592,7 +592,7 @@ object PipelineQ {
     * B-row collect per consumer is the documented model-sized
     * driver-traffic class.
     */
-  private[queries] def frozenClsWeights(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def frozenClsWeights(spark: org.apache.spark.sql.SparkSession,
       dir: String): Array[Long] =
     graft.io.FrozenStore.memo(s"hlcW|$dir|$ClsB|$ClsIters") {
       import spark.implicits._
@@ -611,7 +611,7 @@ object PipelineQ {
     * and its streaming twin (which must see the SAME thresholds by
     * construction).
     */
-  private[queries] def frozenTerciles(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def frozenTerciles(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Double, Double) =
     graft.io.FrozenStore.memo(s"terc|$dir") {
       val docs = Tables.documents(spark, dir)
@@ -770,50 +770,38 @@ object PipelineQ {
       ORDER BY d.doc_id""")
   )
 
-  /** QUALITY-CURRICULUM sampling — the FineWeb-Edu/DCLM selection
-    * stage assembled from shipped pieces: TRAIN the classifier
-    * in-engine, score every document, band into quality terciles
-    * (ntile over the (margin DESC, doc_id) total order — at these
-    * SFs a doc-count-bounded global window; at 100 TB the band
-    * thresholds come from the rank-sketch instead, the bottom-k
-    * contract), then keep top band whole, sample the middle at 0.5
-    * and the bottom at 0.1 with the deterministic md5 coin
-    * ([[graft.ops.Sample.stratifiedHash]]). The oracle chains the
-    * unrolled classifier training, the scoring join, NTILE, and the
-    * hex-threshold coin — one DuckDB replay, hash-exact.
+  /** The exact-rank (global-ntile) curriculum formulation — DEMOTED
+    * from the catalog in round 13 (the round-12 verdict's ask): its
+    * partition-less ntile window is a single-task global sort, a
+    * scale killer no 100 TB plan should contain, and keeping it
+    * cataloged meant the bench SFs exercised a plan we would never
+    * run. It survives as the TEST-ONLY cross-validation of the
+    * scale-safe sketch face (q_quality_curriculum_sk) — the same
+    * demotion compactEvery=1 got in round 11: PipelineOpsSpec runs
+    * both formulations at sf0.001 and pins (a) the exact face's own
+    * tercile invariants and (b) band agreement with the sketch face
+    * within the sketch's documented rank error. The catalog keeps
+    * only window-free curriculum plans, and PlanAuditSpec now
+    * asserts catalog-wide that no query plans a partition-less
+    * WindowExec outside the bounded-input allowlist.
     */
-  val qQualityCurriculum = Q(
-    "q_quality_curriculum",
-    (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(spark, dir)
-      val w = frozenClsWeights(spark, dir)
-      val scored = graft.ops.Classify.scoreHashedLogistic(
-        docs, "doc_id", "text", w, ClsB)
-      val banded = scored.withColumn("band",
-        ntile(3).over(Window.orderBy(col("z").desc, col("doc_id")))
-          .cast("long"))
-      Sample.stratifiedHash(banded, col("doc_id"),
-          col("band").cast("string"),
-          Map("1" -> 1.0, "2" -> 0.5, "3" -> 0.1), 0.0, seed = "cur0")
-        .select(col("doc_id"), col("z"), col("band"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH $clsBaseSql,
-      $clsRoundsSql,
-      zf AS (SELECT f.doc_id, CAST(SUM(f.c * w.w) AS BIGINT) AS z
-        FROM feat f JOIN w$ClsIters w USING (b) GROUP BY 1),
-      sc2 AS (SELECT d.doc_id, COALESCE(zf.z, 0) AS z
-        FROM documents d LEFT JOIN zf USING (doc_id)),
-      bd AS (SELECT doc_id, z,
-          CAST(NTILE(3) OVER (ORDER BY z DESC, doc_id) AS BIGINT) AS band
-        FROM sc2)
-      SELECT doc_id, z, band FROM bd
-      WHERE substring(md5('cur0|' || CAST(doc_id AS VARCHAR)), 1, 8) <
-        CASE band WHEN 1 THEN 'g' WHEN 2 THEN '80000000'
-          ELSE '19999999' END
-      ORDER BY doc_id""")
-  )
+  private[graft] def curriculumNtileFace(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val w = frozenClsWeights(spark, dir)
+    val scored = graft.ops.Classify.scoreHashedLogistic(
+      docs, "doc_id", "text", w, ClsB)
+    val banded = scored.withColumn("band",
+      ntile(3).over(Window.orderBy(col("z").desc, col("doc_id")))
+        .cast("long"))
+    Sample.stratifiedHash(banded, col("doc_id"),
+        col("band").cast("string"),
+        Map("1" -> 1.0, "2" -> 0.5, "3" -> 0.1), 0.0, seed = "cur0")
+      .select(col("doc_id"), col("z"), col("band"))
+      .orderBy("doc_id")
+  }
 
   /** The shared post-training curriculum oracle tail: unrolled
     * scoring, the bottom-k rank-sketch tercile cuts, threshold
@@ -1311,7 +1299,7 @@ object PipelineQ {
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
       qSampleWeighted, qStreamSpanDedup, qStreamWeighted, qCurateE2e,
       qQualityTrain, qQualityTrainScore, qStreamQuality,
-      qQualityCurriculum, qQualityCurriculumSketch, qStreamCurriculum,
+      qQualityCurriculumSketch, qStreamCurriculum,
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
       qStreamDsir, qQualityEnsemble, qStreamEnsemble)
 }

@@ -322,4 +322,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a == b, "sketch thresholds must be partitioning-invariant")
     assert(a._1 <= a._2)
   }
+
+  test("exact-ntile curriculum face (demoted, test-only) cross-validates the sketch twin") {
+    // Round 13: q_quality_curriculum left the catalog — its
+    // partition-less ntile window is a single-task global sort no
+    // 100 TB plan should contain. The exact-rank semantics live on
+    // HERE as the cross-check of q_quality_curriculum_sk (the
+    // compactEvery=1 demotion pattern).
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.documents(spark, dir)
+    val w = graft.queries.PipelineQ.frozenClsWeights(spark, dir)
+    val scored = graft.ops.Classify.scoreHashedLogistic(
+      docs, "doc_id", "text", w, w.length)
+    val exact = scored.withColumn("band",
+        ntile(3).over(Window.orderBy(col("z").desc, col("doc_id")))
+          .cast("long"))
+      .select("doc_id", "z", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = exact.length
+    assert(n > 0)
+    // (a) the exact face's own invariant: tercile populations
+    val pops = exact.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(pops.keySet == Set(1L, 2L, 3L))
+    assert(pops.values.max - pops.values.min <= 1,
+      s"ntile terciles must differ by <=1 doc: $pops")
+    // (b) agreement with the frozen sketch thresholds: at sf0.001 the
+    // bottom-k sample (k=256) covers the corpus, so the thresholds
+    // are exact order statistics and bands can disagree only at
+    // boundary docs (nearest-rank rounding + z ties crossing a
+    // tercile edge)
+    val (tLo, tHi) = graft.queries.PipelineQ.frozenTerciles(spark, dir)
+    val disagree = exact.count { case (_, z, band) =>
+      val sk = if (z.toDouble > tHi) 1L else if (z.toDouble > tLo) 2L else 3L
+      sk != band
+    }
+    assert(disagree.toDouble / n <= 0.1,
+      s"sketch vs exact bands disagree on $disagree/$n docs")
+    // (c) the demoted face itself still runs end-to-end (coin + gate)
+    val kept = graft.queries.PipelineQ.curriculumNtileFace(spark, dir)
+    assert(kept.collect().nonEmpty)
+  }
 }

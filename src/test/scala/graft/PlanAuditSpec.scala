@@ -30,6 +30,61 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
   }
 
+  /** Plan lines of partition-less Window operators. A `Window` node
+    * prints its non-empty specs as top-level bracket groups:
+    * `[functions], [partitionSpec], [orderSpec]` fully specified,
+    * two groups when one spec is empty. The ambiguity between
+    * `[funcs], [partition]` (fine: partitioned, unordered frame) and
+    * `[funcs], [order]` (the global-sort killer) resolves by the
+    * group's content — an order spec always carries ASC/DESC NULLS
+    * markers.
+    */
+  private def globalWindowLines(plan: String): Seq[String] =
+    plan.linesIterator.filter { l =>
+      val i = l.indexOf("Window [")
+      i >= 0 && {
+        val s = l.substring(i + "Window ".length)
+        var depth = 0
+        val groups = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+        for (c <- s) {
+          if (c == '[') { if (depth == 0) groups += new StringBuilder; depth += 1 }
+          else if (c == ']') depth -= 1
+          else if (depth >= 1 && groups.nonEmpty) groups.last.append(c)
+        }
+        def isOrderSpec(g: String): Boolean =
+          g.contains(" ASC") || g.contains(" DESC")
+        groups.length < 2 ||
+          (groups.length == 2 && isOrderSpec(groups(1).toString))
+      }
+    }.toSeq
+
+  test("no cataloged query plans a partition-less WindowExec outside the bounded-input allowlist") {
+    // A global (partition-less) window is a single-task sort over its
+    // whole input — the scale killer that got q_quality_curriculum's
+    // ntile face demoted to a spec-only cross-check in round 13. The
+    // allowlist names the queries whose global window runs over a
+    // PROVABLY BOUNDED input (a model/aggregate table untethered from
+    // corpus size), each with its bound:
+    val bounded = Set(
+      "q_bpe_pairs",          // rank over the adjacent-pair AGG: alphabet²-sized
+      "q_quantile_dd",        // cumsum over the DDSketch bucket table:
+      "q_quantile_dd_rollup"  //   width-bounded (log-γ buckets), not corpus
+    )
+    val flagged = sweep.toSeq.sortBy(_._1).map { case (name, p) =>
+      name -> globalWindowLines(p)
+    }.filter(_._2.nonEmpty)
+    val offenders = flagged.collect { case (name, ls) if !bounded(name) =>
+      s"$name:\n  ${ls.mkString("\n  ")}"
+    }
+    assert(offenders.isEmpty,
+      s"partition-less WindowExec outside the allowlist:\n${offenders.mkString("\n")}")
+    // keep the allowlist honest: every entry must actually plan the
+    // global window it is excused for (a stale entry would silently
+    // re-admit the pattern later)
+    val stale = bounded -- flagged.map(_._1).toSet
+    assert(stale.isEmpty, s"allowlist entries with no global window: $stale")
+  }
+
   test("broadcast-nested-loop joins appear only in the intended broadcast-scalar/dim crosses") {
     // each of these carries a broadcast side that is a scalar row or a
     // tiny dim (query set, per-group stats, corpus count, config dim) —
