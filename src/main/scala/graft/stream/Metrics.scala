@@ -35,6 +35,40 @@ final class Metrics extends StreamingQueryListener {
   val serveTickFailures = new LongAdder
   @volatile var lastBatchDurationMs: Long = 0L
 
+  // K5 histogram parity: the reference declares
+  // processing_latency_seconds as a HISTOGRAM with the Prometheus
+  // default buckets (metrics.go:29-33, prometheus.DefBuckets); the
+  // observation here is each micro-batch's triggerExecution duration.
+  // Per-bucket counts are stored NON-cumulative and rendered
+  // cumulative at exposition (the histogram text contract).
+  val latencyBucketsSec: Array[Double] =
+    Array(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+  private val latencyCounts =
+    new java.util.concurrent.atomic.AtomicLongArray(latencyBucketsSec.length + 1)
+  val latencySumMs = new LongAdder
+
+  private def observeLatency(ms: Long): Unit = {
+    val sec = ms / 1000.0
+    val i = latencyBucketsSec.indexWhere(sec <= _)
+    latencyCounts.incrementAndGet(
+      if (i < 0) latencyBucketsSec.length else i)
+    latencySumMs.add(ms)
+    ()
+  }
+
+  /** Cumulative bucket counts (one per bucket bound, then +Inf). */
+  def latencyCumulative: Array[Long] = {
+    val out = new Array[Long](latencyBucketsSec.length + 1)
+    var acc = 0L
+    var i = 0
+    while (i < out.length) {
+      acc += latencyCounts.get(i)
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
   override def onQueryStarted(event: QueryStartedEvent): Unit =
     queriesStarted.increment()
 
@@ -44,6 +78,7 @@ final class Metrics extends StreamingQueryListener {
     lastBatchDurationMs =
       Option(event.progress.durationMs.get("triggerExecution"))
         .map(_.longValue).getOrElse(0L)
+    observeLatency(lastBatchDurationMs)
     val om = event.progress.observedMetrics
     def add(name: String, field: String, to: LongAdder): Unit =
       Option(om.get(name)).foreach { row =>

@@ -56,6 +56,23 @@ final class OpsServer(
     }
     sb.append("# TYPE graft_last_batch_duration_ms gauge\n")
     sb.append(s"graft_last_batch_duration_ms ${snap("last_batch_duration_ms")}\n")
+    // the reference's processing_latency_seconds histogram
+    // (metrics.go:29-33): cumulative _bucket lines over the default
+    // bounds, then _sum (seconds) and _count — the +Inf bucket IS the
+    // count, per the exposition contract
+    def le(b: Double): String =
+      if (b == b.toLong.toDouble) b.toLong.toString else b.toString
+    val cum = metrics.latencyCumulative
+    sb.append("# TYPE graft_processing_latency_seconds histogram\n")
+    metrics.latencyBucketsSec.zipWithIndex.foreach { case (b, i) =>
+      sb.append(
+        s"""graft_processing_latency_seconds_bucket{le="${le(b)}"} ${cum(i)}\n""")
+    }
+    sb.append(
+      s"""graft_processing_latency_seconds_bucket{le="+Inf"} ${cum.last}\n""")
+    sb.append(s"graft_processing_latency_seconds_sum ${
+      metrics.latencySumMs.sum() / 1000.0}\n")
+    sb.append(s"graft_processing_latency_seconds_count ${cum.last}\n")
     registry.foreach { r =>
       sb.append("# TYPE graft_connected_clients gauge\n")
       sb.append(s"graft_connected_clients ${r.connected.size}\n")

@@ -330,6 +330,25 @@ class ServeSpec extends AnyFunSuite {
       assert(body.contains("""graft_errors_total{type="unmarshal"}"""))
       assert(body.contains("graft_serve_tick_failures_total"))
       assert(body.contains("graft_connected_clients 2"))
+      // K5 histogram parity (metrics.go:29-33): bucketed latency
+      // exposition with the Prometheus default bounds — _bucket lines
+      // cumulative and monotone, +Inf == _count, observations real
+      // (>= 1 batch just ran)
+      assert(body.contains("# TYPE graft_processing_latency_seconds histogram"))
+      val bucketRe =
+        """graft_processing_latency_seconds_bucket\{le="([^"]+)"\} (\d+)""".r
+      val buckets = bucketRe.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toLong).toSeq
+      assert(buckets.map(_._1) == Seq("0.005", "0.01", "0.025", "0.05",
+        "0.1", "0.25", "0.5", "1", "2.5", "5", "10", "+Inf"),
+        s"bucket bounds: ${buckets.map(_._1)}")
+      assert(buckets.map(_._2) == buckets.map(_._2).sorted,
+        s"bucket counts must be cumulative/monotone: $buckets")
+      val count = "graft_processing_latency_seconds_count (\\d+)".r
+        .findFirstMatchIn(body).map(_.group(1).toLong)
+      assert(count.contains(buckets.last._2), s"+Inf bucket != count: $body")
+      assert(count.exists(_ >= 1L), "no latency observations recorded")
+      assert(body.contains("graft_processing_latency_seconds_sum"))
     } finally {
       ops.stop()
       spark.streams.removeListener(metrics)
