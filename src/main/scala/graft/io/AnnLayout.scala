@@ -235,8 +235,8 @@ object AnnLayout {
       Similarity.asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", Similarity.norm2(col("qv")))
     val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy((Similarity.dot(col("qv"), col("rv"))
-        / sqrt(col("qn") * col("rn"))).desc, col("cluster"))
+      .orderBy(Similarity.cosineFrom(Similarity.dot(col("qv"), col("rv")),
+        col("qn") * col("rn")).desc, col("cluster"))
     val probed = q.crossJoin(broadcast(reps))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
@@ -252,8 +252,8 @@ object AnnLayout {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     probed.join(members, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Similarity.dot(col("qv"), col("cv"))
-        / sqrt(col("qn") * col("cn")))
+      .withColumn("cosine", Similarity.cosineFrom(Similarity.dot(col("qv"), col("cv")),
+        col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
@@ -555,8 +555,8 @@ object AnnLayout {
       Similarity.asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", Similarity.norm2(col("qv")))
     val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy((Similarity.dot(col("qv"), col("rv"))
-        / sqrt(col("qn") * col("rn"))).desc, col("cluster"))
+      .orderBy(Similarity.cosineFrom(Similarity.dot(col("qv"), col("rv")),
+        col("qn") * col("rn")).desc, col("cluster"))
     val probed = q.crossJoin(broadcast(reps))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)

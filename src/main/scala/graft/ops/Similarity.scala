@@ -42,9 +42,30 @@ object Similarity {
 
   /** cosine(a, b) = dot / sqrt(|a|²·|b|²) — single sqrt so the oracle
     * can reproduce the exact floating-point expression shape.
+    *
+    * ZERO-NORM CONVENTION (one rule for the whole cosine family): a
+    * pair involving a zero-norm vector has cosine 0.0 — a vector
+    * with no direction is equally (un)similar to everything. Without
+    * the guard the division is 0/0 = NaN, and because NaN sorts
+    * GREATER than every double in both engines, a single zero-norm
+    * CENTROID would win every argmax and silently swallow the whole
+    * corpus (the DdSketch NaN-domain lesson applied here). With the
+    * guard: zero vectors keep their rows everywhere, assign to the
+    * smallest cluster id on the all-zero tie, never beat a genuinely
+    * positive similarity, and never trip a near-dup threshold.
+    * VectorExprSpec pins all of this through assignNearest, semDedup,
+    * and knnIvfPq. (The shipped oracles replay the unguarded
+    * expression; the synthetic corpora contain no zero vectors, so
+    * values are identical — the guard exists for real data.)
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(norm2(a) * norm2(b))
+    cosineFrom(dot(a, b), norm2(a) * norm2(b))
+
+  /** cosine from a precomputed dot and the PRODUCT of squared norms —
+    * the shared guarded primitive ([[cosine]] doc).
+    */
+  private[graft] def cosineFrom(dotAb: Column, nn: Column): Column =
+    when(nn === 0.0, lit(0.0)).otherwise(dotAb / sqrt(nn))
 
   /** Pair cosine from precomputed squared norms: bit-identical to
     * [[cosine]] (the norm is the same fold, just evaluated once per
@@ -54,7 +75,7 @@ object Similarity {
     * which at |Q|·|C| pairs is the dominant term.
     */
   private def cosinePre(dotAb: Column, normA: Column, normB: Column): Column =
-    dotAb / sqrt(normA * normB)
+    cosineFrom(dotAb, normA * normB)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself), rank-ordered with id
