@@ -676,6 +676,10 @@ object AnnLayout {
       maxRecordsPerFile: Long = 5000000L,
       compactWhenFilesOver: Int = 0, compactFiles: Int = 1): Unit = {
     val spark = newVecs.sparkSession
+    // complete any pending paired corpus+reps publish BEFORE landing
+    // rows: appending to a corpus whose staged rebuild is about to
+    // roll forward would lose this batch to the swap
+    repairTrainedSwap(spark, path)
     repairPartitionSwaps(spark, path)
     val cents = readSwapped(spark, s"$path/reps")
       .select(col(clusterCol).as("cluster"), col("rep_vec").as("cv"))
@@ -732,6 +736,7 @@ object AnnLayout {
       maxRecordsPerFile: Long = 5000000L,
       compactWhenFilesOver: Int = 0, compactFiles: Int = 1): AppendStats = {
     val spark = newVecs.sparkSession
+    repairTrainedSwap(spark, path)  // same pre-append rule as appendTrained
     repairPartitionSwaps(spark, path)
     val cents = readSwapped(spark, s"$path/reps")
       .select(col(clusterCol).as("cluster"), col("rep_vec").as("cv"))
@@ -791,14 +796,22 @@ object AnnLayout {
     *
     * The retrain is a full [[trainIvf]]-shape rebuild over the
     * UNIONED corpus (which already includes this batch — the append
-    * lands first, so no rows are ever in flight during the rebuild),
-    * executed crash-safely: the re-labeled corpus stages to
-    * `corpus.stage` and swaps via [[swapDir]] (the read side streams
-    * from the live `corpus` directory, which the stage write never
-    * touches), then the new centroids swap into `reps` — the same
-    * two-rename discipline as every other maintenance path here. A
-    * crash between the two corpus renames is repaired by the
-    * `repairSwap` this method (and any later rebuild) runs first.
+    * lands first, so no rows are ever in flight during the rebuild).
+    * Crash discipline for the PAIRED artifacts: BOTH `corpus.stage`
+    * and `reps.stage` are fully staged (each carrying Spark's
+    * `_SUCCESS` commit marker) before either swap, then the two
+    * swaps run back-to-back, corpus first. A crash anywhere is
+    * repaired by [[repairTrainedSwap]] on the next entry: both
+    * stages complete → finish the publish (roll forward); only the
+    * reps stage left (corpus already swapped) → complete the reps
+    * swap; any incomplete stage → delete the stages (roll back to
+    * the still-consistent old pair). The remaining inconsistency
+    * window for a CONCURRENT reader is exactly the two renames — a
+    * reader in that window can see the new corpus against old reps
+    * (probe-list mismatch costs recall, never wrong rows from the
+    * rerank); a single-pointer epoch directory would close even
+    * that, at the cost of doubling the at-rest footprint during
+    * maintenance.
     *
     * This is the production intake loop's single entry point: call
     * per epoch, log the returned stats, and the codebook keeps
@@ -814,7 +827,7 @@ object AnnLayout {
       kppSeeds: Boolean = false)
       : MaintainResult = {
     val spark = newVecs.sparkSession
-    repairSwap(spark, s"$path/corpus")
+    repairTrainedSwap(spark, path)
     val stats = appendTrainedWithStats(newVecs, path, idCol, vecCol,
       clusterCol, maxRecordsPerFile, compactWhenFilesOver, compactFiles)
     val k = readSwapped(spark, s"$path/reps").count()
@@ -843,15 +856,57 @@ object AnnLayout {
         Similarity.assignNearest(base, cents, idCol, vecCol)
           .select(col("vec_id").as(idCol), col("cluster").as(clusterCol)),
         Seq(idCol))
+      // stage BOTH artifacts to completion, THEN swap back-to-back
+      // (corpus first): a crash anywhere leaves a state
+      // repairTrainedSwap rolls forward or back — never a published
+      // new corpus with no staged reps to pair it with
       Bucketing.writePartitioned(labeled, s"$path/corpus.stage",
         Seq(clusterCol), Seq(idCol), maxRecordsPerFile)
-      swapDir(spark, s"$path/corpus.stage", s"$path/corpus")
       cents.select(col("cluster").as(clusterCol),
           col("cluster").as("rep_id"), col("cv").as("rep_vec"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/reps.stage")
+      swapDir(spark, s"$path/corpus.stage", s"$path/corpus")
       swapDir(spark, s"$path/reps.stage", s"$path/reps")
     }
     MaintainResult(stats, warned, retrained = retrain)
+  }
+
+  /** Repair for [[maintainTrained]]'s PAIRED corpus+reps publish
+    * (the docstring's crash discipline). Completeness of a stage is
+    * its `_SUCCESS` commit marker. Cases, in order:
+    *  - both stages complete → the crash hit before (or between) the
+    *    swaps: finish the publish, corpus then reps (ROLL FORWARD —
+    *    the pair was fully built, installing it is always valid);
+    *  - only a complete reps stage → the corpus swap already
+    *    happened: complete the reps swap (the cross-artifact
+    *    inconsistency the old single-directory repair missed —
+    *    without this, appends assign against the OLD centroids into
+    *    NEW-label partitions and probes silently lose recall);
+    *  - anything incomplete → delete the stages; the published pair
+    *    was never touched and remains consistent (ROLL BACK).
+    * Single-directory rename crashes are repaired first, as always.
+    */
+  private[graft] def repairTrainedSwap(spark: SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ex(p: String) = fs.exists(new Path(p))
+    def complete(p: String) = fs.exists(new Path(p + "/_SUCCESS"))
+    val cs = s"$path/corpus.stage"
+    val rs = s"$path/reps.stage"
+    repairSwap(spark, s"$path/corpus")
+    repairSwap(spark, s"$path/reps")
+    if (ex(cs) && complete(cs) && ex(rs) && complete(rs)) {
+      swapDir(spark, cs, s"$path/corpus")
+      swapDir(spark, rs, s"$path/reps")
+    } else if (!ex(cs) && ex(rs) && complete(rs)) {
+      swapDir(spark, rs, s"$path/reps")
+    } else {
+      if (ex(cs)) fs.delete(new Path(cs), true)
+      if (ex(rs)) fs.delete(new Path(rs), true)
+    }
+    ()
   }
 
   /** Incremental maintenance for a TRAINED Q8 layout
@@ -1051,7 +1106,10 @@ object AnnLayout {
     * [[auditTrained]] below.
     */
   def layoutRowStats(spark: SparkSession, path: String,
-      clusterCol: String = "label"): Seq[(String, Int, Long, Long)] = {
+      clusterCol: String = "label",
+      footerTimeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(120, "s"))
+      : Seq[(String, Int, Long, Long)] = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -1082,8 +1140,19 @@ object AnnLayout {
         }})
       }
       submitted.map { case (cell, files, rows) =>
-        (cell, files.length, files.map(_.getLen).sum,
-          Await.result(rows, Duration.Inf).sum)
+        // bounded wait: one wedged footer open (an object store hanging
+        // a single GET) must fail the audit NAMING the cell instead of
+        // blocking the driver forever
+        val counts =
+          try Await.result(rows, footerTimeout)
+          catch {
+            case e: java.util.concurrent.TimeoutException =>
+              throw new RuntimeException(
+                s"layoutRowStats: footer reads for cell " +
+                  s"$clusterCol=$cell under $path/corpus did not " +
+                  s"complete within $footerTimeout", e)
+          }
+        (cell, files.length, files.map(_.getLen).sum, counts.sum)
       }.sortBy(_._1)
     } finally pool.shutdown()
   }

@@ -206,6 +206,12 @@ object Retrieval {
         lit(3L * idx.avgdl) + lit(9L) * col("dl"))
       .withColumn("ts", iq * expr("num div den"))
       .groupBy("term").agg(max("ts").as("ub"))
+      // the bound is only meaningful against scores computed at the
+      // SAME fixed-point scale: stamp it into the artifact so a
+      // persisted ub table can never silently invalidate the
+      // MaxScore == exact-BM25 equality (bm25QueryMaxScore requires
+      // the stamp to match its own scaleBits)
+      .withColumn("ub_scale_bits", lit(scaleBits.toLong))
   }
 
   /** MAXSCORE-pruned BM25 top-k (Turtle & Flood'95 brought to the
@@ -247,8 +253,23 @@ object Retrieval {
     val s = 1L << scaleBits
     // ub is an INDEX-TIME artifact (one postings pass) — persist it
     // next to df and pass it in; recomputing per query call would pay
-    // that pass every time (the measured fixed cost, PERF.md)
-    val ubT = Option(ub).getOrElse(termUpperBounds(idx, scaleBits))
+    // that pass every time (the measured fixed cost, PERF.md).
+    // A passed artifact must carry the ub_scale_bits stamp matching
+    // THIS call's scaleBits: a mismatched artifact would silently
+    // break the pinned MaxScore == bm25Query equality (missing top-k
+    // rows, no error) — refuse loudly instead.
+    val ubT = Option(ub).map { u =>
+      require(u.columns.contains("ub_scale_bits"),
+        "ub artifact lacks the ub_scale_bits stamp - rebuild it with " +
+          "termUpperBounds or pass ub = null to recompute")
+      val stamps = u.select("ub_scale_bits").distinct()
+        .as[Long].collect().toSeq
+      require(stamps == Seq(scaleBits.toLong),
+        s"ub artifact built at scaleBits=${stamps.mkString(",")} but " +
+          s"this query scores at scaleBits=$scaleBits - rebuild the " +
+          "artifact or pass the matching parameter")
+      u
+    }.getOrElse(termUpperBounds(idx, scaleBits))
     val qt0 = queries.select(col(queryIdCol).cast("long").as("query_id"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
     val qt = if (maxDfPpm >= 1000000L) qt0

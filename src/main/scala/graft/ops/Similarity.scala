@@ -531,6 +531,16 @@ object Similarity {
         .localCheckpoint()
       val phi = d.agg(sum("q")).head().getLong(0)
       if (phi > 0) {
+        // the kept set is bounded only IN EXPECTATION (~l per round:
+        // sum of min(1, l*q/phi) <= l); a degenerate distance
+        // distribution (q comparable to phi for many points) or an
+        // oversized oversample could pass a corpus-sized set and OOM
+        // the driver — unlike every other model-sized collect in this
+        // module. Enforce a hard cap and REFUSE over it (silent
+        // truncation would change the seed set the oracle replays):
+        // 16l + 256 is >8x the expectation, astronomically unlikely
+        // outside genuine degeneracy.
+        val maxKept = 16 * l + 256
         val kept = d
           .withColumn("h",
             graft.functions.Sketches.md5Hash60(s"$salt$r|",
@@ -539,7 +549,12 @@ object Similarity {
             lit(l).cast("decimal(38,0)") * col("q") * lit(two60))
           .join(v, Seq("vec_id"))
           .select(col("vec_id"), col("v"))
+          .limit(maxKept + 1)
           .as[(Long, Seq[Double])].collect()
+        require(kept.length <= maxKept,
+          s"k-means|| round $r kept > $maxKept candidates (expectation " +
+            s"~$l) — degenerate distance distribution or oversample " +
+            "too large; shrink oversample or pre-sample the corpus")
         cands = cands ++ kept.sortBy(_._1)
       }
     }

@@ -501,6 +501,72 @@ class LayoutSpec extends AnyFunSuite {
       s"stage/backup litter: $left")
   }
 
+  test("maintainTrained paired-swap crash repair: roll forward complete stages, roll back incomplete ones") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def freshLayout(): String = {
+      val p = Files.createTempDirectory("ann_pair").toString
+      graft.io.AnnLayout.trainIvf(emb.filter(col("vec_id") % 3 === 0), p,
+        k = 3, iters = 2)
+      p
+    }
+    // a complete REBUILT pair to stage (larger corpus, same k)
+    val rebuilt = Files.createTempDirectory("ann_pair_new").toString
+    graft.io.AnnLayout.trainIvf(emb.filter(col("vec_id") % 3 <= 1), rebuilt,
+      k = 3, iters = 2)
+    val queries = emb.filter(col("vec_id") < 6)
+    def ans(p: String) = graft.io.AnnLayout
+      .knnIvf(spark, p, queries, k = 3, nprobe = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val wantNew = ans(rebuilt)
+    def stagePairInto(root: String): Unit = {
+      JFiles.move(Paths.get(rebuilt, "corpus"),
+        Paths.get(root, "corpus.stage"), StandardCopyOption.ATOMIC_MOVE)
+      JFiles.move(Paths.get(rebuilt, "reps"),
+        Paths.get(root, "reps.stage"), StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    // case A — crash BEFORE either swap (both stages complete):
+    // repair finishes the publish; queries answer as the rebuild
+    val a = freshLayout()
+    stagePairInto(a)
+    graft.io.AnnLayout.repairTrainedSwap(spark, a)
+    assert(ans(a) == wantNew && wantNew.nonEmpty)
+    var names = new java.io.File(a).listFiles().map(_.getName).toSet
+    assert(!names.exists(n => n.endsWith(".stage") || n.endsWith(".old")),
+      s"litter after roll-forward: $names")
+
+    // case B — crash BETWEEN the swaps (corpus swapped, reps pending):
+    // the cross-artifact hole the old repair missed. Reconstruct that
+    // exact state from case A's moved dirs: stage the pair again from
+    // a fresh rebuild, swap corpus only, then repair.
+    val rebuilt2 = Files.createTempDirectory("ann_pair_new2").toString
+    graft.io.AnnLayout.trainIvf(emb.filter(col("vec_id") % 3 <= 1),
+      rebuilt2, k = 3, iters = 2)
+    val b = freshLayout()
+    JFiles.move(Paths.get(rebuilt2, "corpus"), Paths.get(b, "corpus.stage"),
+      StandardCopyOption.ATOMIC_MOVE)
+    JFiles.move(Paths.get(rebuilt2, "reps"), Paths.get(b, "reps.stage"),
+      StandardCopyOption.ATOMIC_MOVE)
+    graft.io.AnnLayout.swapDir(spark, s"$b/corpus.stage", s"$b/corpus")
+    graft.io.AnnLayout.repairTrainedSwap(spark, b)
+    assert(ans(b) == wantNew)
+    names = new java.io.File(b).listFiles().map(_.getName).toSet
+    assert(!names.exists(n => n.endsWith(".stage") || n.endsWith(".old")),
+      s"litter after reps roll-forward: $names")
+
+    // case C — an INCOMPLETE stage (no _SUCCESS marker): rolled back,
+    // the published pair untouched
+    val c = freshLayout()
+    val wantOld = ans(c)
+    JFiles.createDirectory(Paths.get(c, "reps.stage"))
+    JFiles.writeString(Paths.get(c, "reps.stage", "part-junk"), "junk")
+    graft.io.AnnLayout.repairTrainedSwap(spark, c)
+    assert(ans(c) == wantOld)
+    assert(!JFiles.exists(Paths.get(c, "reps.stage")),
+      "incomplete stage must be rolled back (deleted)")
+  }
+
   test("maintainTrained(kppSeeds): crowding retrain rebuilds from distance-aware seeds, queries identical at full probe") {
     val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val root = Files.createTempDirectory("ann_maintain_kpp").toString

@@ -138,6 +138,23 @@ class RetrievalSpec extends AnyFunSuite {
     val q2 = Seq((0L, "alpha beta gamma the"), (100L, "iota the")).toDF("query_id", "text")
     assert(canon(Retrieval.bm25QueryMaxScore(idx2, q2, 4)) ==
       canon(Retrieval.bm25Query(idx2, q2, 4)))
+    // a persisted ub artifact is bound to its scale: passing one built
+    // at a DIFFERENT scaleBits must refuse (it would silently drop
+    // top-k rows), the matching one must reproduce the exact result
+    val ubOk = Retrieval.termUpperBounds(idx, scaleBits = 20)
+    assert(canon(Retrieval.bm25QueryMaxScore(idx, queries, 3, ub = ubOk)) ==
+      canon(Retrieval.bm25Query(idx, queries, 3)))
+    val ubWrong = Retrieval.termUpperBounds(idx, scaleBits = 16)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25QueryMaxScore(idx, queries, 3, ub = ubWrong)
+    }
+    assert(e.getMessage.contains("scaleBits=16"), e.getMessage)
+    // a pre-stamp artifact (no ub_scale_bits column) is refused too
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.bm25QueryMaxScore(idx, queries, 3,
+        ub = ubOk.drop("ub_scale_bits"))
+    }
+    assert(e2.getMessage.contains("ub_scale_bits"), e2.getMessage)
   }
 
   test("rrfFuse == hand-computed fusion; docs on both lists beat single-list docs") {
