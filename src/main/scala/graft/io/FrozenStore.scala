@@ -74,4 +74,23 @@ object FrozenStore {
     memos.getOrElseUpdate(key, this.synchronized {
       memos.getOrElse(key, build)
     }).asInstanceOf[T]
+
+  /** A DIRECTORY-shaped artifact (an ANN layout: partitioned corpus +
+    * reps codebook under one root): `build` populates the staged
+    * root, which then atomically renames into place; returns the
+    * published path. Serving faces probe the at-rest layout exactly
+    * as a 100 TB deployment would — trained once, queried forever —
+    * instead of re-training a throwaway temp copy per call.
+    */
+  def frozenPath(key: String)(build: String => Unit): String =
+    dfPaths.getOrElseUpdate("path|" + key, this.synchronized {
+      val fin = root.resolve(safeName("path|" + key))
+      if (!java.nio.file.Files.exists(fin)) {
+        val stage = root.resolve(safeName("path|" + key) + ".stage")
+        build(stage.toString)
+        java.nio.file.Files.move(stage, fin,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      fin.toString
+    })
 }
