@@ -368,16 +368,25 @@ object Unigram {
     * see UnigramOracle). Sum headroom: ≤ maxPieceLen mantissas of
     * < 2^30 each, far under 2^62.
     */
-  private def bSum(terms: Column): Column = {
-    // single pass over the raw term list: zero terms are excluded
+  /** Let-bind an expression as a lambda variable (the 1-element
+    * array transform trick): Catalyst re-inlines a captured
+    * expression at EVERY reference inside a lambda body — for a term
+    * list referenced from an aggregate's per-element lambda that
+    * means re-evaluating every bfp multiply once per element
+    * (measured: the first soft-EM cut spent ~10× the hard DP's time
+    * here). A lambda VARIABLE is a slot read.
+    */
+  private def bind(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), body), 1)
+
+  private def bSum(terms: Column): Column = bind(terms) { ts =>
+    // single pass over the BOUND term list: zero terms are excluded
     // from the max by an -inf sentinel and contribute 0 to the sum
-    // (their mantissa is 0; the shift clamp keeps the amount legal),
-    // so no filtered copy of the term list is re-inlined per
-    // reference — values identical to the filter formulation
+    // (their mantissa is 0; the shift clamp keeps the amount legal)
     val sentinel = lit(Int.MinValue)
-    val emax = array_max(transform(terms, t =>
+    val emax = array_max(transform(ts, t =>
       when(t.getField("m") === 0L, sentinel).otherwise(t.getField("e"))))
-    val msum = aggregate(terms, lit(0L), (s, x) =>
+    val msum = aggregate(ts, lit(0L), (s, x) =>
       s + shr(x.getField("m"),
         greatest(least(emax - x.getField("e"), lit(62)), lit(0))))
     when(emax.isNull || emax === sentinel, bZero)
@@ -461,22 +470,25 @@ object Unigram {
       alpha: Column, beta: Column): Column = {
     val n = length(w)
     val z = element_at(alpha, n + 1)
-    transform(arcs, a => {
-      val num = bMul(bMul(element_at(alpha, a.getField("j") + 1),
-        arcProb(a)), element_at(beta, n - a.getField("i") + 1))
-      val t = (num.getField("e") - z.getField("e") + 20).cast("int")
-      val q = when(num.getField("m") === 0L || z.getField("m") === 0L, lit(0L))
-        .when(t >= 0,
-          call_function("div", shl(num.getField("m"), least(t, lit(33))),
-            z.getField("m")))
-        .when(-t > 33, lit(0L))
-        .otherwise(call_function("div", num.getField("m"),
-          shl(z.getField("m"), -t)))
-      struct(
-        w.substr(a.getField("j") + 1, a.getField("i") - a.getField("j"))
-          .as("piece"),
-        q.as("q"))
-    })
+    transform(arcs, a =>
+      // num is referenced four times in the quantization formula —
+      // let-bind it (see [[bind]]) so the nested bfp multiplies run
+      // once per arc, not once per reference
+      bind(bMul(bMul(element_at(alpha, a.getField("j") + 1),
+        arcProb(a)), element_at(beta, n - a.getField("i") + 1))) { num =>
+        val t = (num.getField("e") - z.getField("e") + 20).cast("int")
+        val q = when(num.getField("m") === 0L || z.getField("m") === 0L, lit(0L))
+          .when(t >= 0,
+            call_function("div", shl(num.getField("m"), least(t, lit(33))),
+              z.getField("m")))
+          .when(-t > 33, lit(0L))
+          .otherwise(call_function("div", num.getField("m"),
+            shl(z.getField("m"), -t)))
+        struct(
+          w.substr(a.getField("j") + 1, a.getField("i") - a.getField("j"))
+            .as("piece"),
+          q.as("q"))
+      })
   }
 
   /** [[train]] with the FULL (soft) EM E-step: expected piece counts
