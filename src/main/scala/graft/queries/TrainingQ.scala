@@ -3131,6 +3131,37 @@ object TrainingQ {
     Some(AnnIvfTrainedOracle)
   )
 
+  /** Trained IVF behind the EPOCH-DIRECTORY publication protocol
+    * ([[graft.io.EpochLayout]]): the layout pair lives under
+    * `epochs/e<N>/` and "current" is the highest epoch whose
+    * `_EPOCH_COMPLETE` marker exists — publishing is one atomic file
+    * create, so a reader can never resolve a half-published pair
+    * (the flat layout's two-rename window, closed structurally).
+    * The probe itself is [[qAnnIvfTrained]]'s probe against the
+    * resolved epoch, and MUST answer identically — hence the shared
+    * oracle. Crash invisibility, retention GC, and the
+    * retrain-publishes-a-new-epoch intake loop are pinned in
+    * EpochSpec; this face keeps the resolve-and-probe read path
+    * oracle-checked end to end.
+    */
+  val qAnnEpoch = Q(
+    "q_ann_epoch",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val root = graft.io.FrozenStore.frozenPath(
+        s"ivf_epoch|$dir|$TrainedK|$TrainedIters") { pth =>
+        graft.io.EpochLayout.trainIvf(emb, pth, k = TrainedK,
+          iters = TrainedIters)
+        ()
+      }
+      graft.io.EpochLayout.knnIvf(spark, root,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(AnnIvfTrainedOracle)
+  )
+
   /** Trained-quantizer IVF in the scaled-int8 at-rest format (see
     * [[graft.io.AnnLayout.trainIvfQ8]]): the [[qAnnIvfTrained]]
     * codebook pipeline composed with [[qAnnIvfQ8]]'s storage — the
@@ -3584,5 +3615,5 @@ object TrainingQ {
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
     qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
-    qEmbedPc1)
+    qEmbedPc1, qAnnEpoch)
 }
