@@ -2203,6 +2203,102 @@ object Probe {
         s""""kpp_it3_top_share":$balKd}""")
     }
 
+    if (enabled("id_fetch")) {
+      // How many bytes does fetching a bounded id set from an at-rest
+      // float corpus cost, per delivery mechanism? 1M x 32-dim floats,
+      // range-partitioned 8 ways + sorted by id, written with SMALL
+      // row groups (1 MiB) so row-group pruning has something to
+      // prune at probe scale (at 100 TB every file holds many row
+      // groups; at probe scale the default 128 MiB block would put
+      // each file in ONE group and mask the effect). Fetch 64
+      // scattered ids via: (a) a shuffle join (the knnRerank float-
+      // fetch shape), (b) isin — 64 > the In-pushdown threshold of
+      // 10, so parquet receives only the [min, max] RANGE of the id
+      // set, (c) fetchByIds' Or-of-Eq chain — per-value equality at
+      // the scan.
+      val dims = 32
+      val nRows = 4000000L
+      val vecs = spark.range(nRows).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)), i =>
+          ((pmod(hash(col("id") * dims + i), lit(2000000)) / 1000000.0) - 1.0)
+            .cast("float")).as("embedding"))
+      val rest = java.nio.file.Files
+        .createTempDirectory("id_fetch").toString + "/corpus"
+      vecs.repartitionByRange(8, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .write.option("parquet.block.size", 1024 * 1024).parquet(rest)
+      val ids = (0 until 64).map(i => (i.toLong * 2654435761L) % nRows)
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val byteListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(byteListener)
+      // the fetch must MATERIALIZE the vectors (a bare count() would
+      // let column pruning drop `embedding` and make every mechanism
+      // look cheap) — aggregate a component so the value column is read
+      def consume(df: DataFrame): Long =
+        df.withColumn("x", element_at(col("embedding"), 1))
+          .agg(count(lit(1)), sum("x")).head().getLong(0)
+      // warm/cold split: a fresh 64-term Or pays Catalyst + Janino
+      // once per NEW plan; a serving loop reuses the compiled plan, a
+      // per-trigger foreachBatch does not — report both
+      def measured(f: => Long): (Long, Long, Double, Double) = {
+        Thread.sleep(300); bytes.set(0)
+        val t0 = System.nanoTime()
+        val rows = f
+        val cold = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val rows2 = f
+        val warm = (System.nanoTime() - t1) / 1e9
+        require(rows2 == rows)
+        Thread.sleep(1500); (bytes.get(), rows, cold, warm)
+      }
+      val idDf = spark.createDataFrame(ids.map(Tuple1(_)))
+        .toDF("vec_id")
+      val ids8 = ids.take(8)
+      val (bJoin, rJoin, cJoin, wJoin) = measured {
+        consume(spark.read.parquet(rest).join(idDf, Seq("vec_id")))
+      }
+      val (bIsin, rIsin, cIsin, wIsin) = measured {
+        consume(spark.read.parquet(rest)
+          .filter(col("vec_id").isin(ids: _*)))
+      }
+      val (bFetch, rFetch, cFetch, wFetch) = measured {
+        consume(graft.io.AnnLayout.fetchByIds(spark, rest, ids))
+      }
+      val (bIsin8, _, cIsin8, wIsin8) = measured {
+        consume(spark.read.parquet(rest)
+          .filter(col("vec_id").isin(ids8: _*)))
+      }
+      val (bOr8, _, cOr8, wOr8) = measured {
+        consume(graft.io.AnnLayout.fetchByIds(spark, rest, ids8))
+      }
+      val (bOr16, _, cOr16, wOr16) = measured {
+        consume(graft.io.AnnLayout.fetchByIds(spark, rest, ids.take(16)))
+      }
+      val (bOr32, _, cOr32, wOr32) = measured {
+        consume(graft.io.AnnLayout.fetchByIds(spark, rest, ids.take(32)))
+      }
+      val (bOne, rOne, cOne, wOne) = measured {
+        consume(graft.io.AnnLayout.fetchByIds(spark, rest, Seq(ids.head)))
+      }
+      spark.sparkContext.removeSparkListener(byteListener)
+      require(rJoin == rIsin && rIsin == rFetch && rOne == 1,
+        s"row mismatch: join=$rJoin isin=$rIsin fetch=$rFetch one=$rOne")
+      println(s"""{"probe":"id_fetch","rows":$rFetch,""" +
+        s""""join_full":{"bytes":$bJoin,"cold":$cJoin,"warm":$wJoin},""" +
+        s""""isin64_range":{"bytes":$bIsin,"cold":$cIsin,"warm":$wIsin},""" +
+        s""""or64_chain":{"bytes":$bFetch,"cold":$cFetch,"warm":$wFetch},""" +
+        s""""isin8_oreq":{"bytes":$bIsin8,"cold":$cIsin8,"warm":$wIsin8},""" +
+        s""""or8_chain":{"bytes":$bOr8,"cold":$cOr8,"warm":$wOr8},""" +
+        s""""or16_chain":{"bytes":$bOr16,"cold":$cOr16,"warm":$wOr16},""" +
+        s""""or32_chain":{"bytes":$bOr32,"cold":$cOr32,"warm":$wOr32},""" +
+        s""""single_eq":{"bytes":$bOne,"cold":$cOne,"warm":$wOne}}""")
+    }
+
     spark.stop()
   }
 }

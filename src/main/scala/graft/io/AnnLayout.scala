@@ -197,6 +197,60 @@ object AnnLayout {
     spark.read.parquet(src)
   }
 
+  /** Bounded POINT FETCH from an at-rest parquet table: the rows
+    * whose `idCol` is in `ids`, delivered to parquet as a chain of
+    * OR'd equality predicates instead of a join or an `isin`.
+    *
+    * Why not the obvious two:
+    *  - a JOIN on the id column scans the FULL table — the shortlist
+    *    ids are join keys, not scan filters, so a 100 TB corpus pays
+    *    a 100 TB scan to fetch 500 rows (the [[graft.ops.Pq.knnRerank]]
+    *    float-fetch shape);
+    *  - `isin(ids)` folds to a Catalyst `In`, and parquet pushdown
+    *    only expands `In` to per-value equality below
+    *    `spark.sql.parquet.pushdown.inFilterThreshold` (default 10);
+    *    above it the pushed filter degrades to the [min, max] RANGE
+    *    of the whole id set — which on a scattered shortlist spans
+    *    every row group and prunes nothing (Probe id_fetch measures
+    *    exactly this degradation).
+    * The explicit `Or(EqualTo…)` chain survives to the scan as
+    * individual equality predicates at any list size, so parquet
+    * row-group AND page-level pruning work: an id-sorted layout
+    * gives each row group/page a tight id min/max, and a point id
+    * touches ~one page. Measured (Probe id_fetch, 4M×32-float
+    * corpus, 1 MiB row groups, warm local cache): 1 id 2.9× faster
+    * than the join, 8 ids 2.4×, 16 ids 1.9×, 32 ids 1.2×; at 64 ids
+    * the per-page seek overhead on a WARM LOCAL cache exceeds the
+    * sequential decode it saves and the InSet full scan wins warm
+    * timing — but the chain still reads the fewest bytes and wins
+    * every COLD (fresh-plan, per-trigger serving) measurement, and
+    * on object storage bytes are the cost model that matters. Keep
+    * shortlists per-call in the tens; batch bigger fetches or join.
+    *
+    * `ids` is driver-resident by contract — same bounded-collect
+    * class as [[knnIvf]]'s probed-cluster list (|queries|·shortlist
+    * for a rerank fetch). The `maxIds` guard (default 16384) refuses
+    * the corpus-sized misuse where a join IS the right plan; the
+    * predicate chain is PAIRWISE-balanced below, so analysis and
+    * codegen see a log-depth boolean tree, not a 16k-deep left spine.
+    */
+  def fetchByIds(spark: SparkSession, path: String, ids: Seq[Long],
+      idCol: String = "vec_id", maxIds: Int = 16384): DataFrame = {
+    require(ids.nonEmpty, "fetchByIds needs at least one id")
+    require(ids.length <= maxIds,
+      s"${ids.length} ids exceeds maxIds=$maxIds — at that size a " +
+        "shuffle join beats per-row-group point reads; join instead")
+    def balancedOr(ps: IndexedSeq[org.apache.spark.sql.Column])
+        : org.apache.spark.sql.Column =
+      if (ps.length == 1) ps.head
+      else balancedOr(ps.grouped(2)
+        .map(g => if (g.length == 2) g(0) || g(1) else g(0))
+        .toIndexedSeq)
+    val pred = balancedOr(
+      ids.distinct.map(col(idCol) === lit(_)).toIndexedSeq)
+    spark.read.parquet(path).filter(pred)
+  }
+
   /** IVF top-k against a [[writeIvf]] layout — result-identical to
     * [[graft.ops.Similarity.knnIvf]] on the same corpus (same probe
     * ranking, same exact-cosine rerank, same tie-breaks; pinned in

@@ -193,4 +193,49 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
   }
+
+  /** [[knnRerank]] with the float fetch hitting an AT-REST corpus —
+    * the deployment shape the in-memory variant's id-equality join
+    * cannot deliver at 100 TB: `short.join(corpus)` makes the
+    * shortlist ids JOIN KEYS, so the float table is scanned in full
+    * to fetch |queries|·shortlist rows. Here the shortlist pairs are
+    * collected (bounded by construction — the same driver-side
+    * contract as [[graft.io.AnnLayout.knnIvf]]'s probed-cluster
+    * list) and the ids go back down as pushed per-value equality
+    * predicates ([[graft.io.AnnLayout.fetchByIds]]); on an id-sorted
+    * layout the scan then touches ~one row group per shortlisted id
+    * instead of the corpus (byte ratio measured in Probe id_fetch).
+    * Result-identical to [[knnRerank]] on the same corpus —
+    * PqSpec pins it, and q_ann_pq_rerank_rest shares
+    * q_ann_pq_rerank's oracle. `corpusPath` must hold (idCol LONG,
+    * vecCol) parquet, ideally sorted by idCol within files.
+    */
+  def knnRerankAtRest(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, codes: DataFrame, model: PqModel,
+      corpusPath: String, k: Int, shortlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k)
+    // |queries|·shortlist pairs — the bounded shortlist IS the point
+    // of the rerank stage, so collecting it is model-sized by design
+    val pairs = knnDecoded(queries, codes, model, shortlist, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+    import spark.implicits._
+    val short = pairs.toDF("query_id", "neighbor_id")
+    val cv = graft.io.AnnLayout.fetchByIds(spark, corpusPath,
+        pairs.map(_._2).distinct, idCol)
+      .select(col(idCol).as("neighbor_id"),
+        Similarity.asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    broadcast(short).join(cv, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("dot", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+  }
 }

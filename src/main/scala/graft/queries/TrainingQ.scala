@@ -2054,26 +2054,13 @@ object TrainingQ {
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
-  /** PQ shortlist + EXACT rerank (see [[graft.ops.Pq.knnRerank]]) —
-    * the deployment shape: the 20×-compressed coded table is the
-    * only full scan (a 15-deep decoded-dot shortlist here), then
-    * only shortlisted ids fetch their float vectors for the exact-dot
-    * rerank. The oracle chains the whole pipeline: both unrolled
-    * sub-space trainings → codes → decode → shortlist ranking →
-    * id-join → exact rerank.
+  /** Shared oracle for [[qAnnPqRerank]] and [[qAnnPqRerankRest]]:
+    * both unrolled sub-space trainings → codes → decode → shortlist
+    * ranking → id-join → exact rerank. The at-rest face changes only
+    * HOW the float vectors are fetched, never which rows or scores —
+    * hence one oracle.
     */
-  val qAnnPqRerank = Q(
-    "q_ann_pq_rerank",
-    (spark, dir) => {
-      val emb = Tables.embeddings(spark, dir)
-      val model = frozenPqModel(spark, dir)
-      val codes = graft.ops.Pq.encode(emb, model)
-      graft.ops.Pq.knnRerank(emb.filter(col("vec_id") < 10), codes,
-          model, emb, k = 5, shortlist = 15)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""WITH $pqOracleCtes,
+  private lazy val PqRerankOracle: String = s"""WITH $pqOracleCtes,
       dec AS (SELECT l0.vec_id, c0.cv || c1.cv AS cv
         FROM lab0 l0 JOIN c0_2 c0 ON l0.cluster = c0.cluster
         JOIN lab1 l1 ON l1.vec_id = l0.vec_id
@@ -2098,7 +2085,56 @@ object TrainingQ {
           (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
         FROM rr)
       SELECT query_id, rank, neighbor_id, dot FROM rk
-      WHERE rank <= 5 ORDER BY query_id, rank""")
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** PQ shortlist + EXACT rerank (see [[graft.ops.Pq.knnRerank]]) —
+    * the deployment shape: the 20×-compressed coded table is the
+    * only full scan (a 15-deep decoded-dot shortlist here), then
+    * only shortlisted ids fetch their float vectors for the exact-dot
+    * rerank.
+    */
+  val qAnnPqRerank = Q(
+    "q_ann_pq_rerank",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val model = frozenPqModel(spark, dir)
+      val codes = graft.ops.Pq.encode(emb, model)
+      graft.ops.Pq.knnRerank(emb.filter(col("vec_id") < 10), codes,
+          model, emb, k = 5, shortlist = 15)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(PqRerankOracle)
+  )
+
+  /** [[qAnnPqRerank]] with the float fetch against the AT-REST
+    * id-sorted corpus (see [[graft.ops.Pq.knnRerankAtRest]]): the
+    * shortlist ids reach the parquet scan as pushed per-value
+    * equality predicates, so the fetch reads ~one row group per id
+    * instead of joining against a full corpus scan — the fetch shape
+    * a 100 TB float table requires (byte ratio measured in Probe
+    * id_fetch). Same oracle: the at-rest path must return
+    * bit-identical reranked rows.
+    */
+  val qAnnPqRerankRest = Q(
+    "q_ann_pq_rerank_rest",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val model = frozenPqModel(spark, dir)
+      val codes = graft.ops.Pq.encode(emb, model)
+      // the float corpus at rest: range-partitioned + sorted by id,
+      // so row-group min/max stats are tight on the fetch key
+      val rest = graft.io.FrozenStore.frozenPath(s"emb_rest|$dir") { pth =>
+        emb.repartitionByRange(4, col("vec_id"))
+          .sortWithinPartitions("vec_id")
+          .write.parquet(pth)
+      }
+      graft.ops.Pq.knnRerankAtRest(spark, emb.filter(col("vec_id") < 10),
+          codes, model, rest, k = 5, shortlist = 15)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(PqRerankOracle)
   )
 
   /** IVF-PQ (see [[graft.io.AnnLayout.trainIvfPq]]): trained coarse
@@ -3615,5 +3651,5 @@ object TrainingQ {
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
     qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
-    qEmbedPc1, qAnnEpoch)
+    qEmbedPc1, qAnnEpoch, qAnnPqRerankRest)
 }

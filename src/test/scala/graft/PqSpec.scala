@@ -229,4 +229,46 @@ class PqSpec extends AnyFunSuite {
       .toSeq
     assert(got == flat && got.nonEmpty)
   }
+
+  test("fetchByIds: same rows as the join fetch; equality predicates reach the parquet scan") {
+    val rest = java.nio.file.Files.createTempDirectory("emb_rest").toString + "/corpus"
+    emb.repartitionByRange(4, col("vec_id"))
+      .sortWithinPartitions("vec_id").write.parquet(rest)
+    // 40 scattered ids — far past the default In-pushdown threshold
+    // (10), where isin would degrade to a useless [min, max] range
+    val ids = (0L until 40L).map(_ * 13 % 500)
+    val got = graft.io.AnnLayout.fetchByIds(spark, rest, ids)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = emb.filter(col("vec_id").isin(ids: _*))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // the scan must carry pushed per-value equality predicates — the
+    // whole reason this beats isin past the threshold
+    val pushed = graft.io.AnnLayout.fetchByIds(spark, rest, ids)
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters: [Or(Or("),
+      s"no pushed Or-of-Eq chain in:\n$pushed")
+    // guard: corpus-sized id lists must be refused, not slow
+    intercept[IllegalArgumentException] {
+      graft.io.AnnLayout.fetchByIds(spark, rest, 1L to 20000L)
+    }
+  }
+
+  test("knnRerankAtRest == knnRerank row-for-row (at-rest fetch changes bytes, never rows)") {
+    val model = Pq.train(emb, m = 2, k = 4, iters = 2)
+    val codes = Pq.encode(emb, model)
+    val queries = emb.filter(col("vec_id") < 10)
+    val rest = java.nio.file.Files.createTempDirectory("emb_rest2").toString + "/corpus"
+    emb.repartitionByRange(4, col("vec_id"))
+      .sortWithinPartitions("vec_id").write.parquet(rest)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val inMem = rows(Pq.knnRerank(queries, codes, model, emb,
+      k = 5, shortlist = 15))
+    val atRest = rows(Pq.knnRerankAtRest(spark, queries, codes, model,
+      rest, k = 5, shortlist = 15))
+    assert(atRest == inMem && atRest.nonEmpty)
+  }
 }
