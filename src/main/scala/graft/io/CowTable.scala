@@ -1,0 +1,165 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write MERGE (upsert + delete) for a Hive-partitioned
+  * parquet table — the maintenance operation a 100 TB training
+  * corpus cannot run as a full rewrite: takedown/opt-out deletes and
+  * re-crawled document upserts arrive as bounded change batches, and
+  * the rewrite cost must be proportional to the PARTITIONS TOUCHED,
+  * never the corpus.
+  *
+  * No table format is assumed (same design stance as [[AnnLayout]]'s
+  * maintenance paths): the table is plain parquet under
+  * `path/<partCol>=<v>/`, and the unit of atomicity is one partition
+  * directory, swapped with the package's backup-then-rename
+  * discipline (hidden `.old_<dir>` backups, crash repair on the next
+  * writer's entry — [[AnnLayout.swapDir]]'s contract). A reader
+  * concurrent with a multi-partition merge can observe SOME
+  * partitions new and others old; each is individually consistent
+  * (the merge is per-partition independent by the partition-key
+  * contract below). A pipeline that needs all-or-nothing visibility
+  * composes this with [[EpochLayout.publish]] — build the merged
+  * table in the invisible epoch directory, publish with the marker.
+  *
+  * Change-batch contract (validated in one bounded aggregate before
+  * any write):
+  *  - columns: the table's columns plus `op` (`"upsert"` |
+  *    `"delete"`); delete rows may carry nulls in the payload
+  *    columns — only (idCol, partCol) are read;
+  *  - at most ONE change per id per batch (two ops on one id in one
+  *    batch have no defined order — sequence them across batches);
+  *  - partCol is IMMUTABLE per id: the partition key of a corpus is
+  *    derived from the document (source, shard hash), so a change
+  *    row's partCol names the partition where the id LIVES. Moving
+  *    an id between partitions is expressible as a delete (old
+  *    partition) + upsert (new partition) pair in one batch — two
+  *    different composite (id, part) keys, so the uniqueness rule is
+  *    untouched.
+  *
+  * Scale mechanics: the touched-partition list crosses the driver
+  * (bounded by partition-key cardinality, the same collect class as
+  * [[AnnLayout.knnIvf]]'s probe list); the live read is partition-
+  * pruned to exactly those directories; the anti-join's change side
+  * is broadcast (change batches are bounded by contract); ONE
+  * distributed job writes all merged partitions to a staging root;
+  * the driver then swaps each touched directory. Untouched
+  * partitions: zero bytes read, zero bytes written (CowSpec pins
+  * file identity).
+  */
+object CowTable {
+
+  final case class MergeStats(partitionsTouched: Int, deleted: Long,
+      upserted: Long)
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Finish any partition swap a crashed [[merge]] left half-done —
+    * the [[AnnLayout.repairPartitionSwaps]] rule over this table's
+    * root: restore `.old_<dir>` if its partition is missing, drop it
+    * if the swap committed. Also clears a leftover staging root (a
+    * crashed merge's stage is garbage — the live table was never
+    * touched before the swap loop, and any partition the loop DID
+    * swap is already consistent).
+    */
+  private[graft] def repair(spark: SparkSession, path: String,
+      partCol: String): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(".old_")) {
+        val target = new Path(root, name.stripPrefix(".old_"))
+        if (!fs.exists(target)) {
+          if (!fs.rename(st.getPath, target))
+            sys.error(s"repair rename ${st.getPath} -> $target failed")
+        } else fs.delete(st.getPath, true)
+      }
+      if (st.isDirectory && name == ".merge_stage")
+        fs.delete(st.getPath, true)
+    }
+    ()
+  }
+
+  /** Apply one change batch. Returns the partition/row counts the
+    * caller's audit log wants. See the object doc for the contract;
+    * violations throw BEFORE any write.
+    */
+  def merge(spark: SparkSession, path: String, changes: DataFrame,
+      idCol: String, partCol: String,
+      maxRecordsPerFile: Long = 5000000L): MergeStats = {
+    repair(spark, path, partCol)
+    // ONE bounded validation aggregate: op domain + per-(id, part)
+    // uniqueness + per-partition change counts (the touched list),
+    // all from a change-batch-sized groupBy
+    val perKey = changes.groupBy(col(partCol), col(idCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("op") === "delete", 1).otherwise(0)).as("_d"),
+        sum(when(col("op") === "upsert", 1).otherwise(0)).as("_u"))
+    val audit = perKey.agg(
+      count(lit(1)).as("keys"),
+      coalesce(sum(when(col("_n") > 1, 1).otherwise(0)), lit(0L))
+        .as("dups"),
+      coalesce(sum(col("_d")), lit(0L)).as("dels"),
+      coalesce(sum(col("_u")), lit(0L)).as("ups")).head()
+    require(audit.getLong(1) == 0,
+      s"${audit.getLong(1)} ids carry more than one change in this " +
+        "batch — order within a batch is undefined; sequence them " +
+        "across batches")
+    require(audit.getLong(2) + audit.getLong(3) == audit.getLong(0),
+      "changes.op must be exactly 'upsert' or 'delete'")
+    val touched = changes.select(col(partCol)).distinct()
+      .collect().map(_.get(0)) // bounded by partition-key cardinality
+    if (touched.isEmpty)
+      return MergeStats(0, 0L, 0L)
+    val fs = fsOf(spark, path)
+    // a partition emptied by a previous delete-all is present but
+    // holds no parquet files — reading it would defeat schema
+    // inference, and it contributes no rows anyway
+    val liveDirs = touched.map(v => s"$path/$partCol=$v")
+      .filter { d =>
+        val p = new Path(d)
+        fs.exists(p) && fs.listStatus(p).exists(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+      }
+    // partition-pruned live read: only touched directories
+    val live =
+      if (liveDirs.isEmpty) null
+      else spark.read.option("basePath", path).parquet(liveDirs: _*)
+    val tableCols =
+      if (live != null) live.columns.toSeq
+      else changes.columns.filterNot(_ == "op").toSeq
+    // every change displaces the old row (a delete by absence, an
+    // upsert by its replacement); change batches are bounded, so the
+    // displacement side broadcasts and the live side never shuffles
+    val kept =
+      if (live == null) null
+      else live.join(
+        broadcast(changes.select(col(partCol), col(idCol))),
+        Seq(partCol, idCol), "left_anti")
+    val ups = changes.filter(col("op") === "upsert")
+      .select(tableCols.map(col): _*)
+    val merged = (if (kept == null) ups else kept.unionByName(ups))
+      .repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), col(idCol))
+    val stage = s"$path/.merge_stage"
+    merged.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCol).parquet(stage)
+    touched.foreach { v =>
+      val staged = new Path(s"$stage/$partCol=$v")
+      // a partition whose rows were all deleted writes no staged dir;
+      // install an EMPTY directory so the outcome is a present-but-
+      // empty partition, never an ambiguous missing one
+      if (!fs.exists(staged)) fs.mkdirs(staged)
+      AnnLayout.swapDir(spark, staged.toString, s"$path/$partCol=$v",
+        backup = s"$path/.old_$partCol=$v")
+    }
+    fs.delete(new Path(stage), true)
+    MergeStats(touched.length, audit.getLong(2), audit.getLong(3))
+  }
+}

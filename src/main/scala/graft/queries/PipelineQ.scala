@@ -1294,6 +1294,122 @@ object PipelineQ {
     Some(EnsembleOracle)
   )
 
+  /** The deterministic change batch for the copy-on-write faces:
+    * takedown deletes (doc_id ≡ 0 mod 37), re-crawl upserts (≡ 3 mod
+    * 41, minus the deleted set — one change per id per batch is the
+    * [[graft.io.CowTable]] contract), and fresh inserts (new ids
+    * +1,000,000 derived from ≡ 5 mod 53). Every row carries its
+    * lang — the partition key — so the merge touches only the
+    * partitions the changes name.
+    */
+  private def cowChanges(docs: org.apache.spark.sql.DataFrame) = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(col)
+    val dels = docs.filter(col("doc_id") % 37 === 0)
+      .select(cols :+ lit("delete").as("op"): _*)
+    val ups = docs
+      .filter(col("doc_id") % 41 === 3 && col("doc_id") % 37 =!= 0)
+      .withColumn("text", concat(lit("v2 "), col("text")))
+      .withColumn("n_chars", col("n_chars") + 3)
+      .select(cols :+ lit("upsert").as("op"): _*)
+    val ins = docs.filter(col("doc_id") % 53 === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"), col("lang"),
+        col("source"), (col("n_chars") + 4).as("n_chars"),
+        lit("upsert").as("op"))
+    dels.unionByName(ups).unionByName(ins)
+  }
+
+  /** Shared oracle for [[qCowMerge]] and [[qStreamCow]]: replay the
+    * change semantics relationally — kept rows are those neither
+    * deleted nor displaced by an upsert; upserts and inserts land as
+    * written. The streaming face applies the SAME change set split
+    * across triggers; ids are globally unique across the batch, so
+    * sequential per-trigger merges compose to the one-shot result
+    * regardless of the split.
+    */
+  private val CowOracle: String =
+    """WITH kept AS (SELECT doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 37 <> 0 AND doc_id % 41 <> 3),
+      ups AS (SELECT doc_id, 'v2 ' || text AS text, lang, source,
+          n_chars + 3 AS n_chars
+        FROM documents WHERE doc_id % 41 = 3 AND doc_id % 37 <> 0),
+      ins AS (SELECT doc_id + 1000000 AS doc_id,
+          'new ' || text AS text, lang, source,
+          n_chars + 4 AS n_chars
+        FROM documents WHERE doc_id % 53 = 5)
+      SELECT * FROM kept UNION ALL SELECT * FROM ups
+      UNION ALL SELECT * FROM ins ORDER BY doc_id"""
+
+  /** Copy-on-write corpus maintenance (see [[graft.io.CowTable]]):
+    * takedown deletes + re-crawl upserts applied to a lang-
+    * partitioned at-rest corpus, rewriting ONLY the partitions the
+    * change batch names — the merge shape a 100 TB corpus requires
+    * (a full rewrite per change batch costs the corpus; CowSpec pins
+    * that untouched partitions keep their exact files). The query
+    * returns the post-merge table contents; the oracle replays the
+    * change semantics relationally.
+    */
+  val qCowMerge = Q(
+    "q_cow_merge",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val t = java.nio.file.Files
+        .createTempDirectory("cow_merge").toString + "/docs"
+      graft.io.Bucketing.writePartitioned(docs, t, Seq("lang"),
+        Seq("doc_id"))
+      graft.io.CowTable.merge(spark, t, cowChanges(docs), "doc_id",
+        "lang")
+      spark.read.option("basePath", t).parquet(t)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(CowOracle)
+  )
+
+  /** STREAMING copy-on-write intake — change batches arrive as a
+    * stream and each trigger merges one batch into the at-rest
+    * corpus via `foreachBatch` (the CDC-intake shape: the table is
+    * at-rest data, per-trigger work is proportional to that batch's
+    * touched partitions, no state store). Because every id carries
+    * at most one change across the whole set, the per-trigger merges
+    * COMMUTE, and the final table equals [[qCowMerge]]'s one-shot
+    * merge — the same oracle pins it (27th batch/stream equivalence
+    * pin).
+    */
+  val qStreamCow = Q(
+    "q_stream_cow",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(spark, dir)
+      val work = java.nio.file.Files
+        .createTempDirectory("cow_stream").toString
+      val t = s"$work/docs"
+      graft.io.Bucketing.writePartitioned(docs, t, Seq("lang"),
+        Seq("doc_id"))
+      val chDir = s"$work/changes"
+      cowChanges(docs).repartition(3).write.parquet(chDir)
+      val sch = spark.read.parquet(chDir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(chDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          graft.io.CowTable.merge(spark, t, batch, "doc_id", "lang")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.option("basePath", t).parquet(t)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(CowOracle)
+  )
+
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
@@ -1301,5 +1417,6 @@ object PipelineQ {
       qQualityTrain, qQualityTrainScore, qStreamQuality,
       qQualityCurriculumSketch, qStreamCurriculum,
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
-      qStreamDsir, qQualityEnsemble, qStreamEnsemble)
+      qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
+      qStreamCow)
 }

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{Bucketing, CowTable}
+
+/** Pins for copy-on-write merge ([[graft.io.CowTable]]): result
+  * identity with a naive full recompute, the untouched-partition
+  * file-identity guarantee (the operator's scale reason), crash
+  * repair, the delete-to-empty + refill cycle, and the change-batch
+  * contract validations.
+  */
+class CowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = graft.io.Tables.documents(spark, sf)
+  private val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def freshTable(): String = {
+    val t = Files.createTempDirectory("cow").toString + "/docs"
+    Bucketing.writePartitioned(docs, t, Seq("lang"), Seq("doc_id"))
+    t
+  }
+
+  private def readAll(t: String) =
+    spark.read.option("basePath", t).parquet(t)
+      .select(cols.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+
+  private def changeSet() = {
+    val dels = docs.filter(col("doc_id") % 37 === 0)
+      .select(cols.map(col) :+ lit("delete").as("op"): _*)
+    val ups = docs
+      .filter(col("doc_id") % 41 === 3 && col("doc_id") % 37 =!= 0)
+      .withColumn("text", concat(lit("v2 "), col("text")))
+      .withColumn("n_chars", col("n_chars") + 3)
+      .select(cols.map(col) :+ lit("upsert").as("op"): _*)
+    val ins = docs.filter(col("doc_id") % 53 === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"), col("lang"),
+        col("source"), (col("n_chars") + 4).as("n_chars"),
+        lit("upsert").as("op"))
+    dels.unionByName(ups).unionByName(ins)
+  }
+
+  test("merge == naive full recompute; only touched partitions rewritten") {
+    val t = freshTable()
+    def fileState(p: String): Map[String, Long] = {
+      val d = new java.io.File(p)
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    // zh is untouched by construction: restrict every change to the
+    // other four langs so one partition must survive byte-identical
+    val ch = changeSet().filter(col("lang") =!= "zh")
+    val zhBefore = fileState(s"$t/lang=zh")
+    assert(zhBefore.nonEmpty)
+    val stats = CowTable.merge(spark, t, ch, "doc_id", "lang")
+    assert(stats.partitionsTouched == 4, s"$stats")
+    assert(stats.deleted > 0 && stats.upserted > 0, s"$stats")
+    // naive recompute of the expected table
+    val chNoOp = ch.drop("op")
+    val want = docs
+      .join(ch.select("doc_id", "lang"), Seq("doc_id", "lang"),
+        "left_anti")
+      .unionByName(ch.filter(col("op") === "upsert").drop("op"))
+      .select(cols.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(readAll(t) == want && want.nonEmpty)
+    assert(chNoOp.columns.toSet == cols.toSet)
+    // the untouched partition's files are the SAME files
+    assert(fileState(s"$t/lang=zh") == zhBefore,
+      "untouched partition was rewritten")
+    // no staging / backup litter
+    val left = new java.io.File(t).listFiles().map(_.getName)
+      .filter(n => n.startsWith(".old_") || n == ".merge_stage")
+    assert(left.isEmpty, s"litter: ${left.toSeq}")
+  }
+
+  test("delete-to-empty partition stays readable and refillable") {
+    val t = freshTable()
+    val zhRows = docs.filter(col("lang") === "zh")
+    val delAll = zhRows
+      .select(cols.map(col) :+ lit("delete").as("op"): _*)
+    CowTable.merge(spark, t, delAll, "doc_id", "lang")
+    assert(readAll(t).count(_(2) == "zh") == 0)
+    // empty partition directory is PRESENT (unambiguous), not missing
+    assert(new java.io.File(s"$t/lang=zh").isDirectory)
+    // refill: upsert two zh docs back in
+    val refill = zhRows.limit(2)
+      .select(cols.map(col) :+ lit("upsert").as("op"): _*)
+    CowTable.merge(spark, t, refill, "doc_id", "lang")
+    assert(readAll(t).count(_(2) == "zh") == 2)
+  }
+
+  test("crash repair: missing target restored from .old_, leftover stage cleared") {
+    val t = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = readAll(t)
+    // simulate a crash between the two swap renames: target moved to
+    // backup, replacement never installed — plus an abandoned stage
+    fs.rename(new org.apache.hadoop.fs.Path(s"$t/lang=en"),
+      new org.apache.hadoop.fs.Path(s"$t/.old_lang=en"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/.merge_stage/lang=en"))
+    val noop = docs.filter(col("doc_id") === -1)
+      .select(cols.map(col) :+ lit("delete").as("op"): _*)
+    CowTable.merge(spark, t, noop, "doc_id", "lang") // entry repair runs
+    assert(readAll(t) == before, "repair lost rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/.merge_stage")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/.old_lang=en")))
+  }
+
+  test("contract violations refuse before any write") {
+    val t = freshTable()
+    val before = readAll(t)
+    val badOp = docs.limit(1)
+      .select(cols.map(col) :+ lit("replace").as("op"): _*)
+    intercept[IllegalArgumentException] {
+      CowTable.merge(spark, t, badOp, "doc_id", "lang")
+    }
+    val one = docs.limit(1)
+    val dup = one.select(cols.map(col) :+ lit("delete").as("op"): _*)
+      .unionByName(
+        one.select(cols.map(col) :+ lit("upsert").as("op"): _*))
+    intercept[IllegalArgumentException] {
+      CowTable.merge(spark, t, dup, "doc_id", "lang")
+    }
+    assert(readAll(t) == before, "a refused merge mutated the table")
+  }
+}
