@@ -755,6 +755,42 @@ object AnnLayout {
     ()
   }
 
+  /** TAKEDOWN for a trained layout — delete a bounded vec-id set
+    * from the at-rest corpus, rewriting ONLY the partitions that
+    * hold those ids (a takedown that reaches the document corpus but
+    * not the vector index leaves the removed content retrievable by
+    * similarity — this closes the ANN artifact, the
+    * [[graft.ops.Retrieval.removeFromIndex]] counterpart in
+    * embedding space). Mechanics: one [[fetchByIds]] point read
+    * (pushed per-id equality predicates — row-group pruned, never a
+    * corpus scan) recovers each id's learned label, and the
+    * (id, label) delete batch goes through [[CowTable.merge]]'s
+    * per-partition copy-on-write swap. The reps codebook is
+    * deliberately untouched: deleting members changes cell OCCUPANCY,
+    * not the frozen quantizer — exactly the [[appendTrained]]
+    * frozen-codebook rule in reverse; heavy deletion shows up in the
+    * next [[maintainTrained]] batch's crowding gate, whose retrain
+    * is the codebook's refresh path. Ids absent from the layout are
+    * no-ops. Returns the number of rows deleted.
+    */
+  def deleteTrained(spark: SparkSession, path: String, ids: Seq[Long],
+      idCol: String = "vec_id", clusterCol: String = "label"): Long = {
+    repairTrainedSwap(spark, path)
+    repairPartitionSwaps(spark, path)
+    if (ids.isEmpty) return 0L
+    val fetched = fetchByIds(spark, s"$path/corpus", ids, idCol)
+      .select(col(idCol), col(clusterCol))
+    // bounded by the takedown batch; materialized so the change set
+    // cannot lazily re-read partitions the merge is rewriting
+    val rows = fetched.collect().toIndexedSeq
+    if (rows.isEmpty) return 0L
+    val changes = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), fetched.schema)
+      .withColumn("op", lit("delete"))
+    CowTable.merge(spark, s"$path/corpus", changes, idCol, clusterCol)
+    rows.length.toLong
+  }
+
   /** Per-batch drift statistics from the assignment pass an append
     * already runs — the free gate inputs of the measured retrain
     * policy (PERF.md round-11: WARN at `assignCosP50 < 0.7`, RETRAIN

@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   * any write):
   *  - columns: the table's columns plus `op` (`"upsert"` |
   *    `"delete"`); delete rows may carry nulls in the payload
-  *    columns — only (idCol, partCol) are read;
+  *    columns — only (idCol, partCol) are read — and a DELETE-ONLY
+  *    batch (the takedown shape) may omit the payload columns
+  *    entirely;
   *  - at most ONE change per id per batch (two ops on one id in one
   *    batch have no defined order — sequence them across batches);
   *  - partCol is IMMUTABLE per id: the partition key of a corpus is
@@ -141,15 +143,26 @@ object CowTable {
       else live.join(
         broadcast(changes.select(col(partCol), col(idCol))),
         Seq(partCol, idCol), "left_anti")
-    val ups = changes.filter(col("op") === "upsert")
-      .select(tableCols.map(col): _*)
-    val merged = (if (kept == null) ups else kept.unionByName(ups))
-      .repartition(col(partCol))
-      .sortWithinPartitions(col(partCol), col(idCol))
+    // a DELETE-ONLY batch (the takedown shape) needs no payload
+    // columns at all — only (idCol, partCol, op) are read, so a
+    // minimal takedown DataFrame is a valid change batch
+    val mergedOpt =
+      if (audit.getLong(3) > 0L) {
+        val ups = changes.filter(col("op") === "upsert")
+          .select(tableCols.map(col): _*)
+        Some(if (kept == null) ups else kept.unionByName(ups))
+      } else Option(kept)
     val stage = s"$path/.merge_stage"
-    merged.write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partCol).parquet(stage)
+    mergedOpt match {
+      case Some(m) =>
+        m.repartition(col(partCol))
+          .sortWithinPartitions(col(partCol), col(idCol))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy(partCol).parquet(stage)
+      case None => // deletes against partitions with no live rows
+        fs.mkdirs(new Path(stage))
+    }
     touched.foreach { v =>
       val staged = new Path(s"$stage/$partCol=$v")
       // a partition whose rows were all deleted writes no staged dir;

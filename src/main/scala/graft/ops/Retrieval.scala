@@ -189,6 +189,51 @@ object Retrieval {
   def totalLen(idx: Bm25Index): Long =
     idx.dl.agg(sum("dl")).head().getLong(0)
 
+  /** EXACT index TAKEDOWN — the inverse of [[mergeIndex]]: remove a
+    * bounded doc-id set from a frozen index WITHOUT re-tokenizing the
+    * surviving corpus. A takedown that reaches the corpus
+    * ([[graft.io.CowTable]]) but not the derived artifacts leaves the
+    * removed text retrievable through them; this closes the lexical
+    * index. Every statistic is a per-doc sum, so removal is exact
+    * subtraction: postings/dl anti-join the id set (broadcast — a
+    * takedown batch is bounded by contract), df decrements by the
+    * removed docs' per-term presence and terms at zero leave the
+    * table, N and ΣL subtract. Ids absent from the index are no-ops.
+    * RetrievalSpec pins remove(build(C), D) == build(C \ D) table for
+    * table and query for query.
+    *
+    * Returns the new index plus its total length (the scalar the
+    * next merge/remove needs). A persisted [[termUpperBounds]] table
+    * must be REBUILT afterwards — removal changes N/df/avgdl, and a
+    * term whose df fell can legitimately score HIGHER than its old
+    * bound (the stale-ub failure mode the ub_scale_bits stamp cannot
+    * catch, because the scale did not change).
+    */
+  def removeFromIndex(idx: Bm25Index, removeIds: DataFrame,
+      totalLenBefore: Long, docIdCol: String = "doc_id")
+      : (Bm25Index, Long) = {
+    val rid = removeIds
+      .select(col(docIdCol).cast("long").as("doc_id")).distinct()
+    val gone = idx.dl.join(broadcast(rid), Seq("doc_id"))
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("l"))
+      .head()
+    val nGone = gone.getLong(0)
+    val n = idx.nDocs - nGone
+    require(n > 0, "takedown would empty the corpus — an empty index " +
+      "has no avgdl; drop the artifact instead")
+    val postings = idx.postings
+      .join(broadcast(rid), Seq("doc_id"), "left_anti")
+    val dfDec = idx.postings.join(broadcast(rid), Seq("doc_id"))
+      .groupBy("term").agg(count(lit(1)).as("_gone"))
+    val dfT = idx.df.join(dfDec, Seq("term"), "left_outer")
+      .select(col("term"),
+        (col("df") - coalesce(col("_gone"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val dl = idx.dl.join(broadcast(rid), Seq("doc_id"), "left_anti")
+    val newLen = totalLenBefore - gone.getLong(1)
+    (Bm25Index(postings, dfT, dl, n, Math.floorDiv(newLen, n)), newLen)
+  }
+
   /** Per-term score UPPER BOUNDS — max over a term's postings of its
     * exact per-(doc, term) contribution (iq · scaled tf saturation,
     * the same integers [[bm25Scores]] sums). The MaxScore planning

@@ -1332,13 +1332,15 @@ object TrainingQ {
     * score) table — [[Bm25Oracle]] tops it with rank≤k,
     * [[qDeconQuery]] with a threshold.
     */
-  private lazy val Bm25Ctes: String =
+  private def bm25Ctes(corpusWhere: String): String =
     s"""$tokCtes,
-      post AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+      post AS (SELECT doc_id, unnest(ts) AS term FROM toks
+        WHERE ($corpusWhere)),
       tfq AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
         FROM post GROUP BY 1, 2),
       dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
-      dlq AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+      dlq AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks
+        WHERE ($corpusWhere)),
       stq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(dl) AS BIGINT) AS l FROM dlq),
       av AS (SELECT n, l // n AS a FROM stq),
@@ -1355,6 +1357,8 @@ object TrainingQ {
         FROM cand),
       sc AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score
         FROM tsc GROUP BY 1, 2)"""
+
+  private lazy val Bm25Ctes: String = bm25Ctes("TRUE")
 
   private lazy val Bm25Oracle: String =
     s"""WITH $Bm25Ctes,
@@ -1589,6 +1593,38 @@ object TrainingQ {
         .orderBy("query_id", "rank")
     },
     Some(Bm25Oracle)
+  )
+
+  /** Index TAKEDOWN (see [[graft.ops.Retrieval.removeFromIndex]]) —
+    * the takedown batch (doc_id ≡ 0 mod 37, the corpus faces' delete
+    * set) is subtracted EXACTLY from a frozen index: postings/dl
+    * leave by anti-join, df decrements, scalars subtract — no
+    * re-tokenize of the surviving corpus. The oracle builds BM25
+    * from scratch over the corpus MINUS the takedown set, so the
+    * face pins remove(build(C), D) == build(C \ D) end to end
+    * through ranking.
+    */
+  val qBm25Takedown = Q(
+    "q_bm25_takedown",
+    (spark, dir) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(spark, dir)
+      val idx = Retrieval.buildIndex(docs)
+      val (after, _) = Retrieval.removeFromIndex(idx,
+        docs.filter(col("doc_id") % 37 === 0).select("doc_id"),
+        Retrieval.totalLen(idx))
+      Retrieval.bm25Query(after,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH ${bm25Ctes("doc_id % 37 <> 0")},
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score FROM rk
+      WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
   /** RETRIEVAL SERVING — the 25th batch/stream equivalence pin:
@@ -3048,12 +3084,16 @@ object TrainingQ {
         FROM $p p LEFT JOIN g$i g USING (cluster))"""
   }
 
-  /** Shared oracle for [[qAnnIvfTrained]] and [[qStreamAnn]]: the
+  /** Shared oracle for [[qAnnIvfTrained]], [[qStreamAnn]],
+    * [[qAnnEpoch]] and (with `candWhere`) [[qAnnTakedown]]: the
     * first-k-seeded unrolled Lloyd chain → final assignment →
     * centroid probe → rerank. The stream face serves the SAME frozen
-    * layout, so its per-trigger output replays on the identical SQL.
+    * layout, so its per-trigger output replays on the identical SQL;
+    * the takedown face trains on the FULL corpus (frozen codebook)
+    * and then restricts the CANDIDATE rows — `candWhere` — exactly
+    * as deleteTrained leaves labels frozen and removes members.
     */
-  private lazy val AnnIvfTrainedOracle: String =
+  private def annIvfTrainedOracle(candWhere: String): String =
     s"""WITH e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
@@ -3076,12 +3116,15 @@ object TrainingQ {
           ${sqlDot("p.qv", "e.v")} / sqrt(${sqlDot("p.qv", "p.qv")} * ${sqlDot("e.v", "e.v")}) AS cosine
         FROM (SELECT query_id, qv, label FROM probe WHERE pr <= 2) p
         JOIN lab l ON l.label = p.label JOIN e ON e.vec_id = l.vec_id
-        WHERE e.vec_id <> p.query_id),
+        WHERE e.vec_id <> p.query_id AND ($candWhere)),
       r AS (SELECT *, row_number() OVER
           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         FROM cand)
       SELECT query_id, rank, neighbor_id, cosine FROM r
       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private lazy val AnnIvfTrainedOracle: String =
+    annIvfTrainedOracle("TRUE")
 
   /** IVF against a TRAINED coarse quantizer (see
     * [[graft.io.AnnLayout.trainIvf]]): deterministic seeded Lloyd
@@ -3196,6 +3239,41 @@ object TrainingQ {
         .orderBy("query_id", "rank")
     },
     Some(AnnIvfTrainedOracle)
+  )
+
+  /** ANN-layout TAKEDOWN (see [[graft.io.AnnLayout.deleteTrained]]):
+    * a takedown that reaches the document corpus (q_cow_merge) and
+    * the lexical index (q_bm25_takedown) but not the VECTOR index
+    * leaves the removed content retrievable by similarity — this
+    * face closes that artifact. The layout trains on the full corpus
+    * (frozen codebook), the delete set (vec_id ≡ 3 mod 7) leaves via
+    * one point-fetch + per-partition copy-on-write merge, and the
+    * probe answers over the survivors. Oracle: the trained-IVF chain
+    * with the CANDIDATE rows restricted to the survivors — labels
+    * frozen, members removed, which is exactly the operator's
+    * contract. Idempotent across bench reps: re-deleting absent ids
+    * is a no-op, so the frozen mutated layout keeps answering
+    * identically.
+    */
+  val qAnnTakedown = Q(
+    "q_ann_takedown",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val work = graft.io.FrozenStore.frozenPath(
+        s"ivf_takedown|$dir|$TrainedK|$TrainedIters") { pth =>
+        graft.io.AnnLayout.trainIvf(emb, pth, k = TrainedK,
+          iters = TrainedIters)
+        ()
+      }
+      val ids = emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+      graft.io.AnnLayout.deleteTrained(spark, work, ids.toIndexedSeq)
+      graft.io.AnnLayout.knnIvf(spark, work,
+          emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some(annIvfTrainedOracle("l.vec_id % 7 <> 3"))
   )
 
   /** Trained-quantizer IVF in the scaled-int8 at-rest format (see
@@ -3651,5 +3729,6 @@ object TrainingQ {
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
     qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
-    qEmbedPc1, qAnnEpoch, qAnnPqRerankRest)
+    qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown,
+    qAnnTakedown)
 }

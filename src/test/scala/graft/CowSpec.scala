@@ -116,6 +116,18 @@ class CowSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/.old_lang=en")))
   }
 
+  test("delete-only batch may omit payload columns (the takedown shape)") {
+    val t = freshTable()
+    val minimal = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("lang"), lit("delete").as("op"))
+    val stats = CowTable.merge(spark, t, minimal, "doc_id", "lang")
+    assert(stats.deleted > 0 && stats.upserted == 0, s"$stats")
+    val want = docs.filter(col("doc_id") % 37 =!= 0)
+      .select(cols.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(readAll(t) == want)
+  }
+
   test("contract violations refuse before any write") {
     val t = freshTable()
     val before = readAll(t)

@@ -645,4 +645,49 @@ class LayoutSpec extends AnyFunSuite {
     // the audit never read the corpus: it stays exact after the check
     assert(crowded.rows == balanced.rows + drifted.count())
   }
+
+  test("deleteTrained: only holding partitions rewritten, reps frozen, survivors answer exactly") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("ann_takedown").toString
+    graft.io.AnnLayout.trainIvf(emb, root, k = 4, iters = 2)
+    val repsBefore = spark.read.parquet(s"$root/reps")
+      .orderBy("label").collect().toSeq
+    val before = spark.read.option("basePath", s"$root/corpus")
+      .parquet(s"$root/corpus")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    // delete the ids living in ONE cluster only — the others' files
+    // must survive untouched
+    val someLabel = before.values.head
+    val ids = before.filter(_._2 == someLabel).keys.take(5).toSeq.sorted
+    def fileState(label: Any): Map[String, Long] = {
+      val d = new java.io.File(s"$root/corpus/label=$label")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val otherLabels = before.values.toSet - someLabel
+    val otherFiles = otherLabels.map(l => l -> fileState(l)).toMap
+    val n = graft.io.AnnLayout.deleteTrained(spark, root, ids)
+    assert(n == ids.length.toLong)
+    // reps untouched; survivors exact; untouched partitions' files identical
+    assert(spark.read.parquet(s"$root/reps").orderBy("label")
+      .collect().toSeq == repsBefore)
+    val after = spark.read.option("basePath", s"$root/corpus")
+      .parquet(s"$root/corpus")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(after == before -- ids)
+    otherLabels.foreach(l => assert(fileState(l) == otherFiles(l),
+      s"partition label=$l was rewritten"))
+    // the probe answers over survivors only, full rank set intact
+    val res = graft.io.AnnLayout.knnIvf(spark, root,
+        emb.filter(col("vec_id") < 6), k = 5, nprobe = 4)
+      .collect()
+    assert(res.nonEmpty)
+    assert(!res.exists(r => ids.contains(r.getLong(2))),
+      "a deleted id surfaced as a neighbor")
+    // deleting absent ids is a no-op
+    assert(graft.io.AnnLayout.deleteTrained(spark, root,
+      Seq(99999901L, 99999902L)) == 0L)
+  }
 }

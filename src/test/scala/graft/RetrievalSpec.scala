@@ -93,6 +93,39 @@ class RetrievalSpec extends AnyFunSuite {
     assert(merged.nDocs == docs.length)
   }
 
+  test("removeFromIndex(build(all), dels) == build(all minus dels), table for table") {
+    val df = docs.toDF("doc_id", "text")
+    val queries = Seq((0L, "alpha beta gamma the"), (5L, "delta zeta")).toDF("query_id", "text")
+    val delIds = df.filter($"doc_id" % 3 === 1).select("doc_id")
+    val whole = Retrieval.buildIndex(df)
+    val (after, afterLen) = Retrieval.removeFromIndex(whole, delIds,
+      Retrieval.totalLen(whole))
+    val want = Retrieval.buildIndex(df.filter($"doc_id" % 3 =!= 1))
+    // artifact tables equal as sets, scalars equal
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(after.postings) == rows(want.postings))
+    assert(rows(after.df) == rows(want.df))
+    assert(rows(after.dl) == rows(want.dl))
+    assert(after.nDocs == want.nDocs && after.avgdl == want.avgdl)
+    assert(afterLen == Retrieval.totalLen(want))
+    // ranking equal query for query
+    def ans(i: Retrieval.Bm25Index) =
+      Retrieval.bm25Query(i, queries, k = 8, excludeSelf = true)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    assert(ans(after) == ans(want) && ans(after).nonEmpty)
+    // absent ids are no-ops; emptying the corpus is refused
+    val (noop, _) = Retrieval.removeFromIndex(after,
+      Seq(99999L).toDF("doc_id"), afterLen)
+    assert(noop.nDocs == after.nDocs)
+    intercept[IllegalArgumentException] {
+      Retrieval.removeFromIndex(whole, df.select("doc_id"),
+        Retrieval.totalLen(whole))
+    }
+  }
+
   test("maxDfPpm prunes corpus-wide terms before the postings join") {
     // 'the' is in 6 of 8 docs (750000 ppm); a 500000 ppm ceiling
     // drops it from the query, so a the+iota query degenerates to
