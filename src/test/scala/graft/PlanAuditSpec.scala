@@ -96,6 +96,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_ann_ivf_trained", // broadcast learned-centroid codebook × query set
       "q_ann_ivf_trained_q8", // broadcast quantized-centroid codebook × query set
       "q_ann_ivf_kpp", // same trained-codebook probe, kpp-seeded build
+      "q_ann_epoch", // the q_ann_ivf_trained probe against the resolved epoch
+      "q_ann_takedown", // same probe over the post-takedown layout
+      "q_ann_pq_rerank_rest", // same shortlist cross; float fetch is point reads
       "q_ann_bin_knn", // broadcast query sign-sketches × corpus sketch table
       "q_hybrid_rrf", // dense half: broadcast query vectors × corpus (knnBruteForce)
       "q_snapshot_diff", "q_tfidf", "q_ttl_filter",
