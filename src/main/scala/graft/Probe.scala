@@ -2299,6 +2299,48 @@ object Probe {
         s""""single_eq":{"bytes":$bOne,"cold":$cOne,"warm":$wOne}}""")
     }
 
+    if (enabled("cow_merge")) {
+      // Is merge cost actually PARTITION-PROPORTIONAL? 4M rows across
+      // 32 hash partitions (~125k rows each); apply a 1000-change
+      // batch confined to 1, 8, and 32 partitions and time the merge.
+      // If the copy-on-write claim holds, wall time tracks partitions
+      // touched, not table size.
+      val nRows = 4000000L
+      val parts = 32
+      def freshTable(): String = {
+        val t = java.nio.file.Files
+          .createTempDirectory("cow_scale").toString + "/t"
+        val df = spark.range(nRows).select(col("id").as("doc_id"),
+          pmod(hash(col("id")), lit(parts)).cast("int").as("p"),
+          sha2(col("id").cast("string"), 256).as("payload"))
+        graft.io.Bucketing.writePartitioned(df, t, Seq("p"),
+          Seq("doc_id"))
+        t
+      }
+      def run(k: Int): (Double, Long) = {
+        val t = freshTable()
+        // ids whose hash partition falls in [0, k): the batch touches
+        // exactly k of the 32 partitions
+        val ch = spark.range(20000).select(col("id").as("doc_id"))
+          .withColumn("p",
+            pmod(hash(col("doc_id")), lit(parts)).cast("int"))
+          .filter(col("p") < k).limit(1000)
+          .withColumn("op", lit("delete"))
+        ch.count() // materialize the plan outside the timed region
+        val t0 = System.nanoTime()
+        val st = graft.io.CowTable.merge(spark, t, ch, "doc_id", "p")
+        ((System.nanoTime() - t0) / 1e9, st.deleted)
+      }
+      run(2) // warm the merge's codegen/JIT paths once, unmeasured
+      val (s1, d1) = run(1)
+      val (s8, d8) = run(8)
+      val (s32, d32) = run(32)
+      println(s"""{"probe":"cow_merge","rows":$nRows,"parts":$parts,""" +
+        s""""sec_touch1":$s1,"deleted1":$d1,""" +
+        s""""sec_touch8":$s8,"deleted8":$d8,""" +
+        s""""sec_touch32":$s32,"deleted32":$d32}""")
+    }
+
     spark.stop()
   }
 }

@@ -128,6 +128,42 @@ class CowSpec extends AnyFunSuite {
     assert(readAll(t) == want)
   }
 
+  test("all-or-nothing visibility: merge composed under EpochLayout.publish") {
+    // the CowTable doc's claim, pinned: per-partition swaps give
+    // old-or-new PER PARTITION; wrapping the merged build in an epoch
+    // publish gives one atomic cutover for readers resolving current()
+    val root = Files.createTempDirectory("cow_epoch").toString
+    val e1 = graft.io.EpochLayout.publish(spark, root) { d =>
+      Bucketing.writePartitioned(docs, s"$d/docs", Seq("lang"),
+        Seq("doc_id"))
+    }
+    val ch = changeSet()
+    val e2 = graft.io.EpochLayout.publish(spark, root) { d =>
+      // copy-forward the current epoch's table, then merge in place
+      // INSIDE the invisible new epoch — the swap granularity becomes
+      // the epoch marker, not the partition directory
+      val cur = graft.io.EpochLayout.currentOrFail(spark, root)
+      Bucketing.writePartitioned(
+        spark.read.option("basePath", s"$cur/docs")
+          .parquet(s"$cur/docs"),
+        s"$d/docs", Seq("lang"), Seq("doc_id"))
+      graft.io.CowTable.merge(spark, s"$d/docs", ch, "doc_id", "lang")
+      ()
+    }
+    assert(e2.endsWith("/e2"))
+    val want = docs
+      .join(ch.select("doc_id", "lang"), Seq("doc_id", "lang"),
+        "left_anti")
+      .unionByName(ch.filter(col("op") === "upsert").drop("op"))
+      .select(cols.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(readAll(s"$e2/docs") == want)
+    // the retained previous epoch still serves the pre-merge table
+    assert(readAll(s"$e1/docs") ==
+      docs.select(cols.map(col): _*).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("contract violations refuse before any write") {
     val t = freshTable()
     val before = readAll(t)
