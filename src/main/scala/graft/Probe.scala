@@ -2339,6 +2339,46 @@ object Probe {
         s""""sec_touch1":$s1,"deleted1":$d1,""" +
         s""""sec_touch8":$s8,"deleted8":$d8,""" +
         s""""sec_touch32":$s32,"deleted32":$d32}""")
+
+      // MOR vs COW: the same 1000-delete batch as a tombstone append
+      // (no partition rewritten) vs the 32-partition merge above, and
+      // the read tax the tombstones charge until compaction
+      val t = freshTable()
+      val ch = spark.range(20000).select(col("id").as("doc_id"))
+        .withColumn("p",
+          pmod(hash(col("doc_id")), lit(parts)).cast("int"))
+        .limit(1000).select("p", "doc_id")
+      ch.count() // plan warm
+      def readSec(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val basePre = readSec {
+        spark.read.option("basePath", t).parquet(t)
+          .agg(count(lit(1)), sum(length(col("payload")))).head()
+          .getLong(0)
+      }
+      val tDel0 = System.nanoTime()
+      graft.io.CowTable.deleteTombstone(spark, t, ch, "doc_id", "p")
+      val morDelete = (System.nanoTime() - tDel0) / 1e9
+      def morReadSec(): Double = readSec {
+        graft.io.CowTable.read(spark, t, "doc_id", "p")
+          .agg(count(lit(1)), sum(length(col("payload")))).head()
+          .getLong(0)
+      }
+      morReadSec() // warm the anti-join codegen
+      val morRead = morReadSec()
+      val tC0 = System.nanoTime()
+      graft.io.CowTable.compactTombstones(spark, t, "doc_id", "p")
+      val compactSec = (System.nanoTime() - tC0) / 1e9
+      val basePost = readSec {
+        graft.io.CowTable.read(spark, t, "doc_id", "p")
+          .agg(count(lit(1)), sum(length(col("payload")))).head()
+          .getLong(0)
+      }
+      println(s"""{"probe":"cow_tombstone","rows":$nRows,""" +
+        s""""sec_mor_delete":$morDelete,"sec_cow_delete_32parts":$s32,""" +
+        s""""sec_read_clean":$basePre,"sec_read_tombstoned":$morRead,""" +
+        s""""sec_compact":$compactSec,"sec_read_compacted":$basePost}""")
     }
 
     spark.stop()

@@ -175,4 +175,73 @@ object CowTable {
     fs.delete(new Path(stage), true)
     MergeStats(touched.length, audit.getLong(2), audit.getLong(3))
   }
+
+  // ---- merge-on-read deletes (tombstones) -------------------------
+  //
+  // [[merge]] is copy-on-write: a delete pays a rewrite of its whole
+  // partition NOW and readers pay nothing. The other end of the
+  // classic trade-off is merge-on-read: a delete appends a TOMBSTONE
+  // in O(batch) regardless of partition size, and every read pays a
+  // bounded anti-join until [[compactTombstones]] folds the
+  // tombstones into the base files through the same copy-on-write
+  // swap. Use MOR when takedown latency matters more than read
+  // latency (compliance clocks), COW when reads dominate; the read
+  // tax and delete-latency gap are measured in Probe cow_tombstone.
+  //
+  // Contract: tombstones mask (partCol, idCol) pairs until
+  // compaction. BETWEEN compactions the table is delete-only for the
+  // masked ids — re-upserting a tombstoned id via [[merge]] would
+  // write a row an old tombstone still hides; run
+  // [[compactTombstones]] first. Tombstone appends are idempotent
+  // (duplicates are deduped at read and compaction).
+
+  private def tombDir(path: String) = s"$path/.tombstones"
+
+  /** O(batch) delete: append the (partCol, idCol) pairs as a
+    * tombstone file. No table partition is touched — the base files'
+    * bytes are exactly as before (CowSpec pins it). A crash mid-
+    * append leaves only Spark's `_temporary` staging, which readers
+    * ignore.
+    */
+  def deleteTombstone(spark: SparkSession, path: String,
+      dels: DataFrame, idCol: String, partCol: String): Unit = {
+    dels.select(col(partCol), col(idCol))
+      .coalesce(1) // takedown batches are bounded by contract
+      .write.mode("append").parquet(tombDir(path))
+    ()
+  }
+
+  /** Read the table with tombstones applied — the merge-on-read
+    * path: base scan anti-joined against the (broadcast, deduped)
+    * tombstone set. The tax is one broadcast hash anti-join per
+    * read, bounded by tombstones outstanding since the last
+    * compaction.
+    */
+  def read(spark: SparkSession, path: String, idCol: String,
+      partCol: String): DataFrame = {
+    val base = spark.read.option("basePath", path).parquet(path)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new Path(tombDir(path)))) base
+    else base.join(
+      broadcast(spark.read.parquet(tombDir(path)).distinct()),
+      Seq(partCol, idCol), "left_anti")
+  }
+
+  /** Fold outstanding tombstones into the base files (one [[merge]]
+    * delete batch over the distinct tombstone set) and clear the
+    * tombstone directory. Apply-then-clear: a crash between the two
+    * re-applies the tombstones on the next compaction — deleting
+    * already-absent ids is a no-op, so the retry converges.
+    */
+  def compactTombstones(spark: SparkSession, path: String,
+      idCol: String, partCol: String): MergeStats = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new Path(tombDir(path))))
+      return MergeStats(0, 0L, 0L)
+    val tombs = spark.read.parquet(tombDir(path)).distinct()
+      .withColumn("op", lit("delete"))
+    val stats = merge(spark, path, tombs, idCol, partCol)
+    fs.delete(new Path(tombDir(path)), true)
+    stats
+  }
 }

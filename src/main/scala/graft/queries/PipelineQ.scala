@@ -1410,6 +1410,37 @@ object PipelineQ {
     Some(CowOracle)
   )
 
+  /** MERGE-ON-READ takedown (see [[graft.io.CowTable.deleteTombstone]]
+    * / [[graft.io.CowTable.read]]) — the other end of the maintenance
+    * trade-off q_cow_merge anchors: the delete lands as an O(batch)
+    * tombstone append (NO base partition is rewritten — CowSpec pins
+    * byte-identity even for holding partitions), and the read pays a
+    * bounded broadcast anti-join until compaction folds the
+    * tombstones through the copy-on-write path. The face reads the
+    * table UNCOMPACTED — the novel plan is the masked read itself;
+    * the compaction cycle is CowSpec's pin. Probe cow_tombstone
+    * measures the latency/tax split.
+    */
+  val qCowTombstone = Q(
+    "q_cow_tombstone",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val t = java.nio.file.Files
+        .createTempDirectory("cow_mor").toString + "/docs"
+      graft.io.Bucketing.writePartitioned(docs, t, Seq("lang"),
+        Seq("doc_id"))
+      graft.io.CowTable.deleteTombstone(spark, t,
+        docs.filter(col("doc_id") % 37 === 0).select("lang", "doc_id"),
+        "doc_id", "lang")
+      graft.io.CowTable.read(spark, t, "doc_id", "lang")
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id % 37 <> 0 ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
@@ -1418,5 +1449,5 @@ object PipelineQ {
       qQualityCurriculumSketch, qStreamCurriculum,
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
-      qStreamCow)
+      qStreamCow, qCowTombstone)
 }

@@ -164,6 +164,58 @@ class CowSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq)
   }
 
+  test("merge-on-read: tombstone delete touches NO base file; compaction folds and clears") {
+    val t = freshTable()
+    def allFiles(): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory && !f.getName.startsWith(".")) walk(f)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+      walk(new java.io.File(t)).map(f =>
+        f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = allFiles()
+    val dels = docs.filter(col("doc_id") % 37 === 0)
+      .select("lang", "doc_id")
+    CowTable.deleteTombstone(spark, t, dels, "doc_id", "lang")
+    // O(batch): every base file byte-identical, even in partitions
+    // that HOLD deleted rows — that is the MOR/COW difference
+    assert(allFiles() == before, "a tombstone delete rewrote base files")
+    val want = docs.filter(col("doc_id") % 37 =!= 0)
+      .select(cols.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    def morRead() = CowTable.read(spark, t, "doc_id", "lang")
+      .select(cols.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(morRead() == want)
+    // duplicate appends are idempotent at read
+    CowTable.deleteTombstone(spark, t, dels.limit(3), "doc_id", "lang")
+    assert(morRead() == want)
+    // compaction folds tombstones into the base and clears them
+    val stats = CowTable.compactTombstones(spark, t, "doc_id", "lang")
+    assert(stats.deleted > 0)
+    assert(!new java.io.File(s"$t/.tombstones").exists())
+    assert(readAll(t) == want && morRead() == want)
+    // re-compacting with nothing outstanding is a no-op
+    assert(CowTable.compactTombstones(spark, t, "doc_id", "lang")
+      == CowTable.MergeStats(0, 0L, 0L))
+    // crash between apply and clear: re-applying converges (deletes
+    // of already-absent ids are no-ops)
+    CowTable.deleteTombstone(spark, t,
+      docs.filter(col("doc_id") % 41 === 3).select("lang", "doc_id"),
+      "doc_id", "lang")
+    CowTable.merge(spark, t,
+      spark.read.parquet(s"$t/.tombstones").distinct()
+        .withColumn("op", lit("delete")), "doc_id", "lang")
+    // tombstone dir still present (the simulated crash) — compact
+    // must converge, not fail
+    CowTable.compactTombstones(spark, t, "doc_id", "lang")
+    assert(readAll(t) == docs
+      .filter(col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 3)
+      .select(cols.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq)
+  }
+
   test("contract violations refuse before any write") {
     val t = freshTable()
     val before = readAll(t)
