@@ -118,6 +118,22 @@ object CowTable {
       .collect().map(_.get(0)) // bounded by partition-key cardinality
     if (touched.isEmpty)
       return MergeStats(0, 0L, 0L)
+    // REFUSE partition values whose directory name Spark would
+    // Hive-escape (space, '=', '%', …): this module constructs
+    // `<partCol>=<value>` paths for the live probe and the swap loop,
+    // and an escaped-on-write name would miss both — the live rows
+    // would not be read and an empty directory would swap over them
+    // (silent data loss). A corpus partition key is derived (source,
+    // lang, shard) and safe by construction; anything else must be
+    // sanitized by the caller first.
+    touched.foreach { v =>
+      val sv = String.valueOf(v)
+      require(sv.nonEmpty && sv.forall(c => c.isLetterOrDigit ||
+          c == '.' || c == '_' || c == '-'),
+        s"partition value '$sv' needs Hive path escaping — refuse " +
+          "rather than risk a constructed-path mismatch; sanitize " +
+          "the partition key upstream")
+    }
     val fs = fsOf(spark, path)
     // a partition emptied by a previous delete-all is present but
     // holds no parquet files — reading it would defeat schema

@@ -231,6 +231,14 @@ class CowSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CowTable.merge(spark, t, dup, "doc_id", "lang")
     }
+    // a partition value needing Hive escaping would make the
+    // constructed live/swap paths miss (silent data loss) — refused
+    val escapey = one
+      .select(cols.map(col) :+ lit("delete").as("op"): _*)
+      .withColumn("lang", lit("e n"))
+    intercept[IllegalArgumentException] {
+      CowTable.merge(spark, t, escapey, "doc_id", "lang")
+    }
     assert(readAll(t) == before, "a refused merge mutated the table")
   }
 }
