@@ -1441,6 +1441,93 @@ object PipelineQ {
       WHERE doc_id % 37 <> 0 ORDER BY doc_id""")
   )
 
+  /** END-TO-END FORGET — one takedown batch applied across every
+    * at-rest artifact a pipeline derives from the corpus, because a
+    * delete that reaches the documents but not the derived artifacts
+    * leaves the content retrievable through them:
+    *  - the lang-partitioned document table via
+    *    [[graft.io.CowTable.merge]] (copy-on-write, touched
+    *    partitions only),
+    *  - the BM25 inverted index via
+    *    [[graft.ops.Retrieval.removeFromIndex]] (exact subtraction),
+    *  - the trained IVF vector layout via
+    *    [[graft.io.AnnLayout.deleteTrained]] (point-fetch labels +
+    *    partition merge, codebook frozen).
+    * The output is the audit row per artifact a compliance log wants:
+    * rows removed, rows remaining, and RESIDUAL — how many forgotten
+    * ids the artifact can still surface, recomputed FROM THE MUTATED
+    * ARTIFACTS THEMSELVES (corpus scan, postings scan, layout scan) —
+    * which the oracle pins to the exact counts and to zero. The
+    * embeddings side forgets the same id set (vec_id ≡ 0 mod 37
+    * standing in for the documents' doc_id set, as everywhere the two
+    * tables play one corpus).
+    */
+  val qForgetE2e = Q(
+    "q_forget_e2e",
+    (spark, dir) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(spark, dir)
+      val emb = graft.io.Tables.embeddings(spark, dir)
+      val work = java.nio.file.Files
+        .createTempDirectory("forget").toString
+      // corpus
+      val t = s"$work/docs"
+      graft.io.Bucketing.writePartitioned(docs, t, Seq("lang"),
+        Seq("doc_id"))
+      val delDocs = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"), col("lang"), lit("delete").as("op"))
+      val cs = graft.io.CowTable.merge(spark, t, delDocs, "doc_id",
+        "lang")
+      val corpusLeft = spark.read.option("basePath", t).parquet(t)
+      // lexical index
+      val idx = Retrieval.buildIndex(docs)
+      val (idx2, _) = Retrieval.removeFromIndex(idx,
+        docs.filter(col("doc_id") % 37 === 0).select("doc_id"),
+        Retrieval.totalLen(idx))
+      // vector layout (fresh build per call: the face MUTATES it, so
+      // no shared frozen artifact)
+      val ann = s"$work/ann"
+      graft.io.AnnLayout.trainIvf(emb, ann, k = 4, iters = 2)
+      val annIds = emb.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+      val annDeleted = graft.io.AnnLayout.deleteTrained(spark, ann,
+        annIds.toIndexedSeq)
+      val annLeft = spark.read
+        .option("basePath", s"$ann/corpus").parquet(s"$ann/corpus")
+      // audit rows — residuals recomputed from the mutated artifacts
+      def row(artifact: String, removed: Long, remaining: Long,
+          residual: Long) =
+        (artifact, removed, remaining, residual)
+      val rows = Seq(
+        row("ann", annDeleted,
+          annLeft.count(),
+          annLeft.filter(col("vec_id") % 37 === 0).count()),
+        row("bm25", idx.nDocs - idx2.nDocs,
+          idx2.nDocs,
+          idx2.postings.select("doc_id")
+            .unionByName(idx2.dl.select("doc_id"))
+            .filter(col("doc_id") % 37 === 0).distinct().count()),
+        row("corpus", cs.deleted,
+          corpusLeft.count(),
+          corpusLeft.filter(col("doc_id") % 37 === 0).count()))
+      import spark.implicits._
+      rows.toDF("artifact", "removed", "remaining", "residual")
+        .orderBy("artifact")
+    },
+    Some("""WITH d AS (SELECT count(*) FILTER (WHERE doc_id % 37 = 0) AS rm,
+          count(*) FILTER (WHERE doc_id % 37 <> 0) AS keep FROM documents),
+      e AS (SELECT count(*) FILTER (WHERE vec_id % 37 = 0) AS rm,
+          count(*) FILTER (WHERE vec_id % 37 <> 0) AS keep FROM embeddings)
+      SELECT 'ann' AS artifact, CAST(e.rm AS BIGINT) AS removed,
+        CAST(e.keep AS BIGINT) AS remaining, CAST(0 AS BIGINT) AS residual
+        FROM e
+      UNION ALL SELECT 'bm25', CAST(d.rm AS BIGINT),
+        CAST(d.keep AS BIGINT), CAST(0 AS BIGINT) FROM d
+      UNION ALL SELECT 'corpus', CAST(d.rm AS BIGINT),
+        CAST(d.keep AS BIGINT), CAST(0 AS BIGINT) FROM d
+      ORDER BY artifact""")
+  )
+
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
@@ -1449,5 +1536,5 @@ object PipelineQ {
       qQualityCurriculumSketch, qStreamCurriculum,
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
-      qStreamCow, qCowTombstone)
+      qStreamCow, qCowTombstone, qForgetE2e)
 }
