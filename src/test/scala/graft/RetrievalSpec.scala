@@ -124,6 +124,16 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.removeFromIndex(whole, df.select("doc_id"),
         Retrieval.totalLen(whole))
     }
+    // the documented post-takedown rule, positive path: REBUILT
+    // upper bounds keep the MaxScore plan exactly equal to the
+    // naive one on the shrunken index
+    val ub2 = Retrieval.termUpperBounds(after)
+    val pruned = Retrieval.bm25QueryMaxScore(after, queries, k = 8,
+        excludeSelf = true, ub = ub2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(pruned == ans(after))
   }
 
   test("maxDfPpm prunes corpus-wide terms before the postings join") {
