@@ -260,4 +260,97 @@ object CowTable {
     fs.delete(new Path(tombDir(path)), true)
     stats
   }
+
+  // ---- full merge-on-read: the changelog ---------------------------
+  //
+  // [[deleteTombstone]] covers delete-only MOR. The full shape also
+  // defers UPSERTS: every change batch appends to a CHANGELOG with a
+  // monotone sequence stamp, reads resolve latest-wins per key, and
+  // compaction folds the resolved set through [[merge]]. Same batch
+  // contract as merge (op domain, ≤1 change per key PER BATCH —
+  // revising an id across batches is the point of the log; the stamp
+  // orders them). A table uses ONE deferred mode between compactions
+  // — tombstones or the changelog, not both ([[read]] resolves only
+  // tombstones, [[readMor]] only the changelog).
+
+  private def logDir(path: String) = s"$path/.changelog"
+
+  /** O(batch) deferred merge: validate the batch exactly like
+    * [[merge]] and append it to the changelog with the next sequence
+    * number. No base partition is touched.
+    */
+  def appendChanges(spark: SparkSession, path: String,
+      changes: DataFrame, idCol: String, partCol: String): Unit = {
+    val perKey = changes.groupBy(col(partCol), col(idCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("op").isin("delete", "upsert"), 0).otherwise(1))
+          .as("_bad"))
+    val audit = perKey.agg(
+      coalesce(sum(when(col("_n") > 1, 1).otherwise(0)), lit(0L)),
+      coalesce(sum(col("_bad")), lit(0L))).head()
+    require(audit.getLong(0) == 0,
+      "more than one change per id in this batch — the changelog's " +
+        "sequence stamp orders batches, not rows within one")
+    require(audit.getLong(1) == 0,
+      "changes.op must be exactly 'upsert' or 'delete'")
+    val fs = fsOf(spark, path)
+    val seq =
+      if (!fs.exists(new Path(logDir(path)))) 1L
+      else spark.read.parquet(logDir(path))
+        .agg(coalesce(max(col("_seq")), lit(0L))).head().getLong(0) + 1L
+    changes.withColumn("_seq", lit(seq))
+      .coalesce(1) // change batches are bounded by contract
+      .write.mode("append").parquet(logDir(path))
+    ()
+  }
+
+  /** The latest-wins resolution of the changelog: one surviving
+    * change row per (partCol, idCol) — the row with the highest
+    * sequence stamp. Bounded by keys outstanding since the last
+    * compaction.
+    */
+  private def resolvedLog(spark: SparkSession, path: String,
+      idCol: String, partCol: String): DataFrame = {
+    val log = spark.read.parquet(logDir(path))
+    val payload = log.columns.filterNot(c => c == partCol || c == idCol)
+    log.groupBy(col(partCol), col(idCol))
+      .agg(max_by(struct(payload.map(col): _*), col("_seq")).as("_c"))
+      .select(col(partCol) +: col(idCol) +:
+        payload.map(c => col(s"_c.$c").as(c)): _*)
+  }
+
+  /** Read with the changelog applied — the full merge-on-read path:
+    * base rows whose key carries NO outstanding change, plus the
+    * latest upsert row per changed key (a key whose latest change is
+    * a delete contributes nothing). The tax is one broadcast
+    * anti-join plus the bounded latest-wins aggregate.
+    */
+  def readMor(spark: SparkSession, path: String, idCol: String,
+      partCol: String): DataFrame = {
+    val base = spark.read.option("basePath", path).parquet(path)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new Path(logDir(path)))) return base
+    val latest = resolvedLog(spark, path, idCol, partCol)
+    base.join(broadcast(latest.select(col(partCol), col(idCol))),
+        Seq(partCol, idCol), "left_anti")
+      .unionByName(latest.filter(col("op") === "upsert")
+        .select(base.columns.map(col): _*))
+  }
+
+  /** Fold the resolved changelog through [[merge]] and clear it.
+    * Apply-then-clear, converging retries: re-applying the same
+    * resolved batch re-deletes absent ids (no-ops) and re-writes the
+    * same upsert rows (idempotent).
+    */
+  def compactChangelog(spark: SparkSession, path: String,
+      idCol: String, partCol: String): MergeStats = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new Path(logDir(path))))
+      return MergeStats(0, 0L, 0L)
+    val stats = merge(spark, path,
+      resolvedLog(spark, path, idCol, partCol).drop("_seq"),
+      idCol, partCol)
+    fs.delete(new Path(logDir(path)), true)
+    stats
+  }
 }

@@ -1328,10 +1328,10 @@ object PipelineQ {
     * sequential per-trigger merges compose to the one-shot result
     * regardless of the split.
     */
-  private val CowOracle: String =
-    """WITH kept AS (SELECT doc_id, text, lang, source, n_chars
+  private def cowOracle(upsPrefix: String): String =
+    s"""WITH kept AS (SELECT doc_id, text, lang, source, n_chars
         FROM documents WHERE doc_id % 37 <> 0 AND doc_id % 41 <> 3),
-      ups AS (SELECT doc_id, 'v2 ' || text AS text, lang, source,
+      ups AS (SELECT doc_id, '$upsPrefix' || text AS text, lang, source,
           n_chars + 3 AS n_chars
         FROM documents WHERE doc_id % 41 = 3 AND doc_id % 37 <> 0),
       ins AS (SELECT doc_id + 1000000 AS doc_id,
@@ -1340,6 +1340,8 @@ object PipelineQ {
         FROM documents WHERE doc_id % 53 = 5)
       SELECT * FROM kept UNION ALL SELECT * FROM ups
       UNION ALL SELECT * FROM ins ORDER BY doc_id"""
+
+  private val CowOracle: String = cowOracle("v2 ")
 
   /** Copy-on-write corpus maintenance (see [[graft.io.CowTable]]):
     * takedown deletes + re-crawl upserts applied to a lang-
@@ -1441,6 +1443,43 @@ object PipelineQ {
       WHERE doc_id % 37 <> 0 ORDER BY doc_id""")
   )
 
+  /** FULL merge-on-read maintenance (see
+    * [[graft.io.CowTable.appendChanges]] / `readMor`): both change
+    * batches land as O(batch) changelog appends — the first is
+    * q_cow_merge's exact change set, the second REVISES every
+    * upserted doc (prefix v3 over the original text) — and the read
+    * resolves latest-wins per key across the stamped batches without
+    * any base partition having been rewritten. The oracle is
+    * q_cow_merge's with the upsert prefix at v3: deferred-and-
+    * resolved must equal applied-eagerly-in-order. Compaction
+    * equivalence is CowSpec's pin.
+    */
+  val qCowMor = Q(
+    "q_cow_mor",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val t = java.nio.file.Files
+        .createTempDirectory("cow_mor_full").toString + "/docs"
+      graft.io.Bucketing.writePartitioned(docs, t, Seq("lang"),
+        Seq("doc_id"))
+      graft.io.CowTable.appendChanges(spark, t, cowChanges(docs),
+        "doc_id", "lang")
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(col)
+      val revise = docs
+        .filter(col("doc_id") % 41 === 3 && col("doc_id") % 37 =!= 0)
+        .withColumn("text", concat(lit("v3 "), col("text")))
+        .withColumn("n_chars", col("n_chars") + 3)
+        .select(cols :+ lit("upsert").as("op"): _*)
+      graft.io.CowTable.appendChanges(spark, t, revise, "doc_id",
+        "lang")
+      graft.io.CowTable.readMor(spark, t, "doc_id", "lang")
+        .select(cols: _*)
+        .orderBy("doc_id")
+    },
+    Some(cowOracle("v3 "))
+  )
+
   /** END-TO-END FORGET — one takedown batch applied across every
     * at-rest artifact a pipeline derives from the corpus, because a
     * delete that reaches the documents but not the derived artifacts
@@ -1536,5 +1575,5 @@ object PipelineQ {
       qQualityCurriculumSketch, qStreamCurriculum,
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
-      qStreamCow, qCowTombstone, qForgetE2e)
+      qStreamCow, qCowTombstone, qCowMor, qForgetE2e)
 }

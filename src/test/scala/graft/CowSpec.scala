@@ -216,6 +216,74 @@ class CowSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq)
   }
 
+  test("changelog MOR: latest-wins across batches, base untouched, compaction folds and converges") {
+    val t = freshTable()
+    def baseFiles(): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory && !f.getName.startsWith(".")) walk(f)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+      walk(new java.io.File(t)).map(f =>
+        f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = baseFiles()
+    // batch 1: the standard change set; batch 2: revise every
+    // upserted doc again (v3), delete the batch-1 inserts, and
+    // re-upsert one batch-1-DELETED id — all legal across batches
+    CowTable.appendChanges(spark, t, changeSet(), "doc_id", "lang")
+    val v3 = docs
+      .filter(col("doc_id") % 41 === 3 && col("doc_id") % 37 =!= 0)
+      .withColumn("text", concat(lit("v3 "), col("text")))
+      .withColumn("n_chars", col("n_chars") + 3)
+      .select(cols.map(col) :+ lit("upsert").as("op"): _*)
+    val dropIns = docs.filter(col("doc_id") % 53 === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit(null).cast("string").as("text"), col("lang"),
+        col("source"), lit(null).cast("long").as("n_chars"),
+        lit("delete").as("op"))
+    val resurrect = docs.filter(col("doc_id") % 37 === 0).limit(1)
+      .withColumn("text", concat(lit("back "), col("text")))
+      .select(cols.map(col) :+ lit("upsert").as("op"): _*)
+    CowTable.appendChanges(spark, t,
+      v3.unionByName(dropIns).unionByName(resurrect), "doc_id", "lang")
+    assert(baseFiles() == before, "a changelog append rewrote base files")
+    // expected: kept ∪ v3-upserts ∪ the resurrected row
+    val resurrected = resurrect.drop("op")
+    val want = docs
+      .filter(col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 3)
+      .select(cols.map(col): _*)
+      .unionByName(v3.drop("op"))
+      .unionByName(resurrected)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    def morRead() = CowTable.readMor(spark, t, "doc_id", "lang")
+      .select(cols.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(morRead() == want)
+    // compaction: physical table == MOR view, changelog cleared
+    val stats = CowTable.compactChangelog(spark, t, "doc_id", "lang")
+    assert(stats.deleted > 0 && stats.upserted > 0, s"$stats")
+    assert(!new java.io.File(s"$t/.changelog").exists())
+    assert(readAll(t) == want && morRead() == want)
+    // crash between apply and clear converges on retry
+    CowTable.appendChanges(spark, t,
+      docs.limit(1).select(cols.map(col) :+ lit("delete").as("op"): _*),
+      "doc_id", "lang")
+    CowTable.merge(spark, t,
+      spark.read.parquet(s"$t/.changelog").drop("_seq"),
+      "doc_id", "lang")
+    CowTable.compactChangelog(spark, t, "doc_id", "lang") // re-applies
+    assert(!new java.io.File(s"$t/.changelog").exists())
+    // within-batch duplicate refused at append time
+    val one = docs.limit(1)
+    intercept[IllegalArgumentException] {
+      CowTable.appendChanges(spark, t,
+        one.select(cols.map(col) :+ lit("delete").as("op"): _*)
+          .unionByName(
+            one.select(cols.map(col) :+ lit("upsert").as("op"): _*)),
+        "doc_id", "lang")
+    }
+  }
+
   test("contract violations refuse before any write") {
     val t = freshTable()
     val before = readAll(t)
