@@ -134,6 +134,28 @@ class EpochSpec extends AnyFunSuite {
     assert(left == Set("e1", "e3"), s"carcass not GC'd: $left")
   }
 
+  test("generic publish carries any layout flavor: IVF-PQ epoch == flat build") {
+    // publish() is layout-agnostic — the trained-PQ pair (corpus of
+    // codes + reps + pq codebook) publishes under the same marker
+    // protocol the float path uses, no per-flavor wiring
+    val root = Files.createTempDirectory("epoch_pq").toString
+    val flat = Files.createTempDirectory("epoch_pq_flat").toString
+    val dir = EpochLayout.publish(spark, root) { d =>
+      AnnLayout.trainIvfPq(emb, d, kCoarse = 4, itersCoarse = 2,
+        pqM = 2, pqK = 4, pqIters = 2)
+      ()
+    }
+    AnnLayout.trainIvfPq(emb, flat, kCoarse = 4, itersCoarse = 2,
+      pqM = 2, pqK = 4, pqIters = 2)
+    def ansPq(p: String) = AnnLayout
+      .knnIvfPq(spark, p, emb.filter(col("vec_id") < 10), k = 5,
+        nprobe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    val viaEpoch = ansPq(EpochLayout.currentOrFail(spark, root))
+    assert(viaEpoch == ansPq(flat) && viaEpoch.nonEmpty)
+    assert(dir.endsWith("/epochs/e1"))
+  }
+
   test("publish refuses an empty build; store stays on the old epoch") {
     val root = Files.createTempDirectory("epoch_empty").toString
     EpochLayout.trainIvf(emb.filter(col("vec_id") % 2 === 0), root,
