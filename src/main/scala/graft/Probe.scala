@@ -2379,6 +2379,46 @@ object Probe {
         s""""sec_mor_delete":$morDelete,"sec_cow_delete_32parts":$s32,""" +
         s""""sec_read_clean":$basePre,"sec_read_tombstoned":$morRead,""" +
         s""""sec_compact":$compactSec,"sec_read_compacted":$basePost}""")
+
+      // changelog MOR read tax as the log grows: how does readMor
+      // scale with outstanding batches before compaction? 1, 8, 32
+      // appended 1000-change batches (mixed upsert/delete) against
+      // the same 4M-row table.
+      def morTax(batches: Int): (Double, Double) = {
+        val tm = freshTable()
+        for (b <- 0 until batches) {
+          val ch = spark.range(20000)
+            .select((col("id") + lit(b * 100000L)).as("doc_id"))
+            .withColumn("p",
+              pmod(hash(col("doc_id")), lit(parts)).cast("int"))
+            .limit(1000)
+            .withColumn("payload",
+              sha2(col("doc_id").cast("string"), 256))
+            .withColumn("op",
+              when(col("doc_id") % 2 === 0, "upsert")
+                .otherwise("delete"))
+            .select("doc_id", "p", "payload", "op")
+          graft.io.CowTable.appendChanges(spark, tm, ch, "doc_id", "p")
+        }
+        def readOnce(): Double = readSec {
+          graft.io.CowTable.readMor(spark, tm, "doc_id", "p")
+            .agg(count(lit(1)), sum(length(col("payload")))).head()
+            .getLong(0)
+        }
+        readOnce() // warm
+        val r = readOnce()
+        val t0 = System.nanoTime()
+        graft.io.CowTable.compactChangelog(spark, tm, "doc_id", "p")
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (r1, c1m) = morTax(1)
+      val (r8, c8m) = morTax(8)
+      val (r32, c32m) = morTax(32)
+      println(s"""{"probe":"cow_changelog","rows":$nRows,""" +
+        s""""sec_readmor_1batch":$r1,"sec_compact_1":$c1m,""" +
+        s""""sec_readmor_8batches":$r8,"sec_compact_8":$c8m,""" +
+        s""""sec_readmor_32batches":$r32,"sec_compact_32":$c32m,""" +
+        s""""sec_read_clean":$basePre}""")
     }
 
     spark.stop()
