@@ -118,6 +118,57 @@ object TextOps {
       regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r\\f]", ""),
       "[ \\t\\n\\r\\f]+", " "))
 
+  /** Markup EXTRACTION — the pipeline stage BEFORE every text
+    * operator here: crawled pages arrive as markup, and quality
+    * gates/dedup/tokenizers want the article text without nav/footer
+    * boilerplate. A trafilatura-lite, expressed entirely in
+    * codegen'd built-ins so the whole chain replays in the oracle
+    * (lookaround-free regexes — Java and RE2 agree — and exact
+    * string `replace` for entities):
+    *
+    *  1. block segmentation: block-level boundaries (`</p>`,
+    *     `</div>`, `</li>`, `<br>`, headings) become newlines while
+    *     the markup is still present, preserving line structure;
+    *  2. per-block features BEFORE stripping: anchor count (`<a `
+    *     occurrences) — the link-density signal tags carry and
+    *     stripped text cannot recover;
+    *  3. strip remaining tags (`<[^>]*>`), decode the five standard
+    *     entities, collapse whitespace;
+    *  4. boilerplate line filter: drop blocks with fewer than
+    *     `minWords` words OR link-dense blocks
+    *     (`anchors · linkDensityInv ≥ words` — a nav bar is anchors
+    *     wall-to-wall, an article paragraph is not).
+    *
+    * Returns the kept blocks joined by '\n'. Map-side only — one
+    * projection, no shuffle, no UDF; scales as a scan like every
+    * gate in this family. q_html_extract oracle-checks the chain
+    * bit-for-bit (including anchors/word counts) on synthetic markup
+    * derived from the documents table.
+    */
+  def extractMarkup(html: Column, minWords: Int = 3,
+      linkDensityInv: Int = 3): Column = {
+    val blocks = split(
+      regexp_replace(html,
+        "</p>|</div>|</li>|</h[1-6]>|<br ?/?>", "\n"), "\n")
+    val scored = transform(blocks, b => {
+      val anchors = size(split(b, "<a ", -1)) - 1
+      val clean0 = regexp_replace(b, "<[^>]*>", " ")
+      val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+          "&quot;" -> "\"", "&#39;" -> "'")
+        .foldLeft(clean0) { case (c, (e, r)) =>
+          replace(c, lit(e), lit(r)) }
+      val clean = trim(regexp_replace(decoded, "[ \\t\\r\\f]+", " "))
+      val words = when(clean === "", lit(0))
+        .otherwise(size(split(clean, " ", -1)))
+      struct(clean.as("clean"), words.as("words"),
+        anchors.as("anchors"))
+    })
+    val kept = filter(scored, s =>
+      s.getField("words") >= minWords &&
+        s.getField("anchors") * linkDensityInv < s.getField("words"))
+    array_join(transform(kept, _.getField("clean")), "\n")
+  }
+
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "in", "to", "is", "on")
 

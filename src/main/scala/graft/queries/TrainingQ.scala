@@ -450,6 +450,71 @@ object TrainingQ {
     }
   )
 
+  /** Markup extraction + boilerplate line filter (see
+    * [[graft.ops.TextOps.extractMarkup]]) — the stage BEFORE every
+    * text operator in the catalog: crawled pages arrive as markup.
+    * The face derives synthetic HTML per document (nav bar with
+    * three anchors, heading, the document text as the article
+    * paragraph, an entity-bearing paragraph, a link-dense footer)
+    * and extracts: block segmentation on block-level tags, anchor
+    * counts BEFORE stripping (the link-density signal), tag strip +
+    * entity decode + whitespace collapse, then the minWords=3 /
+    * anchors·3<words line filter — nav, heading, and footer drop,
+    * the article and entity paragraphs survive. The oracle replays
+    * every regex/replace/filter step (lookaround-free patterns, so
+    * Java regex and DuckDB's RE2 agree; entities via exact string
+    * replace). Map-side only — one projection over the scan.
+    */
+  val qHtmlExtract = Q(
+    "q_html_extract",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val html = concat(
+        lit("<html><head><title>doc "), col("doc_id"),
+        lit("</title></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">home</a> " +
+          "<a href=\"/a\">a</a> <a href=\"/b\">b</a></div>"),
+        lit("<h1>Doc "), col("doc_id"), lit("</h1><p>"), col("text"),
+        lit("</p><p>Tom &amp; Jo say &quot;hi&quot;</p>"),
+        lit("<div class=\"footer\"><a href=\"/c\">contact</a> " +
+          "(c) 2024</div></body></html>"))
+      docs.select(col("doc_id"),
+          graft.ops.TextOps.extractMarkup(html).as("extracted"))
+        .withColumn("n_chars_out",
+          length(col("extracted")).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        '<html><head><title>doc ' || doc_id || '</title></head><body>'
+        || '<div class="nav"><a href="/">home</a> <a href="/a">a</a> <a href="/b">b</a></div>'
+        || '<h1>Doc ' || doc_id || '</h1><p>' || text
+        || '</p><p>Tom &amp; Jo say &quot;hi&quot;</p>'
+        || '<div class="footer"><a href="/c">contact</a> (c) 2024</div></body></html>'
+          AS html FROM documents),
+      b AS (SELECT doc_id, string_split(regexp_replace(html,
+          '</p>|</div>|</li>|</h[1-6]>|<br ?/?>', chr(10), 'g'),
+          chr(10)) AS blocks FROM h),
+      s AS (SELECT doc_id, list_transform(blocks, x -> struct_pack(
+          clean := trim(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(x, '<[^>]*>', ' ', 'g'),
+              '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&#39;', chr(39)),
+            '[ \t\r\f]+', ' ', 'g')),
+          anchors := len(string_split(x, '<a ')) - 1)) AS ss FROM b),
+      k AS (SELECT doc_id, list_filter(ss, e ->
+          (CASE WHEN e.clean = '' THEN 0
+            ELSE len(string_split(e.clean, ' ')) END) >= 3
+          AND e.anchors * 3 < (CASE WHEN e.clean = '' THEN 0
+            ELSE len(string_split(e.clean, ' ')) END)) AS kept FROM s)
+      SELECT doc_id,
+        array_to_string(list_transform(kept, e -> e.clean), chr(10))
+          AS extracted,
+        CAST(len(array_to_string(list_transform(kept, e -> e.clean),
+          chr(10))) AS BIGINT) AS n_chars_out
+      FROM k ORDER BY doc_id""")
+  )
+
   val qTextStats = Q(
     "q_text_stats",
     (spark, dir) => {
@@ -3730,5 +3795,5 @@ object TrainingQ {
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
     qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
     qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown,
-    qAnnTakedown)
+    qAnnTakedown, qHtmlExtract)
 }

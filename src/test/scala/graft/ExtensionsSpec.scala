@@ -142,6 +142,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sql.getString(0) == "\u00e9" && sql.isNullAt(1))
   }
 
+  test("extractMarkup: block structure, entities, link-density and minWords gates") {
+    import spark.implicits._
+    def ex(html: String, minWords: Int = 3, ldi: Int = 3): String =
+      Seq(html).toDF("h")
+        .select(graft.ops.TextOps.extractMarkup(col("h"), minWords,
+          ldi))
+        .head().getString(0)
+    // article survives; 2-word heading and anchor-dense nav/footer drop
+    val page = "<html><body>" +
+      "<div><a href=\"/\">home</a> <a href=\"/x\">about us</a></div>" +
+      "<h2>Short title</h2>" +
+      "<p>the quick brown fox jumps over the dog</p>" +
+      "<div><a href=\"/c\">contact page here</a></div>" +
+      "</body></html>"
+    assert(ex(page) == "the quick brown fox jumps over the dog")
+    // entity decode happens AFTER tag strip (an encoded &lt;b&gt; is
+    // text, not a tag to strip)
+    assert(ex("<p>Tom &amp; Jo say &quot;use &lt;b&gt; tags&quot;</p>")
+      == "Tom & Jo say \"use <b> tags\"")
+    // <br> and </li> are block boundaries: each side filtered alone
+    assert(ex("<p>one two three four<br/>x y</p>")
+      == "one two three four")
+    // link density is a RATIO: one anchor inside a long paragraph is
+    // an article link, not boilerplate
+    val linked = "<p>read the <a href=\"/r\">full report</a> for " +
+      "details on methods and results</p>"
+    assert(ex(linked).startsWith("read the full report"))
+    // empty/whitespace-only markup extracts to empty, no crash
+    assert(ex("<div>   </div>") == "")
+  }
+
   test("optimizer rewrites the HOF dot-product pattern to the native expression") {
     // non-foldable input, else constant folding evaluates the whole
     // expression before the rewrite is observable
