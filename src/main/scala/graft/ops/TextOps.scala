@@ -169,6 +169,45 @@ object TextOps {
     array_join(transform(kept, _.getField("clean")), "\n")
   }
 
+  /** URL canonicalization — the crawl-side twin of
+    * [[extractMarkup]]: URL-keyed dedup and blocklist joins only work
+    * if `HTTP://WWW.Example.COM:80/a/?utm_source=x&b=2&a=1#f` and
+    * `http://example.com/a?a=1&b=2` collide. The canonical form:
+    * lowercased scheme and host (NEVER the path — paths are
+    * case-sensitive), `www.` prefix dropped, default port dropped
+    * (`:80` for http, `:443` for https), trailing `/` dropped from
+    * non-root paths, empty path → `/`, tracking parameters removed
+    * (`utm_*`, `fbclid`, `gclid`), surviving parameters SORTED (the
+    * dedup-key convention: parameter order is transport noise),
+    * fragment dropped. Pure built-ins (regexp_extract groups +
+    * array_sort + HOF filter — lookaround-free), so the whole chain
+    * replays in DuckDB: q_url_norm pins it. Map-side only. Rows that
+    * do not parse as absolute URLs return NULL (the caller's
+    * quarantine signal, never a half-normalized key).
+    */
+  def normalizeUrl(url: Column): Column = {
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$"
+    val scheme = lower(regexp_extract(url, re, 1))
+    val host0 = lower(regexp_extract(url, re, 2))
+    val host1 = regexp_replace(host0, "^www\\.", "")
+    val host = when(scheme === "http",
+        regexp_replace(host1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host1, ":443$", ""))
+      .otherwise(host1)
+    val path0 = regexp_extract(url, re, 3)
+    val path = when(path0 === "" || path0 === "/", lit("/"))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val q0 = regexp_extract(url, re, 4) // "?a=1&b=2" or ""
+    val params = filter(
+      split(regexp_replace(q0, "^\\?", ""), "&", -1),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
+    val query = when(size(params) > 0,
+        concat(lit("?"), array_join(array_sort(params), "&")))
+      .otherwise(lit(""))
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path, query))
+  }
+
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "in", "to", "is", "on")
 

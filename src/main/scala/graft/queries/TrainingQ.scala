@@ -515,6 +515,61 @@ object TrainingQ {
       FROM k ORDER BY doc_id""")
   )
 
+  /** URL canonicalization (see [[graft.ops.TextOps.normalizeUrl]]) —
+    * the crawl-side dedup key: scheme/host lowercased (path case
+    * preserved), www. and scheme-default ports dropped (the ftp arm
+    * pins that :80 survives a non-http scheme), trailing slash and
+    * fragment dropped, tracking parameters removed, survivors
+    * SORTED. The oracle replays every regexp_extract group and the
+    * filter/sort chain; three URL shapes derived per document cover
+    * the rules.
+    */
+  val qUrlNorm = Q(
+    "q_url_norm",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTP://WWW.Example.COM:80/Path/"), col("doc_id"),
+            lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://Sub.Site.org:443/A/b-"), col("doc_id"),
+            lit("?gclid=z&q=1&utm_medium=m")))
+        .otherwise(
+          concat(lit("ftp://Files.net:80/f/"), col("doc_id")))
+      docs.select(col("doc_id"),
+          graft.ops.TextOps.normalizeUrl(url).as("url_norm"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN
+            'HTTP://WWW.Example.COM:80/Path/' || doc_id || '/?utm_source=x&b=2&a=1#frag'
+          WHEN doc_id % 3 = 1 THEN
+            'https://Sub.Site.org:443/A/b-' || doc_id || '?gclid=z&q=1&utm_medium=m'
+          ELSE 'ftp://Files.net:80/f/' || doc_id END AS url
+        FROM documents),
+      p AS (SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+        regexp_replace(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS host1,
+        regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS path0,
+        regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS q0
+        FROM u),
+      n AS (SELECT doc_id, scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(host1, ':80$', '')
+          WHEN scheme = 'https' THEN regexp_replace(host1, ':443$', '')
+          ELSE host1 END AS host,
+        CASE WHEN path0 = '' OR path0 = '/' THEN '/'
+          ELSE regexp_replace(path0, '/$', '') END AS path,
+        list_sort(list_filter(
+          string_split(regexp_replace(q0, '^\?', ''), '&'),
+          x -> x <> '' AND NOT regexp_matches(x,
+            '^(utm_[^=]*|fbclid|gclid)(=|$)'))) AS ps
+        FROM p)
+      SELECT doc_id, scheme || '://' || host || path ||
+        CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&')
+          ELSE '' END AS url_norm
+      FROM n ORDER BY doc_id""")
+  )
+
   val qTextStats = Q(
     "q_text_stats",
     (spark, dir) => {
@@ -3795,5 +3850,5 @@ object TrainingQ {
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
     qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
     qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown,
-    qAnnTakedown, qHtmlExtract)
+    qAnnTakedown, qHtmlExtract, qUrlNorm)
 }

@@ -173,6 +173,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ex("<div>   </div>") == "")
   }
 
+  test("normalizeUrl: case rules, default ports, tracking params, null on non-URLs") {
+    import spark.implicits._
+    def n(u: String): Option[String] = {
+      val r = Seq(u).toDF("u")
+        .select(graft.ops.TextOps.normalizeUrl(col("u"))).head()
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    // host lowercased, path case PRESERVED, www/port/slash/fragment
+    // dropped, tracking params out, survivors sorted
+    assert(n("HTTP://WWW.Ex.COM:80/Path/To/?utm_source=x&b=2&a=1#f")
+      == Some("http://ex.com/Path/To?a=1&b=2"))
+    // :443 is default only for https; :80 only for http
+    assert(n("https://a.io:443/x") == Some("https://a.io/x"))
+    assert(n("ftp://a.io:80/x") == Some("ftp://a.io:80/x"))
+    assert(n("https://a.io:80/x") == Some("https://a.io:80/x"))
+    // empty path canonicalizes to /; all-tracking query drops cleanly
+    assert(n("http://a.io?utm_medium=m&fbclid=1") == Some("http://a.io/"))
+    // bare utm param without '=' is still tracking; 'utmost=1' is NOT
+    assert(n("http://a.io/p?utm_x&utmost=1") == Some("http://a.io/p?utmost=1"))
+    // non-URLs refuse with NULL, never a half-normalized key
+    assert(n("not a url") == None)
+    assert(n("//relative/path") == None)
+  }
+
   test("optimizer rewrites the HOF dot-product pattern to the native expression") {
     // non-foldable input, else constant folding evaluates the whole
     // expression before the rewrite is observable
