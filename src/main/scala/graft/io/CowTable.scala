@@ -213,6 +213,20 @@ object CowTable {
 
   private def tombDir(path: String) = s"$path/.tombstones"
 
+  /** Does this side-directory hold any COMMITTED parquet file? A
+    * crashed append can leave the directory existing with only
+    * Spark's `_temporary` staging inside — `spark.read.parquet` on
+    * that throws at schema inference, so every tombstone/changelog
+    * read and the next writer's sequence probe must treat such a
+    * directory as ABSENT, not fail (CowSpec pins it).
+    */
+  private def hasCommitted(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = fsOf(spark, dir)
+    fs.exists(p) && fs.listStatus(p).exists(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
   /** O(batch) delete: append the (partCol, idCol) pairs as a
     * tombstone file. No table partition is touched — the base files'
     * bytes are exactly as before (CowSpec pins it). A crash mid-
@@ -236,8 +250,7 @@ object CowTable {
   def read(spark: SparkSession, path: String, idCol: String,
       partCol: String): DataFrame = {
     val base = spark.read.option("basePath", path).parquet(path)
-    val fs = fsOf(spark, path)
-    if (!fs.exists(new Path(tombDir(path)))) base
+    if (!hasCommitted(spark, tombDir(path))) base
     else base.join(
       broadcast(spark.read.parquet(tombDir(path)).distinct()),
       Seq(partCol, idCol), "left_anti")
@@ -252,8 +265,12 @@ object CowTable {
   def compactTombstones(spark: SparkSession, path: String,
       idCol: String, partCol: String): MergeStats = {
     val fs = fsOf(spark, path)
-    if (!fs.exists(new Path(tombDir(path))))
+    if (!hasCommitted(spark, tombDir(path))) {
+      // a crashed append's _temporary-only carcass is garbage
+      if (fs.exists(new Path(tombDir(path))))
+        fs.delete(new Path(tombDir(path)), true)
       return MergeStats(0, 0L, 0L)
+    }
     val tombs = spark.read.parquet(tombDir(path)).distinct()
       .withColumn("op", lit("delete"))
     val stats = merge(spark, path, tombs, idCol, partCol)
@@ -295,7 +312,7 @@ object CowTable {
       "changes.op must be exactly 'upsert' or 'delete'")
     val fs = fsOf(spark, path)
     val seq =
-      if (!fs.exists(new Path(logDir(path)))) 1L
+      if (!hasCommitted(spark, logDir(path))) 1L
       else spark.read.parquet(logDir(path))
         .agg(coalesce(max(col("_seq")), lit(0L))).head().getLong(0) + 1L
     changes.withColumn("_seq", lit(seq))
@@ -328,8 +345,7 @@ object CowTable {
   def readMor(spark: SparkSession, path: String, idCol: String,
       partCol: String): DataFrame = {
     val base = spark.read.option("basePath", path).parquet(path)
-    val fs = fsOf(spark, path)
-    if (!fs.exists(new Path(logDir(path)))) return base
+    if (!hasCommitted(spark, logDir(path))) return base
     val latest = resolvedLog(spark, path, idCol, partCol)
     base.join(broadcast(latest.select(col(partCol), col(idCol))),
         Seq(partCol, idCol), "left_anti")
@@ -345,8 +361,11 @@ object CowTable {
   def compactChangelog(spark: SparkSession, path: String,
       idCol: String, partCol: String): MergeStats = {
     val fs = fsOf(spark, path)
-    if (!fs.exists(new Path(logDir(path))))
+    if (!hasCommitted(spark, logDir(path))) {
+      if (fs.exists(new Path(logDir(path))))
+        fs.delete(new Path(logDir(path)), true)
       return MergeStats(0, 0L, 0L)
+    }
     val stats = merge(spark, path,
       resolvedLog(spark, path, idCol, partCol).drop("_seq"),
       idCol, partCol)

@@ -284,6 +284,35 @@ class CowSpec extends AnyFunSuite {
     }
   }
 
+  test("a crashed append's _temporary-only side dir never wedges readers or writers") {
+    val t = freshTable()
+    val want = docs.select(cols.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    // simulate a crash mid-append: the side dirs exist but hold only
+    // Spark's staging — no committed parquet footer to infer from
+    new java.io.File(s"$t/.tombstones/_temporary").mkdirs()
+    new java.io.File(s"$t/.changelog/_temporary").mkdirs()
+    def morRead(f: => org.apache.spark.sql.DataFrame) =
+      f.select(cols.map(col): _*).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+    assert(morRead(CowTable.read(spark, t, "doc_id", "lang")) == want)
+    assert(morRead(CowTable.readMor(spark, t, "doc_id", "lang")) == want)
+    // compaction treats the carcass as garbage and clears it
+    assert(CowTable.compactTombstones(spark, t, "doc_id", "lang")
+      == CowTable.MergeStats(0, 0L, 0L))
+    assert(CowTable.compactChangelog(spark, t, "doc_id", "lang")
+      == CowTable.MergeStats(0, 0L, 0L))
+    assert(!new java.io.File(s"$t/.tombstones").exists())
+    assert(!new java.io.File(s"$t/.changelog").exists())
+    // and the next writer starts cleanly at seq 1
+    new java.io.File(s"$t/.changelog/_temporary").mkdirs()
+    CowTable.appendChanges(spark, t,
+      docs.limit(1).select(cols.map(col) :+ lit("delete").as("op"): _*),
+      "doc_id", "lang")
+    assert(spark.read.parquet(s"$t/.changelog")
+      .agg(max(col("_seq"))).head().getLong(0) == 1L)
+  }
+
   test("contract violations refuse before any write") {
     val t = freshTable()
     val before = readAll(t)
