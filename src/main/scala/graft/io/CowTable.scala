@@ -53,11 +53,46 @@ import org.apache.spark.sql.functions._
   */
 object CowTable {
 
+  /** Audit counts a merge returns. `deleted` is the number of LIVE
+    * rows a delete op actually displaced (a delete whose id was
+    * already absent counts zero — a compliance audit must not
+    * over-report removals); `upserted` is the number of upsert ops,
+    * each of which writes exactly one row (insert or replace).
+    * Computing the true displacement costs one extra broadcast
+    * semi-probe over the touched partitions the merge is already
+    * reading — bounded by the same pruning as the rewrite itself.
+    */
   final case class MergeStats(partitionsTouched: Int, deleted: Long,
       upserted: Long)
 
   private def fsOf(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** REFUSE partition values this module cannot round-trip through a
+    * constructed `<partCol>=<value>` path. Two failure shapes, both
+    * silent data loss if admitted: (a) a NULL key — Spark writes it
+    * under `__HIVE_DEFAULT_PARTITION__`, so the constructed
+    * `<partCol>=null` path reads nothing and the swap installs a
+    * bogus empty `null` directory; (b) a value Spark would
+    * Hive-escape on write (space, '=', '%', …) — the live probe and
+    * the swap loop would both miss the escaped directory name. A
+    * corpus partition key is derived (source, lang, shard) and safe
+    * by construction; anything else must be sanitized upstream.
+    */
+  private def validatePartitionValues(vals: Seq[Any]): Unit =
+    vals.foreach { v =>
+      require(v != null,
+        "null partition value — Spark writes null keys under " +
+          "__HIVE_DEFAULT_PARTITION__, which the constructed " +
+          "'<partCol>=null' path can never read back; sanitize the " +
+          "partition key upstream")
+      val sv = String.valueOf(v)
+      require(sv.nonEmpty && sv.forall(c => c.isLetterOrDigit ||
+          c == '.' || c == '_' || c == '-'),
+        s"partition value '$sv' needs Hive path escaping — refuse " +
+          "rather than risk a constructed-path mismatch; sanitize " +
+          "the partition key upstream")
+    }
 
   /** Finish any partition swap a crashed [[merge]] left half-done —
     * the [[AnnLayout.repairPartitionSwaps]] rule over this table's
@@ -118,22 +153,7 @@ object CowTable {
       .collect().map(_.get(0)) // bounded by partition-key cardinality
     if (touched.isEmpty)
       return MergeStats(0, 0L, 0L)
-    // REFUSE partition values whose directory name Spark would
-    // Hive-escape (space, '=', '%', …): this module constructs
-    // `<partCol>=<value>` paths for the live probe and the swap loop,
-    // and an escaped-on-write name would miss both — the live rows
-    // would not be read and an empty directory would swap over them
-    // (silent data loss). A corpus partition key is derived (source,
-    // lang, shard) and safe by construction; anything else must be
-    // sanitized by the caller first.
-    touched.foreach { v =>
-      val sv = String.valueOf(v)
-      require(sv.nonEmpty && sv.forall(c => c.isLetterOrDigit ||
-          c == '.' || c == '_' || c == '-'),
-        s"partition value '$sv' needs Hive path escaping — refuse " +
-          "rather than risk a constructed-path mismatch; sanitize " +
-          "the partition key upstream")
-    }
+    validatePartitionValues(touched.toIndexedSeq)
     val fs = fsOf(spark, path)
     // a partition emptied by a previous delete-all is present but
     // holds no parquet files — reading it would defeat schema
@@ -151,6 +171,20 @@ object CowTable {
     val tableCols =
       if (live != null) live.columns.toSeq
       else changes.columns.filterNot(_ == "op").toSeq
+    // the TRUE displacement counts for the audit: which change ops
+    // actually hit a live row (broadcast semi-probe over the same
+    // pruned partitions the rewrite reads — see [[MergeStats]])
+    val hit =
+      if (live == null) null
+      else live.select(col(partCol), col(idCol))
+        .join(broadcast(changes.select(col(partCol), col(idCol),
+          col("op"))), Seq(partCol, idCol))
+        .agg(
+          coalesce(sum(when(col("op") === "delete", 1L)
+            .otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("op") === "upsert", 1L)
+            .otherwise(0L)), lit(0L))).head()
+    val deletedRows = if (hit == null) 0L else hit.getLong(0)
     // every change displaces the old row (a delete by absence, an
     // upsert by its replacement); change batches are bounded, so the
     // displacement side broadcasts and the live side never shuffles
@@ -189,7 +223,7 @@ object CowTable {
         backup = s"$path/.old_$partCol=$v")
     }
     fs.delete(new Path(stage), true)
-    MergeStats(touched.length, audit.getLong(2), audit.getLong(3))
+    MergeStats(touched.length, deletedRows, audit.getLong(3))
   }
 
   // ---- merge-on-read deletes (tombstones) -------------------------
@@ -212,6 +246,42 @@ object CowTable {
   // (duplicates are deduped at read and compaction).
 
   private def tombDir(path: String) = s"$path/.tombstones"
+
+  /** Total committed parquet bytes under a side directory (recursive;
+    * staging and hidden names excluded) — the cheap, exact signal for
+    * the broadcast decision below.
+    */
+  private def dirParquetBytes(spark: SparkSession, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    def walk(p: Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_")) 0L
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) st.getLen
+        else 0L
+      }.sum
+    walk(new Path(dir))
+  }
+
+  /** Broadcast-hint the deferred-change side ONLY while it is safely
+    * under `spark.sql.autoBroadcastJoinThreshold` (halved for
+    * parquet-compression headroom — on-disk bytes under-estimate
+    * in-memory relation size). An explicit `broadcast()` hint
+    * OVERRIDES the threshold, so hinting unconditionally would force
+    * an arbitrarily large outstanding set into the driver; past the
+    * bound the hint is dropped and the planner (with AQE) picks a
+    * shuffle join — still correct, just the read tax the compaction
+    * policy exists to avoid (CowSpec pins the boundary).
+    */
+  private def maybeBroadcast(df: DataFrame, onDiskBytes: Long)
+      : DataFrame = {
+    val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    if (thr > 0 && onDiskBytes <= thr / 2) broadcast(df) else df
+  }
 
   /** Does this side-directory hold any COMMITTED parquet file? A
     * crashed append can leave the directory existing with only
@@ -252,7 +322,8 @@ object CowTable {
     val base = spark.read.option("basePath", path).parquet(path)
     if (!hasCommitted(spark, tombDir(path))) base
     else base.join(
-      broadcast(spark.read.parquet(tombDir(path)).distinct()),
+      maybeBroadcast(spark.read.parquet(tombDir(path)).distinct(),
+        dirParquetBytes(spark, tombDir(path))),
       Seq(partCol, idCol), "left_anti")
   }
 
@@ -289,12 +360,62 @@ object CowTable {
   // orders them). A table uses ONE deferred mode between compactions
   // — tombstones or the changelog, not both ([[read]] resolves only
   // tombstones, [[readMor]] only the changelog).
+  //
+  // At-rest layout: each batch is ONE directory `cseq=<N>` under
+  // `.changelog`, installed by a single atomic rename from a hidden
+  // stage. That one decision buys three properties the previous
+  // flat-file append lacked:
+  //  - the next sequence number is a DIRECTORY LISTING (O(outstanding
+  //    batches) metadata, no data read), and two racing writers
+  //    serialize on the rename — the loser's rename fails against the
+  //    non-empty installed directory and retries at N+1, so every
+  //    batch gets a unique stamp (CowSpec runs the race);
+  //  - readers never observe a half-written batch: before the rename
+  //    the batch is invisible (dot-prefixed stage), after it the
+  //    batch is complete — a crash leaves only stage garbage, swept
+  //    at the next compaction;
+  //  - per-batch schemas may legitimately differ (the merge contract
+  //    lets a delete-only batch omit payload columns), so every
+  //    changelog read merges footers across batch directories
+  //    (`mergeSchema`) instead of trusting one sampled footer.
 
   private def logDir(path: String) = s"$path/.changelog"
+  private val SeqDirRe = "cseq=([0-9]+)".r
+
+  /** Committed batch stamps in the changelog, from one directory
+    * listing — a batch is committed iff its `cseq=<N>` directory
+    * exists with at least one parquet file (a crashed writer's
+    * `.stage_*` dirs and a dead flat-append's `_temporary` carcass
+    * both fail the pattern and are ignored).
+    */
+  private def logSeqs(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new Path(logDir(path))
+    val fs = fsOf(spark, path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case SeqDirRe(n) if st.isDirectory &&
+            fs.listStatus(st.getPath).exists(f => f.isFile &&
+              f.getPath.getName.endsWith(".parquet")) => Some(n.toLong)
+        case _ => None
+      }
+    }.sorted
+  }
+
+  /** The changelog as one DataFrame with its `_seq` stamp column —
+    * schema-merged across batch directories (delete-only batches may
+    * omit payload columns; they read back as nulls).
+    */
+  private[graft] def readLog(spark: SparkSession, path: String)
+      : DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(logDir(path))
+      .withColumn("_seq", col("cseq").cast("long")).drop("cseq")
 
   /** O(batch) deferred merge: validate the batch exactly like
-    * [[merge]] and append it to the changelog with the next sequence
-    * number. No base partition is touched.
+    * [[merge]] (op domain, per-key uniqueness, AND the partition-key
+    * path contract — refusing here is what guarantees the eventual
+    * compaction cannot), then install it as the next `cseq=<N>`
+    * directory with one atomic rename. No base partition is touched.
     */
   def appendChanges(spark: SparkSession, path: String,
       changes: DataFrame, idCol: String, partCol: String): Unit = {
@@ -310,15 +431,32 @@ object CowTable {
         "sequence stamp orders batches, not rows within one")
     require(audit.getLong(1) == 0,
       "changes.op must be exactly 'upsert' or 'delete'")
+    validatePartitionValues(changes.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toIndexedSeq) // bounded by batch contract
+    require(!changes.columns.contains("cseq"),
+      "'cseq' is the changelog's reserved stamp column")
     val fs = fsOf(spark, path)
-    val seq =
-      if (!hasCommitted(spark, logDir(path))) 1L
-      else spark.read.parquet(logDir(path))
-        .agg(coalesce(max(col("_seq")), lit(0L))).head().getLong(0) + 1L
-    changes.withColumn("_seq", lit(seq))
+    val stage = new Path(logDir(path),
+      ".stage_" + java.util.UUID.randomUUID().toString)
+    changes
       .coalesce(1) // change batches are bounded by contract
-      .write.mode("append").parquet(logDir(path))
-    ()
+      .write.mode("overwrite").parquet(stage.toString)
+    // CAS install: listing-derived next stamp, atomic rename; a lost
+    // race (rename onto a just-installed non-empty dir fails) retries
+    // at the next stamp, so concurrent appenders serialize safely
+    var n = logSeqs(spark, path).lastOption.getOrElse(0L) + 1L
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val dst = new Path(s"${logDir(path)}/cseq=$n")
+      if (!fs.exists(dst) && fs.rename(stage, dst)) done = true
+      else {
+        n += 1L
+        attempts += 1
+        require(attempts < 10000,
+          s"could not install changelog batch under ${logDir(path)}")
+      }
+    }
   }
 
   /** The latest-wins resolution of the changelog: one surviving
@@ -328,7 +466,7 @@ object CowTable {
     */
   private def resolvedLog(spark: SparkSession, path: String,
       idCol: String, partCol: String): DataFrame = {
-    val log = spark.read.parquet(logDir(path))
+    val log = readLog(spark, path)
     val payload = log.columns.filterNot(c => c == partCol || c == idCol)
     log.groupBy(col(partCol), col(idCol))
       .agg(max_by(struct(payload.map(col): _*), col("_seq")).as("_c"))
@@ -341,27 +479,49 @@ object CowTable {
     * latest upsert row per changed key (a key whose latest change is
     * a delete contributes nothing). The tax is one broadcast
     * anti-join plus the bounded latest-wins aggregate.
+    *
+    * COMPACTION POLICY (hard recommendation, measured in Probe
+    * cow_changelog): the outstanding-key set rides the BROADCAST side
+    * of the anti-join, so run [[compactChangelog]] BEFORE outstanding
+    * keys approach `spark.sql.autoBroadcastJoinThreshold` —
+    * past it the resolve degrades to a shuffle join on every read
+    * (still correct — CowSpec pins the boundary — but the read tax
+    * jumps from bounded-broadcast to corpus-shuffle class). A
+    * production intake loop checks outstanding volume after each
+    * append (it is the `logSeqs` listing plus batch sizes it already
+    * knows) and compacts at a fixed fraction of the threshold.
     */
   def readMor(spark: SparkSession, path: String, idCol: String,
       partCol: String): DataFrame = {
     val base = spark.read.option("basePath", path).parquet(path)
-    if (!hasCommitted(spark, logDir(path))) return base
+    if (logSeqs(spark, path).isEmpty) return base
     val latest = resolvedLog(spark, path, idCol, partCol)
-    base.join(broadcast(latest.select(col(partCol), col(idCol))),
+    val ups = latest.filter(col("op") === "upsert")
+    // an all-delete changelog carries no payload columns at all;
+    // missing base columns null-fill at the base schema's types
+    val upsCols = ups.columns.toSet
+    val sel = base.schema.fields.toSeq.map { f =>
+      if (upsCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    base.join(
+        maybeBroadcast(latest.select(col(partCol), col(idCol)),
+          dirParquetBytes(spark, logDir(path))),
         Seq(partCol, idCol), "left_anti")
-      .unionByName(latest.filter(col("op") === "upsert")
-        .select(base.columns.map(col): _*))
+      .unionByName(ups.select(sel: _*))
   }
 
   /** Fold the resolved changelog through [[merge]] and clear it.
     * Apply-then-clear, converging retries: re-applying the same
     * resolved batch re-deletes absent ids (no-ops) and re-writes the
-    * same upsert rows (idempotent).
+    * same upsert rows (idempotent). Also sweeps crashed appenders'
+    * stage garbage (it deletes the whole log directory).
     */
   def compactChangelog(spark: SparkSession, path: String,
       idCol: String, partCol: String): MergeStats = {
     val fs = fsOf(spark, path)
-    if (!hasCommitted(spark, logDir(path))) {
+    if (logSeqs(spark, path).isEmpty) {
+      // stage carcasses / dead flat-append _temporary dirs are garbage
       if (fs.exists(new Path(logDir(path))))
         fs.delete(new Path(logDir(path)), true)
       return MergeStats(0, 0L, 0L)

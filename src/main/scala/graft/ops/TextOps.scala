@@ -153,8 +153,11 @@ object TextOps {
     val scored = transform(blocks, b => {
       val anchors = size(split(b, "<a ", -1)) - 1
       val clean0 = regexp_replace(b, "<[^>]*>", " ")
-      val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-          "&quot;" -> "\"", "&#39;" -> "'")
+      // decode &amp; LAST: decoding it first would double-decode
+      // escaped entities (the literal source text "&amp;lt;" must
+      // come out as "&lt;", never "<")
+      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+          "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
         .foldLeft(clean0) { case (c, (e, r)) =>
           replace(c, lit(e), lit(r)) }
       val clean = trim(regexp_replace(decoded, "[ \\t\\r\\f]+", " "))

@@ -498,8 +498,8 @@ object TrainingQ {
           clean := trim(regexp_replace(
             replace(replace(replace(replace(replace(
               regexp_replace(x, '<[^>]*>', ' ', 'g'),
-              '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-              '&quot;', '"'), '&#39;', chr(39)),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', chr(39)), '&amp;', '&'),
             '[ \t\r\f]+', ' ', 'g')),
           anchors := len(string_split(x, '<a ')) - 1)) AS ss FROM b),
       k AS (SELECT doc_id, list_filter(ss, e ->

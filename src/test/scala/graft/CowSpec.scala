@@ -269,7 +269,7 @@ class CowSpec extends AnyFunSuite {
       docs.limit(1).select(cols.map(col) :+ lit("delete").as("op"): _*),
       "doc_id", "lang")
     CowTable.merge(spark, t,
-      spark.read.parquet(s"$t/.changelog").drop("_seq"),
+      CowTable.readLog(spark, t).drop("_seq"),
       "doc_id", "lang")
     CowTable.compactChangelog(spark, t, "doc_id", "lang") // re-applies
     assert(!new java.io.File(s"$t/.changelog").exists())
@@ -309,8 +309,91 @@ class CowSpec extends AnyFunSuite {
     CowTable.appendChanges(spark, t,
       docs.limit(1).select(cols.map(col) :+ lit("delete").as("op"): _*),
       "doc_id", "lang")
-    assert(spark.read.parquet(s"$t/.changelog")
+    assert(CowTable.readLog(spark, t)
       .agg(max(col("_seq"))).head().getLong(0) == 1L)
+  }
+
+  test("concurrent appenders serialize on the stamp rename — every batch a unique _seq") {
+    val t = freshTable()
+    val ids = docs.select("doc_id", "lang").orderBy("doc_id")
+      .limit(24).collect().map(r => (r.getLong(0), r.getString(1)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import spark.implicits._
+    val futs = ids.grouped(4).zipWithIndex.map { case (g, i) =>
+      scala.concurrent.Future {
+        val ch = g.toSeq.toDF("doc_id", "lang")
+          .withColumn("text", concat(lit(s"w$i "), col("doc_id")))
+          .withColumn("source", lit(s"writer$i"))
+          .withColumn("n_chars", lit(1L))
+          .withColumn("op", lit("upsert"))
+        CowTable.appendChanges(spark, t, ch, "doc_id", "lang")
+      }
+    }.toSeq
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    val stamps = CowTable.readLog(spark, t)
+      .select("_seq").distinct().collect().map(_.getLong(0)).sorted
+    assert(stamps.toSeq == (1L to 6L), s"stamps: ${stamps.toSeq}")
+    // every appended row survives latest-wins resolution exactly once
+    val mor = CowTable.readMor(spark, t, "doc_id", "lang")
+      .filter(col("source").startsWith("writer"))
+    assert(mor.count() == 24L)
+    assert(mor.select("doc_id").distinct().count() == 24L)
+  }
+
+  test("outstanding set past the broadcast threshold: readMor drops the hint, stays correct") {
+    val t = freshTable()
+    CowTable.appendChanges(spark, t, changeSet(), "doc_id", "lang")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1") // 1 byte: any real log exceeds it
+      val mor = CowTable.readMor(spark, t, "doc_id", "lang")
+      assert(!mor.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "hint still forced a broadcast past the threshold")
+      val want = docs
+        .join(changeSet().select("doc_id", "lang"),
+          Seq("doc_id", "lang"), "left_anti")
+        .unionByName(changeSet().filter(col("op") === "upsert").drop("op"))
+        .select(cols.map(col): _*).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(mor.select(cols.map(col): _*).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq == want)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("null partition value refused before any write (merge AND append)") {
+    val t = freshTable()
+    val before = readAll(t)
+    val nullPart = docs.limit(1)
+      .select(cols.map(col) :+ lit("delete").as("op"): _*)
+      .withColumn("lang", lit(null).cast("string"))
+    intercept[IllegalArgumentException] {
+      CowTable.merge(spark, t, nullPart, "doc_id", "lang")
+    }
+    intercept[IllegalArgumentException] {
+      CowTable.appendChanges(spark, t, nullPart, "doc_id", "lang")
+    }
+    assert(readAll(t) == before)
+    assert(!new java.io.File(s"$t/.changelog").exists())
+  }
+
+  test("MergeStats.deleted reports rows actually displaced, not delete-op count") {
+    val t = freshTable()
+    // 2 deletes that hit + 3 deletes of ids that were never live
+    val hits = docs.orderBy("doc_id").limit(2)
+      .select(col("doc_id"), col("lang"), lit("delete").as("op"))
+    val misses = docs.orderBy("doc_id").limit(3)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"),
+        lit("delete").as("op"))
+    val stats = CowTable.merge(spark, t, hits.unionByName(misses),
+      "doc_id", "lang")
+    assert(stats.deleted == 2L, s"$stats")
   }
 
   test("contract violations refuse before any write") {

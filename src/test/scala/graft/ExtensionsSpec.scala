@@ -161,6 +161,10 @@ class ExtensionsSpec extends AnyFunSuite {
     // text, not a tag to strip)
     assert(ex("<p>Tom &amp; Jo say &quot;use &lt;b&gt; tags&quot;</p>")
       == "Tom & Jo say \"use <b> tags\"")
+    // &amp; decodes LAST: escaped entities must not double-decode —
+    // the literal source text "&amp;lt;" is "&lt;" on screen, not "<"
+    assert(ex("<p>write the entity &amp;lt; to show a less-than</p>")
+      == "write the entity &lt; to show a less-than")
     // <br> and </li> are block boundaries: each side filtered alone
     assert(ex("<p>one two three four<br/>x y</p>")
       == "one two three four")
