@@ -234,9 +234,15 @@ object AnnLayout {
     * predicate chain is PAIRWISE-balanced below, so analysis and
     * codegen see a log-depth boolean tree, not a 16k-deep left spine.
     */
-  def fetchByIds(spark: SparkSession, path: String, ids: Seq[Long],
-      idCol: String = "vec_id", maxIds: Int = 16384): DataFrame = {
-    require(ids.nonEmpty, "fetchByIds needs at least one id")
+  /** The pushed point-read predicate behind [[fetchByIds]]: a
+    * BALANCED tree of OR'd equalities (a left-leaning chain of 16k
+    * ORs would blow the parser/codegen stack), each leaf pushable to
+    * parquet row-group stats. Shared with [[ForgetStore]]'s
+    * cross-artifact point fetches.
+    */
+  private[graft] def idPredicate(idCol: String, ids: Seq[Long],
+      maxIds: Int = 16384): org.apache.spark.sql.Column = {
+    require(ids.nonEmpty, "point fetch needs at least one id")
     require(ids.length <= maxIds,
       s"${ids.length} ids exceeds maxIds=$maxIds — at that size a " +
         "shuffle join beats per-row-group point reads; join instead")
@@ -246,10 +252,13 @@ object AnnLayout {
       else balancedOr(ps.grouped(2)
         .map(g => if (g.length == 2) g(0) || g(1) else g(0))
         .toIndexedSeq)
-    val pred = balancedOr(
-      ids.distinct.map(col(idCol) === lit(_)).toIndexedSeq)
-    spark.read.parquet(path).filter(pred)
+    balancedOr(ids.distinct.map(col(idCol) === lit(_)).toIndexedSeq)
   }
+
+  def fetchByIds(spark: SparkSession, path: String, ids: Seq[Long],
+      idCol: String = "vec_id", maxIds: Int = 16384): DataFrame =
+    spark.read.parquet(path)
+      .filter(idPredicate(idCol, ids, maxIds))
 
   /** IVF top-k against a [[writeIvf]] layout — result-identical to
     * [[graft.ops.Similarity.knnIvf]] on the same corpus (same probe
@@ -280,8 +289,26 @@ object AnnLayout {
   def knnIvf(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      clusterCol: String = "label"): DataFrame = {
-    val reps = readSwapped(spark, s"$path/reps")
+      clusterCol: String = "label"): DataFrame =
+    knnIvfOn(readSwapped(spark, s"$path/reps"), queries, k, nprobe,
+      idCol, vecCol, clusterCol,
+      pc => spark.read.parquet(s"$path/corpus")
+        .filter(col(clusterCol).isin(pc: _*)))
+
+  /** The probe + exact-rerank core of [[knnIvf]], decoupled from the
+    * flat directory layout: `repsRaw` is the codebook table
+    * (`clusterCol`, `rep_vec`) however it was resolved, and
+    * `membersFor` returns the member rows (`clusterCol`, `idCol`,
+    * `vecCol`) for the probed cluster set — the hook where a layout
+    * turns the probe list into a partition filter. [[ForgetStore]]
+    * probes its manifest-resolved epochs through this same core, so
+    * ranking/tie-break semantics cannot drift between layouts.
+    */
+  private[graft] def knnIvfOn(repsRaw: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, idCol: String, vecCol: String,
+      clusterCol: String,
+      membersFor: IndexedSeq[Any] => DataFrame): DataFrame = {
+    val reps = repsRaw
       .select(col(clusterCol).as("cluster"),
         Similarity.asDouble(col("rep_vec")).as("rv"))
       .withColumn("rn", Similarity.norm2(col("rv")))
@@ -297,8 +324,7 @@ object AnnLayout {
       .select("query_id", "qv", "qn", "cluster")
     val probedClusters = probed.select("cluster").distinct()
       .collect().map(_.get(0)).toIndexedSeq
-    val members = spark.read.parquet(s"$path/corpus")
-      .filter(col(clusterCol).isin(probedClusters: _*))
+    val members = membersFor(probedClusters)
       .select(col(clusterCol).as("cluster"), col(idCol).as("neighbor_id"),
         Similarity.asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", Similarity.norm2(col("cv")))

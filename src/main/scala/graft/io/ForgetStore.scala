@@ -1,0 +1,498 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Retrieval
+
+/** ATOMIC cross-artifact takedown — the corpus, the BM25 inverted
+  * index, and the trained IVF vector layout published as ONE
+  * snapshot, so a right-to-be-forgotten delete is visible
+  * all-or-nothing across every artifact derived from the corpus.
+  *
+  * Why the per-artifact machinery is not enough: [[CowTable.merge]],
+  * [[Retrieval.removeFromIndex]] and [[AnnLayout.deleteTrained]] are
+  * each individually safe, but they mutate three independently-
+  * swapped artifacts — a reader between swaps can see the corpus
+  * forgotten while BM25 still retrieves the document, exactly the
+  * compliance window a takedown exists to close. In-place partition
+  * swaps fundamentally cannot fix this: snapshot isolation across
+  * artifacts requires that old versions KEEP their bytes until no
+  * retained snapshot references them.
+  *
+  * So this store is a snapshot MANIFEST design (the Iceberg/Delta
+  * snapshot idea rebuilt from first principles, the same stance as
+  * [[CowTable]] vs Hudi):
+  *
+  * {{{
+  * root/blobs/<artifact>/g<N>/...        immutable data, write-once
+  * root/epochs/e<K>/manifest.tsv         entry-key -> blob dir
+  * root/epochs/e<K>/_EPOCH_COMPLETE      the atomic publish (marker)
+  * }}}
+  *
+  * A manifest maps fine-grained ENTRIES — one per corpus partition
+  * (`corpus/<lang>`), per postings/doc-length bucket
+  * (`bm25/postings/<b>`, `bm25/dl/<b>`), per IVF cluster partition
+  * (`ann/corpus/<label>`), plus the model-sized singletons
+  * (`bm25/df`, `bm25/meta`, `ann/reps`) — to immutable blob
+  * directories. A forget writes NEW blob dirs for the touched
+  * entries only (O(touched-partitions) data, never O(corpus)), reuses
+  * every untouched entry's path verbatim (ForgetStoreSpec pins file
+  * identity), and publishes the composed manifest with
+  * [[EpochLayout]]'s marker-create protocol: readers resolve the
+  * highest COMPLETE epoch, so they see all three artifacts pre-forget
+  * or all three post-forget, never a mix. A crash anywhere before the
+  * marker leaves unreferenced blobs and an unmarked epoch — invisible
+  * to readers, swept at the next writer entry.
+  *
+  * 100 TB shape: the takedown batch is bounded by contract (the
+  * [[AnnLayout.deleteTrained]] rule), so every id-keyed probe here is
+  * a pushed Or-of-Eq point read and every displacement join
+  * broadcasts the batch; the only full rewrites per forget are the
+  * model-sized `bm25/df` (vocabulary rows) and the 1-row meta. The
+  * BM25 postings/dl tables are bucketed BY DOC ID at rest precisely
+  * so a takedown touches `|distinct buckets(ids)|` directories
+  * instead of one giant table — the doc-keyed analogue of the IVF
+  * layout's cluster partitions. Retention: `retain` previous epochs
+  * survive for in-flight readers (the standard snapshot-expiry
+  * contract); a blob generation is deleted only when NO retained
+  * manifest references it.
+  *
+  * Reference scope: the reference engine (market-data-ingestor-go)
+  * has no derived artifacts at all; this is the north-star extension
+  * surface (SURVEY §2.7) — the compliance story a training-data
+  * pipeline owes its corpus.
+  */
+object ForgetStore {
+
+  /** One compliance-audit row per artifact: ops that displaced a live
+    * row, rows remaining, and RESIDUAL — forgotten ids the artifact
+    * can still surface, recomputed from the published snapshot itself
+    * (the oracle pins it to zero).
+    */
+  final case class Audit(artifact: String, removed: Long,
+      remaining: Long, residual: Long)
+
+  private val ManifestFile = "manifest.tsv"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- manifest serialization (driver-side, tiny) -------------------
+
+  private def writeManifest(spark: SparkSession, epochDir: String,
+      entries: Map[String, String]): Unit = {
+    val fs = fsOf(spark, epochDir)
+    val out = fs.create(new Path(epochDir, ManifestFile), true)
+    try {
+      val body = entries.toSeq.sorted
+        .map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  private def readManifest(spark: SparkSession, epochDir: String)
+      : Map[String, String] = {
+    val fs = fsOf(spark, epochDir)
+    val in = fs.open(new Path(epochDir, ManifestFile))
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    body.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+  }
+
+  /** The current snapshot: (epoch number, manifest with entry paths
+    * resolved root-absolute).
+    */
+  private[graft] def currentManifest(spark: SparkSession, root: String)
+      : (Long, Map[String, String]) = {
+    val cur = EpochLayout.currentOrFail(spark, root)
+    val n = cur.split("/").last.stripPrefix("e").toLong
+    (n, readManifest(spark, cur).map { case (k, v) =>
+      k -> s"$root/$v" })
+  }
+
+  // ---- grouped partition-dir reads ----------------------------------
+
+  /** Read a set of Hive-style partition directories that may live
+    * under DIFFERENT blob generations: group by parent (one
+    * `basePath` per generation — how the stripped partition column
+    * comes back), one union leg per generation. Leg count is bounded
+    * by retained-forget count, not by partition count.
+    */
+  private def readPartDirs(spark: SparkSession, dirs: Seq[String])
+      : DataFrame =
+    dirs.groupBy(d => new Path(d).getParent.toString).toSeq.sortBy(_._1)
+      .map { case (base, ds) =>
+        spark.read.option("basePath", base).parquet(ds.sorted: _*)
+      }.reduce(_.unionByName(_))
+
+  private def entriesUnder(m: Map[String, String], prefix: String)
+      : Seq[(String, String)] =
+    m.toSeq.filter(_._1.startsWith(prefix)).sortBy(_._1)
+
+  // ---- readers (all resolve ONE epoch — consistent by construction) --
+
+  /** The document corpus at the current snapshot. */
+  def readCorpus(spark: SparkSession, root: String): DataFrame =
+    readCorpusOf(spark, currentManifest(spark, root)._2)
+
+  private def readCorpusOf(spark: SparkSession,
+      m: Map[String, String]): DataFrame =
+    readPartDirs(spark, entriesUnder(m, "corpus/").map(_._2))
+
+  /** The BM25 index at the current snapshot, plus its total token
+    * length (what [[Retrieval.mergeIndex]]/`removeFromIndex` need).
+    */
+  def bm25Index(spark: SparkSession, root: String)
+      : (Retrieval.Bm25Index, Long) =
+    bm25IndexOf(spark, currentManifest(spark, root)._2)
+
+  private def bm25IndexOf(spark: SparkSession, m: Map[String, String])
+      : (Retrieval.Bm25Index, Long) = {
+    val postings = readPartDirs(spark,
+        entriesUnder(m, "bm25/postings/").map(_._2))
+      .select("doc_id", "term", "tf")
+    val dl = readPartDirs(spark, entriesUnder(m, "bm25/dl/").map(_._2))
+      .select("doc_id", "dl")
+    val dfT = spark.read.parquet(m("bm25/df"))
+    val meta = spark.read.parquet(m("bm25/meta")).head()
+    val nDocs = meta.getAs[Long]("n_docs")
+    val totalLen = meta.getAs[Long]("total_len")
+    (Retrieval.Bm25Index(postings, dfT, dl, nDocs,
+      Math.floorDiv(totalLen, math.max(nDocs, 1L))), totalLen)
+  }
+
+  /** IVF top-k at the current snapshot — [[AnnLayout.knnIvfOn]]'s
+    * core with the probe list resolved to manifest entries (probed
+    * clusters → partition-dir filter, same pruning discipline as the
+    * flat layout).
+    */
+  def knn(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCol: String = "label"): DataFrame = {
+    val m = currentManifest(spark, root)._2
+    AnnLayout.knnIvfOn(spark.read.parquet(m("ann/reps")), queries, k,
+      nprobe, idCol, vecCol, clusterCol,
+      pc => readAnnCorpusOf(spark, m)
+        .filter(col(clusterCol).isin(pc: _*)))
+  }
+
+  /** The ANN member table at the current snapshot. */
+  def readAnnCorpus(spark: SparkSession, root: String): DataFrame =
+    readAnnCorpusOf(spark, currentManifest(spark, root)._2)
+
+  private def readAnnCorpusOf(spark: SparkSession,
+      m: Map[String, String]): DataFrame =
+    readPartDirs(spark, entriesUnder(m, "ann/corpus/").map(_._2))
+
+  // ---- blob generation GC -------------------------------------------
+
+  /** Delete blob generations referenced by NO complete epoch's
+    * manifest. Runs at writer entry (sweeps a crashed build's
+    * garbage) and after publish (sweeps generations only the
+    * just-expired epochs referenced). A generation partially
+    * referenced by any retained manifest survives whole — retained
+    * bytes are bounded by `retain` × touched sizes.
+    */
+  private def gcBlobs(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, root)
+    val blobs = new Path(s"$root/blobs")
+    if (!fs.exists(blobs)) return
+    val referenced: Set[String] = EpochLayout.epochs(spark, root)
+      .filter(e => fs.exists(new Path(e._2, EpochLayout.Marker)))
+      .flatMap(e => readManifest(spark, e._2.toString).values)
+      .flatMap { rel =>
+        // a path blobs/<artifact>/g<N>/... references generation
+        // blobs/<artifact>/g<N>
+        val parts = rel.split("/")
+        if (parts.length >= 3 && parts(0) == "blobs")
+          Some(parts.take(3).mkString("/"))
+        else None
+      }.toSet
+    fs.listStatus(blobs).filter(_.isDirectory).foreach { art =>
+      fs.listStatus(art.getPath).filter(_.isDirectory).foreach { gen =>
+        val rel = s"blobs/${art.getPath.getName}/${gen.getPath.getName}"
+        if (!referenced.contains(rel)) fs.delete(gen.getPath, true)
+      }
+    }
+  }
+
+  // ---- init -----------------------------------------------------------
+
+  /** Build epoch 1: corpus partitioned by `partCol`, BM25 index
+    * bucketed by doc id, trained IVF layout — all under blob
+    * generation g1, published with one marker. `buckets` sizes the
+    * postings/dl doc-bucket fan-out (production: hundreds; the
+    * takedown rewrite cost is `|touched buckets|/buckets` of the
+    * index).
+    */
+  def init(spark: SparkSession, root: String, docs: DataFrame,
+      emb: DataFrame, partCol: String = "lang",
+      docIdCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label", buckets: Int = 8, k: Int = 4,
+      iters: Int = 2, retain: Int = 1): Unit = {
+    require(EpochLayout.current(spark, root).isEmpty,
+      s"$root already holds a published snapshot — init is once")
+    gcBlobs(spark, root)
+    val entries = scala.collection.mutable.Map.empty[String, String]
+    // corpus
+    val corpusGen = "blobs/corpus/g1"
+    Bucketing.writePartitioned(docs, s"$root/$corpusGen",
+      Seq(partCol), Seq(docIdCol))
+    listPartDirs(spark, s"$root/$corpusGen").foreach { d =>
+      entries(s"corpus/${d.split("=").last}") = s"$corpusGen/$d"
+    }
+    // bm25 (bucketed by doc id)
+    val idx = Retrieval.buildIndex(docs, docIdCol, textCol)
+    val bmGen = "blobs/bm25/g1"
+    val bkt = pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket")
+    Bucketing.writePartitioned(idx.postings.withColumn("bucket", bkt),
+      s"$root/$bmGen/postings", Seq("bucket"), Seq("doc_id", "term"))
+    Bucketing.writePartitioned(idx.dl.withColumn("bucket", bkt),
+      s"$root/$bmGen/dl", Seq("bucket"), Seq("doc_id"))
+    listPartDirs(spark, s"$root/$bmGen/postings").foreach { d =>
+      entries(s"bm25/postings/${d.split("=").last}") =
+        s"$bmGen/postings/$d"
+    }
+    listPartDirs(spark, s"$root/$bmGen/dl").foreach { d =>
+      entries(s"bm25/dl/${d.split("=").last}") = s"$bmGen/dl/$d"
+    }
+    idx.df.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/$bmGen/df")
+    entries("bm25/df") = s"$bmGen/df"
+    writeMeta(spark, s"$root/$bmGen/meta", idx.nDocs,
+      Retrieval.totalLen(idx))
+    entries("bm25/meta") = s"$bmGen/meta"
+    // ann (trained IVF — reps codebook + cluster-partitioned corpus)
+    val annGen = "blobs/ann/g1"
+    AnnLayout.trainIvf(emb, s"$root/$annGen", k, iters, vecIdCol,
+      vecCol, clusterCol)
+    entries("ann/reps") = s"$annGen/reps"
+    listPartDirs(spark, s"$root/$annGen/corpus").foreach { d =>
+      entries(s"ann/corpus/${d.split("=").last}") = s"$annGen/corpus/$d"
+    }
+    EpochLayout.publish(spark, root, retain) { dir =>
+      writeManifest(spark, dir, entries.toMap)
+    }
+    ()
+  }
+
+  private def listPartDirs(spark: SparkSession, path: String)
+      : Seq[String] = {
+    val fs = fsOf(spark, path)
+    fs.listStatus(new Path(path)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName).sorted
+  }
+
+  private def writeMeta(spark: SparkSession, path: String,
+      nDocs: Long, totalLen: Long): Unit = {
+    import spark.implicits._
+    Seq((nDocs, totalLen)).toDF("n_docs", "total_len")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  // ---- forget ---------------------------------------------------------
+
+  /** Apply one bounded takedown batch across all three artifacts and
+    * publish the result as ONE new epoch. Touched-entry blobs land
+    * under generation `g<newEpoch>`; untouched entries carry their
+    * old paths forward verbatim. Returns the per-artifact audit rows,
+    * with `remaining`/`residual` recomputed from the snapshot just
+    * published. Ids absent everywhere publish nothing (no-op, zero
+    * audit). Single writer, like every store in this package.
+    *
+    * `failpoint` is the crash-test hook: invoked with "corpus",
+    * "bm25", "ann" after each artifact's new blobs are staged (all
+    * still invisible — the manifest marker has not been created), so
+    * a spec can kill the build between artifacts and pin that readers
+    * never observe a mix.
+    */
+  def forget(spark: SparkSession, root: String, ids: Seq[Long],
+      partCol: String = "lang", docIdCol: String = "doc_id",
+      vecIdCol: String = "vec_id", clusterCol: String = "label",
+      buckets: Int = 8, retain: Int = 1,
+      failpoint: String => Unit = _ => ()): Seq[Audit] = {
+    require(ids.nonEmpty, "forget needs at least one id")
+    gcBlobs(spark, root) // sweep any crashed build's garbage
+    val (epoch, m) = currentManifest(spark, root)
+    val gen = s"blobs/%s/g${epoch + 1}"
+    val entries = scala.collection.mutable.Map.empty[String, String]
+    entries ++= m.map { case (k, v) =>
+      k -> v.stripPrefix(s"$root/") }
+    val idsDf = {
+      import spark.implicits._
+      ids.distinct.toDF(docIdCol)
+    }
+
+    // -- corpus: point-fetch (id -> partition), rewrite touched dirs
+    val pred = AnnLayout.idPredicate(docIdCol, ids)
+    val hitRows = readCorpusOf(spark, m).filter(pred)
+      .select(col(docIdCol).cast("long"), col(partCol).cast("string"))
+      .collect() // bounded by the takedown batch
+    val corpusRemoved = hitRows.length.toLong
+    val touchedParts = hitRows.map(_.getString(1)).distinct.sorted
+    if (touchedParts.nonEmpty) {
+      val corpusGen = gen.format("corpus")
+      val touchedDirs = touchedParts.map(v => m(s"corpus/$v"))
+      readPartDirs(spark, touchedDirs.toIndexedSeq)
+        .join(broadcast(idsDf), Seq(docIdCol), "left_anti")
+        .repartition(col(partCol))
+        .sortWithinPartitions(col(partCol), col(docIdCol))
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(s"$root/$corpusGen")
+      val written = listPartDirs(spark, s"$root/$corpusGen")
+        .map(_.split("=").last).toSet
+      touchedParts.foreach { v =>
+        if (written.contains(v)) entries(s"corpus/$v") =
+          s"$corpusGen/$partCol=$v"
+        else entries.remove(s"corpus/$v") // partition emptied
+      }
+    }
+    failpoint("corpus")
+
+    // -- bm25: touched doc buckets only; df/meta are model-sized
+    val touchedBkts = ids.distinct
+      .map(i => (i % buckets + buckets) % buckets).distinct.sorted
+    val (oldIdx, oldLen) = bm25IndexOf(spark, m)
+    val dlTouched = readPartDirs(spark,
+        touchedBkts.map(b => m(s"bm25/dl/$b")).toIndexedSeq)
+      .filter(AnnLayout.idPredicate("doc_id", ids))
+    val goneRow = dlTouched
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    val bmRemoved = goneRow.getLong(0)
+    if (bmRemoved > 0) {
+      val bmGen = gen.format("bm25")
+      val newN = oldIdx.nDocs - bmRemoved
+      require(newN > 0, "takedown would empty the corpus — an empty " +
+        "index has no avgdl; drop the store instead")
+      val postTouched = readPartDirs(spark,
+        touchedBkts.map(b => m(s"bm25/postings/$b")).toIndexedSeq)
+      // per-term df decrement from the removed docs' postings
+      val dfDec = postTouched
+        .filter(AnnLayout.idPredicate("doc_id", ids))
+        .groupBy("term").agg(count(lit(1)).as("_gone"))
+      oldIdx.df.join(dfDec, Seq("term"), "left_outer")
+        .select(col("term"),
+          (col("df") - coalesce(col("_gone"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/$bmGen/df")
+      entries("bm25/df") = s"$bmGen/df"
+      writeMeta(spark, s"$root/$bmGen/meta", newN,
+        oldLen - goneRow.getLong(1))
+      entries("bm25/meta") = s"$bmGen/meta"
+      // rewrite touched buckets (anti-join the bounded batch)
+      postTouched.join(broadcast(idsDf.withColumnRenamed(docIdCol,
+          "doc_id")), Seq("doc_id"), "left_anti")
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/$bmGen/postings")
+      dlTouchedAnti(spark, m, touchedBkts, idsDf, docIdCol)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/$bmGen/dl")
+      Seq("postings", "dl").foreach { side =>
+        val written = listPartDirs(spark, s"$root/$bmGen/$side")
+          .map(_.split("=").last.toLong).toSet
+        touchedBkts.foreach { b =>
+          if (written.contains(b)) entries(s"bm25/$side/$b") =
+            s"$bmGen/$side/bucket=$b"
+          else entries.remove(s"bm25/$side/$b") // bucket emptied
+        }
+      }
+    }
+    failpoint("bm25")
+
+    // -- ann: point-fetch (id -> label), rewrite touched cluster dirs
+    val annPred = AnnLayout.idPredicate(vecIdCol, ids)
+    val annHits = readAnnCorpusOf(spark, m).filter(annPred)
+      .select(col(vecIdCol).cast("long"), col(clusterCol)).collect()
+    val annRemoved = annHits.length.toLong
+    val touchedLabels = annHits.map(_.get(1)).distinct
+      .sortBy(String.valueOf(_))
+    if (touchedLabels.nonEmpty) {
+      val annGen = gen.format("ann")
+      val touchedDirs = touchedLabels
+        .map(v => m(s"ann/corpus/$v")).toIndexedSeq
+      readPartDirs(spark, touchedDirs)
+        .join(broadcast(idsDf.withColumnRenamed(docIdCol, vecIdCol)),
+          Seq(vecIdCol), "left_anti")
+        .repartition(col(clusterCol))
+        .sortWithinPartitions(col(clusterCol), col(vecIdCol))
+        .write.mode("overwrite").partitionBy(clusterCol)
+        .parquet(s"$root/$annGen/corpus")
+      val written = listPartDirs(spark, s"$root/$annGen/corpus")
+        .map(_.split("=").last).toSet
+      touchedLabels.foreach { v =>
+        val sv = String.valueOf(v)
+        if (written.contains(sv)) entries(s"ann/corpus/$sv") =
+          s"$annGen/corpus/$clusterCol=$sv"
+        else entries.remove(s"ann/corpus/$sv") // cluster emptied
+      }
+      // reps deliberately untouched: deleting members changes cell
+      // occupancy, not the frozen quantizer (AnnLayout.deleteTrained's
+      // rule) — the entry carries forward verbatim
+    }
+    failpoint("ann")
+
+    if (corpusRemoved == 0 && bmRemoved == 0 && annRemoved == 0)
+      return auditsOf(spark, m, ids, docIdCol, vecIdCol,
+        corpusRemoved, bmRemoved, annRemoved)
+
+    // -- THE publish: one marker create makes all three artifacts'
+    // new state visible together
+    EpochLayout.publish(spark, root, retain) { dir =>
+      writeManifest(spark, dir, entries.toMap)
+    }
+    gcBlobs(spark, root) // sweep generations only expired epochs used
+    auditsOf(spark, currentManifest(spark, root)._2, ids, docIdCol,
+      vecIdCol, corpusRemoved, bmRemoved, annRemoved)
+  }
+
+  private def dlTouchedAnti(spark: SparkSession,
+      m: Map[String, String], touchedBkts: Seq[Long], idsDf: DataFrame,
+      docIdCol: String): DataFrame =
+    readPartDirs(spark,
+        touchedBkts.map(b => m(s"bm25/dl/$b")).toIndexedSeq)
+      .join(broadcast(idsDf.withColumnRenamed(docIdCol, "doc_id")),
+        Seq("doc_id"), "left_anti")
+
+  /** Residuals recomputed from the PUBLISHED snapshot — what a
+    * compliance log records: not "we issued the delete" but "the
+    * artifacts, re-read, no longer surface the ids".
+    */
+  private def auditsOf(spark: SparkSession, m: Map[String, String],
+      ids: Seq[Long], docIdCol: String, vecIdCol: String,
+      corpusRemoved: Long, bmRemoved: Long, annRemoved: Long)
+      : Seq[Audit] = {
+    import spark.implicits._
+    val idsDf = ids.distinct.toDF("_fid")
+    def residual(df: DataFrame, c: String): Long =
+      df.select(col(c).cast("long").as("_fid")).distinct()
+        .join(broadcast(idsDf), Seq("_fid"), "left_semi").count()
+    val corpus = readCorpusOf(spark, m)
+    val (idx, _) = bm25IndexOf(spark, m)
+    val ann = readAnnCorpusOf(spark, m)
+    Seq(
+      Audit("ann", annRemoved, ann.count(), residual(ann, vecIdCol)),
+      Audit("bm25", bmRemoved, idx.nDocs,
+        residual(idx.postings.select("doc_id")
+          .unionByName(idx.dl.select("doc_id")), "doc_id")),
+      Audit("corpus", corpusRemoved, corpus.count(),
+        residual(corpus, docIdCol)))
+  }
+}

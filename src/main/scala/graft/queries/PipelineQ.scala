@@ -1567,6 +1567,39 @@ object PipelineQ {
       ORDER BY artifact""")
   )
 
+  /** The forget of [[qForgetE2e]] made ATOMIC across artifacts (see
+    * [[graft.io.ForgetStore]]): corpus, BM25 index and trained IVF
+    * layout live as ONE snapshot manifest, the takedown rewrites only
+    * the touched corpus partitions / doc buckets / cluster
+    * partitions into immutable blob generations, and a single epoch
+    * marker publishes all three mutations together — a reader can
+    * never see the corpus forgotten while BM25 still retrieves the
+    * doc (the per-artifact face's documented window;
+    * ForgetStoreSpec's crash test pins all-old-or-all-new). Same
+    * audit output and oracle as q_forget_e2e: the removed/remaining
+    * counts are artifact-independent truths, and every residual —
+    * recomputed from the PUBLISHED snapshot — pins to zero.
+    */
+  val qForgetEpoch = Q(
+    "q_forget_epoch",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val emb = graft.io.Tables.embeddings(spark, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("forget_epoch").toString
+      graft.io.ForgetStore.init(spark, root, docs, emb)
+      val ids = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      val audits = graft.io.ForgetStore.forget(spark, root,
+        ids.toIndexedSeq)
+      import spark.implicits._
+      audits.map(a => (a.artifact, a.removed, a.remaining, a.residual))
+        .toDF("artifact", "removed", "remaining", "residual")
+        .orderBy("artifact")
+    },
+    qForgetE2e.oracle
+  )
+
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
@@ -1575,5 +1608,5 @@ object PipelineQ {
       qQualityCurriculumSketch, qStreamCurriculum,
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
-      qStreamCow, qCowTombstone, qCowMor, qForgetE2e)
+      qStreamCow, qCowTombstone, qCowMor, qForgetE2e, qForgetEpoch)
 }

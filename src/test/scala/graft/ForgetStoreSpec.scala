@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{AnnLayout, EpochLayout, ForgetStore, Tables}
+import graft.ops.Retrieval
+
+/** Pins for the composed-snapshot forget store
+  * ([[graft.io.ForgetStore]]): reader parity with the flat layouts,
+  * O(touched) blob reuse (file identity for untouched entries),
+  * all-or-nothing cross-artifact visibility under a mid-forget crash,
+  * snapshot retention, and blob GC.
+  */
+class ForgetStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sf)
+  private def emb = Tables.embeddings(spark, sf)
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def freshStore(): String = {
+    val root = Files.createTempDirectory("forget_store").toString
+    ForgetStore.init(spark, root, docs, emb)
+    root
+  }
+
+  private def corpusRows(df: org.apache.spark.sql.DataFrame) =
+    df.select(docCols.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+
+  test("init: snapshot readers match the flat builds exactly") {
+    val root = freshStore()
+    // corpus round-trips
+    assert(corpusRows(ForgetStore.readCorpus(spark, root)) ==
+      corpusRows(docs))
+    // bm25: query parity with an in-memory index on the same corpus
+    val (snapIdx, snapLen) = ForgetStore.bm25Index(spark, root)
+    val memIdx = Retrieval.buildIndex(docs)
+    assert(snapIdx.nDocs == memIdx.nDocs &&
+      snapIdx.avgdl == memIdx.avgdl &&
+      snapLen == Retrieval.totalLen(memIdx))
+    val q = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    def ranked(idx: Retrieval.Bm25Index) =
+      Retrieval.bm25Query(idx, q, k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ranked(snapIdx) == ranked(memIdx) && ranked(snapIdx).nonEmpty)
+    // ann: knn parity with a flat trained layout on the same corpus
+    // (the trainer is deterministic, so two builds agree exactly)
+    val flat = Files.createTempDirectory("forget_flat").toString
+    AnnLayout.trainIvf(emb, flat, k = 4, iters = 2)
+    val queries = emb.filter(col("vec_id") < 10)
+    def knn(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(knn(ForgetStore.knn(spark, root, queries, k = 5, nprobe = 3))
+      == knn(AnnLayout.knnIvf(spark, flat, queries, k = 5, nprobe = 3)))
+  }
+
+  test("forget: exact contents, zero residual, untouched entries carry their files forward") {
+    val root = freshStore()
+    val m1 = ForgetStore.currentManifest(spark, root)._2
+    val ids = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    val audits = ForgetStore.forget(spark, root, ids.toIndexedSeq)
+    val (e2, m2) = ForgetStore.currentManifest(spark, root)
+    assert(e2 == 2L)
+    // contents: corpus == naive filter; every residual zero
+    assert(corpusRows(ForgetStore.readCorpus(spark, root)) ==
+      corpusRows(docs.filter(col("doc_id") % 37 =!= 0)))
+    assert(audits.forall(_.residual == 0L), s"$audits")
+    assert(audits.find(_.artifact == "corpus").get.removed == ids.length)
+    // bm25 snapshot == a fresh index on the surviving corpus
+    val (snapIdx, snapLen) = ForgetStore.bm25Index(spark, root)
+    val memIdx = Retrieval.buildIndex(docs.filter(col("doc_id") % 37 =!= 0))
+    assert(snapIdx.nDocs == memIdx.nDocs && snapIdx.avgdl == memIdx.avgdl
+      && snapLen == Retrieval.totalLen(memIdx))
+    assert(snapIdx.df.orderBy("term").collect().map(_.toSeq).toSeq ==
+      memIdx.df.orderBy("term").collect().map(_.toSeq).toSeq)
+    // O(touched): entries untouched by the delete keep their EXACT
+    // paths (same immutable files — no copy-forward)
+    val untouched = m2.keySet.intersect(m1.keySet)
+      .filter(k => m1(k) == m2(k))
+    assert(untouched.contains("ann/reps"),
+      "the frozen codebook must carry forward verbatim")
+    assert(untouched.exists(_.startsWith("bm25/postings/")) ||
+      ids.map(i => (i % 8 + 8) % 8).distinct.length == 8,
+      "untouched postings buckets must carry forward")
+    // the retained previous epoch still serves the pre-forget corpus
+    val e1dir = EpochLayout.epochs(spark, root)
+      .find(_._1 == 1L).get._2.toString.stripPrefix("file:")
+    assert(new java.io.File(e1dir, "_EPOCH_COMPLETE").exists())
+  }
+
+  test("mid-forget crash: readers see all-old; the retried forget publishes all-new — never a mix") {
+    val root = freshStore()
+    val ids = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      .toIndexedSeq
+    val before = corpusRows(ForgetStore.readCorpus(spark, root))
+    // kill the build between the bm25 and ann artifact stages
+    val boom = intercept[RuntimeException] {
+      ForgetStore.forget(spark, root, ids,
+        failpoint = a => if (a == "bm25") sys.error("killed mid-forget"))
+    }
+    assert(boom.getMessage.contains("killed mid-forget"))
+    // ALL-OLD: corpus, bm25 and ann all still serve the pre-forget
+    // state (the forgotten ids remain retrievable in all three —
+    // consistently), and no new epoch was published
+    assert(ForgetStore.currentManifest(spark, root)._1 == 1L)
+    assert(corpusRows(ForgetStore.readCorpus(spark, root)) == before)
+    val (idx1, _) = ForgetStore.bm25Index(spark, root)
+    assert(idx1.nDocs == docs.count())
+    assert(ForgetStore.readAnnCorpus(spark, root)
+      .filter(col("vec_id") % 37 === 0).count() > 0)
+    // retry completes: ALL-NEW, residuals zero everywhere at once
+    val audits = ForgetStore.forget(spark, root, ids)
+    assert(ForgetStore.currentManifest(spark, root)._1 == 2L)
+    assert(audits.forall(_.residual == 0L), s"$audits")
+    val (idx2, _) = ForgetStore.bm25Index(spark, root)
+    assert(idx2.nDocs == docs.filter(col("doc_id") % 37 =!= 0).count())
+    assert(ForgetStore.readAnnCorpus(spark, root)
+      .filter(col("vec_id") % 37 === 0).count() == 0)
+  }
+
+  test("retention + blob GC: expired epochs' private generations are swept, shared ones survive") {
+    val root = freshStore()
+    def blobGens(): Set[String] = {
+      val b = new java.io.File(s"$root/blobs")
+      b.listFiles().flatMap(a => a.listFiles().map(g =>
+        s"${a.getName}/${g.getName}")).toSet
+    }
+    val ids1 = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    val ids2 = docs.filter(col("doc_id") % 41 === 3)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    ForgetStore.forget(spark, root, ids1.toIndexedSeq) // e2, retain keeps e1
+    assert(blobGens().exists(_.endsWith("/g2")))
+    ForgetStore.forget(spark, root, ids2.toIndexedSeq) // e3: e1 expires
+    val epochs = EpochLayout.epochs(spark, root).map(_._1)
+    assert(epochs == Seq(2L, 3L), s"epochs: $epochs")
+    // g1 corpus/bm25/ann dirs still referenced by e2/e3's untouched
+    // entries survive; nothing references a gen that no manifest lists
+    val m2 = ForgetStore.currentManifest(spark, root)._2
+    val referenced = m2.values
+      .map(_.stripPrefix(s"$root/").split("/").take(3).mkString("/"))
+      .toSet
+    assert(referenced.subsetOf(blobGens().map("blobs/" + _) ++ referenced))
+    // the final state is the composition of both forgets
+    assert(corpusRows(ForgetStore.readCorpus(spark, root)) ==
+      corpusRows(docs.filter(
+        col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 3)))
+    // absent-id forget is a no-op: no new epoch, zero audit
+    val audits = ForgetStore.forget(spark, root, Seq(999999999L))
+    assert(ForgetStore.currentManifest(spark, root)._1 == 3L)
+    assert(audits.forall(a => a.removed == 0L && a.residual == 0L))
+  }
+}
