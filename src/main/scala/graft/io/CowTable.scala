@@ -459,6 +459,14 @@ object CowTable {
     }
   }
 
+  /** Committed-but-uncompacted change batches in the changelog — the
+    * intake loop's compaction-trigger input (see [[readMor]]'s
+    * compaction policy: compact before the outstanding-key volume
+    * approaches the broadcast threshold). One directory listing.
+    */
+  def outstandingBatches(spark: SparkSession, path: String): Int =
+    logSeqs(spark, path).size
+
   /** The latest-wins resolution of the changelog: one surviving
     * change row per (partCol, idCol) — the row with the highest
     * sequence stamp. Bounded by keys outstanding since the last

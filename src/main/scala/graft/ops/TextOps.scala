@@ -491,7 +491,24 @@ object TextOps {
     * train once on the vocab, encode 100 TB with a projection.
     * Returns `array<array<string>>`: per word, its subword symbols.
     */
-  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.{BpeApplyMerges, ColumnBridge}
+    transform(tokens(text), tok =>
+      ColumnBridge.column(BpeApplyMerges(
+        ColumnBridge.expression(tok), merges.map(_._1), merges.map(_._2))))
+  }
+
+  /** The composed-HOF formulation [[bpeEncode]] replaced (kept as the
+    * readable reference implementation; ExtensionsSpec pins corpus-
+    * wide equality between the two). Why replaced: every
+    * [[applyMerge]] is an ArrayAggregate — CodegenFallback, so always
+    * interpreted, and its eval copies the accumulator array per
+    * element ⇒ O(merges · len²) allocations per token, measured
+    * 2.4 ms/doc (q_stream_tokenize paid 12 s per 5000-doc trigger).
+    * The fused kernel is one expression, O(merges · len), in-place.
+    */
+  private[graft] def bpeEncodeComposed(text: Column,
+      merges: Seq[(String, String)]): Column =
     transform(tokens(text), tok =>
       merges.foldLeft(charSyms(tok)) { case (arr, (a, b)) =>
         applyMerge(arr, a, b)

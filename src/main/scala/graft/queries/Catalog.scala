@@ -60,7 +60,7 @@ object Catalog {
   def all: Seq[Q] =
     ReferenceQ.all ++ TransformQ.all ++ RelationalQ.all ++ TrainingQ.all ++
       StreamQ.all ++ MultimodalQ.all ++ MarketQ.all ++ CorpusQ.all ++
-      PipelineQ.all
+      PipelineQ.all ++ CrawlQ.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

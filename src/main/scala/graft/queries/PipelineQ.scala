@@ -1480,6 +1480,86 @@ object PipelineQ {
     Some(cowOracle("v3 "))
   )
 
+  /** STREAMING merge-on-read intake — [[qStreamCow]]'s deferred twin
+    * and the 28th batch/stream equivalence pin: change batches arrive
+    * as a stream and each trigger lands as an O(batch)
+    * [[graft.io.CowTable.appendChanges]] changelog append (NO base
+    * partition rewritten per trigger — the write-cheap half of the
+    * maintenance trade-off, the shape a high-rate CDC feed needs),
+    * with THRESHOLD COMPACTION folded into the intake loop exactly as
+    * `readMor`'s policy prescribes: after each append the loop checks
+    * [[graft.io.CowTable.outstandingBatches]] and compacts once 2
+    * batches are outstanding (production sizes the threshold to the
+    * broadcast ceiling; here it is small so the face exercises BOTH
+    * the fold-through-merge path and a post-compaction append).
+    *
+    * Ordering: the three change files carry strictly increasing
+    * modification times, which the file source orders triggers by, so
+    * the revise batch (v3 over the v2 upserts) is STAMPED after the
+    * batches it revises and latest-wins resolution must reproduce
+    * applied-eagerly-in-order — [[qCowMor]]'s oracle pins the result
+    * across this trigger cadence (deferred-and-resolved ==
+    * applied-eagerly, now with a compaction boundary in between).
+    */
+  val qStreamMor = Q(
+    "q_stream_mor",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(spark, dir)
+      val work = java.nio.file.Files
+        .createTempDirectory("cow_stream_mor").toString
+      val t = s"$work/docs"
+      graft.io.Bucketing.writePartitioned(docs, t, Seq("lang"),
+        Seq("doc_id"))
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(col)
+      val revise = docs
+        .filter(col("doc_id") % 41 === 3 && col("doc_id") % 37 =!= 0)
+        .withColumn("text", concat(lit("v3 "), col("text")))
+        .withColumn("n_chars", col("n_chars") + 3)
+        .select(cols :+ lit("upsert").as("op"): _*)
+      // three ordered change files: the one-shot change set split in
+      // two (ids are disjoint, so their relative order is free), then
+      // the revise batch, which MUST stamp last
+      val inDir = s"$work/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val batches = Seq(
+        cowChanges(docs).filter(col("doc_id") % 2 === 0),
+        cowChanges(docs).filter(col("doc_id") % 2 =!= 0),
+        revise)
+      val t0 = java.lang.System.currentTimeMillis() - 600000L
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val staged = s"$work/b$i"
+        b.coalesce(1).write.parquet(staged)
+        val part = new java.io.File(staged).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(inDir, f"b$i%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 60000L)
+      }
+      val sch = spark.read.parquet(inDir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          graft.io.CowTable.appendChanges(spark, t, batch, "doc_id",
+            "lang")
+          if (graft.io.CowTable.outstandingBatches(spark, t) >= 2)
+            graft.io.CowTable.compactChangelog(spark, t, "doc_id",
+              "lang")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.io.CowTable.readMor(spark, t, "doc_id", "lang")
+        .select(cols: _*)
+        .orderBy("doc_id")
+    },
+    Some(cowOracle("v3 "))
+  )
+
   /** END-TO-END FORGET — one takedown batch applied across every
     * at-rest artifact a pipeline derives from the corpus, because a
     * delete that reaches the documents but not the derived artifacts
@@ -1608,5 +1688,6 @@ object PipelineQ {
       qQualityCurriculumSketch, qStreamCurriculum,
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
-      qStreamCow, qCowTombstone, qCowMor, qForgetE2e, qForgetEpoch)
+      qStreamCow, qCowTombstone, qCowMor, qStreamMor, qForgetE2e,
+      qForgetEpoch)
 }

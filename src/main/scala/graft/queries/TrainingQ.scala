@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.{Bloom, Dedup, NgramLm, Overlap, Sample, Similarity, TextOps}
@@ -2787,8 +2788,13 @@ object TrainingQ {
   val qUnigramEncode = Q(
     "q_unigram_encode",
     (spark, dir) => {
-      val model = graft.ops.Unigram.train(Tables.documents(spark, dir),
-        "text", vocabSize = 120, iters = 3, maxPieceLen = 5)
+      // frozen unigram model (FrozenStore.memo) — trained once per
+      // (corpus, params); the encode face reads the artifact, the
+      // q_unigram_train face keeps timing training itself
+      val model = graft.io.FrozenStore.memo(s"unigram|$dir|120|3|5") {
+        graft.ops.Unigram.train(Tables.documents(spark, dir),
+          "text", vocabSize = 120, iters = 3, maxPieceLen = 5)
+      }
       graft.ops.Unigram.encodeDocs(Tables.documents(spark, dir),
           "doc_id", "text", model.map(t => (t._1, t._3)), maxPieceLen = 5)
         .select(col("doc_id"),
@@ -2812,12 +2818,24 @@ object TrainingQ {
     * TrainingSpec-pinned equivalence), then reassembles documents in
     * token order.
     */
+  /** The frozen BPE merge list ([[graft.io.FrozenStore.memo]]): train
+    * once per (corpus, nMerges), serve everywhere — the tokenizer
+    * joins the classifier/LM/BM25/IVF family whose serving faces read
+    * a published artifact instead of re-training. Driver-sized (10
+    * pairs), exact-deterministic, so frozen == retrained bit-for-bit.
+    */
+  private def frozenBpeMerges(spark: SparkSession, dir: String,
+      nMerges: Int): Seq[(String, String)] =
+    graft.io.FrozenStore.memo(s"bpe_merges|$dir|$nMerges") {
+      TextOps.bpeTrain(Tables.documents(spark, dir), "text", nMerges)
+        .map { case (p, _) => val Array(a, b) = p.split(" ", 2); (a, b) }
+    }
+
   val qBpeEncode = Q(
     "q_bpe_encode",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
-      val merges = TextOps.bpeTrain(docs, "text", nMerges = 10)
-        .map { case (p, _) => val Array(a, b) = p.split(" ", 2); (a, b) }
+      val merges = frozenBpeMerges(spark, dir, nMerges = 10)
       val enc = TextOps.bpeEncode(col("text"), merges)
       docs.select(col("doc_id"), enc.as("_enc"))
         .select(col("doc_id"),
@@ -2826,6 +2844,46 @@ object TrainingQ {
             (acc, w) => acc + size(w)).as("n_syms"),
           array_join(flatten(slice(col("_enc"), 1, 3)), " ").as("sample"))
         .orderBy("doc_id")
+    },
+    Some(BpeOracle.encodeSql(nMerges = 10))
+  )
+
+  /** STREAMING tokenizer serving (29th batch/stream equivalence pin):
+    * the frozen BPE merge list ([[frozenBpeMerges]] — the published
+    * tokenizer artifact every trainer ships) compiled into the SAME
+    * map-side [[graft.ops.TextOps.bpeEncode]] expression as
+    * [[qBpeEncode]], run over the documents FILE STREAM through a
+    * PARQUET SINK — the encode-at-ingest shape: stateless projection,
+    * no state store, no shuffle, per-trigger cost = that trigger's
+    * rows. Completes the frozen-artifact streaming-twin family
+    * (classifier, LM, BM25, IVF — and now the tokenizer). Same oracle
+    * as q_bpe_encode: what the stream wrote must hash-equal the batch
+    * encode.
+    */
+  val qStreamTokenize = Q(
+    "q_stream_tokenize",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val merges = frozenBpeMerges(spark, dir, nMerges = 10)
+      val rawSchema = Tables.documents(spark, dir).schema
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_tok").toString
+      val out = s"$work/out"
+      val enc = TextOps.bpeEncode(col("text"), merges)
+      val q = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), enc.as("_enc"))
+        .select(col("doc_id"),
+          size(col("_enc")).cast("long").as("n_words"),
+          aggregate(col("_enc"), lit(0L),
+            (acc, w) => acc + size(w)).as("n_syms"),
+          array_join(flatten(slice(col("_enc"), 1, 3)), " ").as("sample"))
+        .writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).orderBy("doc_id")
     },
     Some(BpeOracle.encodeSql(nMerges = 10))
   )
@@ -3850,5 +3908,5 @@ object TrainingQ {
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
     qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
     qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown,
-    qAnnTakedown, qHtmlExtract, qUrlNorm)
+    qAnnTakedown, qHtmlExtract, qUrlNorm, qStreamTokenize)
 }

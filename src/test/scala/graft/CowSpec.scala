@@ -421,4 +421,25 @@ class CowSpec extends AnyFunSuite {
     }
     assert(readAll(t) == before, "a refused merge mutated the table")
   }
+
+  test("outstandingBatches tracks the intake loop's compaction trigger") {
+    val t = freshTable()
+    assert(CowTable.outstandingBatches(spark, t) == 0)
+    val b1 = docs.filter(col("doc_id") % 41 === 3)
+      .withColumn("text", concat(lit("v2 "), col("text")))
+      .select(cols.map(col) :+ lit("upsert").as("op"): _*)
+    CowTable.appendChanges(spark, t, b1, "doc_id", "lang")
+    assert(CowTable.outstandingBatches(spark, t) == 1)
+    val b2 = docs.filter(col("doc_id") % 37 === 0)
+      .select(cols.map(col) :+ lit("delete").as("op"): _*)
+    CowTable.appendChanges(spark, t, b2, "doc_id", "lang")
+    assert(CowTable.outstandingBatches(spark, t) == 2)
+    CowTable.compactChangelog(spark, t, "doc_id", "lang")
+    assert(CowTable.outstandingBatches(spark, t) == 0)
+    // post-compaction appends start a fresh log — the q_stream_mor
+    // intake shape (append, threshold-compact, append, read MOR)
+    CowTable.appendChanges(spark, t, b1.withColumn("text",
+      concat(lit("v3"), col("text"))), "doc_id", "lang")
+    assert(CowTable.outstandingBatches(spark, t) == 1)
+  }
 }

@@ -201,6 +201,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(n("//relative/path") == None)
   }
 
+  test("fused BPE apply == composed-HOF formulation, corpus-wide") {
+    import graft.ops.TextOps
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextOps.bpeTrain(docs, "text", nMerges = 10)
+      .map { case (p, _) => val Array(a, b) = p.split(" ", 2); (a, b) }
+    val both = docs.select(
+      TextOps.bpeEncode(col("text"), merges).as("fused"),
+      TextOps.bpeEncodeComposed(col("text"), merges).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    // multi-byte code points split like substr(i, 1) does
+    import spark.implicits._
+    val uni = Seq("héé ééh").toDF("text")
+      .select(TextOps.bpeEncode(col("text"), Seq(("é", "é"))).as("e"),
+        TextOps.bpeEncodeComposed(col("text"), Seq(("é", "é"))).as("c"))
+      .head()
+    assert(uni.getSeq[scala.collection.Seq[String]](0) ==
+      uni.getSeq[scala.collection.Seq[String]](1))
+    assert(uni.getSeq[scala.collection.Seq[String]](0).map(_.toSeq) ==
+      Seq(Seq("h", "éé"), Seq("éé", "h")))
+  }
+
   test("optimizer rewrites the HOF dot-product pattern to the native expression") {
     // non-foldable input, else constant folding evaluates the whole
     // expression before the rewrite is observable

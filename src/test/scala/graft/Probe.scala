@@ -14,7 +14,10 @@ import graft.ops.{Bars, Overlap}
   * same, which is the property that makes the operator safe at 100 TB
   * without salting.
   *
-  * Usage: runMain graft.Probe [nRows]  (default 50e6)
+  * Usage: Test/runMain graft.Probe [nRows]  (default 50e6)
+  * (lives in the TEST tree since round 14: it is measurement harness,
+  * not shipped engine — the main tree's LoC should measure the
+  * engine)
   * Prints one JSON line per probe; results recorded in PERF.md.
   * SPARK_GRAFT_PROBE_ONLY=name,name runs a subset (names = the
   * "probe" field of each JSON line).
