@@ -46,12 +46,30 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
+    // MATERIALIZING force (round 14): time what a consumer actually
+    // pays. `.count()` lets Catalyst prune every unconsumed column, so
+    // a pure-projection face (tokenizer encode, text scoring, NFC…)
+    // timed its scan and none of its expressions — q_bpe_encode
+    // recorded 0.16 s while any real reader of its output paid 12 s
+    // (PERF.md round-14). Consuming the executed plan's UnsafeRow
+    // iterator forces every output column through the projection —
+    // the same work a sink pays, no bytes written — and still yields
+    // the row count. Aggregating/sorting faces are unaffected (their
+    // columns were never prunable); only pruned projections get
+    // honest. Discontinuity vs pre-round-14 pins documented in
+    // PERF.md and re-pinned at the round-14 close.
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.mapPartitions { it =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator(n)
+      }.fold(0L)(_ + _)
     // warmup: run every query once at the smallest SF so each plan's
     // whole-stage codegen is compiled before timing (cold-start JIT
     // otherwise dominates sub-second queries) — excluded from timings
     val warmDir = "/root/testdata/sf0.001"
     queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      try { force(fn(spark, warmDir)) } catch { case _: Throwable => () }
     }
     // repeat-and-median: single runs at sub-second scale are dominated
     // by machine noise (observed ±5 s across identical round totals);
@@ -80,7 +98,7 @@ object Bench {
       rot.foreach { name =>
         val fn = queries(name)
         val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count()
+        val n = try force(fn(spark, sfDir))
                 catch { case _: Throwable => -1L }
         timings(name) = timings(name) :+ (((System.nanoTime() - t0) / 1e9, n))
       }

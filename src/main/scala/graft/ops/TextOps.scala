@@ -271,9 +271,23 @@ object TextOps {
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03 scheme,
     * simplified): md5 each shingle, take the min hash of every
     * sliding window of `w`, distinct+sort the kept hashes, md5 the
-    * joined result into one document fingerprint.
+    * joined result into one document fingerprint. Fused kernel since
+    * round 14 (see [[graftbridge.WinnowFingerprint]]): monotone-deque
+    * sliding min, O(n) per doc vs the composed form's per-window
+    * slice copies (3.8 ms/doc measured).
     */
   def winnowFingerprint(shingleArr: Column, w: Int): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, WinnowFingerprint}
+    ColumnBridge.column(
+      WinnowFingerprint(ColumnBridge.expression(shingleArr), w))
+  }
+
+  /** The composed-HOF formulation [[winnowFingerprint]] replaced —
+    * kept as the readable reference implementation; ExtensionsSpec
+    * pins corpus-wide equality.
+    */
+  private[graft] def winnowFingerprintComposed(shingleArr: Column,
+      w: Int): Column = {
     val hs = transform(shingleArr, s => md5(s.cast("binary")))
     val n = size(hs)
     val wins = when(n >= w,

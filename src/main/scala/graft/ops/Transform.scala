@@ -118,9 +118,38 @@ object Transform {
 
   /** The full §2.4 pipeline in the reference's fixed order. Any null
     * config column is skipped (F3: missing config ⇒ identity).
+    *
+    * Fused kernel since round 14 (see
+    * [[org.apache.spark.sql.graftbridge.TransformInterpret]]): the
+    * composed chain's five interpreted map HOFs each materialize a
+    * full map copy per row — 48–87 µs/row measured under the
+    * materializing bench. The kernel runs the whole chain in one
+    * pass; the timestamp="current" magic resolves OUTSIDE the kernel
+    * (same transform_values as before) so the wall clock stays the
+    * composed form's per-query constant. TransformSpec pins
+    * fused == [[interpretComposed]] over the full events corpus.
     */
   def interpret(payload: Column, rules: Column, renames: Column,
-      removes: Column, overrides: Column): Column =
+      removes: Column, overrides: Column): Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, TransformInterpret}
+    val resolved = transform_values(overrides,
+      (k, v) => when(k === "timestamp" && v === "current",
+        unix_millis(current_timestamp()).cast("string")).otherwise(v))
+    ColumnBridge.column(TransformInterpret(
+      ColumnBridge.expression(payload),
+      ColumnBridge.expression(rules),
+      ColumnBridge.expression(renames),
+      ColumnBridge.expression(removes),
+      ColumnBridge.expression(resolved)))
+  }
+
+  /** The composed-HOF formulation [[interpret]] replaced — kept as
+    * the readable reference implementation (each stage is the
+    * documented operator it names); TransformSpec pins corpus-wide
+    * equality with the fused kernel.
+    */
+  private[graft] def interpretComposed(payload: Column, rules: Column,
+      renames: Column, removes: Column, overrides: Column): Column =
     overrideFields(
       removeFields(
         renameFields(

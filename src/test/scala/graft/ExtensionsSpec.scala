@@ -222,6 +222,25 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq(Seq("h", "éé"), Seq("éé", "h")))
   }
 
+  test("fused winnowing fingerprint == composed-HOF formulation, corpus-wide + degenerate arms") {
+    import graft.ops.TextOps
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = TextOps.shingleList(col("text"), 3)
+    val diff = docs.select(
+        TextOps.winnowFingerprint(sh, 5).as("fused"),
+        TextOps.winnowFingerprintComposed(sh, 5).as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(diff == 0)
+    // degenerate arms: empty shingle array (short doc) and 0 < n < w
+    import spark.implicits._
+    val edge = Seq("a b", "a b c", "a b c d e f g h i j")
+      .toDF("text")
+      .select(TextOps.winnowFingerprint(TextOps.shingleList(col("text"), 3), 5).as("f"),
+        TextOps.winnowFingerprintComposed(TextOps.shingleList(col("text"), 3), 5).as("c"))
+      .collect()
+    edge.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("optimizer rewrites the HOF dot-product pattern to the native expression") {
     // non-foldable input, else constant folding evaluates the whole
     // expression before the rewrite is observable

@@ -145,4 +145,47 @@ class TransformSpec extends AnyFunSuite {
     val got = out("timestamp").toLong
     assert(got >= before && got <= after)
   }
+
+  test("fused interpreter == composed-HOF chain, corpus-wide + edge configs") {
+    // full events corpus through the q_transform_pipeline payload
+    // shape (JSON nulls included) under a config exercising every
+    // stage, both formulations; then the stage-skipping null-config
+    // arms and a null rename target
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+    val payload = map_concat(
+      from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")),
+      map(lit("v"), col("value").cast("string"), lit("tag"), lit("x"),
+        lit("et"), col("event_type")))
+    val rules = map(
+      lit("v"), struct(lit("multiply").as("op"), lit(1.07).as("value")),
+      lit("k"), struct(lit("divide").as("op"), lit(0.0).as("value")),
+      lit("et"), struct(lit("add").as("op"), lit(5.0).as("value")))
+    val renames = map(lit("k"), lit("k_id"))
+    val removes = array(lit("tag"))
+    val overrides = map(lit("src"), lit("graft"))
+    def both(r: org.apache.spark.sql.Column, rn: org.apache.spark.sql.Column,
+        rm: org.apache.spark.sql.Column, ov: org.apache.spark.sql.Column) = ev
+      .withColumn("p", payload)
+      .select(
+        map_entries(Transform.interpret(col("p"), r, rn, rm, ov)).as("fused"),
+        map_entries(Transform.interpretComposed(col("p"), r, rn, rm, ov))
+          .as("composed"))
+      .filter(!(col("fused") <=> col("composed"))).count()
+    assert(both(rules, renames, removes, overrides) == 0)
+    val nullRules = lit(null).cast("map<string,struct<op:string,value:double>>")
+    val nullMap = lit(null).cast("map<string,string>")
+    val nullArr = lit(null).cast("array<string>")
+    assert(both(nullRules, renames, removes, nullMap) == 0)
+    assert(both(rules, nullMap, nullArr, overrides) == 0)
+    assert(both(nullRules, nullMap, nullArr, nullMap) == 0)
+    // invalid config — null rename target: the composed form's
+    // three-valued array_contains makes map_filter drop every
+    // non-renamed entry and keep the renamed key under its original
+    // name; the kernel replicates that exactly (parity on every
+    // input, valid or not)
+    val nullTarget = map_from_arrays(array(lit("k")),
+      array(lit(null).cast("string")))
+    assert(both(nullRules, nullTarget, nullArr, nullMap) == 0)
+  }
 }
