@@ -71,12 +71,30 @@ object Classify {
 
   /** The hashed bag-of-words design matrix, sparse:
     * `(_c_id, b, c)` — one row per (document, touched bucket) with
-    * the exact token count. Map-side explode + ONE keyed agg; built
-    * once per training run and reused by every iteration and by
-    * scoring.
+    * the exact token count; built once per training run and reused by
+    * every iteration and by scoring. Fused kernel since round 14
+    * (see [[org.apache.spark.sql.graftbridge.HashedBucketCounts]]):
+    * per-doc bucket counting is one map-side expression — no
+    * per-token row explosion, no featurization shuffle. Identical
+    * (b, c) multiset (ExtensionsSpec), so trained weights, scores,
+    * and every oracle are unchanged.
     */
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame =
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, HashedBucketCounts}
+    docs.select(col(idCol).as("_c_id"),
+        explode(ColumnBridge.column(HashedBucketCounts(
+          ColumnBridge.expression(TextOps.tokens(col(textCol))),
+          buckets, seed = "w", bigrams = false))).as("_bc"))
+      .select(col("_c_id"), col("_bc.b").as("b"), col("_bc.c").as("c"))
+  }
+
+  /** The composed explode + groupBy formulation [[hashedFeatures]]
+    * replaced — kept as the readable reference implementation;
+    * ExtensionsSpec pins multiset equality.
+    */
+  private[graft] def hashedFeaturesComposed(docs: DataFrame,
+      idCol: String, textCol: String, buckets: Int): DataFrame =
     docs.select(col(idCol).as("_c_id"),
         explode(TextOps.tokens(col(textCol))).as("_c_t"))
       .select(col("_c_id"), bucketOf(col("_c_t"), buckets).as("b"))

@@ -61,11 +61,30 @@ object Dsir {
   }
 
   /** Sparse hashed design matrix (_d_id, b, c): one row per
-    * (doc, touched bucket) with the exact feature count. Map-side
-    * explode + ONE keyed agg.
+    * (doc, touched bucket) with the exact feature count. Fused
+    * kernel since round 14 (see
+    * [[org.apache.spark.sql.graftbridge.HashedBucketCounts]]): the
+    * per-doc bucket counting happens map-side inside one expression —
+    * no per-feature row explosion, NO featurization shuffle (the
+    * composed explode + groupBy(doc, b) shuffled one row per feature
+    * occurrence). Identical (b, c) multiset, pinned in ExtensionsSpec.
     */
   def hashedNgramFeatures(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame =
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, HashedBucketCounts}
+    docs.select(col(idCol).as("_d_id"),
+        explode(ColumnBridge.column(HashedBucketCounts(
+          ColumnBridge.expression(TextOps.tokens(col(textCol))),
+          buckets, seed = "d", bigrams = true))).as("_bc"))
+      .select(col("_d_id"), col("_bc.b").as("b"), col("_bc.c").as("c"))
+  }
+
+  /** The composed explode + groupBy formulation [[hashedNgramFeatures]]
+    * replaced — kept as the readable reference implementation;
+    * ExtensionsSpec pins multiset equality.
+    */
+  private[graft] def hashedNgramFeaturesComposed(docs: DataFrame,
+      idCol: String, textCol: String, buckets: Int): DataFrame =
     docs.select(col(idCol).as("_d_id"),
         explode(featureArr(col(textCol))).as("_f"))
       .select(col("_d_id"),

@@ -334,8 +334,16 @@ object TrainingQ {
       val corpus = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
         .unionByName(docs.select((col("doc_id") * 2 + 1).as("doc_id"),
           concat(col("text"), suffix).as("text")))
+      // hash-shuffle barrier before the global sort: orderBy's range
+      // sampler otherwise RE-EXECUTES the whole candidate+verify
+      // pipeline to estimate bounds (measured: 10.6 s → ~6 s at
+      // sf0.1 — one full banded-DP pass saved); with the tiny pair
+      // table behind an exchange, the sampler reads shuffle files.
+      // The same pattern any expensive-to-derive small table wants
+      // before a total-order write.
       Dedup.editDistanceLshPairs(corpus, "doc_id", "text",
           bands = Bands, rowsPerBand = RowsPerBand, k = 6)
+        .repartition(col("i"))
         .orderBy("i", "j")
     },
     Some {

@@ -241,6 +241,22 @@ class ExtensionsSpec extends AnyFunSuite {
     edge.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("fused hashed featurization == composed explode+groupBy, corpus-wide") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    def sortedRows(df: org.apache.spark.sql.DataFrame, id: String) =
+      df.orderBy(id, "b").collect().map(_.toSeq).toSeq
+    // classifier face: unigrams, seed "w"
+    assert(sortedRows(graft.ops.Classify.hashedFeatures(
+        docs, "doc_id", "text", 64), "_c_id") ==
+      sortedRows(graft.ops.Classify.hashedFeaturesComposed(
+        docs, "doc_id", "text", 64), "_c_id"))
+    // DSIR face: unigrams + bigrams, seed "d"
+    assert(sortedRows(graft.ops.Dsir.hashedNgramFeatures(
+        docs, "doc_id", "text", 1024), "_d_id") ==
+      sortedRows(graft.ops.Dsir.hashedNgramFeaturesComposed(
+        docs, "doc_id", "text", 1024), "_d_id"))
+  }
+
   test("optimizer rewrites the HOF dot-product pattern to the native expression") {
     // non-foldable input, else constant folding evaluates the whole
     // expression before the rewrite is observable
