@@ -441,16 +441,29 @@ object CowTable {
     changes
       .coalesce(1) // change batches are bounded by contract
       .write.mode("overwrite").parquet(stage.toString)
-    // CAS install: listing-derived next stamp, atomic rename; a lost
-    // race (rename onto a just-installed non-empty dir fails) retries
-    // at the next stamp, so concurrent appenders serialize safely
+    // CAS install: CLAIM the stamp with an atomic exclusive file
+    // create, then rename the stage into the claimed slot. The claim
+    // is load-bearing — "rename onto an existing dir fails" is NOT a
+    // safe CAS on Hadoop filesystems: RawLocalFileSystem.rename falls
+    // back to COPY-INTO-DESTINATION when renameTo fails, so a racing
+    // loser's batch would land (dot-prefixed, invisible) INSIDE the
+    // winner's cseq dir with rename reporting success — a silently
+    // lost batch (caught by CowSpec's race test, 2-of-6 loss under a
+    // full parallel suite). Claim files are dot-prefixed (hidden from
+    // every reader) and vanish with the log at compaction; a writer
+    // that crashes between claim and rename burns its stamp — a gap
+    // in the sequence, which only orders batches, never indexes them.
     var n = logSeqs(spark, path).lastOption.getOrElse(0L) + 1L
     var attempts = 0
     var done = false
     while (!done) {
       val dst = new Path(s"${logDir(path)}/cseq=$n")
-      if (!fs.exists(dst) && fs.rename(stage, dst)) done = true
-      else {
+      val claim = new Path(logDir(path), s".claim_$n")
+      if (!fs.exists(dst) && atomicClaim(fs, claim)) {
+        require(fs.rename(stage, dst),
+          s"rename into claimed changelog stamp $n failed")
+        done = true
+      } else {
         n += 1L
         attempts += 1
         require(attempts < 10000,
@@ -458,6 +471,26 @@ object CowTable {
       }
     }
   }
+
+  /** Create `p` exclusively — true iff THIS caller created it. On
+    * local filesystems Hadoop's `create(p, overwrite = false)` is
+    * check-then-act (two racers can both pass), so the file:// path
+    * uses `File.createNewFile` (O_CREAT|O_EXCL — kernel-atomic);
+    * remote filesystems keep `create(overwrite = false)`, whose
+    * exclusivity the store enforces (HDFS namenode, object-store
+    * preconditions).
+    */
+  private def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean =
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(p.toUri.getPath)
+      f.getParentFile.mkdirs()
+      try f.createNewFile()
+      catch { case _: java.io.IOException => false }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
 
   /** Committed-but-uncompacted change batches in the changelog — the
     * intake loop's compaction-trigger input (see [[readMor]]'s

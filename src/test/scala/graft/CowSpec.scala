@@ -321,6 +321,11 @@ class CowSpec extends AnyFunSuite {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     import spark.implicits._
+    // start barrier: all six appenders hit the claim window together
+    // (the 2-of-6 silent-loss failure this test caught only surfaced
+    // under full-suite contention; the barrier makes the race hot in
+    // isolation too)
+    val gate = new java.util.concurrent.CyclicBarrier(6)
     val futs = ids.grouped(4).zipWithIndex.map { case (g, i) =>
       scala.concurrent.Future {
         val ch = g.toSeq.toDF("doc_id", "lang")
@@ -328,6 +333,7 @@ class CowSpec extends AnyFunSuite {
           .withColumn("source", lit(s"writer$i"))
           .withColumn("n_chars", lit(1L))
           .withColumn("op", lit("upsert"))
+        gate.await()
         CowTable.appendChanges(spark, t, ch, "doc_id", "lang")
       }
     }.toSeq
