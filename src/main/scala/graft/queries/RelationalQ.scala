@@ -1213,7 +1213,10 @@ object RelationalQ {
               (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
                 sqrt(col("n") * col("syy") - col("sy") * col("sy")))))
         .select("user_id", "event_id", "ts_ms", "n", "autocorr")
-        .orderBy("user_id", "ts_ms", "event_id")
+        // the two window passes sit above the last shuffle: barrier
+        // the sort so the range sampler reads shuffle files instead
+        // of re-running them (see Catalog.barrierSort)
+        .transform(Catalog.barrierSort(_, "user_id", "ts_ms", "event_id"))
     },
     Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0)) AS x0
