@@ -137,20 +137,30 @@ object CowTable {
       .agg(count(lit(1)).as("_n"),
         sum(when(col("op") === "delete", 1).otherwise(0)).as("_d"),
         sum(when(col("op") === "upsert", 1).otherwise(0)).as("_u"))
+    // the touched-partition list rides the SAME job as the contract
+    // audit (collect_set over the grouped keys — bounded by
+    // partition-key cardinality; nulls counted separately since
+    // collect_set drops them): the per-trigger CDC intake loop
+    // (q_stream_cow) pays merge's driver-side job floor once per
+    // trigger, so every fused validation job is a per-trigger saving
     val audit = perKey.agg(
       count(lit(1)).as("keys"),
       coalesce(sum(when(col("_n") > 1, 1).otherwise(0)), lit(0L))
         .as("dups"),
       coalesce(sum(col("_d")), lit(0L)).as("dels"),
-      coalesce(sum(col("_u")), lit(0L)).as("ups")).head()
+      coalesce(sum(col("_u")), lit(0L)).as("ups"),
+      collect_set(col(partCol)).as("parts"),
+      coalesce(sum(when(col(partCol).isNull, 1).otherwise(0)), lit(0L))
+        .as("nullParts")).head()
     require(audit.getLong(1) == 0,
       s"${audit.getLong(1)} ids carry more than one change in this " +
         "batch — order within a batch is undefined; sequence them " +
         "across batches")
     require(audit.getLong(2) + audit.getLong(3) == audit.getLong(0),
       "changes.op must be exactly 'upsert' or 'delete'")
-    val touched = changes.select(col(partCol)).distinct()
-      .collect().map(_.get(0)) // bounded by partition-key cardinality
+    val touched: Array[Any] =
+      ((if (audit.getLong(5) > 0) Seq(null) else Nil) ++
+        audit.getSeq[Any](4)).toArray
     if (touched.isEmpty)
       return MergeStats(0, 0L, 0L)
     validatePartitionValues(touched.toIndexedSeq)
@@ -423,16 +433,27 @@ object CowTable {
       .agg(count(lit(1)).as("_n"),
         sum(when(col("op").isin("delete", "upsert"), 0).otherwise(1))
           .as("_bad"))
+    // ONE validation job, not two: the per-trigger CDC intake loop
+    // (q_stream_mor) pays appendChanges' driver-side job floor three
+    // times per run, so the distinct-partition-values pass rides the
+    // same aggregation as the contract audit. collect_set drops
+    // nulls, so null partition keys are counted separately and refuse
+    // through the same message validatePartitionValues carries.
     val audit = perKey.agg(
       coalesce(sum(when(col("_n") > 1, 1).otherwise(0)), lit(0L)),
-      coalesce(sum(col("_bad")), lit(0L))).head()
+      coalesce(sum(col("_bad")), lit(0L)),
+      collect_set(col(partCol)),
+      coalesce(sum(when(col(partCol).isNull, 1).otherwise(0)), lit(0L)))
+      .head()
     require(audit.getLong(0) == 0,
       "more than one change per id in this batch — the changelog's " +
         "sequence stamp orders batches, not rows within one")
     require(audit.getLong(1) == 0,
       "changes.op must be exactly 'upsert' or 'delete'")
-    validatePartitionValues(changes.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toIndexedSeq) // bounded by batch contract
+    // bounded by batch contract (grouped keys, not rows)
+    validatePartitionValues(
+      (if (audit.getLong(3) > 0) Seq(null) else Nil) ++
+        audit.getSeq[Any](2))
     require(!changes.columns.contains("cseq"),
       "'cseq' is the changelog's reserved stamp column")
     val fs = fsOf(spark, path)
@@ -472,13 +493,30 @@ object CowTable {
     }
   }
 
+  /** Filesystem schemes whose `create(p, overwrite = false)` is
+    * ENFORCED atomic by the store itself: HDFS (namenode serializes
+    * creates) and its wire-compatible relatives. Object-store
+    * connectors (s3a, gs, abfs, wasb, oss, cos) are deliberately NOT
+    * here: their default `create(overwrite = false)` is a
+    * check-then-act HEAD+PUT — two racing appenders can both "win"
+    * the claim and the changelog append CAS silently loses a batch,
+    * the exact race the stamp claim exists to prevent. Supporting an
+    * object store means wiring its conditional-write capability
+    * (e.g. Hadoop 3.4+ `createFile().must("fs.option.create.conditional.overwrite...")`
+    * / S3 If-None-Match) and adding the scheme here once verified.
+    */
+  private val ExclusiveCreateSchemes =
+    Set("hdfs", "webhdfs", "viewfs", "ofs", "o3fs")
+
   /** Create `p` exclusively — true iff THIS caller created it. On
     * local filesystems Hadoop's `create(p, overwrite = false)` is
     * check-then-act (two racers can both pass), so the file:// path
     * uses `File.createNewFile` (O_CREAT|O_EXCL — kernel-atomic);
-    * remote filesystems keep `create(overwrite = false)`, whose
-    * exclusivity the store enforces (HDFS namenode, object-store
-    * preconditions).
+    * HDFS-class filesystems keep `create(overwrite = false)`, whose
+    * exclusivity the namenode enforces. Any OTHER scheme REFUSES
+    * loudly: claiming exclusivity a store does not enforce is how the
+    * silent lost-batch race this guards against recurs on S3A-style
+    * object stores (see [[ExclusiveCreateSchemes]]).
     */
   private def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Boolean =
@@ -487,9 +525,16 @@ object CowTable {
       f.getParentFile.mkdirs()
       try f.createNewFile()
       catch { case _: java.io.IOException => false }
-    } else {
+    } else if (ExclusiveCreateSchemes.contains(fs.getScheme)) {
       try { fs.create(p, false).close(); true }
       catch { case _: java.io.IOException => false }
+    } else {
+      throw new IllegalStateException(
+        s"changelog append CAS requires enforced create-exclusivity; " +
+          s"scheme '${fs.getScheme}' provides check-then-act " +
+          "create(overwrite=false) only — concurrent appends could both " +
+          "claim a stamp and silently drop a batch. Supported: file, " +
+          ExclusiveCreateSchemes.toSeq.sorted.mkString(", ") + ".")
     }
 
   /** Committed-but-uncompacted change batches in the changelog — the

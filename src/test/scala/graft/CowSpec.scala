@@ -14,7 +14,8 @@ import graft.io.{Bucketing, CowTable}
   * contract validations.
   */
 class CowSpec extends AnyFunSuite {
-  lazy val spark = TestSpark.spark
+  // conf-mutating suite: isolated session (see TestSpark.isolated)
+  lazy val spark = TestSpark.isolated()
   private val sf = "/root/testdata/sf0.001"
 
   private def docs = graft.io.Tables.documents(spark, sf)
@@ -284,6 +285,58 @@ class CowSpec extends AnyFunSuite {
     }
   }
 
+  test("changelog schema boundary: minimal-schema delete-only batch between full-schema batches") {
+    // the takedown shape (doc_id, lang, op — no payload columns) as a
+    // CHANGELOG batch, appended next to full-schema batches: the
+    // mergeSchema read must null-fill the missing payload columns and
+    // latest-wins resolution must still order correctly across the
+    // schema boundary — including a minimal-schema delete REVOKING an
+    // earlier full-schema upsert, and a later full-schema upsert
+    // resurrecting a minimally-deleted key
+    val t = freshTable()
+    val ups = docs.filter(col("doc_id") % 41 === 3)
+      .withColumn("text", concat(lit("v2 "), col("text")))
+      .select(cols.map(col) :+ lit("upsert").as("op"): _*)
+    CowTable.appendChanges(spark, t, ups, "doc_id", "lang")
+    // minimal schema: delete every %37 key AND one %41-upserted key
+    val victim = docs.filter(col("doc_id") % 41 === 3 &&
+        col("doc_id") % 37 =!= 0)
+      .select("doc_id", "lang").orderBy("doc_id").limit(1)
+      .collect()(0)
+    import spark.implicits._
+    val minimalDel = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("lang"))
+      .unionByName(Seq((victim.getLong(0), victim.getString(1)))
+        .toDF("doc_id", "lang"))
+      .withColumn("op", lit("delete"))
+    CowTable.appendChanges(spark, t, minimalDel, "doc_id", "lang")
+    // full schema again: resurrect one minimally-deleted %37 key
+    val back = docs.filter(col("doc_id") % 37 === 0).limit(1)
+      .withColumn("text", concat(lit("back "), col("text")))
+      .select(cols.map(col) :+ lit("upsert").as("op"): _*)
+    CowTable.appendChanges(spark, t, back, "doc_id", "lang")
+    val backRow = back.drop("op")
+    val want = docs
+      .filter(col("doc_id") % 37 =!= 0 &&
+        col("doc_id") =!= victim.getLong(0))
+      .select(cols.map(col): _*)
+      // surviving v2 upserts replace their base rows
+      .filter(col("doc_id") % 41 =!= 3)
+      .unionByName(ups.drop("op")
+        .filter(col("doc_id") % 37 =!= 0 &&
+          col("doc_id") =!= victim.getLong(0)))
+      .unionByName(backRow)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    def morRead() = CowTable.readMor(spark, t, "doc_id", "lang")
+      .select(cols.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(morRead() == want)
+    // compaction folds across the schema boundary to the same view
+    val stats = CowTable.compactChangelog(spark, t, "doc_id", "lang")
+    assert(stats.deleted > 0 && stats.upserted > 0, s"$stats")
+    assert(readAll(t) == want && morRead() == want)
+  }
+
   test("a crashed append's _temporary-only side dir never wedges readers or writers") {
     val t = freshTable()
     val want = docs.select(cols.map(col): _*).orderBy("doc_id")
@@ -317,16 +370,23 @@ class CowSpec extends AnyFunSuite {
     val t = freshTable()
     val ids = docs.select("doc_id", "lang").orderBy("doc_id")
       .limit(24).collect().map(r => (r.getLong(0), r.getString(1)))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    assert(ids.length == 24,
+      s"corpus too small for the 6-appender race: ${ids.length} ids")
+    // materialize the groups FIRST and size the barrier from them — a
+    // hard-coded party count one group short would HANG the suite at
+    // gate.await() instead of failing
+    val groups = ids.grouped(4).toVector
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(groups.size)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     import spark.implicits._
-    // start barrier: all six appenders hit the claim window together
+    // start barrier: all appenders hit the claim window together
     // (the 2-of-6 silent-loss failure this test caught only surfaced
     // under full-suite contention; the barrier makes the race hot in
     // isolation too)
-    val gate = new java.util.concurrent.CyclicBarrier(6)
-    val futs = ids.grouped(4).zipWithIndex.map { case (g, i) =>
+    val gate = new java.util.concurrent.CyclicBarrier(groups.size)
+    val futs = groups.zipWithIndex.map { case (g, i) =>
       scala.concurrent.Future {
         val ch = g.toSeq.toDF("doc_id", "lang")
           .withColumn("text", concat(lit(s"w$i "), col("doc_id")))
@@ -336,14 +396,15 @@ class CowSpec extends AnyFunSuite {
         gate.await()
         CowTable.appendChanges(spark, t, ch, "doc_id", "lang")
       }
-    }.toSeq
+    }
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futs),
       scala.concurrent.duration.Duration(120, "s"))
     pool.shutdown()
     val stamps = CowTable.readLog(spark, t)
       .select("_seq").distinct().collect().map(_.getLong(0)).sorted
-    assert(stamps.toSeq == (1L to 6L), s"stamps: ${stamps.toSeq}")
+    assert(stamps.toSeq == (1L to groups.size.toLong),
+      s"stamps: ${stamps.toSeq}")
     // every appended row survives latest-wins resolution exactly once
     val mor = CowTable.readMor(spark, t, "doc_id", "lang")
       .filter(col("source").startsWith("writer"))
