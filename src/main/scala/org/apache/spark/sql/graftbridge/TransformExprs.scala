@@ -23,6 +23,23 @@ object TransformKernel {
     -1
   }
 
+  /** Any pairwise-equal keys among the first `w` entries? O(w²) over a
+    * payload-sized array, and reached only when a rename applied (see
+    * the call site) — the hot path never pays it.
+    */
+  private def hasDuplicate(ks: Array[UTF8String], w: Int): Boolean = {
+    var i = 0
+    while (i < w) {
+      var j = i + 1
+      while (j < w) {
+        if (ks(i).equals(ks(j))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
   private def arrContains(a: ArrayData, k: UTF8String): Boolean = {
     val n = a.numElements()
     var i = 0
@@ -121,6 +138,7 @@ object TransformKernel {
       val outK = new Array[UTF8String](n)
       val outV = new Array[UTF8String](n)
       var w = 0
+      var renamedAny = false
       i = 0
       while (i < n) {
         val k = keys(i)
@@ -135,9 +153,37 @@ object TransformKernel {
             if (ri >= 0 && !targets.isNullAt(ri)) targets.getUTF8String(ri)
             else k
           outV(w) = vals(i)
+          if (ri >= 0) renamedAny = true
           w += 1
         }
         i += 1
+      }
+      // Duplicate post-rename keys (an invalid config: two payload keys
+      // renamed to one target, or a null-target rename colliding with
+      // another rename's target) — the composed form's
+      // map_from_entries defers to the engine's map-key dedup policy
+      // (EXCEPTION throws, LAST_WIN keeps first position / last value).
+      // The kernel's agree-on-every-input contract includes invalid
+      // configs, so on collision defer to the SAME machinery. Original
+      // payload keys are unique and the kept-filter drops keys equal to
+      // a live rename target, so a collision REQUIRES a renamed entry:
+      // the rebuild runs only when one exists and a linear duplicate
+      // scan confirms (cold path — never on valid configs).
+      if (renamedAny && hasDuplicate(outK, w)) {
+        val b = new org.apache.spark.sql.catalyst.util.ArrayBasedMapBuilder(
+          StringType, StringType)
+        i = 0
+        while (i < w) { b.put(outK(i), outV(i)); i += 1 }
+        val m = b.build()
+        val mk = m.keyArray
+        val mv = m.valueArray
+        w = m.numElements()
+        i = 0
+        while (i < w) {
+          outK(i) = mk.getUTF8String(i)
+          outV(i) = if (mv.isNullAt(i)) null else mv.getUTF8String(i)
+          i += 1
+        }
       }
       keys = outK; vals = outV; n = w
     }

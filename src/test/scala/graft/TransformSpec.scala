@@ -9,7 +9,8 @@ import graft.ops.Transform
   * reference (file:line cites in Transform.scala scaladoc).
   */
 class TransformSpec extends AnyFunSuite {
-  lazy val spark = TestSpark.spark
+  // conf-mutating suite: isolated session (see TestSpark.isolated)
+  lazy val spark = TestSpark.isolated()
   import spark.implicits._
 
   private def runCfg(payload: Map[String, String], cfg: SymbolConfig): Map[String, String] = {
@@ -187,5 +188,49 @@ class TransformSpec extends AnyFunSuite {
     val nullTarget = map_from_arrays(array(lit("k")),
       array(lit(null).cast("string")))
     assert(both(nullRules, nullTarget, nullArr, nullMap) == 0)
+  }
+
+  test("duplicate post-rename keys defer to the map-key dedup policy, both forms") {
+    // invalid config: two payload keys renamed to ONE target. The
+    // composed form's map_from_entries applies the engine dedup
+    // policy — EXCEPTION (default) throws DUPLICATED_MAP_KEY,
+    // LAST_WIN keeps first position / last value. The fused kernel
+    // must do the SAME, not silently emit a duplicate-key map.
+    val payload = map(lit("a"), lit("1"), lit("b"), lit("2"),
+      lit("c"), lit("3"))
+    val dupTarget = map(lit("a"), lit("t"), lit("b"), lit("t"))
+    val nullRules = lit(null).cast("map<string,struct<op:string,value:double>>")
+    val nullMap = lit(null).cast("map<string,string>")
+    val nullArr = lit(null).cast("array<string>")
+    val one = spark.range(1)
+    def entriesOf(c: org.apache.spark.sql.Column): Seq[(String, String)] =
+      one.select(map_entries(c).as("e")).collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0).map(r =>
+          (r.getString(0), r.getString(1)))
+    def fused() = entriesOf(
+      Transform.interpret(payload, nullRules, dupTarget, nullArr, nullMap))
+    def composed() = entriesOf(Transform.interpretComposed(
+      payload, nullRules, dupTarget, nullArr, nullMap))
+    // default policy is EXCEPTION: both forms throw the engine's
+    // duplicate-map-key error
+    def dupError(t: Throwable): Boolean = {
+      val msgs = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .take(8).flatMap(e => Option(e.getMessage)).mkString("; ")
+      msgs.contains("DUPLICATED_MAP_KEY") || msgs.contains("Duplicate map key")
+    }
+    assert(spark.conf.get("spark.sql.mapKeyDedupPolicy") == "EXCEPTION")
+    val fe = intercept[Throwable](fused())
+    assert(dupError(fe), s"fused threw the wrong error: $fe")
+    val ce = intercept[Throwable](composed())
+    assert(dupError(ce), s"composed threw the wrong error: $ce")
+    // LAST_WIN: both forms agree on the deduped map (first position,
+    // last value — 'b' renamed to 't' overwrites 'a' renamed to 't')
+    val prev = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    try {
+      val f = fused()
+      assert(f == composed())
+      assert(f == Seq(("t", "2"), ("c", "3")))
+    } finally spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
   }
 }
