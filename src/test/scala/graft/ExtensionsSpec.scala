@@ -241,6 +241,33 @@ class ExtensionsSpec extends AnyFunSuite {
     edge.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("fused paragraph regrouping == composed-HOF formulation, corpus-wide + degenerate arms") {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, ParaJoin}
+    def fused(k: Int) = ColumnBridge.column(
+      ParaJoin(ColumnBridge.expression(col("text")), k))
+    def composed(k: Int) =
+      graft.queries.PipelineQ.paraCorpusComposed(col("text"), k)
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (k <- Seq(1, 3, 7)) {
+      val diff = docs.select(fused(k).as("f"), composed(k).as("c"))
+        .filter(!(col("f") <=> col("c"))).count()
+      assert(diff == 0, s"k=$k diverged on the corpus")
+    }
+    // degenerate arms: empty, spaces only, space runs, leading/
+    // trailing spaces, exactly-k, k+1, multibyte tokens, null
+    import spark.implicits._
+    val edge = Seq("", "   ", "a", "a b c", "a b c d",
+      "  a  b   c d  ", "héé ßß 日本 x y", null)
+      .toDF("text")
+      .select(fused(3).as("f"), composed(3).as("c"))
+      .collect()
+    edge.foreach(r => assert(r.get(0) == r.get(1), s"edge row: $r"))
+    // spot-check the shape itself, not just parity
+    val got = Seq("a b c d e").toDF("text")
+      .select(fused(2)).head().getString(0)
+    assert(got == "a b\nc d\ne")
+  }
+
   test("fused hashed featurization == composed explode+groupBy, corpus-wide") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     def sortedRows(df: org.apache.spark.sql.DataFrame, id: String) =
