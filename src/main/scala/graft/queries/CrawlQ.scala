@@ -168,5 +168,103 @@ object CrawlQ {
       FROM d GROUP BY host ORDER BY host""")
   )
 
-  def all: Seq[Q] = Seq(qDedupUrl, qUrlBlocklist, qCrawlCurate)
+  /** Per-host crawl-budget cap — the "at most k pages per domain"
+    * intake rule a crawler enforces so one giant site cannot dominate
+    * a corpus slice: after latest-crawl-wins URL dedup, keep each
+    * host's k best pages under an explicit total quality order
+    * (n_chars DESC, doc_id ASC tiebreak) via
+    * [[graft.ops.Sample.capPerGroup]]. Shape: the dedup's partial-
+    * agged hash exchange, then ONE hash-partitioned window on the
+    * host whose per-group state is the host's pages — bounded by the
+    * cap's own purpose (a pathological host is pre-pruned with
+    * stratifiedHash, per capPerGroup's scale note).
+    */
+  val qCrawlBudget = Q(
+    "q_crawl_budget",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val deduped = docs
+        .withColumn("url", TextOps.normalizeUrl(rawUrl))
+        .withColumn("host", hostOf(col("url")))
+        .groupBy(col("host"), col("url"))
+        .agg(max_by(struct(col("doc_id"), col("n_chars")),
+          col("doc_id")).as("w"))
+        .select(col("host"), col("url"), col("w.doc_id").as("doc_id"),
+          col("w.n_chars").as("n_chars"))
+      graft.ops.Sample.capPerGroup(deduped, Seq(col("host")),
+          Seq(col("n_chars").desc, col("doc_id")), k = 5)
+        .orderBy("host", "doc_id")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, n_chars, $SqlUrl AS url,
+          $SqlHost AS host FROM documents),
+      d AS (SELECT host, url, arg_max(doc_id, doc_id) AS doc_id,
+          arg_max(n_chars, doc_id) AS n_chars
+        FROM c GROUP BY host, url),
+      r AS (SELECT host, url, doc_id, n_chars,
+          row_number() OVER (PARTITION BY host
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM d)
+      SELECT host, url, doc_id, n_chars FROM r WHERE rn <= 5
+      ORDER BY host, doc_id""")
+  )
+
+  /** Site-level repeated-line boilerplate removal (see
+    * [[graft.ops.Dedup.removeSiteBoilerplate]]): lines repeating
+    * across ≥ minDocs distinct pages of one host are template chrome
+    * and drop from every page of that host. The synthetic crawl
+    * model: every fetched page carries its host's CHROME line (nav /
+    * cookie-banner — the thing this filter exists for) prepended to
+    * the body, and the body derives the same 3-word line structure
+    * the paragraph-dedup family uses (the fused
+    * [[org.apache.spark.sql.graftbridge.ParaJoin]] kernel). The
+    * chrome line repeats on every page of its host (structurally
+    * boilerplate at every SF); body lines repeat within a host only
+    * incidentally (measured ≤3 distinct docs at the oracle SF), so
+    * minDocs = 3 removes all chrome, removes the incidental
+    * within-host triplets, and keeps everything else — both
+    * directions pinned non-vacuous in PipelineOpsSpec. The oracle
+    * replays the chrome injection and line derivation in closed
+    * form.
+    */
+  val qBoilerplateSite = Q(
+    "q_boilerplate_site",
+    (spark, dir) => {
+      import org.apache.spark.sql.graftbridge.{ColumnBridge, ParaJoin}
+      val docs = Tables.documents(spark, dir)
+        .withColumn("host", hostOf(TextOps.normalizeUrl(rawUrl)))
+        .withColumn("text",
+          concat(lit("chrome nav "), col("host"), lit("\n"),
+            ColumnBridge.column(
+              ParaJoin(ColumnBridge.expression(col("text")), 3))))
+      graft.ops.Dedup.removeSiteBoilerplate(docs, "doc_id", "text",
+          "host", minDocs = 3)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $SqlHost AS host,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      pidx AS (SELECT doc_id, host, ts,
+          unnest(range(-1, (len(ts) + 2) // 3)) AS idx
+        FROM toks),
+      l AS (SELECT doc_id, host, idx,
+          CASE WHEN idx = -1 THEN 'chrome nav ' || host
+            ELSE array_to_string(list_slice(ts, idx * 3 + 1, idx * 3 + 3), ' ')
+          END AS line
+        FROM pidx),
+      b AS (SELECT host, line FROM (
+          SELECT host, line, count(DISTINCT doc_id) AS nd
+          FROM l GROUP BY host, line) WHERE nd >= 3),
+      f AS (SELECT l.doc_id, l.host, l.idx, l.line,
+          (b.line IS NOT NULL) AS boiler
+        FROM l LEFT JOIN b ON l.host = b.host AND l.line = b.line)
+      SELECT doc_id, host, count(*) AS n_lines,
+        CAST(sum(CASE WHEN NOT boiler THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        coalesce(string_agg(CASE WHEN NOT boiler THEN line END, chr(10)
+          ORDER BY idx), '') AS clean_text
+      FROM f GROUP BY doc_id, host ORDER BY doc_id""")
+  )
+
+  def all: Seq[Q] = Seq(qDedupUrl, qUrlBlocklist, qCrawlCurate,
+    qCrawlBudget, qBoilerplateSite)
 }

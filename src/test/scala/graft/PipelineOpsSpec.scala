@@ -142,6 +142,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.getLong(2) > 0, "no duplicate document was emptied")
   }
 
+  test("q_boilerplate_site is non-vacuous at sf0.01: some lines removed, " +
+      "some kept, and removal is site-scoped") {
+    // sf0.01 is the driver's oracle SF; the threshold (minDocs = 3
+    // distinct docs per host, with every page carrying its host's
+    // chrome line) must actually fire there or the face pins
+    // nothing. Both directions checked: boilerplate exists AND not
+    // everything is boilerplate.
+    val out = graft.queries.CrawlQ.qBoilerplateSite
+      .run(spark, "/root/testdata/sf0.01")
+      .agg(sum("n_lines").as("l"), sum("n_kept").as("k"))
+      .collect()(0)
+    assert(out.getLong(1) < out.getLong(0),
+      "threshold never fired — no line was site-boilerplate at sf0.01")
+    assert(out.getLong(1) > 0, "every line was boilerplate")
+    // site-scoping: a line repeated across MANY docs overall but at
+    // most minDocs-1 times within any single host must survive —
+    // construct one synthetically
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"h${i % 8}", if (i % 8 < 4) "common line" else s"unique $i")
+    }.toDF("doc_id", "host", "text")
+    // "common line" appears in 20 docs overall but only 5 per host
+    val res = graft.ops.Dedup.removeSiteBoilerplate(docs, "doc_id",
+      "text", "host", minDocs = 8)
+    assert(res.agg(sum("n_kept")).collect()(0).getLong(0) == 40,
+      "cross-site repetition was wrongly treated as boilerplate")
+  }
+
+  test("removeSiteBoilerplate rejects reserved _sb_* columns and minDocs < 2") {
+    import spark.implicits._
+    val docs = Seq((1L, "h", "a b")).toDF("doc_id", "host", "text")
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.removeSiteBoilerplate(
+        docs.withColumn("_sb_x", lit(1)), "doc_id", "text", "host", 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.removeSiteBoilerplate(docs, "doc_id", "text",
+        "host", 1)
+    }
+  }
+
   test("q_budget_select's budget binds in every source at sf0.001") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
       .groupBy("source").count()
