@@ -12,6 +12,18 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Conf-sandboxed session for suites that MUTATE session conf
+    * (broadcast thresholds, dedup policy, state-store provider, …):
+    * `newSession()` shares the SparkContext (one executor pool, one
+    * JVM) but owns its SessionState, so a conf set here — even one a
+    * failing test never restores — cannot leak into any other suite.
+    * This is the round-14 verdict's suite-isolation ask: the shared
+    * mutable conf made a REAL CowTable race look like a cross-suite
+    * flake for a whole session. Suites that never touch conf keep
+    * sharing [[spark]].
+    */
+  def isolated(): SparkSession = spark.newSession()
 }
 
 class OpsSpec extends AnyFunSuite {

@@ -11,7 +11,8 @@ import graft.stream.{Broadcast, LatestStream, Metrics, Pipeline}
 import graft.stream.LatestStream.Keyed
 
 class StreamingSpec extends AnyFunSuite {
-  lazy val spark = TestSpark.spark
+  // conf-mutating suite: isolated session (see TestSpark.isolated)
+  lazy val spark = TestSpark.isolated()
   import spark.implicits._
 
   private def tmp(prefix: String): String =

@@ -32,7 +32,8 @@ import graft.io.Tables
   * encoding both engines agree on.
   */
 class TableCanarySpec extends AnyFunSuite {
-  lazy val spark = TestSpark.spark
+  // conf-mutating suite: isolated session (see TestSpark.isolated)
+  lazy val spark = TestSpark.isolated()
   import spark.implicits._
 
   private def tmp(tag: String): String = {

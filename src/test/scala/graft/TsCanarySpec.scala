@@ -19,7 +19,8 @@ import graft.io.Tables
   * the first thing that goes red.
   */
 class TsCanarySpec extends AnyFunSuite {
-  lazy val spark = TestSpark.spark
+  // conf-mutating suite: isolated session (see TestSpark.isolated)
+  lazy val spark = TestSpark.isolated()
   import spark.implicits._
 
   // µs instants with sub-ms residue so floor-to-ms truncation is exercised
