@@ -129,12 +129,38 @@ elif prev_src not in (None, "none"):
 
 def diff_against(pq, label, refuse_list):
     """Diff candidate queries against baseline dict pq; regressions
-    that clear BOTH the ratio and the absolute floor go to refuse_list."""
+    that clear BOTH the ratio and the absolute floor go to refuse_list.
+
+    Ratios are DRIFT-NORMALIZED first (round-15 policy): two quiet
+    same-tree runs have measured 205.5s vs 285.7s with every face
+    moving by a near-uniform factor — hypervisor/box state the load
+    gate cannot see. The global drift factor is the MEDIAN of
+    candidate/baseline over comparable faces (>50ms baseline, where
+    ratios are stable); a real regression is a face that moved beyond
+    drift x max_regress, because code changes move individual faces
+    while box state moves all of them. The median is robust: one truly
+    regressed face cannot masquerade as drift, and a drift above 2x is
+    reported loudly as a box-state anomaly (totals incomparable)."""
+    common = {n: t for n, t in queries.items()
+              if n in pq and is_time(t) and pq[n] > 0.05}
+    if common:
+        import statistics
+        drift = statistics.median(t / pq[n] for n, t in common.items())
+    else:
+        drift = 1.0
+    # a faster box never loosens the gate the other way: clamp at 1
+    drift = max(drift, 1.0)
+    if drift > 1.1:
+        print(f"note: global drift factor vs {label}: {drift:.2f}x "
+              f"(median over {len(common)} faces) — per-query "
+              "regression thresholds scaled by it; totals NOT "
+              "cross-round comparable at this drift"
+              + ("; drift >2x: investigate box state" if drift > 2 else ""))
     regressed = []
     jitter = []
     for n, t in sorted(queries.items()):
-        if n in pq and t > pq[n] * max_regress:
-            if t - pq[n] > min_delta:
+        if n in pq and t > pq[n] * drift * max_regress:
+            if t - pq[n] * drift > min_delta:
                 regressed.append((n, pq[n], t, t / pq[n]))
             else:
                 jitter.append((n, pq[n], t, t / pq[n]))
