@@ -90,7 +90,12 @@ object Catalog {
   def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(prev.toInt, n).toString)
+    // SPARK_GRAFT_STATE_PARTITIONS overrides the face's cap — the
+    // A/B knob behind the PERF.md round-15 state-partition
+    // measurement (never set by the driver; defaults to the cap)
+    val eff = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(n)
+    spark.conf.set(key, math.min(prev.toInt, eff).toString)
     try body finally spark.conf.set(key, prev)
   }
   /** Total order for the dump with a hash-exchange BARRIER under the
