@@ -229,14 +229,8 @@ object CrawlQ {
   val qBoilerplateSite = Q(
     "q_boilerplate_site",
     (spark, dir) => {
-      import org.apache.spark.sql.graftbridge.{ColumnBridge, ParaJoin}
-      val docs = Tables.documents(spark, dir)
-        .withColumn("host", hostOf(TextOps.normalizeUrl(rawUrl)))
-        .withColumn("text",
-          concat(lit("chrome nav "), col("host"), lit("\n"),
-            ColumnBridge.column(
-              ParaJoin(ColumnBridge.expression(col("text")), 3))))
-      graft.ops.Dedup.removeSiteBoilerplate(docs, "doc_id", "text",
+      graft.ops.Dedup.removeSiteBoilerplate(
+          chromeCorpus(Tables.documents(spark, dir)), "doc_id", "text",
           "host", minDocs = 3)
         .orderBy("doc_id")
     },
@@ -265,6 +259,73 @@ object CrawlQ {
       FROM f GROUP BY doc_id, host ORDER BY doc_id""")
   )
 
+  /** The chrome-line crawl model shared by both boilerplate faces:
+    * host from the canonical URL, the host's chrome line prepended to
+    * the 3-word-line body (fused ParaJoin kernel). Pure column
+    * expressions — applies to the batch table and the file stream
+    * alike.
+    */
+  private def chromeCorpus(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, ParaJoin}
+    docs
+      .withColumn("host", hostOf(TextOps.normalizeUrl(rawUrl)))
+      .withColumn("text",
+        concat(lit("chrome nav "), col("host"), lit("\n"),
+          ColumnBridge.column(
+            ParaJoin(ColumnBridge.expression(col("text")), 3))))
+  }
+
+  /** Streaming site-boilerplate intake — the 30th batch/stream
+    * equivalence pin: the STREAM accumulates the site-frequency index
+    * ([[graft.ops.Dedup.siteLineCounts]] per trigger, appended to a
+    * log; reads fold with one more SUM per key — exact under the
+    * one-batch-per-document contract: a file stream never splits a
+    * row, so per-batch distinct-doc counts sum to the global count).
+    * No state store at all — the index is at-rest log-structured
+    * state like the paragraph/span first-occurrence indexes, with
+    * sum-merge instead of min-merge. The batch-side apply then
+    * removes the thresholded lines. Oracle: identical to
+    * q_boilerplate_site — the stream-accumulated index loses nothing.
+    */
+  val qStreamBoilerplate = Q(
+    "q_stream_boilerplate",
+    (spark, dir) => Catalog.withStatePartitions(spark, 8) {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_boiler").toString
+      val indexDir = s"$work/index"
+      val rawSchema = Tables.documents(spark, dir).schema
+      val docStream = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // map-side line derivation rides the stream; the per-trigger
+      // batch aggregation + append happens in foreachBatch
+      val lineStream = graft.ops.Dedup.siteLineTable(
+        chromeCorpus(docStream), "doc_id", "text", "host", "\n")
+      val q = lineStream.writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          graft.ops.Dedup.siteLineCounts(batch)
+            .write.mode("append").parquet(indexDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val boiler = spark.read.parquet(indexDir)
+        .groupBy("_sb_site", "_sb_h")
+        .agg(sum(col("_sb_nd")).as("_sb_nd"))
+        .filter(col("_sb_nd") >= 3)
+      val lines = graft.ops.Dedup.siteLineTable(
+        chromeCorpus(Tables.documents(spark, dir)),
+        "doc_id", "text", "host", "\n")
+      graft.ops.Dedup.applySiteBoilerplate(lines, boiler, "doc_id",
+          "host", minDocs = 3, sep = "\n")
+        .orderBy("doc_id")
+    },
+    qBoilerplateSite.oracle
+  )
+
   def all: Seq[Q] = Seq(qDedupUrl, qUrlBlocklist, qCrawlCurate,
-    qCrawlBudget, qBoilerplateSite)
+    qCrawlBudget, qBoilerplateSite, qStreamBoilerplate)
 }

@@ -1762,6 +1762,59 @@ object TrainingQ {
       WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  /** EPOCH-PUBLISHED index serving (the BM25 artifact through
+    * [[graft.io.EpochLayout]], closing the TODO left when the
+    * flat-FrozenStore publish landed): epoch 1 indexes the full
+    * corpus; a reindex after the takedown re-crawl (the %37 delete
+    * set) publishes epoch 2 — three parquet tables + a 1-row meta
+    * table per epoch, made visible by ONE marker create; the serving
+    * path resolves `current()` and answers from the at-rest tables.
+    * Correctness teeth: the oracle is the TAKEDOWN corpus's BM25, so
+    * a reader resolving the stale epoch (or a publish that leaks a
+    * half-written epoch) hash-mismatches through the ranking. At
+    * scale the postings table inside an epoch uses the bucketed
+    * layout like every other artifact; the epoch adds atomic cutover
+    * + retained-snapshot reads on top (EpochSpec pins crash
+    * invisibility and GC).
+    */
+  val qBm25Epoch = Q(
+    "q_bm25_epoch",
+    (spark, dir) => {
+      import graft.ops.Retrieval
+      val docs = Tables.documents(spark, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("bm25_epoch").toString
+      def writeIdx(d: String,
+          corpus: org.apache.spark.sql.DataFrame): Unit = {
+        val idx = Retrieval.buildIndex(corpus)
+        idx.postings.write.parquet(s"$d/postings")
+        idx.df.write.parquet(s"$d/df")
+        idx.dl.write.parquet(s"$d/dl")
+        spark.range(1).select(lit(idx.nDocs).as("n_docs"),
+          lit(idx.avgdl).as("avgdl")).write.parquet(s"$d/meta")
+      }
+      graft.io.EpochLayout.publish(spark, root) { d =>
+        writeIdx(d, docs)
+      }
+      graft.io.EpochLayout.publish(spark, root) { d =>
+        writeIdx(d, docs.filter(col("doc_id") % 37 =!= 0))
+      }
+      val cur = graft.io.EpochLayout.currentOrFail(spark, root)
+      val meta = spark.read.parquet(s"$cur/meta").head()
+      val idx = Retrieval.Bm25Index(
+        spark.read.parquet(s"$cur/postings"),
+        spark.read.parquet(s"$cur/df"),
+        spark.read.parquet(s"$cur/dl"),
+        meta.getAs[Long]("n_docs"), meta.getAs[Long]("avgdl"))
+      Retrieval.bm25Query(idx,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    qBm25Takedown.oracle
+  )
+
   /** RETRIEVAL SERVING — the 25th batch/stream equivalence pin:
     * queries arrive as a STREAM and are answered against a FROZEN
     * persisted inverted index ([[graft.ops.Retrieval.buildIndex]]
@@ -3926,6 +3979,6 @@ object TrainingQ {
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
     qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
-    qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown,
+    qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown, qBm25Epoch,
     qAnnTakedown, qHtmlExtract, qUrlNorm, qStreamTokenize)
 }

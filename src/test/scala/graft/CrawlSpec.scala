@@ -79,4 +79,38 @@ class CrawlSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum == expected,
       "kept fetch count != parseable ∧ unblocked fetches")
   }
+
+  test("site-line counts merge exactly across document-disjoint batches " +
+      "(the q_stream_boilerplate sum-merge contract)") {
+    // the streaming index appends PER-BATCH distinct-doc counts and
+    // reads fold with one more sum per key; exact iff each document
+    // lands in exactly one batch. Pin: 3-way doc-disjoint split,
+    // summed per-batch counts == global counts, row for row.
+    import graft.ops.Dedup
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("host", concat(lit("h"), col("doc_id") % 5))
+    val lines = Dedup.siteLineTable(docs, "doc_id", "text", "host", " ")
+    val global = Dedup.siteLineCounts(lines)
+    val summed = (0 until 3)
+      .map(i => Dedup.siteLineCounts(
+        lines.filter(col("_sb_id") % 3 === i)))
+      .reduce(_ unionByName _)
+      .groupBy("_sb_site", "_sb_h")
+      .agg(sum(col("_sb_nd")).as("_sb_nd"))
+    assert(global.join(summed, Seq("_sb_site", "_sb_h"), "full")
+      .filter(!(global("_sb_nd") <=> summed("_sb_nd"))).count() == 0)
+    // and the contract's boundary: a doc SPLIT across batches double
+    // counts — the per-line granularity would break it, pinned so the
+    // contract stays documented by a failing counter-example shape
+    val splitByLine = (0 until 3)
+      .map(i => Dedup.siteLineCounts(
+        lines.filter(col("_sb_idx") % 3 === i)))
+      .reduce(_ unionByName _)
+      .groupBy("_sb_site", "_sb_h")
+      .agg(sum(col("_sb_nd")).as("_sb_nd"))
+    assert(global.join(splitByLine, Seq("_sb_site", "_sb_h"), "inner")
+      .filter(!(global("_sb_nd") <=> splitByLine("_sb_nd"))).count() > 0,
+      "line-granularity split unexpectedly merged exactly — the " +
+        "one-batch-per-document contract would be vacuous")
+  }
 }
