@@ -1815,6 +1815,82 @@ object TrainingQ {
     qBm25Takedown.oracle
   )
 
+  /** Cosine cut for [[qHardNegatives]]'s false-negative filter: the
+    * synthetic embeddings put BM25 candidates' cosines in ~[-0.26,
+    * 0.20] (measured at sf0.01, median -0.03), so 0.05 drops a real
+    * tail (~15%) and keeps the rest — both directions pinned
+    * non-vacuous in RetrievalSpec.
+    */
+  private val HardNegTau = 0.05
+
+  /** HARD-NEGATIVE MINING — the retrieval-training data-prep step
+    * (DPR/Contriever recipe): for each training query, the hardest
+    * negatives are the LEXICALLY closest non-gold documents (BM25
+    * top-k, self excluded), minus the ones an embedding model thinks
+    * are semantically near the query (cosine ≥ τ — likely FALSE
+    * negatives: unlabeled positives that would poison a contrastive
+    * loss). Output: the top-5 surviving negatives per query by BM25
+    * score, with both scores for the training manifest.
+    *
+    * Shape at scale: the candidate set is bounded by k per query
+    * BEFORE any embedding work (the BM25 top-k is the existing
+    * MaxScore-prunable path), so the cosine stage joins k·|Q| rows
+    * against the embedding table by id — a point-join, never a scan
+    * of |C| vectors per query; the query-side embeddings broadcast.
+    * Exact-arithmetic oracle: integer BM25 scores + the established
+    * bit-identical sequential dot (graft_dot == list_reduce).
+    */
+  val qHardNegatives = Q(
+    "q_hard_negatives",
+    (spark, dir) => {
+      import graft.ops.{Retrieval, Similarity}
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val cands = Retrieval.bm25Query(frozenBm25Index(spark, dir),
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 20, excludeSelf = true)
+        .drop("rank")
+      val ed = emb.select(col("vec_id").as("doc_id"),
+        Similarity.asDouble(col("embedding")).as("dv"))
+      val eq = emb.select(col("vec_id").as("query_id"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+      val scored = cands.join(ed, "doc_id")
+        .join(broadcast(eq), "query_id")
+        .withColumn("cosine", Similarity.cosine(col("qv"), col("dv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.filter(col("cosine") < HardNegTau)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "score", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH ${bm25Ctes("TRUE")},
+      e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      r0 AS (SELECT query_id, doc_id, score, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rr
+        FROM sc),
+      top AS (SELECT query_id, doc_id, score FROM r0 WHERE rr <= 20),
+      jn AS (SELECT t.query_id, t.doc_id, t.score,
+          CASE WHEN ${sqlDot("q.v", "q.v")} * ${sqlDot("d.v", "d.v")} = 0
+            THEN 0.0
+            ELSE ${sqlDot("q.v", "d.v")}
+              / sqrt(${sqlDot("q.v", "q.v")} * ${sqlDot("d.v", "d.v")})
+          END AS cosine
+        FROM top t JOIN e d ON d.vec_id = t.doc_id
+          JOIN e q ON q.vec_id = t.query_id),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM jn WHERE cosine < $HardNegTau)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score,
+        cosine
+      FROM rk WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   /** RETRIEVAL SERVING — the 25th batch/stream equivalence pin:
     * queries arrive as a STREAM and are answered against a FROZEN
     * persisted inverted index ([[graft.ops.Retrieval.buildIndex]]
@@ -3980,5 +4056,6 @@ object TrainingQ {
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
     qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
     qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown, qBm25Epoch,
+    qHardNegatives,
     qAnnTakedown, qHtmlExtract, qUrlNorm, qStreamTokenize)
 }

@@ -230,4 +230,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(res.head._2 > 0 && res.tail.forall(_._2 <= 0),
       s"stopword-only matches should score <= 0: ${res.toSeq}")
   }
+
+  test("q_hard_negatives' cosine cut is non-vacuous at the oracle SF: " +
+      "some candidates filtered as likely false negatives, some survive") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.io.Tables.documents(spark, dir)
+    val emb = graft.io.Tables.embeddings(spark, dir)
+    val idx = Retrieval.buildIndex(docs)
+    val cands = Retrieval.bm25Query(idx,
+        docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text")),
+        k = 20, excludeSelf = true)
+      .join(emb.select(col("vec_id").as("doc_id"),
+        Similarity.asDouble(col("embedding")).as("dv")), "doc_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        Similarity.asDouble(col("embedding")).as("qv")), "query_id")
+      .withColumn("c", Similarity.cosine(col("qv"), col("dv")))
+    val n = cands.count()
+    val dropped = cands.filter(col("c") >= 0.05).count()
+    assert(dropped > 0, "tau never fired — the false-negative filter pins nothing")
+    assert(dropped < n, "tau dropped every candidate")
+  }
 }
