@@ -320,7 +320,7 @@ object CrawlQ {
         chromeCorpus(Tables.documents(spark, dir)),
         "doc_id", "text", "host", "\n")
       graft.ops.Dedup.applySiteBoilerplate(lines, boiler, "doc_id",
-          "host", minDocs = 3, sep = "\n")
+          "host", sep = "\n")
         .orderBy("doc_id")
     },
     qBoilerplateSite.oracle
