@@ -475,24 +475,44 @@ object ForgetStore {
     * compliance log records: not "we issued the delete" but "the
     * artifacts, re-read, no longer surface the ids".
     */
+  /** The per-artifact compliance audit, as ONE Spark job: every
+    * artifact's id column unions into a single tagged pass — row
+    * count and residual (DISTINCT forgotten ids still present,
+    * counted via a broadcast hit-tag; identical to the former
+    * distinct-then-semi-join per artifact) fall out of one grouped
+    * aggregate. Was five scans/jobs (count + residual per artifact);
+    * the union does the same read work in one job, and the
+    * driver-side job floor is what q_forget_epoch's cost is made of
+    * (bench_floor.json round-15). bm25's "remaining" stays the meta
+    * scalar nDocs — its union rows feed only the residual.
+    */
   private def auditsOf(spark: SparkSession, m: Map[String, String],
       ids: Seq[Long], docIdCol: String, vecIdCol: String,
       corpusRemoved: Long, bmRemoved: Long, annRemoved: Long)
       : Seq[Audit] = {
     import spark.implicits._
     val idsDf = ids.distinct.toDF("_fid")
-    def residual(df: DataFrame, c: String): Long =
-      df.select(col(c).cast("long").as("_fid")).distinct()
-        .join(broadcast(idsDf), Seq("_fid"), "left_semi").count()
-    val corpus = readCorpusOf(spark, m)
+      .withColumn("_hit", lit(1))
     val (idx, _) = bm25IndexOf(spark, m)
-    val ann = readAnnCorpusOf(spark, m)
+    def tagged(df: DataFrame, c: String, art: String): DataFrame =
+      df.select(col(c).cast("long").as("_fid"), lit(art).as("_art"))
+    val stats = tagged(readCorpusOf(spark, m), docIdCol, "corpus")
+      .unionByName(tagged(readAnnCorpusOf(spark, m), vecIdCol, "ann"))
+      .unionByName(tagged(idx.postings.select("doc_id")
+        .unionByName(idx.dl.select("doc_id")), "doc_id", "bm25"))
+      .join(broadcast(idsDf), Seq("_fid"), "left")
+      .groupBy("_art")
+      .agg(count(lit(1)).as("_rows"),
+        count_distinct(when(col("_hit") === 1, col("_fid")))
+          .as("_resid"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    def of(art: String) = stats.getOrElse(art, (0L, 0L))
     Seq(
-      Audit("ann", annRemoved, ann.count(), residual(ann, vecIdCol)),
-      Audit("bm25", bmRemoved, idx.nDocs,
-        residual(idx.postings.select("doc_id")
-          .unionByName(idx.dl.select("doc_id")), "doc_id")),
-      Audit("corpus", corpusRemoved, corpus.count(),
-        residual(corpus, docIdCol)))
+      Audit("ann", annRemoved, of("ann")._1, of("ann")._2),
+      Audit("bm25", bmRemoved, idx.nDocs, of("bm25")._2),
+      Audit("corpus", corpusRemoved, of("corpus")._1,
+        of("corpus")._2))
   }
 }

