@@ -336,11 +336,24 @@ object ForgetStore {
       ids.distinct.toDF(docIdCol)
     }
 
-    // -- corpus: point-fetch (id -> partition), rewrite touched dirs
+    // -- point-fetches for BOTH partitioned artifacts in ONE job
+    // (both read the OLD manifest's snapshot, so hoisting the ann
+    // fetch next to the corpus fetch changes no write ordering or
+    // crash window): id -> partition / cluster, bounded by the
+    // takedown batch. Each fused driver job matters here — the
+    // forget's cost is its job chain (bench_floor.json round-15).
     val pred = AnnLayout.idPredicate(docIdCol, ids)
-    val hitRows = readCorpusOf(spark, m).filter(pred)
-      .select(col(docIdCol).cast("long"), col(partCol).cast("string"))
-      .collect() // bounded by the takedown batch
+    val annPredF = AnnLayout.idPredicate(vecIdCol, ids)
+    val fetched = readCorpusOf(spark, m).filter(pred)
+      .select(col(docIdCol).cast("long").as("_id"),
+        col(partCol).cast("string").as("_p"), lit("corpus").as("_art"))
+      .unionByName(readAnnCorpusOf(spark, m).filter(annPredF)
+        .select(col(vecIdCol).cast("long").as("_id"),
+          col(clusterCol).cast("string").as("_p"),
+          lit("ann").as("_art")))
+      .collect()
+    val hitRows = fetched.filter(_.getString(2) == "corpus")
+    val annHits = fetched.filter(_.getString(2) == "ann")
     val corpusRemoved = hitRows.length.toLong
     val touchedParts = hitRows.map(_.getString(1)).distinct.sorted
     if (touchedParts.nonEmpty) {
@@ -417,13 +430,12 @@ object ForgetStore {
     }
     failpoint("bm25")
 
-    // -- ann: point-fetch (id -> label), rewrite touched cluster dirs
-    val annPred = AnnLayout.idPredicate(vecIdCol, ids)
-    val annHits = readAnnCorpusOf(spark, m).filter(annPred)
-      .select(col(vecIdCol).cast("long"), col(clusterCol)).collect()
+    // -- ann: rewrite touched cluster dirs (point-fetch hoisted into
+    // the fused job above; labels travel as their string form — the
+    // manifest keys them via string interpolation either way)
     val annRemoved = annHits.length.toLong
-    val touchedLabels = annHits.map(_.get(1)).distinct
-      .sortBy(String.valueOf(_))
+    val touchedLabels: Array[String] =
+      annHits.map(_.getString(1)).distinct.sorted
     if (touchedLabels.nonEmpty) {
       val annGen = gen.format("ann")
       val touchedDirs = touchedLabels
