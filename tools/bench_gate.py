@@ -4,6 +4,7 @@ before trusting its numbers.
 
 Usage: python3 tools/bench_gate.py [bench_out.json]
            [--max-load N] [--prev PATH|git] [--max-regress R]
+           [--write-pin] [--record-watch]
 
 Reads the env metadata graft.Bench embeds in its JSON line and exits
 nonzero (refusing the "closing benchmark" label) when:
@@ -31,11 +32,33 @@ runs are still useful for relative per-query comparison but their
 totals must not be compared across rounds.
 """
 import json
+import os
 import subprocess
 import sys
 
 path = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "bench_out.json"
+
+TOOLS_DIR = os.path.dirname(os.path.abspath(__file__))
+# Drift normalization bounds (round-16, from the round-15 ADVICE): an
+# UNBOUNDED drift factor would absorb a real framework-wide regression
+# (shared force() path, Catalog overhead, a kernel many faces use) into
+# "box state" — most faces move near-uniformly, the median eats it, and
+# the gate passes with only a note: the exact signature it exists to
+# refuse. So (a) the factor APPLIED to thresholds is capped at
+# DRIFT_CAP — beyond it, per-face slack stops growing and a uniformly
+# slower run starts refusing faces; (b) a measured drift above
+# DRIFT_REFUSE refuses outright — whether that is hypervisor state or a
+# uniform code regression, the run must not be a round's record.
+DRIFT_CAP = 1.5
+DRIFT_REFUSE = 2.0
+# Consecutive-round bimodal demotions before a face stops being
+# excusable as machine state (the "two-strike" rule): state lives in
+# tools/bench_watch.json, updated only via --record-watch (once per
+# round, on the round's final gate-passed artifact) so iterating on the
+# gate mid-round cannot inflate strike counts.
+WATCH_FILE = os.path.join(TOOLS_DIR, "bench_watch.json")
+WATCH_STRIKES = 2
 
 
 def flag(name, default):
@@ -127,9 +150,13 @@ elif prev_src not in (None, "none"):
         prev = json.load(f)
     prev_label = prev_src
 
+demoted_faces = {}  # face -> list of (label, baseline, cand, p25, sdrift)
+
+
 def diff_against(pq, label, refuse_list):
     """Diff candidate queries against baseline dict pq; regressions
     that clear BOTH the ratio and the absolute floor go to refuse_list.
+    Returns the measured drift factor.
 
     Ratios are DRIFT-NORMALIZED first (round-15 policy): two quiet
     same-tree runs have measured 205.5s vs 285.7s with every face
@@ -139,8 +166,11 @@ def diff_against(pq, label, refuse_list):
     ratios are stable); a real regression is a face that moved beyond
     drift x max_regress, because code changes move individual faces
     while box state moves all of them. The median is robust: one truly
-    regressed face cannot masquerade as drift, and a drift above 2x is
-    reported loudly as a box-state anomaly (totals incomparable)."""
+    regressed face cannot masquerade as drift. Round-16 bounds: the
+    factor applied to thresholds is capped at DRIFT_CAP, and a
+    measured drift above DRIFT_REFUSE refuses the run outright (see
+    the constants' comment — a uniform code regression must not pass
+    as box state)."""
     common = {n: t for n, t in queries.items()
               if n in pq and is_time(t) and pq[n] > 0.05}
     if common:
@@ -150,12 +180,24 @@ def diff_against(pq, label, refuse_list):
         drift = 1.0
     # a faster box never loosens the gate the other way: clamp at 1
     drift = max(drift, 1.0)
+    if drift > DRIFT_REFUSE:
+        print(f"REFUSE closing label: global drift {drift:.2f}x vs "
+              f"{label} exceeds {DRIFT_REFUSE}x — either box state "
+              "this bad makes the numbers worthless, or a "
+              "framework-wide code regression is masquerading as "
+              "drift; re-run on a quiet box (a uniform slowdown "
+              "reproduces there)")
+        refuse_list.append(label)
+    # the factor thresholds are scaled by — capped so a uniform
+    # slowdown beyond the cap starts refusing individual faces
+    sdrift = min(drift, DRIFT_CAP)
     if drift > 1.1:
         print(f"note: global drift factor vs {label}: {drift:.2f}x "
               f"(median over {len(common)} faces) — per-query "
-              "regression thresholds scaled by it; totals NOT "
-              "cross-round comparable at this drift"
-              + ("; drift >2x: investigate box state" if drift > 2 else ""))
+              f"regression thresholds scaled by {sdrift:.2f}x "
+              f"(capped at {DRIFT_CAP}x); totals NOT "
+              "cross-round comparable at this drift")
+    drift_applied = sdrift
     # Bimodal-excursion demotion (round-15): a TRUE code regression
     # slows every rep; a JIT/GC-state excursion (the documented
     # q_kmv_distinct class — and q_unigram_encode this round: median
@@ -169,20 +211,22 @@ def diff_against(pq, label, refuse_list):
     jitter = []
     bimodal = []
     for n, t in sorted(queries.items()):
-        if n in pq and t > pq[n] * drift * max_regress:
+        if n in pq and t > pq[n] * drift_applied * max_regress:
             lo = spread.get(n, [None])[0]
             if lo is not None and is_time(lo) and \
-                    lo <= pq[n] * drift * 1.2:
+                    lo <= pq[n] * drift_applied * 1.2:
                 bimodal.append((n, pq[n], t, lo))
-            elif t - pq[n] * drift > min_delta:
+                demoted_faces.setdefault(n, []).append(
+                    (label, pq[n], t, lo, drift_applied))
+            elif t - pq[n] * drift_applied > min_delta:
                 regressed.append((n, pq[n], t, t / pq[n]))
             else:
                 jitter.append((n, pq[n], t, t / pq[n]))
     if bimodal:
         print(f"note: {len(bimodal)} bimodal excursions vs {label} "
               "(median tripped but the low-quartile rep still hits the "
-              "baseline — machine state, not code; investigate if it "
-              "repeats across rounds): "
+              "baseline — machine state, not code; a repeat across "
+              "rounds refuses via the two-strike watchlist): "
               + ", ".join(f"{n} {p:.2f}s->{t:.2f}s (p25 {lo:.2f}s)"
                           for n, p, t, lo in bimodal[:10]))
     if jitter:
@@ -209,6 +253,7 @@ def diff_against(pq, label, refuse_list):
     else:
         print(f"regression diff vs {label}: "
               f"{len(set(queries) & set(pq))} comparable, 0 refused")
+    return drift
 
 
 refusals = []
@@ -223,25 +268,100 @@ if prev is not None:
 # (tools/bench_pin.json, per-query times captured at a deliberately
 # chosen round and only updated via --write-pin) does not roll, so
 # accumulated creep eventually clears min_delta/max_regress against it.
-PIN = __import__("os").path.join(
-    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
-    "bench_pin.json")
-if "--write-pin" in sys.argv:
-    with open(PIN, "w") as f:
-        json.dump({"queries": queries, "note":
-                   "pinned per-query baseline for bench_gate creep check"},
-                  f, indent=1, sort_keys=True)
-    print(f"wrote pin {PIN} ({len(queries)} queries)")
-else:
+# The pin's optional "floor" section carries per-query [build,plan,exec]
+# from a bench_floor.json captured at pin time — exec is the phase that
+# is cross-round comparable (the build/plan driver-job floor moves with
+# hypervisor state; PERF.md round-15).
+
+
+def load_json(p):
     try:
-        with open(PIN) as f:
-            pin = json.load(f)
-        pinq = {n: t for n, t in pin.get("queries", {}).items()
-                if is_time(t) and t > 0}
-        diff_against(pinq, "pinned baseline (tools/bench_pin.json)", refusals)
-    except FileNotFoundError:
+        with open(p) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+PIN = os.path.join(TOOLS_DIR, "bench_pin.json")
+pin = None
+pin_drift = 1.0
+if "--write-pin" in sys.argv:
+    pin_obj = {"queries": queries, "note":
+               "pinned per-query baseline for bench_gate creep check"}
+    fl = load_json(os.path.join(
+        os.path.dirname(os.path.abspath(path)), "bench_floor.json"))
+    if fl and fl.get("per_query"):
+        pin_obj["floor"] = fl["per_query"]
+        pin_obj["floor_note"] = ("per-query [build,plan,exec] from "
+                                 "bench_floor.json at pin time — exec is the "
+                                 "cross-round-comparable phase")
+    with open(PIN, "w") as f:
+        json.dump(pin_obj, f, indent=1, sort_keys=True)
+    print(f"wrote pin {PIN} ({len(queries)} queries"
+          + (f", floor for {len(pin_obj['floor'])}"
+             if "floor" in pin_obj else "") + ")")
+else:
+    pin = load_json(PIN)
+    if pin is None:
         print("note: no tools/bench_pin.json - pinned creep check skipped "
               "(create with --write-pin)")
+    else:
+        pinq = {n: t for n, t in pin.get("queries", {}).items()
+                if is_time(t) and t > 0}
+        pin_drift = diff_against(
+            pinq, "pinned baseline (tools/bench_pin.json)", refusals)
+
+# --- two-strike watchlist + exec-phase adjudication -----------------
+# A bimodal demotion is a loud excuse, and the excuse EXPIRES: the same
+# face demoted WATCH_STRIKES consecutive rounds is a creeping floor,
+# not noise, and refuses — UNLESS the floor decomposition (candidate
+# bench_floor.json vs the pin's "floor" section) shows its exec phase
+# still at baseline, in which case the growth is the per-query
+# driver-job floor moving with box state ("floor moved") and the
+# demotion stands with that corroboration on record. Strike counts
+# persist in tools/bench_watch.json and advance only via
+# --record-watch (close_round runs it once, on the round's final
+# artifact), so mid-round gate iteration cannot inflate them.
+watch = load_json(WATCH_FILE) or {}
+cand_floor = (load_json(os.path.join(
+    os.path.dirname(os.path.abspath(path)), "bench_floor.json"))
+    or {}).get("per_query", {})
+pin_floor = (pin or {}).get("floor", {})
+exdrift = min(max(pin_drift, 1.0), DRIFT_CAP)
+for face in sorted(demoted_faces):
+    strikes = watch.get(face, 0) + 1  # this run's demotion included
+    ce = cand_floor.get(face, [None, None, None])[2]
+    pe = pin_floor.get(face, [None, None, None])[2]
+    verdict = None
+    if is_time(ce) and is_time(pe) and ce >= 0 and pe > 0:
+        if ce <= pe * exdrift * 1.2 + 0.1:
+            verdict = (f"floor moved (exec {pe:.2f}s->{ce:.2f}s, "
+                       "at baseline)")
+        else:
+            verdict = f"exec moved ({pe:.2f}s->{ce:.2f}s, {ce / pe:.2f}x)"
+    if strikes >= WATCH_STRIKES:
+        if verdict is not None and verdict.startswith("floor moved"):
+            print(f"note: watchlist face {face} demoted {strikes} "
+                  f"consecutive rounds, but {verdict} — machine state "
+                  "corroborated, demotion stands")
+        else:
+            print(f"REFUSE closing label: {face} bimodal-demoted "
+                  f"{strikes} consecutive rounds"
+                  + (f"; {verdict}" if verdict else
+                     "; no floor decomposition to exonerate it (re-run "
+                     "with SPARK_GRAFT_BENCH_FLOOR=1)")
+                  + " — a repeated demotion is a creeping floor, not noise")
+            refusals.append(f"watchlist:{face}")
+    elif verdict is not None:
+        print(f"note: demoted face {face}: {verdict}")
+
+if "--record-watch" in sys.argv:
+    new_watch = {f: watch.get(f, 0) + 1 for f in demoted_faces}
+    with open(WATCH_FILE, "w") as f:
+        json.dump(new_watch, f, indent=1, sort_keys=True)
+    print(f"recorded watchlist {WATCH_FILE}: "
+          + (", ".join(f"{k}={v}" for k, v in sorted(new_watch.items()))
+             or "(empty — all faces clear)"))
 
 if refusals:
     sys.exit(1)
