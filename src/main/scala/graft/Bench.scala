@@ -136,14 +136,23 @@ object Bench {
         try graft.queries.Catalog.prestages.get(name)
           .foreach(_(spark, sfDir))
         catch { case _: Throwable => () }
-        val t0 = System.nanoTime()
-        val df = fn(spark, sfDir)
-        val t1 = System.nanoTime()
-        df.queryExecution.executedPlan // force planning
-        val t2 = System.nanoTime()
-        force(df)
-        val t3 = System.nanoTime()
-        name -> ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+        // floor measurements tolerate failures like the timed loop
+        // does (-1 sentinel per phase): one broken face must not
+        // abort main before bench_out.json/bench_floor.json are
+        // written — the timed artifact is the round's record
+        try {
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan // force planning
+          val t2 = System.nanoTime()
+          force(df)
+          val t3 = System.nanoTime()
+          name -> ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+        } catch { case t: Throwable =>
+          System.err.println(s"[bench] floor($name) failed: $t")
+          name -> ((-1.0, -1.0, -1.0))
+        }
       }.toMap
       val fl = floor.map { case (k, (b, p, e)) =>
         s"\"" + k + s"\":[$b,$p,$e]"
@@ -151,10 +160,13 @@ object Bench {
       val floorLine =
         s"""{"metric":"floor","phases":["build","plan","exec"],"per_query":$fl,"sf":"$sfDir"}"""
       println(floorLine)
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_floor.json"),
-        (floorLine + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+      // same guard as bench_out.json below: a FILTERED floor run
+      // must not clobber the full-record artifact
+      if (only.isEmpty)
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_floor.json"),
+          (floorLine + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
     }
     // failed reps must stay visible: a rep that throws is excluded from
     // the median and counted in "errors"; a query with zero successful

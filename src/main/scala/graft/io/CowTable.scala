@@ -31,15 +31,20 @@ import org.apache.spark.sql.functions._
   *    columns — only (idCol, partCol) are read — and a DELETE-ONLY
   *    batch (the takedown shape) may omit the payload columns
   *    entirely;
-  *  - at most ONE change per id per batch (two ops on one id in one
-  *    batch have no defined order — sequence them across batches);
+  *  - at most ONE change per composite (id, partCol) key per batch
+  *    (two ops on one key in one batch have no defined order —
+  *    sequence them across batches);
   *  - partCol is IMMUTABLE per id: the partition key of a corpus is
   *    derived from the document (source, shard hash), so a change
   *    row's partCol names the partition where the id LIVES. Moving
   *    an id between partitions is expressible as a delete (old
   *    partition) + upsert (new partition) pair in one batch — two
   *    different composite (id, part) keys, so the uniqueness rule is
-  *    untouched.
+  *    untouched. Because an id lives in exactly ONE partition, an id
+  *    UPSERTED under two partition values in one batch is incoherent
+  *    (it would create two live rows for one id) and refuses; a
+  *    delete pair across partitions is harmless (at most one hits)
+  *    and stays legal.
   *
   * Scale mechanics: the touched-partition list crosses the driver
   * (bounded by partition-key cardinality, the same collect class as
@@ -131,36 +136,53 @@ object CowTable {
       maxRecordsPerFile: Long = 5000000L): MergeStats = {
     repair(spark, path, partCol)
     // ONE bounded validation aggregate: op domain + per-(id, part)
-    // uniqueness + per-partition change counts (the touched list),
-    // all from a change-batch-sized groupBy
-    val perKey = changes.groupBy(col(partCol), col(idCol))
+    // uniqueness + the per-id cross-partition coherence rule + the
+    // touched-partition list, all from a change-batch-sized groupBy.
+    // Grouping by the ID ALONE (round 16) is what lets one job see an
+    // id's changes ACROSS partition values: the contract permits an
+    // id to span partitions only as the atomic-move pair (delete in
+    // the old partition + upsert in the new — key-disjoint ops that
+    // commute physically), so two UPSERTS of one id assert it lives
+    // in two partitions at once and refuse, while a repeated
+    // (id, part) key refuses as before (row count > distinct
+    // partition values for that id).
+    val perId = changes.groupBy(col(idCol))
       .agg(count(lit(1)).as("_n"),
+        (count_distinct(col(partCol)) +
+          max(when(col(partCol).isNull, 1).otherwise(0))).as("_np"),
         sum(when(col("op") === "delete", 1).otherwise(0)).as("_d"),
-        sum(when(col("op") === "upsert", 1).otherwise(0)).as("_u"))
+        sum(when(col("op") === "upsert", 1).otherwise(0)).as("_u"),
+        collect_set(col(partCol)).as("_ps"))
     // the touched-partition list rides the SAME job as the contract
-    // audit (collect_set over the grouped keys — bounded by
+    // audit (set-union over the per-id sets — bounded by
     // partition-key cardinality; nulls counted separately since
     // collect_set drops them): the per-trigger CDC intake loop
     // (q_stream_cow) pays merge's driver-side job floor once per
     // trigger, so every fused validation job is a per-trigger saving
-    val audit = perKey.agg(
-      count(lit(1)).as("keys"),
-      coalesce(sum(when(col("_n") > 1, 1).otherwise(0)), lit(0L))
-        .as("dups"),
+    val audit = perId.agg(
+      coalesce(sum(col("_n")), lit(0L)).as("rows"),
+      coalesce(sum(when(col("_n") > col("_np"), 1).otherwise(0)),
+        lit(0L)).as("dups"),
+      coalesce(sum(when(col("_u") > 1, 1).otherwise(0)), lit(0L))
+        .as("dualUps"),
       coalesce(sum(col("_d")), lit(0L)).as("dels"),
       coalesce(sum(col("_u")), lit(0L)).as("ups"),
-      collect_set(col(partCol)).as("parts"),
-      coalesce(sum(when(col(partCol).isNull, 1).otherwise(0)), lit(0L))
-        .as("nullParts")).head()
+      array_distinct(flatten(collect_list(col("_ps")))).as("parts"),
+      coalesce(sum(when(col("_np") > size(col("_ps")), 1).otherwise(0)),
+        lit(0L)).as("nullParts")).head()
     require(audit.getLong(1) == 0,
-      s"${audit.getLong(1)} ids carry more than one change in this " +
-        "batch — order within a batch is undefined; sequence them " +
-        "across batches")
-    require(audit.getLong(2) + audit.getLong(3) == audit.getLong(0),
+      s"${audit.getLong(1)} ids carry more than one change for one " +
+        s"$partCol value in this batch — order within a batch is " +
+        "undefined; sequence them across batches")
+    require(audit.getLong(2) == 0,
+      s"${audit.getLong(2)} ids are upserted under more than one " +
+        s"$partCol value in this batch — an id lives in exactly one " +
+        "partition; a move is delete (old partition) + upsert (new)")
+    require(audit.getLong(3) + audit.getLong(4) == audit.getLong(0),
       "changes.op must be exactly 'upsert' or 'delete'")
     val touched: Array[Any] =
-      ((if (audit.getLong(5) > 0) Seq(null) else Nil) ++
-        audit.getSeq[Any](4)).toArray
+      ((if (audit.getLong(6) > 0) Seq(null) else Nil) ++
+        audit.getSeq[Any](5)).toArray
     if (touched.isEmpty)
       return MergeStats(0, 0L, 0L)
     validatePartitionValues(touched.toIndexedSeq)
@@ -207,7 +229,7 @@ object CowTable {
     // columns at all — only (idCol, partCol, op) are read, so a
     // minimal takedown DataFrame is a valid change batch
     val mergedOpt =
-      if (audit.getLong(3) > 0L) {
+      if (audit.getLong(4) > 0L) {
         val ups = changes.filter(col("op") === "upsert")
           .select(tableCols.map(col): _*)
         Some(if (kept == null) ups else kept.unionByName(ups))
@@ -233,7 +255,7 @@ object CowTable {
         backup = s"$path/.old_$partCol=$v")
     }
     fs.delete(new Path(stage), true)
-    MergeStats(touched.length, deletedRows, audit.getLong(3))
+    MergeStats(touched.length, deletedRows, audit.getLong(4))
   }
 
   // ---- merge-on-read deletes (tombstones) -------------------------
@@ -429,31 +451,45 @@ object CowTable {
     */
   def appendChanges(spark: SparkSession, path: String,
       changes: DataFrame, idCol: String, partCol: String): Unit = {
-    val perKey = changes.groupBy(col(partCol), col(idCol))
+    // same per-id validation shape as [[merge]]'s (grouping by the id
+    // alone sees cross-partition changes; the move pair stays legal,
+    // dual upserts of one id refuse — see merge's audit comment)
+    val perId = changes.groupBy(col(idCol))
       .agg(count(lit(1)).as("_n"),
+        (count_distinct(col(partCol)) +
+          max(when(col(partCol).isNull, 1).otherwise(0))).as("_np"),
+        sum(when(col("op") === "upsert", 1).otherwise(0)).as("_u"),
         sum(when(col("op").isin("delete", "upsert"), 0).otherwise(1))
-          .as("_bad"))
+          .as("_bad"),
+        collect_set(col(partCol)).as("_ps"))
     // ONE validation job, not two: the per-trigger CDC intake loop
     // (q_stream_mor) pays appendChanges' driver-side job floor three
     // times per run, so the distinct-partition-values pass rides the
     // same aggregation as the contract audit. collect_set drops
     // nulls, so null partition keys are counted separately and refuse
     // through the same message validatePartitionValues carries.
-    val audit = perKey.agg(
-      coalesce(sum(when(col("_n") > 1, 1).otherwise(0)), lit(0L)),
+    val audit = perId.agg(
+      coalesce(sum(when(col("_n") > col("_np"), 1).otherwise(0)),
+        lit(0L)),
+      coalesce(sum(when(col("_u") > 1, 1).otherwise(0)), lit(0L)),
       coalesce(sum(col("_bad")), lit(0L)),
-      collect_set(col(partCol)),
-      coalesce(sum(when(col(partCol).isNull, 1).otherwise(0)), lit(0L)))
+      array_distinct(flatten(collect_list(col("_ps")))),
+      coalesce(sum(when(col("_np") > size(col("_ps")), 1).otherwise(0)),
+        lit(0L)))
       .head()
     require(audit.getLong(0) == 0,
-      "more than one change per id in this batch — the changelog's " +
-        "sequence stamp orders batches, not rows within one")
+      "more than one change per (id, partition) in this batch — the " +
+        "changelog's sequence stamp orders batches, not rows within one")
     require(audit.getLong(1) == 0,
+      "ids upserted under more than one partition value in one " +
+        "batch — an id lives in exactly one partition; a move is " +
+        "delete (old partition) + upsert (new)")
+    require(audit.getLong(2) == 0,
       "changes.op must be exactly 'upsert' or 'delete'")
     // bounded by batch contract (grouped keys, not rows)
     validatePartitionValues(
-      (if (audit.getLong(3) > 0) Seq(null) else Nil) ++
-        audit.getSeq[Any](2))
+      (if (audit.getLong(4) > 0) Seq(null) else Nil) ++
+        audit.getSeq[Any](3))
     require(!changes.columns.contains("cseq"),
       "'cseq' is the changelog's reserved stamp column")
     val fs = fsOf(spark, path)

@@ -74,6 +74,33 @@ object ForgetStore {
   final case class Audit(artifact: String, removed: Long,
       remaining: Long, residual: Long)
 
+  /** How [[forget]] recomputes its audit rows.
+    *
+    *  - [[Full]] re-reads EVERY artifact of the published snapshot —
+    *    the scheduled compliance job's semantics ("the artifacts,
+    *    re-read, no longer surface the ids"), but an O(corpus) scan
+    *    per takedown batch: the one remaining corpus-proportional
+    *    term in an otherwise O(touched-partitions) operation.
+    *  - [[Bounded]] proves the same statement in O(touched):
+    *    residuals re-read ONLY the touched entries (pushed Or-of-Eq
+    *    id predicate) — untouched entries cannot surface the ids
+    *    because the forget's own point-fetch scanned every corpus and
+    *    ann entry for them (pushed predicate over the full manifest)
+    *    and the bm25 buckets an id can live in are determined
+    *    arithmetically (`id mod buckets`), so an entry that was not
+    *    touched was PROVEN id-free before the forget and its blob
+    *    path carries forward byte-identical (manifest identity,
+    *    ForgetStoreSpec's file-identity pin). `remaining` comes from
+    *    the per-entry row counts the manifest carries (maintained
+    *    exactly: old count minus that entry's displaced rows) and the
+    *    model-sized bm25 meta. Bounded == Full on every store
+    *    (pinned in ForgetStoreSpec); run Full on the compliance
+    *    clock's schedule, Bounded in the takedown hot path.
+    */
+  sealed trait AuditMode
+  case object Full extends AuditMode
+  case object Bounded extends AuditMode
+
   private val ManifestFile = "manifest.tsv"
 
   private def fsOf(spark: SparkSession, p: String) =
@@ -81,19 +108,28 @@ object ForgetStore {
 
   // ---- manifest serialization (driver-side, tiny) -------------------
 
+  /** Manifest lines are `key \t path [\t rows]`: the optional third
+    * field carries the entry's exact row count (corpus and ann/corpus
+    * entries — what the [[Bounded]] audit's `remaining` sums without
+    * scanning). bm25 entries carry no count: their `remaining` is the
+    * model-sized meta scalar.
+    */
   private def writeManifest(spark: SparkSession, epochDir: String,
-      entries: Map[String, String]): Unit = {
+      entries: Map[String, String],
+      counts: Map[String, Long] = Map.empty): Unit = {
     val fs = fsOf(spark, epochDir)
     val out = fs.create(new Path(epochDir, ManifestFile), true)
     try {
       val body = entries.toSeq.sorted
-        .map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n")
+        .map { case (k, v) =>
+          counts.get(k).fold(s"$k\t$v")(n => s"$k\t$v\t$n")
+        }.mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
   }
 
-  private def readManifest(spark: SparkSession, epochDir: String)
-      : Map[String, String] = {
+  private def readManifestLines(spark: SparkSession, epochDir: String)
+      : Seq[Array[String]] = {
     val fs = fsOf(spark, epochDir)
     val in = fs.open(new Path(epochDir, ManifestFile))
     val body = try {
@@ -103,21 +139,41 @@ object ForgetStore {
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       new String(buf.toByteArray, "UTF-8")
     } finally in.close()
-    body.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val i = line.indexOf('\t')
-      line.substring(0, i) -> line.substring(i + 1)
-    }.toMap
+    body.split("\n").iterator.filter(_.nonEmpty)
+      .map(_.split("\t")).toSeq
   }
+
+  private def readManifest(spark: SparkSession, epochDir: String)
+      : Map[String, String] =
+    readManifestLines(spark, epochDir).map(a => a(0) -> a(1)).toMap
+
+  private def readManifestCounts(spark: SparkSession, epochDir: String)
+      : Map[String, Long] =
+    readManifestLines(spark, epochDir)
+      .collect { case a if a.length >= 3 => a(0) -> a(2).toLong }.toMap
 
   /** The current snapshot: (epoch number, manifest with entry paths
     * resolved root-absolute).
     */
   private[graft] def currentManifest(spark: SparkSession, root: String)
       : (Long, Map[String, String]) = {
+    val (n, m, _) = currentManifestAndCounts(spark, root)
+    (n, m)
+  }
+
+  /** [[currentManifest]] plus the per-entry row counts (one manifest
+    * read for both).
+    */
+  private def currentManifestAndCounts(spark: SparkSession,
+      root: String)
+      : (Long, Map[String, String], Map[String, Long]) = {
     val cur = EpochLayout.currentOrFail(spark, root)
     val n = cur.split("/").last.stripPrefix("e").toLong
-    (n, readManifest(spark, cur).map { case (k, v) =>
-      k -> s"$root/$v" })
+    val lines = readManifestLines(spark, cur)
+    (n,
+      lines.map(a => a(0) -> s"$root/${a(1)}").toMap,
+      lines.collect { case a if a.length >= 3 =>
+        a(0) -> a(2).toLong }.toMap)
   }
 
   // ---- grouped partition-dir reads ----------------------------------
@@ -282,8 +338,22 @@ object ForgetStore {
     listPartDirs(spark, s"$root/$annGen/corpus").foreach { d =>
       entries(s"ann/corpus/${d.split("=").last}") = s"$annGen/corpus/$d"
     }
+    // per-entry row counts ride the manifest (ONE fused tagged job,
+    // bounded by partition+cluster cardinality): what lets the
+    // Bounded audit report `remaining` as a manifest sum instead of
+    // an O(corpus) scan per takedown
+    val counts = docs
+      .select(col(partCol).cast("string").as("_p"),
+        lit("corpus/").as("_art"))
+      .unionByName(spark.read.parquet(s"$root/$annGen/corpus")
+        .select(col(clusterCol).cast("string").as("_p"),
+          lit("ann/corpus/").as("_art")))
+      .groupBy("_art", "_p").agg(count(lit(1)).as("_n"))
+      .collect()
+      .map(r => s"${r.getString(0)}${r.getString(1)}" -> r.getLong(2))
+      .toMap
     EpochLayout.publish(spark, root, retain) { dir =>
-      writeManifest(spark, dir, entries.toMap)
+      writeManifest(spark, dir, entries.toMap, counts)
     }
     ()
   }
@@ -310,7 +380,10 @@ object ForgetStore {
     * under generation `g<newEpoch>`; untouched entries carry their
     * old paths forward verbatim. Returns the per-artifact audit rows,
     * with `remaining`/`residual` recomputed from the snapshot just
-    * published. Ids absent everywhere publish nothing (no-op, zero
+    * published — via an O(corpus) re-read ([[Full]], the default:
+    * compliance-job semantics) or the O(touched) proof ([[Bounded]];
+    * see [[AuditMode]] for why they are equal, and ForgetStoreSpec
+    * for the pin). Ids absent everywhere publish nothing (no-op, zero
     * audit). Single writer, like every store in this package.
     *
     * `failpoint` is the crash-test hook: invoked with "corpus",
@@ -322,11 +395,11 @@ object ForgetStore {
   def forget(spark: SparkSession, root: String, ids: Seq[Long],
       partCol: String = "lang", docIdCol: String = "doc_id",
       vecIdCol: String = "vec_id", clusterCol: String = "label",
-      buckets: Int = 8, retain: Int = 1,
+      buckets: Int = 8, retain: Int = 1, audit: AuditMode = Full,
       failpoint: String => Unit = _ => ()): Seq[Audit] = {
     require(ids.nonEmpty, "forget needs at least one id")
     gcBlobs(spark, root) // sweep any crashed build's garbage
-    val (epoch, m) = currentManifest(spark, root)
+    val (epoch, m, countsOld) = currentManifestAndCounts(spark, root)
     val gen = s"blobs/%s/g${epoch + 1}"
     val entries = scala.collection.mutable.Map.empty[String, String]
     entries ++= m.map { case (k, v) =>
@@ -461,18 +534,59 @@ object ForgetStore {
     }
     failpoint("ann")
 
+    // the touched entry-key lists — what the Bounded audit re-reads
+    val touchedKeys = (
+      touchedParts.map(v => s"corpus/$v") ++
+      touchedBkts.flatMap(b =>
+        Seq(s"bm25/postings/$b", s"bm25/dl/$b")) ++
+      touchedLabels.map(v => s"ann/corpus/$v")).toIndexedSeq
+
     if (corpusRemoved == 0 && bmRemoved == 0 && annRemoved == 0)
-      return auditsOf(spark, m, ids, docIdCol, vecIdCol,
-        corpusRemoved, bmRemoved, annRemoved)
+      return audit match {
+        case Full => auditsOf(spark, m, ids, docIdCol, vecIdCol,
+          corpusRemoved, bmRemoved, annRemoved)
+        case Bounded => boundedAudits(spark, m, countsOld, touchedKeys,
+          ids, docIdCol, vecIdCol, 0L, 0L, 0L)
+      }
+
+    // maintain the per-entry row counts EXACTLY from state already on
+    // the driver (old count minus this entry's displaced rows — the
+    // fetched hit rows carry the partition of every removed row), so
+    // the Bounded audit's `remaining` never needs a scan
+    val countsNew = scala.collection.mutable.Map.empty[String, Long]
+    countsNew ++= countsOld
+    val goneByPart = hitRows.groupBy(_.getString(1))
+      .map { case (p, rs) => p -> rs.length.toLong }
+    touchedParts.foreach { v =>
+      val k = s"corpus/$v"
+      if (entries.contains(k))
+        countsOld.get(k).foreach(n =>
+          countsNew(k) = n - goneByPart.getOrElse(v, 0L))
+      else countsNew.remove(k) // partition emptied with its entry
+    }
+    val goneByLabel = annHits.groupBy(_.getString(1))
+      .map { case (p, rs) => p -> rs.length.toLong }
+    touchedLabels.foreach { v =>
+      val k = s"ann/corpus/$v"
+      if (entries.contains(k))
+        countsOld.get(k).foreach(n =>
+          countsNew(k) = n - goneByLabel.getOrElse(v, 0L))
+      else countsNew.remove(k)
+    }
 
     // -- THE publish: one marker create makes all three artifacts'
     // new state visible together
     EpochLayout.publish(spark, root, retain) { dir =>
-      writeManifest(spark, dir, entries.toMap)
+      writeManifest(spark, dir, entries.toMap, countsNew.toMap)
     }
     gcBlobs(spark, root) // sweep generations only expired epochs used
-    auditsOf(spark, currentManifest(spark, root)._2, ids, docIdCol,
-      vecIdCol, corpusRemoved, bmRemoved, annRemoved)
+    val (_, m2, counts2) = currentManifestAndCounts(spark, root)
+    audit match {
+      case Full => auditsOf(spark, m2, ids, docIdCol,
+        vecIdCol, corpusRemoved, bmRemoved, annRemoved)
+      case Bounded => boundedAudits(spark, m2, counts2, touchedKeys,
+        ids, docIdCol, vecIdCol, corpusRemoved, bmRemoved, annRemoved)
+    }
   }
 
   private def dlTouchedAnti(spark: SparkSession,
@@ -526,5 +640,66 @@ object ForgetStore {
       Audit("bm25", bmRemoved, idx.nDocs, of("bm25")._2),
       Audit("corpus", corpusRemoved, of("corpus")._1,
         of("corpus")._2))
+  }
+
+  /** The [[Bounded]] audit: same rows as [[auditsOf]], recomputed in
+    * O(touched) — residuals from ONE tagged pass over only the
+    * touched entries of the published manifest (pushed Or-of-Eq id
+    * predicate), `remaining` from the manifest's per-entry row counts
+    * plus the model-sized bm25 meta. Why the untouched entries need
+    * no read, per artifact: corpus and ann were point-fetched ACROSS
+    * every entry before the forget (an untouched entry was proven
+    * id-free, and its blob path carries forward byte-identical); a
+    * bm25 bucket outside `ids mod buckets` structurally cannot hold
+    * the ids. See [[AuditMode]].
+    */
+  private def boundedAudits(spark: SparkSession,
+      m: Map[String, String], counts: Map[String, Long],
+      touchedKeys: Seq[String], ids: Seq[Long], docIdCol: String,
+      vecIdCol: String, corpusRemoved: Long, bmRemoved: Long,
+      annRemoved: Long): Seq[Audit] = {
+    def sumCounts(prefix: String): Long = {
+      val under = entriesUnder(m, prefix).map(_._1)
+      val missing = under.filterNot(counts.contains)
+      require(missing.isEmpty,
+        s"Bounded audit needs per-entry row counts but ${missing.size} " +
+          s"$prefix entries carry none (store written before counts " +
+          "existed?) — run audit = Full once; the next forget " +
+          "republishes counts for its touched entries")
+      under.map(counts).sum
+    }
+    val corpusRemaining = sumCounts("corpus/")
+    val annRemaining = sumCounts("ann/corpus/")
+    val bmRemaining = spark.read.parquet(m("bm25/meta")).head()
+      .getAs[Long]("n_docs")
+    // residuals: one job over the touched entries only (keys emptied
+    // by the forget dropped out of the manifest — nothing to read)
+    // postings and dl carry different schemas, so they are separate
+    // read legs (the id projection happens before the tagged union)
+    val legs = Seq(
+      ("corpus", touchedKeys.filter(_.startsWith("corpus/")), docIdCol),
+      ("bm25", touchedKeys.filter(_.startsWith("bm25/postings/")),
+        "doc_id"),
+      ("bm25", touchedKeys.filter(_.startsWith("bm25/dl/")), "doc_id"),
+      ("ann", touchedKeys.filter(_.startsWith("ann/")), vecIdCol))
+      .map { case (art, ks, c) => (art, ks.flatMap(m.get), c) }
+      .filter(_._2.nonEmpty)
+      .map { case (art, dirs, c) =>
+        readPartDirs(spark, dirs)
+          .filter(AnnLayout.idPredicate(c, ids))
+          .select(col(c).cast("long").as("_fid"), lit(art).as("_art"))
+      }
+    val resid: Map[String, Long] =
+      if (legs.isEmpty) Map.empty
+      else legs.reduce(_.unionByName(_))
+        .groupBy("_art").agg(count_distinct(col("_fid")).as("_r"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(
+      Audit("ann", annRemoved, annRemaining,
+        resid.getOrElse("ann", 0L)),
+      Audit("bm25", bmRemoved, bmRemaining,
+        resid.getOrElse("bm25", 0L)),
+      Audit("corpus", corpusRemoved, corpusRemaining,
+        resid.getOrElse("corpus", 0L)))
   }
 }

@@ -512,6 +512,43 @@ object TextOps {
         ColumnBridge.expression(tok), merges.map(_._1), merges.map(_._2))))
   }
 
+  /** Min-frequency MERGE-TABLE PRUNING — the vocab-trim step after
+    * BPE training (the SentencePiece prune idea applied to a merge
+    * list): a merge earns its vocab slot only if its merged symbol
+    * actually SURVIVES in the encoded corpus — an early merge is
+    * often consumed whole by later merges (th → the) and surfaces
+    * rarely, so shipping it wastes a slot real tokenizers trim.
+    * Encode the corpus under the full table, count each merged
+    * symbol's corpus occurrences, keep merge (a,b) iff
+    * `occ(ab) * 1e6 >= ppm * total_syms` (integer arithmetic — the
+    * decision replays exactly in the DuckDB oracle). The pruned list
+    * keeps training order; re-encoding under it is deterministic — a
+    * kept merge whose input symbol no longer forms (its producer was
+    * pruned) simply never fires.
+    *
+    * Scale shape: ONE corpus pass (the fused [[bpeEncode]] kernel,
+    * map-side) feeding a partial-aggregated count of nMerges
+    * conditional sums + a total — the exchange is one row of
+    * nMerges+1 longs, never a vocab-sized shuffle; the decision is
+    * driver-side on the model-sized list, like every trainer here.
+    */
+  def bpePrune(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)], ppm: Long)
+      : Seq[(String, String)] = {
+    val syms = docs.select(
+      explode(flatten(bpeEncode(col(textCol), merges))).as("sym"))
+    val aggs = count(lit(1)).as("_total") +:
+      merges.zipWithIndex.map { case ((a, b), i) =>
+        sum(when(col("sym") === lit(a + b), 1L).otherwise(0L))
+          .as(s"_c$i")
+      }
+    val r = syms.agg(aggs.head, aggs.tail: _*).head()
+    val total = r.getLong(0)
+    merges.zipWithIndex.collect {
+      case (m, i) if r.getLong(i + 1) * 1000000L >= ppm * total => m
+    }
+  }
+
   /** The composed-HOF formulation [[bpeEncode]] replaced (kept as the
     * readable reference implementation; ExtensionsSpec pins corpus-
     * wide equality between the two). Why replaced: every

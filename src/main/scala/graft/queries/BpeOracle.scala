@@ -176,6 +176,60 @@ object BpeOracle {
       ORDER BY merge_rank"""
   }
 
+  /** Prune-and-re-encode oracle ([[graft.ops.TextOps.bpePrune]]):
+    * replay exact training, count each merged symbol's corpus
+    * occurrences in the FINAL symbol state (vocab symbols weighted by
+    * word frequency == corpus occurrences), keep merge r iff
+    * `occ(a||b) * 1e6 >= ppm * total_syms` (the same integer
+    * decision), then RE-ENCODE from the char alphabet through the
+    * kept merges only — a dropped slot is a NULL merge, which the
+    * apply block treats as identity (the batched rounds' guard).
+    * Output shape == [[encodeSql]].
+    */
+  def pruneEncodeSql(nMerges: Int, ppm: Long): String = materialized {
+    val rounds = (1 to nMerges).map(exactRound).mkString(",\n      ")
+    val keeps = (1 to nMerges).map { r =>
+      val kept = s"coalesce((SELECT c FROM occ WHERE sym = " +
+        s"(SELECT a FROM best$r) || (SELECT b FROM best$r)), 0) " +
+        s"* 1000000 >= $ppm * (SELECT t FROM tot)"
+      s"""keep$r AS (SELECT
+          CASE WHEN $kept THEN (SELECT a FROM best$r) END AS a,
+          CASE WHEN $kept THEN (SELECT b FROM best$r) END AS b)"""
+    }.mkString(",\n      ")
+    val reenc = (1 to nMerges).map { r =>
+      val prev = if (r == 1) "syms0" else s"ksyms${r - 1}"
+      s"""${posBlock(s"k$r", prev)},
+      ${applyBlock(s"k$r", s"SELECT a FROM keep$r",
+        s"SELECT b FROM keep$r", s"ksyms$r")}"""
+    }.mkString(",\n      ")
+    s"""WITH RECURSIVE $prefix,
+      $rounds,
+      occ AS (SELECT sym, CAST(sum(words.wf) AS BIGINT) AS c
+          FROM (SELECT w, unnest(syms) AS sym FROM syms$nMerges) u
+          JOIN words ON words.w = u.w GROUP BY sym),
+      tot AS (SELECT CAST(sum(len(s.syms) * words.wf) AS BIGINT) AS t
+          FROM syms$nMerges s JOIN words ON words.w = s.w),
+      $keeps,
+      $reenc,
+      docpos AS (SELECT t.doc_id, i AS pos, t.ts[i] AS tok
+        FROM toks t, unnest(range(1, len(t.ts)+1)) u(i)),
+      perdoc AS (SELECT d.doc_id,
+          CAST(count(*) AS BIGINT) AS nw,
+          CAST(sum(len(s.syms)) AS BIGINT) AS ns,
+          array_to_string(
+            flatten(list(s.syms ORDER BY d.pos) FILTER (WHERE d.pos <= 3)),
+            ' ') AS sample
+        FROM docpos d JOIN ksyms$nMerges s ON s.w = d.tok
+        GROUP BY d.doc_id)
+      SELECT doc.doc_id AS doc_id,
+        coalesce(p.nw, 0::BIGINT) AS n_words,
+        coalesce(p.ns, 0::BIGINT) AS n_syms,
+        coalesce(p.sample, '') AS sample
+      FROM (SELECT doc_id FROM documents) doc
+      LEFT JOIN perdoc p ON p.doc_id = doc.doc_id
+      ORDER BY doc_id"""
+  }
+
   /** Corpus-encode oracle: replay exact training (the final round's
     * symbol state IS the encoding of every distinct word — pinned
     * equivalence in TrainingSpec), reassemble documents in token

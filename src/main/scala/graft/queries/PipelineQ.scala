@@ -1819,6 +1819,36 @@ object PipelineQ {
       Staged.offer("q_forget_epoch", d, instantiateForgetStore(s, d)))
   )
 
+  /** [[qForgetEpoch]] with the O(touched) audit (see
+    * [[graft.io.ForgetStore.Bounded]]): residuals re-read only the
+    * touched manifest entries under the pushed id predicate, and
+    * `remaining` sums the manifest's per-entry row counts — the one
+    * remaining O(corpus) term of the takedown path gone (the round-15
+    * verdict's 100 TB observation). Same oracle as q_forget_e2e: the
+    * audit numbers are mode-independent truths (bounded == full is
+    * additionally pinned store-against-store in ForgetStoreSpec), so
+    * a hash mismatch here is the bounded proof being wrong.
+    */
+  val qForgetBounded = Q(
+    "q_forget_bounded",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val root = Staged.acquire("q_forget_bounded", dir)(
+        instantiateForgetStore(spark, dir))
+      val ids = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      val audits = graft.io.ForgetStore.forget(spark, root,
+        ids.toIndexedSeq, audit = graft.io.ForgetStore.Bounded)
+      import spark.implicits._
+      audits.map(a => (a.artifact, a.removed, a.remaining, a.residual))
+        .toDF("artifact", "removed", "remaining", "residual")
+        .orderBy("artifact")
+    },
+    qForgetE2e.oracle,
+    prestage = Some((s, d) =>
+      Staged.offer("q_forget_bounded", d, instantiateForgetStore(s, d)))
+  )
+
   def all: Seq[Q] =
     Seq(qParaDedup, qStreamParaDedup, qBudgetSelect, qShardShuffle,
       qQualityHashed, qMixEpochs, qSplitAssign, qTopkGrouped,
@@ -1828,5 +1858,5 @@ object PipelineQ {
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
       qStreamCow, qCowTombstone, qCowMor, qStreamMor, qForgetE2e,
-      qForgetEpoch)
+      qForgetEpoch, qForgetBounded)
 }

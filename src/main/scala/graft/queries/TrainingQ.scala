@@ -1863,8 +1863,12 @@ object TrainingQ {
         .drop("rank")
       val ed = emb.select(col("vec_id").as("doc_id"),
         Similarity.asDouble(col("embedding")).as("dv"))
-      val eq = emb.select(col("vec_id").as("query_id"),
-        Similarity.asDouble(col("embedding")).as("qv"))
+      // query-side embeddings only (the scaladoc's contract): the
+      // broadcast is |Q| vectors, never |C| — the same pushed
+      // predicate that defines the query set bounds the fetch
+      val eq = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("qv"))
       val scored = cands.join(ed, "doc_id")
         .join(broadcast(eq), "query_id")
         .withColumn("cosine", Similarity.cosine(col("qv"), col("dv")))
@@ -3006,6 +3010,46 @@ object TrainingQ {
     Some(BpeOracle.encodeSql(nMerges = 10))
   )
 
+  /** Parts-per-million floor for [[qBpePrune]]: a merge survives iff
+    * its merged symbol is ≥ this fraction (×1e-6) of all encoded
+    * corpus symbols. 3000 ppm (0.3%) measured non-vacuous at sf0.001,
+    * sf0.01 and sf0.1 (some of the 10 merges prune — early merges
+    * consumed by later ones — and some survive; TrainingSpec pins
+    * both directions on the oracle corpus).
+    */
+  private val BpePrunePpm = 3000L
+
+  /** BPE MERGE-TABLE PRUNING + re-encode
+    * ([[graft.ops.TextOps.bpePrune]]): the vocab-trim a shipped
+    * tokenizer applies — encode the corpus under the full frozen
+    * merge table, drop merges whose merged symbol falls under the
+    * min-frequency floor (an exact integer ppm decision on ONE
+    * conditional-sum aggregate), re-encode under the pruned list with
+    * the same fused kernel. The face times the prune derivation AND
+    * the re-encode (the prune is this operator's own work — the base
+    * training stays frozen like q_bpe_encode's). HASH-ORACLED:
+    * [[BpeOracle.pruneEncodeSql]] replays training, re-derives the
+    * kept list from the identical integer threshold, and re-encodes
+    * through NULL-guarded merge slots.
+    */
+  val qBpePrune = Q(
+    "q_bpe_prune",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val merges = frozenBpeMerges(spark, dir, nMerges = 10)
+      val pruned = TextOps.bpePrune(docs, "text", merges, BpePrunePpm)
+      val enc = TextOps.bpeEncode(col("text"), pruned)
+      docs.select(col("doc_id"), enc.as("_enc"))
+        .select(col("doc_id"),
+          size(col("_enc")).cast("long").as("n_words"),
+          aggregate(col("_enc"), lit(0L),
+            (acc, w) => acc + size(w)).as("n_syms"),
+          array_join(flatten(slice(col("_enc"), 1, 3)), " ").as("sample"))
+        .transform(Catalog.barrierSort(_, "doc_id"))
+    },
+    Some(BpeOracle.pruneEncodeSql(nMerges = 10, ppm = BpePrunePpm))
+  )
+
   /** STREAMING tokenizer serving (29th batch/stream equivalence pin):
     * the frozen BPE merge list ([[frozenBpeMerges]] — the published
     * tokenizer artifact every trainer ships) compiled into the SAME
@@ -4067,5 +4111,5 @@ object TrainingQ {
     qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
     qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown, qBm25Epoch,
     qHardNegatives,
-    qAnnTakedown, qHtmlExtract, qUrlNorm, qStreamTokenize)
+    qAnnTakedown, qHtmlExtract, qUrlNorm, qStreamTokenize, qBpePrune)
 }

@@ -489,6 +489,48 @@ class CowSpec extends AnyFunSuite {
     assert(readAll(t) == before, "a refused merge mutated the table")
   }
 
+  test("cross-partition id rules: the atomic move pair is legal; dual upserts of one id refuse") {
+    val t = freshTable()
+    // MOVE: delete the row in its real partition + upsert it under a
+    // new lang in ONE batch — the contract's documented move recipe
+    // (two key-disjoint composite keys; the ops commute physically)
+    val row = docs.orderBy("doc_id").limit(1)
+    val oldLang = row.select("lang").head().getString(0)
+    val newLang = if (oldLang == "zh") "en" else "zh"
+    val mv = row.select(cols.map(col) :+ lit("delete").as("op"): _*)
+      .unionByName(row.withColumn("lang", lit(newLang))
+        .select(cols.map(col) :+ lit("upsert").as("op"): _*))
+    val stats = CowTable.merge(spark, t, mv, "doc_id", "lang")
+    assert(stats.deleted == 1L && stats.upserted == 1L, s"$stats")
+    val id = row.select("doc_id").head().getLong(0)
+    val langsNow = spark.read.option("basePath", t).parquet(t)
+      .filter(col("doc_id") === id).select("lang")
+      .collect().map(_.getString(0)).toSeq
+    assert(langsNow == Seq(newLang), s"moved row lives in $langsNow")
+    // DUAL UPSERT: one id asserted live in two partitions at once —
+    // incoherent under the immutable-partCol contract; refused before
+    // any write by merge AND by the changelog append
+    val before = readAll(t)
+    val dual = row.select(cols.map(col) :+ lit("upsert").as("op"): _*)
+      .unionByName(row.withColumn("lang", lit(newLang))
+        .select(cols.map(col) :+ lit("upsert").as("op"): _*))
+    intercept[IllegalArgumentException] {
+      CowTable.merge(spark, t, dual, "doc_id", "lang")
+    }
+    intercept[IllegalArgumentException] {
+      CowTable.appendChanges(spark, t, dual, "doc_id", "lang")
+    }
+    assert(readAll(t) == before, "a refused batch mutated the table")
+    assert(!new java.io.File(s"$t/.changelog").exists())
+    // a DELETE pair across partitions stays legal: the id lives in
+    // exactly one partition, so at most one delete hits (no-op other)
+    val dd = row.select(cols.map(col) :+ lit("delete").as("op"): _*)
+      .unionByName(row.withColumn("lang", lit(newLang))
+        .select(cols.map(col) :+ lit("delete").as("op"): _*))
+    val s2 = CowTable.merge(spark, t, dd, "doc_id", "lang")
+    assert(s2.deleted == 1L, s"$s2")
+  }
+
   test("outstandingBatches tracks the intake loop's compaction trigger") {
     val t = freshTable()
     assert(CowTable.outstandingBatches(spark, t) == 0)

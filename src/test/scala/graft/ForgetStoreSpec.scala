@@ -126,6 +126,42 @@ class ForgetStoreSpec extends AnyFunSuite {
       .filter(col("vec_id") % 37 === 0).count() == 0)
   }
 
+  test("bounded audit == full audit (two identical stores, same takedown)") {
+    // the Bounded mode's claim is an EQUALITY: the O(touched) audit
+    // (touched-entry residual scan + manifest row-count sums) reports
+    // the exact rows the O(corpus) re-read reports, on a real store
+    val rootFull = freshStore()
+    val rootBounded = freshStore()
+    val ids = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      .toIndexedSeq
+    val full = ForgetStore.forget(spark, rootFull, ids,
+      audit = ForgetStore.Full)
+    val bounded = ForgetStore.forget(spark, rootBounded, ids,
+      audit = ForgetStore.Bounded)
+    assert(bounded == full, s"bounded=$bounded full=$full")
+    assert(full.exists(a => a.artifact == "corpus" && a.removed > 0))
+    // a SECOND forget exercises count maintenance across epochs
+    // (old count minus displaced, entries carried forward) — still
+    // equal, still zero residual
+    val ids2 = docs.filter(col("doc_id") % 41 === 3)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      .toIndexedSeq
+    val full2 = ForgetStore.forget(spark, rootFull, ids2,
+      audit = ForgetStore.Full)
+    val bounded2 = ForgetStore.forget(spark, rootBounded, ids2,
+      audit = ForgetStore.Bounded)
+    assert(bounded2 == full2, s"bounded=$bounded2 full=$full2")
+    assert(full2.forall(_.residual == 0L))
+    // no-op takedown: bounded audit without a new epoch, equal rows
+    val fullN = ForgetStore.forget(spark, rootFull, Seq(999999999L),
+      audit = ForgetStore.Full)
+    val boundedN = ForgetStore.forget(spark, rootBounded,
+      Seq(999999999L), audit = ForgetStore.Bounded)
+    assert(boundedN == fullN, s"bounded=$boundedN full=$fullN")
+    assert(fullN.forall(a => a.removed == 0L && a.residual == 0L))
+  }
+
   test("retention + blob GC: expired epochs' private generations are swept, shared ones survive") {
     val root = freshStore()
     def blobGens(): Set[String] = {

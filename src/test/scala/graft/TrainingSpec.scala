@@ -356,6 +356,38 @@ class TrainingSpec extends AnyFunSuite {
     assert(enc == Seq(Seq("aaab"), Seq("ab"), Seq("aa", "a")))
   }
 
+  test("bpePrune: hand-computed thresholds; non-vacuous on the oracle corpus; order-preserving subsequence") {
+    // words: aaab(wf3), ab(wf2) -> merges (a,a),(a,b),(aa,ab); final
+    // state aaab->[aaab] x3, ab->[ab] x2 => total syms 5,
+    // occ(aa)=0 (consumed), occ(ab)=2, occ(aaab)=3
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, "text", nMerges = 5)
+      .map { case (p, _) => val Array(a, b) = p.split(" ", 2); (a, b) }
+    // 400000 ppm of 5 = 2: "ab" (2 occ) survives, "aa" (0) prunes,
+    // "aaab" (3) survives — but its input "aa" no longer forms, so
+    // re-encode leaves aaab as [a, ab, ... wait, chars a,a,a,b under
+    // (a,b) only -> [a, a, ab]
+    val pruned = TextOps.bpePrune(docs, "text", merges, ppm = 400000L)
+    assert(pruned == Seq(("a", "b"), ("aa", "ab")), s"pruned=$pruned")
+    val enc = docs.filter(col("doc_id") === 1L)
+      .select(TextOps.bpeEncode(col("text"), pruned).as("e"))
+      .head().getSeq[scala.collection.Seq[String]](0).map(_.toSeq)
+    // kept merge (aa,ab) never fires: its producer (a,a) was pruned
+    assert(enc == Seq(Seq("a", "a", "ab"), Seq("a", "a", "ab"),
+      Seq("ab")))
+    // non-vacuity at the ORACLE corpus and the face's exact params:
+    // the cataloged ppm must prune some of the 10 merges and keep
+    // some, at the spec's sf (the cross-SF sweep covers the others)
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rm = TextOps.bpeTrain(real, "text", nMerges = 10)
+      .map { case (p, _) => val Array(a, b) = p.split(" ", 2); (a, b) }
+    val rp = TextOps.bpePrune(real, "text", rm, ppm = 3000L)
+    assert(rp.nonEmpty && rp.size < rm.size,
+      s"vacuous prune: ${rp.size} of ${rm.size} kept")
+    assert(rm.filter(rp.contains) == rp, "pruned list must be an " +
+      "order-preserving subsequence of the trained list")
+  }
+
   test("bpeTrain matches an independent plain-Scala BPE reference on a generated corpus") {
     def refBpe(words: Map[String, Long], n: Int): Seq[(String, Long)] = {
       var vocab = words.map { case (w, f) => (w.map(_.toString).toVector, f) }

@@ -330,15 +330,25 @@ pin_floor = (pin or {}).get("floor", {})
 exdrift = min(max(pin_drift, 1.0), DRIFT_CAP)
 for face in sorted(demoted_faces):
     strikes = watch.get(face, 0) + 1  # this run's demotion included
-    ce = cand_floor.get(face, [None, None, None])[2]
-    pe = pin_floor.get(face, [None, None, None])[2]
+    cb, _, ce = (cand_floor.get(face) or [None, None, None])[:3]
+    pb, _, pe = (pin_floor.get(face) or [None, None, None])[:3]
     verdict = None
     if is_time(ce) and is_time(pe) and ce >= 0 and pe > 0:
-        if ce <= pe * exdrift * 1.2 + 0.1:
+        exec_ok = ce <= pe * exdrift * 1.2 + 0.1
+        # streaming faces do their real work in BUILD (the drain runs
+        # inside fn()), so exoneration also requires build near
+        # baseline — else a drain regression hides as "floor moved".
+        # The build bound is looser (it carries the driver-job floor
+        # that legitimately moves with box state).
+        build_ok = (not (is_time(cb) and is_time(pb) and pb > 0)) or \
+            cb <= pb * exdrift * 1.5 + 0.5
+        if exec_ok and build_ok:
             verdict = (f"floor moved (exec {pe:.2f}s->{ce:.2f}s, "
                        "at baseline)")
-        else:
+        elif not exec_ok:
             verdict = f"exec moved ({pe:.2f}s->{ce:.2f}s, {ce / pe:.2f}x)"
+        else:
+            verdict = f"build moved ({pb:.2f}s->{cb:.2f}s, {cb / pb:.2f}x)"
     if strikes >= WATCH_STRIKES:
         if verdict is not None and verdict.startswith("floor moved"):
             print(f"note: watchlist face {face} demoted {strikes} "
