@@ -39,7 +39,10 @@ import sys
 path = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "bench_out.json"
 
-TOOLS_DIR = os.path.dirname(os.path.abspath(__file__))
+# overridable so tools/gate_selftest.py can exercise the gate against
+# synthetic pins/watchlists without touching the real ones
+TOOLS_DIR = os.environ.get("GRAFT_GATE_TOOLS_DIR") \
+    or os.path.dirname(os.path.abspath(__file__))
 # Drift normalization bounds (round-16, from the round-15 ADVICE): an
 # UNBOUNDED drift factor would absorb a real framework-wide regression
 # (shared force() path, Catalog overhead, a kernel many faces use) into
