@@ -147,11 +147,6 @@ object ForgetStore {
       : Map[String, String] =
     readManifestLines(spark, epochDir).map(a => a(0) -> a(1)).toMap
 
-  private def readManifestCounts(spark: SparkSession, epochDir: String)
-      : Map[String, Long] =
-    readManifestLines(spark, epochDir)
-      .collect { case a if a.length >= 3 => a(0) -> a(2).toLong }.toMap
-
   /** The current snapshot: (epoch number, manifest with entry paths
     * resolved root-absolute).
     */

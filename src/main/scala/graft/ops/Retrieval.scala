@@ -148,6 +148,104 @@ object Retrieval {
       .agg(sum(col("ts")).as("score"))
   }
 
+  /** The POSITIONAL index tier — [[Bm25Index]]'s postings extended
+    * with each term's sorted 1-based position list, the artifact
+    * phrase/proximity retrieval needs (Robertson & Zaragoza 2009 §4;
+    * every production engine's next index tier after term postings).
+    * Build cost is the same single tokenize pass (posexplode instead
+    * of explode); at rest the postings bucket by doc id exactly like
+    * the flat tier (the ForgetStore layout), positions riding along
+    * as an array column.
+    */
+  final case class PositionalIndex(postings: DataFrame, dl: DataFrame,
+      nDocs: Long, avgdl: Long)
+
+  /** Tokenize once, derive positional postings
+    * (doc_id, term, tf, pos: sorted 1-based positions) + dl + scalars.
+    */
+  def buildPositionalIndex(docs: DataFrame, docIdCol: String = "doc_id",
+      textCol: String = "text"): PositionalIndex = {
+    val toks = docs.select(col(docIdCol).cast("long").as("doc_id"),
+      TextOps.tokens(col(textCol)).as("ts"))
+    val posting = toks
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "term")))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p0") + 1)).as("pos"))
+    val dl = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("l")).head()
+    val nDocs = st.getLong(0)
+    require(nDocs > 0, "buildPositionalIndex needs a non-empty corpus")
+    PositionalIndex(posting, dl, nDocs, Math.floorDiv(st.getLong(1), nDocs))
+  }
+
+  /** EXACT PHRASE retrieval over a [[PositionalIndex]] — top-`k`
+    * docs containing each query's tokens as a CONSECUTIVE run, ranked
+    * by the engine's integer BM25 with the phrase as one virtual
+    * term: tf = the phrase's occurrence count in the doc, df = how
+    * many docs contain the phrase at all (a per-query statistic —
+    * rare phrases score high exactly like rare terms), same quantized
+    * idf and exact-rational saturation as [[bm25Scores]], so ranking
+    * replays hash-identically cross-engine.
+    *
+    * The match is the classic position-list merge in relational
+    * form: phrase token j (1-based) hitting doc position p proposes
+    * anchor a = p − j + 1 ("the phrase could start at a"); an anchor
+    * proposed by ALL m distinct offsets IS an occurrence (overlapping
+    * occurrences and repeated phrase tokens fall out naturally —
+    * "a a" in "a a a" matches anchors 1 and 2). Anchors below 1 are
+    * impossible by construction (offset 1 requires p = a ≥ 1).
+    *
+    * Scale shape: the query side (offsets × terms) broadcasts; the
+    * postings join is inverted-index equality on term, so candidate
+    * volume is the phrase terms' posting lists, never |C|; the anchor
+    * aggregate is per (query, doc, anchor) — map-side partial over
+    * the same exchange the scoring needs. A very common phrase term
+    * admits its posting list like any stopword query term — prune at
+    * the caller with the [[bm25Scores]] maxDfPpm discipline if the
+    * phrase vocabulary warrants it.
+    */
+  def phraseQuery(pidx: PositionalIndex, phrases: DataFrame, k: Int,
+      queryIdCol: String = "query_id", textCol: String = "text",
+      scaleBits: Int = 20): DataFrame = {
+    require(scaleBits > 0 && scaleBits < 40, "scaleBits must leave headroom")
+    // (query_id, off, term), off 1-based — order and duplicates kept:
+    // a phrase is a SEQUENCE, not a term set
+    val qt = phrases.select(col(queryIdCol).cast("long").as("query_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("o0", "term")))
+      .select(col("query_id"), (col("o0") + 1).as("off"), col("term"))
+    val mlen = qt.groupBy("query_id")
+      .agg(countDistinct(col("off")).as("m"))
+    val hits = pidx.postings.join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("off"),
+        explode(col("pos")).as("p"))
+      .select(col("query_id"), col("doc_id"), col("off"),
+        (col("p") - col("off") + 1).as("anchor"))
+    val occ = hits.groupBy("query_id", "doc_id", "anchor")
+      .agg(countDistinct(col("off")).as("hit_offs"))
+      .join(broadcast(mlen), Seq("query_id"))
+      .filter(col("hit_offs") === col("m"))
+    val tfp = occ.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    // phrase df per query — candidate-table-sized aggregate, never a
+    // corpus pass
+    val dfp = tfp.groupBy("query_id").agg(count(lit(1)).as("dfq"))
+    val s = 1L << scaleBits
+    val iq = qlog2(lit(2L) * (lit(pidx.nDocs) - col("dfq")) + lit(1L)) -
+      qlog2(lit(2L) * col("dfq") + lit(1L))
+    val scored = tfp.join(broadcast(dfp), Seq("query_id"))
+      .join(pidx.dl, Seq("doc_id"))
+      .withColumn("num", lit(22L * pidx.avgdl * s) * col("tf"))
+      .withColumn("den", lit(10L * pidx.avgdl) * col("tf") +
+        lit(3L * pidx.avgdl) + lit(9L) * col("dl"))
+      .withColumn("score", iq * expr("num div den"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "tf", "score")
+  }
+
   /** One-shot convenience: [[buildIndex]] + [[bm25Query]]. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       docIdCol: String = "doc_id", textCol: String = "text",

@@ -512,6 +512,52 @@ object TextOps {
         ColumnBridge.expression(tok), merges.map(_._1), merges.map(_._2))))
   }
 
+  /** WITHIN-DOCUMENT repeated n-gram collapse — the Dolma/RedPajama
+    * "repeated sequence removal" cleaning step (generation loops,
+    * "click here click here…" chrome, copy-paste stutter): a token is
+    * REMOVED iff it lies inside a block [i, i+n) whose n-gram equals
+    * the n-gram starting n positions earlier. Block tests run on
+    * ORIGINAL positions and deletions union, so the rule is
+    * set-at-a-time (no cascade, no rescan): a chain "AB AB AB" marks
+    * blocks at 3 and 5 (each equal to its ORIGINAL predecessor) and
+    * collapses to one "AB" in a single pass; the n=1 case reduces to
+    * adjacent-duplicate-token dedup. Deterministic, exactly
+    * replayable relationally (the oracle joins the gram table to
+    * itself at offset n and unions the blocks).
+    *
+    * Scale shape: map-side only — tokens and grams materialize as
+    * real columns BEFORE the per-position lambda (an outer column
+    * reference inside a HOF lambda must be an attribute, or the whole
+    * upstream expression re-inlines per element — the [[shingles]]
+    * lesson), so cost is O(tokens · n) gram compares per doc, inside
+    * whole-stage codegen, no shuffle.
+    *
+    * Returns (idCol, n_removed, clean) — removed token count and the
+    * rebuilt text.
+    */
+  def collapseRepeats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("_ts"))
+      .select(col(idCol), col("_ts"), shingles(col("_ts"), n).as("_gr"))
+    // deleted(p) ⇔ ∃ block start j ∈ [max(n+1, p−n+1), min(p, G)]
+    // with gram(j) == gram(j−n); sequence() DESCENDS when hi < lo, so
+    // the window is guarded explicitly
+    val kept = filter(col("_ts"), (_, p0) => {
+      val p = p0 + 1
+      val lo = greatest(lit(n + 1), p - n + 1)
+      val hi = least(p, size(col("_gr")))
+      when(hi >= lo,
+        !exists(sequence(lo, hi), j =>
+          element_at(col("_gr"), j) === element_at(col("_gr"), j - n)))
+        .otherwise(lit(true))
+    })
+    base.select(col(idCol),
+      (size(col("_ts")) - size(kept)).cast("long").as("n_removed"),
+      array_join(kept, " ").as("clean"))
+  }
+
   /** Min-frequency MERGE-TABLE PRUNING — the vocab-trim step after
     * BPE training (the SentencePiece prune idea applied to a merge
     * list): a merge earns its vocab slot only if its merged symbol

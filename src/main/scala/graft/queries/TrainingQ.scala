@@ -807,6 +807,59 @@ object TrainingQ {
       FROM r ORDER BY doc_id""")
   )
 
+  /** Repeated n-gram COLLAPSE (the removal counterpart of
+    * [[qRepetition]]'s ratio gate — see
+    * [[graft.ops.TextOps.collapseRepeats]]): a token is removed iff
+    * it lies inside a 3-gram block equal to the block n positions
+    * earlier (original coordinates, deletions union — cascade-free,
+    * exactly relational). The synthetic corpus has no natural
+    * stutter, so every third doc gets its first three tokens appended
+    * TWICE (one injected consecutive repeat); the oracle derives the
+    * same corpus and replays gram table → offset-n self-join → block
+    * union → anti-join rebuild. Map-side only; the sort is the dump's.
+    */
+  val qRepeatCollapse = Q(
+    "q_repeat_collapse",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val f3 = array_join(slice(TextOps.tokens(col("text")), 1, 3), " ")
+      val corpus = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat_ws(" ", col("text"), f3, f3))
+          .otherwise(col("text")).as("text"))
+      TextOps.collapseRepeats(corpus, "doc_id", "text", n = 3)
+        .transform(Catalog.barrierSort(_, "doc_id"))
+    },
+    Some("""WITH toks0 AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts0
+        FROM documents),
+      corpus AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+          THEN list_concat(ts0, list_concat(ts0[1:3], ts0[1:3]))
+          ELSE ts0 END AS ts FROM toks0),
+      g AS (SELECT doc_id, i,
+          array_to_string(ts[i:i+2], ' ') AS gr
+        FROM corpus, unnest(range(1, greatest(len(ts) - 1, 1))) u(i)),
+      starts AS (SELECT a.doc_id, a.i FROM g a
+        JOIN g b ON b.doc_id = a.doc_id AND b.i = a.i - 3
+          AND b.gr = a.gr),
+      del AS (SELECT DISTINCT doc_id, i + k AS p
+        FROM starts, unnest(range(0, 3)) w(k)),
+      tok AS (SELECT doc_id, i AS p, ts[i] AS t
+        FROM corpus, unnest(range(1, len(ts) + 1)) u(i)),
+      kept AS (SELECT tok.doc_id, tok.p, tok.t FROM tok
+        LEFT JOIN del ON del.doc_id = tok.doc_id AND del.p = tok.p
+        WHERE del.p IS NULL),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_n,
+          array_to_string(list(t ORDER BY p), ' ') AS clean
+        FROM kept GROUP BY doc_id),
+      tot AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS L FROM corpus)
+      SELECT t.doc_id,
+        CAST(t.L - coalesce(a.kept_n, 0) AS BIGINT) AS n_removed,
+        coalesce(a.clean, '') AS clean
+      FROM tot t LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
   /** Token budget per packed training sequence. */
   private val PackSeqLen = 512
 
@@ -1698,6 +1751,85 @@ object TrainingQ {
         .orderBy("query_id", "rank")
     },
     Some(Bm25Oracle)
+  )
+
+  /** Frozen POSITIONAL index (the
+    * [[graft.ops.Retrieval.buildPositionalIndex]] artifact) — same
+    * build-once discipline as [[frozenBm25Index]]; the phrase face
+    * times serving against the at-rest tier, not re-tokenization.
+    */
+  private[graft] def frozenPositionalIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): graft.ops.Retrieval.PositionalIndex =
+    graft.io.FrozenStore.memo(s"bm25pos|$dir") {
+      lazy val idx = graft.ops.Retrieval
+        .buildPositionalIndex(Tables.documents(spark, dir))
+      val p = graft.io.FrozenStore.frozenDf(spark,
+        s"bm25posp|$dir")(idx.postings)
+      val l = graft.io.FrozenStore.frozenDf(spark,
+        s"bm25posl|$dir")(idx.dl)
+      graft.ops.Retrieval.PositionalIndex(p, l, idx.nDocs, idx.avgdl)
+    }
+
+  /** EXACT-PHRASE retrieval over the positional index (see
+    * [[graft.ops.Retrieval.phraseQuery]]): each query is the first
+    * three tokens of docs 0-2 as a CONSECUTIVE phrase; matching is
+    * the position-list anchor merge (token j at position p proposes
+    * start p−j+1; an anchor proposed by all offsets is an
+    * occurrence), scoring is the engine's integer BM25 with the
+    * phrase as one virtual term (tf = occurrences, df = docs
+    * containing the phrase — per query). The oracle replays
+    * tokenization → position table → anchor grouping → the identical
+    * integer score, so ranks and scores are hash-exact.
+    */
+  val qBm25Phrase = Q(
+    "q_bm25_phrase",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val phrases = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 3), " ")
+            .as("text"))
+      graft.ops.Retrieval.phraseQuery(
+          frozenPositionalIndex(spark, dir), phrases, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $tokCtes,
+      dlq AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+      stq AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(dl) AS BIGINT) AS l FROM dlq),
+      av AS (SELECT n, l // n AS a FROM stq),
+      tok AS (SELECT t.doc_id, i AS pos, t.ts[i] AS term
+          FROM toks t, unnest(range(1, len(t.ts)+1)) u(i)),
+      q AS (SELECT doc_id AS query_id, ts[1:3] AS qts
+          FROM toks WHERE doc_id < 3),
+      qt AS (SELECT query_id, j AS off, qts[j] AS term
+          FROM q, unnest(range(1, len(qts)+1)) v(j)),
+      mlen AS (SELECT query_id,
+          CAST(count(DISTINCT off) AS BIGINT) AS m FROM qt GROUP BY 1),
+      hit AS (SELECT qt.query_id, tok.doc_id,
+          tok.pos - qt.off + 1 AS anchor, qt.off
+          FROM qt JOIN tok ON tok.term = qt.term),
+      occ AS (SELECT h.query_id, h.doc_id, h.anchor
+          FROM hit h JOIN mlen m ON m.query_id = h.query_id
+          GROUP BY h.query_id, h.doc_id, h.anchor, m.m
+          HAVING count(DISTINCT h.off) = m.m),
+      tfp AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM occ GROUP BY 1, 2),
+      dfp AS (SELECT query_id, CAST(count(*) AS BIGINT) AS dfq
+          FROM tfp GROUP BY 1),
+      sc AS (SELECT t.query_id, t.doc_id, t.tf,
+          (CAST(length(bin(2 * (av.n - f.dfq) + 1)) - 1 AS BIGINT)
+            - CAST(length(bin(2 * f.dfq + 1)) - 1 AS BIGINT))
+          * ((22 * av.a * ${1L << 20} * t.tf)
+             // (10 * av.a * t.tf + 3 * av.a + 9 * dlq.dl)) AS score
+        FROM tfp t JOIN dfp f USING (query_id)
+        JOIN dlq ON dlq.doc_id = t.doc_id CROSS JOIN av),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, tf, score
+      FROM rk WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
   /** INCREMENTAL index maintenance — build the inverted index on two
@@ -4095,7 +4227,8 @@ object TrainingQ {
 
   def all: Seq[Q] = Seq(qDedupExact, qDedupNgram, qDedupMinhash, qDedupSimhash,
     qDedupSimhashHam, qDedupClusters, qTextStats, qLangId, qTokenCount,
-    qTokenBpe, qFingerprint, qQualityFilter, qRepetition, qDecontaminate,
+    qTokenBpe, qFingerprint, qQualityFilter, qRepetition,
+    qRepeatCollapse, qDecontaminate,
     qDecontaminateBloom, qPack, qSampleStratified, qKnn, qAnnLsh, qAnnIvf,
     qTopTerms, qTfidf, qDedupEmbed, qDedupIncr, qEmbedOutliers, qDedupApply,
     qDupCoverage, qCapSource, qKmeansAssign, qSemDedup, qChunk, qSourceOverlap,
@@ -4108,7 +4241,7 @@ object TrainingQ {
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
-    qBm25Merge, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
+    qBm25Merge, qBm25Phrase, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
     qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown, qBm25Epoch,
     qHardNegatives,
     qAnnTakedown, qHtmlExtract, qUrlNorm, qStreamTokenize, qBpePrune)

@@ -219,6 +219,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Set(ranks(10L), ranks(12L)) == Set(1L, 2L), s"ranks: $ranks")
   }
 
+  test("phraseQuery: anchor-merge semantics — overlap, repeats, order, and the integer score") {
+    import org.apache.spark.sql.functions.col
+    // corpus built to pin every matching rule:
+    //  d1 "a a a"      — "a a" occurs at anchors 1 and 2 (overlap)
+    //  d2 "a b a b a"  — "a b a" at 1 and 3 (repeated term in phrase)
+    //  d3 "b a"        — contains both tokens of "a b" but reversed
+    //  d4 "x a b y"    — "a b" once, mid-document
+    val docs = Seq((1L, "a a a"), (2L, "a b a b a"), (3L, "b a"),
+      (4L, "x a b y")).toDF("doc_id", "text")
+    val pidx = Retrieval.buildPositionalIndex(docs)
+    def ranked(phrase: String): Seq[(Long, Long, Long)] =
+      Retrieval.phraseQuery(pidx,
+          Seq((9L, phrase)).toDF("query_id", "text"), k = 10)
+        .orderBy("rank")
+        .select(col("rank"), col("doc_id"), col("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    // "a b": d2 twice (anchors 1, 3), d4 once; d3 NEVER (order), d1
+    // never (no b). tf drives the saturation so d2 outranks d4.
+    assert(ranked("a b") == Seq((1L, 2L, 2L), (2L, 4L, 1L)))
+    // overlapping occurrences count: "a a" in "a a a" = anchors 1, 2
+    assert(ranked("a a") == Seq((1L, 1L, 2L)))
+    // repeated phrase term: "a b a" at anchors 1 and 3 of d2 only
+    assert(ranked("a b a") == Seq((1L, 2L, 2L)))
+    // absent phrase: empty result, never a false positive
+    assert(ranked("b b") == Seq.empty)
+    // integer score replica for the "a b" query: n=4, phrase df=2,
+    // a = floorDiv(3+5+2+4, 4) = 3, s = 2^20
+    def qlog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    def score(tf: Long, dl: Long): Long = {
+      val iq = qlog2(2 * (4 - 2) + 1) - qlog2(2 * 2 + 1)
+      iq * ((22L * 3 * (1L << 20) * tf) / (10L * 3 * tf + 3L * 3 + 9L * dl))
+    }
+    val got = Retrieval.phraseQuery(pidx,
+        Seq((9L, "a b")).toDF("query_id", "text"), k = 10)
+      .orderBy("rank").select(col("doc_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, score(2, 5)), (4L, score(1, 4))))
+  }
+
   test("rare terms outrank the corpus-wide stopword") {
     // query = one rare + the stopword 'the' (in 6 of 8 docs, iq<0):
     // doc 6 (iota, no 'the') must beat every the-only doc

@@ -356,6 +356,27 @@ class TrainingSpec extends AnyFunSuite {
     assert(enc == Seq(Seq("aaab"), Seq("ab"), Seq("aa", "a")))
   }
 
+  test("collapseRepeats: hand-computed blocks — chains, phases, n=1 adjacency, no-op") {
+    def run(text: String, n: Int): (Long, String) = {
+      val r = TextOps.collapseRepeats(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", n)
+        .head()
+      (r.getLong(1), r.getString(2))
+    }
+    // chain: "AB AB AB" — blocks at 3 AND 5 (each equals its ORIGINAL
+    // predecessor), union deletes {3..6}, one pass, no rescan
+    assert(run("A B A B A B", 2) == (4L, "A B"))
+    // mid-document single repeat
+    assert(run("x a b a b y", 2) == (2L, "x a b y"))
+    // n=1 reduces to adjacent-duplicate-token dedup
+    assert(run("a a a b b a", 1) == (3L, "a b a"))
+    // order matters: "b a" after "a b" is NOT a repeat
+    assert(run("a b b a", 2) == (0L, "a b b a"))
+    // shorter than 2n: nothing can repeat
+    assert(run("a b c", 2) == (0L, "a b c"))
+    assert(run("", 2) == (0L, ""))
+  }
+
   test("bpePrune: hand-computed thresholds; non-vacuous on the oracle corpus; order-preserving subsequence") {
     // words: aaab(wf3), ab(wf2) -> merges (a,a),(a,b),(aa,ab); final
     // state aaab->[aaab] x3, ab->[ab] x2 => total syms 5,
