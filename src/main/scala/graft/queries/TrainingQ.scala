@@ -1832,6 +1832,44 @@ object TrainingQ {
       FROM rk WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  /** STREAMING phrase serving (31st batch/stream equivalence pin):
+    * phrase queries arrive as a STREAM and are answered per trigger
+    * against the frozen POSITIONAL index ([[frozenPositionalIndex]])
+    * through `foreachBatch` + a parquet sink — the [[qStreamBm25]]
+    * shape one index tier up: candidate work per trigger is the
+    * batch's phrase-term posting lists, no state store, index refresh
+    * is an artifact swap. Same oracle as q_bm25_phrase: the stream
+    * path must lose nothing — anchors, occurrence counts, integer
+    * scores and ranks all hash-equal the batch face.
+    */
+  val qStreamPhrase = Q(
+    "q_stream_phrase",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_phrase").toString
+      val docs = Tables.documents(spark, dir)
+      val frozen = frozenPositionalIndex(spark, dir)
+      val qStream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 3), " ")
+            .as("text"))
+      val q = qStream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.ops.Retrieval.phraseQuery(frozen, batch, k = 5)
+            .write.mode("append").parquet(s"$work/out")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$work/out").orderBy("query_id", "rank")
+    },
+    qBm25Phrase.oracle
+  )
+
   /** INCREMENTAL index maintenance — build the inverted index on two
     * disjoint corpus shards independently (doc-id parity standing in
     * for "last month's index + this month's batch"), merge the
@@ -4241,7 +4279,8 @@ object TrainingQ {
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
-    qBm25Merge, qBm25Phrase, qDeconQuery, qHybridRrf, qBm25Pruned, qStreamHybrid,
+    qBm25Merge, qBm25Phrase, qStreamPhrase, qDeconQuery, qHybridRrf,
+    qBm25Pruned, qStreamHybrid,
     qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown, qBm25Epoch,
     qHardNegatives,
     qAnnTakedown, qHtmlExtract, qUrlNorm, qStreamTokenize, qBpePrune)
