@@ -154,22 +154,37 @@ object CowTable {
         sum(when(col("op") === "upsert", 1).otherwise(0)).as("_u"),
         collect_set(col(partCol)).as("_ps"))
     // the touched-partition list rides the SAME job as the contract
-    // audit (set-union over the per-id sets — bounded by
-    // partition-key cardinality; nulls counted separately since
-    // collect_set drops them): the per-trigger CDC intake loop
-    // (q_stream_cow) pays merge's driver-side job floor once per
-    // trigger, so every fused validation job is a per-trigger saving
-    val audit = perId.agg(
-      coalesce(sum(col("_n")), lit(0L)).as("rows"),
-      coalesce(sum(when(col("_n") > col("_np"), 1).otherwise(0)),
-        lit(0L)).as("dups"),
-      coalesce(sum(when(col("_u") > 1, 1).otherwise(0)), lit(0L))
-        .as("dualUps"),
-      coalesce(sum(col("_d")), lit(0L)).as("dels"),
-      coalesce(sum(col("_u")), lit(0L)).as("ups"),
-      array_distinct(flatten(collect_list(col("_ps")))).as("parts"),
-      coalesce(sum(when(col("_np") > size(col("_ps")), 1).otherwise(0)),
-        lit(0L)).as("nullParts")).head()
+    // audit: the per-trigger CDC intake loop (q_stream_cow) pays
+    // merge's driver-side job floor once per trigger, so every fused
+    // validation job is a per-trigger saving. The per-id _ps sets are
+    // tiny, but collecting one set PER ID into the final buffer
+    // (collect_list + flatten) would make that buffer O(change-batch
+    // ids) on one task; instead posexplode the sets (narrow — no
+    // extra exchange) and union with collect_set, whose buffer is
+    // bounded by partition-KEY cardinality. The scalar sums ride the
+    // same aggregate, gated to each id's first exploded row (_i null
+    // for an all-null-partition id, else 0) so every id contributes
+    // exactly once. Nulls are counted separately since collect_set
+    // drops them.
+    val _first = col("_i").isNull || col("_i") === 0
+    val audit = perId
+      .select(col("_n"), col("_np"), col("_d"), col("_u"),
+        size(col("_ps")).as("_sz"),
+        posexplode_outer(col("_ps")).as(Seq("_i", "_part")))
+      .agg(
+        coalesce(sum(when(_first, col("_n")).otherwise(0L)), lit(0L))
+          .as("rows"),
+        coalesce(sum(when(_first && col("_n") > col("_np"), 1)
+          .otherwise(0)), lit(0L)).as("dups"),
+        coalesce(sum(when(_first && col("_u") > 1, 1).otherwise(0)),
+          lit(0L)).as("dualUps"),
+        coalesce(sum(when(_first, col("_d")).otherwise(0L)), lit(0L))
+          .as("dels"),
+        coalesce(sum(when(_first, col("_u")).otherwise(0L)), lit(0L))
+          .as("ups"),
+        collect_set(col("_part")).as("parts"),
+        coalesce(sum(when(_first && col("_np") > col("_sz"), 1)
+          .otherwise(0)), lit(0L)).as("nullParts")).head()
     require(audit.getLong(1) == 0,
       s"${audit.getLong(1)} ids carry more than one change for one " +
         s"$partCol value in this batch — order within a batch is " +
@@ -465,17 +480,27 @@ object CowTable {
     // ONE validation job, not two: the per-trigger CDC intake loop
     // (q_stream_mor) pays appendChanges' driver-side job floor three
     // times per run, so the distinct-partition-values pass rides the
-    // same aggregation as the contract audit. collect_set drops
-    // nulls, so null partition keys are counted separately and refuse
-    // through the same message validatePartitionValues carries.
-    val audit = perId.agg(
-      coalesce(sum(when(col("_n") > col("_np"), 1).otherwise(0)),
-        lit(0L)),
-      coalesce(sum(when(col("_u") > 1, 1).otherwise(0)), lit(0L)),
-      coalesce(sum(col("_bad")), lit(0L)),
-      array_distinct(flatten(collect_list(col("_ps")))),
-      coalesce(sum(when(col("_np") > size(col("_ps")), 1).otherwise(0)),
-        lit(0L)))
+    // same aggregation as the contract audit — via the same bounded
+    // posexplode + collect_set shape as [[merge]]'s (one set per id
+    // in the final buffer would be O(batch ids); collect_set over the
+    // exploded rows is bounded by partition-key cardinality, and the
+    // scalar sums gate to each id's first exploded row). collect_set
+    // drops nulls, so null partition keys are counted separately and
+    // refuse through the same message validatePartitionValues carries.
+    val _first = col("_i").isNull || col("_i") === 0
+    val audit = perId
+      .select(col("_n"), col("_np"), col("_u"), col("_bad"),
+        size(col("_ps")).as("_sz"),
+        posexplode_outer(col("_ps")).as(Seq("_i", "_part")))
+      .agg(
+        coalesce(sum(when(_first && col("_n") > col("_np"), 1)
+          .otherwise(0)), lit(0L)),
+        coalesce(sum(when(_first && col("_u") > 1, 1).otherwise(0)),
+          lit(0L)),
+        coalesce(sum(when(_first, col("_bad")).otherwise(0L)), lit(0L)),
+        collect_set(col("_part")),
+        coalesce(sum(when(_first && col("_np") > col("_sz"), 1)
+          .otherwise(0)), lit(0L)))
       .head()
     require(audit.getLong(0) == 0,
       "more than one change per (id, partition) in this batch — the " +

@@ -547,25 +547,46 @@ object ForgetStore {
     // maintain the per-entry row counts EXACTLY from state already on
     // the driver (old count minus this entry's displaced rows — the
     // fetched hit rows carry the partition of every removed row), so
-    // the Bounded audit's `remaining` never needs a scan
+    // the Bounded audit's `remaining` never needs a scan.
+    // BACKFILL: a store written before the counts format carries no
+    // per-entry counts and subtraction cannot create one — count the
+    // just-rewritten touched blobs instead (bounded by the touched
+    // set; ZERO extra jobs on the normal path where every entry
+    // already carries a count), so repeated forgets gradually make a
+    // legacy store Bounded-auditable entry by entry.
+    def backfill(prefix: String, pc: String, tv: Seq[String])
+        : Map[String, Long] = {
+      val miss = tv.filter(v => entries.contains(s"$prefix$v") &&
+        !countsOld.contains(s"$prefix$v"))
+      if (miss.isEmpty) Map.empty
+      else readPartDirs(spark,
+          miss.map(v => s"$root/${entries(s"$prefix$v")}").toIndexedSeq)
+        .groupBy(col(pc).cast("string").as("_p"))
+        .agg(count(lit(1)).as("_n")).collect()
+        .map(r => s"$prefix${r.getString(0)}" -> r.getLong(1)).toMap
+    }
     val countsNew = scala.collection.mutable.Map.empty[String, Long]
     countsNew ++= countsOld
     val goneByPart = hitRows.groupBy(_.getString(1))
       .map { case (p, rs) => p -> rs.length.toLong }
+    val bfCorpus = backfill("corpus/", partCol,
+      touchedParts.toIndexedSeq)
     touchedParts.foreach { v =>
       val k = s"corpus/$v"
       if (entries.contains(k))
-        countsOld.get(k).foreach(n =>
-          countsNew(k) = n - goneByPart.getOrElse(v, 0L))
+        (countsOld.get(k).map(_ - goneByPart.getOrElse(v, 0L))
+          orElse bfCorpus.get(k)).foreach(countsNew(k) = _)
       else countsNew.remove(k) // partition emptied with its entry
     }
     val goneByLabel = annHits.groupBy(_.getString(1))
       .map { case (p, rs) => p -> rs.length.toLong }
+    val bfAnn = backfill("ann/corpus/", clusterCol,
+      touchedLabels.toIndexedSeq)
     touchedLabels.foreach { v =>
       val k = s"ann/corpus/$v"
       if (entries.contains(k))
-        countsOld.get(k).foreach(n =>
-          countsNew(k) = n - goneByLabel.getOrElse(v, 0L))
+        (countsOld.get(k).map(_ - goneByLabel.getOrElse(v, 0L))
+          orElse bfAnn.get(k)).foreach(countsNew(k) = _)
       else countsNew.remove(k)
     }
 
@@ -659,8 +680,9 @@ object ForgetStore {
       require(missing.isEmpty,
         s"Bounded audit needs per-entry row counts but ${missing.size} " +
           s"$prefix entries carry none (store written before counts " +
-          "existed?) — run audit = Full once; the next forget " +
-          "republishes counts for its touched entries")
+          "existed?) — each forget BACKFILLS counts for the entries it " +
+          "touches, so run audit = Full until every entry has been " +
+          "touched once, or rebuild the store with init")
       under.map(counts).sum
     }
     val corpusRemaining = sumCounts("corpus/")

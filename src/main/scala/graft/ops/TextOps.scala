@@ -577,6 +577,20 @@ object TextOps {
     * conditional sums + a total — the exchange is one row of
     * nMerges+1 longs, never a vocab-sized shuffle; the decision is
     * driver-side on the model-sized list, like every trainer here.
+    *
+    * SPELLING-KEYED counts, deliberately: two merges whose
+    * concatenations collide — ('a','bc') and ('ab','c') both spell
+    * "abc" — share one occurrence count and one keep/prune decision.
+    * That is the semantics a vocab trim wants: the VOCAB SLOT is the
+    * spelling (both merges emit the same output token id in any real
+    * tokenizer), so the slot earns its keep by total surface
+    * frequency regardless of which merge path produced each
+    * occurrence. A per-RANK attribution would need one encode pass
+    * per merge (nMerges corpus scans) to observe the intermediate
+    * states — and would then trim one path of a spelling that
+    * overall earns its slot. The DuckDB oracle keys the same way, so
+    * the decision replays hash-exactly. (ADVICE round-16 collision
+    * note — resolved as documented semantics.)
     */
   def bpePrune(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)], ppm: Long)
