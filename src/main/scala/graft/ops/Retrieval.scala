@@ -246,6 +246,105 @@ object Retrieval {
       .select("query_id", "rank", "doc_id", "tf", "score")
   }
 
+  /** PROXIMITY retrieval over a [[PositionalIndex]] — top-`k` docs
+    * containing all of a query's DISTINCT terms within a `window` of
+    * `w` consecutive token positions, in ANY order, ranked by the
+    * engine's integer BM25 with the proximity match as one virtual
+    * term (tf = occurrence count, df = docs with ≥1 occurrence, per
+    * query — the [[phraseQuery]] scoring discipline one constraint
+    * looser).
+    *
+    * The EXACT-COUNT semantic (pinned before coding, per the round-16
+    * verdict: windows overlap, so "how many occurrences" needs a
+    * definition): tf = the number of MINIMAL INTERVALS of span ≤ w —
+    * intervals [a, b] containing every distinct query term such that
+    * no proper subinterval does (Clarke & Cormack's minimal-interval
+    * semantics, the standard crisp answer; "count every covering
+    * window start" would count each match once per sliding offset).
+    * Minimal intervals nest-free ⇒ both endpoints hold query terms,
+    * and the count is computed relationally from two facts:
+    *
+    *  - b(a) = max over terms t of (first occurrence of t at or after
+    *    a) is the tightest right end of a cover starting at a, and
+    *    [a, b(a)] cannot shrink on the right (the term attaining the
+    *    max first occurs there);
+    *  - [a, b(a)] cannot shrink on the LEFT iff the anchor's own term
+    *    does not reoccur in (a, b(a)] — position a holds exactly one
+    *    token, so every other term's occurrences in the interval are
+    *    already ≥ a+1.
+    *
+    * So: count anchors a (positions of query terms) whose window
+    * [a, a+w−1] contains all m terms and whose term does not reoccur
+    * in (a, b(a)]. RetrievalSpec pins the counter-example shapes:
+    * "x x y" counts ONE (anchor 1's x reoccurs inside its cover),
+    * "x y x" counts TWO (genuinely overlapping minimal intervals),
+    * repeated query tokens collapse to the distinct term set, w below
+    * the tightest span counts zero.
+    *
+    * Scale shape: the query side broadcasts; candidates come from the
+    * inverted-index equality join on term (posting lists, never |C|);
+    * the anchor-window pairing is a self-join of the matched
+    * positions on (query, doc) banded by the window predicate —
+    * per-doc cost is O(occurrences · occurrences-within-w), the
+    * classic positional-intersection bound, map-side partial-agged on
+    * the same exchange the scoring needs. A stopword-frequency query
+    * term admits its posting list exactly as in [[bm25Scores]] —
+    * prune with its maxDfPpm discipline at the caller if warranted.
+    */
+  def proxQuery(pidx: PositionalIndex, queries: DataFrame, w: Int,
+      k: Int, queryIdCol: String = "query_id", textCol: String = "text",
+      scaleBits: Int = 20): DataFrame = {
+    require(w >= 1, s"window must be >= 1 token, got $w")
+    require(scaleBits > 0 && scaleBits < 40, "scaleBits must leave headroom")
+    // (query_id, term) DISTINCT — proximity is a term-SET constraint
+    val qt = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+    val mlen = qt.groupBy("query_id")
+      .agg(count(lit(1)).as("m"))
+    // matched positions: one row per (query, doc, term, position)
+    val hits = pidx.postings.join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        explode(col("pos")).as("p"))
+    // anchor × window-mate pairing, banded by the window predicate
+    val anch = hits.select(col("query_id"), col("doc_id"),
+      col("term").as("ta"), col("p").as("a"))
+    val mate = hits.select(col("query_id"), col("doc_id"),
+      col("term"), col("p"))
+    val win = anch.join(mate, Seq("query_id", "doc_id"))
+      .filter(col("p") >= col("a") && col("p") < col("a") + w)
+    // per (anchor, term): first occurrence in the window; the
+    // anchor's own term additionally tracks its first REOCCURRENCE
+    val perTerm = win.groupBy("query_id", "doc_id", "a", "ta", "term")
+      .agg(min(col("p")).as("minp"),
+        min(when(col("term") === col("ta") && col("p") > col("a"),
+          col("p"))).as("taNext"))
+    // per anchor: cover iff all m terms present; minimal-left iff the
+    // anchor's term does not reoccur within the cover [a, b]
+    val occ = perTerm.groupBy("query_id", "doc_id", "a")
+      .agg(count(lit(1)).as("nt"), max(col("minp")).as("b"),
+        min(col("taNext")).as("taNext"))
+      .join(broadcast(mlen), Seq("query_id"))
+      .filter(col("nt") === col("m") &&
+        (col("taNext").isNull || col("taNext") > col("b")))
+    val tfp = occ.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val dfp = tfp.groupBy("query_id").agg(count(lit(1)).as("dfq"))
+    val s = 1L << scaleBits
+    val iq = qlog2(lit(2L) * (lit(pidx.nDocs) - col("dfq")) + lit(1L)) -
+      qlog2(lit(2L) * col("dfq") + lit(1L))
+    val scored = tfp.join(broadcast(dfp), Seq("query_id"))
+      .join(pidx.dl, Seq("doc_id"))
+      .withColumn("num", lit(22L * pidx.avgdl * s) * col("tf"))
+      .withColumn("den", lit(10L * pidx.avgdl) * col("tf") +
+        lit(3L * pidx.avgdl) + lit(9L) * col("dl"))
+      .withColumn("score", iq * expr("num div den"))
+    val wnd = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(wnd).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "tf", "score")
+  }
+
   /** One-shot convenience: [[buildIndex]] + [[bm25Query]]. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       docIdCol: String = "doc_id", textCol: String = "text",

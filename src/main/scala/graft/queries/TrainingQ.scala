@@ -1870,6 +1870,77 @@ object TrainingQ {
     qBm25Phrase.oracle
   )
 
+  /** PROXIMITY retrieval over the same frozen positional index (see
+    * [[graft.ops.Retrieval.proxQuery]]): each query is tokens 1, 4
+    * and 7 of docs 0-2 — an UNORDERED term set that must co-occur
+    * within a 10-token window; tf is the number of MINIMAL INTERVALS
+    * of span ≤ 10 (Clarke & Cormack semantics — the crisp exact count
+    * the round-16 verdict asked to pin before coding), scored as the
+    * engine's integer BM25 with the match as one virtual term. The
+    * oracle replays position table → anchor/window pairing → the
+    * two-level minimality aggregate → the identical integer score.
+    */
+  val qBm25Prox = Q(
+    "q_bm25_prox",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val ts = TextOps.tokens(col("text"))
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", element_at(ts, 1), element_at(ts, 4),
+            element_at(ts, 7)).as("text"))
+      graft.ops.Retrieval.proxQuery(
+          frozenPositionalIndex(spark, dir), queries, w = 10, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $tokCtes,
+      dlq AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+      stq AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(dl) AS BIGINT) AS l FROM dlq),
+      av AS (SELECT n, l // n AS a FROM stq),
+      tok AS (SELECT t.doc_id, i AS pos, t.ts[i] AS term
+          FROM toks t, unnest(range(1, len(t.ts)+1)) u(i)),
+      q AS (SELECT doc_id AS query_id,
+          list_distinct(list_filter([ts[1], ts[4], ts[7]],
+            x -> x IS NOT NULL)) AS qts
+          FROM toks WHERE doc_id < 3),
+      qt AS (SELECT query_id, unnest(qts) AS term FROM q),
+      mlen AS (SELECT query_id,
+          CAST(count(*) AS BIGINT) AS m FROM qt GROUP BY 1),
+      hit AS (SELECT qt.query_id, tok.doc_id, qt.term, tok.pos AS p
+          FROM qt JOIN tok ON tok.term = qt.term),
+      win AS (SELECT a.query_id, a.doc_id, a.p AS a, a.term AS ta,
+          h.term, h.p
+        FROM hit a JOIN hit h ON h.query_id = a.query_id
+          AND h.doc_id = a.doc_id
+          AND h.p >= a.p AND h.p < a.p + 10),
+      pt AS (SELECT query_id, doc_id, a, ta, term,
+          min(p) AS minp,
+          min(CASE WHEN term = ta AND p > a THEN p END) AS tan
+        FROM win GROUP BY 1, 2, 3, 4, 5),
+      occ AS (SELECT p.query_id, p.doc_id, p.a
+        FROM pt p JOIN mlen m ON m.query_id = p.query_id
+        GROUP BY p.query_id, p.doc_id, p.a, m.m
+        HAVING count(*) = m.m
+          AND (min(tan) IS NULL OR min(tan) > max(minp))),
+      tfp AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM occ GROUP BY 1, 2),
+      dfp AS (SELECT query_id, CAST(count(*) AS BIGINT) AS dfq
+          FROM tfp GROUP BY 1),
+      sc AS (SELECT t.query_id, t.doc_id, t.tf,
+          (CAST(length(bin(2 * (av.n - f.dfq) + 1)) - 1 AS BIGINT)
+            - CAST(length(bin(2 * f.dfq + 1)) - 1 AS BIGINT))
+          * ((22 * av.a * ${1L << 20} * t.tf)
+             // (10 * av.a * t.tf + 3 * av.a + 9 * dlq.dl)) AS score
+        FROM tfp t JOIN dfp f USING (query_id)
+        JOIN dlq ON dlq.doc_id = t.doc_id CROSS JOIN av),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, tf, score
+      FROM rk WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   /** INCREMENTAL index maintenance — build the inverted index on two
     * disjoint corpus shards independently (doc-id parity standing in
     * for "last month's index + this month's batch"), merge the
@@ -4279,7 +4350,8 @@ object TrainingQ {
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
-    qBm25Merge, qBm25Phrase, qStreamPhrase, qDeconQuery, qHybridRrf,
+    qBm25Merge, qBm25Phrase, qStreamPhrase, qBm25Prox, qDeconQuery,
+    qHybridRrf,
     qBm25Pruned, qStreamHybrid,
     qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown, qBm25Epoch,
     qHardNegatives,

@@ -259,6 +259,53 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == Seq((2L, score(2, 5)), (4L, score(1, 4))))
   }
 
+  test("proxQuery: minimal-interval semantics — left/right minimality, overlap, order, window, and the integer score") {
+    import org.apache.spark.sql.functions.col
+    // corpus built to pin every counting rule of the minimal-interval
+    // semantic (see Retrieval.proxQuery's scaladoc):
+    //  d1 "x x y"       — [1,3] covers but is NOT minimal ([2,3] is):
+    //                     the anchor-1 x reoccurs inside its cover
+    //  d2 "x y x"       — genuinely overlapping minimal intervals
+    //                     [1,2] and [2,3]: both count
+    //  d3 "y x"         — reversed order still matches (unordered)
+    //  d4 "x a a a y"   — span-5 cover: in/out by window size
+    val docs = Seq((1L, "x x y"), (2L, "x y x"), (3L, "y x"),
+      (4L, "x a a a y")).toDF("doc_id", "text")
+    val pidx = Retrieval.buildPositionalIndex(docs)
+    def tfs(q: String, w: Int): Map[Long, Long] =
+      Retrieval.proxQuery(pidx,
+          Seq((9L, q)).toDF("query_id", "text"), w = w, k = 10)
+        .select(col("doc_id"), col("tf"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // w=3: d1 counts ONE ([2,3] only — left-minimality kills anchor 1),
+    // d2 counts TWO ([1,2], [2,3]), d3 ONE (order-free), d4 none (span 5)
+    assert(tfs("x y", 3) == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    // window below the tightest span: m=2 can never fit in w=1
+    assert(tfs("x y", 1) == Map.empty[Long, Long])
+    // window exactly the d4 span admits it
+    assert(tfs("x y", 5) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // repeated query tokens collapse to the distinct term set
+    assert(tfs("x x y", 3) == tfs("x y", 3))
+    // m=1: every occurrence is its own minimal interval, any w
+    assert(tfs("x", 1) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // integer score replica for ("x y", w=3): n=4, df=3 (d1,d2,d3),
+    // a = floorDiv(3+3+2+5, 4) = 3, s = 2^20 — same virtual-term
+    // chain as phraseQuery, tf from the minimal-interval count
+    def qlog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    def score(tf: Long, dl: Long): Long = {
+      val iq = qlog2(2 * (4 - 3) + 1) - qlog2(2 * 3 + 1)
+      iq * ((22L * 3 * (1L << 20) * tf) / (10L * 3 * tf + 3L * 3 + 9L * dl))
+    }
+    val got = Retrieval.proxQuery(pidx,
+        Seq((9L, "x y")).toDF("query_id", "text"), w = 3, k = 10)
+      .orderBy("rank").select(col("doc_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = Seq((2L, score(2, 3)), (1L, score(1, 3)),
+      (3L, score(1, 2))).sortBy { case (d, s) => (-s, d) }
+    assert(got == expect)
+  }
+
   test("rare terms outrank the corpus-wide stopword") {
     // query = one rare + the stopword 'the' (in 6 of 8 docs, iq<0):
     // doc 6 (iota, no 'the') must beat every the-only doc
