@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.ops.Retrieval
 
 /** ATOMIC cross-artifact takedown — the corpus, the BM25 inverted
-  * index, and the trained IVF vector layout published as ONE
-  * snapshot, so a right-to-be-forgotten delete is visible
-  * all-or-nothing across every artifact derived from the corpus.
+  * index, its POSITIONAL tier (phrase/proximity serving), and the
+  * trained IVF vector layout published as ONE snapshot, so a
+  * right-to-be-forgotten delete is visible all-or-nothing across
+  * every artifact derived from the corpus.
   *
   * Why the per-artifact machinery is not enough: [[CowTable.merge]],
   * [[Retrieval.removeFromIndex]] and [[AnnLayout.deleteTrained]] are
@@ -33,16 +34,18 @@ import graft.ops.Retrieval
   *
   * A manifest maps fine-grained ENTRIES — one per corpus partition
   * (`corpus/<lang>`), per postings/doc-length bucket
-  * (`bm25/postings/<b>`, `bm25/dl/<b>`), per IVF cluster partition
-  * (`ann/corpus/<label>`), plus the model-sized singletons
+  * (`bm25/postings/<b>`, `bm25/dl/<b>`), per POSITIONAL-postings
+  * bucket (`pos/postings/<b>` — the phrase/proximity serving tier,
+  * doc-id-bucketed exactly like the flat tier), per IVF cluster
+  * partition (`ann/corpus/<label>`), plus the model-sized singletons
   * (`bm25/df`, `bm25/meta`, `ann/reps`) — to immutable blob
   * directories. A forget writes NEW blob dirs for the touched
   * entries only (O(touched-partitions) data, never O(corpus)), reuses
   * every untouched entry's path verbatim (ForgetStoreSpec pins file
   * identity), and publishes the composed manifest with
   * [[EpochLayout]]'s marker-create protocol: readers resolve the
-  * highest COMPLETE epoch, so they see all three artifacts pre-forget
-  * or all three post-forget, never a mix. A crash anywhere before the
+  * highest COMPLETE epoch, so they see all four artifacts pre-forget
+  * or all four post-forget, never a mix. A crash anywhere before the
   * marker leaves unreferenced blobs and an unmarked epoch — invisible
   * to readers, swept at the next writer entry.
   *
@@ -111,8 +114,8 @@ object ForgetStore {
   /** Manifest lines are `key \t path [\t rows]`: the optional third
     * field carries the entry's exact row count (corpus and ann/corpus
     * entries — what the [[Bounded]] audit's `remaining` sums without
-    * scanning). bm25 entries carry no count: their `remaining` is the
-    * model-sized meta scalar.
+    * scanning). bm25 and pos entries carry no count: their
+    * `remaining` is the model-sized meta scalar.
     */
   private def writeManifest(spark: SparkSession, epochDir: String,
       entries: Map[String, String],
@@ -222,6 +225,30 @@ object ForgetStore {
       Math.floorDiv(totalLen, math.max(nDocs, 1L))), totalLen)
   }
 
+  /** The POSITIONAL index at the current snapshot — the phrase/
+    * proximity serving tier ([[Retrieval.phraseQuery]] /
+    * [[Retrieval.proxQuery]]). Shares dl and the corpus scalars with
+    * the flat bm25 artifact: positions change neither doc lengths nor
+    * N/L, so the tier is exactly one more entry class
+    * (`pos/postings/<b>`, doc-id-bucketed like the flat postings).
+    */
+  def positionalIndex(spark: SparkSession, root: String)
+      : Retrieval.PositionalIndex =
+    positionalIndexOf(spark, currentManifest(spark, root)._2)
+
+  private def positionalIndexOf(spark: SparkSession,
+      m: Map[String, String]): Retrieval.PositionalIndex = {
+    val postings = readPartDirs(spark,
+        entriesUnder(m, "pos/postings/").map(_._2))
+      .select("doc_id", "term", "tf", "pos")
+    val dl = readPartDirs(spark, entriesUnder(m, "bm25/dl/").map(_._2))
+      .select("doc_id", "dl")
+    val meta = spark.read.parquet(m("bm25/meta")).head()
+    val nDocs = meta.getAs[Long]("n_docs")
+    Retrieval.PositionalIndex(postings, dl, nDocs,
+      Math.floorDiv(meta.getAs[Long]("total_len"), math.max(nDocs, 1L)))
+  }
+
   /** IVF top-k at the current snapshot — [[AnnLayout.knnIvfOn]]'s
     * core with the probe list resolved to manifest entries (probed
     * clusters → partition-dir filter, same pruning discipline as the
@@ -304,13 +331,33 @@ object ForgetStore {
     listPartDirs(spark, s"$root/$corpusGen").foreach { d =>
       entries(s"corpus/${d.split("=").last}") = s"$corpusGen/$d"
     }
-    // bm25 (bucketed by doc id)
-    val idx = Retrieval.buildIndex(docs, docIdCol, textCol)
-    val bmGen = "blobs/bm25/g1"
+    // bm25 + POSITIONAL tiers from ONE positional build: the
+    // positional postings (term, tf, sorted positions — the phrase/
+    // proximity serving artifact) are the SUPERSET of the flat tier,
+    // so the flat postings and df derive from their READ-BACK (column
+    // pruning — the position arrays never materialize for the flat
+    // writes) instead of paying the tokenize pass again; dl writes
+    // from the shared tokenize lineage (exact even for zero-token
+    // docs, which have a dl row but no postings), and meta from the
+    // dl read-back. Both index tiers share dl and meta: positions
+    // change neither doc lengths nor the corpus scalars.
+    val pidx = Retrieval.buildPositionalIndex(docs, docIdCol, textCol)
     val bkt = pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket")
-    Bucketing.writePartitioned(idx.postings.withColumn("bucket", bkt),
+    val posGen = "blobs/pos/g1"
+    Bucketing.writePartitioned(pidx.postings.withColumn("bucket", bkt),
+      s"$root/$posGen/postings", Seq("bucket"), Seq("doc_id", "term"))
+    listPartDirs(spark, s"$root/$posGen/postings").foreach { d =>
+      entries(s"pos/postings/${d.split("=").last}") =
+        s"$posGen/postings/$d"
+    }
+    val bmGen = "blobs/bm25/g1"
+    val posBack = spark.read
+      .option("basePath", s"$root/$posGen/postings")
+      .parquet(s"$root/$posGen/postings")
+      .select("doc_id", "term", "tf", "bucket")
+    Bucketing.writePartitioned(posBack,
       s"$root/$bmGen/postings", Seq("bucket"), Seq("doc_id", "term"))
-    Bucketing.writePartitioned(idx.dl.withColumn("bucket", bkt),
+    Bucketing.writePartitioned(pidx.dl.withColumn("bucket", bkt),
       s"$root/$bmGen/dl", Seq("bucket"), Seq("doc_id"))
     listPartDirs(spark, s"$root/$bmGen/postings").foreach { d =>
       entries(s"bm25/postings/${d.split("=").last}") =
@@ -319,11 +366,15 @@ object ForgetStore {
     listPartDirs(spark, s"$root/$bmGen/dl").foreach { d =>
       entries(s"bm25/dl/${d.split("=").last}") = s"$bmGen/dl/$d"
     }
-    idx.df.coalesce(1).write.mode("overwrite")
+    posBack.groupBy("term").agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/$bmGen/df")
     entries("bm25/df") = s"$bmGen/df"
-    writeMeta(spark, s"$root/$bmGen/meta", idx.nDocs,
-      Retrieval.totalLen(idx))
+    val dlBack = spark.read.parquet(s"$root/$bmGen/dl")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("dl"), lit(0L)).as("l")).head()
+    writeMeta(spark, s"$root/$bmGen/meta", dlBack.getLong(0),
+      dlBack.getLong(1))
     entries("bm25/meta") = s"$bmGen/meta"
     // ann (trained IVF — reps codebook + cluster-partitioned corpus)
     val annGen = "blobs/ann/g1"
@@ -370,7 +421,7 @@ object ForgetStore {
 
   // ---- forget ---------------------------------------------------------
 
-  /** Apply one bounded takedown batch across all three artifacts and
+  /** Apply one bounded takedown batch across all four artifacts and
     * publish the result as ONE new epoch. Touched-entry blobs land
     * under generation `g<newEpoch>`; untouched entries carry their
     * old paths forward verbatim. Returns the per-artifact audit rows,
@@ -382,7 +433,7 @@ object ForgetStore {
     * audit). Single writer, like every store in this package.
     *
     * `failpoint` is the crash-test hook: invoked with "corpus",
-    * "bm25", "ann" after each artifact's new blobs are staged (all
+    * "bm25", "pos", "ann" after each artifact's new blobs are staged (all
     * still invisible — the manifest marker has not been created), so
     * a spec can kill the build between artifacts and pin that readers
     * never observe a mix.
@@ -498,6 +549,35 @@ object ForgetStore {
     }
     failpoint("bm25")
 
+    // -- pos: rewrite the positional tier's touched doc buckets —
+    // the phrase/proximity serving artifact forgets with everything
+    // else (a takedown that left position postings behind would keep
+    // the removed text retrievable through phraseQuery). Same bucket
+    // arithmetic as the flat tier: an id lives in `id mod buckets` on
+    // both. Stores inited before the tier exists carry no pos entries
+    // and skip the arm (and its audit row) entirely.
+    val hasPos = m.keys.exists(_.startsWith("pos/postings/"))
+    val posRemoved = if (hasPos) bmRemoved else 0L
+    if (hasPos && bmRemoved > 0) {
+      val posGen = gen.format("pos")
+      readPartDirs(spark, touchedBkts
+          .flatMap(b => m.get(s"pos/postings/$b")).toIndexedSeq)
+        .join(broadcast(idsDf.withColumnRenamed(docIdCol, "doc_id")),
+          Seq("doc_id"), "left_anti")
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/$posGen/postings")
+      val posWritten = listPartDirs(spark, s"$root/$posGen/postings")
+        .map(_.split("=").last.toLong).toSet
+      touchedBkts.foreach { b =>
+        if (posWritten.contains(b)) entries(s"pos/postings/$b") =
+          s"$posGen/postings/bucket=$b"
+        else entries.remove(s"pos/postings/$b") // bucket emptied
+      }
+    }
+    failpoint("pos")
+
     // -- ann: rewrite touched cluster dirs (point-fetch hoisted into
     // the fused job above; labels travel as their string form — the
     // manifest keys them via string interpolation either way)
@@ -534,14 +614,15 @@ object ForgetStore {
       touchedParts.map(v => s"corpus/$v") ++
       touchedBkts.flatMap(b =>
         Seq(s"bm25/postings/$b", s"bm25/dl/$b")) ++
+      (if (hasPos) touchedBkts.map(b => s"pos/postings/$b") else Nil) ++
       touchedLabels.map(v => s"ann/corpus/$v")).toIndexedSeq
 
     if (corpusRemoved == 0 && bmRemoved == 0 && annRemoved == 0)
       return audit match {
         case Full => auditsOf(spark, m, ids, docIdCol, vecIdCol,
-          corpusRemoved, bmRemoved, annRemoved)
+          corpusRemoved, bmRemoved, annRemoved, posRemoved)
         case Bounded => boundedAudits(spark, m, countsOld, touchedKeys,
-          ids, docIdCol, vecIdCol, 0L, 0L, 0L)
+          ids, docIdCol, vecIdCol, 0L, 0L, 0L, 0L)
       }
 
     // maintain the per-entry row counts EXACTLY from state already on
@@ -590,7 +671,7 @@ object ForgetStore {
       else countsNew.remove(k)
     }
 
-    // -- THE publish: one marker create makes all three artifacts'
+    // -- THE publish: one marker create makes all four artifacts'
     // new state visible together
     EpochLayout.publish(spark, root, retain) { dir =>
       writeManifest(spark, dir, entries.toMap, countsNew.toMap)
@@ -599,9 +680,10 @@ object ForgetStore {
     val (_, m2, counts2) = currentManifestAndCounts(spark, root)
     audit match {
       case Full => auditsOf(spark, m2, ids, docIdCol,
-        vecIdCol, corpusRemoved, bmRemoved, annRemoved)
+        vecIdCol, corpusRemoved, bmRemoved, annRemoved, posRemoved)
       case Bounded => boundedAudits(spark, m2, counts2, touchedKeys,
-        ids, docIdCol, vecIdCol, corpusRemoved, bmRemoved, annRemoved)
+        ids, docIdCol, vecIdCol, corpusRemoved, bmRemoved, annRemoved,
+        posRemoved)
     }
   }
 
@@ -630,18 +712,23 @@ object ForgetStore {
     */
   private def auditsOf(spark: SparkSession, m: Map[String, String],
       ids: Seq[Long], docIdCol: String, vecIdCol: String,
-      corpusRemoved: Long, bmRemoved: Long, annRemoved: Long)
-      : Seq[Audit] = {
+      corpusRemoved: Long, bmRemoved: Long, annRemoved: Long,
+      posRemoved: Long): Seq[Audit] = {
     import spark.implicits._
     val idsDf = ids.distinct.toDF("_fid")
       .withColumn("_hit", lit(1))
     val (idx, _) = bm25IndexOf(spark, m)
+    val hasPos = m.keys.exists(_.startsWith("pos/postings/"))
     def tagged(df: DataFrame, c: String, art: String): DataFrame =
       df.select(col(c).cast("long").as("_fid"), lit(art).as("_art"))
-    val stats = tagged(readCorpusOf(spark, m), docIdCol, "corpus")
+    val base = tagged(readCorpusOf(spark, m), docIdCol, "corpus")
       .unionByName(tagged(readAnnCorpusOf(spark, m), vecIdCol, "ann"))
       .unionByName(tagged(idx.postings.select("doc_id")
         .unionByName(idx.dl.select("doc_id")), "doc_id", "bm25"))
+    val withPos = if (!hasPos) base else base.unionByName(
+      tagged(positionalIndexOf(spark, m).postings.select("doc_id"),
+        "doc_id", "pos"))
+    val stats = withPos
       .join(broadcast(idsDf), Seq("_fid"), "left")
       .groupBy("_art")
       .agg(count(lit(1)).as("_rows"),
@@ -655,7 +742,11 @@ object ForgetStore {
       Audit("ann", annRemoved, of("ann")._1, of("ann")._2),
       Audit("bm25", bmRemoved, idx.nDocs, of("bm25")._2),
       Audit("corpus", corpusRemoved, of("corpus")._1,
-        of("corpus")._2))
+        of("corpus")._2)) ++
+      // pos shares nDocs with bm25 (one corpus, two index tiers)
+      (if (hasPos)
+        Seq(Audit("pos", posRemoved, idx.nDocs, of("pos")._2))
+      else Nil)
   }
 
   /** The [[Bounded]] audit: same rows as [[auditsOf]], recomputed in
@@ -673,7 +764,7 @@ object ForgetStore {
       m: Map[String, String], counts: Map[String, Long],
       touchedKeys: Seq[String], ids: Seq[Long], docIdCol: String,
       vecIdCol: String, corpusRemoved: Long, bmRemoved: Long,
-      annRemoved: Long): Seq[Audit] = {
+      annRemoved: Long, posRemoved: Long): Seq[Audit] = {
     def sumCounts(prefix: String): Long = {
       val under = entriesUnder(m, prefix).map(_._1)
       val missing = under.filterNot(counts.contains)
@@ -698,6 +789,8 @@ object ForgetStore {
       ("bm25", touchedKeys.filter(_.startsWith("bm25/postings/")),
         "doc_id"),
       ("bm25", touchedKeys.filter(_.startsWith("bm25/dl/")), "doc_id"),
+      ("pos", touchedKeys.filter(_.startsWith("pos/postings/")),
+        "doc_id"),
       ("ann", touchedKeys.filter(_.startsWith("ann/")), vecIdCol))
       .map { case (art, ks, c) => (art, ks.flatMap(m.get), c) }
       .filter(_._2.nonEmpty)
@@ -717,6 +810,11 @@ object ForgetStore {
       Audit("bm25", bmRemoved, bmRemaining,
         resid.getOrElse("bm25", 0L)),
       Audit("corpus", corpusRemoved, corpusRemaining,
-        resid.getOrElse("corpus", 0L)))
+        resid.getOrElse("corpus", 0L))) ++
+      // pos shares `remaining` with bm25 (the meta nDocs scalar)
+      (if (m.keys.exists(_.startsWith("pos/postings/")))
+        Seq(Audit("pos", posRemoved, bmRemaining,
+          resid.getOrElse("pos", 0L)))
+      else Nil)
   }
 }

@@ -1799,6 +1799,28 @@ object PipelineQ {
     root
   }
 
+  /** The four-artifact audit oracle: the snapshot store carries the
+    * POSITIONAL tier too (round 17 — `pos/postings/<b>` under the
+    * same atomic takedown), so its epoch faces report one more row
+    * than the per-artifact q_forget_e2e; removed/remaining for pos
+    * equal bm25's (one corpus, two index tiers).
+    */
+  private val ForgetStoreOracle =
+    """WITH d AS (SELECT count(*) FILTER (WHERE doc_id % 37 = 0) AS rm,
+          count(*) FILTER (WHERE doc_id % 37 <> 0) AS keep FROM documents),
+      e AS (SELECT count(*) FILTER (WHERE vec_id % 37 = 0) AS rm,
+          count(*) FILTER (WHERE vec_id % 37 <> 0) AS keep FROM embeddings)
+      SELECT 'ann' AS artifact, CAST(e.rm AS BIGINT) AS removed,
+        CAST(e.keep AS BIGINT) AS remaining, CAST(0 AS BIGINT) AS residual
+        FROM e
+      UNION ALL SELECT 'bm25', CAST(d.rm AS BIGINT),
+        CAST(d.keep AS BIGINT), CAST(0 AS BIGINT) FROM d
+      UNION ALL SELECT 'corpus', CAST(d.rm AS BIGINT),
+        CAST(d.keep AS BIGINT), CAST(0 AS BIGINT) FROM d
+      UNION ALL SELECT 'pos', CAST(d.rm AS BIGINT),
+        CAST(d.keep AS BIGINT), CAST(0 AS BIGINT) FROM d
+      ORDER BY artifact"""
+
   val qForgetEpoch = Q(
     "q_forget_epoch",
     (spark, dir) => {
@@ -1814,7 +1836,7 @@ object PipelineQ {
         .toDF("artifact", "removed", "remaining", "residual")
         .orderBy("artifact")
     },
-    qForgetE2e.oracle,
+    Some(ForgetStoreOracle),
     prestage = Some((s, d) =>
       Staged.offer("q_forget_epoch", d, instantiateForgetStore(s, d)))
   )
@@ -1844,9 +1866,83 @@ object PipelineQ {
         .toDF("artifact", "removed", "remaining", "residual")
         .orderBy("artifact")
     },
-    qForgetE2e.oracle,
+    Some(ForgetStoreOracle),
     prestage = Some((s, d) =>
       Staged.offer("q_forget_bounded", d, instantiateForgetStore(s, d)))
+  )
+
+  /** Takedown reaches PHRASE SERVING: forget a doc-id set through the
+    * snapshot store, then run exact-phrase retrieval
+    * ([[graft.ops.Retrieval.phraseQuery]]) against the PUBLISHED
+    * positional tier ([[graft.io.ForgetStore.positionalIndex]]).
+    * Queries are the first three tokens of docs 0-2 — doc 0 is IN the
+    * forgotten set (0 % 37 = 0), so its own phrase must no longer
+    * retrieve it: a forgotten id never surfaces through phraseQuery.
+    * Oracle: the full phrase-retrieval replay (tokenize → positions →
+    * anchor merge → integer BM25) over the corpus MINUS the forgotten
+    * ids — equality pins that the published tier IS the index of the
+    * surviving corpus, not just that a filter ran somewhere.
+    */
+  val qForgetPhrase = Q(
+    "q_forget_phrase",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val root = Staged.acquire("q_forget_phrase", dir)(
+        instantiateForgetStore(spark, dir))
+      val ids = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      graft.io.ForgetStore.forget(spark, root, ids.toIndexedSeq,
+        audit = graft.io.ForgetStore.Bounded)
+      val phrases = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 3), " ")
+            .as("text"))
+      graft.ops.Retrieval.phraseQuery(
+          graft.io.ForgetStore.positionalIndex(spark, root),
+          phrases, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH toksAll AS (SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+        FROM documents),
+      toks AS (SELECT * FROM toksAll WHERE doc_id % 37 <> 0),
+      dlq AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+      stq AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(dl) AS BIGINT) AS l FROM dlq),
+      av AS (SELECT n, l // n AS a FROM stq),
+      tok AS (SELECT t.doc_id, i AS pos, t.ts[i] AS term
+          FROM toks t, unnest(range(1, len(t.ts)+1)) u(i)),
+      q AS (SELECT doc_id AS query_id, ts[1:3] AS qts
+          FROM toksAll WHERE doc_id < 3),
+      qt AS (SELECT query_id, j AS off, qts[j] AS term
+          FROM q, unnest(range(1, len(qts)+1)) v(j)),
+      mlen AS (SELECT query_id,
+          CAST(count(DISTINCT off) AS BIGINT) AS m FROM qt GROUP BY 1),
+      hit AS (SELECT qt.query_id, tok.doc_id,
+          tok.pos - qt.off + 1 AS anchor, qt.off
+          FROM qt JOIN tok ON tok.term = qt.term),
+      occ AS (SELECT h.query_id, h.doc_id, h.anchor
+          FROM hit h JOIN mlen m ON m.query_id = h.query_id
+          GROUP BY h.query_id, h.doc_id, h.anchor, m.m
+          HAVING count(DISTINCT h.off) = m.m),
+      tfp AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM occ GROUP BY 1, 2),
+      dfp AS (SELECT query_id, CAST(count(*) AS BIGINT) AS dfq
+          FROM tfp GROUP BY 1),
+      sc AS (SELECT t.query_id, t.doc_id, t.tf,
+          (CAST(length(bin(2 * (av.n - f.dfq) + 1)) - 1 AS BIGINT)
+            - CAST(length(bin(2 * f.dfq + 1)) - 1 AS BIGINT))
+          * ((22 * av.a * ${1L << 20} * t.tf)
+             // (10 * av.a * t.tf + 3 * av.a + 9 * dlq.dl)) AS score
+        FROM tfp t JOIN dfp f USING (query_id)
+        JOIN dlq ON dlq.doc_id = t.doc_id CROSS JOIN av),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM sc)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, tf, score
+      FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
+    prestage = Some((s, d) =>
+      Staged.offer("q_forget_phrase", d, instantiateForgetStore(s, d)))
   )
 
   def all: Seq[Q] =
@@ -1858,5 +1954,5 @@ object PipelineQ {
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
       qStreamCow, qCowTombstone, qCowMor, qStreamMor, qForgetE2e,
-      qForgetEpoch, qForgetBounded)
+      qForgetEpoch, qForgetBounded, qForgetPhrase)
 }

@@ -58,6 +58,22 @@ class ForgetStoreSpec extends AnyFunSuite {
       df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(knn(ForgetStore.knn(spark, root, queries, k = 5, nprobe = 3))
       == knn(AnnLayout.knnIvf(spark, flat, queries, k = 5, nprobe = 3)))
+    // pos: phrase-query parity with an in-memory positional index
+    val snapPos = ForgetStore.positionalIndex(spark, root)
+    val memPos = Retrieval.buildPositionalIndex(docs)
+    assert(snapPos.nDocs == memPos.nDocs &&
+      snapPos.avgdl == memPos.avgdl)
+    assert(phraseRanked(snapPos) == phraseRanked(memPos) &&
+      phraseRanked(snapPos).nonEmpty)
+  }
+
+  private def phraseRanked(pidx: Retrieval.PositionalIndex) = {
+    val phrases = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.ops.TextOps.tokens(col("text")), 1, 3),
+          " ").as("text"))
+    Retrieval.phraseQuery(pidx, phrases, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
   }
 
   test("forget: exact contents, zero residual, untouched entries carry their files forward") {
@@ -80,6 +96,19 @@ class ForgetStoreSpec extends AnyFunSuite {
       && snapLen == Retrieval.totalLen(memIdx))
     assert(snapIdx.df.orderBy("term").collect().map(_.toSeq).toSeq ==
       memIdx.df.orderBy("term").collect().map(_.toSeq).toSeq)
+    // pos snapshot == a fresh positional index on the surviving
+    // corpus: phrase results equal, and a forgotten id NEVER
+    // surfaces through phraseQuery (its audit row reports zero
+    // residual above — this is the serving-path statement)
+    val snapPos = ForgetStore.positionalIndex(spark, root)
+    val memPos = Retrieval.buildPositionalIndex(
+      docs.filter(col("doc_id") % 37 =!= 0))
+    assert(snapPos.nDocs == memPos.nDocs &&
+      snapPos.avgdl == memPos.avgdl)
+    assert(phraseRanked(snapPos) == phraseRanked(memPos))
+    assert(audits.find(_.artifact == "pos").get.residual == 0L)
+    assert(snapPos.postings.filter(col("doc_id") % 37 === 0).count()
+      == 0L)
     // O(touched): entries untouched by the delete keep their EXACT
     // paths (same immutable files — no copy-forward)
     val untouched = m2.keySet.intersect(m1.keySet)
@@ -89,6 +118,9 @@ class ForgetStoreSpec extends AnyFunSuite {
     assert(untouched.exists(_.startsWith("bm25/postings/")) ||
       ids.map(i => (i % 8 + 8) % 8).distinct.length == 8,
       "untouched postings buckets must carry forward")
+    assert(untouched.exists(_.startsWith("pos/postings/")) ||
+      ids.map(i => (i % 8 + 8) % 8).distinct.length == 8,
+      "untouched POSITIONAL buckets must carry forward")
     // the retained previous epoch still serves the pre-forget corpus
     val e1dir = EpochLayout.epochs(spark, root)
       .find(_._1 == 1L).get._2.toString.stripPrefix("file:")
@@ -101,27 +133,35 @@ class ForgetStoreSpec extends AnyFunSuite {
       .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
       .toIndexedSeq
     val before = corpusRows(ForgetStore.readCorpus(spark, root))
-    // kill the build between the bm25 and ann artifact stages
+    // kill the build between the pos and ann artifact stages — the
+    // corpus, bm25 AND pos blobs are already staged, which is exactly
+    // when a non-atomic design would leak a mixed view
     val boom = intercept[RuntimeException] {
       ForgetStore.forget(spark, root, ids,
-        failpoint = a => if (a == "bm25") sys.error("killed mid-forget"))
+        failpoint = a => if (a == "pos") sys.error("killed mid-forget"))
     }
     assert(boom.getMessage.contains("killed mid-forget"))
-    // ALL-OLD: corpus, bm25 and ann all still serve the pre-forget
-    // state (the forgotten ids remain retrievable in all three —
-    // consistently), and no new epoch was published
+    // ALL-OLD: corpus, bm25, pos and ann all still serve the
+    // pre-forget state (the forgotten ids remain retrievable in all
+    // four — consistently), and no new epoch was published
     assert(ForgetStore.currentManifest(spark, root)._1 == 1L)
     assert(corpusRows(ForgetStore.readCorpus(spark, root)) == before)
     val (idx1, _) = ForgetStore.bm25Index(spark, root)
     assert(idx1.nDocs == docs.count())
+    assert(ForgetStore.positionalIndex(spark, root).postings
+      .filter(col("doc_id") % 37 === 0).count() > 0)
     assert(ForgetStore.readAnnCorpus(spark, root)
       .filter(col("vec_id") % 37 === 0).count() > 0)
     // retry completes: ALL-NEW, residuals zero everywhere at once
     val audits = ForgetStore.forget(spark, root, ids)
     assert(ForgetStore.currentManifest(spark, root)._1 == 2L)
+    assert(audits.map(_.artifact).sorted ==
+      Seq("ann", "bm25", "corpus", "pos"))
     assert(audits.forall(_.residual == 0L), s"$audits")
     val (idx2, _) = ForgetStore.bm25Index(spark, root)
     assert(idx2.nDocs == docs.filter(col("doc_id") % 37 =!= 0).count())
+    assert(ForgetStore.positionalIndex(spark, root).postings
+      .filter(col("doc_id") % 37 === 0).count() == 0)
     assert(ForgetStore.readAnnCorpus(spark, root)
       .filter(col("vec_id") % 37 === 0).count() == 0)
   }
