@@ -160,11 +160,18 @@ object Retrieval {
   final case class PositionalIndex(postings: DataFrame, dl: DataFrame,
       nDocs: Long, avgdl: Long)
 
-  /** Tokenize once, derive positional postings
-    * (doc_id, term, tf, pos: sorted 1-based positions) + dl + scalars.
+  /** The per-shard POSITIONAL fragments — postings (doc_id, term, tf,
+    * pos: sorted 1-based positions) and dl — with no corpus scalars
+    * and NO driver action: what a log-structured incremental index
+    * appends per trigger (the q_stream_phrase_index face, the
+    * site-boilerplate index's log-merge discipline applied to
+    * positions). Fragments from disjoint-doc shards merge by PLAIN
+    * UNION: positions are doc-local, and under the one-batch-per-
+    * document contract (a file stream never splits a row) each doc's
+    * whole position list lands in exactly one fragment.
     */
-  def buildPositionalIndex(docs: DataFrame, docIdCol: String = "doc_id",
-      textCol: String = "text"): PositionalIndex = {
+  def positionalFragments(docs: DataFrame, docIdCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     val toks = docs.select(col(docIdCol).cast("long").as("doc_id"),
       TextOps.tokens(col(textCol)).as("ts"))
     val posting = toks
@@ -172,11 +179,38 @@ object Retrieval {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("p0") + 1)).as("pos"))
-    val dl = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    (posting,
+      toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl")))
+  }
+
+  /** Tokenize once, derive positional postings
+    * (doc_id, term, tf, pos: sorted 1-based positions) + dl + scalars.
+    */
+  def buildPositionalIndex(docs: DataFrame, docIdCol: String = "doc_id",
+      textCol: String = "text"): PositionalIndex = {
+    val (posting, dl) = positionalFragments(docs, docIdCol, textCol)
     val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("l")).head()
     val nDocs = st.getLong(0)
     require(nDocs > 0, "buildPositionalIndex needs a non-empty corpus")
     PositionalIndex(posting, dl, nDocs, Math.floorDiv(st.getLong(1), nDocs))
+  }
+
+  /** EXACT positional-index merge — [[mergeIndex]] for the positional
+    * tier: shards with disjoint doc ids union postings and dl
+    * VERBATIM (positions are doc-local offsets, so merging never
+    * rewrites a list — cheaper than the flat tier, which at least
+    * sums df), and the scalars add. merge(build(A), build(B)) ==
+    * build(A∪B) table for table and query for query (RetrievalSpec).
+    * Returns the merged index plus its total length (what the next
+    * merge needs, as in [[mergeIndex]]).
+    */
+  def mergePositionalIndex(a: PositionalIndex, aLen: Long,
+      b: PositionalIndex, bLen: Long): (PositionalIndex, Long) = {
+    val n = a.nDocs + b.nDocs
+    val len = aLen + bLen
+    (PositionalIndex(a.postings.unionByName(b.postings),
+      a.dl.unionByName(b.dl), n,
+      Math.floorDiv(len, math.max(n, 1L))), len)
   }
 
   /** EXACT PHRASE retrieval over a [[PositionalIndex]] — top-`k`

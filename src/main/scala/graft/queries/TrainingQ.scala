@@ -1870,6 +1870,63 @@ object TrainingQ {
     qBm25Phrase.oracle
   )
 
+  /** STREAMING positional-index MAINTENANCE (32nd batch/stream
+    * equivalence pin): documents arrive as a stream and the
+    * POSITIONAL index accumulates log-structured — each trigger
+    * appends its [[graft.ops.Retrieval.positionalFragments]]
+    * (postings + dl) plus a 1-row (n, Σdl) meta fragment; reads fold
+    * the log with plain union (positions are doc-local and a file
+    * stream never splits a document, so each doc's whole position
+    * list lands in exactly one fragment) and a trigger-count-sized
+    * meta sum — the same sum/sort-merge discipline as the
+    * site-boilerplate and paragraph first-occurrence indexes, one
+    * index tier up from q_stream_bm25. No state store. Phrase serving
+    * against the folded index must equal the batch build: same oracle
+    * as q_bm25_phrase — anchors, occurrence counts, integer scores
+    * and ranks all hash-equal.
+    */
+  val qStreamPhraseIndex = Q(
+    "q_stream_phrase_index",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.ops.Retrieval
+      val work = java.nio.file.Files
+        .createTempDirectory("stream_posidx").toString
+      val docs = Tables.documents(spark, dir)
+      val docStream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = docStream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          val (post, dl) = Retrieval.positionalFragments(batch)
+          post.write.mode("append").parquet(s"$work/post")
+          dl.write.mode("append").parquet(s"$work/dl")
+          dl.agg(count(lit(1)).as("n"),
+              coalesce(sum("dl"), lit(0L)).as("l"))
+            .write.mode("append").parquet(s"$work/meta")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val meta = spark.read.parquet(s"$work/meta")
+        .agg(coalesce(sum("n"), lit(0L)),
+          coalesce(sum("l"), lit(0L))).head()
+      val n = meta.getLong(0)
+      val pidx = Retrieval.PositionalIndex(
+        spark.read.parquet(s"$work/post"),
+        spark.read.parquet(s"$work/dl"),
+        n, Math.floorDiv(meta.getLong(1), math.max(n, 1L)))
+      val phrases = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 3), " ")
+            .as("text"))
+      Retrieval.phraseQuery(pidx, phrases, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    qBm25Phrase.oracle
+  )
+
   /** PROXIMITY retrieval over the same frozen positional index (see
     * [[graft.ops.Retrieval.proxQuery]]): each query is tokens 1, 4
     * and 7 of docs 0-2 — an UNORDERED term set that must co-occur
@@ -4350,8 +4407,8 @@ object TrainingQ {
     qAnnPqRerank, qAnnIvfPq, qAnnIvfPqRes, qPagerank, qLmBackoffTrain,
     qLmBackoff, qStreamLm, qLmMerge, qRankSample, qKmeansPp, qAnnIvfKpp,
     qStreamAnn, qAnnBin, qAnnBinKnn, qAnnBinCentered, qBm25, qStreamBm25,
-    qBm25Merge, qBm25Phrase, qStreamPhrase, qBm25Prox, qDeconQuery,
-    qHybridRrf,
+    qBm25Merge, qBm25Phrase, qStreamPhrase, qStreamPhraseIndex,
+    qBm25Prox, qDeconQuery, qHybridRrf,
     qBm25Pruned, qStreamHybrid,
     qEmbedPc1, qAnnEpoch, qAnnPqRerankRest, qBm25Takedown, qBm25Epoch,
     qHardNegatives,

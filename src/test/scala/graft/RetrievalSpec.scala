@@ -259,6 +259,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == Seq((2L, score(2, 5)), (4L, score(1, 4))))
   }
 
+  test("mergePositionalIndex(build(even), build(odd)) == build(all): scalars, postings, and phrase results") {
+    import org.apache.spark.sql.functions.col
+    val all = docs.toDF("doc_id", "text")
+    val even = all.filter(col("doc_id") % 2 === 0)
+    val odd = all.filter(col("doc_id") % 2 === 1)
+    def len(d: org.apache.spark.sql.DataFrame): Long =
+      Retrieval.buildPositionalIndex(d).dl
+        .agg(org.apache.spark.sql.functions.sum("dl"))
+        .head().getLong(0)
+    val (merged, mLen) = Retrieval.mergePositionalIndex(
+      Retrieval.buildPositionalIndex(even), len(even),
+      Retrieval.buildPositionalIndex(odd), len(odd))
+    val whole = Retrieval.buildPositionalIndex(all)
+    assert(merged.nDocs == whole.nDocs && merged.avgdl == whole.avgdl
+      && mLen == len(all))
+    def rows(p: Retrieval.PositionalIndex) =
+      p.postings.orderBy("doc_id", "term")
+        .collect().map(_.toSeq).toSeq
+    assert(rows(merged) == rows(whole))
+    val qs = Seq((0L, "alpha beta"), (1L, "delta epsilon"))
+      .toDF("query_id", "text")
+    def served(p: Retrieval.PositionalIndex) =
+      Retrieval.phraseQuery(p, qs, k = 10)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(served(merged) == served(whole) && served(whole).nonEmpty)
+  }
+
   test("proxQuery: minimal-interval semantics — left/right minimality, overlap, order, window, and the integer score") {
     import org.apache.spark.sql.functions.col
     // corpus built to pin every counting rule of the minimal-interval
