@@ -687,6 +687,259 @@ object ForgetStore {
     }
   }
 
+  // ---- ingest ---------------------------------------------------------
+
+  /** One row per artifact from [[ingest]]: rows added and rows now
+    * live in the published snapshot.
+    */
+  final case class IngestStats(artifact: String, added: Long,
+      rows: Long)
+
+  /** Apply one bounded INGEST batch across all four artifacts and
+    * publish the result as ONE new epoch — the growth half of the
+    * snapshot lifecycle (init → ingest* → forget*), with the same
+    * atomicity story as [[forget]]: a reader can never see a new doc
+    * in the corpus that BM25 does not yet retrieve, or vice versa.
+    *
+    * Semantics: batch ids must be NEW — an id already live in the
+    * corpus (or an embedding id already in the ann tier) REFUSES
+    * before any write; an upsert is the documented forget + ingest
+    * pair. The merged index tiers are VALUE-IDENTICAL to a fresh
+    * build on the union corpus (the [[Retrieval.mergeIndex]] /
+    * [[Retrieval.mergePositionalIndex]] shard-and-sum contract —
+    * every statistic is a sum over docs), so serving after ingest
+    * hash-equals serving over init(old ∪ new); the ann tier follows
+    * the FROZEN-QUANTIZER rule instead ([[AnnLayout.appendTrained]]'s
+    * contract: new members assign to the existing codebook — adding
+    * members changes cell occupancy, never the quantizer, so reps
+    * carry forward verbatim and knn parity holds against the same
+    * codebook, not against a retrain).
+    *
+    * Cost shape: the batch is bounded by contract (broadcast-sized,
+    * like the takedown batch), so the id-collision probe is one
+    * fused pushed point-read across corpus+ann; rewrites touch
+    * `|distinct partitions(batch)|` corpus dirs, `|distinct
+    * buckets(batch ids)|` postings/dl/pos buckets (union of old
+    * bucket + batch fragment — a read-modify-write of touched
+    * buckets only), `|distinct labels(batch)|` ann cluster dirs, and
+    * the model-sized df/meta. Per-entry row counts are maintained
+    * exactly (old + per-entry added), so the [[Bounded]] forget
+    * audit keeps working across ingests.
+    *
+    * `failpoint` is the same crash-test hook as [[forget]] —
+    * "corpus", "bm25", "pos", "ann" after each artifact's new blobs
+    * are staged, all invisible until the one marker create.
+    */
+  def ingest(spark: SparkSession, root: String, newDocs: DataFrame,
+      newEmb: DataFrame, partCol: String = "lang",
+      docIdCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label", buckets: Int = 8, retain: Int = 1,
+      failpoint: String => Unit = _ => ()): Seq[IngestStats] = {
+    gcBlobs(spark, root)
+    val (epoch, m, countsOld) = currentManifestAndCounts(spark, root)
+    val gen = s"blobs/%s/g${epoch + 1}"
+    val entries = scala.collection.mutable.Map.empty[String, String]
+    entries ++= m.map { case (k, v) => k -> v.stripPrefix(s"$root/") }
+    val countsNew = scala.collection.mutable.Map.empty[String, Long]
+    countsNew ++= countsOld
+    val hasPos = m.keys.exists(_.startsWith("pos/postings/"))
+
+    // -- batch-side stats in ONE job (bounded by contract): ids,
+    // per-partition counts, uniqueness
+    val docRows = newDocs
+      .select(col(docIdCol).cast("long").as("_id"),
+        col(partCol).cast("string").as("_p"))
+      .collect()
+    require(docRows.nonEmpty, "ingest needs at least one document")
+    val newIds = docRows.map(_.getLong(0))
+    require(newIds.distinct.length == newIds.length,
+      "ingest batch carries duplicate doc ids — one row per id")
+    val embRows = newEmb
+      .select(col(vecIdCol).cast("long").as("_id")).collect()
+    val newVecIds = embRows.map(_.getLong(0))
+    require(newVecIds.distinct.length == newVecIds.length,
+      "ingest batch carries duplicate vec ids — one row per id")
+
+    // -- id-collision probe, both partitioned artifacts in one fused
+    // pushed point-read (the forget probe with REFUSE semantics)
+    val collide = (if (newIds.nonEmpty)
+      Seq(readCorpusOf(spark, m)
+        .filter(AnnLayout.idPredicate(docIdCol, newIds.toIndexedSeq))
+        .select(col(docIdCol).cast("long").as("_id"),
+          lit("corpus").as("_art")))
+    else Nil) ++
+      (if (newVecIds.nonEmpty)
+        Seq(readAnnCorpusOf(spark, m)
+          .filter(AnnLayout.idPredicate(vecIdCol,
+            newVecIds.toIndexedSeq))
+          .select(col(vecIdCol).cast("long").as("_id"),
+            lit("ann").as("_art")))
+      else Nil)
+    if (collide.nonEmpty) {
+      val hits = collide.reduce(_.unionByName(_)).limit(5).collect()
+      require(hits.isEmpty,
+        s"ingest refuses ${hits.length}+ ids already live " +
+          s"(${hits.map(r => s"${r.getString(1)}:${r.getLong(0)}")
+            .mkString(", ")}) — an upsert is the forget + ingest pair")
+    }
+
+    // -- corpus: union batch rows into touched partitions (new
+    // partition values become new entries)
+    val tableCols = readCorpusOf(spark, m).columns.toSeq
+    val batchByCols = newDocs.select(tableCols.map(col): _*)
+    val touchedParts = docRows.map(_.getString(1)).distinct.sorted
+    val addedByPart = docRows.groupBy(_.getString(1))
+      .map { case (p, rs) => p -> rs.length.toLong }
+    val corpusGen = gen.format("corpus")
+    val oldPartDirs = touchedParts
+      .flatMap(v => m.get(s"corpus/$v")).toIndexedSeq
+    val corpusNew = (if (oldPartDirs.nonEmpty)
+      readPartDirs(spark, oldPartDirs).select(tableCols.map(col): _*)
+        .unionByName(batchByCols)
+    else batchByCols)
+    corpusNew
+      .repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), col(docIdCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$root/$corpusGen")
+    touchedParts.foreach { v =>
+      entries(s"corpus/$v") = s"$corpusGen/$partCol=$v"
+      countsNew(s"corpus/$v") =
+        countsOld.getOrElse(s"corpus/$v", 0L) + addedByPart(v)
+    }
+    failpoint("corpus")
+
+    // -- bm25: fragment index on the batch, touched buckets get
+    // old ∪ fragment; df is the model-sized full-outer sum; meta adds
+    val frag = Retrieval.buildIndex(newDocs, docIdCol, textCol)
+    val fragLen = Retrieval.totalLen(frag)
+    val touchedBkts = newIds.map(i => (i % buckets + buckets) % buckets)
+      .distinct.sorted.toIndexedSeq
+    val bkt = pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket")
+    val (oldIdx, oldLen) = bm25IndexOf(spark, m)
+    val bmGen = gen.format("bm25")
+    val oldPostDirs = touchedBkts.flatMap(b =>
+      m.get(s"bm25/postings/$b"))
+    val postNew = (if (oldPostDirs.nonEmpty)
+      readPartDirs(spark, oldPostDirs)
+        .select("doc_id", "term", "tf")
+        .unionByName(frag.postings.select("doc_id", "term", "tf"))
+    else frag.postings.select("doc_id", "term", "tf"))
+      .withColumn("bucket", bkt)
+    postNew.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/$bmGen/postings")
+    val oldDlDirs = touchedBkts.flatMap(b => m.get(s"bm25/dl/$b"))
+    val dlNew = (if (oldDlDirs.nonEmpty)
+      readPartDirs(spark, oldDlDirs).select("doc_id", "dl")
+        .unionByName(frag.dl.select("doc_id", "dl"))
+    else frag.dl.select("doc_id", "dl"))
+      .withColumn("bucket", bkt)
+    dlNew.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/$bmGen/dl")
+    Seq("postings", "dl").foreach { side =>
+      listPartDirs(spark, s"$root/$bmGen/$side").foreach { d =>
+        entries(s"bm25/$side/${d.split("=").last}") = s"$bmGen/$side/$d"
+      }
+    }
+    oldIdx.df.withColumnRenamed("df", "dfa")
+      .join(frag.df.withColumnRenamed("df", "dfb"), Seq("term"),
+        "full_outer")
+      .select(col("term"),
+        (coalesce(col("dfa"), lit(0L)) + coalesce(col("dfb"), lit(0L)))
+          .as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/$bmGen/df")
+    entries("bm25/df") = s"$bmGen/df"
+    val newN = oldIdx.nDocs + frag.nDocs
+    writeMeta(spark, s"$root/$bmGen/meta", newN, oldLen + fragLen)
+    entries("bm25/meta") = s"$bmGen/meta"
+    failpoint("bm25")
+
+    // -- pos: same touched buckets, old ∪ positional fragment
+    if (hasPos) {
+      val (posFrag, _) = Retrieval.positionalFragments(newDocs,
+        docIdCol, textCol)
+      val posGen = gen.format("pos")
+      val oldPosDirs = touchedBkts.flatMap(b =>
+        m.get(s"pos/postings/$b"))
+      val posNew = (if (oldPosDirs.nonEmpty)
+        readPartDirs(spark, oldPosDirs)
+          .select("doc_id", "term", "tf", "pos")
+          .unionByName(posFrag.select("doc_id", "term", "tf", "pos"))
+      else posFrag.select("doc_id", "term", "tf", "pos"))
+        .withColumn("bucket", bkt)
+      posNew.repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/$posGen/postings")
+      listPartDirs(spark, s"$root/$posGen/postings").foreach { d =>
+        entries(s"pos/postings/${d.split("=").last}") =
+          s"$posGen/postings/$d"
+      }
+    }
+    failpoint("pos")
+
+    // -- ann: assign the batch to the FROZEN quantizer (the reps
+    // table stores the codebook as (label, rep_id, rep_vec)), union
+    // into touched cluster dirs; reps carry forward verbatim
+    val annAdded = newVecIds.length.toLong
+    if (annAdded > 0) {
+      val reps = spark.read.parquet(m("ann/reps"))
+      val asg = graft.ops.Similarity.assignNearest(newEmb, reps,
+          vecIdCol, vecCol, clusterCol = clusterCol,
+          centVecCol = "rep_vec")
+        .select(col("vec_id").as(vecIdCol),
+          col("cluster").as(clusterCol))
+      val assigned = newEmb.drop(clusterCol)
+        .join(broadcast(asg), Seq(vecIdCol))
+      val annCols = readAnnCorpusOf(spark, m).columns.toSeq
+      val assignedRows = assigned.select(annCols.map(col): _*)
+      // labels of the batch — batch-sized collect, what the touched
+      // set and the per-entry count maintenance both need
+      val labRows = assigned
+        .select(col(clusterCol).cast("string").as("_p")).collect()
+      val touchedLabels = labRows.map(_.getString(0)).distinct.sorted
+      val addedByLabel = labRows.groupBy(_.getString(0))
+        .map { case (p, rs) => p -> rs.length.toLong }
+      val annGen = gen.format("ann")
+      val oldLabelDirs = touchedLabels
+        .flatMap(v => m.get(s"ann/corpus/$v")).toIndexedSeq
+      val annNew = (if (oldLabelDirs.nonEmpty)
+        readPartDirs(spark, oldLabelDirs).select(annCols.map(col): _*)
+          .unionByName(assignedRows)
+      else assignedRows)
+      annNew.repartition(col(clusterCol))
+        .sortWithinPartitions(col(clusterCol), col(vecIdCol))
+        .write.mode("overwrite").partitionBy(clusterCol)
+        .parquet(s"$root/$annGen/corpus")
+      listPartDirs(spark, s"$root/$annGen/corpus").foreach { d =>
+        entries(s"ann/corpus/${d.split("=").last}") =
+          s"$annGen/corpus/$d"
+      }
+      touchedLabels.foreach { v =>
+        countsNew(s"ann/corpus/$v") =
+          countsOld.getOrElse(s"ann/corpus/$v", 0L) + addedByLabel(v)
+      }
+    }
+    failpoint("ann")
+
+    EpochLayout.publish(spark, root, retain) { dir =>
+      writeManifest(spark, dir, entries.toMap, countsNew.toMap)
+    }
+    gcBlobs(spark, root)
+    Seq(
+      IngestStats("ann", annAdded,
+        countsNew.filter(_._1.startsWith("ann/corpus/")).values.sum),
+      IngestStats("bm25", frag.nDocs, newN),
+      IngestStats("corpus", newIds.length.toLong,
+        countsNew.filter(_._1.startsWith("corpus/")).values.sum)) ++
+      (if (hasPos) Seq(IngestStats("pos", frag.nDocs, newN)) else Nil)
+  }
+
   private def dlTouchedAnti(spark: SparkSession,
       m: Map[String, String], touchedBkts: Seq[Long], idsDf: DataFrame,
       docIdCol: String): DataFrame =

@@ -1871,6 +1871,63 @@ object PipelineQ {
       Staged.offer("q_forget_bounded", d, instantiateForgetStore(s, d)))
   )
 
+  /** Instantiate q_ingest_snapshot's mutable snapshot: the store is
+    * inited ONCE per corpus on two-thirds of the documents/embeddings
+    * (FrozenStore template); each call copies it fresh, so the face
+    * times the INGEST itself — fragment build, touched-bucket unions,
+    * the one-marker publish — never the init.
+    */
+  private def instantiateIngestStore(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val template = graft.io.FrozenStore.frozenPath(s"ingest_store|$dir") {
+      stage =>
+        graft.io.ForgetStore.init(spark, stage,
+          Tables.documents(spark, dir).filter(col("doc_id") % 3 =!= 0),
+          graft.io.Tables.embeddings(spark, dir)
+            .filter(col("vec_id") % 3 =!= 0))
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("ingest_snap").toString
+    copyTree(java.nio.file.Paths.get(template),
+      java.nio.file.Paths.get(root))
+    root
+  }
+
+  /** Atomic cross-artifact INGEST — the growth half of the snapshot
+    * lifecycle (see [[graft.io.ForgetStore.ingest]]): one-third of
+    * the corpus arrives as a batch against a store holding the other
+    * two-thirds; touched corpus partitions / index doc-buckets / ann
+    * cluster dirs get old ∪ batch blobs, df sums model-sized, the ann
+    * batch assigns to the FROZEN quantizer, and one marker publishes
+    * all four artifacts together. The face then serves q_bm25's exact
+    * query from the published store and reuses q_bm25's oracle: the
+    * merged index tiers are VALUE-IDENTICAL to a fresh build on the
+    * full corpus (every BM25 statistic is a sum over docs — the
+    * shard-and-sum contract), so post-ingest serving must hash-equal
+    * full-corpus retrieval.
+    */
+  val qIngestSnapshot = Q(
+    "q_ingest_snapshot",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val emb = graft.io.Tables.embeddings(spark, dir)
+      val root = Staged.acquire("q_ingest_snapshot", dir)(
+        instantiateIngestStore(spark, dir))
+      graft.io.ForgetStore.ingest(spark, root,
+        docs.filter(col("doc_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 === 0))
+      val (idx, _) = graft.io.ForgetStore.bm25Index(spark, root)
+      graft.ops.Retrieval.bm25Query(idx,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    TrainingQ.qBm25.oracle,
+    prestage = Some((s, d) =>
+      Staged.offer("q_ingest_snapshot", d, instantiateIngestStore(s, d)))
+  )
+
   /** Takedown reaches PHRASE SERVING: forget a doc-id set through the
     * snapshot store, then run exact-phrase retrieval
     * ([[graft.ops.Retrieval.phraseQuery]]) against the PUBLISHED
@@ -1954,5 +2011,5 @@ object PipelineQ {
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
       qStreamCow, qCowTombstone, qCowMor, qStreamMor, qForgetE2e,
-      qForgetEpoch, qForgetBounded, qForgetPhrase)
+      qForgetEpoch, qForgetBounded, qForgetPhrase, qIngestSnapshot)
 }

@@ -202,6 +202,88 @@ class ForgetStoreSpec extends AnyFunSuite {
     assert(fullN.forall(a => a.removed == 0L && a.residual == 0L))
   }
 
+  test("ingest: index tiers equal a fresh union build; frozen-quantizer ann; crash all-old; collision refuses; counts stay Bounded-exact") {
+    val root = Files.createTempDirectory("forget_store").toString
+    val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val oldEmb = emb.filter(col("vec_id") % 3 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    val newEmb = emb.filter(col("vec_id") % 3 === 0)
+    ForgetStore.init(spark, root, oldDocs, oldEmb)
+    val m1 = ForgetStore.currentManifest(spark, root)._2
+    // crash between the pos and ann stages: ALL-OLD, no new epoch
+    val boom = intercept[RuntimeException] {
+      ForgetStore.ingest(spark, root, newDocs, newEmb,
+        failpoint = a => if (a == "pos") sys.error("killed mid-ingest"))
+    }
+    assert(boom.getMessage.contains("killed mid-ingest"))
+    assert(ForgetStore.currentManifest(spark, root)._1 == 1L)
+    assert(ForgetStore.readCorpus(spark, root).count() == oldDocs.count())
+    assert(ForgetStore.bm25Index(spark, root)._1.nDocs == oldDocs.count())
+    // retry completes: every tier equals a FRESH build on the union
+    val stats = ForgetStore.ingest(spark, root, newDocs, newEmb)
+    assert(ForgetStore.currentManifest(spark, root)._1 == 2L)
+    assert(stats.map(_.artifact).sorted ==
+      Seq("ann", "bm25", "corpus", "pos"))
+    assert(stats.find(_.artifact == "corpus").get.added ==
+      newDocs.count())
+    assert(corpusRows(ForgetStore.readCorpus(spark, root)) ==
+      corpusRows(docs))
+    val (snapIdx, snapLen) = ForgetStore.bm25Index(spark, root)
+    val memIdx = Retrieval.buildIndex(docs)
+    assert(snapIdx.nDocs == memIdx.nDocs &&
+      snapIdx.avgdl == memIdx.avgdl &&
+      snapLen == Retrieval.totalLen(memIdx))
+    assert(snapIdx.df.orderBy("term").collect().map(_.toSeq).toSeq ==
+      memIdx.df.orderBy("term").collect().map(_.toSeq).toSeq)
+    val q = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    def ranked(idx: Retrieval.Bm25Index) =
+      Retrieval.bm25Query(idx, q, k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ranked(snapIdx) == ranked(memIdx))
+    assert(phraseRanked(ForgetStore.positionalIndex(spark, root)) ==
+      phraseRanked(Retrieval.buildPositionalIndex(docs)))
+    // ann: members = old ∪ new; the frozen quantizer carried forward
+    // verbatim (file identity), and every new member's label is the
+    // frozen-reps nearest assignment — NOT a retrain
+    val m2 = ForgetStore.currentManifest(spark, root)._2
+    assert(m1("ann/reps") == m2("ann/reps"),
+      "ingest must not retrain the codebook")
+    val annCorpus = ForgetStore.readAnnCorpus(spark, root)
+    assert(annCorpus.count() == emb.count())
+    val reps = spark.read.parquet(m2("ann/reps"))
+    val want = graft.ops.Similarity.assignNearest(newEmb, reps,
+        "vec_id", "embedding", clusterCol = "label",
+        centVecCol = "rep_vec")
+      .select(col("vec_id"), col("cluster").cast("long").as("label"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val got = annCorpus.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("label").cast("long"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // an id already live REFUSES before any write (upsert = forget +
+    // ingest), and no epoch was burned
+    val err = intercept[IllegalArgumentException] {
+      ForgetStore.ingest(spark, root,
+        docs.filter(col("doc_id") === 1),
+        emb.filter(col("vec_id") === 1))
+    }
+    assert(err.getMessage.contains("already live"))
+    assert(ForgetStore.currentManifest(spark, root)._1 == 2L)
+    // counts maintained by ingest keep the Bounded forget audit
+    // exact: remaining comes purely from manifest sums
+    val ids = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      .toIndexedSeq
+    val bounded = ForgetStore.forget(spark, root, ids,
+      audit = ForgetStore.Bounded)
+    assert(bounded.forall(_.residual == 0L), s"$bounded")
+    assert(bounded.find(_.artifact == "corpus").get.remaining ==
+      docs.count() - ids.length)
+    assert(corpusRows(ForgetStore.readCorpus(spark, root)) ==
+      corpusRows(docs.filter(col("doc_id") % 37 =!= 0)))
+  }
+
   test("retention + blob GC: expired epochs' private generations are swept, shared ones survive") {
     val root = freshStore()
     def blobGens(): Set[String] = {
