@@ -1928,6 +1928,71 @@ object PipelineQ {
       Staged.offer("q_ingest_snapshot", d, instantiateIngestStore(s, d)))
   )
 
+  /** Instantiate q_stream_ingest's working state: a fresh copy of the
+    * two-thirds store plus the arriving third written as THREE
+    * parquet files under `root/arrivals` — maxFilesPerTrigger=1 turns
+    * them into a 3-trigger stream, so the face exercises a MULTI-EPOCH
+    * ingest chain (each trigger publishes its own epoch).
+    */
+  private def instantiateStreamIngest(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = instantiateIngestStore(spark, dir)
+    Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0)
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$root/arrivals")
+    root
+  }
+
+  /** STREAMING snapshot ingest (33rd batch/stream equivalence pin):
+    * new documents arrive as a stream and each trigger lands one
+    * atomic [[graft.io.ForgetStore.ingest]] — touched-bucket unions +
+    * frozen-quantizer ann assignment + ONE epoch publish per trigger,
+    * so a reader at any instant sees a consistent snapshot of however
+    * much has arrived (the q_stream_cow discipline lifted to the
+    * four-artifact store). The trigger split is immaterial by the
+    * shard-and-sum contract (disjoint ids compose), and a replayed
+    * trigger REFUSES loudly on id collision rather than silently
+    * double-counting — exactly-once by refusal. Embeddings pair with
+    * their documents per trigger (vec_id ≡ doc_id, as everywhere the
+    * two tables play one corpus). Same oracle as q_bm25: after the
+    * stream drains, serving from the published store must hash-equal
+    * full-corpus retrieval.
+    */
+  val qStreamIngest = Q(
+    "q_stream_ingest",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = Staged.acquire("q_stream_ingest", dir)(
+        instantiateStreamIngest(spark, dir))
+      val docs = Tables.documents(spark, dir)
+      val emb = graft.io.Tables.embeddings(spark, dir)
+      val sch = spark.read.parquet(s"$root/arrivals").schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          val bEmb = emb.join(
+            batch.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          graft.io.ForgetStore.ingest(spark, root, batch, bEmb)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val (idx, _) = graft.io.ForgetStore.bm25Index(spark, root)
+      graft.ops.Retrieval.bm25Query(idx,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    TrainingQ.qBm25.oracle,
+    prestage = Some((s, d) =>
+      Staged.offer("q_stream_ingest", d, instantiateStreamIngest(s, d)))
+  )
+
   /** Takedown reaches PHRASE SERVING: forget a doc-id set through the
     * snapshot store, then run exact-phrase retrieval
     * ([[graft.ops.Retrieval.phraseQuery]]) against the PUBLISHED
@@ -2011,5 +2076,6 @@ object PipelineQ {
       qQualityTrainWide, qDsirWeights, qDsirScore, qDsirSelect,
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
       qStreamCow, qCowTombstone, qCowMor, qStreamMor, qForgetE2e,
-      qForgetEpoch, qForgetBounded, qForgetPhrase, qIngestSnapshot)
+      qForgetEpoch, qForgetBounded, qForgetPhrase, qIngestSnapshot,
+      qStreamIngest)
 }
