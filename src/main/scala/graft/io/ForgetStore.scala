@@ -811,9 +811,19 @@ object ForgetStore {
     failpoint("corpus")
 
     // -- bm25: fragment index on the batch, touched buckets get
-    // old ∪ fragment; df is the model-sized full-outer sum; meta adds
-    val frag = Retrieval.buildIndex(newDocs, docIdCol, textCol)
-    val fragLen = Retrieval.totalLen(frag)
+    // old ∪ fragment; df is the model-sized full-outer sum; meta
+    // adds. ALL fragments (flat postings, df, dl, positional
+    // postings) derive from one positionalFragments lineage and one
+    // scalar action — the batch is bounded, but the driver-job chain
+    // is what an ingest costs (the forget floor lesson).
+    val (posFragAll, fragDl) = Retrieval.positionalFragments(
+      newDocs, docIdCol, textCol)
+    val fragSt = fragDl.agg(count(lit(1)).as("n"),
+      coalesce(sum("dl"), lit(0L)).as("l")).head()
+    val fragN = fragSt.getLong(0)
+    val fragLen = fragSt.getLong(1)
+    val fragPost = posFragAll.select("doc_id", "term", "tf")
+    val fragDf = fragPost.groupBy("term").agg(count(lit(1)).as("df"))
     val touchedBkts = newIds.map(i => (i % buckets + buckets) % buckets)
       .distinct.sorted.toIndexedSeq
     val bkt = pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket")
@@ -824,8 +834,8 @@ object ForgetStore {
     val postNew = (if (oldPostDirs.nonEmpty)
       readPartDirs(spark, oldPostDirs)
         .select("doc_id", "term", "tf")
-        .unionByName(frag.postings.select("doc_id", "term", "tf"))
-    else frag.postings.select("doc_id", "term", "tf"))
+        .unionByName(fragPost)
+    else fragPost)
       .withColumn("bucket", bkt)
     postNew.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
@@ -834,8 +844,8 @@ object ForgetStore {
     val oldDlDirs = touchedBkts.flatMap(b => m.get(s"bm25/dl/$b"))
     val dlNew = (if (oldDlDirs.nonEmpty)
       readPartDirs(spark, oldDlDirs).select("doc_id", "dl")
-        .unionByName(frag.dl.select("doc_id", "dl"))
-    else frag.dl.select("doc_id", "dl"))
+        .unionByName(fragDl)
+    else fragDl)
       .withColumn("bucket", bkt)
     dlNew.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc_id"))
@@ -847,30 +857,28 @@ object ForgetStore {
       }
     }
     oldIdx.df.withColumnRenamed("df", "dfa")
-      .join(frag.df.withColumnRenamed("df", "dfb"), Seq("term"),
+      .join(fragDf.withColumnRenamed("df", "dfb"), Seq("term"),
         "full_outer")
       .select(col("term"),
         (coalesce(col("dfa"), lit(0L)) + coalesce(col("dfb"), lit(0L)))
           .as("df"))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/$bmGen/df")
     entries("bm25/df") = s"$bmGen/df"
-    val newN = oldIdx.nDocs + frag.nDocs
+    val newN = oldIdx.nDocs + fragN
     writeMeta(spark, s"$root/$bmGen/meta", newN, oldLen + fragLen)
     entries("bm25/meta") = s"$bmGen/meta"
     failpoint("bm25")
 
     // -- pos: same touched buckets, old ∪ positional fragment
     if (hasPos) {
-      val (posFrag, _) = Retrieval.positionalFragments(newDocs,
-        docIdCol, textCol)
       val posGen = gen.format("pos")
       val oldPosDirs = touchedBkts.flatMap(b =>
         m.get(s"pos/postings/$b"))
       val posNew = (if (oldPosDirs.nonEmpty)
         readPartDirs(spark, oldPosDirs)
           .select("doc_id", "term", "tf", "pos")
-          .unionByName(posFrag.select("doc_id", "term", "tf", "pos"))
-      else posFrag.select("doc_id", "term", "tf", "pos"))
+          .unionByName(posFragAll.select("doc_id", "term", "tf", "pos"))
+      else posFragAll.select("doc_id", "term", "tf", "pos"))
         .withColumn("bucket", bkt)
       posNew.repartition(col("bucket"))
         .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
@@ -934,10 +942,10 @@ object ForgetStore {
     Seq(
       IngestStats("ann", annAdded,
         countsNew.filter(_._1.startsWith("ann/corpus/")).values.sum),
-      IngestStats("bm25", frag.nDocs, newN),
+      IngestStats("bm25", fragN, newN),
       IngestStats("corpus", newIds.length.toLong,
         countsNew.filter(_._1.startsWith("corpus/")).values.sum)) ++
-      (if (hasPos) Seq(IngestStats("pos", frag.nDocs, newN)) else Nil)
+      (if (hasPos) Seq(IngestStats("pos", fragN, newN)) else Nil)
   }
 
   private def dlTouchedAnti(spark: SparkSession,

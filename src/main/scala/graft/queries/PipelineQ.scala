@@ -1872,19 +1872,24 @@ object PipelineQ {
   )
 
   /** Instantiate q_ingest_snapshot's mutable snapshot: the store is
-    * inited ONCE per corpus on two-thirds of the documents/embeddings
+    * inited ONCE per corpus on 29/30ths of the documents/embeddings
     * (FrozenStore template); each call copies it fresh, so the face
     * times the INGEST itself — fragment build, touched-bucket unions,
-    * the one-marker publish — never the init.
+    * the one-marker publish — never the init. The arriving batch is
+    * the 1/30th slice: a takedown-batch-CLASS size, faithful to the
+    * operator's bounded-batch contract (ids = multiples of 30 also
+    * touch only the even doc-buckets, so the face exercises the
+    * touched-bucket pruning instead of degenerating to a full-index
+    * rewrite).
     */
   private def instantiateIngestStore(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val template = graft.io.FrozenStore.frozenPath(s"ingest_store|$dir") {
+    val template = graft.io.FrozenStore.frozenPath(s"ingest_store30|$dir") {
       stage =>
         graft.io.ForgetStore.init(spark, stage,
-          Tables.documents(spark, dir).filter(col("doc_id") % 3 =!= 0),
+          Tables.documents(spark, dir).filter(col("doc_id") % 30 =!= 0),
           graft.io.Tables.embeddings(spark, dir)
-            .filter(col("vec_id") % 3 =!= 0))
+            .filter(col("vec_id") % 30 =!= 0))
     }
     val root = java.nio.file.Files
       .createTempDirectory("ingest_snap").toString
@@ -1894,9 +1899,9 @@ object PipelineQ {
   }
 
   /** Atomic cross-artifact INGEST — the growth half of the snapshot
-    * lifecycle (see [[graft.io.ForgetStore.ingest]]): one-third of
-    * the corpus arrives as a batch against a store holding the other
-    * two-thirds; touched corpus partitions / index doc-buckets / ann
+    * lifecycle (see [[graft.io.ForgetStore.ingest]]): a bounded batch
+    * (the 1/30th doc-id slice) arrives against a store holding the
+    * rest; touched corpus partitions / index doc-buckets / ann
     * cluster dirs get old ∪ batch blobs, df sums model-sized, the ann
     * batch assigns to the FROZEN quantizer, and one marker publishes
     * all four artifacts together. The face then serves q_bm25's exact
@@ -1914,8 +1919,8 @@ object PipelineQ {
       val root = Staged.acquire("q_ingest_snapshot", dir)(
         instantiateIngestStore(spark, dir))
       graft.io.ForgetStore.ingest(spark, root,
-        docs.filter(col("doc_id") % 3 === 0),
-        emb.filter(col("vec_id") % 3 === 0))
+        docs.filter(col("doc_id") % 30 === 0),
+        emb.filter(col("vec_id") % 30 === 0))
       val (idx, _) = graft.io.ForgetStore.bm25Index(spark, root)
       graft.ops.Retrieval.bm25Query(idx,
           docs.filter(col("doc_id") < 3)
@@ -1929,16 +1934,18 @@ object PipelineQ {
   )
 
   /** Instantiate q_stream_ingest's working state: a fresh copy of the
-    * two-thirds store plus the arriving third written as THREE
-    * parquet files under `root/arrivals` — maxFilesPerTrigger=1 turns
-    * them into a 3-trigger stream, so the face exercises a MULTI-EPOCH
-    * ingest chain (each trigger publishes its own epoch).
+    * two-thirds store plus the arriving third written as TWO parquet
+    * files under `root/arrivals` — maxFilesPerTrigger=1 turns them
+    * into a 2-trigger stream, so the face exercises a MULTI-EPOCH
+    * ingest chain (each trigger publishes its own epoch; two triggers
+    * prove the chain composes, and each extra trigger would pay a
+    * full ingest's driver-job floor for no additional semantics).
     */
   private def instantiateStreamIngest(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     val root = instantiateIngestStore(spark, dir)
-    Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0)
-      .repartition(3)
+    Tables.documents(spark, dir).filter(col("doc_id") % 30 === 0)
+      .repartition(2)
       .write.mode("overwrite").parquet(s"$root/arrivals")
     root
   }
