@@ -193,6 +193,40 @@ object ForgetStore {
       : Seq[(String, String)] =
     m.toSeq.filter(_._1.startsWith(prefix)).sortBy(_._1)
 
+  // ---- fragment entry groups (log-structured ingest) ----------------
+
+  /** A LOGGED ingest appends a bucket's batch fragment as an
+    * ADDITIONAL manifest entry keyed `<base>~f<epoch>` instead of
+    * rewriting the bucket's blob — so every prefix reader unions the
+    * fragment in for free, while the base blob stays byte-identical.
+    * These helpers resolve an entry GROUP: the base key plus any
+    * fragments logged on top of it. Mutators (forget, compaction, a
+    * merged ingest) read the whole group and fold it back to one base
+    * entry.
+    */
+  private def baseKey(k: String): String = {
+    val i = k.indexOf('~')
+    if (i < 0) k else k.substring(0, i)
+  }
+
+  private def groupKeys(m: Map[String, String], base: String)
+      : Seq[String] =
+    m.keys.filter(k => baseKey(k) == base).toSeq.sorted
+
+  private def groupDirs(m: Map[String, String], base: String)
+      : Seq[String] = groupKeys(m, base).map(m)
+
+  /** The group's exact row count — sum of per-entry counts — or None
+    * if any member entry carries none (legacy store): the caller
+    * backfills by counting the blob it just rewrote.
+    */
+  private def groupCount(m: Map[String, String],
+      counts: Map[String, Long], base: String): Option[Long] = {
+    val ks = groupKeys(m, base)
+    val cs = ks.flatMap(counts.get)
+    if (cs.length == ks.length) Some(cs.sum) else None
+  }
+
   // ---- readers (all resolve ONE epoch — consistent by construction) --
 
   /** The document corpus at the current snapshot. */
@@ -477,7 +511,8 @@ object ForgetStore {
     val touchedParts = hitRows.map(_.getString(1)).distinct.sorted
     if (touchedParts.nonEmpty) {
       val corpusGen = gen.format("corpus")
-      val touchedDirs = touchedParts.map(v => m(s"corpus/$v"))
+      val touchedDirs = touchedParts
+        .flatMap(v => groupDirs(m, s"corpus/$v"))
       readPartDirs(spark, touchedDirs.toIndexedSeq)
         .join(broadcast(idsDf), Seq(docIdCol), "left_anti")
         .repartition(col(partCol))
@@ -487,9 +522,12 @@ object ForgetStore {
       val written = listPartDirs(spark, s"$root/$corpusGen")
         .map(_.split("=").last).toSet
       touchedParts.foreach { v =>
-        if (written.contains(v)) entries(s"corpus/$v") =
+        val base = s"corpus/$v"
+        // the rewrite folded any logged fragments into one blob
+        groupKeys(m, base).filter(_ != base).foreach(entries.remove)
+        if (written.contains(v)) entries(base) =
           s"$corpusGen/$partCol=$v"
-        else entries.remove(s"corpus/$v") // partition emptied
+        else entries.remove(base) // partition emptied
       }
     }
     failpoint("corpus")
@@ -499,7 +537,8 @@ object ForgetStore {
       .map(i => (i % buckets + buckets) % buckets).distinct.sorted
     val (oldIdx, oldLen) = bm25IndexOf(spark, m)
     val dlTouched = readPartDirs(spark,
-        touchedBkts.map(b => m(s"bm25/dl/$b")).toIndexedSeq)
+        touchedBkts.flatMap(b => groupDirs(m, s"bm25/dl/$b"))
+          .toIndexedSeq)
       .filter(AnnLayout.idPredicate("doc_id", ids))
     val goneRow = dlTouched
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
@@ -510,7 +549,8 @@ object ForgetStore {
       require(newN > 0, "takedown would empty the corpus — an empty " +
         "index has no avgdl; drop the store instead")
       val postTouched = readPartDirs(spark,
-        touchedBkts.map(b => m(s"bm25/postings/$b")).toIndexedSeq)
+        touchedBkts.flatMap(b => groupDirs(m, s"bm25/postings/$b"))
+          .toIndexedSeq)
       // per-term df decrement from the removed docs' postings
       val dfDec = postTouched
         .filter(AnnLayout.idPredicate("doc_id", ids))
@@ -541,9 +581,11 @@ object ForgetStore {
         val written = listPartDirs(spark, s"$root/$bmGen/$side")
           .map(_.split("=").last.toLong).toSet
         touchedBkts.foreach { b =>
-          if (written.contains(b)) entries(s"bm25/$side/$b") =
+          val base = s"bm25/$side/$b"
+          groupKeys(m, base).filter(_ != base).foreach(entries.remove)
+          if (written.contains(b)) entries(base) =
             s"$bmGen/$side/bucket=$b"
-          else entries.remove(s"bm25/$side/$b") // bucket emptied
+          else entries.remove(base) // bucket emptied
         }
       }
     }
@@ -561,7 +603,7 @@ object ForgetStore {
     if (hasPos && bmRemoved > 0) {
       val posGen = gen.format("pos")
       readPartDirs(spark, touchedBkts
-          .flatMap(b => m.get(s"pos/postings/$b")).toIndexedSeq)
+          .flatMap(b => groupDirs(m, s"pos/postings/$b")).toIndexedSeq)
         .join(broadcast(idsDf.withColumnRenamed(docIdCol, "doc_id")),
           Seq("doc_id"), "left_anti")
         .repartition(col("bucket"))
@@ -571,9 +613,11 @@ object ForgetStore {
       val posWritten = listPartDirs(spark, s"$root/$posGen/postings")
         .map(_.split("=").last.toLong).toSet
       touchedBkts.foreach { b =>
-        if (posWritten.contains(b)) entries(s"pos/postings/$b") =
+        val base = s"pos/postings/$b"
+        groupKeys(m, base).filter(_ != base).foreach(entries.remove)
+        if (posWritten.contains(b)) entries(base) =
           s"$posGen/postings/bucket=$b"
-        else entries.remove(s"pos/postings/$b") // bucket emptied
+        else entries.remove(base) // bucket emptied
       }
     }
     failpoint("pos")
@@ -587,7 +631,7 @@ object ForgetStore {
     if (touchedLabels.nonEmpty) {
       val annGen = gen.format("ann")
       val touchedDirs = touchedLabels
-        .map(v => m(s"ann/corpus/$v")).toIndexedSeq
+        .flatMap(v => groupDirs(m, s"ann/corpus/$v")).toIndexedSeq
       readPartDirs(spark, touchedDirs)
         .join(broadcast(idsDf.withColumnRenamed(docIdCol, vecIdCol)),
           Seq(vecIdCol), "left_anti")
@@ -599,9 +643,11 @@ object ForgetStore {
         .map(_.split("=").last).toSet
       touchedLabels.foreach { v =>
         val sv = String.valueOf(v)
-        if (written.contains(sv)) entries(s"ann/corpus/$sv") =
+        val base = s"ann/corpus/$sv"
+        groupKeys(m, base).filter(_ != base).foreach(entries.remove)
+        if (written.contains(sv)) entries(base) =
           s"$annGen/corpus/$clusterCol=$sv"
-        else entries.remove(s"ann/corpus/$sv") // cluster emptied
+        else entries.remove(base) // cluster emptied
       }
       // reps deliberately untouched: deleting members changes cell
       // occupancy, not the frozen quantizer (AnnLayout.deleteTrained's
@@ -638,7 +684,7 @@ object ForgetStore {
     def backfill(prefix: String, pc: String, tv: Seq[String])
         : Map[String, Long] = {
       val miss = tv.filter(v => entries.contains(s"$prefix$v") &&
-        !countsOld.contains(s"$prefix$v"))
+        groupCount(m, countsOld, s"$prefix$v").isEmpty)
       if (miss.isEmpty) Map.empty
       else readPartDirs(spark,
           miss.map(v => s"$root/${entries(s"$prefix$v")}").toIndexedSeq)
@@ -654,8 +700,11 @@ object ForgetStore {
       touchedParts.toIndexedSeq)
     touchedParts.foreach { v =>
       val k = s"corpus/$v"
+      // fragment counts folded into the base entry with the blobs
+      groupKeys(m, k).filter(_ != k).foreach(countsNew.remove)
       if (entries.contains(k))
-        (countsOld.get(k).map(_ - goneByPart.getOrElse(v, 0L))
+        (groupCount(m, countsOld, k)
+          .map(_ - goneByPart.getOrElse(v, 0L))
           orElse bfCorpus.get(k)).foreach(countsNew(k) = _)
       else countsNew.remove(k) // partition emptied with its entry
     }
@@ -665,8 +714,10 @@ object ForgetStore {
       touchedLabels.toIndexedSeq)
     touchedLabels.foreach { v =>
       val k = s"ann/corpus/$v"
+      groupKeys(m, k).filter(_ != k).foreach(countsNew.remove)
       if (entries.contains(k))
-        (countsOld.get(k).map(_ - goneByLabel.getOrElse(v, 0L))
+        (groupCount(m, countsOld, k)
+          .map(_ - goneByLabel.getOrElse(v, 0L))
           orElse bfAnn.get(k)).foreach(countsNew(k) = _)
       else countsNew.remove(k)
     }
@@ -729,12 +780,30 @@ object ForgetStore {
     * `failpoint` is the same crash-test hook as [[forget]] —
     * "corpus", "bm25", "pos", "ann" after each artifact's new blobs
     * are staged, all invisible until the one marker create.
+    *
+    * `logged = true` switches to the LOG-STRUCTURED write path: each
+    * touched group gets the batch's fragment as an ADDITIONAL
+    * `<base>~f<epoch>` manifest entry instead of a read-modify-write
+    * of the whole bucket — the ingest writes O(batch) rows, never
+    * O(touched bucket sizes), and readers union fragments in through
+    * the prefix reads they already do (exact by shard-and-sum: every
+    * index statistic is a sum over docs, and positions are
+    * doc-local). df/meta stay merged in both modes — they are
+    * model-sized, and keeping them single keeps every reader's
+    * scalar loads one file. The trade is read fan-in: a group's read
+    * legs grow by one per logged ingest until [[compactIngest]] (or
+    * any [[forget]]/merged ingest touching the group) folds it back
+    * to one blob. This is the merge-on-read discipline
+    * ([[CowTable]]'s changelog) applied at the index-tier level —
+    * the shape a high-rate 100 TB ingest needs, where rewriting a
+    * multi-GB bucket per bounded batch would dominate.
     */
   def ingest(spark: SparkSession, root: String, newDocs: DataFrame,
       newEmb: DataFrame, partCol: String = "lang",
       docIdCol: String = "doc_id", textCol: String = "text",
       vecIdCol: String = "vec_id", vecCol: String = "embedding",
       clusterCol: String = "label", buckets: Int = 8, retain: Int = 1,
+      logged: Boolean = false,
       failpoint: String => Unit = _ => ()): Seq[IngestStats] = {
     gcBlobs(spark, root)
     val (epoch, m, countsOld) = currentManifestAndCounts(spark, root)
@@ -744,6 +813,17 @@ object ForgetStore {
     val countsNew = scala.collection.mutable.Map.empty[String, Long]
     countsNew ++= countsOld
     val hasPos = m.keys.exists(_.startsWith("pos/postings/"))
+    // LOGGED: a touched group's new blob lands as one more fragment
+    // entry on the group. MERGED: the rewrite folds the whole group
+    // back to its base entry, so fragment keys (and their counts)
+    // leave the manifest with it.
+    def entryKey(base: String): String =
+      if (logged && groupKeys(m, base).nonEmpty) s"$base~f${epoch + 1}"
+      else base
+    def foldGroup(base: String): Unit =
+      groupKeys(m, base).filter(_ != base).foreach { fk =>
+        entries.remove(fk); countsNew.remove(fk)
+      }
 
     // -- batch-side stats in ONE job (bounded by contract): ids,
     // per-partition counts, uniqueness
@@ -785,28 +865,43 @@ object ForgetStore {
     }
 
     // -- corpus: union batch rows into touched partitions (new
-    // partition values become new entries)
+    // partition values become new entries); LOGGED skips the old-side
+    // read — the batch itself is the fragment blob
     val tableCols = readCorpusOf(spark, m).columns.toSeq
     val batchByCols = newDocs.select(tableCols.map(col): _*)
     val touchedParts = docRows.map(_.getString(1)).distinct.sorted
+    if (logged) require(touchedParts.forall(!_.contains("~")),
+      "logged ingest reserves '~' in partition values for fragment keys")
     val addedByPart = docRows.groupBy(_.getString(1))
       .map { case (p, rs) => p -> rs.length.toLong }
     val corpusGen = gen.format("corpus")
-    val oldPartDirs = touchedParts
-      .flatMap(v => m.get(s"corpus/$v")).toIndexedSeq
-    val corpusNew = (if (oldPartDirs.nonEmpty)
-      readPartDirs(spark, oldPartDirs).select(tableCols.map(col): _*)
-        .unionByName(batchByCols)
-    else batchByCols)
+    val corpusNew = if (logged) batchByCols else {
+      val oldPartDirs = touchedParts
+        .flatMap(v => groupDirs(m, s"corpus/$v")).toIndexedSeq
+      if (oldPartDirs.nonEmpty)
+        readPartDirs(spark, oldPartDirs).select(tableCols.map(col): _*)
+          .unionByName(batchByCols)
+      else batchByCols
+    }
     corpusNew
       .repartition(col(partCol))
       .sortWithinPartitions(col(partCol), col(docIdCol))
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$root/$corpusGen")
     touchedParts.foreach { v =>
-      entries(s"corpus/$v") = s"$corpusGen/$partCol=$v"
-      countsNew(s"corpus/$v") =
-        countsOld.getOrElse(s"corpus/$v", 0L) + addedByPart(v)
+      val base = s"corpus/$v"
+      val k = entryKey(base)
+      entries(k) = s"$corpusGen/$partCol=$v"
+      if (logged) countsNew(k) = addedByPart(v)
+      else {
+        foldGroup(base)
+        // a legacy group with uncounted entries stays uncounted —
+        // fabricating old=0 would poison the Bounded audit's sums
+        groupCount(m, countsOld, base) match {
+          case Some(c) => countsNew(k) = c + addedByPart(v)
+          case None => countsNew.remove(k)
+        }
+      }
     }
     failpoint("corpus")
 
@@ -829,31 +924,36 @@ object ForgetStore {
     val bkt = pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket")
     val (oldIdx, oldLen) = bm25IndexOf(spark, m)
     val bmGen = gen.format("bm25")
-    val oldPostDirs = touchedBkts.flatMap(b =>
-      m.get(s"bm25/postings/$b"))
-    val postNew = (if (oldPostDirs.nonEmpty)
-      readPartDirs(spark, oldPostDirs)
-        .select("doc_id", "term", "tf")
-        .unionByName(fragPost)
-    else fragPost)
-      .withColumn("bucket", bkt)
+    val postNew = (if (logged) fragPost else {
+      val oldPostDirs = touchedBkts.flatMap(b =>
+        groupDirs(m, s"bm25/postings/$b"))
+      if (oldPostDirs.nonEmpty)
+        readPartDirs(spark, oldPostDirs)
+          .select("doc_id", "term", "tf")
+          .unionByName(fragPost)
+      else fragPost
+    }).withColumn("bucket", bkt)
     postNew.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/$bmGen/postings")
-    val oldDlDirs = touchedBkts.flatMap(b => m.get(s"bm25/dl/$b"))
-    val dlNew = (if (oldDlDirs.nonEmpty)
-      readPartDirs(spark, oldDlDirs).select("doc_id", "dl")
-        .unionByName(fragDl)
-    else fragDl)
-      .withColumn("bucket", bkt)
+    val dlNew = (if (logged) fragDl else {
+      val oldDlDirs = touchedBkts.flatMap(b =>
+        groupDirs(m, s"bm25/dl/$b"))
+      if (oldDlDirs.nonEmpty)
+        readPartDirs(spark, oldDlDirs).select("doc_id", "dl")
+          .unionByName(fragDl)
+      else fragDl
+    }).withColumn("bucket", bkt)
     dlNew.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/$bmGen/dl")
     Seq("postings", "dl").foreach { side =>
       listPartDirs(spark, s"$root/$bmGen/$side").foreach { d =>
-        entries(s"bm25/$side/${d.split("=").last}") = s"$bmGen/$side/$d"
+        val base = s"bm25/$side/${d.split("=").last}"
+        if (!logged) foldGroup(base)
+        entries(entryKey(base)) = s"$bmGen/$side/$d"
       }
     }
     oldIdx.df.withColumnRenamed("df", "dfa")
@@ -872,21 +972,24 @@ object ForgetStore {
     // -- pos: same touched buckets, old ∪ positional fragment
     if (hasPos) {
       val posGen = gen.format("pos")
-      val oldPosDirs = touchedBkts.flatMap(b =>
-        m.get(s"pos/postings/$b"))
-      val posNew = (if (oldPosDirs.nonEmpty)
-        readPartDirs(spark, oldPosDirs)
-          .select("doc_id", "term", "tf", "pos")
-          .unionByName(posFragAll.select("doc_id", "term", "tf", "pos"))
-      else posFragAll.select("doc_id", "term", "tf", "pos"))
-        .withColumn("bucket", bkt)
+      val posFragSel = posFragAll.select("doc_id", "term", "tf", "pos")
+      val posNew = (if (logged) posFragSel else {
+        val oldPosDirs = touchedBkts.flatMap(b =>
+          groupDirs(m, s"pos/postings/$b"))
+        if (oldPosDirs.nonEmpty)
+          readPartDirs(spark, oldPosDirs)
+            .select("doc_id", "term", "tf", "pos")
+            .unionByName(posFragSel)
+        else posFragSel
+      }).withColumn("bucket", bkt)
       posNew.repartition(col("bucket"))
         .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$root/$posGen/postings")
       listPartDirs(spark, s"$root/$posGen/postings").foreach { d =>
-        entries(s"pos/postings/${d.split("=").last}") =
-          s"$posGen/postings/$d"
+        val base = s"pos/postings/${d.split("=").last}"
+        if (!logged) foldGroup(base)
+        entries(entryKey(base)) = s"$posGen/postings/$d"
       }
     }
     failpoint("pos")
@@ -911,26 +1014,36 @@ object ForgetStore {
       val labRows = assigned
         .select(col(clusterCol).cast("string").as("_p")).collect()
       val touchedLabels = labRows.map(_.getString(0)).distinct.sorted
+      if (logged) require(touchedLabels.forall(!_.contains("~")),
+        "logged ingest reserves '~' in cluster labels for fragment keys")
       val addedByLabel = labRows.groupBy(_.getString(0))
         .map { case (p, rs) => p -> rs.length.toLong }
       val annGen = gen.format("ann")
-      val oldLabelDirs = touchedLabels
-        .flatMap(v => m.get(s"ann/corpus/$v")).toIndexedSeq
-      val annNew = (if (oldLabelDirs.nonEmpty)
-        readPartDirs(spark, oldLabelDirs).select(annCols.map(col): _*)
-          .unionByName(assignedRows)
-      else assignedRows)
+      val annNew = if (logged) assignedRows else {
+        val oldLabelDirs = touchedLabels
+          .flatMap(v => groupDirs(m, s"ann/corpus/$v")).toIndexedSeq
+        if (oldLabelDirs.nonEmpty)
+          readPartDirs(spark, oldLabelDirs).select(annCols.map(col): _*)
+            .unionByName(assignedRows)
+        else assignedRows
+      }
       annNew.repartition(col(clusterCol))
         .sortWithinPartitions(col(clusterCol), col(vecIdCol))
         .write.mode("overwrite").partitionBy(clusterCol)
         .parquet(s"$root/$annGen/corpus")
       listPartDirs(spark, s"$root/$annGen/corpus").foreach { d =>
-        entries(s"ann/corpus/${d.split("=").last}") =
-          s"$annGen/corpus/$d"
-      }
-      touchedLabels.foreach { v =>
-        countsNew(s"ann/corpus/$v") =
-          countsOld.getOrElse(s"ann/corpus/$v", 0L) + addedByLabel(v)
+        val base = s"ann/corpus/${d.split("=").last}"
+        val k = entryKey(base)
+        entries(k) = s"$annGen/corpus/$d"
+        val v = d.split("=").last
+        if (logged) countsNew(k) = addedByLabel(v)
+        else {
+          foldGroup(base)
+          groupCount(m, countsOld, base) match {
+            case Some(c) => countsNew(k) = c + addedByLabel(v)
+            case None => countsNew.remove(k)
+          }
+        }
       }
     }
     failpoint("ann")
@@ -948,11 +1061,97 @@ object ForgetStore {
       (if (hasPos) Seq(IngestStats("pos", fragN, newN)) else Nil)
   }
 
+  /** Max read legs any entry group currently has — 1 means fully
+    * compacted. A logged-ingest loop compacts when this exceeds its
+    * threshold (the [[CowTable.outstandingBatches]] role for the
+    * snapshot store).
+    */
+  def ingestFanIn(spark: SparkSession, root: String): Int = {
+    val m = currentManifest(spark, root)._2
+    m.keys.groupBy(baseKey).values.map(_.size).max
+  }
+
+  /** Fold every fragmented entry group (`base` + `~f` fragments —
+    * what LOGGED [[ingest]]s leave behind) back to ONE blob per group
+    * and publish the result as one epoch, restoring read fan-in 1.
+    * Cost is proportional to the fragmented groups' total size —
+    * untouched groups keep their exact blobs and entries, and df/meta
+    * carry forward verbatim (logged ingests keep them merged, so a
+    * pure fold moves no statistic). A store with no fragments is a
+    * no-op that burns no epoch. Returns folded-group counts per
+    * artifact tier.
+    */
+  def compactIngest(spark: SparkSession, root: String,
+      partCol: String = "lang", docIdCol: String = "doc_id",
+      vecIdCol: String = "vec_id", clusterCol: String = "label",
+      retain: Int = 1): Map[String, Int] = {
+    gcBlobs(spark, root)
+    val (epoch, m, countsOld) = currentManifestAndCounts(spark, root)
+    val fragBases = m.keys.filter(_.contains("~")).map(baseKey)
+      .toSeq.distinct.sorted
+    if (fragBases.isEmpty) return Map.empty
+    val gen = s"blobs/%s/g${epoch + 1}"
+    val entries = scala.collection.mutable.Map.empty[String, String]
+    entries ++= m.map { case (k, v) => k -> v.stripPrefix(s"$root/") }
+    val countsNew = scala.collection.mutable.Map.empty[String, Long]
+    countsNew ++= countsOld
+
+    // one read+write job per artifact tier, covering only that
+    // tier's fragmented groups; the write partitions on the tier's
+    // own column (lang / bucket / label), so the folded entries key
+    // exactly like init's
+    def fold(prefix: String, art: String, sub: String, pc: String,
+        sortCols: Seq[String], counted: Boolean): Int = {
+      val bases = fragBases.filter(_.startsWith(prefix))
+      if (bases.isEmpty) return 0
+      val dirs = bases.flatMap(b => groupDirs(m, b)).toIndexedSeq
+      val out = s"${gen.format(art)}$sub"
+      readPartDirs(spark, dirs)
+        .repartition(col(pc))
+        .sortWithinPartitions((pc +: sortCols).map(col): _*)
+        .write.mode("overwrite").partitionBy(pc)
+        .parquet(s"$root/$out")
+      val written = listPartDirs(spark, s"$root/$out")
+        .map(_.split("=").last).toSet
+      bases.foreach { b =>
+        val v = b.stripPrefix(prefix)
+        groupKeys(m, b).filter(_ != b).foreach { fk =>
+          entries.remove(fk); countsNew.remove(fk)
+        }
+        require(written.contains(v),
+          s"compaction lost partition $v of $prefix")
+        entries(b) = s"$out/$pc=$v"
+        if (counted) groupCount(m, countsOld, b) match {
+          case Some(c) => countsNew(b) = c
+          case None => countsNew.remove(b) // legacy, stays uncounted
+        }
+      }
+      bases.size
+    }
+    val folded = Map(
+      "corpus" -> fold("corpus/", "corpus", "", partCol,
+        Seq(docIdCol), counted = true),
+      "bm25" -> (fold("bm25/postings/", "bm25", "/postings", "bucket",
+          Seq("doc_id", "term"), counted = false) +
+        fold("bm25/dl/", "bm25", "/dl", "bucket", Seq("doc_id"),
+          counted = false)),
+      "pos" -> fold("pos/postings/", "pos", "/postings", "bucket",
+        Seq("doc_id", "term"), counted = false),
+      "ann" -> fold("ann/corpus/", "ann", "/corpus", clusterCol,
+        Seq(vecIdCol), counted = true)).filter(_._2 > 0)
+    EpochLayout.publish(spark, root, retain) { dir =>
+      writeManifest(spark, dir, entries.toMap, countsNew.toMap)
+    }
+    gcBlobs(spark, root)
+    folded
+  }
+
   private def dlTouchedAnti(spark: SparkSession,
       m: Map[String, String], touchedBkts: Seq[Long], idsDf: DataFrame,
       docIdCol: String): DataFrame =
     readPartDirs(spark,
-        touchedBkts.map(b => m(s"bm25/dl/$b")).toIndexedSeq)
+        touchedBkts.flatMap(b => groupDirs(m, s"bm25/dl/$b"))
+          .toIndexedSeq)
       .join(broadcast(idsDf.withColumnRenamed(docIdCol, "doc_id")),
         Seq("doc_id"), "left_anti")
 

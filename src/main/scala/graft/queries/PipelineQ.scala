@@ -2000,6 +2000,105 @@ object PipelineQ {
       Staged.offer("q_stream_ingest", d, instantiateStreamIngest(s, d)))
   )
 
+  /** LOG-STRUCTURED snapshot ingest — [[graft.io.ForgetStore.ingest]]
+    * with `logged = true`: the arriving batch lands as O(batch)
+    * FRAGMENT blobs (one extra `~f` manifest entry per touched
+    * group) instead of read-modify-writing whole buckets, and
+    * readers union the fragments in through the prefix reads they
+    * already do. Serving from the FRAGMENTED store must still
+    * hash-equal full-corpus retrieval (q_bm25's oracle — every index
+    * statistic is a sum over docs). This is the write path a
+    * high-rate 100 TB ingest runs between compactions: per-batch
+    * cost no longer scales with bucket size.
+    */
+  val qIngestLog = Q(
+    "q_ingest_log",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val emb = graft.io.Tables.embeddings(spark, dir)
+      val root = Staged.acquire("q_ingest_log", dir)(
+        instantiateIngestStore(spark, dir))
+      graft.io.ForgetStore.ingest(spark, root,
+        docs.filter(col("doc_id") % 30 === 0),
+        emb.filter(col("vec_id") % 30 === 0), logged = true)
+      val (idx, _) = graft.io.ForgetStore.bm25Index(spark, root)
+      graft.ops.Retrieval.bm25Query(idx,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    TrainingQ.qBm25.oracle,
+    prestage = Some((s, d) =>
+      Staged.offer("q_ingest_log", d, instantiateIngestStore(s, d)))
+  )
+
+  /** Instantiate q_stream_ingest_log's working state: the 29/30
+    * store plus the arriving slice as TWO parquet files — against
+    * fan-in threshold 1 the first trigger forces a MID-STREAM
+    * compaction and the second leaves the final store fragmented, so
+    * two triggers pin the full fragment/fold composition at the
+    * least ingest cost (each extra trigger pays a full ingest's
+    * driver-job floor for no additional semantics).
+    */
+  private def instantiateStreamIngestLog(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = instantiateIngestStore(spark, dir)
+    Tables.documents(spark, dir).filter(col("doc_id") % 30 === 0)
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$root/arrivals")
+    root
+  }
+
+  /** STREAMING log-structured ingest (34th batch/stream equivalence
+    * pin): each trigger lands one O(batch) LOGGED ingest epoch, and
+    * the intake loop compacts when read fan-in exceeds its threshold
+    * ([[graft.io.ForgetStore.ingestFanIn]] /
+    * [[graft.io.ForgetStore.compactIngest]] — the q_stream_mor
+    * threshold-compaction discipline lifted to the snapshot store).
+    * Two triggers against threshold 1 force one mid-stream
+    * compaction AND leave the drained store fragmented, so the face
+    * proves fragments and folds COMPOSE: serving after the drain
+    * hash-equals full-corpus retrieval (q_bm25's oracle).
+    */
+  val qStreamIngestLog = Q(
+    "q_stream_ingest_log",
+    (spark, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = Staged.acquire("q_stream_ingest_log", dir)(
+        instantiateStreamIngestLog(spark, dir))
+      val docs = Tables.documents(spark, dir)
+      val emb = graft.io.Tables.embeddings(spark, dir)
+      val sch = spark.read.parquet(s"$root/arrivals").schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/arrivals")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          val bEmb = emb.join(
+            batch.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          graft.io.ForgetStore.ingest(spark, root, batch, bEmb,
+            logged = true)
+          if (graft.io.ForgetStore.ingestFanIn(spark, root) > 1)
+            graft.io.ForgetStore.compactIngest(spark, root)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val (idx, _) = graft.io.ForgetStore.bm25Index(spark, root)
+      graft.ops.Retrieval.bm25Query(idx,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    TrainingQ.qBm25.oracle,
+    prestage = Some((s, d) => Staged.offer("q_stream_ingest_log", d,
+      instantiateStreamIngestLog(s, d)))
+  )
+
   /** Takedown reaches PHRASE SERVING: forget a doc-id set through the
     * snapshot store, then run exact-phrase retrieval
     * ([[graft.ops.Retrieval.phraseQuery]]) against the PUBLISHED
@@ -2084,5 +2183,5 @@ object PipelineQ {
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
       qStreamCow, qCowTombstone, qCowMor, qStreamMor, qForgetE2e,
       qForgetEpoch, qForgetBounded, qForgetPhrase, qIngestSnapshot,
-      qStreamIngest)
+      qStreamIngest, qIngestLog, qStreamIngestLog)
 }

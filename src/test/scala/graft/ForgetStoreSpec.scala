@@ -284,6 +284,122 @@ class ForgetStoreSpec extends AnyFunSuite {
       corpusRows(docs.filter(col("doc_id") % 37 =!= 0)))
   }
 
+  test("logged ingest: O(batch) fragments serve exactly; bases keep file identity; compaction folds; forget folds fragments; crash all-old") {
+    val root = Files.createTempDirectory("forget_store").toString
+    val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val oldEmb = emb.filter(col("vec_id") % 3 =!= 0)
+    val batchA = docs.filter(col("doc_id") % 6 === 0)
+    val embA = emb.filter(col("vec_id") % 6 === 0)
+    val batchB = docs.filter(col("doc_id") % 6 === 3)
+    val embB = emb.filter(col("vec_id") % 6 === 3)
+    ForgetStore.init(spark, root, oldDocs, oldEmb)
+    val m1 = ForgetStore.currentManifest(spark, root)._2
+    // crash mid-logged-ingest: ALL-OLD, no new epoch, no fragments
+    val boom = intercept[RuntimeException] {
+      ForgetStore.ingest(spark, root, batchA, embA, logged = true,
+        failpoint = a => if (a == "bm25") sys.error("killed mid-log"))
+    }
+    assert(boom.getMessage.contains("killed mid-log"))
+    assert(ForgetStore.currentManifest(spark, root)._1 == 1L)
+    assert(ForgetStore.ingestFanIn(spark, root) == 1)
+    // two logged ingests land as fragments — the touched groups' BASE
+    // blobs keep their exact files (the O(batch) claim in file form)
+    ForgetStore.ingest(spark, root, batchA, embA, logged = true)
+    ForgetStore.ingest(spark, root, batchB, embB, logged = true)
+    val m2 = ForgetStore.currentManifest(spark, root)._2
+    assert(ForgetStore.ingestFanIn(spark, root) > 1)
+    assert(m2.keys.exists(_.contains("~f")), "fragment entries expected")
+    val baseKeys = m1.keySet.filter(k => k.startsWith("bm25/postings/")
+      || k.startsWith("pos/postings/") || k.startsWith("corpus/"))
+    assert(baseKeys.nonEmpty && baseKeys.forall(k => m2(k) == m1(k)),
+      "logged ingest must not rewrite base blobs")
+    // serving parity with a FRESH build on the full corpus,
+    // fan-in > 1 (readers union the fragments in)
+    assert(corpusRows(ForgetStore.readCorpus(spark, root)) ==
+      corpusRows(docs))
+    val (logIdx, logLen) = ForgetStore.bm25Index(spark, root)
+    val memIdx = Retrieval.buildIndex(docs)
+    assert(logIdx.nDocs == memIdx.nDocs && logIdx.avgdl == memIdx.avgdl
+      && logLen == Retrieval.totalLen(memIdx))
+    assert(logIdx.df.orderBy("term").collect().map(_.toSeq).toSeq ==
+      memIdx.df.orderBy("term").collect().map(_.toSeq).toSeq)
+    val q = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    def ranked(idx: Retrieval.Bm25Index) =
+      Retrieval.bm25Query(idx, q, k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ranked(logIdx) == ranked(memIdx) && ranked(logIdx).nonEmpty)
+    assert(phraseRanked(ForgetStore.positionalIndex(spark, root)) ==
+      phraseRanked(Retrieval.buildPositionalIndex(docs)))
+    // collision probe sees ids living only in a FRAGMENT
+    val err = intercept[IllegalArgumentException] {
+      ForgetStore.ingest(spark, root, docs.filter(col("doc_id") === 6),
+        emb.filter(col("vec_id") === 6), logged = true)
+    }
+    assert(err.getMessage.contains("already live"))
+    // compaction folds every group to one blob: fan-in 1, no
+    // fragments, df/meta carried forward VERBATIM, serving unchanged
+    val folded = ForgetStore.compactIngest(spark, root)
+    assert(folded.nonEmpty && folded.values.forall(_ > 0))
+    val m3 = ForgetStore.currentManifest(spark, root)._2
+    assert(ForgetStore.ingestFanIn(spark, root) == 1)
+    assert(!m3.keys.exists(_.contains("~")))
+    assert(m3("bm25/df") == m2("bm25/df") &&
+      m3("bm25/meta") == m2("bm25/meta"),
+      "a pure fold moves no statistic")
+    val (cIdx, cLen) = ForgetStore.bm25Index(spark, root)
+    assert(ranked(cIdx) == ranked(memIdx) && cLen == logLen)
+    assert(corpusRows(ForgetStore.readCorpus(spark, root)) ==
+      corpusRows(docs))
+    // a clean store compacts as a NO-OP: no epoch burned
+    val e3 = ForgetStore.currentManifest(spark, root)._1
+    assert(ForgetStore.compactIngest(spark, root).isEmpty)
+    assert(ForgetStore.currentManifest(spark, root)._1 == e3)
+  }
+
+  test("forget on a fragmented store folds the touched groups and stays Bounded-exact") {
+    val root = Files.createTempDirectory("forget_store").toString
+    ForgetStore.init(spark, root, docs.filter(col("doc_id") % 3 =!= 0),
+      emb.filter(col("vec_id") % 3 =!= 0))
+    ForgetStore.ingest(spark, root, docs.filter(col("doc_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 0), logged = true)
+    assert(ForgetStore.ingestFanIn(spark, root) > 1)
+    // ids straddle base (44, 85, …) and fragment (3, 126, …) blobs
+    val ids = docs.filter(col("doc_id") % 41 === 3)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      .toIndexedSeq
+    assert(ids.exists(_ % 3 == 0) && ids.exists(_ % 3 != 0),
+      "the takedown must straddle base and fragment blobs")
+    val bounded = ForgetStore.forget(spark, root, ids,
+      audit = ForgetStore.Bounded)
+    assert(bounded.forall(_.residual == 0L), s"$bounded")
+    assert(bounded.find(_.artifact == "corpus").get.remaining ==
+      docs.count() - ids.length)
+    assert(corpusRows(ForgetStore.readCorpus(spark, root)) ==
+      corpusRows(docs.filter(col("doc_id") % 41 =!= 3)))
+    // the forget folded every touched group (ids mod 8 buckets): no
+    // fragment may survive on a touched group, and the phrase tier
+    // no longer surfaces the forgotten ids
+    val m2 = ForgetStore.currentManifest(spark, root)._2
+    val touchedBkts = ids.map(i => (i % 8 + 8) % 8).distinct
+    assert(!m2.keys.exists(k => k.contains("~") &&
+      touchedBkts.exists(b => baseOf(k).endsWith(s"/$b"))),
+      "touched groups must fold")
+    assert(ForgetStore.positionalIndex(spark, root).postings
+      .filter(col("doc_id") % 41 === 3).count() == 0L)
+    // bm25 == fresh build on the survivors (df and scalars exact)
+    val (idx2, len2) = ForgetStore.bm25Index(spark, root)
+    val mem2 = Retrieval.buildIndex(docs.filter(col("doc_id") % 41 =!= 3))
+    assert(idx2.nDocs == mem2.nDocs && idx2.avgdl == mem2.avgdl &&
+      len2 == Retrieval.totalLen(mem2))
+    assert(idx2.df.orderBy("term").collect().map(_.toSeq).toSeq ==
+      mem2.df.orderBy("term").collect().map(_.toSeq).toSeq)
+  }
+
+  private def baseOf(k: String): String = {
+    val i = k.indexOf('~'); if (i < 0) k else k.substring(0, i)
+  }
+
   test("retention + blob GC: expired epochs' private generations are swept, shared ones survive") {
     val root = freshStore()
     def blobGens(): Set[String] = {
