@@ -2099,6 +2099,62 @@ object PipelineQ {
       instantiateStreamIngestLog(s, d)))
   )
 
+  /** UPSERT through the snapshot store — the documented pair the
+    * ingest refusal points at (`an upsert is the forget + ingest
+    * pair`), run end-to-end as a re-crawl revision: the 1/30th
+    * doc-id slice arrives RE-CRAWLED with revised text, one atomic
+    * [[graft.io.ForgetStore.forget]] (Bounded audit) removes the
+    * stale versions across all four artifacts, one LOGGED
+    * [[graft.io.ForgetStore.ingest]] lands the revisions as O(batch)
+    * fragments, and serving from the resulting (fragmented) store
+    * must hash-equal retrieval over a corpus whose slice was revised
+    * in place — the oracle replays full BM25 over exactly that
+    * derived corpus. The revision REPLACES each slice doc's text
+    * ("graft revision" + its first five tokens), not appends: the
+    * slice's doc lengths collapse, so total length and avgdl move,
+    * and avgdl enters every candidate's saturation term — a stale
+    * artifact anywhere (old postings, old dl, old meta) shifts every
+    * score and breaks the hash, which is what makes the pin sharp.
+    * Queries come from the revised corpus too (doc 0 is in the
+    * slice).
+    */
+  val qUpsertSnapshot = Q(
+    "q_upsert_snapshot",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val emb = graft.io.Tables.embeddings(spark, dir)
+      val rdocs = docs.withColumn("text",
+        when(col("doc_id") % 30 === 0,
+          concat(lit("graft revision "), array_join(
+            slice(graft.ops.TextOps.tokens(col("text")), 1, 5), " ")))
+          .otherwise(col("text")))
+      val root = Staged.acquire("q_upsert_snapshot", dir)(
+        instantiateForgetStore(spark, dir))
+      val ids = docs.filter(col("doc_id") % 30 === 0)
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      graft.io.ForgetStore.forget(spark, root, ids.toIndexedSeq,
+        audit = graft.io.ForgetStore.Bounded)
+      graft.io.ForgetStore.ingest(spark, root,
+        rdocs.filter(col("doc_id") % 30 === 0),
+        emb.filter(col("vec_id") % 30 === 0), logged = true)
+      val (idx, _) = graft.io.ForgetStore.bm25Index(spark, root)
+      graft.ops.Retrieval.bm25Query(idx,
+          rdocs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    Some(TrainingQ.bm25OracleOver(
+      """(SELECT doc_id,
+           CASE WHEN doc_id % 30 = 0 THEN 'graft revision ' ||
+             array_to_string(list_filter(string_split(trim(text), ' '),
+               x -> x <> '')[1:5], ' ')
+                ELSE text END AS text, lang, n_chars
+         FROM documents) rdocs""")),
+    prestage = Some((s, d) =>
+      Staged.offer("q_upsert_snapshot", d, instantiateForgetStore(s, d)))
+  )
+
   /** Takedown reaches PHRASE SERVING: forget a doc-id set through the
     * snapshot store, then run exact-phrase retrieval
     * ([[graft.ops.Retrieval.phraseQuery]]) against the PUBLISHED
@@ -2183,5 +2239,5 @@ object PipelineQ {
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
       qStreamCow, qCowTombstone, qCowMor, qStreamMor, qForgetE2e,
       qForgetEpoch, qForgetBounded, qForgetPhrase, qIngestSnapshot,
-      qStreamIngest, qIngestLog, qStreamIngestLog)
+      qStreamIngest, qIngestLog, qStreamIngestLog, qUpsertSnapshot)
 }

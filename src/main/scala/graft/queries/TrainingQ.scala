@@ -46,18 +46,23 @@ object TrainingQ {
     }
 
   /** Shared oracle CTEs: whitespace tokens and distinct 3-gram
-    * shingles (mirrors TextOps.tokens / TextOps.shingleSet).
+    * shingles (mirrors TextOps.tokens / TextOps.shingleSet). The
+    * `src` variant re-roots the corpus on a derived table — what the
+    * upsert face needs, whose oracle corpus is `documents` with the
+    * re-crawled slice's text revised in place.
     */
-  private val tokCtes =
-    """toks AS (SELECT doc_id, text, lang, n_chars,
+  private def tokCtesOver(src: String): String =
+    s"""toks AS (SELECT doc_id, text, lang, n_chars,
          list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
-       FROM documents),
+       FROM $src),
        sh AS (SELECT doc_id,
          list_distinct(CASE WHEN len(ts) >= 3
            THEN list_transform(range(1, len(ts) - 1),
                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
            ELSE CAST([] AS VARCHAR[]) END) AS ss
        FROM toks)"""
+
+  private val tokCtes = tokCtesOver("documents")
 
   val qDedupExact = Q(
     "q_dedup_exact",
@@ -1520,8 +1525,9 @@ object TrainingQ {
     * score) table — [[Bm25Oracle]] tops it with rank≤k,
     * [[qDeconQuery]] with a threshold.
     */
-  private def bm25Ctes(corpusWhere: String): String =
-    s"""$tokCtes,
+  private def bm25Ctes(corpusWhere: String,
+      src: String = "documents"): String =
+    s"""${tokCtesOver(src)},
       post AS (SELECT doc_id, unnest(ts) AS term FROM toks
         WHERE ($corpusWhere)),
       tfq AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1548,13 +1554,21 @@ object TrainingQ {
 
   private lazy val Bm25Ctes: String = bm25Ctes("TRUE")
 
-  private lazy val Bm25Oracle: String =
-    s"""WITH $Bm25Ctes,
+  /** [[Bm25Oracle]] replayed over an arbitrary corpus derivation
+    * (`src` must yield doc_id, text, lang, n_chars — e.g. a
+    * subselect revising the re-crawled slice's text in place): the
+    * upsert face's oracle, where the engine's corpus is the snapshot
+    * store after forget + ingest of revisions.
+    */
+  private[queries] def bm25OracleOver(src: String): String =
+    s"""WITH ${bm25Ctes("TRUE", src)},
       rk AS (SELECT *, row_number() OVER
           (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
         FROM sc)
       SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score FROM rk
       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private lazy val Bm25Oracle: String = bm25OracleOver("documents")
 
   /** Decontamination BY QUERY — the retrieval face of the eval-set
     * leak check (complements the n-gram/Bloom overlap faces, which
