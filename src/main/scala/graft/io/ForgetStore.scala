@@ -307,6 +307,54 @@ object ForgetStore {
       m: Map[String, String]): DataFrame =
     readPartDirs(spark, entriesUnder(m, "ann/corpus/").map(_._2))
 
+  // ---- point-in-time reads (retained epochs) ------------------------
+
+  /** The manifest of a RETAINED epoch — the time-travel entry point:
+    * every mutation keeps `retain` prior epochs alive (their
+    * manifests AND every blob generation they reference survive
+    * [[gcBlobs]]), so a reader can resolve a historical snapshot
+    * exactly as it was published — corpus, both index tiers and ann
+    * consistent BY CONSTRUCTION, because one manifest names them
+    * all. Throws with the available epoch list when `asOf` has
+    * expired (swept by retention) or never completed.
+    */
+  private def manifestAt(spark: SparkSession, root: String,
+      asOf: Long): Map[String, String] = {
+    val fs = fsOf(spark, root)
+    val live = EpochLayout.epochs(spark, root)
+      .filter(e => fs.exists(new Path(e._2, EpochLayout.Marker)))
+    live.find(_._1 == asOf) match {
+      case Some((_, dir)) =>
+        readManifest(spark, dir.toString)
+          .map { case (k, v) => k -> s"$root/$v" }
+      case None => sys.error(s"epoch $asOf is not readable under " +
+        s"$root — retained complete epochs: " +
+        s"${live.map(_._1).mkString(", ")} (expired epochs are " +
+        "swept by retention; raise `retain` on the mutators to keep " +
+        "deeper history)")
+    }
+  }
+
+  /** [[readCorpus]] as of a retained epoch. */
+  def readCorpusAt(spark: SparkSession, root: String,
+      asOf: Long): DataFrame =
+    readCorpusOf(spark, manifestAt(spark, root, asOf))
+
+  /** [[bm25Index]] as of a retained epoch. */
+  def bm25IndexAt(spark: SparkSession, root: String,
+      asOf: Long): (Retrieval.Bm25Index, Long) =
+    bm25IndexOf(spark, manifestAt(spark, root, asOf))
+
+  /** [[positionalIndex]] as of a retained epoch. */
+  def positionalIndexAt(spark: SparkSession, root: String,
+      asOf: Long): Retrieval.PositionalIndex =
+    positionalIndexOf(spark, manifestAt(spark, root, asOf))
+
+  /** [[readAnnCorpus]] as of a retained epoch. */
+  def readAnnCorpusAt(spark: SparkSession, root: String,
+      asOf: Long): DataFrame =
+    readAnnCorpusOf(spark, manifestAt(spark, root, asOf))
+
   // ---- blob generation GC -------------------------------------------
 
   /** Delete blob generations referenced by NO complete epoch's

@@ -2155,6 +2155,42 @@ object PipelineQ {
       Staged.offer("q_upsert_snapshot", d, instantiateForgetStore(s, d)))
   )
 
+  /** POINT-IN-TIME read through the snapshot store
+    * ([[graft.io.ForgetStore.bm25IndexAt]]): a takedown moves
+    * `current` to the survivors, but the retained prior epoch still
+    * serves the snapshot exactly as published — corpus and both
+    * index tiers consistent by construction, because ONE manifest
+    * names them all. The face forgets the 1/30th slice, then serves
+    * q_bm25's exact query AS OF epoch 1 — the pre-forget store — and
+    * must hash-equal FULL-corpus retrieval (q_bm25's own oracle): a
+    * time-travel resolution that leaked any post-forget artifact
+    * (fewer docs, smaller df/avgdl) shifts scores and breaks the
+    * hash. This is the audit/debug read a compliance pipeline runs
+    * ("what did we serve last week?") without any store copy.
+    */
+  val qSnapshotAsof = Q(
+    "q_snapshot_asof",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val root = Staged.acquire("q_snapshot_asof", dir)(
+        instantiateForgetStore(spark, dir))
+      val ids = docs.filter(col("doc_id") % 30 === 0)
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      graft.io.ForgetStore.forget(spark, root, ids.toIndexedSeq,
+        audit = graft.io.ForgetStore.Bounded)
+      val (idx, _) = graft.io.ForgetStore.bm25IndexAt(spark, root,
+        asOf = 1L)
+      graft.ops.Retrieval.bm25Query(idx,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    TrainingQ.qBm25.oracle,
+    prestage = Some((s, d) =>
+      Staged.offer("q_snapshot_asof", d, instantiateForgetStore(s, d)))
+  )
+
   /** Takedown reaches PHRASE SERVING: forget a doc-id set through the
     * snapshot store, then run exact-phrase retrieval
     * ([[graft.ops.Retrieval.phraseQuery]]) against the PUBLISHED
@@ -2239,5 +2275,6 @@ object PipelineQ {
       qStreamDsir, qQualityEnsemble, qStreamEnsemble, qCowMerge,
       qStreamCow, qCowTombstone, qCowMor, qStreamMor, qForgetE2e,
       qForgetEpoch, qForgetBounded, qForgetPhrase, qIngestSnapshot,
-      qStreamIngest, qIngestLog, qStreamIngestLog, qUpsertSnapshot)
+      qStreamIngest, qIngestLog, qStreamIngestLog, qUpsertSnapshot,
+      qSnapshotAsof)
 }

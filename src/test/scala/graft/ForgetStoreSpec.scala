@@ -413,7 +413,27 @@ class ForgetStoreSpec extends AnyFunSuite {
       .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
     ForgetStore.forget(spark, root, ids1.toIndexedSeq) // e2, retain keeps e1
     assert(blobGens().exists(_.endsWith("/g2")))
+    // TIME TRAVEL: the retained epoch 1 still serves the FULL
+    // pre-forget snapshot — corpus, bm25 and pos consistently (one
+    // manifest names them all), while current serves the survivors
+    assert(corpusRows(ForgetStore.readCorpusAt(spark, root, 1L)) ==
+      corpusRows(docs))
+    assert(ForgetStore.bm25IndexAt(spark, root, 1L)._1.nDocs ==
+      docs.count())
+    assert(ForgetStore.positionalIndexAt(spark, root, 1L).postings
+      .filter(col("doc_id") % 37 === 0).count() > 0,
+      "the old epoch must still surface the later-forgotten ids")
+    assert(ForgetStore.readAnnCorpusAt(spark, root, 1L).count() ==
+      emb.count())
     ForgetStore.forget(spark, root, ids2.toIndexedSeq) // e3: e1 expires
+    // the expired epoch refuses with the retained list; the retained
+    // e2 still serves the between-forgets state
+    val gone = intercept[RuntimeException] {
+      ForgetStore.readCorpusAt(spark, root, 1L)
+    }
+    assert(gone.getMessage.contains("retained complete epochs: 2, 3"))
+    assert(corpusRows(ForgetStore.readCorpusAt(spark, root, 2L)) ==
+      corpusRows(docs.filter(col("doc_id") % 37 =!= 0)))
     val epochs = EpochLayout.epochs(spark, root).map(_._1)
     assert(epochs == Seq(2L, 3L), s"epochs: $epochs")
     // g1 corpus/bm25/ann dirs still referenced by e2/e3's untouched
