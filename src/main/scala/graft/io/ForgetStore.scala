@@ -355,6 +355,21 @@ object ForgetStore {
       asOf: Long): DataFrame =
     readAnnCorpusOf(spark, manifestAt(spark, root, asOf))
 
+  /** [[knn]] as of a retained epoch — reps and cluster dirs resolve
+    * from the same historical manifest, so the probe prunes against
+    * the codebook that epoch actually served.
+    */
+  def knnAt(spark: SparkSession, root: String, asOf: Long,
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      clusterCol: String = "label"): DataFrame = {
+    val m = manifestAt(spark, root, asOf)
+    AnnLayout.knnIvfOn(spark.read.parquet(m("ann/reps")), queries, k,
+      nprobe, idCol, vecCol, clusterCol,
+      pc => readAnnCorpusOf(spark, m)
+        .filter(col(clusterCol).isin(pc: _*)))
+  }
+
   // ---- blob generation GC -------------------------------------------
 
   /** Delete blob generations referenced by NO complete epoch's

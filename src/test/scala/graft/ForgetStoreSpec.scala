@@ -425,6 +425,18 @@ class ForgetStoreSpec extends AnyFunSuite {
       "the old epoch must still surface the later-forgotten ids")
     assert(ForgetStore.readAnnCorpusAt(spark, root, 1L).count() ==
       emb.count())
+    // knnAt(1) serves the pre-forget members: a forgotten vector's
+    // own embedding (under a fresh query id — the reader excludes
+    // id-equal self matches) surfaces the forgotten member at
+    // cosine 1 from the old epoch, and cannot from current
+    val fq = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 100)
+      .withColumn("vec_id", -col("vec_id") - 1)
+    def hitsForgotten(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("neighbor_id") % 37 === 0).count()
+    assert(hitsForgotten(ForgetStore.knnAt(spark, root, 1L, fq,
+      k = 3, nprobe = 2)) > 0)
+    assert(hitsForgotten(ForgetStore.knn(spark, root, fq,
+      k = 3, nprobe = 2)) == 0)
     ForgetStore.forget(spark, root, ids2.toIndexedSeq) // e3: e1 expires
     // the expired epoch refuses with the retained list; the retained
     // e2 still serves the between-forgets state
