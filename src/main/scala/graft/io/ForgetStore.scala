@@ -227,6 +227,19 @@ object ForgetStore {
     if (cs.length == ks.length) Some(cs.sum) else None
   }
 
+  /** The store's recorded doc-bucket count — a STORE property
+    * (`conf/buckets` manifest entry, written at [[init]], changed
+    * only by [[rebucket]]), NOT a per-call choice: a mutator
+    * computing touched sets with the wrong modulus would rewrite the
+    * wrong buckets and leave forgotten ids retrievable. Mutators
+    * resolve the stored value and use the caller's param only as the
+    * fallback for stores inited before the entry existed. The
+    * manifest loader root-resolves every value, so the number rides
+    * after the last '/'.
+    */
+  private def storeBuckets(m: Map[String, String]): Option[Int] =
+    m.get("conf/buckets").map(_.split("/").last.toInt)
+
   // ---- readers (all resolve ONE epoch — consistent by construction) --
 
   /** The document corpus at the current snapshot. */
@@ -481,6 +494,10 @@ object ForgetStore {
     listPartDirs(spark, s"$root/$annGen/corpus").foreach { d =>
       entries(s"ann/corpus/${d.split("=").last}") = s"$annGen/corpus/$d"
     }
+    // the bucket count is a STORE property (see [[storeBuckets]]) —
+    // recorded at init, read by every mutator, changed only by
+    // [[rebucket]]
+    entries("conf/buckets") = buckets.toString
     // per-entry row counts ride the manifest (ONE fused tagged job,
     // bounded by partition+cluster cardinality): what lets the
     // Bounded audit report `remaining` as a manifest sum instead of
@@ -595,9 +612,13 @@ object ForgetStore {
     }
     failpoint("corpus")
 
-    // -- bm25: touched doc buckets only; df/meta are model-sized
+    // -- bm25: touched doc buckets only; df/meta are model-sized.
+    // The modulus is the STORE's recorded bucket count ([[rebucket]]
+    // may have changed it since init) — the caller's param is only
+    // the legacy-store fallback
+    val bk = storeBuckets(m).getOrElse(buckets)
     val touchedBkts = ids.distinct
-      .map(i => (i % buckets + buckets) % buckets).distinct.sorted
+      .map(i => (i % bk + bk) % bk).distinct.sorted
     val (oldIdx, oldLen) = bm25IndexOf(spark, m)
     val dlTouched = readPartDirs(spark,
         touchedBkts.flatMap(b => groupDirs(m, s"bm25/dl/$b"))
@@ -982,9 +1003,12 @@ object ForgetStore {
     val fragLen = fragSt.getLong(1)
     val fragPost = posFragAll.select("doc_id", "term", "tf")
     val fragDf = fragPost.groupBy("term").agg(count(lit(1)).as("df"))
-    val touchedBkts = newIds.map(i => (i % buckets + buckets) % buckets)
+    // the store's recorded bucket count, never the caller's guess
+    // (see [[storeBuckets]]; param = legacy-store fallback)
+    val bk = storeBuckets(m).getOrElse(buckets)
+    val touchedBkts = newIds.map(i => (i % bk + bk) % bk)
       .distinct.sorted.toIndexedSeq
-    val bkt = pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket")
+    val bkt = pmod(col("doc_id"), lit(bk)).cast("int").as("bucket")
     val (oldIdx, oldLen) = bm25IndexOf(spark, m)
     val bmGen = gen.format("bm25")
     val postNew = (if (logged) fragPost else {
@@ -1207,6 +1231,65 @@ object ForgetStore {
     }
     gcBlobs(spark, root)
     folded
+  }
+
+  /** Online RE-BUCKETING — grow (or shrink) the index tiers'
+    * doc-bucket fan-out as the corpus grows: a store inited at
+    * production scale with hundreds of buckets keeps takedown cost
+    * at `|touched|/buckets` of the index, but a corpus that has
+    * grown 10× since init needs more buckets to keep that fraction
+    * (and per-bucket blob sizes) bounded. Rewrites bm25 postings/dl
+    * and pos postings at the new modulus — folding any logged
+    * fragments along the way — re-keys their entries, records the
+    * new count in `conf/buckets` (which every later mutator reads),
+    * and publishes ONE epoch; corpus, ann, df and meta carry forward
+    * verbatim, because bucketing moves placement, never a statistic.
+    * O(index tiers) by nature: the rare scheduled maintenance op,
+    * amortized across every later bounded takedown/ingest whose
+    * touched-bucket fraction it shrinks. Readers are bucket-count
+    * agnostic (prefix reads), so no reader changes across the swap,
+    * and a mid-rebucket crash leaves the old epoch serving (same
+    * one-marker publish as every mutator).
+    */
+  def rebucket(spark: SparkSession, root: String, newBuckets: Int,
+      retain: Int = 1): Unit = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    gcBlobs(spark, root)
+    val (epoch, m, countsOld) = currentManifestAndCounts(spark, root)
+    val gen = s"blobs/%s/g${epoch + 1}"
+    val entries = scala.collection.mutable.Map.empty[String, String]
+    entries ++= m.map { case (k, v) => k -> v.stripPrefix(s"$root/") }
+    val bkt = pmod(col("doc_id"), lit(newBuckets)).cast("int")
+      .as("bucket")
+    def rewrite(prefix: String, art: String, sub: String,
+        cols: Seq[String], sortCols: Seq[String]): Unit = {
+      val old = entriesUnder(m, prefix)
+      if (old.isEmpty) return
+      val out = s"${gen.format(art)}$sub"
+      readPartDirs(spark, old.map(_._2)).select(cols.map(col): _*)
+        .withColumn("bucket", bkt)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/$out")
+      old.map(_._1).foreach(entries.remove) // incl. logged fragments
+      listPartDirs(spark, s"$root/$out").foreach { d =>
+        entries(s"$prefix${d.split("=").last}") = s"$out/$d"
+      }
+    }
+    rewrite("bm25/postings/", "bm25", "/postings",
+      Seq("doc_id", "term", "tf"), Seq("doc_id", "term"))
+    rewrite("bm25/dl/", "bm25", "/dl",
+      Seq("doc_id", "dl"), Seq("doc_id"))
+    rewrite("pos/postings/", "pos", "/postings",
+      Seq("doc_id", "term", "tf", "pos"), Seq("doc_id", "term"))
+    entries("conf/buckets") = newBuckets.toString
+    EpochLayout.publish(spark, root, retain) { dir =>
+      // corpus/ann counts ride through untouched; bm25/pos entries
+      // carry none either side of the rewrite
+      writeManifest(spark, dir, entries.toMap, countsOld)
+    }
+    gcBlobs(spark, root)
   }
 
   private def dlTouchedAnti(spark: SparkSession,

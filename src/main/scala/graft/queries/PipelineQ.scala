@@ -2191,6 +2191,37 @@ object PipelineQ {
       Staged.offer("q_snapshot_asof", d, instantiateForgetStore(s, d)))
   )
 
+  /** Online RE-BUCKETING of the snapshot store's index tiers
+    * ([[graft.io.ForgetStore.rebucket]]): a store whose corpus has
+    * outgrown its init-time doc-bucket fan-out rewrites bm25
+    * postings/dl and pos postings at a larger modulus — one epoch,
+    * readers bucket-count agnostic, corpus/ann/df/meta verbatim —
+    * and records the new count as the STORE property every later
+    * mutator reads (a takedown computing touched sets with the old
+    * modulus would rewrite the wrong buckets). The face doubles the
+    * fan-out 8 → 16 and serves q_bm25's exact query from the
+    * re-bucketed store against the full-corpus oracle: lost or
+    * double-placed rows anywhere in the rewrite break the hash.
+    */
+  val qRebucket = Q(
+    "q_rebucket",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val root = Staged.acquire("q_rebucket", dir)(
+        instantiateForgetStore(spark, dir))
+      graft.io.ForgetStore.rebucket(spark, root, 16)
+      val (idx, _) = graft.io.ForgetStore.bm25Index(spark, root)
+      graft.ops.Retrieval.bm25Query(idx,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    },
+    TrainingQ.qBm25.oracle,
+    prestage = Some((s, d) =>
+      Staged.offer("q_rebucket", d, instantiateForgetStore(s, d)))
+  )
+
   /** Takedown reaches PHRASE SERVING: forget a doc-id set through the
     * snapshot store, then run exact-phrase retrieval
     * ([[graft.ops.Retrieval.phraseQuery]]) against the PUBLISHED
@@ -2276,5 +2307,5 @@ object PipelineQ {
       qStreamCow, qCowTombstone, qCowMor, qStreamMor, qForgetE2e,
       qForgetEpoch, qForgetBounded, qForgetPhrase, qIngestSnapshot,
       qStreamIngest, qIngestLog, qStreamIngestLog, qUpsertSnapshot,
-      qSnapshotAsof)
+      qSnapshotAsof, qRebucket)
 }

@@ -400,6 +400,74 @@ class ForgetStoreSpec extends AnyFunSuite {
     val i = k.indexOf('~'); if (i < 0) k else k.substring(0, i)
   }
 
+  test("rebucket: index tiers rewrite at the stored modulus; later mutators follow it regardless of their param") {
+    val root = Files.createTempDirectory("forget_store").toString
+    ForgetStore.init(spark, root, docs.filter(col("doc_id") % 3 =!= 0),
+      emb.filter(col("vec_id") % 3 =!= 0))
+    // a logged fragment sits on the store so the rebucket must fold it
+    ForgetStore.ingest(spark, root, docs.filter(col("doc_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 0), logged = true)
+    assert(ForgetStore.ingestFanIn(spark, root) > 1)
+    ForgetStore.rebucket(spark, root, 16)
+    val m = ForgetStore.currentManifest(spark, root)._2
+    // index-tier fragments fold into the rewrite; corpus/ann
+    // fragments are not rebucket's business (compactIngest's job)
+    assert(!m.keys.exists(k => k.contains("~") &&
+      (k.startsWith("bm25/") || k.startsWith("pos/"))),
+      "rebucket folds index-tier fragments")
+    val postBkts = m.keys.filter(_.startsWith("bm25/postings/"))
+      .map(_.split("/").last.toInt).toSet
+    assert(postBkts.max > 7 && postBkts.subsetOf((0 until 16).toSet),
+      s"16-bucket keys expected, got $postBkts")
+    // serving parity with a fresh full build across the rewrite
+    val (idx, len) = ForgetStore.bm25Index(spark, root)
+    val mem = Retrieval.buildIndex(docs)
+    assert(idx.nDocs == mem.nDocs && idx.avgdl == mem.avgdl &&
+      len == Retrieval.totalLen(mem))
+    assert(phraseRanked(ForgetStore.positionalIndex(spark, root)) ==
+      phraseRanked(Retrieval.buildPositionalIndex(docs)))
+    // THE stored-modulus pin: forget with the DEFAULT buckets param
+    // (8) must still compute touched sets mod 16 — ids ≡ 0 (mod 37)
+    // land in 16-buckets {0,15,14,13,12}, which the wrong modulus
+    // would miss entirely for buckets 12-15
+    val ids = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      .toIndexedSeq
+    assert(ids.map(i => (i % 16).toInt).toSet.exists(_ > 7),
+      "the takedown must touch a bucket the stale modulus cannot name")
+    val audits = ForgetStore.forget(spark, root, ids,
+      audit = ForgetStore.Bounded)
+    assert(audits.forall(_.residual == 0L), s"$audits")
+    assert(corpusRows(ForgetStore.readCorpus(spark, root)) ==
+      corpusRows(docs.filter(col("doc_id") % 37 =!= 0)))
+    assert(ForgetStore.positionalIndex(spark, root).postings
+      .filter(col("doc_id") % 37 === 0).count() == 0L)
+    // untouched 16-buckets keep their exact files through the forget
+    val m2 = ForgetStore.currentManifest(spark, root)._2
+    val touched16 = ids.map(i => (i % 16).toInt).toSet
+    val untouched = m.keySet.filter(k =>
+      k.startsWith("bm25/postings/") &&
+        !touched16.contains(k.split("/").last.toInt))
+    assert(untouched.nonEmpty && untouched.forall(k => m2(k) == m(k)))
+    // a logged ingest after the rebucket lands its fragments at the
+    // new modulus and still serves exactly
+    ForgetStore.ingest(spark, root,
+      docs.filter(col("doc_id") % 37 === 0),
+      emb.filter(col("vec_id") % 37 === 0), logged = true)
+    val (idx3, _) = ForgetStore.bm25Index(spark, root)
+    val q = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    def ranked(i: Retrieval.Bm25Index) =
+      Retrieval.bm25Query(i, q, k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ranked(idx3) == ranked(mem))
+    val fragBkts = ForgetStore.currentManifest(spark, root)._2.keys
+      .filter(k => k.contains("~") && k.startsWith("bm25/postings/"))
+      .map(k => baseOf(k).split("/").last.toInt).toSet
+    assert(fragBkts.exists(_ > 7),
+      s"post-rebucket fragments must key at the new modulus: $fragBkts")
+  }
+
   test("retention + blob GC: expired epochs' private generations are swept, shared ones survive") {
     val root = freshStore()
     def blobGens(): Set[String] = {
