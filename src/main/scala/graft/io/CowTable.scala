@@ -218,28 +218,31 @@ object CowTable {
     val tableCols =
       if (live != null) live.columns.toSeq
       else changes.columns.filterNot(_ == "op").toSeq
-    // the TRUE displacement counts for the audit: which change ops
-    // actually hit a live row (broadcast semi-probe over the same
-    // pruned partitions the rewrite reads — see [[MergeStats]])
-    val hit =
-      if (live == null) null
-      else live.select(col(partCol), col(idCol))
-        .join(broadcast(changes.select(col(partCol), col(idCol),
-          col("op"))), Seq(partCol, idCol))
-        .agg(
-          coalesce(sum(when(col("op") === "delete", 1L)
-            .otherwise(0L)), lit(0L)),
-          coalesce(sum(when(col("op") === "upsert", 1L)
-            .otherwise(0L)), lit(0L))).head()
-    val deletedRows = if (hit == null) 0L else hit.getLong(0)
-    // every change displaces the old row (a delete by absence, an
-    // upsert by its replacement); change batches are bounded, so the
-    // displacement side broadcasts and the live side never shuffles
+    // the TRUE displacement count for the audit rides the SAME job as
+    // the staged write (round 17 — it was a separate broadcast
+    // semi-probe job, paid once per CDC trigger): the live side joins
+    // the broadcast change keys once LEFT OUTER, the matched-delete
+    // sum is an OBSERVED metric on the join output, and the kept rows
+    // are the op-null remainder — identical rows and count to the
+    // former left_anti + probe pair, since the batch carries at most
+    // one change per (id, part) key.
+    val hitObs =
+      if (live == null) null else org.apache.spark.sql.Observation()
     val kept =
       if (live == null) null
-      else live.join(
-        broadcast(changes.select(col(partCol), col(idCol))),
-        Seq(partCol, idCol), "left_anti")
+      else {
+        require(!tableCols.contains("_cow_op"),
+          "'_cow_op' is merge's reserved displacement-audit column")
+        live.join(
+            broadcast(changes.select(col(partCol), col(idCol),
+              col("op").as("_cow_op"))),
+            Seq(partCol, idCol), "left_outer")
+          .observe(hitObs,
+            coalesce(sum(when(col("_cow_op") === "delete", 1L)
+              .otherwise(0L)), lit(0L)).as("dels"))
+          .filter(col("_cow_op").isNull)
+          .select(tableCols.map(col): _*)
+      }
     // a DELETE-ONLY batch (the takedown shape) needs no payload
     // columns at all — only (idCol, partCol, op) are read, so a
     // minimal takedown DataFrame is a valid change batch
@@ -260,6 +263,26 @@ object CowTable {
       case None => // deletes against partitions with no live rows
         fs.mkdirs(new Path(stage))
     }
+    // the staged write has executed by here, so the observed
+    // displacement metric is available without any extra job — EXCEPT
+    // when the written result was empty at runtime: AQE's
+    // empty-relation propagation replaces the whole kept leg
+    // (including its CollectMetrics node) with an empty LocalTableScan,
+    // so the metric never reports (ObsProbe reproduces it). The live
+    // partitions are untouched until the swap loop below, so that rare
+    // case (a batch displacing every live row) falls back to the
+    // pre-round-17 probe job and stays exact.
+    val deletedRows =
+      if (hitObs == null) 0L
+      else hitObs.get.get("dels") match {
+        case Some(v) => v.asInstanceOf[Long]
+        case None =>
+          live.select(col(partCol), col(idCol))
+            .join(broadcast(changes.select(col(partCol), col(idCol),
+              col("op"))), Seq(partCol, idCol))
+            .agg(coalesce(sum(when(col("op") === "delete", 1L)
+              .otherwise(0L)), lit(0L))).head().getLong(0)
+      }
     touched.foreach { v =>
       val staged = new Path(s"$stage/$partCol=$v")
       // a partition whose rows were all deleted writes no staged dir;

@@ -240,6 +240,76 @@ object ForgetStore {
   private def storeBuckets(m: Map[String, String]): Option[Int] =
     m.get("conf/buckets").map(_.split("/").last.toInt)
 
+  /** The corpus scalars (n_docs, total_len) as MANIFEST properties
+    * (`conf/n_docs` / `conf/total_len`, maintained by init/ingest/
+    * forget next to the meta blob they summarize — round 17): every
+    * index reader used to pay one driver job (`meta.head()`) just to
+    * load two longs, and the mutation faces' cost IS their driver job
+    * chain (bench_floor.json). The meta parquet blob remains the
+    * at-rest truth and the fallback for stores written before the
+    * entries existed; ForgetStoreSpec pins new-store manifests
+    * agreeing with their meta blob and legacy stores still serving.
+    */
+  private def storeScalars(m: Map[String, String]): Option[(Long, Long)] =
+    for {
+      n <- m.get("conf/n_docs")
+      l <- m.get("conf/total_len")
+    } yield (n.split("/").last.toLong, l.split("/").last.toLong)
+
+  /** Resolve the scalars from the manifest, falling back to one
+    * `meta.head()` job on legacy stores.
+    */
+  private def scalarsOf(spark: SparkSession, m: Map[String, String])
+      : (Long, Long) =
+    storeScalars(m).getOrElse {
+      val meta = spark.read.parquet(m("bm25/meta")).head()
+      (meta.getAs[Long]("n_docs"), meta.getAs[Long]("total_len"))
+    }
+
+  /** Default (no-op) crash hook — mutators stage their artifacts
+    * CONCURRENTLY exactly when the caller passed no failpoint (the
+    * hook's only purpose is to let a spec kill the build between
+    * artifact stages, which needs the sequential order to mean
+    * something). The publish marker, not stage order, is what makes
+    * the mutation atomic, so parallel staging changes no reader-
+    * visible state; a failed stage leaves unreferenced blobs swept at
+    * the next writer entry, same as a crash.
+    */
+  private val NoFailpoint: String => Unit = _ => ()
+
+  /** Run the artifact stages: each thunk does its Spark work eagerly
+    * and returns an APPLIER that mutates the (driver-side) manifest
+    * state; appliers always run sequentially in artifact order with
+    * `failpoint` between them, so the sequential-crash semantics and
+    * the manifest-mutation order are identical in both modes. In
+    * parallel mode the Spark work of all stages overlaps (guide §2.6
+    * — independent jobs back-fill each other's stragglers; each
+    * stage writes its own blob directory, so there is nothing
+    * shared), which converts the mutator's wall time from Σ stages
+    * to ~max(stage).
+    */
+  private def runStages(parallel: Boolean,
+      failpoint: String => Unit,
+      stages: Seq[(String, () => () => Unit)]): Unit = {
+    if (parallel) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(stages.size, 1))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fs = stages.map { case (_, work) => Future(work()) }
+        val appliers = Await.result(Future.sequence(fs), Duration.Inf)
+        stages.zip(appliers).foreach { case ((name, _), apply) =>
+          apply(); failpoint(name)
+        }
+      } finally pool.shutdown()
+    } else stages.foreach { case (name, work) =>
+      work()(); failpoint(name)
+    }
+  }
+
   // ---- readers (all resolve ONE epoch — consistent by construction) --
 
   /** The document corpus at the current snapshot. */
@@ -265,9 +335,7 @@ object ForgetStore {
     val dl = readPartDirs(spark, entriesUnder(m, "bm25/dl/").map(_._2))
       .select("doc_id", "dl")
     val dfT = spark.read.parquet(m("bm25/df"))
-    val meta = spark.read.parquet(m("bm25/meta")).head()
-    val nDocs = meta.getAs[Long]("n_docs")
-    val totalLen = meta.getAs[Long]("total_len")
+    val (nDocs, totalLen) = scalarsOf(spark, m)
     (Retrieval.Bm25Index(postings, dfT, dl, nDocs,
       Math.floorDiv(totalLen, math.max(nDocs, 1L))), totalLen)
   }
@@ -290,10 +358,9 @@ object ForgetStore {
       .select("doc_id", "term", "tf", "pos")
     val dl = readPartDirs(spark, entriesUnder(m, "bm25/dl/").map(_._2))
       .select("doc_id", "dl")
-    val meta = spark.read.parquet(m("bm25/meta")).head()
-    val nDocs = meta.getAs[Long]("n_docs")
+    val (nDocs, totalLen) = scalarsOf(spark, m)
     Retrieval.PositionalIndex(postings, dl, nDocs,
-      Math.floorDiv(meta.getAs[Long]("total_len"), math.max(nDocs, 1L)))
+      Math.floorDiv(totalLen, math.max(nDocs, 1L)))
   }
 
   /** IVF top-k at the current snapshot — [[AnnLayout.knnIvfOn]]'s
@@ -486,6 +553,10 @@ object ForgetStore {
     writeMeta(spark, s"$root/$bmGen/meta", dlBack.getLong(0),
       dlBack.getLong(1))
     entries("bm25/meta") = s"$bmGen/meta"
+    // corpus scalars ride the manifest too (see [[storeScalars]]) —
+    // readers stop paying a driver job for two longs
+    entries("conf/n_docs") = dlBack.getLong(0).toString
+    entries("conf/total_len") = dlBack.getLong(1).toString
     // ann (trained IVF — reps codebook + cluster-partitioned corpus)
     val annGen = "blobs/ann/g1"
     AnnLayout.trainIvf(emb, s"$root/$annGen", k, iters, vecIdCol,
@@ -556,7 +627,7 @@ object ForgetStore {
       partCol: String = "lang", docIdCol: String = "doc_id",
       vecIdCol: String = "vec_id", clusterCol: String = "label",
       buckets: Int = 8, retain: Int = 1, audit: AuditMode = Full,
-      failpoint: String => Unit = _ => ()): Seq[Audit] = {
+      failpoint: String => Unit = NoFailpoint): Seq[Audit] = {
     require(ids.nonEmpty, "forget needs at least one id")
     gcBlobs(spark, root) // sweep any crashed build's garbage
     val (epoch, m, countsOld) = currentManifestAndCounts(spark, root)
@@ -569,175 +640,206 @@ object ForgetStore {
       ids.distinct.toDF(docIdCol)
     }
 
-    // -- point-fetches for BOTH partitioned artifacts in ONE job
-    // (both read the OLD manifest's snapshot, so hoisting the ann
-    // fetch next to the corpus fetch changes no write ordering or
-    // crash window): id -> partition / cluster, bounded by the
+    // -- point-fetches for ALL THREE id-keyed reads in ONE job (all
+    // read the OLD manifest's snapshot, so fusing changes no write
+    // ordering or crash window): corpus id -> partition, ann id ->
+    // cluster, AND the removed docs' dl rows (the touched dl buckets
+    // are known arithmetically from the ids, so the displaced-length
+    // aggregate needs no job of its own — round 17; it was a separate
+    // driver job before). Everything collected is bounded by the
     // takedown batch. Each fused driver job matters here — the
     // forget's cost is its job chain (bench_floor.json round-15).
     val pred = AnnLayout.idPredicate(docIdCol, ids)
     val annPredF = AnnLayout.idPredicate(vecIdCol, ids)
-    val fetched = readCorpusOf(spark, m).filter(pred)
-      .select(col(docIdCol).cast("long").as("_id"),
-        col(partCol).cast("string").as("_p"), lit("corpus").as("_art"))
-      .unionByName(readAnnCorpusOf(spark, m).filter(annPredF)
-        .select(col(vecIdCol).cast("long").as("_id"),
-          col(clusterCol).cast("string").as("_p"),
-          lit("ann").as("_art")))
-      .collect()
-    val hitRows = fetched.filter(_.getString(2) == "corpus")
-    val annHits = fetched.filter(_.getString(2) == "ann")
-    val corpusRemoved = hitRows.length.toLong
-    val touchedParts = hitRows.map(_.getString(1)).distinct.sorted
-    if (touchedParts.nonEmpty) {
-      val corpusGen = gen.format("corpus")
-      val touchedDirs = touchedParts
-        .flatMap(v => groupDirs(m, s"corpus/$v"))
-      readPartDirs(spark, touchedDirs.toIndexedSeq)
-        .join(broadcast(idsDf), Seq(docIdCol), "left_anti")
-        .repartition(col(partCol))
-        .sortWithinPartitions(col(partCol), col(docIdCol))
-        .write.mode("overwrite").partitionBy(partCol)
-        .parquet(s"$root/$corpusGen")
-      val written = listPartDirs(spark, s"$root/$corpusGen")
-        .map(_.split("=").last).toSet
-      touchedParts.foreach { v =>
-        val base = s"corpus/$v"
-        // the rewrite folded any logged fragments into one blob
-        groupKeys(m, base).filter(_ != base).foreach(entries.remove)
-        if (written.contains(v)) entries(base) =
-          s"$corpusGen/$partCol=$v"
-        else entries.remove(base) // partition emptied
-      }
-    }
-    failpoint("corpus")
-
-    // -- bm25: touched doc buckets only; df/meta are model-sized.
-    // The modulus is the STORE's recorded bucket count ([[rebucket]]
+    // the modulus is the STORE's recorded bucket count ([[rebucket]]
     // may have changed it since init) — the caller's param is only
     // the legacy-store fallback
     val bk = storeBuckets(m).getOrElse(buckets)
     val touchedBkts = ids.distinct
       .map(i => (i % bk + bk) % bk).distinct.sorted
-    val (oldIdx, oldLen) = bm25IndexOf(spark, m)
-    val dlTouched = readPartDirs(spark,
-        touchedBkts.flatMap(b => groupDirs(m, s"bm25/dl/$b"))
-          .toIndexedSeq)
-      .filter(AnnLayout.idPredicate("doc_id", ids))
-    val goneRow = dlTouched
-      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
-    val bmRemoved = goneRow.getLong(0)
-    if (bmRemoved > 0) {
-      val bmGen = gen.format("bm25")
-      val newN = oldIdx.nDocs - bmRemoved
-      require(newN > 0, "takedown would empty the corpus — an empty " +
-        "index has no avgdl; drop the store instead")
-      val postTouched = readPartDirs(spark,
-        touchedBkts.flatMap(b => groupDirs(m, s"bm25/postings/$b"))
-          .toIndexedSeq)
-      // per-term df decrement from the removed docs' postings
-      val dfDec = postTouched
-        .filter(AnnLayout.idPredicate("doc_id", ids))
-        .groupBy("term").agg(count(lit(1)).as("_gone"))
-      oldIdx.df.join(dfDec, Seq("term"), "left_outer")
-        .select(col("term"),
-          (col("df") - coalesce(col("_gone"), lit(0L))).as("df"))
-        .filter(col("df") > 0)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$root/$bmGen/df")
-      entries("bm25/df") = s"$bmGen/df"
-      writeMeta(spark, s"$root/$bmGen/meta", newN,
-        oldLen - goneRow.getLong(1))
-      entries("bm25/meta") = s"$bmGen/meta"
-      // rewrite touched buckets (anti-join the bounded batch)
-      postTouched.join(broadcast(idsDf.withColumnRenamed(docIdCol,
-          "doc_id")), Seq("doc_id"), "left_anti")
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$root/$bmGen/postings")
-      dlTouchedAnti(spark, m, touchedBkts, idsDf, docIdCol)
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$root/$bmGen/dl")
-      Seq("postings", "dl").foreach { side =>
-        val written = listPartDirs(spark, s"$root/$bmGen/$side")
-          .map(_.split("=").last.toLong).toSet
-        touchedBkts.foreach { b =>
-          val base = s"bm25/$side/$b"
-          groupKeys(m, base).filter(_ != base).foreach(entries.remove)
-          if (written.contains(b)) entries(base) =
-            s"$bmGen/$side/bucket=$b"
-          else entries.remove(base) // bucket emptied
-        }
-      }
-    }
-    failpoint("bm25")
-
-    // -- pos: rewrite the positional tier's touched doc buckets —
-    // the phrase/proximity serving artifact forgets with everything
-    // else (a takedown that left position postings behind would keep
-    // the removed text retrievable through phraseQuery). Same bucket
-    // arithmetic as the flat tier: an id lives in `id mod buckets` on
-    // both. Stores inited before the tier exists carry no pos entries
-    // and skip the arm (and its audit row) entirely.
+    val dlDirs = touchedBkts
+      .flatMap(b => groupDirs(m, s"bm25/dl/$b")).toIndexedSeq
+    val fetchLegs = Seq(
+      readCorpusOf(spark, m).filter(pred)
+        .select(col(docIdCol).cast("long").as("_id"),
+          col(partCol).cast("string").as("_p"),
+          lit("corpus").as("_art"), lit(0L).as("_dl")),
+      readAnnCorpusOf(spark, m).filter(annPredF)
+        .select(col(vecIdCol).cast("long").as("_id"),
+          col(clusterCol).cast("string").as("_p"),
+          lit("ann").as("_art"), lit(0L).as("_dl"))) ++
+      (if (dlDirs.nonEmpty)
+        Seq(readPartDirs(spark, dlDirs)
+          .filter(AnnLayout.idPredicate("doc_id", ids))
+          .select(col("doc_id").cast("long").as("_id"),
+            lit(null).cast("string").as("_p"), lit("dl").as("_art"),
+            col("dl").cast("long").as("_dl")))
+      else Nil)
+    val fetched = fetchLegs.reduce(_.unionByName(_)).collect()
+    val hitRows = fetched.filter(_.getString(2) == "corpus")
+    val annHits = fetched.filter(_.getString(2) == "ann")
+    val dlHits = fetched.filter(_.getString(2) == "dl")
+    val corpusRemoved = hitRows.length.toLong
+    val touchedParts = hitRows.map(_.getString(1)).distinct.sorted
+    val bmRemoved = dlHits.length.toLong
+    val goneLen = dlHits.map(_.getLong(3)).sum
+    val (nDocsOld, totalLenOld) = scalarsOf(spark, m)
     val hasPos = m.keys.exists(_.startsWith("pos/postings/"))
     val posRemoved = if (hasPos) bmRemoved else 0L
-    if (hasPos && bmRemoved > 0) {
-      val posGen = gen.format("pos")
-      readPartDirs(spark, touchedBkts
-          .flatMap(b => groupDirs(m, s"pos/postings/$b")).toIndexedSeq)
-        .join(broadcast(idsDf.withColumnRenamed(docIdCol, "doc_id")),
-          Seq("doc_id"), "left_anti")
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$root/$posGen/postings")
-      val posWritten = listPartDirs(spark, s"$root/$posGen/postings")
-        .map(_.split("=").last.toLong).toSet
-      touchedBkts.foreach { b =>
-        val base = s"pos/postings/$b"
-        groupKeys(m, base).filter(_ != base).foreach(entries.remove)
-        if (posWritten.contains(b)) entries(base) =
-          s"$posGen/postings/bucket=$b"
-        else entries.remove(base) // bucket emptied
-      }
-    }
-    failpoint("pos")
-
-    // -- ann: rewrite touched cluster dirs (point-fetch hoisted into
-    // the fused job above; labels travel as their string form — the
-    // manifest keys them via string interpolation either way)
     val annRemoved = annHits.length.toLong
     val touchedLabels: Array[String] =
       annHits.map(_.getString(1)).distinct.sorted
-    if (touchedLabels.nonEmpty) {
-      val annGen = gen.format("ann")
-      val touchedDirs = touchedLabels
-        .flatMap(v => groupDirs(m, s"ann/corpus/$v")).toIndexedSeq
-      readPartDirs(spark, touchedDirs)
-        .join(broadcast(idsDf.withColumnRenamed(docIdCol, vecIdCol)),
-          Seq(vecIdCol), "left_anti")
-        .repartition(col(clusterCol))
-        .sortWithinPartitions(col(clusterCol), col(vecIdCol))
-        .write.mode("overwrite").partitionBy(clusterCol)
-        .parquet(s"$root/$annGen/corpus")
-      val written = listPartDirs(spark, s"$root/$annGen/corpus")
-        .map(_.split("=").last).toSet
-      touchedLabels.foreach { v =>
-        val sv = String.valueOf(v)
-        val base = s"ann/corpus/$sv"
-        groupKeys(m, base).filter(_ != base).foreach(entries.remove)
-        if (written.contains(sv)) entries(base) =
-          s"$annGen/corpus/$clusterCol=$sv"
-        else entries.remove(base) // cluster emptied
+    val newN = nDocsOld - bmRemoved
+    if (bmRemoved > 0)
+      require(newN > 0, "takedown would empty the corpus — an empty " +
+        "index has no avgdl; drop the store instead")
+
+    // -- the four artifact stages (Spark work in the thunk, manifest
+    // mutation in the applier; see [[runStages]] — concurrent under
+    // the default no-op failpoint, sequential under a spec's hook)
+    val corpusStage: () => () => Unit = () =>
+      if (touchedParts.isEmpty) () => ()
+      else {
+        val corpusGen = gen.format("corpus")
+        val touchedDirs = touchedParts
+          .flatMap(v => groupDirs(m, s"corpus/$v"))
+        readPartDirs(spark, touchedDirs.toIndexedSeq)
+          .join(broadcast(idsDf), Seq(docIdCol), "left_anti")
+          .repartition(col(partCol))
+          .sortWithinPartitions(col(partCol), col(docIdCol))
+          .write.mode("overwrite").partitionBy(partCol)
+          .parquet(s"$root/$corpusGen")
+        val written = listPartDirs(spark, s"$root/$corpusGen")
+          .map(_.split("=").last).toSet
+        () => touchedParts.foreach { v =>
+          val base = s"corpus/$v"
+          // the rewrite folded any logged fragments into one blob
+          groupKeys(m, base).filter(_ != base).foreach(entries.remove)
+          if (written.contains(v)) entries(base) =
+            s"$corpusGen/$partCol=$v"
+          else entries.remove(base) // partition emptied
+        }
       }
-      // reps deliberately untouched: deleting members changes cell
-      // occupancy, not the frozen quantizer (AnnLayout.deleteTrained's
-      // rule) — the entry carries forward verbatim
-    }
-    failpoint("ann")
+
+    // bm25: touched doc buckets only; df/meta are model-sized
+    val bm25Stage: () => () => Unit = () =>
+      if (bmRemoved == 0) () => ()
+      else {
+        val bmGen = gen.format("bm25")
+        val postTouched = readPartDirs(spark,
+          touchedBkts.flatMap(b => groupDirs(m, s"bm25/postings/$b"))
+            .toIndexedSeq)
+        // per-term df decrement from the removed docs' postings
+        val dfDec = postTouched
+          .filter(AnnLayout.idPredicate("doc_id", ids))
+          .groupBy("term").agg(count(lit(1)).as("_gone"))
+        spark.read.parquet(m("bm25/df"))
+          .join(dfDec, Seq("term"), "left_outer")
+          .select(col("term"),
+            (col("df") - coalesce(col("_gone"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/$bmGen/df")
+        writeMeta(spark, s"$root/$bmGen/meta", newN, totalLenOld - goneLen)
+        // rewrite touched buckets (anti-join the bounded batch)
+        postTouched.join(broadcast(idsDf.withColumnRenamed(docIdCol,
+            "doc_id")), Seq("doc_id"), "left_anti")
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$root/$bmGen/postings")
+        dlTouchedAnti(spark, m, touchedBkts, idsDf, docIdCol)
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$root/$bmGen/dl")
+        val writtenBySide = Seq("postings", "dl").map { side =>
+          side -> listPartDirs(spark, s"$root/$bmGen/$side")
+            .map(_.split("=").last.toLong).toSet
+        }
+        () => {
+          entries("bm25/df") = s"$bmGen/df"
+          entries("bm25/meta") = s"$bmGen/meta"
+          entries("conf/n_docs") = newN.toString
+          entries("conf/total_len") = (totalLenOld - goneLen).toString
+          writtenBySide.foreach { case (side, written) =>
+            touchedBkts.foreach { b =>
+              val base = s"bm25/$side/$b"
+              groupKeys(m, base).filter(_ != base).foreach(entries.remove)
+              if (written.contains(b)) entries(base) =
+                s"$bmGen/$side/bucket=$b"
+              else entries.remove(base) // bucket emptied
+            }
+          }
+        }
+      }
+
+    // pos: rewrite the positional tier's touched doc buckets — the
+    // phrase/proximity serving artifact forgets with everything else
+    // (a takedown that left position postings behind would keep the
+    // removed text retrievable through phraseQuery). Same bucket
+    // arithmetic as the flat tier: an id lives in `id mod buckets` on
+    // both. Stores inited before the tier exists carry no pos entries
+    // and skip the arm (and its audit row) entirely.
+    val posStage: () => () => Unit = () =>
+      if (!(hasPos && bmRemoved > 0)) () => ()
+      else {
+        val posGen = gen.format("pos")
+        readPartDirs(spark, touchedBkts
+            .flatMap(b => groupDirs(m, s"pos/postings/$b")).toIndexedSeq)
+          .join(broadcast(idsDf.withColumnRenamed(docIdCol, "doc_id")),
+            Seq("doc_id"), "left_anti")
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$root/$posGen/postings")
+        val posWritten = listPartDirs(spark, s"$root/$posGen/postings")
+          .map(_.split("=").last.toLong).toSet
+        () => touchedBkts.foreach { b =>
+          val base = s"pos/postings/$b"
+          groupKeys(m, base).filter(_ != base).foreach(entries.remove)
+          if (posWritten.contains(b)) entries(base) =
+            s"$posGen/postings/bucket=$b"
+          else entries.remove(base) // bucket emptied
+        }
+      }
+
+    // ann: rewrite touched cluster dirs (point-fetch hoisted into the
+    // fused job above; labels travel as their string form — the
+    // manifest keys them via string interpolation either way)
+    val annStage: () => () => Unit = () =>
+      if (touchedLabels.isEmpty) () => ()
+      else {
+        val annGen = gen.format("ann")
+        val touchedDirs = touchedLabels
+          .flatMap(v => groupDirs(m, s"ann/corpus/$v")).toIndexedSeq
+        readPartDirs(spark, touchedDirs)
+          .join(broadcast(idsDf.withColumnRenamed(docIdCol, vecIdCol)),
+            Seq(vecIdCol), "left_anti")
+          .repartition(col(clusterCol))
+          .sortWithinPartitions(col(clusterCol), col(vecIdCol))
+          .write.mode("overwrite").partitionBy(clusterCol)
+          .parquet(s"$root/$annGen/corpus")
+        val written = listPartDirs(spark, s"$root/$annGen/corpus")
+          .map(_.split("=").last).toSet
+        () => {
+          touchedLabels.foreach { v =>
+            val sv = String.valueOf(v)
+            val base = s"ann/corpus/$sv"
+            groupKeys(m, base).filter(_ != base).foreach(entries.remove)
+            if (written.contains(sv)) entries(base) =
+              s"$annGen/corpus/$clusterCol=$sv"
+            else entries.remove(base) // cluster emptied
+          }
+          // reps deliberately untouched: deleting members changes cell
+          // occupancy, not the frozen quantizer (AnnLayout
+          // .deleteTrained's rule) — the entry carries forward verbatim
+        }
+      }
+
+    runStages(failpoint eq NoFailpoint, failpoint, Seq(
+      "corpus" -> corpusStage, "bm25" -> bm25Stage,
+      "pos" -> posStage, "ann" -> annStage))
 
     // the touched entry-key lists — what the Bounded audit re-reads
     val touchedKeys = (
@@ -888,7 +990,7 @@ object ForgetStore {
       vecIdCol: String = "vec_id", vecCol: String = "embedding",
       clusterCol: String = "label", buckets: Int = 8, retain: Int = 1,
       logged: Boolean = false,
-      failpoint: String => Unit = _ => ()): Seq[IngestStats] = {
+      failpoint: String => Unit = NoFailpoint): Seq[IngestStats] = {
     gcBlobs(spark, root)
     val (epoch, m, countsOld) = currentManifestAndCounts(spark, root)
     val gen = s"blobs/%s/g${epoch + 1}"
@@ -909,21 +1011,32 @@ object ForgetStore {
         entries.remove(fk); countsNew.remove(fk)
       }
 
-    // -- batch-side stats in ONE job (bounded by contract): ids,
-    // per-partition counts, uniqueness
-    val docRows = newDocs
+    // -- batch-side stats for BOTH inputs in ONE job (bounded by
+    // contract): doc ids + partitions + per-doc token counts and vec
+    // ids ride one tagged union collect (round 17 — they were two
+    // driver jobs plus a separate token-length aggregate). The token
+    // count uses the SAME tokens expression the fragment build uses,
+    // so Σ_dl here IS the fragment's total length.
+    val batchRows = newDocs
       .select(col(docIdCol).cast("long").as("_id"),
-        col(partCol).cast("string").as("_p"))
+        col(partCol).cast("string").as("_p"), lit("doc").as("_t"),
+        size(graft.ops.TextOps.tokens(col(textCol))).cast("long")
+          .as("_dl"))
+      .unionByName(newEmb
+        .select(col(vecIdCol).cast("long").as("_id"),
+          lit(null).cast("string").as("_p"), lit("emb").as("_t"),
+          lit(0L).as("_dl")))
       .collect()
+    val docRows = batchRows.filter(_.getString(2) == "doc")
     require(docRows.nonEmpty, "ingest needs at least one document")
     val newIds = docRows.map(_.getLong(0))
     require(newIds.distinct.length == newIds.length,
       "ingest batch carries duplicate doc ids — one row per id")
-    val embRows = newEmb
-      .select(col(vecIdCol).cast("long").as("_id")).collect()
-    val newVecIds = embRows.map(_.getLong(0))
+    val newVecIds = batchRows.filter(_.getString(2) == "emb")
+      .map(_.getLong(0))
     require(newVecIds.distinct.length == newVecIds.length,
       "ingest batch carries duplicate vec ids — one row per id")
+    val fragLen = docRows.map(_.getLong(3)).sum
 
     // -- id-collision probe, both partitioned artifacts in one fused
     // pushed point-read (the forget probe with REFUSE semantics)
@@ -948,59 +1061,18 @@ object ForgetStore {
             .mkString(", ")}) — an upsert is the forget + ingest pair")
     }
 
-    // -- corpus: union batch rows into touched partitions (new
-    // partition values become new entries); LOGGED skips the old-side
-    // read — the batch itself is the fragment blob
-    val tableCols = readCorpusOf(spark, m).columns.toSeq
-    val batchByCols = newDocs.select(tableCols.map(col): _*)
-    val touchedParts = docRows.map(_.getString(1)).distinct.sorted
-    if (logged) require(touchedParts.forall(!_.contains("~")),
-      "logged ingest reserves '~' in partition values for fragment keys")
-    val addedByPart = docRows.groupBy(_.getString(1))
-      .map { case (p, rs) => p -> rs.length.toLong }
-    val corpusGen = gen.format("corpus")
-    val corpusNew = if (logged) batchByCols else {
-      val oldPartDirs = touchedParts
-        .flatMap(v => groupDirs(m, s"corpus/$v")).toIndexedSeq
-      if (oldPartDirs.nonEmpty)
-        readPartDirs(spark, oldPartDirs).select(tableCols.map(col): _*)
-          .unionByName(batchByCols)
-      else batchByCols
-    }
-    corpusNew
-      .repartition(col(partCol))
-      .sortWithinPartitions(col(partCol), col(docIdCol))
-      .write.mode("overwrite").partitionBy(partCol)
-      .parquet(s"$root/$corpusGen")
-    touchedParts.foreach { v =>
-      val base = s"corpus/$v"
-      val k = entryKey(base)
-      entries(k) = s"$corpusGen/$partCol=$v"
-      if (logged) countsNew(k) = addedByPart(v)
-      else {
-        foldGroup(base)
-        // a legacy group with uncounted entries stays uncounted —
-        // fabricating old=0 would poison the Bounded audit's sums
-        groupCount(m, countsOld, base) match {
-          case Some(c) => countsNew(k) = c + addedByPart(v)
-          case None => countsNew.remove(k)
-        }
-      }
-    }
-    failpoint("corpus")
-
-    // -- bm25: fragment index on the batch, touched buckets get
-    // old ∪ fragment; df is the model-sized full-outer sum; meta
-    // adds. ALL fragments (flat postings, df, dl, positional
-    // postings) derive from one positionalFragments lineage and one
-    // scalar action — the batch is bounded, but the driver-job chain
-    // is what an ingest costs (the forget floor lesson).
-    val (posFragAll, fragDl) = Retrieval.positionalFragments(
+    // -- shared fragment lineage: ONE tokenize pass, PERSISTED (the
+    // batch is bounded by contract, so the cache is batch-sized) —
+    // the flat postings, df and positional writes all read it; it was
+    // re-tokenized per consumer before (round 17). fragN/fragLen need
+    // no job of their own: dl has exactly one row per batch doc and
+    // batch ids are unique, so both already rode the batch collect
+    // above.
+    val (posFragAll0, fragDl) = Retrieval.positionalFragments(
       newDocs, docIdCol, textCol)
-    val fragSt = fragDl.agg(count(lit(1)).as("n"),
-      coalesce(sum("dl"), lit(0L)).as("l")).head()
-    val fragN = fragSt.getLong(0)
-    val fragLen = fragSt.getLong(1)
+    val posFragAll = posFragAll0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fragN = newIds.length.toLong
     val fragPost = posFragAll.select("doc_id", "term", "tf")
     val fragDf = fragPost.groupBy("term").agg(count(lit(1)).as("df"))
     // the store's recorded bucket count, never the caller's guess
@@ -1009,131 +1081,202 @@ object ForgetStore {
     val touchedBkts = newIds.map(i => (i % bk + bk) % bk)
       .distinct.sorted.toIndexedSeq
     val bkt = pmod(col("doc_id"), lit(bk)).cast("int").as("bucket")
-    val (oldIdx, oldLen) = bm25IndexOf(spark, m)
-    val bmGen = gen.format("bm25")
-    val postNew = (if (logged) fragPost else {
-      val oldPostDirs = touchedBkts.flatMap(b =>
-        groupDirs(m, s"bm25/postings/$b"))
-      if (oldPostDirs.nonEmpty)
-        readPartDirs(spark, oldPostDirs)
-          .select("doc_id", "term", "tf")
-          .unionByName(fragPost)
-      else fragPost
-    }).withColumn("bucket", bkt)
-    postNew.repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$root/$bmGen/postings")
-    val dlNew = (if (logged) fragDl else {
-      val oldDlDirs = touchedBkts.flatMap(b =>
-        groupDirs(m, s"bm25/dl/$b"))
-      if (oldDlDirs.nonEmpty)
-        readPartDirs(spark, oldDlDirs).select("doc_id", "dl")
-          .unionByName(fragDl)
-      else fragDl
-    }).withColumn("bucket", bkt)
-    dlNew.repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$root/$bmGen/dl")
-    Seq("postings", "dl").foreach { side =>
-      listPartDirs(spark, s"$root/$bmGen/$side").foreach { d =>
-        val base = s"bm25/$side/${d.split("=").last}"
-        if (!logged) foldGroup(base)
-        entries(entryKey(base)) = s"$bmGen/$side/$d"
-      }
-    }
-    oldIdx.df.withColumnRenamed("df", "dfa")
-      .join(fragDf.withColumnRenamed("df", "dfb"), Seq("term"),
-        "full_outer")
-      .select(col("term"),
-        (coalesce(col("dfa"), lit(0L)) + coalesce(col("dfb"), lit(0L)))
-          .as("df"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/$bmGen/df")
-    entries("bm25/df") = s"$bmGen/df"
-    val newN = oldIdx.nDocs + fragN
-    writeMeta(spark, s"$root/$bmGen/meta", newN, oldLen + fragLen)
-    entries("bm25/meta") = s"$bmGen/meta"
-    failpoint("bm25")
-
-    // -- pos: same touched buckets, old ∪ positional fragment
-    if (hasPos) {
-      val posGen = gen.format("pos")
-      val posFragSel = posFragAll.select("doc_id", "term", "tf", "pos")
-      val posNew = (if (logged) posFragSel else {
-        val oldPosDirs = touchedBkts.flatMap(b =>
-          groupDirs(m, s"pos/postings/$b"))
-        if (oldPosDirs.nonEmpty)
-          readPartDirs(spark, oldPosDirs)
-            .select("doc_id", "term", "tf", "pos")
-            .unionByName(posFragSel)
-        else posFragSel
-      }).withColumn("bucket", bkt)
-      posNew.repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$root/$posGen/postings")
-      listPartDirs(spark, s"$root/$posGen/postings").foreach { d =>
-        val base = s"pos/postings/${d.split("=").last}"
-        if (!logged) foldGroup(base)
-        entries(entryKey(base)) = s"$posGen/postings/$d"
-      }
-    }
-    failpoint("pos")
-
-    // -- ann: assign the batch to the FROZEN quantizer (the reps
-    // table stores the codebook as (label, rep_id, rep_vec)), union
-    // into touched cluster dirs; reps carry forward verbatim
+    val (nDocsOld, oldLen) = scalarsOf(spark, m)
+    val newN = nDocsOld + fragN
     val annAdded = newVecIds.length.toLong
-    if (annAdded > 0) {
-      val reps = spark.read.parquet(m("ann/reps"))
-      val asg = graft.ops.Similarity.assignNearest(newEmb, reps,
-          vecIdCol, vecCol, clusterCol = clusterCol,
-          centVecCol = "rep_vec")
-        .select(col("vec_id").as(vecIdCol),
-          col("cluster").as(clusterCol))
-      val assigned = newEmb.drop(clusterCol)
-        .join(broadcast(asg), Seq(vecIdCol))
-      val annCols = readAnnCorpusOf(spark, m).columns.toSeq
-      val assignedRows = assigned.select(annCols.map(col): _*)
-      // labels of the batch — batch-sized collect, what the touched
-      // set and the per-entry count maintenance both need
-      val labRows = assigned
-        .select(col(clusterCol).cast("string").as("_p")).collect()
-      val touchedLabels = labRows.map(_.getString(0)).distinct.sorted
-      if (logged) require(touchedLabels.forall(!_.contains("~")),
-        "logged ingest reserves '~' in cluster labels for fragment keys")
-      val addedByLabel = labRows.groupBy(_.getString(0))
-        .map { case (p, rs) => p -> rs.length.toLong }
-      val annGen = gen.format("ann")
-      val annNew = if (logged) assignedRows else {
-        val oldLabelDirs = touchedLabels
-          .flatMap(v => groupDirs(m, s"ann/corpus/$v")).toIndexedSeq
-        if (oldLabelDirs.nonEmpty)
-          readPartDirs(spark, oldLabelDirs).select(annCols.map(col): _*)
-            .unionByName(assignedRows)
-        else assignedRows
+
+    // -- the four artifact stages (Spark work in the thunk, manifest
+    // mutation in the applier; see [[runStages]] — concurrent under
+    // the default no-op failpoint, sequential under a spec's hook)
+
+    // corpus: union batch rows into touched partitions (new partition
+    // values become new entries); LOGGED skips the old-side read —
+    // the batch itself is the fragment blob
+    val tableCols = readCorpusOf(spark, m).columns.toSeq
+    val touchedParts = docRows.map(_.getString(1)).distinct.sorted
+    if (logged) require(touchedParts.forall(!_.contains("~")),
+      "logged ingest reserves '~' in partition values for fragment keys")
+    val addedByPart = docRows.groupBy(_.getString(1))
+      .map { case (p, rs) => p -> rs.length.toLong }
+    val corpusStage: () => () => Unit = () => {
+      val batchByCols = newDocs.select(tableCols.map(col): _*)
+      val corpusGen = gen.format("corpus")
+      val corpusNew = if (logged) batchByCols else {
+        val oldPartDirs = touchedParts
+          .flatMap(v => groupDirs(m, s"corpus/$v")).toIndexedSeq
+        if (oldPartDirs.nonEmpty)
+          readPartDirs(spark, oldPartDirs).select(tableCols.map(col): _*)
+            .unionByName(batchByCols)
+        else batchByCols
       }
-      annNew.repartition(col(clusterCol))
-        .sortWithinPartitions(col(clusterCol), col(vecIdCol))
-        .write.mode("overwrite").partitionBy(clusterCol)
-        .parquet(s"$root/$annGen/corpus")
-      listPartDirs(spark, s"$root/$annGen/corpus").foreach { d =>
-        val base = s"ann/corpus/${d.split("=").last}"
+      corpusNew
+        .repartition(col(partCol))
+        .sortWithinPartitions(col(partCol), col(docIdCol))
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(s"$root/$corpusGen")
+      () => touchedParts.foreach { v =>
+        val base = s"corpus/$v"
         val k = entryKey(base)
-        entries(k) = s"$annGen/corpus/$d"
-        val v = d.split("=").last
-        if (logged) countsNew(k) = addedByLabel(v)
+        entries(k) = s"$corpusGen/$partCol=$v"
+        if (logged) countsNew(k) = addedByPart(v)
         else {
           foldGroup(base)
+          // a legacy group with uncounted entries stays uncounted —
+          // fabricating old=0 would poison the Bounded audit's sums
           groupCount(m, countsOld, base) match {
-            case Some(c) => countsNew(k) = c + addedByLabel(v)
+            case Some(c) => countsNew(k) = c + addedByPart(v)
             case None => countsNew.remove(k)
           }
         }
       }
     }
-    failpoint("ann")
+
+    // bm25: fragment index on the batch, touched buckets get
+    // old ∪ fragment; df is the model-sized full-outer sum; meta adds
+    val bmGen = gen.format("bm25")
+    val bm25Stage: () => () => Unit = () => {
+      val postNew = (if (logged) fragPost else {
+        val oldPostDirs = touchedBkts.flatMap(b =>
+          groupDirs(m, s"bm25/postings/$b"))
+        if (oldPostDirs.nonEmpty)
+          readPartDirs(spark, oldPostDirs)
+            .select("doc_id", "term", "tf")
+            .unionByName(fragPost)
+        else fragPost
+      }).withColumn("bucket", bkt)
+      postNew.repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/$bmGen/postings")
+      val dlNew = (if (logged) fragDl else {
+        val oldDlDirs = touchedBkts.flatMap(b =>
+          groupDirs(m, s"bm25/dl/$b"))
+        if (oldDlDirs.nonEmpty)
+          readPartDirs(spark, oldDlDirs).select("doc_id", "dl")
+            .unionByName(fragDl)
+        else fragDl
+      }).withColumn("bucket", bkt)
+      dlNew.repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/$bmGen/dl")
+      spark.read.parquet(m("bm25/df")).withColumnRenamed("df", "dfa")
+        .join(fragDf.withColumnRenamed("df", "dfb"), Seq("term"),
+          "full_outer")
+        .select(col("term"),
+          (coalesce(col("dfa"), lit(0L)) + coalesce(col("dfb"), lit(0L)))
+            .as("df"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$bmGen/df")
+      writeMeta(spark, s"$root/$bmGen/meta", newN, oldLen + fragLen)
+      val sideDirs = Seq("postings", "dl").map { side =>
+        side -> listPartDirs(spark, s"$root/$bmGen/$side")
+      }
+      () => {
+        sideDirs.foreach { case (side, ds) =>
+          ds.foreach { d =>
+            val base = s"bm25/$side/${d.split("=").last}"
+            if (!logged) foldGroup(base)
+            entries(entryKey(base)) = s"$bmGen/$side/$d"
+          }
+        }
+        entries("bm25/df") = s"$bmGen/df"
+        entries("bm25/meta") = s"$bmGen/meta"
+        entries("conf/n_docs") = newN.toString
+        entries("conf/total_len") = (oldLen + fragLen).toString
+      }
+    }
+
+    // pos: same touched buckets, old ∪ positional fragment
+    val posStage: () => () => Unit = () =>
+      if (!hasPos) () => ()
+      else {
+        val posGen = gen.format("pos")
+        val posFragSel = posFragAll.select("doc_id", "term", "tf", "pos")
+        val posNew = (if (logged) posFragSel else {
+          val oldPosDirs = touchedBkts.flatMap(b =>
+            groupDirs(m, s"pos/postings/$b"))
+          if (oldPosDirs.nonEmpty)
+            readPartDirs(spark, oldPosDirs)
+              .select("doc_id", "term", "tf", "pos")
+              .unionByName(posFragSel)
+          else posFragSel
+        }).withColumn("bucket", bkt)
+        posNew.repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("doc_id"), col("term"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$root/$posGen/postings")
+        val posDirs = listPartDirs(spark, s"$root/$posGen/postings")
+        () => posDirs.foreach { d =>
+          val base = s"pos/postings/${d.split("=").last}"
+          if (!logged) foldGroup(base)
+          entries(entryKey(base)) = s"$posGen/postings/$d"
+        }
+      }
+
+    // ann: assign the batch to the FROZEN quantizer (the reps table
+    // stores the codebook as (label, rep_id, rep_vec)), union into
+    // touched cluster dirs; reps carry forward verbatim. The
+    // assignment is COLLECTED once (batch-sized by contract) and
+    // re-attached as a broadcast local relation — the assign
+    // pipeline used to execute three times (broadcast build, label
+    // collect, write).
+    val annStage: () => () => Unit = () =>
+      if (annAdded == 0) () => ()
+      else {
+        val reps = spark.read.parquet(m("ann/reps"))
+        val asg = graft.ops.Similarity.assignNearest(newEmb, reps,
+            vecIdCol, vecCol, clusterCol = clusterCol,
+            centVecCol = "rep_vec")
+          .select(col("vec_id").as(vecIdCol),
+            col("cluster").as(clusterCol),
+            col("cluster").cast("string").as("_ps"))
+        val asgRows = asg.collect()
+        val asgLocal = spark.createDataFrame(
+          java.util.Arrays.asList(asgRows: _*), asg.schema)
+        val labels = asgRows.map(_.getString(2))
+        val touchedLabels = labels.distinct.sorted
+        if (logged) require(touchedLabels.forall(!_.contains("~")),
+          "logged ingest reserves '~' in cluster labels for fragment keys")
+        val addedByLabel = labels.groupBy(identity)
+          .map { case (p, rs) => p -> rs.length.toLong }
+        val assigned = newEmb.drop(clusterCol)
+          .join(broadcast(asgLocal.drop("_ps")), Seq(vecIdCol))
+        val annCols = readAnnCorpusOf(spark, m).columns.toSeq
+        val assignedRows = assigned.select(annCols.map(col): _*)
+        val annGen = gen.format("ann")
+        val annNew = if (logged) assignedRows else {
+          val oldLabelDirs = touchedLabels
+            .flatMap(v => groupDirs(m, s"ann/corpus/$v")).toIndexedSeq
+          if (oldLabelDirs.nonEmpty)
+            readPartDirs(spark, oldLabelDirs).select(annCols.map(col): _*)
+              .unionByName(assignedRows)
+          else assignedRows
+        }
+        annNew.repartition(col(clusterCol))
+          .sortWithinPartitions(col(clusterCol), col(vecIdCol))
+          .write.mode("overwrite").partitionBy(clusterCol)
+          .parquet(s"$root/$annGen/corpus")
+        val annDirs = listPartDirs(spark, s"$root/$annGen/corpus")
+        () => annDirs.foreach { d =>
+          val base = s"ann/corpus/${d.split("=").last}"
+          val k = entryKey(base)
+          entries(k) = s"$annGen/corpus/$d"
+          val v = d.split("=").last
+          if (logged) countsNew(k) = addedByLabel(v)
+          else {
+            foldGroup(base)
+            groupCount(m, countsOld, base) match {
+              case Some(c) => countsNew(k) = c + addedByLabel(v)
+              case None => countsNew.remove(k)
+            }
+          }
+        }
+      }
+
+    try runStages(failpoint eq NoFailpoint, failpoint, Seq(
+      "corpus" -> corpusStage, "bm25" -> bm25Stage,
+      "pos" -> posStage, "ann" -> annStage))
+    finally posFragAll.unpersist()
 
     EpochLayout.publish(spark, root, retain) { dir =>
       writeManifest(spark, dir, entries.toMap, countsNew.toMap)
@@ -1186,46 +1329,70 @@ object ForgetStore {
     // one read+write job per artifact tier, covering only that
     // tier's fragmented groups; the write partitions on the tier's
     // own column (lang / bucket / label), so the folded entries key
-    // exactly like init's
+    // exactly like init's. The five tier folds write disjoint blob
+    // dirs, so their Spark work runs CONCURRENTLY ([[runStages]]'s
+    // rationale — no failpoints here at all); manifest mutation stays
+    // sequential via the appliers.
     def fold(prefix: String, art: String, sub: String, pc: String,
-        sortCols: Seq[String], counted: Boolean): Int = {
+        sortCols: Seq[String], counted: Boolean): () => () => Int = () => {
       val bases = fragBases.filter(_.startsWith(prefix))
-      if (bases.isEmpty) return 0
-      val dirs = bases.flatMap(b => groupDirs(m, b)).toIndexedSeq
-      val out = s"${gen.format(art)}$sub"
-      readPartDirs(spark, dirs)
-        .repartition(col(pc))
-        .sortWithinPartitions((pc +: sortCols).map(col): _*)
-        .write.mode("overwrite").partitionBy(pc)
-        .parquet(s"$root/$out")
-      val written = listPartDirs(spark, s"$root/$out")
-        .map(_.split("=").last).toSet
-      bases.foreach { b =>
-        val v = b.stripPrefix(prefix)
-        groupKeys(m, b).filter(_ != b).foreach { fk =>
-          entries.remove(fk); countsNew.remove(fk)
-        }
-        require(written.contains(v),
-          s"compaction lost partition $v of $prefix")
-        entries(b) = s"$out/$pc=$v"
-        if (counted) groupCount(m, countsOld, b) match {
-          case Some(c) => countsNew(b) = c
-          case None => countsNew.remove(b) // legacy, stays uncounted
+      if (bases.isEmpty) () => 0
+      else {
+        val dirs = bases.flatMap(b => groupDirs(m, b)).toIndexedSeq
+        val out = s"${gen.format(art)}$sub"
+        readPartDirs(spark, dirs)
+          .repartition(col(pc))
+          .sortWithinPartitions((pc +: sortCols).map(col): _*)
+          .write.mode("overwrite").partitionBy(pc)
+          .parquet(s"$root/$out")
+        val written = listPartDirs(spark, s"$root/$out")
+          .map(_.split("=").last).toSet
+        () => {
+          bases.foreach { b =>
+            val v = b.stripPrefix(prefix)
+            groupKeys(m, b).filter(_ != b).foreach { fk =>
+              entries.remove(fk); countsNew.remove(fk)
+            }
+            require(written.contains(v),
+              s"compaction lost partition $v of $prefix")
+            entries(b) = s"$out/$pc=$v"
+            if (counted) groupCount(m, countsOld, b) match {
+              case Some(c) => countsNew(b) = c
+              case None => countsNew.remove(b) // legacy, stays uncounted
+            }
+          }
+          bases.size
         }
       }
-      bases.size
+    }
+    val thunks = Seq(
+      fold("corpus/", "corpus", "", partCol, Seq(docIdCol),
+        counted = true),
+      fold("bm25/postings/", "bm25", "/postings", "bucket",
+        Seq("doc_id", "term"), counted = false),
+      fold("bm25/dl/", "bm25", "/dl", "bucket", Seq("doc_id"),
+        counted = false),
+      fold("pos/postings/", "pos", "/postings", "bucket",
+        Seq("doc_id", "term"), counted = false),
+      fold("ann/corpus/", "ann", "/corpus", clusterCol,
+        Seq(vecIdCol), counted = true))
+    val counts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(thunks.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+          Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
+        .map(_())
+      finally pool.shutdown()
     }
     val folded = Map(
-      "corpus" -> fold("corpus/", "corpus", "", partCol,
-        Seq(docIdCol), counted = true),
-      "bm25" -> (fold("bm25/postings/", "bm25", "/postings", "bucket",
-          Seq("doc_id", "term"), counted = false) +
-        fold("bm25/dl/", "bm25", "/dl", "bucket", Seq("doc_id"),
-          counted = false)),
-      "pos" -> fold("pos/postings/", "pos", "/postings", "bucket",
-        Seq("doc_id", "term"), counted = false),
-      "ann" -> fold("ann/corpus/", "ann", "/corpus", clusterCol,
-        Seq(vecIdCol), counted = true)).filter(_._2 > 0)
+      "corpus" -> counts(0),
+      "bm25" -> (counts(1) + counts(2)),
+      "pos" -> counts(3),
+      "ann" -> counts(4)).filter(_._2 > 0)
     EpochLayout.publish(spark, root, retain) { dir =>
       writeManifest(spark, dir, entries.toMap, countsNew.toMap)
     }
@@ -1261,28 +1428,38 @@ object ForgetStore {
     entries ++= m.map { case (k, v) => k -> v.stripPrefix(s"$root/") }
     val bkt = pmod(col("doc_id"), lit(newBuckets)).cast("int")
       .as("bucket")
+    // the three tier rewrites write disjoint blob dirs — concurrent
+    // Spark work, sequential manifest mutation (the [[runStages]]
+    // shape; no failpoints in this op)
     def rewrite(prefix: String, art: String, sub: String,
-        cols: Seq[String], sortCols: Seq[String]): Unit = {
-      val old = entriesUnder(m, prefix)
-      if (old.isEmpty) return
-      val out = s"${gen.format(art)}$sub"
-      readPartDirs(spark, old.map(_._2)).select(cols.map(col): _*)
-        .withColumn("bucket", bkt)
-        .repartition(col("bucket"))
-        .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$root/$out")
-      old.map(_._1).foreach(entries.remove) // incl. logged fragments
-      listPartDirs(spark, s"$root/$out").foreach { d =>
-        entries(s"$prefix${d.split("=").last}") = s"$out/$d"
+        cols: Seq[String], sortCols: Seq[String]): () => () => Unit =
+      () => {
+        val old = entriesUnder(m, prefix)
+        if (old.isEmpty) () => ()
+        else {
+          val out = s"${gen.format(art)}$sub"
+          readPartDirs(spark, old.map(_._2)).select(cols.map(col): _*)
+            .withColumn("bucket", bkt)
+            .repartition(col("bucket"))
+            .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$root/$out")
+          val ds = listPartDirs(spark, s"$root/$out")
+          () => {
+            old.map(_._1).foreach(entries.remove) // incl. logged fragments
+            ds.foreach { d =>
+              entries(s"$prefix${d.split("=").last}") = s"$out/$d"
+            }
+          }
+        }
       }
-    }
-    rewrite("bm25/postings/", "bm25", "/postings",
-      Seq("doc_id", "term", "tf"), Seq("doc_id", "term"))
-    rewrite("bm25/dl/", "bm25", "/dl",
-      Seq("doc_id", "dl"), Seq("doc_id"))
-    rewrite("pos/postings/", "pos", "/postings",
-      Seq("doc_id", "term", "tf", "pos"), Seq("doc_id", "term"))
+    runStages(parallel = true, NoFailpoint, Seq(
+      "bm25/postings" -> rewrite("bm25/postings/", "bm25", "/postings",
+        Seq("doc_id", "term", "tf"), Seq("doc_id", "term")),
+      "bm25/dl" -> rewrite("bm25/dl/", "bm25", "/dl",
+        Seq("doc_id", "dl"), Seq("doc_id")),
+      "pos/postings" -> rewrite("pos/postings/", "pos", "/postings",
+        Seq("doc_id", "term", "tf", "pos"), Seq("doc_id", "term"))))
     entries("conf/buckets") = newBuckets.toString
     EpochLayout.publish(spark, root, retain) { dir =>
       // corpus/ann counts ride through untouched; bm25/pos entries
@@ -1384,8 +1561,7 @@ object ForgetStore {
     }
     val corpusRemaining = sumCounts("corpus/")
     val annRemaining = sumCounts("ann/corpus/")
-    val bmRemaining = spark.read.parquet(m("bm25/meta")).head()
-      .getAs[Long]("n_docs")
+    val bmRemaining = scalarsOf(spark, m)._1
     // residuals: one job over the touched entries only (keys emptied
     // by the forget dropped out of the manifest — nothing to read)
     // postings and dl carry different schemas, so they are separate

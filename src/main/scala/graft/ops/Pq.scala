@@ -49,23 +49,38 @@ object Pq {
     * contiguous (dims/m)-wide blocks and run the deterministic L2
     * Lloyd trainer on each. Codes are POSITIONS in the
     * sorted-by-seed-label centroid order — a total order, so code
-    * assignment is engine-portable. m driver-sequenced kmeans runs
-    * (m is small by construction); each is iters·2 bounded shuffles.
+    * assignment is engine-portable. The m kmeans runs are INDEPENDENT
+    * deterministic pipelines over disjoint slices, so their driver
+    * job chains run CONCURRENTLY (optimization guide §2.6 — each
+    * run's tail back-fills the others' idle executors; results are
+    * identical to the sequential order because each trainer is exact
+    * and self-contained). m is small by construction; each run is
+    * iters·2 bounded shuffles.
     */
   def train(corpus: DataFrame, m: Int, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
     val dims = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
-    val codebooks = (0 until m).map { s =>
-      Similarity.kmeansL2(
-          corpus.select(col(idCol),
-            slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
-          k, iters, idCol, vecCol)
-        .orderBy("cluster").collect()
-        .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val codebooks = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence((0 until m).map { s =>
+        Future {
+          Similarity.kmeansL2(
+              corpus.select(col(idCol),
+                slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
+              k, iters, idCol, vecCol)
+            .orderBy("cluster").collect()
+            .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
     }
-    PqModel(m, k, sub, codebooks)
+    PqModel(m, k, sub, codebooks.toIndexedSeq)
   }
 
   private def cbLit(model: PqModel, s: Int): Column =

@@ -1185,6 +1185,20 @@ object RelationalQ {
     * Scale shape: lag + filter + five frame sums share ONE shuffle and
     * sort on user_id — the filter between the two Window nodes
     * preserves partitioning and order, so no second exchange.
+    *
+    * Frame sums are computed as CUMULATIVE sums minus their 20-lagged
+    * cumulative sums (round 17, guide §1.2 "per-task work"): Spark's
+    * sliding ROWS frame re-aggregates the whole 20-row buffer per
+    * output row (no retract support), i.e. 20×5 decimal adds per row;
+    * the running-frame form is O(1) per row, and both window passes
+    * (cums, then their lags) sit on the SAME partitioning and sort —
+    * still one exchange, zero extra sorts. Equality is exact, not
+    * approximate: decimal integer sums are associative, so
+    * cum(r) − cum(r−20) IS the 20-row frame sum value for value; the
+    * cumulative magnitude stays within decimal(38,0) for any
+    * realistic per-user history (|partition| ≲ 1e9 rows at these
+    * scales). The oracle keeps the direct frame-sum formulation and
+    * the driver hash-compares.
     */
   val qRollCorr = Q(
     "q_roll_corr",
@@ -1192,20 +1206,29 @@ object RelationalQ {
       import org.apache.spark.sql.expressions.Window
       val wLag = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_ms"), col("event_id"))
-      val wRoll = wLag.rowsBetween(-19, Window.currentRow)
+      val wCum = wLag.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
       val x0 = (dec(col("value"), 12, 2) * lit(100).cast("decimal(3,0)"))
         .cast("decimal(14,0)")
+      def fr(c: org.apache.spark.sql.Column, lagged: org.apache.spark.sql.Column) =
+        (c - coalesce(lagged, lit(0))).cast("double")
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"), col("ts_ms"), x0.as("x0"))
         .withColumn("y0", lag(col("x0"), 1).over(wLag))
         .filter(col("y0").isNotNull)
         .select(col("user_id"), col("event_id"), col("ts_ms"),
-          count(lit(1)).over(wRoll).as("n"),
-          sum(col("x0")).over(wRoll).cast("double").as("sx"),
-          sum(col("y0")).over(wRoll).cast("double").as("sy"),
-          sum(col("x0") * col("x0")).over(wRoll).cast("double").as("sxx"),
-          sum(col("y0") * col("y0")).over(wRoll).cast("double").as("syy"),
-          sum(col("x0") * col("y0")).over(wRoll).cast("double").as("sxy"))
+          least(row_number().over(wLag), lit(20)).cast("long").as("n"),
+          sum(col("x0")).over(wCum).as("cx"),
+          sum(col("y0")).over(wCum).as("cy"),
+          sum(col("x0") * col("x0")).over(wCum).as("cxx"),
+          sum(col("y0") * col("y0")).over(wCum).as("cyy"),
+          sum(col("x0") * col("y0")).over(wCum).as("cxy"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("n"),
+          fr(col("cx"), lag(col("cx"), 20).over(wLag)).as("sx"),
+          fr(col("cy"), lag(col("cy"), 20).over(wLag)).as("sy"),
+          fr(col("cxx"), lag(col("cxx"), 20).over(wLag)).as("sxx"),
+          fr(col("cyy"), lag(col("cyy"), 20).over(wLag)).as("syy"),
+          fr(col("cxy"), lag(col("cxy"), 20).over(wLag)).as("sxy"))
         .withColumn("autocorr",
           when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
               (col("n") * col("syy") - col("sy") * col("sy")) > 0,

@@ -532,4 +532,46 @@ class ForgetStoreSpec extends AnyFunSuite {
     assert(ForgetStore.currentManifest(spark, root)._1 == 3L)
     assert(audits.forall(a => a.removed == 0L && a.residual == 0L))
   }
+
+  test("manifest corpus scalars: agree with the meta blob; legacy store falls back and re-acquires them on forget") {
+    val root = freshStore()
+    // new stores carry conf/n_docs + conf/total_len in the manifest —
+    // the reader fast path (no meta job); they must equal the meta
+    // blob, the at-rest truth
+    val m1 = ForgetStore.currentManifest(spark, root)._2
+    val meta1 = spark.read.parquet(m1("bm25/meta")).head()
+    def scalar(m: Map[String, String], k: String): Long =
+      m(k).split("/").last.toLong
+    assert(scalar(m1, "conf/n_docs") == meta1.getAs[Long]("n_docs"))
+    assert(scalar(m1, "conf/total_len") == meta1.getAs[Long]("total_len"))
+    // simulate a legacy store: strip the scalar lines from the
+    // manifest file — readers must fall back to the meta blob and
+    // serve identically
+    val epochDir = EpochLayout.currentOrFail(spark, root)
+      .stripPrefix("file:")
+    val mf = java.nio.file.Paths.get(epochDir, "manifest.tsv")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mf),
+        "UTF-8").linesIterator
+      .filterNot(l => l.startsWith("conf/n_docs\t") ||
+        l.startsWith("conf/total_len\t"))
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(mf, stripped.getBytes("UTF-8"))
+    // drop the Hadoop local-FS checksum shadow — the manifest was
+    // rewritten behind the filesystem's back to fake a legacy store
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(epochDir, ".manifest.tsv.crc"))
+    val (legacyIdx, legacyLen) = ForgetStore.bm25Index(spark, root)
+    assert(legacyIdx.nDocs == meta1.getAs[Long]("n_docs"))
+    assert(legacyLen == meta1.getAs[Long]("total_len"))
+    // a forget on the legacy store works and re-acquires the scalars
+    val ids = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    ForgetStore.forget(spark, root, ids.toIndexedSeq)
+    val m2 = ForgetStore.currentManifest(spark, root)._2
+    val meta2 = spark.read.parquet(m2("bm25/meta")).head()
+    assert(scalar(m2, "conf/n_docs") == meta2.getAs[Long]("n_docs"))
+    assert(scalar(m2, "conf/total_len") == meta2.getAs[Long]("total_len"))
+    assert(meta2.getAs[Long]("n_docs") ==
+      docs.filter(col("doc_id") % 37 =!= 0).count())
+  }
 }
