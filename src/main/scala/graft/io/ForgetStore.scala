@@ -181,13 +181,41 @@ object ForgetStore {
     * `basePath` per generation — how the stripped partition column
     * comes back), one union leg per generation. Leg count is bounded
     * by retained-forget count, not by partition count.
+    *
+    * `schema`: the INDEX tiers' schemas are fixed by construction
+    * (this module writes every blob), and passing them skips the
+    * parquet footer-inference job Spark otherwise runs per read —
+    * the mutation faces' job chains were full of those ~25 ms blank
+    * jobs (round-17 JobProfile). Caller-schema tiers (corpus, ann)
+    * keep inference.
     */
-  private def readPartDirs(spark: SparkSession, dirs: Seq[String])
+  private def readPartDirs(spark: SparkSession, dirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType = null)
       : DataFrame =
     dirs.groupBy(d => new Path(d).getParent.toString).toSeq.sortBy(_._1)
       .map { case (base, ds) =>
-        spark.read.option("basePath", base).parquet(ds.sorted: _*)
+        val r = spark.read.option("basePath", base)
+        (if (schema != null) r.schema(schema) else r)
+          .parquet(ds.sorted: _*)
       }.reduce(_.unionByName(_))
+
+  // fixed at-rest schemas of the index tiers (see [[readPartDirs]]);
+  // matching the written types exactly is pinned by every spec that
+  // reads a store back (a mismatch fails the read loudly)
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
+  private val PostingsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("term", StringType),
+    StructField("tf", LongType), StructField("bucket", IntegerType)))
+  private val DlSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType),
+    StructField("bucket", IntegerType)))
+  private val PosSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("term", StringType),
+    StructField("tf", LongType),
+    StructField("pos", ArrayType(IntegerType)),
+    StructField("bucket", IntegerType)))
+  private val DfSchema = StructType(Seq(
+    StructField("term", StringType), StructField("df", LongType)))
 
   private def entriesUnder(m: Map[String, String], prefix: String)
       : Seq[(String, String)] =
@@ -330,11 +358,12 @@ object ForgetStore {
   private def bm25IndexOf(spark: SparkSession, m: Map[String, String])
       : (Retrieval.Bm25Index, Long) = {
     val postings = readPartDirs(spark,
-        entriesUnder(m, "bm25/postings/").map(_._2))
+        entriesUnder(m, "bm25/postings/").map(_._2), PostingsSchema)
       .select("doc_id", "term", "tf")
-    val dl = readPartDirs(spark, entriesUnder(m, "bm25/dl/").map(_._2))
+    val dl = readPartDirs(spark, entriesUnder(m, "bm25/dl/").map(_._2),
+        DlSchema)
       .select("doc_id", "dl")
-    val dfT = spark.read.parquet(m("bm25/df"))
+    val dfT = spark.read.schema(DfSchema).parquet(m("bm25/df"))
     val (nDocs, totalLen) = scalarsOf(spark, m)
     (Retrieval.Bm25Index(postings, dfT, dl, nDocs,
       Math.floorDiv(totalLen, math.max(nDocs, 1L))), totalLen)
@@ -354,9 +383,10 @@ object ForgetStore {
   private def positionalIndexOf(spark: SparkSession,
       m: Map[String, String]): Retrieval.PositionalIndex = {
     val postings = readPartDirs(spark,
-        entriesUnder(m, "pos/postings/").map(_._2))
+        entriesUnder(m, "pos/postings/").map(_._2), PosSchema)
       .select("doc_id", "term", "tf", "pos")
-    val dl = readPartDirs(spark, entriesUnder(m, "bm25/dl/").map(_._2))
+    val dl = readPartDirs(spark, entriesUnder(m, "bm25/dl/").map(_._2),
+        DlSchema)
       .select("doc_id", "dl")
     val (nDocs, totalLen) = scalarsOf(spark, m)
     Retrieval.PositionalIndex(postings, dl, nDocs,
@@ -669,7 +699,7 @@ object ForgetStore {
           col(clusterCol).cast("string").as("_p"),
           lit("ann").as("_art"), lit(0L).as("_dl"))) ++
       (if (dlDirs.nonEmpty)
-        Seq(readPartDirs(spark, dlDirs)
+        Seq(readPartDirs(spark, dlDirs, DlSchema)
           .filter(AnnLayout.idPredicate("doc_id", ids))
           .select(col("doc_id").cast("long").as("_id"),
             lit(null).cast("string").as("_p"), lit("dl").as("_art"),
@@ -728,12 +758,12 @@ object ForgetStore {
         val bmGen = gen.format("bm25")
         val postTouched = readPartDirs(spark,
           touchedBkts.flatMap(b => groupDirs(m, s"bm25/postings/$b"))
-            .toIndexedSeq)
+            .toIndexedSeq, PostingsSchema)
         // per-term df decrement from the removed docs' postings
         val dfDec = postTouched
           .filter(AnnLayout.idPredicate("doc_id", ids))
           .groupBy("term").agg(count(lit(1)).as("_gone"))
-        spark.read.parquet(m("bm25/df"))
+        spark.read.schema(DfSchema).parquet(m("bm25/df"))
           .join(dfDec, Seq("term"), "left_outer")
           .select(col("term"),
             (col("df") - coalesce(col("_gone"), lit(0L))).as("df"))
@@ -786,7 +816,8 @@ object ForgetStore {
       else {
         val posGen = gen.format("pos")
         readPartDirs(spark, touchedBkts
-            .flatMap(b => groupDirs(m, s"pos/postings/$b")).toIndexedSeq)
+            .flatMap(b => groupDirs(m, s"pos/postings/$b")).toIndexedSeq,
+          PosSchema)
           .join(broadcast(idsDf.withColumnRenamed(docIdCol, "doc_id")),
             Seq("doc_id"), "left_anti")
           .repartition(col("bucket"))
@@ -1039,15 +1070,20 @@ object ForgetStore {
     val fragLen = docRows.map(_.getLong(3)).sum
 
     // -- id-collision probe, both partitioned artifacts in one fused
-    // pushed point-read (the forget probe with REFUSE semantics)
+    // pushed point-read (the forget probe with REFUSE semantics).
+    // The two reads are HOISTED and reused below (tableCols/annCols):
+    // each readCorpusOf call pays a schema-inference pass, and the
+    // ingest needed two of each before (round 17).
+    val corpusOld = readCorpusOf(spark, m)
+    val annOld = readAnnCorpusOf(spark, m)
     val collide = (if (newIds.nonEmpty)
-      Seq(readCorpusOf(spark, m)
+      Seq(corpusOld
         .filter(AnnLayout.idPredicate(docIdCol, newIds.toIndexedSeq))
         .select(col(docIdCol).cast("long").as("_id"),
           lit("corpus").as("_art")))
     else Nil) ++
       (if (newVecIds.nonEmpty)
-        Seq(readAnnCorpusOf(spark, m)
+        Seq(annOld
           .filter(AnnLayout.idPredicate(vecIdCol,
             newVecIds.toIndexedSeq))
           .select(col(vecIdCol).cast("long").as("_id"),
@@ -1092,7 +1128,7 @@ object ForgetStore {
     // corpus: union batch rows into touched partitions (new partition
     // values become new entries); LOGGED skips the old-side read —
     // the batch itself is the fragment blob
-    val tableCols = readCorpusOf(spark, m).columns.toSeq
+    val tableCols = corpusOld.columns.toSeq
     val touchedParts = docRows.map(_.getString(1)).distinct.sorted
     if (logged) require(touchedParts.forall(!_.contains("~")),
       "logged ingest reserves '~' in partition values for fragment keys")
@@ -1139,7 +1175,7 @@ object ForgetStore {
         val oldPostDirs = touchedBkts.flatMap(b =>
           groupDirs(m, s"bm25/postings/$b"))
         if (oldPostDirs.nonEmpty)
-          readPartDirs(spark, oldPostDirs)
+          readPartDirs(spark, oldPostDirs, PostingsSchema)
             .select("doc_id", "term", "tf")
             .unionByName(fragPost)
         else fragPost
@@ -1152,7 +1188,7 @@ object ForgetStore {
         val oldDlDirs = touchedBkts.flatMap(b =>
           groupDirs(m, s"bm25/dl/$b"))
         if (oldDlDirs.nonEmpty)
-          readPartDirs(spark, oldDlDirs).select("doc_id", "dl")
+          readPartDirs(spark, oldDlDirs, DlSchema).select("doc_id", "dl")
             .unionByName(fragDl)
         else fragDl
       }).withColumn("bucket", bkt)
@@ -1160,7 +1196,8 @@ object ForgetStore {
         .sortWithinPartitions(col("bucket"), col("doc_id"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$root/$bmGen/dl")
-      spark.read.parquet(m("bm25/df")).withColumnRenamed("df", "dfa")
+      spark.read.schema(DfSchema).parquet(m("bm25/df"))
+        .withColumnRenamed("df", "dfa")
         .join(fragDf.withColumnRenamed("df", "dfb"), Seq("term"),
           "full_outer")
         .select(col("term"),
@@ -1196,7 +1233,7 @@ object ForgetStore {
           val oldPosDirs = touchedBkts.flatMap(b =>
             groupDirs(m, s"pos/postings/$b"))
           if (oldPosDirs.nonEmpty)
-            readPartDirs(spark, oldPosDirs)
+            readPartDirs(spark, oldPosDirs, PosSchema)
               .select("doc_id", "term", "tf", "pos")
               .unionByName(posFragSel)
           else posFragSel
@@ -1241,7 +1278,7 @@ object ForgetStore {
           .map { case (p, rs) => p -> rs.length.toLong }
         val assigned = newEmb.drop(clusterCol)
           .join(broadcast(asgLocal.drop("_ps")), Seq(vecIdCol))
-        val annCols = readAnnCorpusOf(spark, m).columns.toSeq
+        val annCols = annOld.columns.toSeq
         val assignedRows = assigned.select(annCols.map(col): _*)
         val annGen = gen.format("ann")
         val annNew = if (logged) assignedRows else {
@@ -1334,13 +1371,14 @@ object ForgetStore {
     // rationale — no failpoints here at all); manifest mutation stays
     // sequential via the appliers.
     def fold(prefix: String, art: String, sub: String, pc: String,
-        sortCols: Seq[String], counted: Boolean): () => () => Int = () => {
+        sortCols: Seq[String], counted: Boolean,
+        schema: StructType = null): () => () => Int = () => {
       val bases = fragBases.filter(_.startsWith(prefix))
       if (bases.isEmpty) () => 0
       else {
         val dirs = bases.flatMap(b => groupDirs(m, b)).toIndexedSeq
         val out = s"${gen.format(art)}$sub"
-        readPartDirs(spark, dirs)
+        readPartDirs(spark, dirs, schema)
           .repartition(col(pc))
           .sortWithinPartitions((pc +: sortCols).map(col): _*)
           .write.mode("overwrite").partitionBy(pc)
@@ -1369,11 +1407,11 @@ object ForgetStore {
       fold("corpus/", "corpus", "", partCol, Seq(docIdCol),
         counted = true),
       fold("bm25/postings/", "bm25", "/postings", "bucket",
-        Seq("doc_id", "term"), counted = false),
+        Seq("doc_id", "term"), counted = false, PostingsSchema),
       fold("bm25/dl/", "bm25", "/dl", "bucket", Seq("doc_id"),
-        counted = false),
+        counted = false, DlSchema),
       fold("pos/postings/", "pos", "/postings", "bucket",
-        Seq("doc_id", "term"), counted = false),
+        Seq("doc_id", "term"), counted = false, PosSchema),
       fold("ann/corpus/", "ann", "/corpus", clusterCol,
         Seq(vecIdCol), counted = true))
     val counts = {
@@ -1432,13 +1470,15 @@ object ForgetStore {
     // Spark work, sequential manifest mutation (the [[runStages]]
     // shape; no failpoints in this op)
     def rewrite(prefix: String, art: String, sub: String,
-        cols: Seq[String], sortCols: Seq[String]): () => () => Unit =
+        cols: Seq[String], sortCols: Seq[String],
+        schema: StructType = null): () => () => Unit =
       () => {
         val old = entriesUnder(m, prefix)
         if (old.isEmpty) () => ()
         else {
           val out = s"${gen.format(art)}$sub"
-          readPartDirs(spark, old.map(_._2)).select(cols.map(col): _*)
+          readPartDirs(spark, old.map(_._2), schema)
+            .select(cols.map(col): _*)
             .withColumn("bucket", bkt)
             .repartition(col("bucket"))
             .sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
@@ -1455,11 +1495,13 @@ object ForgetStore {
       }
     runStages(parallel = true, NoFailpoint, Seq(
       "bm25/postings" -> rewrite("bm25/postings/", "bm25", "/postings",
-        Seq("doc_id", "term", "tf"), Seq("doc_id", "term")),
+        Seq("doc_id", "term", "tf"), Seq("doc_id", "term"),
+        PostingsSchema),
       "bm25/dl" -> rewrite("bm25/dl/", "bm25", "/dl",
-        Seq("doc_id", "dl"), Seq("doc_id")),
+        Seq("doc_id", "dl"), Seq("doc_id"), DlSchema),
       "pos/postings" -> rewrite("pos/postings/", "pos", "/postings",
-        Seq("doc_id", "term", "tf", "pos"), Seq("doc_id", "term"))))
+        Seq("doc_id", "term", "tf", "pos"), Seq("doc_id", "term"),
+        PosSchema)))
     entries("conf/buckets") = newBuckets.toString
     EpochLayout.publish(spark, root, retain) { dir =>
       // corpus/ann counts ride through untouched; bm25/pos entries
@@ -1474,7 +1516,7 @@ object ForgetStore {
       docIdCol: String): DataFrame =
     readPartDirs(spark,
         touchedBkts.flatMap(b => groupDirs(m, s"bm25/dl/$b"))
-          .toIndexedSeq)
+          .toIndexedSeq, DlSchema)
       .join(broadcast(idsDf.withColumnRenamed(docIdCol, "doc_id")),
         Seq("doc_id"), "left_anti")
 
@@ -1567,17 +1609,20 @@ object ForgetStore {
     // postings and dl carry different schemas, so they are separate
     // read legs (the id projection happens before the tagged union)
     val legs = Seq(
-      ("corpus", touchedKeys.filter(_.startsWith("corpus/")), docIdCol),
+      ("corpus", touchedKeys.filter(_.startsWith("corpus/")), docIdCol,
+        null: StructType),
       ("bm25", touchedKeys.filter(_.startsWith("bm25/postings/")),
-        "doc_id"),
-      ("bm25", touchedKeys.filter(_.startsWith("bm25/dl/")), "doc_id"),
+        "doc_id", PostingsSchema),
+      ("bm25", touchedKeys.filter(_.startsWith("bm25/dl/")), "doc_id",
+        DlSchema),
       ("pos", touchedKeys.filter(_.startsWith("pos/postings/")),
-        "doc_id"),
-      ("ann", touchedKeys.filter(_.startsWith("ann/")), vecIdCol))
-      .map { case (art, ks, c) => (art, ks.flatMap(m.get), c) }
+        "doc_id", PosSchema),
+      ("ann", touchedKeys.filter(_.startsWith("ann/")), vecIdCol,
+        null: StructType))
+      .map { case (art, ks, c, sch) => (art, ks.flatMap(m.get), c, sch) }
       .filter(_._2.nonEmpty)
-      .map { case (art, dirs, c) =>
-        readPartDirs(spark, dirs)
+      .map { case (art, dirs, c, sch) =>
+        readPartDirs(spark, dirs, sch)
           .filter(AnnLayout.idPredicate(c, ids))
           .select(col(c).cast("long").as("_fid"), lit(art).as("_art"))
       }

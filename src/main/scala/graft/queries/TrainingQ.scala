@@ -1912,12 +1912,20 @@ object TrainingQ {
       val q = docStream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
             _: Long) =>
-          val (post, dl) = Retrieval.positionalFragments(batch)
-          post.write.mode("append").parquet(s"$work/post")
-          dl.write.mode("append").parquet(s"$work/dl")
-          dl.agg(count(lit(1)).as("n"),
-              coalesce(sum("dl"), lit(0L)).as("l"))
-            .write.mode("append").parquet(s"$work/meta")
+          // each foreachBatch ACTION re-derives its full lineage, so
+          // the dl write and the meta aggregate each re-tokenized the
+          // batch (round 17); one bounded per-trigger persist shares
+          // the tokenize pass between them — still O(batch) work and
+          // an O(1)-row meta delta per trigger
+          val (post, dl0) = Retrieval.positionalFragments(batch)
+          val dl = dl0.persist()
+          try {
+            post.write.mode("append").parquet(s"$work/post")
+            dl.write.mode("append").parquet(s"$work/dl")
+            dl.agg(count(lit(1)).as("n"),
+                coalesce(sum("dl"), lit(0L)).as("l"))
+              .write.mode("append").parquet(s"$work/meta")
+          } finally { dl.unpersist(); () }
           ()
         }
         .option("checkpointLocation", s"$work/ckpt")

@@ -38,9 +38,13 @@ object JobProfile {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val j = J(js.jobId, System.nanoTime())
         j.stages = js.stageInfos.size
-        j.site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
-          .getOrElse("")
+        j.site = Option(js.properties).map { p =>
+          Seq("callSite.short", "spark.job.description",
+            "spark.sql.execution.id")
+            .flatMap(k => Option(p.getProperty(k)).map(v =>
+              v.linesIterator.next().take(80)))
+            .mkString(" | ")
+        }.getOrElse("")
         jobs.put(js.jobId, j); order.add(js.jobId); ()
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
