@@ -60,16 +60,22 @@ object GraphOps {
     // mass bound is the ONLY overflow surface.
     require(scaleBits > 0 && scaleBits < 40, "rank units must leave sum headroom")
     val s = 1L << scaleBits
+    // LAZY initial checkpoints (round 17): eager ones cost one
+    // driver-blocking job each before the loop starts; lazy blocks
+    // materialize inside iteration 1's jobs instead, same cut
+    // lineage. The PER-ITERATION checkpoint below must stay EAGER:
+    // old.unpersist() runs right after it, and a lazy new-r would
+    // still depend on old's blocks when they are dropped.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val base = Math.floorDiv((dampDen - dampNum).toLong * s, dampDen.toLong)
     var r = nodes.select(col("id"), lit(s).as("r"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val ins = e.join(r, e("src") === r("id"))
         .join(deg, Seq("src"))

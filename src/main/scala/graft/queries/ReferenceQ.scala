@@ -59,7 +59,10 @@ object ReferenceQ {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .filter(col("k").isNotNull)
         .select("event_id", "user_id", "event_type", "ts_ms", "k")
-        .orderBy("event_id")
+        // map-only face ending in a total order: barrier the sort so
+        // the range sampler reads shuffle files instead of re-running
+        // the JSON-parse scan (Catalog.barrierSort rationale)
+        .transform(Catalog.barrierSort(_, "event_id"))
     },
     Some("""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
