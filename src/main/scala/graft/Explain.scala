@@ -21,7 +21,13 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_EXPLAIN_ONLY=a,b,c restricts the dump for focused
+    // before/after plan capture — mirrors Bench's SPARK_GRAFT_BENCH_ONLY
+    val only = sys.env.get("SPARK_GRAFT_EXPLAIN_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution
           .explainString(ExplainMode.fromString("formatted"))

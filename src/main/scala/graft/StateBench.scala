@@ -36,28 +36,36 @@ object StateBench {
 
     val providerKey = GraftSession.RocksDbStateStore._1
     val rocks = GraftSession.RocksDbStateStore._2
-    val query = SparkEntry.queries("q_stream_dedup")
+    // SPARK_GRAFT_STATE_QUERIES widens the A/B beyond the original
+    // q_stream_dedup probe (round 18: the verdict asked for the
+    // provider comparison at every stateful face class)
+    val names = sys.env.get("SPARK_GRAFT_STATE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q_stream_dedup"))
 
-    def run(provider: Option[String]): Double = {
-      provider.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
-      val t0 = System.nanoTime()
-      query(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // warm both paths (JIT + RocksDB native lib load) before timing
-    run(None); run(Some(rocks))
-    val (hdfs, rdb) = (Array.newBuilder[Double], Array.newBuilder[Double])
-    for (_ <- 1 to reps) { hdfs += run(None); rdb += run(Some(rocks)) }
     def median(xs: Array[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    val (h, r) = (hdfs.result(), rdb.result())
-    println(s"""{"probe":"state_store","query":"q_stream_dedup","sf":"$sfDir",""" +
-      s""""reps":$reps,"hdfs_median_sec":${median(h)},""" +
-      s""""rocksdb_median_sec":${median(r)},""" +
-      s""""hdfs_minmax":[${h.min},${h.max}],"rocksdb_minmax":[${r.min},${r.max}]}""")
+    names.foreach { name =>
+      val query = SparkEntry.queries(name)
+      def run(provider: Option[String]): Double = {
+        provider.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+        val t0 = System.nanoTime()
+        query(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // warm both paths (JIT + RocksDB native lib load) before timing
+      run(None); run(Some(rocks))
+      val (hdfs, rdb) = (Array.newBuilder[Double], Array.newBuilder[Double])
+      for (_ <- 1 to reps) { hdfs += run(None); rdb += run(Some(rocks)) }
+      val (h, r) = (hdfs.result(), rdb.result())
+      println(s"""{"probe":"state_store","query":"$name","sf":"$sfDir",""" +
+        s""""reps":$reps,"hdfs_median_sec":${median(h)},""" +
+        s""""rocksdb_median_sec":${median(r)},""" +
+        s""""hdfs_minmax":[${h.min},${h.max}],"rocksdb_minmax":[${r.min},${r.max}]}""")
+    }
     spark.stop()
   }
 }

@@ -272,16 +272,35 @@ object CowTable {
     // partitions are untouched until the swap loop below, so that rare
     // case (a batch displacing every live row) falls back to the
     // pre-round-17 probe job and stays exact.
+    // BOUNDED wait on the observation (round 18): `Observation.get`
+    // blocks forever when the listener event for the observed write
+    // never arrives — reproduced in round 17 when an observed write
+    // runs on a stage-pool thread inside a streaming foreachBatch
+    // (the nested execution's event never reaches the observation),
+    // and the empty-metric completion above is itself Spark-4.1
+    // ObservationManager behavior a different version need not share.
+    // The staged write has already executed by here, so the listener
+    // either fires within a beat or never will: wait a bounded
+    // moment on a daemon thread, then fall back to the exact probe
+    // job. Normal path cost: zero (the metric is already complete).
     val deletedRows =
       if (hitObs == null) 0L
-      else hitObs.get.get("dels") match {
-        case Some(v) => v.asInstanceOf[Long]
-        case None =>
-          live.select(col(partCol), col(idCol))
-            .join(broadcast(changes.select(col(partCol), col(idCol),
-              col("op"))), Seq(partCol, idCol))
-            .agg(coalesce(sum(when(col("op") === "delete", 1L)
-              .otherwise(0L)), lit(0L))).head().getLong(0)
+      else {
+        import scala.concurrent.{Await, Future, TimeoutException}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val observed =
+          try Await.result(Future(hitObs.get), 10.seconds).get("dels")
+          catch { case _: TimeoutException => None }
+        observed match {
+          case Some(v) => v.asInstanceOf[Long]
+          case None =>
+            live.select(col(partCol), col(idCol))
+              .join(broadcast(changes.select(col(partCol), col(idCol),
+                col("op"))), Seq(partCol, idCol))
+              .agg(coalesce(sum(when(col("op") === "delete", 1L)
+                .otherwise(0L)), lit(0L))).head().getLong(0)
+        }
       }
     touched.foreach { v =>
       val staged = new Path(s"$stage/$partCol=$v")

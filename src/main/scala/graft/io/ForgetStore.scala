@@ -195,9 +195,53 @@ object ForgetStore {
     dirs.groupBy(d => new Path(d).getParent.toString).toSeq.sortBy(_._1)
       .map { case (base, ds) =>
         val r = spark.read.option("basePath", base)
-        (if (schema != null) r.schema(schema) else r)
-          .parquet(ds.sorted: _*)
+        if (schema != null) r.schema(schema).parquet(ds.sorted: _*)
+        else readInferCached(spark, base, ds.sorted)
       }.reduce(_.unionByName(_))
+
+  /** Inferred-schema cache for the CALLER-schema tiers (corpus, ann —
+    * their at-rest schemas are caller-defined, so no static
+    * `StructType` can replace inference the way the fixed index tiers'
+    * did in round 17). Key = the blob GENERATION directory, which is
+    * immutable by construction: a generation is written once under
+    * `blobs/<artifact>/g<epoch>` and never modified (mutations write
+    * NEW generations; GC only deletes whole unreferenced ones). The
+    * first read of a generation pays Spark's footer-inference job and
+    * caches exactly what inference returned — so behavior is
+    * byte-identical to inference, minus the repeat ~25 ms driver jobs
+    * that round-17 profiling showed filling the mutator and serve
+    * chains (a single q_ingest_snapshot run re-inferred the same
+    * corpus generation at entry, at the collision probe, and at the
+    * serve tail). In-JVM metadata only — nothing persists across
+    * processes, and the cached object is a schema, not data.
+    */
+  private val inferredSchemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readInferCached(spark: SparkSession, base: String,
+      ds: Seq[String]): DataFrame = {
+    val r = spark.read.option("basePath", base)
+    val cached = inferredSchemas.get(base)
+    if (cached != null) r.schema(cached).parquet(ds: _*)
+    else {
+      val df = r.parquet(ds: _*)
+      inferredSchemas.put(base, df.schema)
+      df
+    }
+  }
+
+  /** [[readInferCached]] for a single non-partitioned blob dir (the
+    * ann/reps codebook — also an immutable generation).
+    */
+  private def readDirCached(spark: SparkSession, dir: String): DataFrame = {
+    val cached = inferredSchemas.get(dir)
+    if (cached != null) spark.read.schema(cached).parquet(dir)
+    else {
+      val df = spark.read.parquet(dir)
+      inferredSchemas.put(dir, df.schema)
+      df
+    }
+  }
 
   // fixed at-rest schemas of the index tiers (see [[readPartDirs]]);
   // matching the written types exactly is pinned by every spec that
@@ -403,7 +447,7 @@ object ForgetStore {
       vecCol: String = "embedding",
       clusterCol: String = "label"): DataFrame = {
     val m = currentManifest(spark, root)._2
-    AnnLayout.knnIvfOn(spark.read.parquet(m("ann/reps")), queries, k,
+    AnnLayout.knnIvfOn(readDirCached(spark, m("ann/reps")), queries, k,
       nprobe, idCol, vecCol, clusterCol,
       pc => readAnnCorpusOf(spark, m)
         .filter(col(clusterCol).isin(pc: _*)))
@@ -474,7 +518,7 @@ object ForgetStore {
       idCol: String = "vec_id", vecCol: String = "embedding",
       clusterCol: String = "label"): DataFrame = {
     val m = manifestAt(spark, root, asOf)
-    AnnLayout.knnIvfOn(spark.read.parquet(m("ann/reps")), queries, k,
+    AnnLayout.knnIvfOn(readDirCached(spark, m("ann/reps")), queries, k,
       nprobe, idCol, vecCol, clusterCol,
       pc => readAnnCorpusOf(spark, m)
         .filter(col(clusterCol).isin(pc: _*)))
@@ -1260,7 +1304,7 @@ object ForgetStore {
     val annStage: () => () => Unit = () =>
       if (annAdded == 0) () => ()
       else {
-        val reps = spark.read.parquet(m("ann/reps"))
+        val reps = readDirCached(spark, m("ann/reps"))
         val asg = graft.ops.Similarity.assignNearest(newEmb, reps,
             vecIdCol, vecCol, clusterCol = clusterCol,
             centVecCol = "rep_vec")

@@ -65,7 +65,11 @@ object Pq {
     val codebooks = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+      // pool bounded by the host's core count: m is small by
+      // construction, but an oversized m must degrade to queued
+      // trainers, not m driver threads and m concurrent job chains
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(m, Runtime.getRuntime.availableProcessors)))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try Await.result(Future.sequence((0 until m).map { s =>

@@ -211,12 +211,31 @@ object RelationalQ {
     "q_moving_avg",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ms"), col("event_id")).rowsBetween(-4, Window.currentRow)
+      // running-frame form of the 5-row trailing sum (round 18, the
+      // q_roll_corr device, guide §1.2 "per-task work"): Spark's
+      // sliding ROWS frame re-aggregates the whole 5-row buffer per
+      // output row (no retract), so the frame sum is computed as the
+      // cumulative sum minus its 5-lagged value — O(1)/row, both
+      // window passes on the SAME partitioning and sort (one
+      // exchange, zero extra sorts). Exact, not approximate: decimal
+      // sums are associative, so cum(r) − cum(r−5) IS the frame sum;
+      // the frame row count is least(row_number, 5) because the
+      // 5-row frame is saturated from row 5 on. value is non-null at
+      // the source (a null would make cum−cum read 0 where the frame
+      // sum reads NULL); the oracle keeps the direct frame-sum SQL
+      // and the driver hash-compares.
+      val wLag = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val wCum = wLag.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
-          sum(col("value").cast("decimal(20,6)")).over(w).cast("double").as("mov_sum"),
-          count(lit(1)).over(w).as("mov_n"))
+          sum(col("value").cast("decimal(20,6)")).over(wCum).as("_c"),
+          row_number().over(wLag).as("_rn"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
+          (col("_c") - coalesce(lag(col("_c"), 5).over(wLag),
+            lit(0).cast("decimal(30,6)"))).cast("double").as("mov_sum"),
+          least(col("_rn"), lit(5)).cast("long").as("mov_n"))
         .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
         .orderBy("user_id", "ts_ms", "event_id")
     },
@@ -1155,15 +1174,39 @@ object RelationalQ {
     "q_running_range",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
-        .rangeBetween(-5000L, Window.currentRow)
+      // running-frame form of the trailing-5s RANGE frame (round 18,
+      // the q_roll_corr device adapted to a value-defined frame):
+      // Spark's sliding RANGE frame re-aggregates every row's whole
+      // trailing window (SlidingWindowFunctionFrame has no retract —
+      // O(frame)/row, and a 5 s frame at tick density is unbounded
+      // work per row at scale), while a frame with an UNBOUNDED lower
+      // bound is evaluated by the growing-frame processor, which only
+      // ever ADDS rows as the upper bound advances — O(1)/row
+      // amortized. So each trailing aggregate is the difference of
+      // two growing frames on the same partitioning and sort:
+      // [unbounded, current] minus [unbounded, ts−5001] (rows at
+      // exactly ts−5000 belong to the trailing frame, so the
+      // before-frame ends one millisecond earlier). Exact: decimal
+      // sums are associative and counts are integers; both frames sit
+      // in ONE Window node (same partition/order spec), one exchange,
+      // zero extra sorts. value is non-null at the source (a null
+      // would make cum−cum read 0 where the frame sum reads NULL);
+      // the oracle keeps the direct RANGE-frame SQL and the driver
+      // hash-compares.
+      val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBefore = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(Window.unboundedPreceding, -5001L)
+      val x = col("value").cast("decimal(20,6)")
       Tables.events(spark, dir)
         // both window exprs in ONE select: a withColumn chain interposes
         // the decimal-cast Project between two Window nodes, blocking
         // CollapseWindow — fused, the plan is a single Window pass
         .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
-          count(lit(1)).over(w).as("run_cnt"),
-          sum(col("value").cast("decimal(20,6)")).over(w).cast("double").as("run_sum"))
+          (count(lit(1)).over(wAll) - count(lit(1)).over(wBefore))
+            .as("run_cnt"),
+          (sum(x).over(wAll) - coalesce(sum(x).over(wBefore),
+            lit(0).cast("decimal(30,6)"))).cast("double").as("run_sum"))
         .orderBy("user_id", "ts_ms", "event_id")
     },
     Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,

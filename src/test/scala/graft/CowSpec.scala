@@ -551,4 +551,40 @@ class CowSpec extends AnyFunSuite {
       concat(lit("v3"), col("text"))), "doc_id", "lang")
     assert(CowTable.outstandingBatches(spark, t) == 1)
   }
+
+  test("merge from a pool thread inside foreachBatch completes with exact stats (no observation hang)") {
+    // The round-17 hang class: an OBSERVED write whose action runs on
+    // a driver pool thread inside a streaming foreachBatch never gets
+    // its listener event, so Observation.get blocks forever — merge's
+    // displacement audit is exactly such an observed write when
+    // streaming compaction calls it. The bounded wait + exact-probe
+    // fallback must make this shape terminate with the same MergeStats
+    // and table contents as a plain driver-thread merge.
+    val tRef = freshTable()
+    val want = CowTable.merge(spark, tRef, changeSet(), "doc_id", "lang")
+    val t = freshTable()
+    @volatile var got: CowTable.MergeStats = null
+    val ckpt = Files.createTempDirectory("cow_fb_ckpt").toString
+    val q = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        // 120 s bound: a regression back to the unbounded wait fails
+        // the spec instead of wedging the suite
+        got = Await.result(
+          Future(CowTable.merge(spark, t, changeSet(), "doc_id", "lang")),
+          120.seconds)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got == want, s"pool-thread merge stats $got != direct $want")
+    assert(got.deleted > 0 && got.upserted > 0, s"$got")
+    assert(readAll(t) == readAll(tRef))
+  }
 }

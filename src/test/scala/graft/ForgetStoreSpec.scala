@@ -574,4 +574,60 @@ class ForgetStoreSpec extends AnyFunSuite {
     assert(meta2.getAs[Long]("n_docs") ==
       docs.filter(col("doc_id") % 37 =!= 0).count())
   }
+
+  test("parallel staging (default failpoint) equals the sequential path: same stats, same readers, same manifest") {
+    // The production path stages artifacts CONCURRENTLY (runStages
+    // with the default no-op failpoint); every failpoint-driven crash
+    // spec above forces the sequential order, so the concurrent path
+    // needs its own equivalence pin (round-17 advice): run the same
+    // forget + ingest on two identical stores — one default
+    // (parallel), one with a caller no-op hook (reference inequality
+    // selects sequential) — and require identical mutation stats,
+    // reader contents, and manifest shape.
+    val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val oldEmb = emb.filter(col("vec_id") % 3 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    val newEmb = emb.filter(col("vec_id") % 3 === 0)
+    val ids = docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      .toIndexedSeq
+    val seqHook: Option[String => Unit] = Some(_ => ())
+    val Seq((rootPar, audPar, ingPar), (rootSeq, audSeq, ingSeq)) =
+      Seq(None, seqHook).map { fp =>
+        val root = Files.createTempDirectory("forget_par").toString
+        ForgetStore.init(spark, root, oldDocs, oldEmb)
+        val aud = fp.fold(ForgetStore.forget(spark, root, ids))(f =>
+          ForgetStore.forget(spark, root, ids, failpoint = f))
+        val ing = fp.fold(
+          ForgetStore.ingest(spark, root, newDocs, newEmb))(f =>
+          ForgetStore.ingest(spark, root, newDocs, newEmb, failpoint = f))
+        (root, aud, ing)
+      }
+    assert(audPar.sortBy(_.artifact) == audSeq.sortBy(_.artifact))
+    assert(ingPar.sortBy(_.artifact) == ingSeq.sortBy(_.artifact))
+    // manifests agree in shape and (root-relative) entry paths
+    def rel(root: String) = ForgetStore.currentManifest(spark, root)
+      ._2.map { case (k, v) => k -> v.stripPrefix(s"$root/") }
+    assert(rel(rootPar) == rel(rootSeq))
+    // every reader serves identical contents
+    assert(corpusRows(ForgetStore.readCorpus(spark, rootPar)) ==
+      corpusRows(ForgetStore.readCorpus(spark, rootSeq)))
+    val (idxPar, lenPar) = ForgetStore.bm25Index(spark, rootPar)
+    val (idxSeq, lenSeq) = ForgetStore.bm25Index(spark, rootSeq)
+    assert(idxPar.nDocs == idxSeq.nDocs && idxPar.avgdl == idxSeq.avgdl
+      && lenPar == lenSeq)
+    val q = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    def ranked(idx: Retrieval.Bm25Index) =
+      Retrieval.bm25Query(idx, q, k = 5, excludeSelf = true)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ranked(idxPar) == ranked(idxSeq) && ranked(idxPar).nonEmpty)
+    assert(phraseRanked(ForgetStore.positionalIndex(spark, rootPar)) ==
+      phraseRanked(ForgetStore.positionalIndex(spark, rootSeq)))
+    val queries = emb.filter(col("vec_id") < 10)
+    def knn(root: String) =
+      ForgetStore.knn(spark, root, queries, k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(knn(rootPar) == knn(rootSeq) && knn(rootPar).nonEmpty)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Per-JOB decomposition of a catalog face's driver job chain — the
@@ -29,6 +29,13 @@ object JobProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROFILE_CONF="k=v;k=v" — session-conf overrides for
+    // A/B experiments (e.g. AQE on/off) without touching face code
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(";")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
 
     final case class J(id: Int, t0: Long, var t1: Long = -1L,
       var stages: Int = 0, var site: String = "")
@@ -51,6 +58,38 @@ object JobProfile {
         Option(jobs.get(je.jobId)).foreach(_.t1 = System.nanoTime())
       }
     })
+
+    // optional per-stage task-skew stats (SPARK_GRAFT_PROFILE_STAGES=1):
+    // max vs median task duration per stage — the §2.5 skew signal —
+    // plus task counts and shuffle-read bytes, for the exec-bound faces
+    // where the job chain alone says nothing
+    if (sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")) {
+      val taskDur = new java.util.concurrent.ConcurrentHashMap[
+        Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          taskDur.computeIfAbsent(te.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(Option(te.taskInfo).map(_.duration).getOrElse(0L))
+          ()
+        }
+        override def onStageCompleted(
+            sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          import scala.jdk.CollectionConverters._
+          val ds = Option(taskDur.get(si.stageId))
+            .map(_.asScala.toSeq.sorted).getOrElse(Nil)
+          if (ds.nonEmpty && ds.max >= 200) {
+            val med = ds(ds.length / 2)
+            val sr = si.taskMetrics.shuffleReadMetrics.totalBytesRead
+            val sw = si.taskMetrics.shuffleWriteMetrics.bytesWritten
+            println(f"    stage ${si.stageId}%4d tasks=${ds.length}%3d " +
+              f"med=${med}ms max=${ds.max}ms shufR=${sr / 1024}KB " +
+              f"shufW=${sw / 1024}KB  ${si.name.take(60)}")
+          }
+        }
+      })
+    }
 
     def force(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.mapPartitions { it =>
